@@ -1,0 +1,326 @@
+package graft.mart
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** The reference's data-mart layer (reference: docs/sql/dm_ddl.sql,
+  * dashboard/dashboard_queries.py, scripts/parent_mapping/
+  * track_parent_select.py) re-expressed on Spark.
+  *
+  * Role mapping onto the driver's star schema: the "listening fact" stream
+  * is lineitem⋈orders (ts = o_orderdate), sec_played = l_extendedprice,
+  * percent_played = l_quantity/50·100 (bounded 0–100 like the reference's),
+  * track = part (p_name = title, p_brand = artist), artist = supplier.
+  * The query *shapes* are the reference's exactly: time-grain rollups with
+  * conditional counts + distinct counts, ranked top-N with deterministic
+  * tie-breaks, parent-variant mapping via grouped min + left join.
+  *
+  * Scale: orders side of the fact join shuffles on orderkey once and is
+  * shared by every mart query; part/supplier dims are broadcast.
+  */
+object MartQueries {
+
+  private def dec(c: Column, p: Int = 12, s: Int = 2): Column = c.cast(s"decimal($p,$s)")
+
+  /** lineitem ⋈ orders with listening-history column roles. */
+  def listeningFacts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li  = Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_partkey", $"l_suppkey", $"l_quantity", $"l_extendedprice")
+    val ord = Tables.orders(spark, dir).select($"o_orderkey", $"o_orderdate")
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .select(
+        $"o_orderdate".as("ts"),
+        $"l_partkey", $"l_suppkey", $"l_quantity",
+        dec($"l_extendedprice").as("sec_played"),
+        round($"l_quantity" / lit(50.0) * lit(100.0), 1).cast("decimal(5,1)").as("percent_played")
+      )
+  }
+
+  /** Shared oracle CTE mirroring [[listeningFacts]]. */
+  private val fhCte: String =
+    """WITH fh AS (
+      |  SELECT o_orderdate AS ts, l_partkey, l_suppkey, l_quantity,
+      |    CAST(l_extendedprice AS DECIMAL(12,2)) AS sec_played,
+      |    CAST(round(l_quantity / 50.0 * 100.0, 1) AS DECIMAL(5,1)) AS percent_played
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |)""".stripMargin
+
+  private def aggMetrics: Seq[Column] = {
+    import org.apache.spark.sql.functions.{col => c}
+    Seq(
+      round(sum(c("sec_played")).cast("double") / lit(3600.0), 1).as("hours_listened"),
+      count(lit(1)).as("total_streams_sessions"),
+      count(when(c("l_quantity") > 10, lit(1))).as("nonskip_sessions"),
+      round(sum(c("percent_played")).cast("double") / lit(100.0)).as("total_estimated_streams"),
+      countDistinct(c("l_partkey")).as("distinct_tracks"),
+      countDistinct(c("l_suppkey")).as("distinct_artists")
+    )
+  }
+
+  private val aggMetricsSql: String =
+    """  round(CAST(SUM(sec_played) AS DOUBLE) / 3600.0, 1) AS hours_listened,
+      |  COUNT(*) AS total_streams_sessions,
+      |  COUNT(CASE WHEN l_quantity > 10 THEN 1 END) AS nonskip_sessions,
+      |  round(CAST(SUM(percent_played) AS DOUBLE) / 100.0) AS total_estimated_streams,
+      |  COUNT(DISTINCT l_partkey) AS distinct_tracks,
+      |  COUNT(DISTINCT l_suppkey) AS distinct_artists""".stripMargin
+
+  /** dm.yearly_agg (dm_ddl.sql:22) — yearly listening rollup. */
+  def yearlyAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    listeningFacts(spark, dir)
+      .groupBy(year($"ts").cast("long").as("year"), date_trunc("year", $"ts").as("year_start"))
+      .agg(aggMetrics.head, aggMetrics.tail: _*)
+      .orderBy($"year".desc)
+  }
+
+  val yearlyAggSql: String =
+    s"""$fhCte
+       |SELECT CAST(year(ts) AS BIGINT) AS year, date_trunc('year', ts) AS year_start,
+       |$aggMetricsSql
+       |FROM fh
+       |GROUP BY 1, 2
+       |ORDER BY year DESC""".stripMargin
+
+  /** dm.monthly_agg (dm_ddl.sql:37) — monthly grain of the same rollup. */
+  def monthlyAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    listeningFacts(spark, dir)
+      .groupBy(
+        year($"ts").cast("long").as("year"),
+        month($"ts").cast("long").as("month_num"),
+        date_trunc("month", $"ts").as("month_start"))
+      .agg(aggMetrics.head, aggMetrics.tail: _*)
+      .orderBy($"year".desc, $"month_num".desc)
+  }
+
+  val monthlyAggSql: String =
+    s"""$fhCte
+       |SELECT CAST(year(ts) AS BIGINT) AS year, CAST(month(ts) AS BIGINT) AS month_num,
+       |  date_trunc('month', ts) AS month_start,
+       |$aggMetricsSql
+       |FROM fh
+       |GROUP BY 1, 2, 3
+       |ORDER BY year DESC, month_num DESC""".stripMargin
+
+  /** dm.all_time_agg (dm_ddl.sql:53) — single-row lifetime stats. */
+  def allTimeAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    listeningFacts(spark, dir)
+      .agg(
+        round(sum($"sec_played").cast("double") / lit(86400.0), 1).as("days_listened"),
+        count(lit(1)).as("total_streams_sessions"),
+        count(when($"l_quantity" > 10, lit(1))).as("nonskip_sessions"),
+        round(sum($"percent_played").cast("double") / lit(100.0)).as("total_estimated_streams"),
+        countDistinct($"l_partkey").as("distinct_tracks"),
+        countDistinct($"l_suppkey").as("distinct_artists"))
+  }
+
+  val allTimeAggSql: String =
+    s"""$fhCte
+       |SELECT
+       |  round(CAST(SUM(sec_played) AS DOUBLE) / 86400.0, 1) AS days_listened,
+       |  COUNT(*) AS total_streams_sessions,
+       |  COUNT(CASE WHEN l_quantity > 10 THEN 1 END) AS nonskip_sessions,
+       |  round(CAST(SUM(percent_played) AS DOUBLE) / 100.0) AS total_estimated_streams,
+       |  COUNT(DISTINCT l_partkey) AS distinct_tracks,
+       |  COUNT(DISTINCT l_suppkey) AS distinct_artists
+       |FROM fh""".stripMargin
+
+  private def rankedMetrics: Seq[Column] = {
+    import org.apache.spark.sql.functions.{col => c}
+    Seq(
+      round(sum(c("sec_played")).cast("double") / lit(3600.0), 1).as("hours_played"),
+      count(lit(1)).as("times_played"),
+      round(sum(c("percent_played")).cast("double") / lit(100.0)).as("estimated_full_streams"),
+      count(when(c("percent_played") === lit(100.0), lit(1))).as("full_real_streams")
+    )
+  }
+
+  private val rankedMetricsSql: String =
+    """  round(CAST(SUM(sec_played) AS DOUBLE) / 3600.0, 1) AS hours_played,
+      |  COUNT(*) AS times_played,
+      |  round(CAST(SUM(percent_played) AS DOUBLE) / 100.0) AS estimated_full_streams,
+      |  COUNT(CASE WHEN percent_played = 100.0 THEN 1 END) AS full_real_streams""".stripMargin
+
+  /** dm.top_artists(1997, null, 10) (dm_ddl.sql:128) — ranked artists with
+    * year filter; supplier dim broadcast; deterministic tie-break.
+    */
+  def topArtists(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sup = Tables.supplier(spark, dir).select($"s_suppkey", $"s_name")
+    listeningFacts(spark, dir)
+      .filter(year($"ts") === 1997)
+      .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+      .groupBy($"s_name".as("artist"))
+      .agg(rankedMetrics.head, rankedMetrics.tail: _*)
+      .orderBy($"hours_played".desc, $"artist")
+      .limit(10)
+  }
+
+  val topArtistsSql: String =
+    s"""$fhCte
+       |SELECT s_name AS artist,
+       |$rankedMetricsSql
+       |FROM fh JOIN supplier ON l_suppkey = s_suppkey
+       |WHERE year(ts) = 1997
+       |GROUP BY s_name
+       |ORDER BY hours_played DESC, artist
+       |LIMIT 10""".stripMargin
+
+  /** Parent-variant mapping (track_parent_select.py): for parts sharing a
+    * (name, brand), the parent is the min partkey. Window-min over the dim —
+    * no extra shuffle beyond the dim's own partitioning.
+    */
+  def parentMap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"p_name", $"p_brand")
+    Tables.part(spark, dir)
+      .select($"p_partkey", $"p_name", $"p_brand",
+        min($"p_partkey").over(w).as("parent_partkey"))
+  }
+
+  /** dm.top_tracks (dm_ddl.sql:104): track grain, variants collapsed into
+    * their parent via the mapping left-join + coalesce, like the reference's
+    * `coalesce(p.parent_track_title, dt.track_title)`.
+    */
+  def topTracks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pm = parentMap(spark, dir)
+    listeningFacts(spark, dir)
+      .join(broadcast(pm), $"l_partkey" === $"p_partkey", "left")
+      .groupBy(
+        coalesce($"p_name", lit("<unknown>")).as("track"),
+        coalesce($"p_brand", lit("<unknown>")).as("artist"))
+      .agg(rankedMetrics.head, rankedMetrics.tail: _*)
+      .orderBy($"hours_played".desc, $"track", $"artist")
+      .limit(25)
+  }
+
+  val topTracksSql: String =
+    s"""$fhCte
+       |SELECT coalesce(p_name, '<unknown>') AS track, coalesce(p_brand, '<unknown>') AS artist,
+       |$rankedMetricsSql
+       |FROM fh LEFT JOIN part ON l_partkey = p_partkey
+       |GROUP BY 1, 2
+       |ORDER BY hours_played DESC, track, artist
+       |LIMIT 25""".stripMargin
+
+  /** dm.top_albums (dm_ddl.sql:76): album (= brand) grain. */
+  def topAlbums(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pt = Tables.part(spark, dir).select($"p_partkey", $"p_brand")
+    listeningFacts(spark, dir)
+      .join(broadcast(pt), $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand".as("album"))
+      .agg(rankedMetrics.head, rankedMetrics.tail: _*)
+      .orderBy($"hours_played".desc, $"album")
+      .limit(10)
+  }
+
+  val topAlbumsSql: String =
+    s"""$fhCte
+       |SELECT p_brand AS album,
+       |$rankedMetricsSql
+       |FROM fh JOIN part ON l_partkey = p_partkey
+       |GROUP BY p_brand
+       |ORDER BY hours_played DESC, album
+       |LIMIT 10""".stripMargin
+
+  /** dm.album_stats('Brand#13') (dm_ddl.sql:185): drill-down inside one
+    * album — per-track minutes + estimated streams.
+    */
+  def albumStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pt = Tables.part(spark, dir)
+      .filter($"p_brand" === "Brand#13")
+      .select($"p_partkey", $"p_name")
+    listeningFacts(spark, dir)
+      .join(broadcast(pt), $"l_partkey" === $"p_partkey")
+      .groupBy($"p_name".as("track"))
+      .agg(
+        round(sum($"sec_played").cast("double") / lit(60.0), 1).as("min_listened"),
+        round(sum($"percent_played").cast("double") / lit(100.0)).as("total_estimated_streams"))
+      .orderBy($"min_listened".desc, $"track")
+  }
+
+  val albumStatsSql: String =
+    s"""$fhCte
+       |SELECT p_name AS track,
+       |  round(CAST(SUM(sec_played) AS DOUBLE) / 60.0, 1) AS min_listened,
+       |  round(CAST(SUM(percent_played) AS DOUBLE) / 100.0) AS total_estimated_streams
+       |FROM fh JOIN part ON l_partkey = p_partkey
+       |WHERE p_brand = 'Brand#13'
+       |GROUP BY p_name
+       |ORDER BY min_listened DESC, track""".stripMargin
+
+  /** VARIANT_QUERY (track_parent_select.py:12): groups with >1 distinct
+    * variant key and total playtime above threshold; variant keys emitted
+    * as a sorted CSV string (engine-portable, deterministic).
+    */
+  def variantDetection(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val variants = Tables.part(spark, dir)
+      .groupBy($"p_name", $"p_brand")
+      .agg(
+        countDistinct($"p_partkey").as("variant_count"),
+        array_join(sort_array(collect_set($"p_partkey")), ",").as("part_keys"))
+      .filter($"variant_count" > 1)
+    val totals = listeningFacts(spark, dir)
+      .join(broadcast(Tables.part(spark, dir).select($"p_partkey", $"p_name", $"p_brand")),
+        $"l_partkey" === $"p_partkey")
+      .groupBy($"p_name", $"p_brand")
+      .agg((sum($"sec_played").cast("double") / lit(60.0)).as("total_time_min"))
+    variants.join(totals, Seq("p_name", "p_brand"))
+      .filter($"total_time_min" > 45.0)
+      .select(
+        $"p_name".as("track_title"), $"p_brand".as("artist_name"),
+        $"variant_count", round($"total_time_min", 1).as("total_time_min"), $"part_keys")
+      .orderBy(round($"total_time_min", 1).desc, $"track_title", $"artist_name")
+  }
+
+  val variantDetectionSql: String =
+    s"""$fhCte, variants AS (
+       |  SELECT p_name, p_brand,
+       |    COUNT(DISTINCT p_partkey) AS variant_count,
+       |    array_to_string(list_sort(list(DISTINCT p_partkey)), ',') AS part_keys
+       |  FROM part
+       |  GROUP BY p_name, p_brand
+       |  HAVING COUNT(DISTINCT p_partkey) > 1
+       |), totals AS (
+       |  SELECT p_name, p_brand, CAST(SUM(sec_played) AS DOUBLE) / 60.0 AS total_time_min
+       |  FROM fh JOIN part ON l_partkey = p_partkey
+       |  GROUP BY p_name, p_brand
+       |)
+       |SELECT v.p_name AS track_title, v.p_brand AS artist_name,
+       |  v.variant_count, round(t.total_time_min, 1) AS total_time_min, v.part_keys
+       |FROM variants v JOIN totals t ON v.p_name = t.p_name AND v.p_brand = t.p_brand
+       |WHERE t.total_time_min > 45.0
+       |ORDER BY round(t.total_time_min, 1) DESC, track_title, artist_name""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dm_yearly_agg"        -> (yearlyAgg _),
+    "dm_monthly_agg"       -> (monthlyAgg _),
+    "dm_all_time_agg"      -> (allTimeAgg _),
+    "dm_top_artists"       -> (topArtists _),
+    "dm_top_tracks"        -> (topTracks _),
+    "dm_top_albums"        -> (topAlbums _),
+    "dm_album_stats"       -> (albumStats _),
+    "dm_variant_detection" -> (variantDetection _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "dm_yearly_agg"        -> yearlyAggSql,
+    "dm_monthly_agg"       -> monthlyAggSql,
+    "dm_all_time_agg"      -> allTimeAggSql,
+    "dm_top_artists"       -> topArtistsSql,
+    "dm_top_tracks"        -> topTracksSql,
+    "dm_top_albums"        -> topAlbumsSql,
+    "dm_album_stats"       -> albumStatsSql,
+    "dm_variant_detection" -> variantDetectionSql
+  )
+}
