@@ -1,0 +1,449 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** The reference's Extract + Transform surface (reference:
+  * scripts/etl/extractor.py, scripts/etl/transformer.py,
+  * docs/sql/dim_date_populate.sql, dim_time_populate.sql) re-expressed
+  * declaratively on Spark.
+  *
+  * Role mapping: `events` is the raw streaming history (ts / user_id /
+  * event_type / value / props ≈ ts / entity / reason / sec_played / raw
+  * JSON); `documents` carries the dirty release-date payloads; `supplier`
+  * is the already-loaded core dim for new-item detection.
+  *
+  * The reference processes in client-side batches of 50 with a retry loop;
+  * on Spark every one of those steps is a set-oriented plan instead —
+  * enrichment is a broadcast join against the (deduplicated) key set, delta
+  * load is a scalar-subquery watermark that stays in the plan, new-item
+  * detection is two anti-joins. Nothing is collected to the driver.
+  */
+object EtlQueries {
+
+  private def dec(c: Column, p: Int = 12, s: Int = 2): Column = c.cast(s"decimal($p,$s)")
+
+  // ---------------------------------------------------------------- extract
+
+  /** extractor.py:extract_streaming_history — raw-file ingest with schema
+    * projection, ts parsing (minute precision like the staging layer), and
+    * raw-JSON payload extraction, keeping only valid rows.
+    */
+  def extractHistory(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .filter($"value" >= 0 && $"event_type".isNotNull)
+      .select(
+        $"event_id",
+        date_trunc("minute", $"ts").as("ts_minute"),
+        $"user_id", $"event_type",
+        $"value".as("sec_played"),
+        get_json_object($"props", "$.k").cast("long").as("k"))
+      .orderBy($"event_id")
+  }
+
+  val extractHistorySql: String =
+    """SELECT event_id,
+      |  date_trunc('minute', CAST(ts AS TIMESTAMP)) AS ts_minute,
+      |  user_id, event_type,
+      |  value AS sec_played,
+      |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |FROM events
+      |WHERE value >= 0 AND event_type IS NOT NULL
+      |ORDER BY event_id""".stripMargin
+
+  /** transformer.py insert_core_facts WHERE s.ts > (SELECT COALESCE(MAX…))
+    * — delta load: only rows newer than the loaded watermark. The watermark
+    * is a scalar aggregate that stays in the plan (broadcast, no collect).
+    */
+  def deltaLoad(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val watermark = Tables.orders(spark, dir)
+      .filter($"o_orderstatus" === "F")
+      .agg(coalesce(max($"o_orderdate"), lit("1900-01-01").cast("timestamp")).as("wm"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(watermark), $"l_shipdate" > $"wm")
+      .select($"l_orderkey", $"l_linenumber", $"l_shipdate", $"l_quantity".as("quantity"))
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  val deltaLoadSql: String =
+    """SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity AS quantity
+      |FROM lineitem
+      |WHERE l_shipdate > (
+      |  SELECT COALESCE(MAX(o_orderdate), TIMESTAMP '1900-01-01')
+      |  FROM orders WHERE o_orderstatus = 'F')
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** extractor.py:_get_new_items — new unique keys = staged − core −
+    * already-staged, as two LEFT ANTI joins (the distributed form of the
+    * reference's Python set difference).
+    */
+  def newItems(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val staged  = Tables.events(spark, dir).select($"user_id").distinct()
+    val core    = Tables.supplier(spark, dir).select($"s_suppkey".as("user_id"))
+    val already = Tables.events(spark, dir)
+      .filter($"event_type" === "signup" && $"event_id" < 1000)
+      .select($"user_id").distinct()
+    staged
+      .join(broadcast(core), Seq("user_id"), "left_anti")
+      .join(broadcast(already), Seq("user_id"), "left_anti")
+      .orderBy($"user_id")
+  }
+
+  val newItemsSql: String =
+    """SELECT DISTINCT user_id FROM events
+      |WHERE user_id NOT IN (SELECT s_suppkey FROM supplier)
+      |  AND user_id NOT IN (SELECT user_id FROM events WHERE event_type = 'signup' AND event_id < 1000)
+      |ORDER BY user_id""".stripMargin
+
+  // ------------------------------------------------------------------ dims
+
+  /** dim_date_populate.sql — generated calendar 2018-01-01..2030-12-31. */
+  def dimDate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = date_add(to_date(lit("2018-01-01")), $"id".cast("int"))
+    spark.range(0, 4748)
+      .select(d.as("d"))
+      .select(
+        (year($"d") * 10000 + month($"d") * 100 + dayofmonth($"d")).cast("long").as("date_id"),
+        $"d".cast("timestamp").as("date"),
+        year($"d").cast("long").as("year"),
+        month($"d").cast("long").as("month_num"),
+        date_format($"d", "MMM").as("month_abbr"),
+        date_format($"d", "MMMM").as("month_name"),
+        dayofmonth($"d").cast("long").as("day"),
+        date_format($"d", "EEEE").as("day_name"),
+        weekofyear($"d").cast("long").as("week"),
+        date_format($"d", "EEEE").isin("Saturday", "Sunday").as("is_weekend"))
+      .orderBy($"date_id")
+  }
+
+  val dimDateSql: String =
+    """SELECT
+      |  CAST(year(d) * 10000 + month(d) * 100 + day(d) AS BIGINT) AS date_id,
+      |  CAST(d AS TIMESTAMP) AS date,
+      |  CAST(year(d) AS BIGINT) AS year,
+      |  CAST(month(d) AS BIGINT) AS month_num,
+      |  strftime(d, '%b') AS month_abbr,
+      |  monthname(d) AS month_name,
+      |  CAST(day(d) AS BIGINT) AS day,
+      |  dayname(d) AS day_name,
+      |  CAST(week(d) AS BIGINT) AS week,
+      |  isodow(d) IN (6, 7) AS is_weekend
+      |FROM generate_series(DATE '2018-01-01', DATE '2030-12-31', INTERVAL 1 DAY) t(d)
+      |ORDER BY date_id""".stripMargin
+
+  /** dim_time_populate.sql — 1440-row minute dim with part-of-day buckets. */
+  def dimTime(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.range(0, 1440)
+      .select(
+        $"id".as("time_id"),
+        format_string("%02d:%02d", ($"id" / 60).cast("int"), ($"id" % 60).cast("int")).as("time"),
+        ($"id" / 60).cast("long").as("hour"),
+        ($"id" % 60).cast("long").as("minute"),
+        when($"id" / 60 >= 6 && $"id" / 60 < 12, "morning")
+          .when($"id" / 60 >= 12 && $"id" / 60 < 18, "afternoon")
+          .when($"id" / 60 >= 18 && $"id" / 60 < 23, "evening")
+          .otherwise("night").as("part_of_day"))
+      .orderBy($"time_id")
+  }
+
+  val dimTimeSql: String =
+    """SELECT t AS time_id,
+      |  printf('%02d:%02d', t // 60, t % 60) AS time,
+      |  t // 60 AS hour,
+      |  t % 60 AS minute,
+      |  CASE WHEN t // 60 >= 6 AND t // 60 < 12 THEN 'morning'
+      |       WHEN t // 60 >= 12 AND t // 60 < 18 THEN 'afternoon'
+      |       WHEN t // 60 >= 18 AND t // 60 < 23 THEN 'evening'
+      |       ELSE 'night' END AS part_of_day
+      |FROM generate_series(0, 1439) s(t)
+      |ORDER BY time_id""".stripMargin
+
+  /** transformer.py:populate_dim_reason — distinct reason values per group
+    * via UNION ALL (the reference's re-runnable upsert source query).
+    */
+  def dimReason(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val start = ev.select($"event_type".as("reason_type")).distinct()
+      .withColumn("reason_group", lit("start"))
+    val end = ev.select($"event_type".as("reason_type")).distinct()
+      .withColumn("reason_group", lit("end"))
+    start.unionAll(end).orderBy($"reason_group", $"reason_type")
+  }
+
+  val dimReasonSql: String =
+    """SELECT * FROM (
+      |  SELECT DISTINCT event_type AS reason_type, 'start' AS reason_group FROM events
+      |  UNION ALL
+      |  SELECT DISTINCT event_type AS reason_type, 'end' AS reason_group FROM events
+      |)
+      |ORDER BY reason_group, reason_type""".stripMargin
+
+  // ----------------------------------------------------------- transform
+
+  /** Synthetic dirty release dates over documents: deterministic
+    * (raw, precision) pairs covering every branch of the reference's
+    * normalizer — including the `0000` bad-data case.
+    */
+  private def rawDates(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val y = lit(1990) + $"doc_id" % 40
+    val m = lit(1) + $"doc_id" % 12
+    val d = lit(1) + $"doc_id" % 28
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        when($"doc_id" % 4 === 0, lit("0000"))
+          .when($"doc_id" % 4 === 1, y.cast("string"))
+          .when($"doc_id" % 4 === 2, format_string("%04d-%02d", y.cast("int"), m.cast("int")))
+          .otherwise(format_string("%04d-%02d-%02d", y.cast("int"), m.cast("int"), d.cast("int")))
+          .as("raw_release_date"),
+        when($"doc_id" % 4 === 1, "year")
+          .when($"doc_id" % 4 === 2, "month")
+          .otherwise("day").as("precision"))
+  }
+
+  private val rawDatesCte: String =
+    """WITH raw AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 4 = 0 THEN '0000'
+      |         WHEN doc_id % 4 = 1 THEN printf('%04d', 1990 + doc_id % 40)
+      |         WHEN doc_id % 4 = 2 THEN printf('%04d-%02d', 1990 + doc_id % 40, 1 + doc_id % 12)
+      |         ELSE printf('%04d-%02d-%02d', 1990 + doc_id % 40, 1 + doc_id % 12, 1 + doc_id % 28)
+      |    END AS raw_release_date,
+      |    CASE WHEN doc_id % 4 = 1 THEN 'year'
+      |         WHEN doc_id % 4 = 2 THEN 'month'
+      |         ELSE 'day' END AS precision
+      |  FROM documents
+      |)""".stripMargin
+
+  /** transformer.py:_normalise_date — precision-aware date normalization
+    * with the `0000` → 1900-01-01 bad-data rule, as a single vectorized
+    * CASE (vs the reference's per-row Python).
+    */
+  def cleanDates(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    rawDates(spark, dir)
+      .withColumn("clean_release_date",
+        when($"raw_release_date".startsWith("0000"), lit("1900-01-01"))
+          .when($"precision" === "year", concat($"raw_release_date", lit("-01-01")))
+          .when($"precision" === "month", concat($"raw_release_date", lit("-01")))
+          .otherwise($"raw_release_date"))
+      .withColumn("release_ts", to_timestamp($"clean_release_date", "yyyy-MM-dd"))
+      .orderBy($"doc_id")
+  }
+
+  val cleanDatesSql: String =
+    s"""$rawDatesCte
+       |SELECT doc_id, raw_release_date, precision,
+       |  CASE WHEN raw_release_date LIKE '0000%' THEN '1900-01-01'
+       |       WHEN precision = 'year' THEN raw_release_date || '-01-01'
+       |       WHEN precision = 'month' THEN raw_release_date || '-01'
+       |       ELSE raw_release_date END AS clean_release_date,
+       |  CAST(strptime(CASE WHEN raw_release_date LIKE '0000%' THEN '1900-01-01'
+       |       WHEN precision = 'year' THEN raw_release_date || '-01-01'
+       |       WHEN precision = 'month' THEN raw_release_date || '-01'
+       |       ELSE raw_release_date END, '%Y-%m-%d') AS TIMESTAMP) AS release_ts
+       |FROM raw
+       |ORDER BY doc_id""".stripMargin
+
+  /** extractor.py:_process_spotify_batch — metadata enrichment. The
+    * reference fetches 50-URI batches from the API in a retry loop; here
+    * the "API" is a deterministic generated dim and enrichment is one
+    * broadcast join against the deduplicated key set.
+    */
+  def enrichMetadata(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val plays = Tables.events(spark, dir)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("plays"), sum(dec($"value", 10, 2)).cast("double").as("total_value"))
+    val api = plays.select($"user_id").distinct()
+      .select($"user_id",
+        concat(lit("user_"), $"user_id").as("display_name"),
+        (($"user_id" + 1) * 30000).as("duration_ms"),
+        ((($"user_id" + 1) * 30000) / 1000).cast("long").as("duration_sec"))
+    plays.join(broadcast(api), Seq("user_id"))
+      .select($"user_id", $"display_name", $"duration_ms", $"duration_sec", $"plays", $"total_value")
+      .orderBy($"user_id")
+  }
+
+  val enrichMetadataSql: String =
+    """WITH plays AS (
+      |  SELECT user_id, COUNT(*) AS plays,
+      |    CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total_value
+      |  FROM events GROUP BY user_id
+      |), api AS (
+      |  SELECT DISTINCT user_id,
+      |    'user_' || CAST(user_id AS VARCHAR) AS display_name,
+      |    (user_id + 1) * 30000 AS duration_ms,
+      |    (user_id + 1) * 30000 // 1000 AS duration_sec
+      |  FROM plays
+      |)
+      |SELECT p.user_id, display_name, duration_ms, duration_sec, plays, total_value
+      |FROM plays p JOIN api USING (user_id)
+      |ORDER BY user_id""".stripMargin
+
+  /** etl_internal.failed_uris — quarantine rows that fail cleaning rules,
+    * with an error reason (the reference's failed-URI tracking).
+    */
+  def failedUris(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bad  = rawDates(spark, dir)
+      .filter($"raw_release_date".startsWith("0000"))
+      .select($"doc_id", lit("invalid release date: 0000").as("error_reason"))
+    val short = Tables.documents(spark, dir)
+      .filter($"n_chars" < 150)
+      .select($"doc_id", lit("payload too short").as("error_reason"))
+    bad.unionAll(short).orderBy($"doc_id", $"error_reason")
+  }
+
+  val failedUrisSql: String =
+    s"""$rawDatesCte
+       |SELECT * FROM (
+       |  SELECT doc_id, 'invalid release date: 0000' AS error_reason
+       |  FROM raw WHERE raw_release_date LIKE '0000%'
+       |  UNION ALL
+       |  SELECT doc_id, 'payload too short' AS error_reason
+       |  FROM documents WHERE n_chars < 150
+       |)
+       |ORDER BY doc_id, error_reason""".stripMargin
+
+  /** transformer.py:_clean_* — staged raw-JSON payload → typed columns,
+    * then grouped (the staging jsonb unpack, vectorized).
+    */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select(get_json_object($"props", "$.k").cast("long").as("k"), dec($"value", 10, 2).as("v"))
+      .groupBy($"k")
+      .agg(count(lit(1)).as("n"), sum($"v").cast("double").as("total_value"))
+      .orderBy($"k")
+  }
+
+  val jsonExtractSql: String =
+    """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY k""".stripMargin
+
+  /** ON CONFLICT DO NOTHING / re-runnable loads — keep the first row per
+    * natural key (deterministic row_number pick, one shuffle on the key).
+    */
+  def dedupStaging(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", $"event_type", $"event_id", unix_timestamp($"ts").as("ts_sec"))
+    val w = Window.partitionBy($"user_id", $"event_type").orderBy($"ts_sec", $"event_id")
+    ev.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .drop("rn")
+      .orderBy($"user_id", $"event_type")
+  }
+
+  val dedupStagingSql: String =
+    """SELECT user_id, event_type, event_id, ts_sec FROM (
+      |  SELECT user_id, event_type, event_id,
+      |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ts_sec,
+      |    row_number() OVER (PARTITION BY user_id, event_type
+      |      ORDER BY CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT), event_id) AS rn
+      |  FROM events
+      |)
+      |WHERE rn = 1
+      |ORDER BY user_id, event_type""".stripMargin
+
+  /** transformer.py:insert_core_facts — the full fact build: history rows
+    * FK-resolved against the generated date/time dims (broadcast joins),
+    * enriched with the metadata dim for percent_played, timezone-shifted
+    * like the reference's UTC→MSK (fixed +3h here: no tzdata dependency).
+    */
+  def factBuild(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"event_id", $"user_id", $"event_type", $"value".as("sec_played"),
+        ($"ts" + expr("INTERVAL 3 HOURS")).as("ts_msk"))
+    val dd = dimDate(spark, dir).select($"date_id", $"date", $"day_name", $"is_weekend")
+    val dt = dimTime(spark, dir).select($"time_id", $"part_of_day")
+    val api = ev.select($"user_id").distinct()
+      .select($"user_id", ((($"user_id" + 1) * 30000) / 1000).cast("long").as("duration_sec"))
+    ev.join(broadcast(dd), date_trunc("day", $"ts_msk") === $"date")
+      .join(broadcast(dt), (hour($"ts_msk") * 60 + minute($"ts_msk")) === $"time_id")
+      .join(broadcast(api), Seq("user_id"))
+      .select(
+        $"event_id", $"ts_msk", $"date_id".as("date_fk"), $"time_id".as("time_fk"),
+        $"user_id", $"event_type", $"sec_played",
+        (floor($"sec_played" / nullif($"duration_sec", lit(0)).cast("double") * 100.0 * 10.0 + 0.5) / 10.0)
+          .as("percent_played"),
+        $"day_name", $"is_weekend", $"part_of_day")
+      .orderBy($"event_id")
+  }
+
+  val factBuildSql: String =
+    """WITH dd AS (
+      |  SELECT CAST(year(d) * 10000 + month(d) * 100 + day(d) AS BIGINT) AS date_id,
+      |    CAST(d AS TIMESTAMP) AS date, dayname(d) AS day_name, isodow(d) IN (6,7) AS is_weekend
+      |  FROM generate_series(DATE '2018-01-01', DATE '2030-12-31', INTERVAL 1 DAY) t(d)
+      |), dt AS (
+      |  SELECT t AS time_id,
+      |    CASE WHEN t // 60 >= 6 AND t // 60 < 12 THEN 'morning'
+      |         WHEN t // 60 >= 12 AND t // 60 < 18 THEN 'afternoon'
+      |         WHEN t // 60 >= 18 AND t // 60 < 23 THEN 'evening'
+      |         ELSE 'night' END AS part_of_day
+      |  FROM generate_series(0, 1439) s(t)
+      |), ev AS (
+      |  SELECT event_id, user_id, event_type,
+      |    value AS sec_played,
+      |    CAST(ts AS TIMESTAMP) + INTERVAL 3 HOUR AS ts_msk
+      |  FROM events
+      |), api AS (
+      |  SELECT DISTINCT user_id, (user_id + 1) * 30000 // 1000 AS duration_sec FROM events
+      |)
+      |SELECT event_id, ts_msk, date_id AS date_fk, time_id AS time_fk,
+      |  ev.user_id, event_type, sec_played,
+      |  floor(sec_played / CAST(nullif(duration_sec, 0) AS DOUBLE) * 100.0 * 10.0 + 0.5) / 10.0
+      |    AS percent_played,
+      |  day_name, is_weekend, part_of_day
+      |FROM ev
+      |JOIN dd ON date_trunc('day', ts_msk) = dd.date
+      |JOIN dt ON hour(ts_msk) * 60 + minute(ts_msk) = dt.time_id
+      |JOIN api ON ev.user_id = api.user_id
+      |ORDER BY event_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_extract_history" -> (extractHistory _),
+    "etl_delta_load"      -> (deltaLoad _),
+    "etl_new_items"       -> (newItems _),
+    "etl_dim_date"        -> (dimDate _),
+    "etl_dim_time"        -> (dimTime _),
+    "etl_dim_reason"      -> (dimReason _),
+    "etl_clean_dates"     -> (cleanDates _),
+    "etl_enrich_metadata" -> (enrichMetadata _),
+    "etl_failed_uris"     -> (failedUris _),
+    "etl_json_extract"    -> (jsonExtract _),
+    "etl_dedup_staging"   -> (dedupStaging _),
+    "etl_fact_build"      -> (factBuild _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "etl_extract_history" -> extractHistorySql,
+    "etl_delta_load"      -> deltaLoadSql,
+    "etl_new_items"       -> newItemsSql,
+    "etl_dim_date"        -> dimDateSql,
+    "etl_dim_time"        -> dimTimeSql,
+    "etl_dim_reason"      -> dimReasonSql,
+    "etl_clean_dates"     -> cleanDatesSql,
+    "etl_enrich_metadata" -> enrichMetadataSql,
+    "etl_failed_uris"     -> failedUrisSql,
+    "etl_json_extract"    -> jsonExtractSql,
+    "etl_dedup_staging"   -> dedupStagingSql,
+    "etl_fact_build"      -> factBuildSql
+  )
+}

@@ -25,6 +25,13 @@ object MartQueries {
 
   private def dec(c: Column, p: Int = 12, s: Int = 2): Column = c.cast(s"decimal($p,$s)")
 
+  /** Engine-exact HALF_UP rounding: floor(x*10^n + 0.5)/10^n is the same
+    * double arithmetic in Spark and DuckDB, unlike round(double, n) whose
+    * half-way behavior is engine-specific.
+    */
+  private def r1(c: Column): Column = floor(c * lit(10.0) + lit(0.5)) / lit(10.0)
+  private def r0(c: Column): Column = floor(c + lit(0.5)).cast("double")
+
   /** lineitem ⋈ orders with listening-history column roles. */
   def listeningFacts(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -52,20 +59,20 @@ object MartQueries {
   private def aggMetrics: Seq[Column] = {
     import org.apache.spark.sql.functions.{col => c}
     Seq(
-      round(sum(c("sec_played")).cast("double") / lit(3600.0), 1).as("hours_listened"),
+      r1(sum(c("sec_played")).cast("double") / lit(3600.0)).as("hours_listened"),
       count(lit(1)).as("total_streams_sessions"),
       count(when(c("l_quantity") > 10, lit(1))).as("nonskip_sessions"),
-      round(sum(c("percent_played")).cast("double") / lit(100.0)).as("total_estimated_streams"),
+      r0(sum(c("percent_played")).cast("double") / lit(100.0)).as("total_estimated_streams"),
       countDistinct(c("l_partkey")).as("distinct_tracks"),
       countDistinct(c("l_suppkey")).as("distinct_artists")
     )
   }
 
   private val aggMetricsSql: String =
-    """  round(CAST(SUM(sec_played) AS DOUBLE) / 3600.0, 1) AS hours_listened,
+    """  floor(CAST(SUM(sec_played) AS DOUBLE) / 3600.0 * 10.0 + 0.5) / 10.0 AS hours_listened,
       |  COUNT(*) AS total_streams_sessions,
       |  COUNT(CASE WHEN l_quantity > 10 THEN 1 END) AS nonskip_sessions,
-      |  round(CAST(SUM(percent_played) AS DOUBLE) / 100.0) AS total_estimated_streams,
+      |  floor(CAST(SUM(percent_played) AS DOUBLE) / 100.0 + 0.5) AS total_estimated_streams,
       |  COUNT(DISTINCT l_partkey) AS distinct_tracks,
       |  COUNT(DISTINCT l_suppkey) AS distinct_artists""".stripMargin
 
@@ -112,10 +119,10 @@ object MartQueries {
     import spark.implicits._
     listeningFacts(spark, dir)
       .agg(
-        round(sum($"sec_played").cast("double") / lit(86400.0), 1).as("days_listened"),
+        r1(sum($"sec_played").cast("double") / lit(86400.0)).as("days_listened"),
         count(lit(1)).as("total_streams_sessions"),
         count(when($"l_quantity" > 10, lit(1))).as("nonskip_sessions"),
-        round(sum($"percent_played").cast("double") / lit(100.0)).as("total_estimated_streams"),
+        r0(sum($"percent_played").cast("double") / lit(100.0)).as("total_estimated_streams"),
         countDistinct($"l_partkey").as("distinct_tracks"),
         countDistinct($"l_suppkey").as("distinct_artists"))
   }
@@ -123,10 +130,10 @@ object MartQueries {
   val allTimeAggSql: String =
     s"""$fhCte
        |SELECT
-       |  round(CAST(SUM(sec_played) AS DOUBLE) / 86400.0, 1) AS days_listened,
+       |  floor(CAST(SUM(sec_played) AS DOUBLE) / 86400.0 * 10.0 + 0.5) / 10.0 AS days_listened,
        |  COUNT(*) AS total_streams_sessions,
        |  COUNT(CASE WHEN l_quantity > 10 THEN 1 END) AS nonskip_sessions,
-       |  round(CAST(SUM(percent_played) AS DOUBLE) / 100.0) AS total_estimated_streams,
+       |  floor(CAST(SUM(percent_played) AS DOUBLE) / 100.0 + 0.5) AS total_estimated_streams,
        |  COUNT(DISTINCT l_partkey) AS distinct_tracks,
        |  COUNT(DISTINCT l_suppkey) AS distinct_artists
        |FROM fh""".stripMargin
@@ -134,17 +141,17 @@ object MartQueries {
   private def rankedMetrics: Seq[Column] = {
     import org.apache.spark.sql.functions.{col => c}
     Seq(
-      round(sum(c("sec_played")).cast("double") / lit(3600.0), 1).as("hours_played"),
+      r1(sum(c("sec_played")).cast("double") / lit(3600.0)).as("hours_played"),
       count(lit(1)).as("times_played"),
-      round(sum(c("percent_played")).cast("double") / lit(100.0)).as("estimated_full_streams"),
+      r0(sum(c("percent_played")).cast("double") / lit(100.0)).as("estimated_full_streams"),
       count(when(c("percent_played") === lit(100.0), lit(1))).as("full_real_streams")
     )
   }
 
   private val rankedMetricsSql: String =
-    """  round(CAST(SUM(sec_played) AS DOUBLE) / 3600.0, 1) AS hours_played,
+    """  floor(CAST(SUM(sec_played) AS DOUBLE) / 3600.0 * 10.0 + 0.5) / 10.0 AS hours_played,
       |  COUNT(*) AS times_played,
-      |  round(CAST(SUM(percent_played) AS DOUBLE) / 100.0) AS estimated_full_streams,
+      |  floor(CAST(SUM(percent_played) AS DOUBLE) / 100.0 + 0.5) AS estimated_full_streams,
       |  COUNT(CASE WHEN percent_played = 100.0 THEN 1 END) AS full_real_streams""".stripMargin
 
   /** dm.top_artists(1997, null, 10) (dm_ddl.sql:128) — ranked artists with
@@ -243,16 +250,16 @@ object MartQueries {
       .join(broadcast(pt), $"l_partkey" === $"p_partkey")
       .groupBy($"p_name".as("track"))
       .agg(
-        round(sum($"sec_played").cast("double") / lit(60.0), 1).as("min_listened"),
-        round(sum($"percent_played").cast("double") / lit(100.0)).as("total_estimated_streams"))
+        r1(sum($"sec_played").cast("double") / lit(60.0)).as("min_listened"),
+        r0(sum($"percent_played").cast("double") / lit(100.0)).as("total_estimated_streams"))
       .orderBy($"min_listened".desc, $"track")
   }
 
   val albumStatsSql: String =
     s"""$fhCte
        |SELECT p_name AS track,
-       |  round(CAST(SUM(sec_played) AS DOUBLE) / 60.0, 1) AS min_listened,
-       |  round(CAST(SUM(percent_played) AS DOUBLE) / 100.0) AS total_estimated_streams
+       |  floor(CAST(SUM(sec_played) AS DOUBLE) / 60.0 * 10.0 + 0.5) / 10.0 AS min_listened,
+       |  floor(CAST(SUM(percent_played) AS DOUBLE) / 100.0 + 0.5) AS total_estimated_streams
        |FROM fh JOIN part ON l_partkey = p_partkey
        |WHERE p_brand = 'Brand#13'
        |GROUP BY p_name
@@ -279,8 +286,8 @@ object MartQueries {
       .filter($"total_time_min" > 45.0)
       .select(
         $"p_name".as("track_title"), $"p_brand".as("artist_name"),
-        $"variant_count", round($"total_time_min", 1).as("total_time_min"), $"part_keys")
-      .orderBy(round($"total_time_min", 1).desc, $"track_title", $"artist_name")
+        $"variant_count", r1($"total_time_min").as("total_time_min"), $"part_keys")
+      .orderBy(r1($"total_time_min").desc, $"track_title", $"artist_name")
   }
 
   val variantDetectionSql: String =
@@ -297,10 +304,10 @@ object MartQueries {
        |  GROUP BY p_name, p_brand
        |)
        |SELECT v.p_name AS track_title, v.p_brand AS artist_name,
-       |  v.variant_count, round(t.total_time_min, 1) AS total_time_min, v.part_keys
+       |  v.variant_count, floor(t.total_time_min * 10.0 + 0.5) / 10.0 AS total_time_min, v.part_keys
        |FROM variants v JOIN totals t ON v.p_name = t.p_name AND v.p_brand = t.p_brand
        |WHERE t.total_time_min > 45.0
-       |ORDER BY round(t.total_time_min, 1) DESC, track_title, artist_name""".stripMargin
+       |ORDER BY floor(t.total_time_min * 10.0 + 0.5) / 10.0 DESC, track_title, artist_name""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dm_yearly_agg"        -> (yearlyAgg _),
