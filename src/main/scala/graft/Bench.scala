@@ -1,23 +1,54 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs the headline queries on SPARK_GRAFT_SF_DIR and
+  * prints one JSON line {"metric":…,"queries":{…}}.
+  *
+  * Headliners cover every subsystem (scan/agg, joins, windows, mart
+  * rollups, ETL fact build, dedup, ANN, text analysis) but exclude the
+  * deliberately-exact O(n·block) pairwise oracles whose scale path is
+  * MinHash-LSH — benchmarking the brute-force twin at sf0.1 would measure
+  * the wrong operator.
+  *
+  * Results are fully materialized through the noop sink so column
+  * evaluation is never pruned away by count()-style shortcuts.
+  */
 object Bench {
+  val headline: Seq[String] = Seq(
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
+    "sessionize_events", "stream_windowed_agg",
+    "dm_yearly_agg", "dm_monthly_agg", "dm_top_artists", "dm_top_tracks",
+    "dm_variant_detection",
+    "etl_extract_history", "etl_fact_build", "etl_dedup_staging",
+    "dedup_exact", "dedup_embedding", "ann_topk_exact",
+    "text_langid", "text_quality", "text_tokens", "text_fingerprint")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def run(name: String): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try SparkEntry.queries(name)(spark, sfDir)
+        .write.mode("overwrite").format("noop").save()
+      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); return -1.0 }
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+
+    run("q1_pricing_summary") // JVM/codegen warmup, not reported
+
+    val results = headline.map(n => n -> run(n))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

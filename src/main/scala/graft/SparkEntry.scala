@@ -11,11 +11,11 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    core.CoreQueries.queries ++ mart.MartQueries.queries ++ etl.EtlQueries.queries
+    core.CoreQueries.queries ++ mart.MartQueries.queries ++ etl.EtlQueries.queries ++ ops.LlmQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    core.CoreQueries.oracleSql ++ mart.MartQueries.oracleSql ++ etl.EtlQueries.oracleSql
+    core.CoreQueries.oracleSql ++ mart.MartQueries.oracleSql ++ etl.EtlQueries.oracleSql ++ ops.LlmQueries.oracleSql
 }

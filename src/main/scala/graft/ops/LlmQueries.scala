@@ -1,0 +1,427 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** LLM-training-data pipeline operators over `documents` / `embeddings`:
+  * deduplication, similarity search, text analysis — the large-scale data
+  * curation surface (SURVEY §2), each designed so no comparison ever leaves
+  * a blocking bucket (lang / length / label / LSH band), which is what keeps
+  * them O(n·bucket) instead of O(n²) at 100 TB.
+  *
+  * Oracle-parity techniques:
+  *  - similarity ratios are int/int divisions (set sizes, quantized dots) —
+  *    a single double op, bit-identical across engines;
+  *  - embeddings are quantized to integers (floor(x·1000+0.5)) so dot
+  *    products and norms are exact integer arithmetic;
+  *  - canonical fingerprints use md5 over sorted distinct token lists
+  *    (identical in Spark and DuckDB).
+  */
+object LlmQueries {
+
+  /** Normalized word array. */
+  private def words(c: Column): Column = split(lower(trim(c)), " +")
+
+  /** Distinct sorted unigram set (the n=1 shingle set). */
+  private def wordSet(c: Column): Column = array_sort(array_distinct(words(c)))
+
+  /** Distinct 3-gram word shingles; empty for docs under 3 words.
+    * Built with zip_with over shifted slices (not per-index element_at in a
+    * transform lambda) so the underlying split() is evaluated O(1) times per
+    * row instead of O(len) — per-index lambdas defeat subexpression
+    * elimination and turn shingling O(len²).
+    */
+  private def shingles3(c: Column): Column = {
+    val w  = words(c)
+    val s1 = slice(w, lit(2), greatest(size(w) - 1, lit(0)))
+    val s2 = slice(w, lit(3), greatest(size(w) - 2, lit(0)))
+    val tri = zip_with(zip_with(w, s1, (a, b) => concat(a, lit(" "), b)),
+      s2, (ab, c2) => concat(ab, lit(" "), c2))
+    when(size(w) >= 3, array_distinct(slice(tri, lit(1), size(w) - 2)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  // ------------------------------------------------------------------ dedup
+
+  /** Exact dedup: hash-groupBy on normalized text, keep min doc_id, report
+    * duplicate groups. One shuffle on the 128-bit key; partial agg does the
+    * heavy lifting map-side.
+    */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", md5(lower(trim($"text"))).as("text_key"))
+      .groupBy($"text_key")
+      .agg(
+        min($"doc_id").as("keeper_doc_id"),
+        count(lit(1)).as("n_docs"),
+        array_join(sort_array(collect_set($"doc_id")), ",").as("doc_ids"))
+      .filter($"n_docs" > 1)
+      .orderBy($"text_key")
+  }
+
+  val dedupExactSql: String =
+    """SELECT md5(lower(trim(text))) AS text_key,
+      |  MIN(doc_id) AS keeper_doc_id,
+      |  COUNT(*) AS n_docs,
+      |  array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS doc_ids
+      |FROM documents
+      |GROUP BY 1
+      |HAVING COUNT(*) > 1
+      |ORDER BY text_key""".stripMargin
+
+  /** Unigram-set Jaccard near-dup pairs ≥ 0.9, blocked by lang (pairs never
+    * cross a block). The exact counterpart of the MinHash-LSH scale path.
+    */
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", wordSet($"text").as("w"))
+    val a = t.select($"lang", $"doc_id".as("a"), $"w".as("wa"))
+    val b = t.select($"lang", $"doc_id".as("b"), $"w".as("wb"))
+    a.join(b, Seq("lang"))
+      .filter($"a" < $"b")
+      .withColumn("inter", size(array_intersect($"wa", $"wb")))
+      .withColumn("uni", size(array_union($"wa", $"wb")))
+      .withColumn("jaccard", $"inter".cast("double") / $"uni".cast("double"))
+      .filter($"jaccard" >= 0.9)
+      .select($"lang", $"a", $"b", $"inter", $"uni", $"jaccard")
+      .orderBy($"lang", $"a", $"b")
+  }
+
+  val dedupNgramJaccardSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang,
+      |    list_sort(list_distinct(string_split(lower(trim(text)), ' '))) AS w
+      |  FROM documents
+      |)
+      |SELECT a.lang, a.doc_id AS a, b.doc_id AS b,
+      |  len(list_intersect(a.w, b.w)) AS inter,
+      |  len(list_distinct(list_concat(a.w, b.w))) AS uni,
+      |  CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+      |    / CAST(len(list_distinct(list_concat(a.w, b.w))) AS DOUBLE) AS jaccard
+      |FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+      |    / CAST(len(list_distinct(list_concat(a.w, b.w))) AS DOUBLE) >= 0.9
+      |ORDER BY 1, 2, 3""".stripMargin
+
+  /** Ranked 3-gram-shingle near-dup candidates: top 10 most similar pairs
+    * per lang block (deterministic tie-breaks), the "review queue" flavor
+    * of shingle dedup.
+    */
+  def dedupShingleTopk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", shingles3($"text").as("sh"))
+    val a = t.select($"lang", $"doc_id".as("a"), $"sh".as("sa"))
+    val b = t.select($"lang", $"doc_id".as("b"), $"sh".as("sb"))
+    val pairs = a.join(b, Seq("lang"))
+      .filter($"a" < $"b")
+      .withColumn("inter", size(array_intersect($"sa", $"sb")))
+      .filter($"inter" > 0)
+      .withColumn("uni", size(array_union($"sa", $"sb")))
+      .withColumn("jaccard", $"inter".cast("double") / $"uni".cast("double"))
+    val w = Window.partitionBy($"lang").orderBy($"jaccard".desc, $"a", $"b")
+    pairs.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 10)
+      .select($"lang", $"rank", $"a", $"b", $"inter", $"uni", $"jaccard")
+      .orderBy($"lang", $"rank")
+  }
+
+  val dedupShingleTopkSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang, w,
+      |    list_distinct(list_transform(range(1, len(w) - 1),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+      |  FROM (SELECT doc_id, lang, string_split(lower(trim(text)), ' ') AS w FROM documents)
+      |), pairs AS (
+      |  SELECT a.lang, a.doc_id AS a, b.doc_id AS b,
+      |    len(list_intersect(a.sh, b.sh)) AS inter,
+      |    len(list_distinct(list_concat(a.sh, b.sh))) AS uni
+      |  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      |  WHERE len(list_intersect(a.sh, b.sh)) > 0
+      |), ranked AS (
+      |  SELECT lang, a, b, inter, uni,
+      |    CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) AS jaccard,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) DESC, a, b) AS rank
+      |  FROM pairs
+      |)
+      |SELECT lang, rank, a, b, inter, uni, jaccard
+      |FROM ranked WHERE rank <= 10
+      |ORDER BY lang, rank""".stripMargin
+
+  // ------------------------------------------------- embeddings / similarity
+
+  /** Embedding quantized to exact integers (floor(x·1000+0.5)): dot
+    * products and norms become engine-exact integer arithmetic.
+    */
+  private def quantized(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, dir)
+      .select($"vec_id", $"label",
+        transform($"embedding", x => floor(x.cast("double") * 1000.0 + 0.5).cast("long")).as("v"))
+      .withColumn("nrm", aggregate($"v", lit(0L), (acc, x) => acc + x * x))
+  }
+
+  private val quantizedCte: String =
+    """WITH q AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)) AS v
+      |  FROM embeddings
+      |), n AS (
+      |  SELECT vec_id, label, v,
+      |    CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS nrm
+      |  FROM q
+      |)""".stripMargin
+
+  private def dotCol: Column =
+    aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Embedding-cosine near-dup pairs (cos ≥ 0.4), blocked by cluster label.
+    * The threshold test dot² ≥ 0.16·‖a‖²·‖b‖² is pure integer arithmetic.
+    */
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val q = quantized(spark, dir)
+    val a = q.select($"label", $"vec_id".as("a"), $"v".as("va"), $"nrm".as("na"))
+    val b = q.select($"label", $"vec_id".as("b"), $"v".as("vb"), $"nrm".as("nb"))
+    a.join(b, Seq("label"))
+      .filter($"a" < $"b")
+      .withColumn("dot", dotCol)
+      .filter($"dot" > 0 && $"dot" * $"dot" * 100L >= $"na" * $"nb" * 16L)
+      .withColumn("cosine", $"dot".cast("double") / sqrt(($"na" * $"nb").cast("double")))
+      .select($"label", $"a", $"b", $"dot", $"na", $"nb", $"cosine")
+      .orderBy($"label", $"a", $"b")
+  }
+
+  val dedupEmbeddingSql: String =
+    s"""$quantizedCte
+       |SELECT a.label, a.vec_id AS a, b.vec_id AS b,
+       |  CAST(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) AS BIGINT) AS dot,
+       |  a.nrm AS na, b.nrm AS nb,
+       |  CAST(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) AS DOUBLE)
+       |    / sqrt(CAST(a.nrm * b.nrm AS DOUBLE)) AS cosine
+       |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+       |WHERE list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) > 0
+       |  AND list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+       |    * list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) * 100
+       |    >= a.nrm * b.nrm * 16
+""".stripMargin
+
+  /** Brute-force exact top-k nearest neighbors (k=5) by quantized dot
+    * product for query vectors (vec_id % 10 = 0) — the ANN correctness
+    * baseline; the LSH-bucketed variant (ops.Similarity) is the scale path.
+    */
+  def annTopkExact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val q = quantized(spark, dir)
+    val queries = q.filter($"vec_id" % 10 === 0)
+      .select($"vec_id".as("query_id"), $"v".as("va"))
+    val cands = q.select($"vec_id".as("neighbor_id"), $"v".as("vb"))
+    val scored = queries.join(cands, $"query_id" =!= $"neighbor_id")
+      .withColumn("dot", dotCol)
+    val w = Window.partitionBy($"query_id").orderBy($"dot".desc, $"neighbor_id")
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .select($"query_id", $"rank", $"neighbor_id", $"dot")
+      .orderBy($"query_id", $"rank")
+  }
+
+  val annTopkExactSql: String =
+    s"""$quantizedCte, scored AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    CAST(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) AS BIGINT) AS dot
+       |  FROM n a JOIN n b ON a.vec_id % 10 = 0 AND a.vec_id <> b.vec_id
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, dot,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, rank, neighbor_id, dot
+       |FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+
+  // ----------------------------------------------------------- text analysis
+
+  private val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of"),
+    "es" -> Seq("el", "la", "de"),
+    "de" -> Seq("der", "das", "und"),
+    "fr" -> Seq("le", "les", "et"),
+    "zh" -> Seq("de5", "shi4", "le5"))
+
+  /** Marker-token language ID: per-lang hit counts over the token stream,
+    * argmax with a fixed preference order. A real n-gram profile model slots
+    * into the same shape (scores are per-row, no shuffle at all).
+    */
+  def textLangid(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = words($"text")
+    def score(ms: Seq[String]): Column =
+      size(filter(w, x => ms.map(m => x === lit(m)).reduce(_ || _)))
+    val langs = Seq("en", "es", "de", "fr", "zh")
+    val scored = Tables.documents(spark, dir)
+      .select($"doc_id" +: $"lang".as("labeled_lang") +:
+        langs.map(l => score(langMarkers(l)).cast("long").as(s"score_$l")): _*)
+    val best = greatest(langs.map(l => col(s"score_$l")): _*)
+    scored
+      .withColumn("predicted",
+        langs.foldRight(lit("und")) { (l, acc) =>
+          when(col(s"score_$l") === best && best > 0, lit(l)).otherwise(acc)
+        })
+      .orderBy($"doc_id")
+  }
+
+  val textLangidSql: String = {
+    def score(l: String): String = {
+      val in = langMarkers(l).map(m => s"x = '$m'").mkString(" OR ")
+      s"CAST(len(list_filter(w, x -> $in)) AS BIGINT) AS score_$l"
+    }
+    val langs = Seq("en", "es", "de", "fr", "zh")
+    val best = langs.map(l => s"score_$l").mkString("greatest(", ", ", ")")
+    val pred = langs.reverse.foldLeft("'und'") { (acc, l) =>
+      s"CASE WHEN score_$l = $best AND $best > 0 THEN '$l' ELSE $acc END"
+    }
+    s"""WITH t AS (
+       |  SELECT doc_id, lang AS labeled_lang,
+       |    string_split(lower(trim(text)), ' ') AS w
+       |  FROM documents
+       |), scored AS (
+       |  SELECT doc_id, labeled_lang, ${langs.map(score).mkString(", ")}
+       |  FROM t
+       |)
+       |SELECT doc_id, labeled_lang, score_en, score_es, score_de, score_fr, score_zh,
+       |  $pred AS predicted
+       |FROM scored
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Quality scoring: length / distinct-ratio / stopword-ratio heuristics
+    * with a keep/drop verdict — the curation filter stage.
+    */
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = words($"text")
+    val stop = Seq("the", "a", "of", "and", "to")
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"n_chars",
+        size(w).cast("long").as("n_words"),
+        size(array_distinct(w)).cast("long").as("n_distinct_words"),
+        size(filter(w, x => stop.map(m => x === lit(m)).reduce(_ || _))).cast("long").as("n_stopwords"))
+      .withColumn("avg_word_len",
+        ($"n_chars" - ($"n_words" - 1)).cast("double") / $"n_words".cast("double"))
+      .withColumn("distinct_ratio", $"n_distinct_words".cast("double") / $"n_words".cast("double"))
+      .withColumn("stopword_ratio", $"n_stopwords".cast("double") / $"n_words".cast("double"))
+      .withColumn("quality_ok",
+        $"n_words" >= 10 && $"avg_word_len" >= 2.0 && $"avg_word_len" <= 12.0 &&
+          $"distinct_ratio" >= 0.2)
+      .orderBy($"doc_id")
+  }
+
+  val textQualitySql: String =
+    """WITH t AS (
+      |  SELECT doc_id, n_chars, string_split(lower(trim(text)), ' ') AS w
+      |  FROM documents
+      |), s AS (
+      |  SELECT doc_id, n_chars,
+      |    CAST(len(w) AS BIGINT) AS n_words,
+      |    CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct_words,
+      |    CAST(len(list_filter(w, x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'and' OR x = 'to')) AS BIGINT) AS n_stopwords
+      |  FROM t
+      |)
+      |SELECT doc_id, n_chars, n_words, n_distinct_words, n_stopwords,
+      |  CAST(n_chars - (n_words - 1) AS DOUBLE) / CAST(n_words AS DOUBLE) AS avg_word_len,
+      |  CAST(n_distinct_words AS DOUBLE) / CAST(n_words AS DOUBLE) AS distinct_ratio,
+      |  CAST(n_stopwords AS DOUBLE) / CAST(n_words AS DOUBLE) AS stopword_ratio,
+      |  (n_words >= 10 AND CAST(n_chars - (n_words - 1) AS DOUBLE) / CAST(n_words AS DOUBLE) >= 2.0
+      |    AND CAST(n_chars - (n_words - 1) AS DOUBLE) / CAST(n_words AS DOUBLE) <= 12.0
+      |    AND CAST(n_distinct_words AS DOUBLE) / CAST(n_words AS DOUBLE) >= 0.2) AS quality_ok
+      |FROM s
+      |ORDER BY doc_id""".stripMargin
+
+  /** Token counting: whitespace tokens + a bytes-per-token estimate (the
+    * BPE-ish ~4 chars/token heuristic), per source rollup.
+    */
+  def textTokens(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"source", $"n_chars", size(words($"text")).cast("long").as("ws_tokens"))
+      .withColumn("bpe_tokens", ceil($"n_chars".cast("double") / 4.0).cast("long"))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"ws_tokens").as("total_ws_tokens"),
+        sum($"bpe_tokens").as("total_bpe_tokens"),
+        sum($"n_chars").as("total_chars"),
+        (sum($"n_chars").cast("double") / sum($"ws_tokens").cast("double")).as("chars_per_token"))
+      .orderBy($"source")
+  }
+
+  val textTokensSql: String =
+    """WITH t AS (
+      |  SELECT source, n_chars,
+      |    CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS ws_tokens,
+      |    CAST(ceil(CAST(n_chars AS DOUBLE) / 4.0) AS BIGINT) AS bpe_tokens
+      |  FROM documents
+      |)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  SUM(ws_tokens) AS total_ws_tokens,
+      |  SUM(bpe_tokens) AS total_bpe_tokens,
+      |  SUM(n_chars) AS total_chars,
+      |  CAST(SUM(n_chars) AS DOUBLE) / CAST(SUM(ws_tokens) AS DOUBLE) AS chars_per_token
+      |FROM t
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
+  /** Canonical document fingerprints: md5 over the sorted distinct unigram
+    * and 3-gram shingle sets (the portable form; the rolling-hash Catalyst
+    * expression in functions.RollingHash is the codegen'd streaming form).
+    */
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        md5(concat_ws(" ", wordSet($"text"))).as("word_fingerprint"),
+        md5(concat_ws("|", array_sort(shingles3($"text")))).as("shingle_fingerprint"))
+      .orderBy($"doc_id")
+  }
+
+  val textFingerprintSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents
+      |)
+      |SELECT doc_id,
+      |  md5(array_to_string(list_sort(list_distinct(w)), ' ')) AS word_fingerprint,
+      |  md5(array_to_string(list_sort(list_distinct(list_transform(range(1, len(w) - 1),
+      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))), '|')) AS shingle_fingerprint
+      |FROM t
+      |ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact"         -> (dedupExact _),
+    "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_shingle_topk"  -> (dedupShingleTopk _),
+    "dedup_embedding"     -> (dedupEmbedding _),
+    "ann_topk_exact"      -> (annTopkExact _),
+    "text_langid"         -> (textLangid _),
+    "text_quality"        -> (textQuality _),
+    "text_tokens"         -> (textTokens _),
+    "text_fingerprint"    -> (textFingerprint _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "dedup_exact"         -> dedupExactSql,
+    "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "dedup_shingle_topk"  -> dedupShingleTopkSql,
+    "dedup_embedding"     -> dedupEmbeddingSql,
+    "ann_topk_exact"      -> annTopkExactSql,
+    "text_langid"         -> textLangidSql,
+    "text_quality"        -> textQualitySql,
+    "text_tokens"         -> textTokensSql,
+    "text_fingerprint"    -> textFingerprintSql
+  )
+}
