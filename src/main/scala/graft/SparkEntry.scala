@@ -11,7 +11,8 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    core.CoreQueries.queries ++ mart.MartQueries.queries ++ etl.EtlQueries.queries ++ ops.LlmQueries.queries
+    core.CoreQueries.queries ++ mart.MartQueries.queries ++ etl.EtlQueries.queries ++
+      ops.LlmQueries.queries ++ ops.ScaleDedup.queries ++ ops.AnnLsh.queries ++ ops.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
