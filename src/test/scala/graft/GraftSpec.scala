@@ -1,0 +1,189 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local session for all suites (one JVM-wide session). */
+trait SparkSuite extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSuite.session
+  val sf = "/root/testdata/sf0.001"
+}
+
+object SparkSuite {
+  lazy val session: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+/** Smoke + invariant checks per query family (full value-level correctness
+  * is the driver's DuckDB gate; these pin the Spark-side invariants).
+  */
+class QueriesSpec extends SparkSuite {
+
+  test("every declared query runs and every oracle key has a query") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      assert(df.columns.nonEmpty, name)
+    }
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("q1 pricing summary has the 6 flag/status groups") {
+    val rows = core.CoreQueries.q1PricingSummary(spark, sf).collect()
+    assert(rows.length == 6)
+    assert(rows.map(_.getLong(rows.head.fieldIndex("count_order"))).sum > 1000)
+  }
+
+  test("sessionization: session bounds ordered, gaps respected") {
+    val s = core.CoreQueries.sessionizeEvents(spark, sf).collect()
+    assert(s.nonEmpty)
+    s.foreach { r =>
+      assert(r.getAs[Long]("session_start_sec") <= r.getAs[Long]("session_end_sec"))
+    }
+  }
+
+  test("dm top-N limited and rank-ordered") {
+    val top = mart.MartQueries.topArtists(spark, sf).collect()
+    assert(top.length <= 10)
+    val hours = top.map(_.getAs[Double]("hours_played"))
+    assert(hours.sameElements(hours.sortBy(-_)))
+  }
+
+  test("etl_dim_date covers 2018..2030 with correct cardinality") {
+    val dd = etl.EtlQueries.dimDate(spark, sf)
+    assert(dd.count() == 4748)
+    assert(dd.where("is_weekend").count() == 1356)
+  }
+
+  test("etl_clean_dates handles every precision branch") {
+    val rows = etl.EtlQueries.cleanDates(spark, sf).collect()
+    assert(rows.forall(_.getAs[String]("clean_release_date").matches("\\d{4}-\\d{2}-\\d{2}")))
+    assert(rows.exists(_.getAs[String]("clean_release_date") == "1900-01-01"))
+  }
+}
+
+class ScaleDedupSpec extends SparkSuite {
+
+  test("minhash-LSH recall: finds every exact jaccard>=0.9 pair") {
+    val exact = ops.LlmQueries.dedupNgramJaccard(spark, sf)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = ops.ScaleDedup.dedupMinhashLsh(spark, sf)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    val missed = exact -- lsh
+    assert(missed.size <= (exact.size * 0.02).toInt + 1,
+      s"minhash missed ${missed.size} of ${exact.size} exact pairs")
+  }
+
+  test("minhash output pairs all verified >= 0.9") {
+    val bad = ops.ScaleDedup.dedupMinhashLsh(spark, sf)
+      .where("jaccard < 0.9 OR a >= b").count()
+    assert(bad == 0)
+  }
+
+  test("simhash: identical docs have identical simhash (hamming 0)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (1L, "spark join filter scan"), (2L, "spark join filter scan"),
+      (3L, "completely different words entirely")).toDF("doc_id", "text")
+    val bits = df.select($"doc_id",
+      ops.ScaleDedup.simhashBits(split(lower(trim($"text")), " +")).as("bits"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(bits(1L) == bits(2L))
+    assert(bits(1L) != bits(3L))
+  }
+
+  test("exact dedup agrees with fingerprint grouping") {
+    val d = ops.LlmQueries.dedupExact(spark, sf).collect()
+    d.foreach { r => assert(r.getAs[Long]("n_docs") > 1) }
+  }
+}
+
+class AnnSpec extends SparkSuite {
+
+  test("lsh ANN recall@5 vs brute force") {
+    val exact = ops.LlmQueries.annTopkExact(spark, sf)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = ops.AnnLsh.annTopkLsh(spark, sf)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall >= 0.2, s"recall@5 = $recall") // multiprobe 6-bit buckets
+  }
+
+  test("ann ranks are 1..5 per query") {
+    val rows = ops.LlmQueries.annTopkExact(spark, sf).collect()
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.sameElements(1 to rs.length))
+    }
+  }
+}
+
+class RollingHashSpec extends SparkSuite {
+
+  test("interpreted and codegen paths agree with reference values") {
+    import spark.implicits._
+    import graft.functions.RollingHash.rolling_hash
+    def ref(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((h, b) => h * 31L + (b & 0xff))
+    val inputs = Seq("", "a", "spark", "the quick brown fox", "ünïcödé ⊕ text")
+    val got = inputs.toDF("s").select(rolling_hash($"s")).collect().map(_.getLong(0))
+    assert(got.sameElements(inputs.map(ref)))
+  }
+
+  test("registered as SQL function") {
+    graft.functions.RollingHash.register(spark)
+    val r = spark.sql("SELECT rolling_hash('spark') AS h").collect().head.getLong(0)
+    assert(r == "spark".getBytes("UTF-8").foldLeft(0L)((h, b) => h * 31L + (b & 0xff)))
+  }
+
+  test("null-safe") {
+    graft.functions.RollingHash.register(spark)
+    assert(spark.sql("SELECT rolling_hash(CAST(NULL AS STRING))").collect().head.isNullAt(0))
+  }
+}
+
+class PlanSpec extends SparkSuite {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // finalize AQE so codegen spans / chosen joins are visible
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q1: filter pushed to parquet scan, whole-stage codegen") {
+    val p = plan(core.CoreQueries.q1PricingSummary(spark, sf))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+    assert(p.contains("WholeStageCodegen") || p.contains("*(1)"), p) // AQE prints codegen stages as *(n)
+  }
+
+  test("q5: all dimension joins broadcast (no shuffle join for dims)") {
+    val p = plan(core.CoreQueries.q5LocalSupplier(spark, sf))
+    assert(p.split("BroadcastHashJoin").length - 1 >= 4, p)
+  }
+
+  test("mart queries read only needed lineitem columns") {
+    val p = plan(mart.MartQueries.yearlyAgg(spark, sf))
+    assert(!p.contains("l_returnflag") && !p.contains("l_shipdate"), p)
+  }
+
+  test("delta load keeps the watermark as a plan-side scalar (no collect)") {
+    val p = plan(etl.EtlQueries.deltaLoad(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+}

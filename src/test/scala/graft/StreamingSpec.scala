@@ -1,0 +1,93 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventsPipeline
+import graft.streaming.EventsPipeline.{Event, Session}
+
+/** Streaming/batch parity: the Structured Streaming pipelines must produce
+  * the same results as their batch twins when fed the same events.
+  */
+class StreamingSpec extends SparkSuite {
+
+  private def loadEvents(): Seq[Event] = {
+    import spark.implicits._
+    Tables.events(spark, sf)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect().toSeq.sortBy(_.event_id)
+  }
+
+  test("windowed agg: streaming (complete mode counts) == batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = loadEvents()
+
+    val stream = MemoryStream[Event]
+    val q = EventsPipeline.windowedAgg(stream.toDF())
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("win_out").start()
+    try {
+      // two micro-batches to exercise state merge across batches
+      val (first, second) = events.splitAt(events.size / 2)
+      stream.addData(first); q.processAllAvailable()
+      stream.addData(second); q.processAllAvailable()
+
+      val got = spark.table("win_out")
+        .select($"window_start", $"event_type", $"n_events", $"total_value")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      val want = core.CoreQueries.streamWindowedAgg(spark, sf)
+        .select($"window_start", $"event_type", $"n_events", $"total_value")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(got == want)
+    } finally q.stop()
+  }
+
+  test("sessionize: streaming sessions == batch sessions (closed by sentinel)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = loadEvents()
+    // sentinel event per user, far in the future, closes every real session
+    val maxTs = events.map(_.ts.getTime).max
+    val sentinels = events.map(_.user_id).distinct.map(u =>
+      Event(Long.MaxValue - u, new Timestamp(maxTs + 86400000L), u, "eof", 0.0))
+
+    val stream = MemoryStream[Event]
+    val q = EventsPipeline.sessionize(stream.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    try {
+      val (first, second) = events.splitAt(events.size / 2)
+      stream.addData(first); q.processAllAvailable()
+      stream.addData(second); q.processAllAvailable()
+      stream.addData(sentinels); q.processAllAvailable()
+
+      val got = spark.table("sess_out").as[Session].collect()
+        .map(s => (s.user_id, s.n_events, s.session_start_sec, s.session_end_sec)).toSet
+      val want = core.CoreQueries.sessionizeEvents(spark, sf)
+        .collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+          r.getAs[Long]("session_start_sec"), r.getAs[Long]("session_end_sec"))).toSet
+      assert(got == want)
+    } finally q.stop()
+  }
+
+  test("file ingest picks up the events directory incrementally") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    Tables.events(spark, sf)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .repartition(8).write.mode("overwrite").parquet(tmp)
+
+    val q = EventsPipeline.fileIngest(spark, tmp)
+      .groupBy($"event_type").agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("complete").format("memory").queryName("ingest_out").start()
+    try {
+      q.processAllAvailable()
+      val total = spark.table("ingest_out").agg(sum($"n")).collect().head.getLong(0)
+      assert(total == Tables.events(spark, sf).count())
+    } finally q.stop()
+  }
+}
