@@ -164,7 +164,7 @@ object LlmQueries {
     Tables.embeddings(spark, dir)
       .select($"vec_id", $"label",
         transform($"embedding", x => floor(x.cast("double") * 1000.0 + 0.5).cast("long")).as("v"))
-      .withColumn("nrm", aggregate($"v", lit(0L), (acc, x) => acc + x * x))
+      .withColumn("nrm", graft.functions.LongVectorDot.vector_dot($"v", $"v"))
   }
 
   private val quantizedCte: String =
@@ -179,7 +179,7 @@ object LlmQueries {
       |)""".stripMargin
 
   private def dotCol: Column =
-    aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    graft.functions.LongVectorDot.vector_dot(col("va"), col("vb"))
 
   /** Embedding-cosine near-dup pairs (cos ≥ 0.4), blocked by cluster label.
     * The threshold test dot² ≥ 0.16·‖a‖²·‖b‖² is pure integer arithmetic.
