@@ -11,12 +11,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    core.CoreQueries.queries ++ mart.MartQueries.queries ++ etl.EtlQueries.queries ++
-      ops.LlmQueries.queries ++ ops.ScaleDedup.queries ++ ops.AnnLsh.queries ++ ops.Multimodal.queries
+    core.CoreQueries.queries ++ core.ExtraQueries.queries ++ mart.MartQueries.queries ++
+      etl.EtlQueries.queries ++ ops.LlmQueries.queries ++ ops.ScaleDedup.queries ++
+      ops.AnnLsh.queries ++ ops.Multimodal.queries ++ ops.AsofJoin.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    core.CoreQueries.oracleSql ++ mart.MartQueries.oracleSql ++ etl.EtlQueries.oracleSql ++ ops.LlmQueries.oracleSql
+    core.CoreQueries.oracleSql ++ core.ExtraQueries.oracleSql ++ mart.MartQueries.oracleSql ++
+      etl.EtlQueries.oracleSql ++ ops.LlmQueries.oracleSql ++ ops.AsofJoin.oracleSql
 }

@@ -1,0 +1,172 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Second wave of engine surface: left-join-with-default-key fact build
+  * (the reference's podcast fact), rollup aggregation, exact portable
+  * median, and top-N-per-group — all oracle-checked.
+  */
+object ExtraQueries {
+
+  /** transformer.py insert_core_facts("podcast"): fact rows keep streaming
+    * history even when the dim row is missing — LEFT JOIN +
+    * COALESCE(fk, 0) default-member semantics. Here: users without a
+    * supplier-dim row get artist_fk 0.
+    */
+  def factBuildPodcast(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"event_id", $"user_id", $"event_type",
+        ($"ts" + expr("INTERVAL 3 HOURS")).as("ts_msk"),
+        floor($"value").cast("long").as("sec_played"))
+    val sup = Tables.supplier(spark, dir)
+      .select($"s_suppkey", $"s_name", $"s_nationkey")
+    ev.join(broadcast(sup), $"user_id" === $"s_suppkey", "left")
+      .select(
+        $"event_id", $"ts_msk",
+        (year($"ts_msk") * 10000 + month($"ts_msk") * 100 + dayofmonth($"ts_msk")).cast("long").as("date_fk"),
+        (hour($"ts_msk") * 60 + minute($"ts_msk")).cast("long").as("time_fk"),
+        $"sec_played",
+        coalesce($"s_suppkey", lit(0L)).as("artist_fk"),
+        coalesce($"s_name", lit("<unknown>")).as("artist_name"),
+        $"event_type".as("reason_type"))
+      .orderBy($"event_id")
+  }
+
+  val factBuildPodcastSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, event_type,
+      |    CAST(ts AS TIMESTAMP) + INTERVAL 3 HOUR AS ts_msk,
+      |    CAST(floor(value) AS BIGINT) AS sec_played
+      |  FROM events
+      |)
+      |SELECT event_id, ts_msk,
+      |  CAST(year(ts_msk) * 10000 + month(ts_msk) * 100 + day(ts_msk) AS BIGINT) AS date_fk,
+      |  CAST(hour(ts_msk) * 60 + minute(ts_msk) AS BIGINT) AS time_fk,
+      |  sec_played,
+      |  coalesce(s_suppkey, 0) AS artist_fk,
+      |  coalesce(s_name, '<unknown>') AS artist_name,
+      |  event_type AS reason_type
+      |FROM ev LEFT JOIN supplier ON user_id = s_suppkey
+      |ORDER BY event_id""".stripMargin
+
+  /** Wrapped-style rollup: (year, month) → year subtotals → grand total in
+    * one pass (GROUPING SETS; partial-agg friendly). Nulls from rollup rows
+    * are coalesced to -1 so ordering/hashing is engine-neutral.
+    */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.mart.MartQueries.listeningFacts(spark, dir)
+      .select(year($"ts").cast("long").as("y"), month($"ts").cast("long").as("m"),
+        $"sec_played")
+      .rollup($"y", $"m")
+      .agg(
+        count(lit(1)).as("n_streams"),
+        sum($"sec_played").cast("double").as("total_sec"),
+        grouping($"y").cast("long").as("g_year"),
+        grouping($"m").cast("long").as("g_month"))
+      .select(coalesce($"y", lit(-1L)).as("year"), coalesce($"m", lit(-1L)).as("month_num"),
+        $"n_streams", $"total_sec", $"g_year", $"g_month")
+      .orderBy($"year", $"month_num", $"g_year", $"g_month")
+  }
+
+  val rollupAggSql: String =
+    """WITH fh AS (
+      |  SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+      |    CAST(month(o_orderdate) AS BIGINT) AS m,
+      |    CAST(l_extendedprice AS DECIMAL(12,2)) AS sec_played
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |)
+      |SELECT coalesce(y, -1) AS year, coalesce(m, -1) AS month_num,
+      |  COUNT(*) AS n_streams,
+      |  CAST(SUM(sec_played) AS DOUBLE) AS total_sec,
+      |  CAST(GROUPING(y) AS BIGINT) AS g_year,
+      |  CAST(GROUPING(m) AS BIGINT) AS g_month
+      |FROM fh
+      |GROUP BY ROLLUP(y, m)
+      |ORDER BY year, month_num, g_year, g_month""".stripMargin
+
+  /** Exact median per group via explicit window arithmetic (row_number +
+    * middle-pair average) — deterministic and portable, unlike native
+    * median()/percentile() whose interpolation differs across engines.
+    */
+  def aggMedianExact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"event_type", $"value", $"event_id")
+    val w = Window.partitionBy($"event_type").orderBy($"value", $"event_id")
+    ev.withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"event_type")))
+      .filter($"rn" === (($"n" + 1) / 2).cast("long") || $"rn" === (($"n" + 2) / 2).cast("long"))
+      .groupBy($"event_type")
+      .agg((sum($"value") / count(lit(1))).as("median_value"),
+        max($"n").as("n_events"))
+      .orderBy($"event_type")
+  }
+
+  val aggMedianExactSql: String =
+    """WITH ranked AS (
+      |  SELECT event_type, value,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events
+      |)
+      |SELECT event_type,
+      |  SUM(value) / COUNT(*) AS median_value,
+      |  MAX(n) AS n_events
+      |FROM ranked
+      |WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** dm.top_tracks drill-down shape: top 3 tracks per album by revenue
+    * (dense rank window; one shuffle on the group key).
+    */
+  def topTracksPerAlbum(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pt = Tables.part(spark, dir).select($"p_partkey", $"p_name", $"p_brand")
+    val li = Tables.lineitem(spark, dir).select($"l_partkey",
+      $"l_extendedprice".cast("decimal(12,2)").as("price"))
+    val perTrack = li.join(broadcast(pt), $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand", $"p_name")
+      .agg(sum($"price").cast("double").as("revenue"), count(lit(1)).as("n_plays"))
+    val w = Window.partitionBy($"p_brand").orderBy($"revenue".desc, $"p_name")
+    perTrack.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"p_brand".as("album"), $"rank", $"p_name".as("track"), $"revenue", $"n_plays")
+      .orderBy($"album", $"rank")
+  }
+
+  val topTracksPerAlbumSql: String =
+    """WITH per_track AS (
+      |  SELECT p_brand, p_name,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+      |    COUNT(*) AS n_plays
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  GROUP BY p_brand, p_name
+      |), ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY p_brand ORDER BY revenue DESC, p_name) AS rank
+      |  FROM per_track
+      |)
+      |SELECT p_brand AS album, rank, p_name AS track, revenue, n_plays
+      |FROM ranked WHERE rank <= 3
+      |ORDER BY album, rank""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_fact_build_podcast"  -> (factBuildPodcast _),
+    "dm_rollup_agg"           -> (rollupAgg _),
+    "agg_median_exact"        -> (aggMedianExact _),
+    "dm_top_tracks_per_album" -> (topTracksPerAlbum _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "etl_fact_build_podcast"  -> factBuildPodcastSql,
+    "dm_rollup_agg"           -> rollupAggSql,
+    "agg_median_exact"        -> aggMedianExactSql,
+    "dm_top_tracks_per_album" -> topTracksPerAlbumSql
+  )
+}

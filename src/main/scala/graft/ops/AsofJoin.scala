@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** As-of (point-in-time) join: for each left row, the most recent right row
+  * with right.ts ≤ left.ts within the same key.
+  *
+  * Spark has no native as-of join; the classic distributed formulation is
+  * union → single sort per key → forward-fill with last(ignoreNulls), which
+  * costs ONE shuffle on the key (same as any co-partitioned join) instead
+  * of a per-row range probe. This is (a) "compose existing ops" from the
+  * custom-operator preference order — the plan is a window over a union,
+  * fully codegen'd, and AQE-managed.
+  */
+object AsofJoin {
+
+  /** General API: left/right must share `key` and `ts` columns; every right
+    * column in `payload` is forward-filled onto left rows.
+    */
+  def asof(left: DataFrame, right: DataFrame, key: String, ts: String,
+      payload: Seq[String]): DataFrame = {
+    val spark = left.sparkSession
+    import spark.implicits._
+    val l = left.withColumn("_is_right", lit(0))
+    val r = right.withColumn("_is_right", lit(1))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    // at equal ts the right row sorts first, so it is visible to the left row
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts).asc, $"_is_right".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = payload.foldLeft(unioned) { (df, c) =>
+      df.withColumn(s"asof_$c", last(when($"_is_right" === 1, col(c)), ignoreNulls = true).over(w))
+    }
+    filled.filter($"_is_right" === 0).drop("_is_right").drop(payload: _*)
+  }
+
+  /** For each purchase event, the user's most recent signup at or before it
+    * (wait_sec = time since signup; null = organic purchase, no signup yet).
+    */
+  def asofJoinEvents(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"event_id", $"user_id", unix_timestamp($"ts").as("ts_sec"), $"event_type")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts_sec")
+    val signups = ev.filter($"event_type" === "signup")
+      .select($"user_id", $"ts_sec", $"ts_sec".as("signup_ts_sec"))
+    asof(purchases, signups, "user_id", "ts_sec", Seq("signup_ts_sec"))
+      .select($"event_id", $"user_id", $"ts_sec".as("purchase_ts_sec"),
+        $"asof_signup_ts_sec".as("signup_ts_sec"),
+        ($"ts_sec" - $"asof_signup_ts_sec").as("wait_sec"))
+      .orderBy($"event_id")
+  }
+
+  val asofJoinEventsSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, event_type,
+      |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ts_sec
+      |  FROM events
+      |), purchases AS (
+      |  SELECT event_id, user_id, ts_sec FROM ev WHERE event_type = 'purchase'
+      |), signups AS (
+      |  SELECT user_id, ts_sec AS signup_ts_sec FROM ev WHERE event_type = 'signup'
+      |)
+      |SELECT p.event_id, p.user_id, p.ts_sec AS purchase_ts_sec,
+      |  s.signup_ts_sec,
+      |  p.ts_sec - s.signup_ts_sec AS wait_sec
+      |FROM purchases p
+      |ASOF LEFT JOIN signups s
+      |  ON p.user_id = s.user_id AND p.ts_sec >= s.signup_ts_sec
+      |ORDER BY p.event_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "asof_join_events" -> (asofJoinEvents _))
+
+  val oracleSql: Map[String, String] = Map(
+    "asof_join_events" -> asofJoinEventsSql)
+}

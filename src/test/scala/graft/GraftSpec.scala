@@ -159,6 +159,34 @@ class RollingHashSpec extends SparkSuite {
   }
 }
 
+class ExtensionsSpec extends AnyFunSuite {
+  test("GraftExtensions installs SQL functions at session build") {
+    // getOrCreate reuses any existing session (ignoring extensions), so
+    // detach the shared test session first; restore it afterwards.
+    val prev = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      val r = s.sql(
+        "SELECT rolling_hash('spark') AS h, vector_dot(array(1L,2L,3L), array(4L,5L,6L)) AS d")
+        .collect().head
+      assert(r.getLong(0) == "spark".getBytes("UTF-8").foldLeft(0L)((h, b) => h * 31L + (b & 0xff)))
+      assert(r.getLong(1) == 32L)
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prev.foreach(SparkSession.setDefaultSession)
+      prev.foreach(SparkSession.setActiveSession)
+    }
+  }
+}
+
 class PlanSpec extends SparkSuite {
 
   private def plan(df: org.apache.spark.sql.DataFrame): String = {
