@@ -22,7 +22,11 @@ object Bench {
     "dm_variant_detection",
     "etl_extract_history", "etl_fact_build", "etl_dedup_staging",
     "dedup_exact", "dedup_embedding", "ann_topk_exact",
-    "text_langid", "text_quality", "text_tokens", "text_fingerprint")
+    "text_langid", "text_quality", "text_tokens", "text_fingerprint",
+    "asof_join_events", "dm_rollup_agg", "agg_median_exact",
+    "etl_fact_build_podcast", "dm_top_tracks_per_album",
+    "embedding_centroids", "ann_topk_ivf", "skew_salted_topk",
+    "dedup_minhash_lsh")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -13,12 +13,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     core.CoreQueries.queries ++ core.ExtraQueries.queries ++ mart.MartQueries.queries ++
       etl.EtlQueries.queries ++ ops.LlmQueries.queries ++ ops.ScaleDedup.queries ++
-      ops.AnnLsh.queries ++ ops.Multimodal.queries ++ ops.AsofJoin.queries
+      ops.AnnLsh.queries ++ ops.Multimodal.queries ++ ops.AsofJoin.queries ++ ops.VectorAgg.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     core.CoreQueries.oracleSql ++ core.ExtraQueries.oracleSql ++ mart.MartQueries.oracleSql ++
-      etl.EtlQueries.oracleSql ++ ops.LlmQueries.oracleSql ++ ops.AsofJoin.oracleSql
+      etl.EtlQueries.oracleSql ++ ops.LlmQueries.oracleSql ++ ops.AsofJoin.oracleSql ++
+      ops.VectorAgg.oracleSql
 }

@@ -156,17 +156,66 @@ object ExtraQueries {
       |FROM ranked WHERE rank <= 3
       |ORDER BY album, rank""".stripMargin
 
+
+  /** ts_version_mapping.py: unmapped "version" children (LEFT JOIN … IS
+    * NULL anti-join on the mapping) + parent suggestion via
+    * transformed-key self-join (replace('small ','large ')).
+    */
+  def versionSuggestions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val part = Tables.part(spark, dir).select($"p_partkey", $"p_name", $"p_brand")
+    // a child is "mapped" when its variant group has a smaller parent key
+    val w = Window.partitionBy($"p_name", $"p_brand")
+    val unmapped = part
+      .withColumn("parent_partkey", min($"p_partkey").over(w))
+      .filter($"p_partkey" === $"parent_partkey" && $"p_name".startsWith("small "))
+      .select($"p_partkey".as("child_partkey"), $"p_name", $"p_brand")
+    val bases = part
+      .groupBy($"p_name".as("base_name"), $"p_brand".as("base_brand"))
+      .agg(min($"p_partkey").as("suggested_partkey"))
+    unmapped
+      .join(broadcast(bases),
+        regexp_replace($"p_name", "^small ", "large ") === $"base_name" &&
+          $"p_brand" === $"base_brand", "left")
+      .select($"child_partkey", $"p_name", $"p_brand",
+        $"suggested_partkey", $"base_name".as("suggested_name"))
+      .orderBy($"child_partkey")
+  }
+
+  val versionSuggestionsSql: String =
+    """WITH pm AS (
+      |  SELECT p_partkey, p_name, p_brand,
+      |    MIN(p_partkey) OVER (PARTITION BY p_name, p_brand) AS parent_partkey
+      |  FROM part
+      |), unmapped AS (
+      |  SELECT p_partkey AS child_partkey, p_name, p_brand
+      |  FROM pm
+      |  WHERE p_partkey = parent_partkey AND p_name LIKE 'small %'
+      |), bases AS (
+      |  SELECT p_name AS base_name, p_brand AS base_brand,
+      |    MIN(p_partkey) AS suggested_partkey
+      |  FROM part GROUP BY 1, 2
+      |)
+      |SELECT child_partkey, p_name, p_brand, suggested_partkey,
+      |  base_name AS suggested_name
+      |FROM unmapped
+      |LEFT JOIN bases ON regexp_replace(p_name, '^small ', 'large ') = base_name
+      |  AND p_brand = base_brand
+      |ORDER BY child_partkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "etl_fact_build_podcast"  -> (factBuildPodcast _),
     "dm_rollup_agg"           -> (rollupAgg _),
     "agg_median_exact"        -> (aggMedianExact _),
-    "dm_top_tracks_per_album" -> (topTracksPerAlbum _)
+    "dm_top_tracks_per_album" -> (topTracksPerAlbum _),
+    "dm_version_suggestions"  -> (versionSuggestions _)
   )
 
   val oracleSql: Map[String, String] = Map(
     "etl_fact_build_podcast"  -> factBuildPodcastSql,
     "dm_rollup_agg"           -> rollupAggSql,
     "agg_median_exact"        -> aggMedianExactSql,
-    "dm_top_tracks_per_album" -> topTracksPerAlbumSql
+    "dm_top_tracks_per_album" -> topTracksPerAlbumSql,
+    "dm_version_suggestions"  -> versionSuggestionsSql
   )
 }

@@ -48,48 +48,53 @@ object ScaleDedup {
     })
   }
 
-  /** MinHash + LSH banding near-dup detection over unigram sets:
+  /** MinHash + LSH banding dedup over unigram sets, emitting a CLUSTER
+    * KEEPER ASSIGNMENT (doc → canonical min-id doc), not all pairs:
+    * near-dup clusters make pair output quadratic in cluster size (a
+    * 2000-doc dup cluster is 2M pairs), while the keeper mapping is O(n)
+    * no matter how large clusters get — the only shape that survives
+    * 100 TB.
+    *
     *  1. signature per doc (no shuffle),
-    *  2. explode into 16 (band, band_key) bucket rows,
-    *  3. same-bucket self-join → candidate pairs (dedup'd),
-    *  4. signature-estimate prefilter (≥ 0.8 matching lanes),
-    *  5. exact Jaccard verification of the survivors only.
-    * Matches dedup_ngram_jaccard (jaccard ≥ 0.9) with ~1 recall at far
-    * lower cost: band collision P = 1-(1-j⁴)¹⁶ ≈ 1 at j = 0.9.
+    *  2. explode into 16 (band, band_key) bucket rows — signatures are NOT
+    *     carried through the shuffle, only ids,
+    *  3. min doc_id per bucket, then min over each doc's 16 buckets,
+    *  4. one extra keeper-of-keeper hop to collapse chains.
+    * Docs with identical signatures (jaccard ≈ 1) share every bucket and
+    * provably land on the same keeper; lower-similarity links may need
+    * more hops (full connected components is an iterated form of step 4).
     */
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables.documents(spark, dir)
-      .select($"doc_id", wordSet($"text").as("w"))
-      .withColumn("sig", minhashSignature($"w"))
+    // token hashes materialized once: 64 lane references keep CollapseProject
+    // from inlining (re-evaluating) this per lane
+    val hsDf = Tables.documents(spark, dir)
+      .select($"doc_id", transform(words($"text"), t => pmod(xxhash64(t), lit(P))).as("hs"))
+    // lanes and band keys are explicit columns (not a transform lambda over
+    // band index): each lane is evaluated exactly once per row — a lambda
+    // formulation re-evaluates the full signature per band element
+    val lanes = perms.map { case (a, b) =>
+      array_min(transform($"hs", h => pmod(h * a + b, lit(P))))
+    }
+    val bandStructs = (0 until numBands).map { bi =>
+      struct(lit(bi).as("band"),
+        xxhash64(array(lanes.slice(bi * rowsPerBand, (bi + 1) * rowsPerBand): _*)).as("band_key"))
+    }
+    val bands = hsDf
+      .select($"doc_id", explode(array(bandStructs: _*)).as("bk"))
+      .select($"doc_id", $"bk.band", $"bk.band_key")
 
-    val bands = docs.select($"doc_id", $"sig",
-        explode(transform(sequence(lit(0), lit(numBands - 1)), b =>
-          struct(b.as("band"), xxhash64(slice($"sig", b * rowsPerBand + 1, lit(rowsPerBand))).as("band_key"))))
-          .as("bk"))
-      .select($"doc_id", $"sig", $"bk.band", $"bk.band_key")
-
-    val l = bands.select($"band", $"band_key", $"doc_id".as("a"), $"sig".as("sig_a"))
-    val r = bands.select($"band", $"band_key", $"doc_id".as("b"), $"sig".as("sig_b"))
-    val candidates = l.join(r, Seq("band", "band_key"))
-      .filter($"a" < $"b")
-      .select($"a", $"b", $"sig_a", $"sig_b")
-      .dropDuplicates("a", "b")
-      .withColumn("sig_matches",
-        size(filter(zip_with($"sig_a", $"sig_b", (x, y) => x === y), m => m)))
-      .filter($"sig_matches" >= 52) // estimated jaccard ≥ ~0.8
-      .select($"a", $"b", $"sig_matches")
-
-    val sets = Tables.documents(spark, dir).select($"doc_id", wordSet($"text").as("w"))
-    candidates
-      .join(sets.select($"doc_id".as("a"), $"w".as("wa")), Seq("a"))
-      .join(sets.select($"doc_id".as("b"), $"w".as("wb")), Seq("b"))
-      .withColumn("jaccard",
-        size(array_intersect($"wa", $"wb")).cast("double") /
-          size(array_union($"wa", $"wb")).cast("double"))
-      .filter($"jaccard" >= 0.9)
-      .select($"a", $"b", $"sig_matches", $"jaccard")
-      .orderBy($"a", $"b")
+    val bucketMin = bands.groupBy($"band", $"band_key")
+      .agg(min($"doc_id").as("bucket_min"), count(lit(1)).as("bucket_size"))
+    val k1 = bands.join(bucketMin, Seq("band", "band_key"))
+      .groupBy($"doc_id")
+      .agg(min($"bucket_min").as("k1"), max($"bucket_size").as("max_bucket"))
+    // collapse keeper chains one hop: keeper(doc) := keeper(keeper(doc))
+    val hop = k1.select($"doc_id".as("k1"), $"k1".as("k2"))
+    k1.join(hop, Seq("k1"))
+      .filter($"doc_id" =!= $"k2")
+      .select($"doc_id", $"k2".as("keeper_doc_id"), $"max_bucket")
+      .orderBy($"doc_id")
   }
 
   /** 64-bit SimHash of a token array: bit b is the sign of the sum of ±1

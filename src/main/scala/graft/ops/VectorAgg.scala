@@ -1,0 +1,134 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Vector aggregation + IVF-style ANN.
+  *
+  * `embeddingCentroids` is the distributed centroid builder (the training
+  * step of an IVF index): posexplode to (row, dim, value) and aggregate —
+  * the classic columnar formulation that scales linearly and partial-aggs
+  * map-side. `annTopkIvf` then uses those centroids as coarse cells: each
+  * vector is assigned to its nearest centroid, each query probes the 2
+  * nearest cells, and ranking happens only within probed cells.
+  */
+object VectorAgg {
+
+  /** Per-(label, dimension) sums/means of the quantized embeddings —
+    * integer-exact, so oracle-checkable.
+    */
+  def embeddingCentroids(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val q = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"label",
+        transform($"embedding", x => floor(x.cast("double") * 1000.0 + 0.5).cast("long")).as("v"))
+    q.select($"label", posexplode($"v").as(Seq("dim0", "x")))
+      .groupBy($"label", ($"dim0" + 1).cast("long").as("dim"))
+      .agg(sum($"x").as("sum_q"), count(lit(1)).as("n"))
+      .withColumn("mean_q", $"sum_q".cast("double") / $"n".cast("double"))
+      .orderBy($"label", $"dim")
+  }
+
+  val embeddingCentroidsSql: String =
+    """WITH q AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)) AS v
+      |  FROM embeddings
+      |)
+      |SELECT label, CAST(u.i AS BIGINT) AS dim,
+      |  CAST(SUM(u.x) AS BIGINT) AS sum_q, COUNT(*) AS n,
+      |  CAST(SUM(u.x) AS DOUBLE) / COUNT(*) AS mean_q
+      |FROM q, UNNEST(list_transform(range(1, len(v)+1), i -> struct_pack(i := i, x := v[i]))) AS r(u)
+      |GROUP BY label, u.i
+      |ORDER BY label, dim""".stripMargin
+
+  /** IVF ANN (rows-only): centroids from the data itself (per-label means),
+    * vectors assigned to their nearest centroid cell, queries probe the 2
+    * nearest cells. Candidate work per query = 2 cells' occupancy, and the
+    * cell join is an equi-shuffle — the same plan shape a billion-vector
+    * index needs.
+    */
+  def annTopkIvf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.LongVectorDot.vector_dot
+
+    val q = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"label",
+        transform($"embedding", x => floor(x.cast("double") * 1000.0 + 0.5).cast("long")).as("v"))
+
+    // centroid vector per label, as an array column (collect per-dim means)
+    val centroids = q.select($"label", posexplode($"v").as(Seq("dim0", "x")))
+      .groupBy($"label", $"dim0")
+      .agg(avg($"x").as("mean"))
+      .groupBy($"label")
+      .agg(array_sort(collect_list(struct($"dim0", $"mean"))).as("dm"))
+      .select($"label".as("cell"), transform($"dm", s => s.getField("mean")).as("cv"))
+
+    // assign: nearest cell by max dot(v, centroid) (double arithmetic)
+    val withCells = q.crossJoin(broadcast(centroids))
+      .withColumn("score", aggregate(
+        zip_with($"v", $"cv", (x, c) => x.cast("double") * c),
+        lit(0.0), (a, x) => a + x))
+    val wAssign = Window.partitionBy($"vec_id").orderBy($"score".desc, $"cell")
+    val assigned = withCells
+      .withColumn("r", row_number().over(wAssign))
+      .filter($"r" <= 1).select($"vec_id", $"label", $"v", $"cell")
+    val probed = withCells
+      .withColumn("r", row_number().over(wAssign))
+      .filter($"r" <= 2 && $"vec_id" % 10 === 0) // queries probe 2 cells
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"cell")
+
+    val scored = probed.join(assigned.select($"vec_id".as("neighbor_id"), $"v".as("nv"), $"cell"), Seq("cell"))
+      .filter($"query_id" =!= $"neighbor_id")
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("dot", vector_dot($"qv", $"nv"))
+    val wRank = Window.partitionBy($"query_id").orderBy($"dot".desc, $"neighbor_id")
+    scored.withColumn("rank", row_number().over(wRank))
+      .filter($"rank" <= 5)
+      .select($"query_id", $"rank", $"neighbor_id", $"dot")
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** Skew-safe top-N: two-stage salted aggregation. Stage 1 pre-aggregates
+    * on (key, salt) — hot keys split across partitions — stage 2 combines
+    * the ≤SALTS partials per key. Identical result to the direct groupBy
+    * (sums are associative), so it is oracle-checked against the unsalted
+    * SQL.
+    */
+  def skewSaltedTopk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val salted = Tables.events(spark, dir)
+      .select($"user_id", $"value".cast("decimal(10,2)").as("v"),
+        pmod($"event_id", lit(8)).as("salt"))
+      .groupBy($"user_id", $"salt")
+      .agg(sum($"v").as("partial_v"), count(lit(1)).as("partial_n"))
+    salted.groupBy($"user_id")
+      .agg(sum($"partial_v").cast("double").as("total_value"),
+        sum($"partial_n").as("n_events"))
+      .orderBy($"total_value".desc, $"user_id")
+      .limit(10)
+  }
+
+  val skewSaltedTopkSql: String =
+    """SELECT user_id,
+      |  CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total_value,
+      |  COUNT(*) AS n_events
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY total_value DESC, user_id
+      |LIMIT 10""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embedding_centroids" -> (embeddingCentroids _),
+    "ann_topk_ivf"        -> (annTopkIvf _),
+    "skew_salted_topk"    -> (skewSaltedTopk _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "embedding_centroids" -> embeddingCentroidsSql,
+    "skew_salted_topk"    -> skewSaltedTopkSql
+  )
+}

