@@ -78,7 +78,7 @@ object VectorAgg {
       .filter($"r" <= 1).select($"vec_id", $"label", $"v", $"cell")
     val probed = withCells
       .withColumn("r", row_number().over(wAssign))
-      .filter($"r" <= 2 && $"vec_id" % 10 === 0) // queries probe 2 cells
+      .filter($"r" <= 3 && $"vec_id" % 10 === 0) // queries probe 3 cells
       .select($"vec_id".as("query_id"), $"v".as("qv"), $"cell")
 
     val scored = probed.join(assigned.select($"vec_id".as("neighbor_id"), $"v".as("nv"), $"cell"), Seq("cell"))

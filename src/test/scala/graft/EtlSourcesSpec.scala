@@ -1,0 +1,67 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** JSON-file ingest fidelity (the reference reads Spotify export JSON with
+  * per-file error handling) + bucketed co-located joins (the 100 TB layout
+  * for repeated fact-fact joins).
+  */
+class EtlSourcesSpec extends SparkSuite {
+
+  test("json ingest: explicit schema, corrupt-record quarantine, delta load") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_json").toString
+    val good = (0 until 20).map { i =>
+      s"""{"ts":"2024-01-${"%02d".format(i % 28 + 1)}T10:00:00Z","platform":"ios","ms_played":${i * 1000},""" +
+        s""""conn_country":"DE","ip_addr":"10.0.0.$i","master_metadata_track_name":"t$i",""" +
+        s""""master_metadata_album_artist_name":"a","master_metadata_album_album_name":"al",""" +
+        s""""spotify_track_uri":"spotify:track:$i","episode_name":null,"episode_show_name":null,""" +
+        s""""spotify_episode_uri":null,"reason_start":"clickrow","reason_end":"trackdone",""" +
+        s""""shuffle":true,"skipped":false,"offline":false,"offline_timestamp":0,"incognito_mode":false}"""
+    }
+    val bad = Seq(
+      """{"ts":"not-a-timestamp","platform":"ios","ms_played":5}""",
+      """{"ts":"2024-01-01T10:00:00Z","platform":"ios","ms_played":-4}""",
+      """{this is not json at all""")
+    Files.write(java.nio.file.Paths.get(dir, "history_0.json"),
+      scala.util.Random.shuffle(good ++ bad).mkString("\n").getBytes)
+
+    val raw = etl.Extractor.readHistoryJson(spark, dir)
+    val (clean, quarantine) = etl.Extractor.cleanHistory(raw)
+    assert(clean.count() == 20)
+    val reasons = quarantine.collect().map(_.getAs[String]("error_reason")).sorted
+    assert(reasons.toSeq == Seq("malformed json", "negative ms_played", "unparseable ts"))
+
+    // delta load: with the first 10 days already loaded, only newer arrive
+    val loaded = clean.filter(dayofmonth($"ts_utc") <= 10)
+    val delta = etl.Extractor.deltaLoad(clean, loaded)
+    val expected = clean.collect().map(_.getAs[java.sql.Timestamp]("ts_utc"))
+      .count(_.after(loaded.agg(max($"ts_utc")).collect().head.getTimestamp(0)))
+    assert(delta.count() == expected && expected > 0)
+  }
+
+  test("bucketed tables: co-located fact-fact join needs no shuffle") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    Tables.lineitem(spark, sf).select($"l_orderkey", $"l_quantity")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("li_bucketed")
+    Tables.orders(spark, sf).select($"o_orderkey", $"o_totalprice")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("ord_bucketed")
+
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("ord_bucketed"), $"l_orderkey" === $"o_orderkey")
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!p.contains("Exchange"), s"bucketed join should not shuffle:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+}

@@ -17,6 +17,7 @@ object SparkSuite {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
@@ -132,6 +133,17 @@ class AnnSpec extends SparkSuite {
     assert(exact.nonEmpty)
     val recall = (exact & lsh).size.toDouble / exact.size
     assert(recall >= 0.2, s"recall@5 = $recall") // multiprobe 6-bit buckets
+  }
+
+  test("ivf ANN recall@5 vs brute force") {
+    val exact = ops.LlmQueries.annTopkExact(spark, sf)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = ops.VectorAgg.annTopkIvf(spark, sf)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.5, s"ivf recall@5 = $recall") // 2-of-10-cell probe
   }
 
   test("ann ranks are 1..5 per query") {
