@@ -46,6 +46,18 @@ class EtlSourcesSpec extends SparkSuite {
     import spark.implicits._
     spark.sql("DROP TABLE IF EXISTS li_bucketed")
     spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    // the in-memory catalog forgets tables across JVMs but the managed
+    // location survives on disk — clear it or CTAS fails
+    Seq("li_bucketed", "ord_bucketed").foreach { t =>
+      val dir = new java.io.File(s"/tmp/graft_warehouse/$t")
+      if (dir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(dir)
+      }
+    }
     Tables.lineitem(spark, sf).select($"l_orderkey", $"l_quantity")
       .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
       .mode("overwrite").saveAsTable("li_bucketed")
