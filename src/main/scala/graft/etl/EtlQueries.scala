@@ -28,7 +28,7 @@ object EtlQueries {
 
   // ---------------------------------------------------------------- extract
 
-  /** extractor.py:extract_streaming_history — raw-file ingest with schema
+  /** extractor.py:18 extract_streaming_history — raw-file ingest with schema
     * projection, ts parsing (minute precision like the staging layer), and
     * raw-JSON payload extraction, keeping only valid rows.
     */
@@ -55,7 +55,7 @@ object EtlQueries {
       |WHERE value >= 0 AND event_type IS NOT NULL
       |ORDER BY event_id""".stripMargin
 
-  /** transformer.py insert_core_facts WHERE s.ts > (SELECT COALESCE(MAX…))
+  /** transformer.py:251 insert_core_facts, WHERE s.ts > (SELECT COALESCE(MAX…))
     * — delta load: only rows newer than the loaded watermark. The watermark
     * is a scalar aggregate that stays in the plan (broadcast, no collect).
     */
@@ -78,7 +78,7 @@ object EtlQueries {
       |  FROM orders WHERE o_orderstatus = 'F')
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
-  /** extractor.py:_get_new_items — new unique keys = staged − core −
+  /** extractor.py:227 _get_new_items — new unique keys = staged − core −
     * already-staged, as two LEFT ANTI joins (the distributed form of the
     * reference's Python set difference).
     */
@@ -166,7 +166,7 @@ object EtlQueries {
       |FROM generate_series(0, 1439) s(t)
       |ORDER BY time_id""".stripMargin
 
-  /** transformer.py:populate_dim_reason — distinct reason values per group
+  /** transformer.py:351 populate_dim_reason — distinct reason values per group
     * via UNION ALL (the reference's re-runnable upsert source query).
     */
   def dimReason(spark: SparkSession, dir: String): DataFrame = {
@@ -224,7 +224,7 @@ object EtlQueries {
       |  FROM documents
       |)""".stripMargin
 
-  /** transformer.py:_normalise_date — precision-aware date normalization
+  /** transformer.py:132 _normalise_date — precision-aware date normalization
     * with the `0000` → 1900-01-01 bad-data rule, as a single vectorized
     * CASE (vs the reference's per-row Python).
     */
@@ -254,7 +254,7 @@ object EtlQueries {
        |FROM raw
        |ORDER BY doc_id""".stripMargin
 
-  /** extractor.py:_process_spotify_batch — metadata enrichment. The
+  /** extractor.py:143 _process_spotify_batch — metadata enrichment. The
     * reference fetches 50-URI batches from the API in a retry loop; here
     * the "API" is a deterministic generated dim and enrichment is one
     * broadcast join against the deduplicated key set.
@@ -360,7 +360,7 @@ object EtlQueries {
       |WHERE rn = 1
       |ORDER BY user_id, event_type""".stripMargin
 
-  /** transformer.py:insert_core_facts — the full fact build: history rows
+  /** transformer.py:251 insert_core_facts — the full fact build: history rows
     * FK-resolved against the generated date/time dims (broadcast joins),
     * enriched with the metadata dim for percent_played, timezone-shifted
     * like the reference's UTC→MSK (fixed +3h here: no tzdata dependency).

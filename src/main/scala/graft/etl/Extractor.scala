@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Raw streaming-history JSON ingest (reference:
-  * scripts/etl/extractor.py:extract_streaming_history).
+  * scripts/etl/extractor.py:18 extract_streaming_history).
   *
   * The reference iterates local export files, json.load()s each, catches
   * JSONDecodeError per file, and filters rows newer than the loaded
@@ -17,7 +17,7 @@ import org.apache.spark.sql.types._
   */
 object Extractor {
 
-  /** The Spotify personal-export schema (extractor.py:45 column list). */
+  /** The Spotify personal-export schema (extractor.py:40 column list). */
   val historySchema: StructType = StructType(Seq(
     StructField("ts", StringType),
     StructField("platform", StringType),
@@ -71,7 +71,7 @@ object Extractor {
   }
 
   /** Delta load: rows strictly newer than the watermark (max loaded ts),
-    * computed in-plan (extractor.py get_max_history_ts + ts filter).
+    * computed in-plan (extractor.py:26 get_max_history_ts + ts filter).
     */
   def deltaLoad(clean: DataFrame, loaded: DataFrame): DataFrame = {
     import clean.sparkSession.implicits._

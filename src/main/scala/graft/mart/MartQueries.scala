@@ -76,7 +76,7 @@ object MartQueries {
       |  COUNT(DISTINCT l_partkey) AS distinct_tracks,
       |  COUNT(DISTINCT l_suppkey) AS distinct_artists""".stripMargin
 
-  /** dm.yearly_agg (dm_ddl.sql:22) — yearly listening rollup. */
+  /** dm.yearly_agg (dm_ddl.sql:18) — yearly listening rollup. */
   def yearlyAgg(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     listeningFacts(spark, dir)
@@ -93,7 +93,7 @@ object MartQueries {
        |GROUP BY 1, 2
        |ORDER BY year DESC""".stripMargin
 
-  /** dm.monthly_agg (dm_ddl.sql:37) — monthly grain of the same rollup. */
+  /** dm.monthly_agg (dm_ddl.sql:34) — monthly grain of the same rollup. */
   def monthlyAgg(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     listeningFacts(spark, dir)
@@ -114,7 +114,7 @@ object MartQueries {
        |GROUP BY 1, 2, 3
        |ORDER BY year DESC, month_num DESC""".stripMargin
 
-  /** dm.all_time_agg (dm_ddl.sql:53) — single-row lifetime stats. */
+  /** dm.all_time_agg (dm_ddl.sql:51) — single-row lifetime stats. */
   def allTimeAgg(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     listeningFacts(spark, dir)
@@ -154,7 +154,7 @@ object MartQueries {
       |  floor(CAST(SUM(percent_played) AS DOUBLE) / 100.0 + 0.5) AS estimated_full_streams,
       |  COUNT(CASE WHEN percent_played = 100.0 THEN 1 END) AS full_real_streams""".stripMargin
 
-  /** dm.top_artists(1997, null, 10) (dm_ddl.sql:128) — ranked artists with
+  /** dm.top_artists(1997, null, 10) (dm_ddl.sql:119) — ranked artists with
     * year filter; supplier dim broadcast; deterministic tie-break.
     */
   def topArtists(spark: SparkSession, dir: String): DataFrame = {
@@ -191,7 +191,7 @@ object MartQueries {
         min($"p_partkey").over(w).as("parent_partkey"))
   }
 
-  /** dm.top_tracks (dm_ddl.sql:104): track grain, variants collapsed into
+  /** dm.top_tracks (dm_ddl.sql:91): track grain, variants collapsed into
     * their parent via the mapping left-join + coalesce, like the reference's
     * `coalesce(p.parent_track_title, dt.track_title)`.
     */
@@ -217,7 +217,7 @@ object MartQueries {
        |ORDER BY hours_played DESC, track, artist
        |LIMIT 25""".stripMargin
 
-  /** dm.top_albums (dm_ddl.sql:76): album (= brand) grain. */
+  /** dm.top_albums (dm_ddl.sql:63): album (= brand) grain. */
   def topAlbums(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val pt = Tables.part(spark, dir).select($"p_partkey", $"p_brand")
@@ -238,7 +238,7 @@ object MartQueries {
        |ORDER BY hours_played DESC, album
        |LIMIT 10""".stripMargin
 
-  /** dm.album_stats('Brand#13') (dm_ddl.sql:185): drill-down inside one
+  /** dm.album_stats('Brand#13') (dm_ddl.sql:144): drill-down inside one
     * album — per-track minutes + estimated streams.
     */
   def albumStats(spark: SparkSession, dir: String): DataFrame = {
@@ -265,7 +265,7 @@ object MartQueries {
        |GROUP BY p_name
        |ORDER BY min_listened DESC, track""".stripMargin
 
-  /** VARIANT_QUERY (track_parent_select.py:12): groups with >1 distinct
+  /** VARIANT_QUERY (track_parent_select.py:11): groups with >1 distinct
     * variant key and total playtime above threshold; variant keys emitted
     * as a sorted CSV string (engine-portable, deterministic).
     */
