@@ -80,6 +80,31 @@ object EventsPipeline {
         })
   }
 
+  /** Streaming exact-dedup: drop events already seen within the watermark
+    * horizon (the reference's "re-runnable logic with deduplication" —
+    * ON CONFLICT DO NOTHING — as continuous state). Watermark bounds the
+    * dedup state: ids older than the horizon are evicted, so state size
+    * tracks the stream rate, not history.
+    */
+  def streamingDedup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Micro-batch warehouse load — the reference's load-to-Postgres step
+    * (db_manager.bulk_insert inside a transaction) as a foreachBatch sink:
+    * each micro-batch is appended atomically-per-batch to the warehouse
+    * path, partitioned by event_type (a JDBC upsert drops into the same
+    * hook unchanged).
+    */
+  def warehouseSink(df: DataFrame, path: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.withColumn("_batch_id", lit(batchId))
+          .write.mode("append").partitionBy("event_type").parquet(path)
+      }
+
   /** File-source incremental ingest — the streaming form of the reference's
     * delta load (extractor.py re-runs over a directory; here new files are
     * picked up per micro-batch, exactly-once).

@@ -74,6 +74,43 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops duplicate event ids within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = loadEvents().take(200)
+    val dupes = events.take(50) // re-deliver the first 50 (at-least-once upstream)
+    val stream = MemoryStream[Event]
+    val q = EventsPipeline.streamingDedup(stream.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("dedup_out").start()
+    try {
+      stream.addData(events); q.processAllAvailable()
+      stream.addData(dupes); q.processAllAvailable()
+      val got = spark.table("dedup_out").select("event_id").collect().map(_.getLong(0))
+      assert(got.length == got.distinct.length)
+      assert(got.length == 200)
+    } finally q.stop()
+  }
+
+  test("foreachBatch warehouse sink loads micro-batches partitioned by type") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft_wh").toString
+    val events = loadEvents().take(300)
+    val stream = MemoryStream[Event]
+    val q = EventsPipeline.warehouseSink(stream.toDF(), out)
+      .option("checkpointLocation", java.nio.file.Files.createTempDirectory("graft_ck").toString)
+      .start()
+    try {
+      val (a, b) = events.splitAt(150)
+      stream.addData(a); q.processAllAvailable()
+      stream.addData(b); q.processAllAvailable()
+      val loaded = spark.read.parquet(out)
+      assert(loaded.count() == 300)
+      assert(loaded.select("_batch_id").distinct().count() >= 2)
+      assert(loaded.select("event_type").distinct().count() == 5)
+    } finally q.stop()
+  }
+
   test("file ingest picks up the events directory incrementally") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
