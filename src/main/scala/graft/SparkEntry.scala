@@ -11,7 +11,8 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    core.CoreQueries.queries ++ core.ExtraQueries.queries ++ core.WindowQueries.queries ++ mart.MartQueries.queries ++
+    core.CoreQueries.queries ++ core.ExtraQueries.queries ++ core.WindowQueries.queries ++
+      core.MiscQueries.queries ++ mart.MartQueries.queries ++
       etl.EtlQueries.queries ++ ops.LlmQueries.queries ++ ops.ScaleDedup.queries ++
       ops.AnnLsh.queries ++ ops.Multimodal.queries ++ ops.AsofJoin.queries ++ ops.VectorAgg.queries
 
@@ -19,7 +20,8 @@ object SparkEntry {
     * the same parquet tables. Omitted for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    core.CoreQueries.oracleSql ++ core.ExtraQueries.oracleSql ++ core.WindowQueries.oracleSql ++ mart.MartQueries.oracleSql ++
+    core.CoreQueries.oracleSql ++ core.ExtraQueries.oracleSql ++ core.WindowQueries.oracleSql ++
+      core.MiscQueries.oracleSql ++ mart.MartQueries.oracleSql ++
       etl.EtlQueries.oracleSql ++ ops.LlmQueries.oracleSql ++ ops.AsofJoin.oracleSql ++
       ops.VectorAgg.oracleSql
 }

@@ -154,6 +154,18 @@ class AnnSpec extends SparkSuite {
   }
 }
 
+class SketchSpec extends SparkSuite {
+  test("HLL sketch within configured error of exact distinct counts") {
+    val rows = core.MiscQueries.sketchDistinct(spark, sf).collect()
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("exact_users").toDouble
+      val approx = r.getAs[Long]("approx_users").toDouble
+      assert(math.abs(approx - exact) / exact <= 0.1,
+        s"${r.getAs[String]("event_type")}: approx $approx vs exact $exact")
+    }
+  }
+}
+
 class RollingHashSpec extends SparkSuite {
 
   test("interpreted and codegen paths agree with reference values") {
