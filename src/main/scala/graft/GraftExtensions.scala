@@ -7,7 +7,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.functions.{LongVectorDot, RollingHash}
 
 /** Session extension: installs graft's native expressions as SQL functions
-  * at session build time —
+  * and the dot-product rewrite rule (plans.RewriteDotProduct) at session
+  * build time —
   *
   * {{{
   * SparkSession.builder()
@@ -24,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => graft.plans.RewriteDotProduct)
     ext.injectFunction((
       FunctionIdentifier("rolling_hash"),
       info("rolling_hash", "rolling_hash(str) - 64-bit polynomial rolling hash of str's UTF-8 bytes"),

@@ -209,6 +209,21 @@ class ExtensionsSpec extends AnyFunSuite {
         .collect().head
       assert(r.getLong(0) == "spark".getBytes("UTF-8").foldLeft(0L)((h, b) => h * 31L + (b & 0xff)))
       assert(r.getLong(1) == 32L)
+      // optimizer rule: plain zip_with/aggregate dot product is rewritten
+      // to the fused native expression
+      import org.apache.spark.sql.functions._
+      val df = s.range(3).select(
+        org.apache.spark.sql.functions.array(col("id"), col("id") + 1).as("a"),
+        org.apache.spark.sql.functions.array(col("id") + 2, col("id") + 3).as("b"))
+        .select(col("a"), col("b"),
+          aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+            lit(0L), (acc, v) => acc + v).as("dot"))
+      assert(df.queryExecution.optimizedPlan.toString.toLowerCase.contains("longvectordot"),
+        df.queryExecution.optimizedPlan.toString)
+      df.collect().foreach { r =>
+        val (a, b) = (r.getSeq[Long](0), r.getSeq[Long](1))
+        assert(r.getLong(2) == a.zip(b).map { case (x, y) => x * y }.sum)
+      }
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
