@@ -59,26 +59,24 @@ object VectorAgg {
       .select($"vec_id", $"label",
         transform($"embedding", x => floor(x.cast("double") * 1000.0 + 0.5).cast("long")).as("v"))
 
-    // centroid vector per label, as an array column (collect per-dim means)
+    // centroid vector per label, quantized to longs (×1000) so cell
+    // assignment runs through the fused native dot product
     val centroids = q.select($"label", posexplode($"v").as(Seq("dim0", "x")))
       .groupBy($"label", $"dim0")
       .agg(avg($"x").as("mean"))
       .groupBy($"label")
       .agg(array_sort(collect_list(struct($"dim0", $"mean"))).as("dm"))
-      .select($"label".as("cell"), transform($"dm", s => s.getField("mean")).as("cv"))
+      .select($"label".as("cell"),
+        transform($"dm", s => floor(s.getField("mean") * 1000.0 + 0.5).cast("long")).as("cv"))
 
-    // assign: nearest cell by max dot(v, centroid) (double arithmetic)
-    val withCells = q.crossJoin(broadcast(centroids))
-      .withColumn("score", aggregate(
-        zip_with($"v", $"cv", (x, c) => x.cast("double") * c),
-        lit(0.0), (a, x) => a + x))
+    // one ranked pass: rank of every (vector, cell) by dot score
     val wAssign = Window.partitionBy($"vec_id").orderBy($"score".desc, $"cell")
-    val assigned = withCells
+    val ranked = q.crossJoin(broadcast(centroids))
+      .withColumn("score", vector_dot($"v", $"cv"))
       .withColumn("r", row_number().over(wAssign))
-      .filter($"r" <= 1).select($"vec_id", $"label", $"v", $"cell")
-    val probed = withCells
-      .withColumn("r", row_number().over(wAssign))
-      .filter($"r" <= 3 && $"vec_id" % 10 === 0) // queries probe 3 cells
+      .filter($"r" <= 3)
+    val assigned = ranked.filter($"r" === 1).select($"vec_id", $"label", $"v", $"cell")
+    val probed = ranked.filter($"vec_id" % 10 === 0) // queries probe 3 cells
       .select($"vec_id".as("query_id"), $"v".as("qv"), $"cell")
 
     val scored = probed.join(assigned.select($"vec_id".as("neighbor_id"), $"v".as("nv"), $"cell"), Seq("cell"))
