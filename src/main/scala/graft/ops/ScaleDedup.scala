@@ -106,18 +106,20 @@ object ScaleDedup {
       (votes * 2 > size(tokens)).cast("int")
     })
 
-  /** SimHash near-dup pairs with hamming ≤ 12, blocked on 4 16-bit chunks
-    * (any pair within hamming 12 of 64 bits shares at least one equal chunk
-    * only probabilistically — chunk blocking is the recall/cost trade the
-    * scale path makes; raise chunks for tighter guarantees).
+  /** SimHash near-dup pairs with hamming ≤ 7, blocked on 8 8-bit chunks.
+    * Pigeonhole-COMPLETE: ≤7 differing bits cannot touch all 8 chunks, so
+    * every qualifying pair shares at least one equal chunk — recall is
+    * exactly 1 (OpsSpec pins this against brute force). Pair output is
+    * quadratic in identical-hash cluster size; at larger scale emit keeper
+    * assignments like dedupMinhashLsh instead.
     */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
       .select($"doc_id", simhashBits(words($"text")).as("bits"))
-      // pack 4 × 16-bit chunk values: chunk k = sum bits[16k+j] << j
-      .withColumn("chunks", transform(sequence(lit(0), lit(3)), k =>
-        aggregate(slice($"bits", k * 16 + 1, lit(16)), lit(0L),
+      // pack 8 × 8-bit chunk values: chunk k = fold of bits[8k..8k+8)
+      .withColumn("chunks", transform(sequence(lit(0), lit(7)), k =>
+        aggregate(slice($"bits", k * 8 + 1, lit(8)), lit(0L),
           (acc, bit) => acc * 2 + bit)))
 
     val exploded = docs.select($"doc_id", $"bits",
@@ -129,7 +131,7 @@ object ScaleDedup {
       .dropDuplicates("a", "b")
       .withColumn("hamming",
         size(filter(zip_with($"bits_a", $"bits_b", (x, y) => x =!= y), m => m)))
-      .filter($"hamming" <= 12)
+      .filter($"hamming" <= 7)
       .select($"a", $"b", $"hamming")
       .orderBy($"a", $"b")
   }

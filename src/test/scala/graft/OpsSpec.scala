@@ -1,0 +1,67 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+/** Semantics specs for the non-oracle operators: multimodal plumbing,
+  * as-of edge cases, SimHash blocking recall.
+  */
+class OpsSpec extends SparkSuite {
+
+  test("multimodal: stub decode is deterministic and pipeline aggregates per format") {
+    val out1 = ops.Multimodal.multimodalPipeline(spark, sf).collect()
+    val out2 = ops.Multimodal.multimodalPipeline(spark, sf).collect()
+    assert(out1.toSeq == out2.toSeq)
+    assert(out1.map(_.getAs[String]("format")).toSet == Set("fmt_0", "fmt_1", "fmt_2"))
+    assert(out1.map(_.getAs[Long]("n_media")).sum == 500)
+    // distinct payloads == distinct docs per format (no checksum collisions here)
+    out1.foreach { r =>
+      assert(r.getAs[Long]("distinct_payloads") == r.getAs[Long]("n_media"))
+    }
+  }
+
+  test("multimodal: decode stub features are per-record reproducible") {
+    import ops.Multimodal._
+    val rec = MediaRecord(7L, "fmt_1", 5L, "hello".getBytes("UTF-8"))
+    val f1 = decodeStub(rec)
+    val f2 = decodeStub(rec)
+    assert(f1 == f2)
+    assert(f1.checksum != 0L && f1.brightness > 0.0 && f1.n_frames == 8)
+  }
+
+  test("asof: equal-timestamp right row matches; pre-signup purchase gets null") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, 10L), (2L, 100L, 5L), (3L, 100L, 50L), (4L, 200L, 50L))
+      .toDF("event_id", "user_id", "ts_sec")
+    val right = Seq((100L, 10L), (100L, 40L), (200L, 60L))
+      .toDF("user_id", "ts_sec")
+      .withColumn("signup_ts_sec", $"ts_sec")
+    val got = ops.AsofJoin.asof(left, right, "user_id", "ts_sec", Seq("signup_ts_sec"))
+      .select($"event_id", $"asof_signup_ts_sec")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got(1L).contains(10L)) // equal ts counts as matched
+    assert(got(2L).isEmpty)       // before any signup → null
+    assert(got(3L).contains(40L)) // latest signup ≤ ts, not an earlier one
+    assert(got(4L).isEmpty)       // only future signup → null
+  }
+
+  test("simhash blocked pairs: exactly the brute-force hamming<=7 pairs (pigeonhole-complete)") {
+    import spark.implicits._
+    val bits = Tables.documents(spark, sf)
+      .select($"doc_id", ops.ScaleDedup.simhashBits(split(lower(trim($"text")), " +")).as("bits"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[Int](1).toArray).toMap
+    val ids = bits.keys.toArray.sorted
+    val exact = (for {
+      i <- ids.indices.iterator; j <- (i + 1) until ids.length
+      a = ids(i); b = ids(j)
+      h = bits(a).zip(bits(b)).count { case (x, y) => x != y } if h <= 7
+    } yield (a, b)).toSet
+
+    val blocked = ops.ScaleDedup.dedupSimhash(spark, sf)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(blocked == exact,
+      s"missed=${(exact -- blocked).take(5)} extra=${(blocked -- exact).take(5)}")
+  }
+}
