@@ -14,7 +14,8 @@ object SparkEntry {
     core.CoreQueries.queries ++ core.ExtraQueries.queries ++ core.WindowQueries.queries ++
       core.MiscQueries.queries ++ mart.MartQueries.queries ++
       etl.EtlQueries.queries ++ ops.LlmQueries.queries ++ ops.ScaleDedup.queries ++
-      ops.AnnLsh.queries ++ ops.Multimodal.queries ++ ops.AsofJoin.queries ++ ops.VectorAgg.queries
+      ops.AnnLsh.queries ++ ops.Multimodal.queries ++ ops.AsofJoin.queries ++ ops.VectorAgg.queries ++
+      ops.Curation.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -23,5 +24,5 @@ object SparkEntry {
     core.CoreQueries.oracleSql ++ core.ExtraQueries.oracleSql ++ core.WindowQueries.oracleSql ++
       core.MiscQueries.oracleSql ++ mart.MartQueries.oracleSql ++
       etl.EtlQueries.oracleSql ++ ops.LlmQueries.oracleSql ++ ops.AsofJoin.oracleSql ++
-      ops.VectorAgg.oracleSql
+      ops.VectorAgg.oracleSql ++ ops.Curation.oracleSql
 }

@@ -1,0 +1,121 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Training-data curation operators: chunking, packing, sampling.
+  *
+  * All three are the per-document / windowed shapes that dominate corpus
+  * preparation: chunking is a per-row explode (no shuffle), packing is one
+  * sort-once window pass, sampling is a stateless hash filter — each
+  * embarrassingly parallel at 100 TB.
+  */
+object Curation {
+
+  private val chunkTokens = 100
+  private val stride = 80 // 20-token overlap
+
+  /** Split documents into fixed-token-window chunks with overlap. The chunk
+    * starts are a per-row generated sequence → explode; chunk text is a
+    * slice of the token array. Purely map-side.
+    */
+  def textChunking(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = split(lower(trim($"text")), " +")
+    Tables.documents(spark, dir)
+      .select($"doc_id", w.as("w"))
+      .select($"doc_id", $"w",
+        posexplode(sequence(lit(1), greatest(size($"w") - (chunkTokens - stride), lit(1)), lit(stride))))
+      .select(
+        $"doc_id",
+        $"pos".cast("long").as("chunk_seq"),
+        $"col".cast("long").as("token_start"),
+        size(slice($"w", $"col", lit(chunkTokens))).cast("long").as("chunk_tokens"),
+        md5(concat_ws(" ", slice($"w", $"col", lit(chunkTokens)))).as("chunk_md5"))
+      .orderBy($"doc_id", $"chunk_seq")
+  }
+
+  val textChunkingSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents
+       |), starts AS (
+       |  SELECT doc_id, w, u AS token_start,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY u) - 1 AS chunk_seq
+       |  FROM t, UNNEST(range(1, greatest(len(w) - ${chunkTokens - stride}, 1) + 1, $stride)) AS r(u)
+       |)
+       |SELECT doc_id, CAST(chunk_seq AS BIGINT) AS chunk_seq,
+       |  CAST(token_start AS BIGINT) AS token_start,
+       |  CAST(len(list_slice(w, token_start, token_start + ${chunkTokens - 1})) AS BIGINT) AS chunk_tokens,
+       |  md5(array_to_string(list_slice(w, token_start, token_start + ${chunkTokens - 1}), ' ')) AS chunk_md5
+       |FROM starts
+       |ORDER BY doc_id, chunk_seq""".stripMargin
+
+  /** Greedy sequence packing: documents in doc_id order are packed into
+    * 2048-token context windows by a running token count — one global sort
+    * window (at scale: pack per partition/shard, identical formula).
+    */
+  def textPacking(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.orderBy($"doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select($"doc_id", size(split(lower(trim($"text")), " +")).cast("long").as("n_tokens"))
+      .withColumn("running_tokens", sum($"n_tokens").over(w))
+      .withColumn("bin", (($"running_tokens" - $"n_tokens") / 2048L).cast("long"))
+      .withColumn("offset_in_bin", $"running_tokens" - $"n_tokens" - $"bin" * 2048L)
+      .orderBy($"doc_id")
+  }
+
+  val textPackingSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents
+      |), r AS (
+      |  SELECT doc_id, n_tokens,
+      |    SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_tokens
+      |  FROM t
+      |)
+      |SELECT doc_id, n_tokens, running_tokens,
+      |  (running_tokens - n_tokens) // 2048 AS bin,
+      |  running_tokens - n_tokens - ((running_tokens - n_tokens) // 2048) * 2048 AS offset_in_bin
+      |FROM r
+      |ORDER BY doc_id""".stripMargin
+
+  /** Deterministic stratified sampling: ~20% per (lang, source) stratum via
+    * a multiplicative hash of the key — reproducible across runs/engines
+    * (no RNG), stateless, filter-only.
+    */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bucket = pmod($"doc_id" * 2654435761L % 1000000007L, lit(100))
+    Tables.documents(spark, dir)
+      .withColumn("sample_bucket", bucket)
+      .filter($"sample_bucket" < 20)
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("sampled_docs"), sum($"n_chars").as("sampled_chars"))
+      .orderBy($"lang", $"source")
+  }
+
+  val sampleStratifiedSql: String =
+    """SELECT lang, source,
+      |  COUNT(*) AS sampled_docs, SUM(n_chars) AS sampled_chars
+      |FROM documents
+      |WHERE ((doc_id * 2654435761) % 1000000007 % 100 + 100) % 100 < 20
+      |GROUP BY lang, source
+      |ORDER BY lang, source""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_chunking"     -> (textChunking _),
+    "text_packing"      -> (textPacking _),
+    "sample_stratified" -> (sampleStratified _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "text_chunking"     -> textChunkingSql,
+    "text_packing"      -> textPackingSql,
+    "sample_stratified" -> sampleStratifiedSql
+  )
+}
