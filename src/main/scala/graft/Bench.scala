@@ -26,7 +26,10 @@ object Bench {
     "asof_join_events", "dm_rollup_agg", "agg_median_exact",
     "etl_fact_build_podcast", "dm_top_tracks_per_album",
     "embedding_centroids", "ann_topk_ivf", "skew_salted_topk",
-    "dedup_minhash_lsh")
+    "dedup_minhash_lsh",
+    "window_suite", "q6_forecast", "dm_part_of_day_agg",
+    "set_ops_suite", "dm_pivot_event_types", "agg_weighted_mean",
+    "text_chunking", "text_packing", "sample_stratified")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
