@@ -136,6 +136,21 @@ object ScaleDedup {
       .orderBy($"a", $"b")
   }
 
+  /** Iterate keeper-of-keeper joins to a (bounded) fixpoint — full
+    * connected components over the LSH bucket graph for corpora where
+    * similarity chains span buckets. Each hop is one self-join of the O(n)
+    * mapping; hops needed = graph diameter in keeper links (tiny in
+    * practice — identical-signature clusters converge in 1).
+    */
+  def keeperFixpoint(mapping: DataFrame, hops: Int = 3): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce => co, col}
+    (1 to hops).foldLeft(mapping) { (m, _) =>
+      val hop = m.select(col("doc_id").as("k"), col("keeper_doc_id").as("k2"))
+      m.join(hop, m("keeper_doc_id") === hop("k"), "left")
+        .select(m("doc_id"), co(col("k2"), m("keeper_doc_id")).as("keeper_doc_id"))
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash"     -> (dedupSimhash _)

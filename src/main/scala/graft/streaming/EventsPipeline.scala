@@ -80,6 +80,14 @@ object EventsPipeline {
         })
   }
 
+  /** Stream-static enrichment: the unbounded event stream joined with a
+    * static dimension (the reference's per-batch metadata lookups, fused
+    * into the stream). The static side is broadcast per micro-batch — no
+    * stream-side shuffle.
+    */
+  def enrichStream(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** Streaming exact-dedup: drop events already seen within the watermark
     * horizon (the reference's "re-runnable logic with deduplication" —
     * ON CONFLICT DO NOTHING — as continuous state). Watermark bounds the

@@ -95,6 +95,14 @@ class ScaleDedupSpec extends SparkSuite {
     }
   }
 
+  test("keeper fixpoint collapses chains") {
+    import spark.implicits._
+    val chain = Seq((5L, 4L), (4L, 3L), (3L, 1L)).toDF("doc_id", "keeper_doc_id")
+    val fixed = ops.ScaleDedup.keeperFixpoint(chain, hops = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fixed == Map(5L -> 1L, 4L -> 1L, 3L -> 1L))
+  }
+
   test("minhash keeper mapping is O(n) and keeper < doc") {
     val rows = ops.ScaleDedup.dedupMinhashLsh(spark, sf).collect()
     rows.foreach { r =>
@@ -254,6 +262,17 @@ class PlanSpec extends SparkSuite {
   test("mart queries read only needed lineitem columns") {
     val p = plan(mart.MartQueries.yearlyAgg(spark, sf))
     assert(!p.contains("l_returnflag") && !p.contains("l_shipdate"), p)
+  }
+
+  test("rank-limit queries get per-partition WindowGroupLimit pushdown") {
+    val p = plan(core.ExtraQueries.topTracksPerAlbum(spark, sf))
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q6: every predicate reaches the parquet scan") {
+    val p = plan(core.WindowQueries.q6Forecast(spark, sf))
+    // the plan string elides long filter lists — assert the visible prefix
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), IsNotNull(l_quantity), GreaterThanOrEqual"), p)
   }
 
   test("delta load keeps the watermark as a plan-side scalar (no collect)") {

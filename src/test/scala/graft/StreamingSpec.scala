@@ -111,6 +111,27 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrichment joins the dim per micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Tables.supplier(spark, sf)
+      .select($"s_suppkey".as("user_id"), $"s_name".as("display_name"))
+    val events = loadEvents().take(100)
+    val stream = MemoryStream[Event]
+    val q = EventsPipeline.enrichStream(stream.toDF(), dim, "user_id")
+      .writeStream.outputMode("append").format("memory").queryName("enrich_out").start()
+    try {
+      stream.addData(events); q.processAllAvailable()
+      val got = spark.table("enrich_out")
+      assert(got.count() == 100) // left join keeps every event
+      val dimKeys = dim.collect().map(_.getLong(0)).toSet
+      got.collect().foreach { r =>
+        val matched = !r.isNullAt(r.fieldIndex("display_name"))
+        assert(matched == dimKeys.contains(r.getAs[Long]("user_id")))
+      }
+    } finally q.stop()
+  }
+
   test("file ingest picks up the events directory incrementally") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
