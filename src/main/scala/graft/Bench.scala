@@ -17,6 +17,7 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   val headline: Seq[String] = Seq(
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
+    "q14_promo_revenue", "q17_small_quantity",
     "sessionize_events", "stream_windowed_agg",
     "dm_yearly_agg", "dm_monthly_agg", "dm_top_artists", "dm_top_tracks",
     "dm_variant_detection",

@@ -211,10 +211,72 @@ object CoreQueries {
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
+
+  /** Small-quantity threshold (TPC-H Q17 shape): rows under 20% of their
+    * part's average quantity. The correlated aggregate is a window over the
+    * part key — decimal-exact sum/count so the threshold is engine-stable.
+    */
+  def q17SmallQuantity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"l_partkey")
+    Tables.lineitem(spark, dir)
+      .select($"l_partkey", dec($"l_quantity").as("qty"), dec($"l_extendedprice").as("price"))
+      .withColumn("avg_qty", sum($"qty").over(w).cast("double") / count(lit(1)).over(w))
+      .filter($"qty".cast("double") < $"avg_qty" * 0.2)
+      .agg(
+        (sum($"price").cast("double") / 7.0).as("avg_yearly"),
+        count(lit(1)).as("n_small"))
+  }
+
+  val q17Sql: String =
+    """WITH t AS (
+      |  SELECT l_partkey,
+      |    CAST(l_quantity AS DECIMAL(12,2)) AS qty,
+      |    CAST(l_extendedprice AS DECIMAL(12,2)) AS price,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) OVER (PARTITION BY l_partkey) AS DOUBLE)
+      |      / COUNT(*) OVER (PARTITION BY l_partkey) AS avg_qty
+      |  FROM lineitem
+      |)
+      |SELECT CAST(SUM(price) AS DOUBLE) / 7.0 AS avg_yearly,
+      |  COUNT(*) AS n_small
+      |FROM t
+      |WHERE CAST(qty AS DOUBLE) < avg_qty * 0.2""".stripMargin
+
+  /** Promo-revenue ratio (TPC-H Q14 shape): conditional aggregation ratio
+    * with a broadcast part join — decimal sums, one double division.
+    */
+  def q14PromoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pt  = Tables.part(spark, dir).select($"p_partkey", $"p_type")
+    val rev = dec($"l_extendedprice") * dec(lit(1.0) - $"l_discount", 4, 2)
+    Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" >= lit("1997-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1997-04-01").cast("timestamp"))
+      .join(broadcast(pt), $"l_partkey" === $"p_partkey")
+      .agg(
+        (sum(when($"p_type" === "PROMO", rev).otherwise(lit(0).cast("decimal(12,2)"))).cast("double") * 100.0 /
+          sum(rev).cast("double")).as("promo_revenue_pct"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  val q14Sql: String =
+    """SELECT
+      |  CAST(SUM(CASE WHEN p_type = 'PROMO'
+      |    THEN CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2))
+      |    ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) * 100.0
+      |    / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE)
+      |    AS promo_revenue_pct,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary"  -> (q1PricingSummary _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
     "q5_local_supplier"   -> (q5LocalSupplier _),
+    "q17_small_quantity"  -> (q17SmallQuantity _),
+    "q14_promo_revenue"   -> (q14PromoRevenue _),
     "sessionize_events"   -> (sessionizeEvents _),
     "stream_windowed_agg" -> (streamWindowedAgg _)
   )
@@ -223,6 +285,8 @@ object CoreQueries {
     "q1_pricing_summary"  -> q1Sql,
     "q3_shipping_priority" -> q3Sql,
     "q5_local_supplier"   -> q5Sql,
+    "q17_small_quantity"  -> q17Sql,
+    "q14_promo_revenue"   -> q14Sql,
     "sessionize_events"   -> sessionizeSql,
     "stream_windowed_agg" -> streamWindowedAggSql
   )
