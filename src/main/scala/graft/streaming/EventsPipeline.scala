@@ -88,6 +88,26 @@ object EventsPipeline {
   def enrichStream(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  /** Stream-stream interval join: purchases joined to the same user's
+    * signups that happened in the preceding hour — both sides watermarked
+    * so join state is evicted once the interval cannot match anymore
+    * (state ∝ one hour of stream, not history).
+    */
+  def purchaseAttribution(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val purchases = events.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id", $"ts".as("purchase_ts"), $"value")
+      .withWatermark("purchase_ts", "10 minutes")
+    val signups = events.filter($"event_type" === "signup")
+      .select($"event_id".as("signup_id"), $"user_id".as("s_user_id"), $"ts".as("signup_ts"))
+      .withWatermark("signup_ts", "10 minutes")
+    purchases.join(signups,
+      $"user_id" === $"s_user_id" &&
+        $"signup_ts" <= $"purchase_ts" &&
+        $"signup_ts" >= $"purchase_ts" - expr("INTERVAL 1 HOUR"))
+      .select($"purchase_id", $"user_id", $"purchase_ts", $"signup_id", $"signup_ts", $"value")
+  }
+
   /** Streaming exact-dedup: drop events already seen within the watermark
     * horizon (the reference's "re-runnable logic with deduplication" —
     * ON CONFLICT DO NOTHING — as continuous state). Watermark bounds the

@@ -132,6 +132,35 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join == batch interval join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = loadEvents()
+    val stream = MemoryStream[Event]
+    val q = EventsPipeline.purchaseAttribution(stream.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("attr_out").start()
+    try {
+      val (a, b) = events.splitAt(events.size / 2)
+      stream.addData(a); q.processAllAvailable()
+      stream.addData(b); q.processAllAvailable()
+      val got = spark.table("attr_out")
+        .select("purchase_id", "signup_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+      val ev = Tables.events(spark, sf)
+      val p = ev.filter($"event_type" === "purchase")
+        .select($"event_id".as("purchase_id"), $"user_id", $"ts".as("purchase_ts"))
+      val sgn = ev.filter($"event_type" === "signup")
+        .select($"event_id".as("signup_id"), $"user_id".as("s_user_id"), $"ts".as("signup_ts"))
+      val want = p.join(sgn,
+          $"user_id" === $"s_user_id" && $"signup_ts" <= $"purchase_ts" &&
+            $"signup_ts" >= $"purchase_ts" - expr("INTERVAL 1 HOUR"))
+        .select("purchase_id", "signup_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(want.nonEmpty && got == want)
+    } finally q.stop()
+  }
+
   test("file ingest picks up the events directory incrementally") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
