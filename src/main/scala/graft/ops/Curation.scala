@@ -107,15 +107,86 @@ object Curation {
       |GROUP BY lang, source
       |ORDER BY lang, source""".stripMargin
 
+
+  /** Corpus vocabulary: token frequencies + document frequencies — the
+    * tokenizer/BPE-training input. One explode + one groupBy: partial
+    * aggregation does the heavy combining map-side, the shuffle carries
+    * only distinct tokens.
+    */
+  def textVocab(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.orderBy($"n_tokens".desc, $"token")
+    Tables.documents(spark, dir)
+      .select($"doc_id", explode(split(lower(trim($"text")), " +")).as("token"))
+      .groupBy($"token")
+      .agg(count(lit(1)).as("n_tokens"), countDistinct($"doc_id").as("doc_freq"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 100)
+      .orderBy($"rank")
+  }
+
+  val textVocabSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, u AS token
+      |  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
+      |    UNNEST(w) AS r(u)
+      |), vocab AS (
+      |  SELECT token, COUNT(*) AS n_tokens, COUNT(DISTINCT doc_id) AS doc_freq
+      |  FROM toks GROUP BY token
+      |)
+      |SELECT token, n_tokens, doc_freq,
+      |  row_number() OVER (ORDER BY n_tokens DESC, token) AS rank
+      |FROM vocab
+      |ORDER BY rank
+      |LIMIT 100""".stripMargin
+
+  /** Adjacent-bigram co-occurrence counts (skip-gram window 1) — the
+    * embedding-training pair stream. Bigrams are zip_with over a shifted
+    * slice (split evaluated O(1) per row), exploded and counted.
+    */
+  def textCooccurrence(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w  = split(lower(trim($"text")), " +")
+    Tables.documents(spark, dir)
+      .select($"doc_id", w.as("w"))
+      .select(explode(zip_with($"w",
+        slice($"w", lit(2), greatest(size($"w") - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b))).as("bigram"))
+      .filter($"bigram".isNotNull)
+      .groupBy($"bigram")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(Window.orderBy($"n".desc, $"bigram")))
+      .filter($"rank" <= 50)
+      .orderBy($"rank")
+  }
+
+  val textCooccurrenceSql: String =
+    """WITH t AS (
+      |  SELECT string_split(lower(trim(text)), ' ') AS w FROM documents
+      |), bi AS (
+      |  SELECT w[u] || ' ' || w[u+1] AS bigram
+      |  FROM t, UNNEST(range(1, len(w))) AS r(u)
+      |), counted AS (
+      |  SELECT bigram, COUNT(*) AS n FROM bi GROUP BY bigram
+      |)
+      |SELECT bigram, n, row_number() OVER (ORDER BY n DESC, bigram) AS rank
+      |FROM counted
+      |ORDER BY rank
+      |LIMIT 50""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_chunking"     -> (textChunking _),
     "text_packing"      -> (textPacking _),
-    "sample_stratified" -> (sampleStratified _)
+    "sample_stratified" -> (sampleStratified _),
+    "text_vocab"        -> (textVocab _),
+    "text_cooccurrence" -> (textCooccurrence _)
   )
 
   val oracleSql: Map[String, String] = Map(
     "text_chunking"     -> textChunkingSql,
     "text_packing"      -> textPackingSql,
-    "sample_stratified" -> sampleStratifiedSql
+    "sample_stratified" -> sampleStratifiedSql,
+    "text_vocab"        -> textVocabSql,
+    "text_cooccurrence" -> textCooccurrenceSql
   )
 }

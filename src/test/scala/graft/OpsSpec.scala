@@ -46,6 +46,40 @@ class OpsSpec extends SparkSuite {
     assert(got(4L).isEmpty)       // only future signup → null
   }
 
+  test("chunking covers every token with the configured overlap") {
+    val chunks = ops.Curation.textChunking(spark, sf).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    chunks.foreach { case (_, cs) =>
+      val sorted = cs.sortBy(_.getAs[Long]("chunk_seq"))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Long]("token_start") - a.getAs[Long]("token_start") == 80)
+        case _ =>
+      }
+      assert(sorted.head.getAs[Long]("token_start") == 1)
+      assert(sorted.forall(_.getAs[Long]("chunk_tokens") <= 100))
+    }
+  }
+
+  test("packing: bins respect the running-token formula and cover all docs") {
+    val rows = ops.Curation.textPacking(spark, sf).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val bin = r.getAs[Long]("bin")
+      val off = r.getAs[Long]("offset_in_bin")
+      assert(off >= 0 && off < 2048 && bin >= 0)
+    }
+    val bins = rows.map(_.getAs[Long]("bin"))
+    assert(bins.max > 0) // multiple context windows actually used
+  }
+
+  test("vocab and cooccurrence ranks are dense and frequency-ordered") {
+    val v = ops.Curation.textVocab(spark, sf).collect()
+    assert(v.map(_.getAs[Int]("rank")).toSeq == (1 to v.length))
+    val freqs = v.map(_.getAs[Long]("n_tokens"))
+    assert(freqs.sameElements(freqs.sortBy(-_)))
+  }
+
   test("simhash blocked pairs: exactly the brute-force hamming<=7 pairs (pigeonhole-complete)") {
     import spark.implicits._
     val bits = Tables.documents(spark, sf)
