@@ -42,6 +42,7 @@ object Bench {
       // runtime bloom-filter pruning: inert at test scale (below the 10MB
       // creation threshold), prunes shuffle-join probe sides at real scale
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -60,7 +61,14 @@ object Bench {
     val results = headline.map(n => n -> run(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // the JSON must survive sbt/log noise on stdout: also write it to a
+    // file, and print it last after stopping Spark (whose shutdown logs
+    // would otherwise trail it)
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
+      json.getBytes("UTF-8"))
     spark.stop()
+    println(json)
+    System.out.flush()
   }
 }

@@ -20,6 +20,7 @@ object GraftSession {
       // runtime bloom-filter pruning: inert at test scale (below the 10MB
       // creation threshold), prunes shuffle-join probe sides at real scale
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -24,9 +24,13 @@ object Tables {
     * to a microsecond timestamp — the same truncation DuckDB applies when
     * casting TIMESTAMP_NS to TIMESTAMP, so oracle comparisons agree.
     * Integer arithmetic only: nanos (~1.7e18) overflow double precision.
+    * `spark.sql.legacy.parquet.nanosAsLong` is set once at session build
+    * (GraftSession/Bench/Verify/test suites) — reads must not mutate shared
+    * session state.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "set spark.sql.legacy.parquet.nanosAsLong=true at session build (see GraftSession)")
     table(spark, dir, "events")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))

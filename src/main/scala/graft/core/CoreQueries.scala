@@ -172,8 +172,8 @@ object CoreQueries {
       |  FROM ev
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)
       |), sessions AS (
-      |  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      |  SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
       |  FROM flagged
       |)
       |SELECT user_id, session_seq,

@@ -103,7 +103,7 @@ object MiscQueries {
     """SELECT l_returnflag,
       |  CAST(SUM(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE)
       |    / CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS weighted_mean_cents,
-      |  SUM(CAST(l_quantity AS BIGINT)) AS total_qty
+      |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
       |FROM lineitem
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin

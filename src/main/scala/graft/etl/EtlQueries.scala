@@ -335,6 +335,75 @@ object EtlQueries {
       |GROUP BY 1
       |ORDER BY k""".stripMargin
 
+  /** transformer.py:13 _clean_track / :54 _clean_artist — the reference's
+    * hardest JSON shape: the staged API payload is a nested object whose
+    * `album.images` array holds cover-art candidates, and cleaning picks an
+    * image URL from the array (`raw["images"][0]["url"]`; the Spotify API
+    * orders images largest-first, so the pick is "the largest image").
+    *
+    * The stage step builds the raw payload deterministically from `part`
+    * (no live API in this environment), exactly as it would sit in
+    * staging.raw_json; the extract step then does the real work under
+    * test: `from_json` with an explicit nested schema and a
+    * largest-by-height array pick (first-in-array-order on ties — same
+    * rule both engines). Fully map-side: parse + pick never shuffle.
+    */
+  def jsonNested(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pk = $"p_partkey".cast("string")
+    val staged = Tables.part(spark, dir).select($"p_partkey",
+      to_json(struct(
+        concat(lit("track:"), pk).as("uri"),
+        $"p_name".as("name"),
+        struct(array(
+          struct(concat(lit("img://"), pk, lit("/a")).as("url"),
+            (pmod($"p_partkey", lit(400)) + 241).cast("long").as("height")),
+          struct(concat(lit("img://"), pk, lit("/b")).as("url"), lit(300L).as("height")),
+          struct(concat(lit("img://"), pk, lit("/c")).as("url"), lit(64L).as("height"))
+        ).as("images")).as("album")
+      )).as("raw_json"))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "uri STRING, name STRING, album STRUCT<images: ARRAY<STRUCT<url: STRING, height: BIGINT>>>")
+    staged
+      .select($"p_partkey", from_json($"raw_json", schema).as("j"))
+      .withColumn("images", $"j.album.images")
+      .withColumn("max_height", array_max(transform($"images", i => i.getField("height"))))
+      .select(
+        $"p_partkey",
+        $"j.uri".as("uri"),
+        $"j.name".as("name"),
+        element_at(filter($"images", i => i.getField("height") === $"max_height"), 1)
+          .getField("url").as("cover_art_url"),
+        size($"images").cast("long").as("n_images"),
+        $"max_height")
+      .orderBy($"p_partkey")
+  }
+
+  val jsonNestedSql: String =
+    """WITH staged AS (
+      |  SELECT p_partkey, to_json(struct_pack(
+      |    uri := 'track:' || p_partkey,
+      |    name := p_name,
+      |    album := struct_pack(images := [
+      |      struct_pack(url := 'img://' || p_partkey || '/a', height := p_partkey % 400 + 241),
+      |      struct_pack(url := 'img://' || p_partkey || '/b', height := 300),
+      |      struct_pack(url := 'img://' || p_partkey || '/c', height := 64)])
+      |  )) AS raw_json FROM part
+      |), ext AS (
+      |  SELECT p_partkey,
+      |    json_extract_string(raw_json, '$.uri') AS uri,
+      |    json_extract_string(raw_json, '$.name') AS name,
+      |    CAST(json_transform(raw_json, '{"album":{"images":[{"url":"VARCHAR","height":"BIGINT"}]}}').album.images
+      |      AS STRUCT(url VARCHAR, height BIGINT)[]) AS images
+      |  FROM staged
+      |)
+      |SELECT p_partkey, uri, name,
+      |  list_filter(images, x -> x.height = list_max(list_transform(images, y -> y.height)))[1].url AS cover_art_url,
+      |  CAST(len(images) AS BIGINT) AS n_images,
+      |  CAST(list_max(list_transform(images, y -> y.height)) AS BIGINT) AS max_height
+      |FROM ext
+      |ORDER BY p_partkey""".stripMargin
+
   /** ON CONFLICT DO NOTHING / re-runnable loads — keep the first row per
     * natural key (deterministic row_number pick, one shuffle on the key).
     */
@@ -428,6 +497,7 @@ object EtlQueries {
     "etl_enrich_metadata" -> (enrichMetadata _),
     "etl_failed_uris"     -> (failedUris _),
     "etl_json_extract"    -> (jsonExtract _),
+    "etl_json_nested"     -> (jsonNested _),
     "etl_dedup_staging"   -> (dedupStaging _),
     "etl_fact_build"      -> (factBuild _)
   )
@@ -443,6 +513,7 @@ object EtlQueries {
     "etl_enrich_metadata" -> enrichMetadataSql,
     "etl_failed_uris"     -> failedUrisSql,
     "etl_json_extract"    -> jsonExtractSql,
+    "etl_json_nested"     -> jsonNestedSql,
     "etl_dedup_staging"   -> dedupStagingSql,
     "etl_fact_build"      -> factBuildSql
   )

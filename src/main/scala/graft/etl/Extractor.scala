@@ -61,11 +61,16 @@ object Extractor {
     val clean = parsed
       .filter($"_corrupt_record".isNull && $"ts_utc".isNotNull && $"ms_played" >= 0)
       .drop("_corrupt_record")
+    // exact complement of `clean` under null logic: a NULL ms_played fails
+    // `>= 0` without satisfying `< 0`, so it must be quarantined explicitly
+    // ("captured, not dropped")
     val quarantine = parsed
-      .filter($"_corrupt_record".isNotNull || $"ts_utc".isNull || $"ms_played" < 0)
+      .filter($"_corrupt_record".isNotNull || $"ts_utc".isNull ||
+        $"ms_played".isNull || $"ms_played" < 0)
       .select($"ts", $"ms_played", $"_corrupt_record",
         when($"_corrupt_record".isNotNull, "malformed json")
           .when($"ts_utc".isNull, "unparseable ts")
+          .when($"ms_played".isNull, "null ms_played")
           .otherwise("negative ms_played").as("error_reason"))
     (clean, quarantine)
   }

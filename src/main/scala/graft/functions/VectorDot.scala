@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftshim
+import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** Integer vector dot product Σ aᵢ·bᵢ over two array<bigint> columns as a
@@ -17,13 +18,24 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * whole-stage codegen — the hot inner op of dedup_embedding/ann_topk_exact
   * where it runs once per candidate pair.
   *
-  * Exactness: inputs are quantized embeddings (|x| ≤ ~10³), so products
-  * and sums stay far from 2⁶³ and the result matches the integer oracle
-  * bit-for-bit.
+  * Semantics exactly mirror the HOF idiom it replaces (so the
+  * [[graft.plans.RewriteDotProduct]] optimizer rewrite is
+  * semantics-preserving):
+  *  - unequal lengths → NULL (zip_with pads the shorter side with NULL, the
+  *    padded products poison the sum);
+  *  - any NULL element → NULL (NULL·x = NULL ⇒ running sum NULL);
+  *  - `failOnError` (= session ANSI mode at construction) → overflow throws
+  *    like ANSI Add/Multiply; otherwise wraps like the non-ANSI idiom.
+  * With quantized embeddings (|x| ≤ ~10³) overflow is unreachable either
+  * way and the result matches the integer oracle bit-for-bit.
   */
-case class LongVectorDot(left: Expression, right: Expression) extends BinaryExpression {
+case class LongVectorDot(left: Expression, right: Expression, failOnError: Boolean)
+  extends BinaryExpression {
 
   override def dataType: DataType = LongType
+
+  // may produce NULL (length mismatch / null element) even for non-null inputs
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -34,10 +46,16 @@ case class LongVectorDot(left: Expression, right: Expression) extends BinaryExpr
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0L
     var i = 0
-    while (i < n) { acc += x.getLong(i) * y.getLong(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      if (failOnError) acc = Math.addExact(acc, Math.multiplyExact(x.getLong(i), y.getLong(i)))
+      else acc += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
     acc
   }
 
@@ -46,13 +64,20 @@ case class LongVectorDot(left: Expression, right: Expression) extends BinaryExpr
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val bad = ctx.freshName("bad")
+      val step =
+        if (failOnError)
+          s"$acc = Math.addExact($acc, Math.multiplyExact($a.getLong($i), $b.getLong($i)));"
+        else
+          s"$acc += $a.getLong($i) * $b.getLong($i);"
       s"""
-         |int $n = Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |boolean $bad = $n != $b.numElements();
          |long $acc = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $a.getLong($i) * $b.getLong($i);
+         |for (int $i = 0; !$bad && $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; } else { $step }
          |}
-         |${ev.value} = $acc;
+         |if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
        """.stripMargin
     })
 
@@ -61,6 +86,9 @@ case class LongVectorDot(left: Expression, right: Expression) extends BinaryExpr
 }
 
 object LongVectorDot {
+  def apply(left: Expression, right: Expression): LongVectorDot =
+    LongVectorDot(left, right, SQLConf.get.ansiEnabled)
+
   /** Column-API entry point. */
   def vector_dot(a: Column, b: Column): Column =
     graftshim.toColumn(LongVectorDot(graftshim.toExpression(a), graftshim.toExpression(b)))

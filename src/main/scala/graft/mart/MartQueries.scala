@@ -154,19 +154,38 @@ object MartQueries {
       |  floor(CAST(SUM(percent_played) AS DOUBLE) / 100.0 + 0.5) AS estimated_full_streams,
       |  COUNT(CASE WHEN percent_played = 100.0 THEN 1 END) AS full_real_streams""".stripMargin
 
-  /** dm.top_artists(1997, null, 10) (dm_ddl.sql:119) — ranked artists with
-    * year filter; supplier dim broadcast; deterministic tie-break.
+  /** Optional year/month predicate shared by the dm.top_* functions
+    * (dm_ddl.sql:63–160): `(filter_year is null or year = filter_year) and
+    * (filter_month is null or (filter_year is not null and month_num =
+    * filter_month))` — the month filter only applies when a year is given,
+    * exactly like the reference.
     */
-  def topArtists(spark: SparkSession, dir: String): DataFrame = {
+  private def yearMonthFilter(filterYear: Option[Int], filterMonth: Option[Int]): Column = {
+    import org.apache.spark.sql.functions.{col => c}
+    val y = filterYear.map(v => year(c("ts")) === v).getOrElse(lit(true))
+    val m = (filterYear, filterMonth) match {
+      case (Some(_), Some(mv)) => month(c("ts")) === mv
+      case _                   => lit(true)
+    }
+    y && m
+  }
+
+  /** dm.top_artists(filter_year, filter_month, return_limit)
+    * (dm_ddl.sql:119) — ranked artists with optional year/month filters;
+    * supplier dim broadcast; deterministic tie-break.
+    */
+  def topArtists(spark: SparkSession, dir: String,
+      filterYear: Option[Int] = Some(1997), filterMonth: Option[Int] = None,
+      returnLimit: Int = 10): DataFrame = {
     import spark.implicits._
     val sup = Tables.supplier(spark, dir).select($"s_suppkey", $"s_name")
     listeningFacts(spark, dir)
-      .filter(year($"ts") === 1997)
+      .filter(yearMonthFilter(filterYear, filterMonth))
       .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
       .groupBy($"s_name".as("artist"))
       .agg(rankedMetrics.head, rankedMetrics.tail: _*)
       .orderBy($"hours_played".desc, $"artist")
-      .limit(10)
+      .limit(returnLimit)
   }
 
   val topArtistsSql: String =
@@ -191,21 +210,28 @@ object MartQueries {
         min($"p_partkey").over(w).as("parent_partkey"))
   }
 
-  /** dm.top_tracks (dm_ddl.sql:91): track grain, variants collapsed into
-    * their parent via the mapping left-join + coalesce, like the reference's
-    * `coalesce(p.parent_track_title, dt.track_title)`.
+  /** dm.top_tracks(filter_year, filter_month, filter_artist, return_limit)
+    * (dm_ddl.sql:91): track grain, variants collapsed into their parent via
+    * the mapping left-join + coalesce, like the reference's
+    * `coalesce(p.parent_track_title, dt.track_title)`; optional year/month/
+    * artist filters.
     */
-  def topTracks(spark: SparkSession, dir: String): DataFrame = {
+  def topTracks(spark: SparkSession, dir: String,
+      filterYear: Option[Int] = None, filterMonth: Option[Int] = None,
+      filterArtist: Option[String] = None, returnLimit: Int = 25): DataFrame = {
     import spark.implicits._
     val pm = parentMap(spark, dir)
+    val artistPred = filterArtist.map($"p_brand" === _).getOrElse(lit(true))
     listeningFacts(spark, dir)
+      .filter(yearMonthFilter(filterYear, filterMonth))
       .join(broadcast(pm), $"l_partkey" === $"p_partkey", "left")
+      .filter(artistPred)
       .groupBy(
         coalesce($"p_name", lit("<unknown>")).as("track"),
         coalesce($"p_brand", lit("<unknown>")).as("artist"))
       .agg(rankedMetrics.head, rankedMetrics.tail: _*)
       .orderBy($"hours_played".desc, $"track", $"artist")
-      .limit(25)
+      .limit(returnLimit)
   }
 
   val topTracksSql: String =
@@ -217,16 +243,23 @@ object MartQueries {
        |ORDER BY hours_played DESC, track, artist
        |LIMIT 25""".stripMargin
 
-  /** dm.top_albums (dm_ddl.sql:63): album (= brand) grain. */
-  def topAlbums(spark: SparkSession, dir: String): DataFrame = {
+  /** dm.top_albums(filter_year, filter_month, return_limit, filter_artist)
+    * (dm_ddl.sql:63): album (= brand) grain with optional filters.
+    */
+  def topAlbums(spark: SparkSession, dir: String,
+      filterYear: Option[Int] = None, filterMonth: Option[Int] = None,
+      returnLimit: Int = 10, filterArtist: Option[String] = None): DataFrame = {
     import spark.implicits._
-    val pt = Tables.part(spark, dir).select($"p_partkey", $"p_brand")
+    val pt = Tables.part(spark, dir).select($"p_partkey", $"p_brand", $"p_type")
+    val artistPred = filterArtist.map($"p_type" === _).getOrElse(lit(true))
     listeningFacts(spark, dir)
+      .filter(yearMonthFilter(filterYear, filterMonth))
       .join(broadcast(pt), $"l_partkey" === $"p_partkey")
+      .filter(artistPred)
       .groupBy($"p_brand".as("album"))
       .agg(rankedMetrics.head, rankedMetrics.tail: _*)
       .orderBy($"hours_played".desc, $"album")
-      .limit(10)
+      .limit(returnLimit)
   }
 
   val topAlbumsSql: String =
@@ -238,13 +271,17 @@ object MartQueries {
        |ORDER BY hours_played DESC, album
        |LIMIT 10""".stripMargin
 
-  /** dm.album_stats('Brand#13') (dm_ddl.sql:144): drill-down inside one
-    * album — per-track minutes + estimated streams.
+  /** dm.album_stats(filter_album, filter_artist) (dm_ddl.sql:144):
+    * drill-down inside one album — per-track minutes + estimated streams.
+    * Role mapping: album = p_brand, album artist = p_type (the available
+    * coarser grouping attribute standing in for the reference's artist).
     */
-  def albumStats(spark: SparkSession, dir: String): DataFrame = {
+  def albumStats(spark: SparkSession, dir: String,
+      filterAlbum: String = "Brand#13", filterArtist: Option[String] = None): DataFrame = {
     import spark.implicits._
+    val artistPred = filterArtist.map($"p_type" === _).getOrElse(lit(true))
     val pt = Tables.part(spark, dir)
-      .filter($"p_brand" === "Brand#13")
+      .filter($"p_brand" === filterAlbum && artistPred)
       .select($"p_partkey", $"p_name")
     listeningFacts(spark, dir)
       .join(broadcast(pt), $"l_partkey" === $"p_partkey")
@@ -309,15 +346,30 @@ object MartQueries {
        |WHERE t.total_time_min > 45.0
        |ORDER BY floor(t.total_time_min * 10.0 + 0.5) / 10.0 DESC, track_title, artist_name""".stripMargin
 
+  /** dm.top_tracks(1997, 5, null, 25) — the month-filter path of the
+    * parameterized function, oracle-pinned (month only applies with year,
+    * reference dm_ddl.sql:110).
+    */
+  val topTracksMonthSql: String =
+    s"""$fhCte
+       |SELECT coalesce(p_name, '<unknown>') AS track, coalesce(p_brand, '<unknown>') AS artist,
+       |$rankedMetricsSql
+       |FROM fh LEFT JOIN part ON l_partkey = p_partkey
+       |WHERE year(ts) = 1997 AND month(ts) = 5
+       |GROUP BY 1, 2
+       |ORDER BY hours_played DESC, track, artist
+       |LIMIT 25""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "dm_yearly_agg"        -> (yearlyAgg _),
-    "dm_monthly_agg"       -> (monthlyAgg _),
-    "dm_all_time_agg"      -> (allTimeAgg _),
-    "dm_top_artists"       -> (topArtists _),
-    "dm_top_tracks"        -> (topTracks _),
-    "dm_top_albums"        -> (topAlbums _),
-    "dm_album_stats"       -> (albumStats _),
-    "dm_variant_detection" -> (variantDetection _)
+    "dm_yearly_agg"         -> (yearlyAgg _),
+    "dm_monthly_agg"        -> (monthlyAgg _),
+    "dm_all_time_agg"       -> (allTimeAgg _),
+    "dm_top_artists"        -> ((s, d) => topArtists(s, d)),
+    "dm_top_tracks"         -> ((s, d) => topTracks(s, d)),
+    "dm_top_tracks_month"   -> ((s, d) => topTracks(s, d, filterYear = Some(1997), filterMonth = Some(5))),
+    "dm_top_albums"         -> ((s, d) => topAlbums(s, d)),
+    "dm_album_stats"        -> ((s, d) => albumStats(s, d)),
+    "dm_variant_detection"  -> (variantDetection _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -326,6 +378,7 @@ object MartQueries {
     "dm_all_time_agg"      -> allTimeAggSql,
     "dm_top_artists"       -> topArtistsSql,
     "dm_top_tracks"        -> topTracksSql,
+    "dm_top_tracks_month"  -> topTracksMonthSql,
     "dm_top_albums"        -> topAlbumsSql,
     "dm_album_stats"       -> albumStatsSql,
     "dm_variant_detection" -> variantDetectionSql

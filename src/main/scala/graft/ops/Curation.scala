@@ -54,17 +54,43 @@ object Curation {
        |ORDER BY doc_id, chunk_seq""".stripMargin
 
   /** Greedy sequence packing: documents in doc_id order are packed into
-    * 2048-token context windows by a running token count — one global sort
-    * window (at scale: pack per partition/shard, identical formula).
+    * 2048-token context windows by a running token count.
+    *
+    * The global prefix sum is computed as a distributed two-level scan —
+    * never a single-partition window over the corpus:
+    *   1. shard documents by `doc_id div shardDocs` (order-preserving);
+    *   2. per-shard token totals (one partial-agg shuffle of #shards rows);
+    *   3. exclusive cumulative offsets over the tiny shard-totals table;
+    *   4. broadcast the offsets back and run the running sum per shard
+    *      (Window.partitionBy(shard) — fully parallel).
+    * The result is the exact global running total for ANY shard size, so
+    * `shardDocs` is purely an execution knob: 128 exercises multiple shards
+    * at test scale; at 100 TB set it so #shards stays small (e.g. 1M docs
+    * per shard) or recurse the same two-level scan over the offsets table.
     */
-  def textPacking(spark: SparkSession, dir: String): DataFrame = {
+  def textPacking(spark: SparkSession, dir: String): DataFrame =
+    textPackingSharded(spark, dir, shardDocs = 128L)
+
+  def textPackingSharded(spark: SparkSession, dir: String, shardDocs: Long): DataFrame = {
     import spark.implicits._
-    val w = Window.orderBy($"doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(spark, dir)
+    val toks = Tables.documents(spark, dir)
       .select($"doc_id", size(split(lower(trim($"text")), " +")).cast("long").as("n_tokens"))
-      .withColumn("running_tokens", sum($"n_tokens").over(w))
+      .withColumn("shard", ($"doc_id" / shardDocs).cast("long")) // doc_id >= 0: truncation = floor
+    // exclusive prefix over per-shard totals: #shards rows, not #docs
+    val oneGroup = Window.partitionBy($"g").orderBy($"shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = toks.groupBy($"shard")
+      .agg(sum($"n_tokens").as("shard_tokens"))
+      .withColumn("g", lit(0))
+      .withColumn("shard_offset", coalesce(sum($"shard_tokens").over(oneGroup), lit(0L)))
+      .select($"shard", $"shard_offset")
+    val perShard = Window.partitionBy($"shard").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks.join(broadcast(offsets), Seq("shard"))
+      .withColumn("running_tokens", $"shard_offset" + sum($"n_tokens").over(perShard))
       .withColumn("bin", (($"running_tokens" - $"n_tokens") / 2048L).cast("long"))
       .withColumn("offset_in_bin", $"running_tokens" - $"n_tokens" - $"bin" * 2048L)
+      .select($"doc_id", $"n_tokens", $"running_tokens", $"bin", $"offset_in_bin")
       .orderBy($"doc_id")
   }
 
@@ -75,7 +101,7 @@ object Curation {
       |  FROM documents
       |), r AS (
       |  SELECT doc_id, n_tokens,
-      |    SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_tokens
+      |    CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_tokens
       |  FROM t
       |)
       |SELECT doc_id, n_tokens, running_tokens,
@@ -101,7 +127,7 @@ object Curation {
 
   val sampleStratifiedSql: String =
     """SELECT lang, source,
-      |  COUNT(*) AS sampled_docs, SUM(n_chars) AS sampled_chars
+      |  COUNT(*) AS sampled_docs, CAST(SUM(n_chars) AS BIGINT) AS sampled_chars
       |FROM documents
       |WHERE ((doc_id * 2654435761) % 1000000007 % 100 + 100) % 100 < 20
       |GROUP BY lang, source
@@ -115,13 +141,19 @@ object Curation {
     */
   def textVocab(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val w = Window.orderBy($"n_tokens".desc, $"token")
-    Tables.documents(spark, dir)
+    // top-100 via orderBy+limit → TakeOrderedAndProject (parallel partial
+    // top-N, no global window); rank assigned over the ≤100 survivors only,
+    // with a constant partition key so the window is partition-defined.
+    val top = Tables.documents(spark, dir)
       .select($"doc_id", explode(split(lower(trim($"text")), " +")).as("token"))
       .groupBy($"token")
       .agg(count(lit(1)).as("n_tokens"), countDistinct($"doc_id").as("doc_freq"))
+      .orderBy($"n_tokens".desc, $"token")
+      .limit(100)
+    val w = Window.partitionBy($"g").orderBy($"n_tokens".desc, $"token")
+    top.withColumn("g", lit(0))
       .withColumn("rank", row_number().over(w))
-      .filter($"rank" <= 100)
+      .drop("g")
       .orderBy($"rank")
   }
 
@@ -155,8 +187,12 @@ object Curation {
       .filter($"bigram".isNotNull)
       .groupBy($"bigram")
       .agg(count(lit(1)).as("n"))
-      .withColumn("rank", row_number().over(Window.orderBy($"n".desc, $"bigram")))
-      .filter($"rank" <= 50)
+      .orderBy($"n".desc, $"bigram")
+      .limit(50) // TakeOrderedAndProject: parallel partial top-N
+      .withColumn("g", lit(0))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"g").orderBy($"n".desc, $"bigram")))
+      .drop("g")
       .orderBy($"rank")
   }
 

@@ -369,9 +369,9 @@ object LlmQueries {
       |  FROM documents
       |)
       |SELECT source, COUNT(*) AS n_docs,
-      |  SUM(ws_tokens) AS total_ws_tokens,
-      |  SUM(bpe_tokens) AS total_bpe_tokens,
-      |  SUM(n_chars) AS total_chars,
+      |  CAST(SUM(ws_tokens) AS BIGINT) AS total_ws_tokens,
+      |  CAST(SUM(bpe_tokens) AS BIGINT) AS total_bpe_tokens,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
       |  CAST(SUM(n_chars) AS DOUBLE) / CAST(SUM(ws_tokens) AS DOUBLE) AS chars_per_token
       |FROM t
       |GROUP BY source

@@ -66,21 +66,22 @@ object ScaleDedup {
     */
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // token hashes materialized once: 64 lane references keep CollapseProject
-    // from inlining (re-evaluating) this per lane
-    val hsDf = Tables.documents(spark, dir)
+    // token hashes in one interpreted pass; ALL 64 lanes in one fused
+    // codegen loop (graft.functions.MinHashSignature) — the declarative
+    // 64 × array_min(transform(...)) form re-walked the hash array per lane
+    // (19 s at sf0.1 vs ~1 s fused)
+    val sigDf = Tables.documents(spark, dir)
       .select($"doc_id", transform(words($"text"), t => pmod(xxhash64(t), lit(P))).as("hs"))
-    // lanes and band keys are explicit columns (not a transform lambda over
-    // band index): each lane is evaluated exactly once per row — a lambda
-    // formulation re-evaluates the full signature per band element
-    val lanes = perms.map { case (a, b) =>
-      array_min(transform($"hs", h => pmod(h * a + b, lit(P))))
-    }
+      .select($"doc_id",
+        graft.functions.MinHashSignature.minhash_signature(
+          $"hs", perms.map(_._1), perms.map(_._2), P).as("sig"))
+    // band keys: 16 slices of the materialized sig column (≥2 references →
+    // CollapseProject keeps sig a real column, computed once per row)
     val bandStructs = (0 until numBands).map { bi =>
       struct(lit(bi).as("band"),
-        xxhash64(array(lanes.slice(bi * rowsPerBand, (bi + 1) * rowsPerBand): _*)).as("band_key"))
+        xxhash64(slice($"sig", bi * rowsPerBand + 1, rowsPerBand)).as("band_key"))
     }
-    val bands = hsDf
+    val bands = sigDf
       .select($"doc_id", explode(array(bandStructs: _*)).as("bk"))
       .select($"doc_id", $"bk.band", $"bk.band_key")
 
@@ -89,11 +90,13 @@ object ScaleDedup {
     val k1 = bands.join(bucketMin, Seq("band", "band_key"))
       .groupBy($"doc_id")
       .agg(min($"bucket_min").as("k1"), max($"bucket_size").as("max_bucket"))
-    // collapse keeper chains one hop: keeper(doc) := keeper(keeper(doc))
-    val hop = k1.select($"doc_id".as("k1"), $"k1".as("k2"))
-    k1.join(hop, Seq("k1"))
-      .filter($"doc_id" =!= $"k2")
-      .select($"doc_id", $"k2".as("keeper_doc_id"), $"max_bucket")
+    // collapse keeper chains to a bounded fixpoint (pointer doubling:
+    // 3 hops resolve chains up to 2³ links — cross-band similarity chains)
+    val resolved = keeperFixpoint(
+      k1.select($"doc_id", $"k1".as("keeper_doc_id")), hops = 3)
+    resolved.join(k1.select($"doc_id", $"max_bucket"), Seq("doc_id"))
+      .filter($"doc_id" =!= $"keeper_doc_id")
+      .select($"doc_id", $"keeper_doc_id", $"max_bucket")
       .orderBy($"doc_id")
   }
 

@@ -17,6 +17,11 @@ import graft.functions.LongVectorDot
   * codegen'd single-loop implementation (≈5× on the pair-scoring hot path)
   * without changing a line. Injected via graft.GraftExtensions
   * (injectOptimizerRule).
+  *
+  * Semantics-preserving: LongVectorDot mirrors the HOF idiom exactly —
+  * NULL on length mismatch (zip_with null-padding) and on NULL elements,
+  * and its failOnError flag (captured from the session's ANSI setting at
+  * rewrite time) matches ANSI overflow behavior.
   */
 object RewriteDotProduct extends Rule[LogicalPlan] {
 

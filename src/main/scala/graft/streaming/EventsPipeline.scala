@@ -49,34 +49,55 @@ object EventsPipeline {
         approx_count_distinct($"user_id").as("approx_users"))
   }
 
-  /** Gap-based sessionization (30-minute inactivity) via mapGroupsWithState
-    * with processing-time timeouts — the streaming twin of
-    * CoreQueries.sessionizeEvents. Emits a session when a new event arrives
-    * past the gap; open sessions remain in state.
+  /** Gap-based sessionization (30-minute inactivity) via
+    * flatMapGroupsWithState with EVENT-TIME timeouts — the streaming twin
+    * of CoreQueries.sessionizeEvents. A session is emitted either when a
+    * new event arrives past the gap, or when the watermark passes the
+    * session's gap deadline (lastSec + gap) — so idle users' open sessions
+    * are emitted AND their state evicted: state size tracks active users
+    * within the watermark horizon, not total users ever seen.
+    *
+    * The timeout timestamp is always ≥ the newest event just processed
+    * (which itself is ≥ the current watermark, late rows being dropped by
+    * the watermark), so setTimeoutTimestamp never races the watermark.
     */
-  def sessionize(events: Dataset[Event]): Dataset[Session] = {
+  val sessionGapSec = 1800L
+
+  def sessionize(events: Dataset[Event], watermarkDelay: String = "10 minutes"): Dataset[Session] = {
     import events.sparkSession.implicits._
     events
+      .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) => {
-          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          val out = scala.collection.mutable.ArrayBuffer[Session]()
-          var cur = state.getOption
-          sorted.foreach { e =>
-            val sec = e.ts.getTime / 1000
-            cur match {
-              case Some(s) if sec - s.lastSec > 1800 =>
-                out += Session(userId, s.nEvents, s.startSec, s.lastSec, s.total)
-                cur = Some(SessionState(1, sec, sec, e.value))
-              case Some(s) =>
-                cur = Some(SessionState(s.nEvents + 1, s.startSec, sec, s.total + e.value))
-              case None =>
-                cur = Some(SessionState(1, sec, sec, e.value))
+          if (state.hasTimedOut) {
+            // watermark passed lastSec + gap: the session can never be
+            // extended — emit it and evict the state
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, s.nEvents, s.startSec, s.lastSec, s.total))
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val out = scala.collection.mutable.ArrayBuffer[Session]()
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val sec = e.ts.getTime / 1000
+              cur match {
+                case Some(s) if sec - s.lastSec > sessionGapSec =>
+                  out += Session(userId, s.nEvents, s.startSec, s.lastSec, s.total)
+                  cur = Some(SessionState(1, sec, sec, e.value))
+                case Some(s) =>
+                  cur = Some(SessionState(s.nEvents + 1, s.startSec, sec, s.total + e.value))
+                case None =>
+                  cur = Some(SessionState(1, sec, sec, e.value))
+              }
             }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp((s.lastSec + sessionGapSec) * 1000L)
+            }
+            out.iterator
           }
-          cur.foreach(state.update)
-          out.iterator
         })
   }
 
@@ -131,6 +152,41 @@ object EventsPipeline {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.withColumn("_batch_id", lit(batchId))
           .write.mode("append").partitionBy("event_type").parquet(path)
+      }
+
+  /** Idempotent micro-batch warehouse load — the reference's
+    * `ON CONFLICT DO NOTHING` bulk insert (db_manager.py bulk_insert runs
+    * inside a transaction with a conflict-ignoring insert, so re-running a
+    * batch never duplicates rows). Here: each micro-batch is deduped on the
+    * natural key, anti-joined against the keys already in the warehouse,
+    * and only genuinely-new rows are appended — re-delivering a batch
+    * (at-least-once upstream, or a foreachBatch retry) is a no-op.
+    *
+    * Scale note: the anti-join probes the warehouse's key column only
+    * (column-pruned parquet scan). At 100 TB the warehouse would be
+    * key-bucketed so the anti-join co-partitions without a full shuffle, or
+    * delegated to a transactional table format's MERGE — both drop into
+    * this same foreachBatch hook.
+    */
+  def upsertWarehouseSink(df: DataFrame, path: String, key: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val deduped = batch.dropDuplicates(key)
+        val fresh =
+          try {
+            val existingKeys = batch.sparkSession.read.parquet(path).select(key)
+            deduped.join(existingKeys, Seq(key), "left_anti")
+          } catch {
+            // first batch: warehouse path does not exist yet
+            case e: org.apache.spark.sql.AnalysisException
+              if e.getMessage != null && e.getMessage.contains("PATH_NOT_FOUND") =>
+              deduped
+            case _: java.io.FileNotFoundException =>
+              deduped
+          }
+        fresh.withColumn("_batch_id", lit(batchId))
+          .write.mode("append").parquet(path)
       }
 
   /** File-source incremental ingest — the streaming form of the reference's

@@ -48,7 +48,10 @@ class StreamingSpec extends SparkSuite {
   test("sessionize: streaming sessions == batch sessions (closed by sentinel)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val events = loadEvents()
+    // split micro-batches on event TIME: sessionize carries a watermark, so
+    // a batch must not contain rows older than the previous batch's
+    // watermark (they would be dropped as late, breaking batch parity)
+    val events = loadEvents().sortBy(e => (e.ts.getTime, e.event_id))
     // sentinel event per user, far in the future, closes every real session
     val maxTs = events.map(_.ts.getTime).max
     val sentinels = events.map(_.user_id).distinct.map(u =>
@@ -71,6 +74,55 @@ class StreamingSpec extends SparkSuite {
         .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
           r.getAs[Long]("session_start_sec"), r.getAs[Long]("session_end_sec"))).toSet
       assert(got == want)
+    } finally q.stop()
+  }
+
+  test("sessionize: idle user's open session closes via event-time timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // user 1 goes idle after two events; user 2 keeps the watermark moving.
+    // No further user-1 event ever arrives: the session can ONLY be emitted
+    // by the EventTimeTimeout path (watermark > lastSec + gap).
+    val base = 1000000L // above the initial watermark (0): ts == watermark is late
+    def ev(id: Long, sec: Long, user: Long) =
+      Event(id, new Timestamp((base + sec) * 1000L), user, "view", 1.0)
+    val stream = MemoryStream[Event]
+    val q = EventsPipeline.sessionize(stream.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_timeout_out").start()
+    try {
+      stream.addData(Seq(ev(1, 0, 1), ev(2, 60, 1), ev(3, 100, 2)))
+      q.processAllAvailable() // watermark still below user-1 deadline
+      stream.addData(Seq(ev(4, 10000, 2)))
+      q.processAllAvailable() // watermark → 10000s - 10min ≫ 60 + 1800
+      stream.addData(Seq(ev(5, 20000, 2)))
+      q.processAllAvailable() // timeout fires for user 1 (no data for it)
+      val got = spark.table("sess_timeout_out").as[Session].collect()
+        .filter(_.user_id == 1L)
+        .map(s => (s.n_events, s.session_start_sec, s.session_end_sec))
+      assert(got.toSeq == Seq((2L, base, base + 60L))) // emitted exactly once, via timeout
+    } finally q.stop()
+  }
+
+  test("upsert sink: re-delivered micro-batch does not duplicate rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft_upsert").toString + "/wh"
+    val events = loadEvents().take(100)
+    val stream = MemoryStream[Event]
+    val q = EventsPipeline.upsertWarehouseSink(stream.toDF(), out, "event_id")
+      .option("checkpointLocation", java.nio.file.Files.createTempDirectory("graft_upck").toString)
+      .start()
+    try {
+      stream.addData(events); q.processAllAvailable()
+      assert(spark.read.parquet(out).count() == 100)
+      // at-least-once upstream re-delivers the same rows in a later batch
+      stream.addData(events); q.processAllAvailable()
+      assert(spark.read.parquet(out).count() == 100) // ON CONFLICT DO NOTHING
+      // a genuinely new row still lands
+      stream.addData(events.map(e => e.copy(event_id = e.event_id + 1000000L)).take(5))
+      q.processAllAvailable()
+      assert(spark.read.parquet(out).count() == 105)
     } finally q.stop()
   }
 

@@ -13,6 +13,16 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
+    # the driver hashes VALUES: integer width doesn't matter (int32 39906 ==
+    # int64 39906) but int vs float does (39906 != 39906.0 — the DuckDB
+    # HUGEINT->float64 leak). Normalize widths only, never int<->float.
+    for c in df.columns:
+        if pd.api.types.is_integer_dtype(df[c].dtype):
+            df[c] = df[c].astype("int64")
+        elif df[c].dtype == "float32":
+            df[c] = df[c].astype("float64")
+        elif pd.api.types.is_datetime64_any_dtype(df[c].dtype):
+            df[c] = df[c].astype("datetime64[ns]")
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
 
@@ -51,7 +61,7 @@ def main():
             n_bad += 1
             continue
         try:
-            pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
+            pd.testing.assert_frame_equal(g, w, check_exact=True)
             print(f"OK   {name} ({len(g)} rows)")
             n_ok += 1
         except AssertionError as e:
