@@ -76,12 +76,14 @@ object Curation {
     val toks = Tables.documents(spark, dir)
       .select($"doc_id", size(split(lower(trim($"text")), " +")).cast("long").as("n_tokens"))
       .withColumn("shard", ($"doc_id" / shardDocs).cast("long")) // doc_id >= 0: truncation = floor
-    // exclusive prefix over per-shard totals: #shards rows, not #docs
-    val oneGroup = Window.partitionBy($"g").orderBy($"shard")
+    // exclusive prefix over per-shard totals: #shards rows, not #docs.
+    // partition key = pmod(shard, 1) — constant-valued but non-foldable, so
+    // the optimizer keeps the spec (a literal column is folded away, turning
+    // this into an "undefined partition" global window)
+    val oneGroup = Window.partitionBy(pmod($"shard", lit(1))).orderBy($"shard")
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = toks.groupBy($"shard")
       .agg(sum($"n_tokens").as("shard_tokens"))
-      .withColumn("g", lit(0))
       .withColumn("shard_offset", coalesce(sum($"shard_tokens").over(oneGroup), lit(0L)))
       .select($"shard", $"shard_offset")
     val perShard = Window.partitionBy($"shard").orderBy($"doc_id")
@@ -142,18 +144,17 @@ object Curation {
   def textVocab(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // top-100 via orderBy+limit → TakeOrderedAndProject (parallel partial
-    // top-N, no global window); rank assigned over the ≤100 survivors only,
-    // with a constant partition key so the window is partition-defined.
+    // top-N, no global window); rank assigned over the ≤100 survivors only.
+    // pmod(n_tokens, 1): constant-valued non-foldable partition key — the
+    // window stays partition-defined and bounded by the limit.
     val top = Tables.documents(spark, dir)
       .select($"doc_id", explode(split(lower(trim($"text")), " +")).as("token"))
       .groupBy($"token")
       .agg(count(lit(1)).as("n_tokens"), countDistinct($"doc_id").as("doc_freq"))
       .orderBy($"n_tokens".desc, $"token")
       .limit(100)
-    val w = Window.partitionBy($"g").orderBy($"n_tokens".desc, $"token")
-    top.withColumn("g", lit(0))
-      .withColumn("rank", row_number().over(w))
-      .drop("g")
+    val w = Window.partitionBy(pmod($"n_tokens", lit(1))).orderBy($"n_tokens".desc, $"token")
+    top.withColumn("rank", row_number().over(w))
       .orderBy($"rank")
   }
 
@@ -189,10 +190,8 @@ object Curation {
       .agg(count(lit(1)).as("n"))
       .orderBy($"n".desc, $"bigram")
       .limit(50) // TakeOrderedAndProject: parallel partial top-N
-      .withColumn("g", lit(0))
       .withColumn("rank", row_number().over(
-        Window.partitionBy($"g").orderBy($"n".desc, $"bigram")))
-      .drop("g")
+        Window.partitionBy(pmod($"n", lit(1))).orderBy($"n".desc, $"bigram")))
       .orderBy($"rank")
   }
 

@@ -104,6 +104,58 @@ class ScaleDedupSpec extends SparkSuite {
     assert(fixed == Map(5L -> 1L, 4L -> 1L, 3L -> 1L))
   }
 
+  test("keeper fixpoint is pointer-doubling: an 8-link chain converges in 3 hops") {
+    import spark.implicits._
+    // 9→8→…→1: each hop squares the mapping (m := m∘m), so depth 2³ = 8
+    // collapses in exactly hops = 3 — the bound documented in dedupMinhashLsh
+    val chain = (2L to 9L).map(i => (i, i - 1)).toDF("doc_id", "keeper_doc_id")
+    val fixed = ops.ScaleDedup.keeperFixpoint(chain, hops = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fixed == (2L to 9L).map(_ -> 1L).toMap)
+  }
+
+  test("minhash-LSH output is a flat mapping (keeper of a keeper is itself)") {
+    // cross-band similarity chains must be resolved: no emitted doc's keeper
+    // may itself appear as a doc with a different keeper
+    val m = ops.ScaleDedup.dedupMinhashLsh(spark, sf)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("keeper_doc_id")).toMap
+    m.foreach { case (d, k) =>
+      m.get(k).foreach(kk => assert(kk == k, s"chain not collapsed: $d -> $k -> $kk"))
+    }
+  }
+
+  test("fused MinHashSignature == declarative per-lane array_min form") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val P  = 2147483647L
+    val as = Array(3L, 1664525L, 22695477L)
+    val bs = Array(1L, 1013904223L, 7L)
+    val docs = Seq(
+      (1L, "spark scales out via shuffle partitions"),
+      (2L, "spark scales out via shuffle partitions"),
+      (3L, "entirely different token stream here"),
+      (4L, "")).toDF("doc_id", "text")
+    val hs = transform(split(lower(trim($"text")), " +"), t => pmod(xxhash64(t), lit(P)))
+    val declarative = as.zip(bs).map { case (a, b) =>
+      array_min(transform($"hs", h => pmod(h * a + b, lit(P))))
+    }
+    val rows = docs.select($"doc_id", hs.as("hs"))
+      .select($"doc_id",
+        functions.MinHashSignature.minhash_signature($"hs", as, bs, P).as("fused"),
+        array(declarative: _*).as("decl"))
+      .collect()
+    rows.foreach { r =>
+      val fused = r.getSeq[Long](1)
+      val decl  = r.getSeq[Any](2)
+      fused.zip(decl).foreach { case (f, d) =>
+        if (d == null) assert(f == P) // empty input: lane pinned at prime
+        else assert(f == d.asInstanceOf[Long], s"doc ${r.getLong(0)}: $fused vs $decl")
+      }
+    }
+    assert(rows.find(_.getLong(0) == 1L).get.getSeq[Long](1) ==
+      rows.find(_.getLong(0) == 2L).get.getSeq[Long](1)) // identical docs, identical sigs
+  }
+
   test("minhash keeper mapping is O(n) and keeper < doc") {
     val rows = ops.ScaleDedup.dedupMinhashLsh(spark, sf).collect()
     rows.foreach { r =>
