@@ -26,7 +26,8 @@ object Bench {
     "text_langid", "text_quality", "text_tokens", "text_fingerprint",
     "asof_join_events", "dm_rollup_agg", "agg_median_exact",
     "etl_fact_build_podcast", "dm_top_tracks_per_album",
-    "embedding_centroids", "ann_topk_ivf", "skew_salted_topk",
+    "embedding_centroids", "ann_topk_ivf", "ann_kmeans_train",
+    "ann_topk_kmeans", "skew_salted_topk",
     "dedup_minhash_lsh",
     "window_suite", "q6_forecast", "dm_part_of_day_agg",
     "set_ops_suite", "dm_pivot_event_types", "agg_weighted_mean",

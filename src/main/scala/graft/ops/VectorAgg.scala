@@ -90,6 +90,110 @@ object VectorAgg {
       .orderBy($"query_id", $"rank")
   }
 
+  /** Embeddings quantized to long vectors (×1000, HALF_UP): dot products
+    * and distances become exact integer arithmetic through the fused native
+    * [[graft.functions.LongVectorDot]].
+    */
+  private def quantized(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, dir)
+      .select($"vec_id",
+        transform($"embedding", x => floor(x.cast("double") * 1000.0 + 0.5).cast("long")).as("v"))
+  }
+
+  /** Distributed Lloyd k-means over the quantized embeddings — the REAL IVF
+    * training step (the per-label cells in [[annTopkIvf]] are a stand-in).
+    * Fully declarative: no centroid ever leaves the plan (no driver
+    * collect); each round is
+    *   1. broadcast the k×d centroid table and rank the n·k fused dot
+    *      products per vector (nearest by L2: argmin c·c − 2·v·c, since
+    *      v·v is constant per vector),
+    *   2. re-average per (cell, dimension) via posexplode + groupBy — only
+    *      k·d rows cross the shuffle.
+    * Seeds are the k lowest vec_ids (deterministic across runs and
+    * layouts). Cells that lose all members drop out (standard Lloyd); the
+    * survivors keep their seed id. Bounded `iters` keeps the lineage
+    * shallow — at 100 TB each round is one broadcast join + one partial-agg
+    * shuffle over the full corpus, the same cost profile as MLlib's
+    * implementation without materializing centroids driver-side.
+    */
+  def kmeansCells(spark: SparkSession, dir: String, k: Int, iters: Int): DataFrame = {
+    import spark.implicits._
+    import graft.functions.LongVectorDot.vector_dot
+    val q = quantized(spark, dir)
+    var centroids = q.orderBy($"vec_id").limit(k).select($"vec_id".as("cell"), $"v".as("cv"))
+    for (_ <- 1 to iters) {
+      val wA = Window.partitionBy($"vec_id").orderBy($"d2", $"cell")
+      val assigned = q.crossJoin(broadcast(centroids))
+        .withColumn("d2", vector_dot($"cv", $"cv") - lit(2L) * vector_dot($"v", $"cv"))
+        .withColumn("r", row_number().over(wA))
+        .filter($"r" === 1)
+      centroids = assigned
+        .select($"cell", posexplode($"v").as(Seq("dim0", "x")))
+        .groupBy($"cell", $"dim0")
+        .agg(avg($"x").as("mean"))
+        .groupBy($"cell")
+        .agg(array_sort(collect_list(struct($"dim0", $"mean"))).as("dm"))
+        .select($"cell",
+          transform($"dm", s => floor(s.getField("mean") + 0.5).cast("long")).as("cv"))
+    }
+    centroids
+  }
+
+  /** Training summary after `iters` Lloyd rounds: per-cell occupancy and
+    * inertia (Σ true L2² to the assigned centroid). Rows-only — AnnSpec
+    * pins that inertia is non-increasing in the iteration count.
+    */
+  def annKmeansTrain(spark: SparkSession, dir: String): DataFrame =
+    kmeansTrainAt(spark, dir, k = 16, iters = 2)
+
+  def kmeansTrainAt(spark: SparkSession, dir: String, k: Int, iters: Int): DataFrame = {
+    import spark.implicits._
+    import graft.functions.LongVectorDot.vector_dot
+    val q = quantized(spark, dir)
+    val cells = kmeansCells(spark, dir, k, iters)
+    val wA = Window.partitionBy($"vec_id").orderBy($"d2", $"cell")
+    q.crossJoin(broadcast(cells))
+      .withColumn("d2",
+        vector_dot($"v", $"v") - lit(2L) * vector_dot($"v", $"cv") + vector_dot($"cv", $"cv"))
+      .withColumn("r", row_number().over(wA))
+      .filter($"r" === 1)
+      .groupBy($"cell")
+      .agg(count(lit(1)).as("n_vectors"), sum($"d2").as("inertia"))
+      .orderBy($"cell")
+  }
+
+  /** IVF ANN probed against the k-means-trained cells (the production form
+    * of [[annTopkIvf]]): vectors live in their nearest cell, queries probe
+    * their 2 nearest cells, ranking is bucket-local. Rows-only; recall vs
+    * brute force pinned by AnnSpec.
+    */
+  def annTopkKmeans(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.LongVectorDot.vector_dot
+    val q = quantized(spark, dir)
+    val cells = kmeansCells(spark, dir, k = 16, iters = 2)
+    val wAssign = Window.partitionBy($"vec_id").orderBy($"d2", $"cell")
+    val ranked = q.crossJoin(broadcast(cells))
+      .withColumn("d2", vector_dot($"cv", $"cv") - lit(2L) * vector_dot($"v", $"cv"))
+      .withColumn("r", row_number().over(wAssign))
+      .filter($"r" <= 2)
+    val assigned = ranked.filter($"r" === 1).select($"vec_id", $"v", $"cell")
+    val probed = ranked.filter($"vec_id" % 10 === 0) // every 10th vector queries, probing 2 cells
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"cell")
+    val scored = probed
+      .join(assigned.select($"vec_id".as("neighbor_id"), $"v".as("nv"), $"cell"), Seq("cell"))
+      .filter($"query_id" =!= $"neighbor_id")
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("dot", vector_dot($"qv", $"nv"))
+    scored
+      .withColumn("rank",
+        row_number().over(Window.partitionBy($"query_id").orderBy($"dot".desc, $"neighbor_id")))
+      .filter($"rank" <= 5)
+      .select($"query_id", $"rank", $"neighbor_id", $"dot")
+      .orderBy($"query_id", $"rank")
+  }
+
   /** Skew-safe top-N: two-stage salted aggregation. Stage 1 pre-aggregates
     * on (key, salt) — hot keys split across partitions — stage 2 combines
     * the ≤SALTS partials per key. Identical result to the direct groupBy
@@ -122,6 +226,8 @@ object VectorAgg {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embedding_centroids" -> (embeddingCentroids _),
     "ann_topk_ivf"        -> (annTopkIvf _),
+    "ann_kmeans_train"    -> (annKmeansTrain _),
+    "ann_topk_kmeans"     -> (annTopkKmeans _),
     "skew_salted_topk"    -> (skewSaltedTopk _)
   )
 

@@ -207,6 +207,27 @@ class AnnSpec extends SparkSuite {
     assert(recall >= 0.5, s"ivf recall@5 = $recall") // 2-of-10-cell probe
   }
 
+  test("kmeans training: inertia non-increasing over Lloyd iterations") {
+    def inertia(iters: Int): Long =
+      ops.VectorAgg.kmeansTrainAt(spark, sf, k = 16, iters = iters)
+        .collect().map(_.getAs[Long]("inertia")).sum
+    val i0 = inertia(0) // seed centroids only
+    val i2 = inertia(2)
+    assert(i2 <= i0, s"inertia rose: $i0 -> $i2")
+    assert(i2 > 0)
+  }
+
+  test("kmeans IVF ANN recall@5 vs brute force") {
+    val exact = ops.LlmQueries.annTopkExact(spark, sf)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val km = ops.VectorAgg.annTopkKmeans(spark, sf)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & km).size.toDouble / exact.size
+    assert(recall >= 0.2, s"kmeans ivf recall@5 = $recall") // 2-of-16-cell probe
+  }
+
   test("ann ranks are 1..5 per query") {
     val rows = ops.LlmQueries.annTopkExact(spark, sf).collect()
     rows.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>
