@@ -24,7 +24,7 @@ object Bench {
     "etl_extract_history", "etl_fact_build", "etl_dedup_staging",
     "dedup_exact", "dedup_embedding", "ann_topk_exact",
     "text_langid", "text_quality", "text_tokens", "text_fingerprint",
-    "asof_join_events", "dm_rollup_agg", "agg_median_exact",
+    "asof_join_events", "asof_join_native", "dm_rollup_agg", "agg_median_exact",
     "etl_fact_build_podcast", "dm_top_tracks_per_album",
     "embedding_centroids", "ann_topk_ivf", "ann_kmeans_train",
     "ann_topk_kmeans", "skew_salted_topk",

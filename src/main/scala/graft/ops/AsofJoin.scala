@@ -74,9 +74,32 @@ object AsofJoin {
       |  ON p.user_id = s.user_id AND p.ts_sec >= s.signup_ts_sec
       |ORDER BY p.event_id""".stripMargin
 
+  /** The same as-of semantics through the NATIVE custom operator
+    * (plans.AsofJoinNative: logical node + strategy + sort-merge SparkPlan)
+    * — oracle-checked against the identical DuckDB ASOF JOIN, so the
+    * custom physical operator is held to the same bit-exact gate as the
+    * declarative form.
+    */
+  def asofJoinNative(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"event_id", $"user_id", unix_timestamp($"ts").as("ts_sec"), $"event_type")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts_sec")
+    val signups = ev.filter($"event_type" === "signup")
+      .select($"user_id", $"ts_sec", $"ts_sec".as("signup_ts_sec"))
+    graft.plans.AsofJoinNative.asof(purchases, signups, "user_id", "ts_sec", Seq("signup_ts_sec"))
+      .select($"event_id", $"user_id", $"ts_sec".as("purchase_ts_sec"),
+        $"asof_signup_ts_sec".as("signup_ts_sec"),
+        ($"ts_sec" - $"asof_signup_ts_sec").as("wait_sec"))
+      .orderBy($"event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "asof_join_events" -> (asofJoinEvents _))
+    "asof_join_events" -> (asofJoinEvents _),
+    "asof_join_native" -> (asofJoinNative _))
 
   val oracleSql: Map[String, String] = Map(
-    "asof_join_events" -> asofJoinEventsSql)
+    "asof_join_events" -> asofJoinEventsSql,
+    "asof_join_native" -> asofJoinEventsSql)
 }

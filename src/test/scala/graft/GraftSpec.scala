@@ -322,6 +322,18 @@ class PlanSpec extends SparkSuite {
     df.queryExecution.executedPlan.toString
   }
 
+  test("no query plans an unpartitioned (single-partition) window") {
+    // the 100 TB red flag: WindowExec with an empty partition spec moves
+    // the whole input through one task. Checked across EVERY entry.
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val hits = fn(spark, sf).queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec if w.partitionSpec.isEmpty => w
+        case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec if w.partitionSpec.isEmpty => w
+      }
+      assert(hits.isEmpty, s"$name has ${hits.size} unpartitioned window(s)")
+    }
+  }
+
   test("q1: filter pushed to parquet scan, whole-stage codegen") {
     val p = plan(core.CoreQueries.q1PricingSummary(spark, sf))
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)

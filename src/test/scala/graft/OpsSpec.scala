@@ -46,6 +46,30 @@ class OpsSpec extends SparkSuite {
     assert(got(4L).isEmpty)       // only future signup → null
   }
 
+  test("native as-of join (custom SparkPlan) matches the edge cases") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, 10L), (2L, 100L, 5L), (3L, 100L, 50L), (4L, 200L, 50L))
+      .toDF("event_id", "user_id", "ts_sec")
+    val right = Seq((100L, 10L), (100L, 40L), (200L, 60L))
+      .toDF("user_id", "ts_sec")
+      .withColumn("signup_ts_sec", $"ts_sec")
+    val df = graft.plans.AsofJoinNative.asof(left, right, "user_id", "ts_sec", Seq("signup_ts_sec"))
+    // the plan really is the custom operator
+    assert(df.queryExecution.executedPlan.toString.contains("AsofJoin"))
+    val got = df.select($"event_id", $"asof_signup_ts_sec")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got(1L).contains(10L)) // equal ts counts as matched
+    assert(got(2L).isEmpty)       // before any signup → null
+    assert(got(3L).contains(40L)) // latest signup ≤ ts, not an earlier one
+    assert(got(4L).isEmpty)       // only future signup → null
+  }
+
+  test("native as-of join == declarative as-of join on the full event stream") {
+    val a = ops.AsofJoin.asofJoinEvents(spark, sf).collect().map(_.toString).sorted
+    val b = ops.AsofJoin.asofJoinNative(spark, sf).collect().map(_.toString).sorted
+    assert(a.length == b.length && a.sameElements(b))
+  }
+
   test("chunking covers every token with the configured overlap") {
     val chunks = ops.Curation.textChunking(spark, sf).collect()
       .groupBy(_.getAs[Long]("doc_id"))
