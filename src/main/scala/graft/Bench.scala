@@ -31,7 +31,8 @@ object Bench {
     "dedup_minhash_lsh",
     "window_suite", "q6_forecast", "dm_part_of_day_agg",
     "set_ops_suite", "dm_pivot_event_types", "agg_weighted_mean",
-    "text_chunking", "text_packing", "sample_stratified")
+    "text_chunking", "text_packing", "sample_stratified",
+    "text_vocab", "text_cooccurrence", "etl_json_nested")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -101,6 +101,34 @@ object EventsPipeline {
         })
   }
 
+  /** Gap sessionization via the BUILT-IN session_window aggregation — the
+    * native-API twin of [[sessionize]] (flatMapGroupsWithState). Spark
+    * merges events whose gap is under 30 minutes into one window and emits
+    * the session when the watermark passes its end; state eviction comes
+    * free from the window semantics. Boundary nuance vs the custom form:
+    * session_window starts a new session at gap ≥ 30 min (exclusive end),
+    * the custom/batch form at gap > 30 min — identical unless a gap is
+    * exactly 1800.000000 s.
+    */
+  def sessionizeNative(events: DataFrame, watermarkDelay: String = "10 minutes"): DataFrame = {
+    import events.sparkSession.implicits._
+    // exact parity with the batch/custom forms, which sessionize on WHOLE
+    // seconds with "same session iff gap <= 1800 s": floor the event time
+    // to seconds, and since session_window merges on t_next < t_prev + gap
+    // (strict), a gap of 1801 s over integer seconds is exactly gap <= 1800
+    val tsSec = date_trunc("second", $"ts")
+    events
+      .withColumn("ts", tsSec)
+      .withWatermark("ts", watermarkDelay)
+      .groupBy($"user_id", session_window($"ts", "1801 seconds"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(unix_timestamp($"ts")).as("session_start_sec"),
+        max(unix_timestamp($"ts")).as("session_end_sec"),
+        sum($"value").as("session_value"))
+      .select($"user_id", $"n_events", $"session_start_sec", $"session_end_sec", $"session_value")
+  }
+
   /** Stream-static enrichment: the unbounded event stream joined with a
     * static dimension (the reference's per-batch metadata lookups, fused
     * into the stream). The static side is broadcast per micro-batch — no
@@ -187,6 +215,72 @@ object EventsPipeline {
           }
         fresh.withColumn("_batch_id", lit(batchId))
           .write.mode("append").parquet(path)
+      }
+
+  /** Streaming k-means — continuous IVF index maintenance over an
+    * embedding stream (the streaming form of ops.VectorAgg.kmeansCells).
+    * Each micro-batch applies the mini-batch k-means update: assign the
+    * batch's vectors to their nearest current centroid (broadcast k×d
+    * table + fused dot products), aggregate per-cell batch sums/counts
+    * (k·d rows through the shuffle), and fold them into the persisted
+    * (cell, sum-vector, count) state, so a cell's centroid is always the
+    * exact mean of every vector ever assigned to it.
+    *
+    * State is k rows of index metadata — the one thing that legitimately
+    * lives driver-side per batch (like MLlib's StreamingKMeans); the
+    * per-vector work stays fully distributed. First non-empty batch seeds
+    * the k cells from its lowest vec_ids.
+    */
+  def streamingKmeans(vectors: DataFrame, statePath: String, k: Int = 8): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vectors.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          import spark.implicits._
+          import org.apache.spark.sql.expressions.Window
+          import graft.functions.LongVectorDot.vector_dot
+
+          val q = batch.select($"vec_id",
+            transform($"embedding", x => floor(x.cast("double") * 1000.0 + 0.5).cast("long")).as("v"))
+          val prev: Seq[(Long, Seq[Long], Long)] =
+            try spark.read.parquet(statePath)
+              .select($"cell", $"sums", $"n").as[(Long, Seq[Long], Long)].collect().toSeq
+            catch {
+              case e: org.apache.spark.sql.AnalysisException
+                if e.getMessage != null && e.getMessage.contains("PATH_NOT_FOUND") => Seq.empty
+              case _: java.io.FileNotFoundException => Seq.empty
+            }
+          val centroids =
+            if (prev.isEmpty) q.orderBy($"vec_id").limit(k).select($"vec_id".as("cell"), $"v".as("cv"))
+            else prev.toDF("cell", "sums", "n")
+              .select($"cell", transform($"sums", s =>
+                floor(s.cast("double") / $"n".cast("double") + 0.5).cast("long")).as("cv"))
+
+          val wA = Window.partitionBy($"vec_id").orderBy($"d2", $"cell")
+          val assigned = q.crossJoin(broadcast(centroids))
+            .withColumn("d2", vector_dot($"cv", $"cv") - lit(2L) * vector_dot($"v", $"cv"))
+            .withColumn("r", row_number().over(wA))
+            .filter($"r" === 1)
+          val batchAgg = assigned
+            .select($"cell", posexplode($"v").as(Seq("dim", "x")))
+            .groupBy($"cell", $"dim")
+            .agg(sum($"x").as("s"), count(lit(1)).as("cnt"))
+            .groupBy($"cell")
+            .agg(array_sort(collect_list(struct($"dim", $"s"))).as("ds"), max($"cnt").as("bn"))
+            .select($"cell", transform($"ds", p => p.getField("s")).as("bsums"), $"bn")
+
+          // prev comes from collected rows, so overwriting statePath is safe
+          val prevDf = prev.toDF("cell", "sums", "n")
+          prevDf.join(batchAgg, Seq("cell"), "full_outer")
+            .select($"cell",
+              when($"sums".isNull, $"bsums")
+                .when($"bsums".isNull, $"sums")
+                .otherwise(zip_with($"sums", $"bsums", (a, b) => a + b)).as("sums"),
+              (coalesce($"n", lit(0L)) + coalesce($"bn", lit(0L))).as("n"))
+            .coalesce(1)
+            .write.mode("overwrite").parquet(statePath)
+        }
       }
 
   /** File-source incremental ingest — the streaming form of the reference's

@@ -104,6 +104,33 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("native session_window sessionize == custom flatMapGroupsWithState sessionize") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = loadEvents().sortBy(e => (e.ts.getTime, e.event_id))
+    val maxTs = events.map(_.ts.getTime).max
+    val sentinels = events.map(_.user_id).distinct.map(u =>
+      Event(Long.MaxValue - u, new Timestamp(maxTs + 86400000L), u, "eof", 0.0))
+
+    val stream = MemoryStream[Event]
+    val q = EventsPipeline.sessionizeNative(stream.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_native_out").start()
+    try {
+      stream.addData(events); q.processAllAvailable()
+      stream.addData(sentinels); q.processAllAvailable()
+      val got = spark.table("sess_native_out")
+        .collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+          r.getAs[Long]("session_start_sec"), r.getAs[Long]("session_end_sec"))).toSet
+      val want = core.CoreQueries.sessionizeEvents(spark, sf)
+        .collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+          r.getAs[Long]("session_start_sec"), r.getAs[Long]("session_end_sec"))).toSet
+      assert(got == want)
+    } finally q.stop()
+  }
+
   test("upsert sink: re-delivered micro-batch does not duplicate rows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -123,6 +150,34 @@ class StreamingSpec extends SparkSuite {
       stream.addData(events.map(e => e.copy(event_id = e.event_id + 1000000L)).take(5))
       q.processAllAvailable()
       assert(spark.read.parquet(out).count() == 105)
+    } finally q.stop()
+  }
+
+  test("streaming kmeans folds micro-batches into exact running cell state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val statePath = java.nio.file.Files.createTempDirectory("graft_skm").toString + "/state"
+    val vecs = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])]
+      .collect().toSeq.sortBy(_._1).take(200)
+    val stream = MemoryStream[(Long, Seq[Float])]
+    val q = EventsPipeline.streamingKmeans(
+        stream.toDF().toDF("vec_id", "embedding"), statePath, k = 8)
+      .option("checkpointLocation", java.nio.file.Files.createTempDirectory("graft_skmck").toString)
+      .start()
+    try {
+      val (a, b) = vecs.splitAt(100)
+      stream.addData(a); q.processAllAvailable()
+      val s1 = spark.read.parquet(statePath).collect()
+      assert(s1.length <= 8 && s1.map(_.getAs[Long]("n")).sum == 100L)
+      stream.addData(b); q.processAllAvailable()
+      val s2 = spark.read.parquet(statePath).collect()
+      assert(s2.map(_.getAs[Long]("n")).sum == 200L)
+      // exact-state invariant: per-dimension sums over all cells equal the
+      // quantized column sums over every vector ever seen
+      val gotDim0 = s2.map(_.getAs[Seq[Long]]("sums").head).sum
+      val wantDim0 = vecs.map(v => math.floor(v._2.head * 1000.0 + 0.5).toLong).sum
+      assert(gotDim0 == wantDim0)
     } finally q.stop()
   }
 
