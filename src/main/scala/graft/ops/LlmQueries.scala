@@ -73,6 +73,34 @@ object LlmQueries {
       |HAVING COUNT(*) > 1
       |ORDER BY text_key""".stripMargin
 
+  /** Exact dedup as an O(n) KEEPER MAPPING (doc → min-id doc with identical
+    * normalized text): the scale-safe output shape of [[dedupExact]] — no
+    * per-group id array, so a pathological million-doc duplicate cluster
+    * still emits one bounded row per member. One shuffle on the 128-bit
+    * key; the min is a window sharing that partitioning.
+    */
+  def dedupExactKeeper(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"text_key")
+    Tables.documents(spark, dir)
+      .select($"doc_id", md5(lower(trim($"text"))).as("text_key"))
+      .withColumn("keeper_doc_id", min($"doc_id").over(w))
+      .filter($"doc_id" =!= $"keeper_doc_id")
+      .select($"doc_id", $"keeper_doc_id")
+      .orderBy($"doc_id")
+  }
+
+  val dedupExactKeeperSql: String =
+    """WITH keyed AS (
+      |  SELECT doc_id, md5(lower(trim(text))) AS text_key FROM documents
+      |), m AS (
+      |  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text_key) AS keeper_doc_id
+      |  FROM keyed
+      |)
+      |SELECT doc_id, keeper_doc_id FROM m
+      |WHERE doc_id <> keeper_doc_id
+      |ORDER BY doc_id""".stripMargin
+
   /** Unigram-set Jaccard near-dup pairs ≥ 0.9, blocked by lang (pairs never
     * cross a block). The exact counterpart of the MinHash-LSH scale path.
     */
@@ -403,6 +431,7 @@ object LlmQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact"         -> (dedupExact _),
+    "dedup_exact_keeper"  -> (dedupExactKeeper _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_shingle_topk"  -> (dedupShingleTopk _),
     "dedup_embedding"     -> (dedupEmbedding _),
@@ -415,6 +444,7 @@ object LlmQueries {
 
   val oracleSql: Map[String, String] = Map(
     "dedup_exact"         -> dedupExactSql,
+    "dedup_exact_keeper"  -> dedupExactKeeperSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_shingle_topk"  -> dedupShingleTopkSql,
     "dedup_embedding"     -> dedupEmbeddingSql,
