@@ -24,6 +24,7 @@ class EtlSourcesSpec extends SparkSuite {
     val bad = Seq(
       """{"ts":"not-a-timestamp","platform":"ios","ms_played":5}""",
       """{"ts":"2024-01-01T10:00:00Z","platform":"ios","ms_played":-4}""",
+      """{"ts":"2024-01-01T11:00:00Z","platform":"ios","ms_played":null}""",
       """{this is not json at all""")
     Files.write(java.nio.file.Paths.get(dir, "history_0.json"),
       scala.util.Random.shuffle(good ++ bad).mkString("\n").getBytes)
@@ -31,8 +32,12 @@ class EtlSourcesSpec extends SparkSuite {
     val raw = etl.Extractor.readHistoryJson(spark, dir)
     val (clean, quarantine) = etl.Extractor.cleanHistory(raw)
     assert(clean.count() == 20)
+    // quarantine is the exact complement of clean: every bad row lands in
+    // it, including NULL ms_played (which satisfies neither >= 0 nor < 0)
     val reasons = quarantine.collect().map(_.getAs[String]("error_reason")).sorted
-    assert(reasons.toSeq == Seq("malformed json", "negative ms_played", "unparseable ts"))
+    assert(reasons.toSeq ==
+      Seq("malformed json", "negative ms_played", "null ms_played", "unparseable ts"))
+    assert(clean.count() + quarantine.count() == raw.count())
 
     // delta load: with the first 10 days already loaded, only newer arrive
     val loaded = clean.filter(dayofmonth($"ts_utc") <= 10)

@@ -248,6 +248,40 @@ class SketchSpec extends SparkSuite {
   }
 }
 
+class VectorDotSpec extends SparkSuite {
+
+  test("vector_dot mirrors HOF semantics: value, length mismatch, null element") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.LongVectorDot.vector_dot
+    val ok = Seq((Seq(1L, 2L, 3L), Seq(4L, 5L, 6L))).toDF("a", "b")
+    assert(ok.select(vector_dot($"a", $"b")).collect().head.getLong(0) == 32L)
+    // unequal lengths: zip_with pads with NULL, poisoning the HOF sum — the
+    // native expression must agree (NULL), not silently truncate
+    val mism = Seq((Seq(1L, 2L), Seq(1L, 2L, 3L))).toDF("a", "b")
+      .select(vector_dot($"a", $"b").as("native"),
+        aggregate(zip_with($"a", $"b", (x, y) => x * y), lit(0L), (acc, v) => acc + v).as("hof"))
+      .collect().head
+    assert(mism.isNullAt(0) && mism.isNullAt(1))
+    // a NULL element nulls the HOF sum — native must agree
+    val withNull = spark.range(1)
+      .select(vector_dot(expr("array(1L, CAST(NULL AS BIGINT), 3L)"), expr("array(1L, 1L, 1L)")))
+      .collect().head
+    assert(withNull.isNullAt(0))
+  }
+
+  test("vector_dot ANSI parity: overflow throws when failOnError, wraps otherwise") {
+    import org.apache.spark.sql.functions.expr
+    import org.apache.spark.sql.graftshim
+    import graft.functions.LongVectorDot
+    def dot(strict: Boolean) = graftshim.toColumn(LongVectorDot(
+      graftshim.toExpression(expr("array(9223372036854775807L)")), // Long.MaxValue
+      graftshim.toExpression(expr("array(2L)")), strict))
+    assert(spark.range(1).select(dot(strict = false)).collect().head.getLong(0) == -2L)
+    intercept[Exception] { spark.range(1).select(dot(strict = true)).collect() }
+  }
+}
+
 class RollingHashSpec extends SparkSuite {
 
   test("interpreted and codegen paths agree with reference values") {
