@@ -123,11 +123,31 @@ object MiscQueries {
       .orderBy($"event_type")
   }
 
+  /** Quantile sketches (KLL-style percentile_approx) beside the exact
+    * sort-based percentile — rows-only (sketch internals are
+    * engine-specific); SketchSpec pins the approximation error. The sketch
+    * is the 100 TB path: mergeable, bounded-memory partial aggregation,
+    * while exact percentile buffers each group's values.
+    */
+  def sketchPercentile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"event_type")
+      .agg(
+        expr("percentile(value, 0.5)").as("exact_p50"),
+        percentile_approx($"value", lit(0.5), lit(10000)).as("approx_p50"),
+        expr("percentile(value, 0.95)").as("exact_p95"),
+        percentile_approx($"value", lit(0.95), lit(10000)).as("approx_p95"),
+        count(lit(1)).as("n_events"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "set_ops_suite"        -> (setOpsSuite _),
-    "dm_pivot_event_types" -> (pivotEventTypes _),
-    "agg_weighted_mean"    -> (aggWeightedMean _),
-    "sketch_distinct_hll"  -> (sketchDistinct _)
+    "set_ops_suite"         -> (setOpsSuite _),
+    "dm_pivot_event_types"  -> (pivotEventTypes _),
+    "agg_weighted_mean"     -> (aggWeightedMean _),
+    "sketch_distinct_hll"   -> (sketchDistinct _),
+    "sketch_percentile_kll" -> (sketchPercentile _)
   )
 
   val oracleSql: Map[String, String] = Map(

@@ -246,6 +246,19 @@ class SketchSpec extends SparkSuite {
         s"${r.getAs[String]("event_type")}: approx $approx vs exact $exact")
     }
   }
+
+  test("percentile sketch tracks the exact sort-based percentiles") {
+    val rows = core.MiscQueries.sketchPercentile(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      Seq(("exact_p50", "approx_p50"), ("exact_p95", "approx_p95")).foreach { case (e, a) =>
+        val exact = r.getAs[Double](e)
+        val approx = r.getAs[Double](a)
+        assert(math.abs(approx - exact) <= math.max(0.05 * math.abs(exact), 1e-9),
+          s"${r.getAs[String]("event_type")} $e=$exact vs $a=$approx")
+      }
+    }
+  }
 }
 
 class VectorDotSpec extends SparkSuite {
