@@ -79,7 +79,45 @@ object Multimodal {
       .orderBy($"format")
   }
 
+  /** Frame sampling + resize planning over decoded media: every 4th frame
+    * index is kept (stride sampling — the "sample N frames per video" step
+    * of a vision-training pipeline), each sampled frame gets a
+    * deterministic checksum and a per-format resize target; the rollup
+    * counts sampled frames and estimated post-resize bytes per format.
+    *
+    * The frame stream is generated per row (sequence + explode — map-side,
+    * no shuffle until the final rollup); a real build replaces the
+    * checksum/resize stubs with the codec's frame grab + scaler inside the
+    * same mapPartitions boundary as [[decodeStub]].
+    */
+  def multimodalFrameSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stride = 4
+    val features = mediaTable(spark, dir)
+      .mapPartitions(_.map(decodeStub)) // codec plug point (once per partition)
+      .toDF()
+    val resizeTarget = when($"format" === "fmt_0", 224)
+      .when($"format" === "fmt_1", 336)
+      .otherwise(512) // per-format target edge length (stub policy table)
+    features
+      .select($"media_id", $"format", $"byte_size",
+        explode(sequence(lit(1), $"n_frames")).as("frame_idx"))
+      .filter(pmod($"frame_idx", lit(stride)) === 1)
+      .withColumn("frame_checksum", xxhash64($"media_id", $"frame_idx"))
+      .withColumn("resize_edge", resizeTarget)
+      .withColumn("resized_bytes", ($"resize_edge" * $"resize_edge" * 3).cast("long"))
+      .groupBy($"format")
+      .agg(
+        countDistinct($"media_id").as("n_media"),
+        count(lit(1)).as("n_sampled_frames"),
+        countDistinct($"frame_checksum").as("distinct_frames"),
+        max($"resize_edge").as("resize_edge"),
+        sum($"resized_bytes").as("total_resized_bytes"))
+      .orderBy($"format")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "multimodal_pipeline" -> (multimodalPipeline _)
+    "multimodal_pipeline"    -> (multimodalPipeline _),
+    "multimodal_framesample" -> (multimodalFrameSample _)
   )
 }

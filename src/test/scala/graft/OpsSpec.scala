@@ -30,6 +30,18 @@ class OpsSpec extends SparkSuite {
     assert(f1.checksum != 0L && f1.brightness > 0.0 && f1.n_frames == 8)
   }
 
+  test("multimodal frame sampling keeps ceil(n_frames/4) frames per media") {
+    import spark.implicits._
+    val perMedia = ops.Multimodal.mediaTable(spark, sf)
+      .mapPartitions(_.map(ops.Multimodal.decodeStub)).toDF()
+      .select($"media_id", $"n_frames").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val sampled = ops.Multimodal.multimodalFrameSample(spark, sf).collect()
+    val wantFrames = perMedia.values.map(n => (n + 3) / 4).sum.toLong
+    assert(sampled.map(_.getAs[Long]("n_sampled_frames")).sum == wantFrames)
+    assert(sampled.map(_.getAs[Long]("n_media")).sum == perMedia.size.toLong)
+  }
+
   test("asof: equal-timestamp right row matches; pre-signup purchase gets null") {
     import spark.implicits._
     val left = Seq((1L, 100L, 10L), (2L, 100L, 5L), (3L, 100L, 50L), (4L, 200L, 50L))
