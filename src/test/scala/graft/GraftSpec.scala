@@ -369,6 +369,33 @@ class PlanSpec extends SparkSuite {
     df.queryExecution.executedPlan.toString
   }
 
+  test("runtime bloom-filter pruning fires on selective shuffle joins") {
+    import spark.implicits._
+    // inert at test scale only because of size thresholds — force them to 0
+    // to prove the rewrite itself works (the session builders enable it)
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set(keys(0), "true")
+      spark.conf.set(keys(1), "1GB") // creation side must be UNDER this
+      spark.conf.set(keys(2), "0")   // application side must be OVER this
+      spark.conf.set(keys(3), "-1")  // force a shuffle join
+      val li  = Tables.lineitem(spark, sf).select($"l_orderkey", $"l_quantity")
+      val ord = Tables.orders(spark, sf).filter($"o_totalprice" > 100000.0)
+        .select($"o_orderkey")
+      val p = li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .queryExecution.optimizedPlan.toString
+      assert(p.contains("bloom_filter_agg") || p.contains("might_contain"), p)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("no query plans an unpartitioned (single-partition) window") {
     // the 100 TB red flag: WindowExec with an empty partition spec moves
     // the whole input through one task. Checked across EVERY entry.
