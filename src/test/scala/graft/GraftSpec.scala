@@ -396,6 +396,43 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("AQE splits a skewed shuffle-join partition") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{lit, pmod}
+    val keys = Seq(
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set(keys(0), "true")
+      spark.conf.set(keys(1), "2KB") // a "skewed" partition at test scale
+      spark.conf.set(keys(2), "1")
+      spark.conf.set(keys(3), "1KB")
+      spark.conf.set(keys(4), "false")
+      spark.conf.set(keys(5), "-1") // force a sort-merge join
+      // every fact row lands on ONE join key: the classic hot-key shape.
+      // pmod(id,1)+1 = always 1 but non-foldable, so the optimizer cannot
+      // constant-fold the key into a filter + cartesian product. The
+      // repartition spreads the scan over several map tasks — skew splits
+      // are mapper ranges, so a single-mapper shuffle cannot be split.
+      val hot = Tables.events(spark, sf)
+        .repartition(8)
+        .select((pmod($"event_id", lit(1)) + 1).as("k"), $"event_id", $"value")
+      val dim = spark.range(1, 10).select($"id".as("k"), ($"id" * 7).as("payload"))
+      val j = hot.join(dim, Seq("k"))
+      j.collect()
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("isSkew=true") || p.contains("skew=true"), p)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("no query plans an unpartitioned (single-partition) window") {
     // the 100 TB red flag: WindowExec with an empty partition spec moves
     // the whole input through one task. Checked across EVERY entry.
