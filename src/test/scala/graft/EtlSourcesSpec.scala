@@ -81,4 +81,25 @@ class EtlSourcesSpec extends SparkSuite {
       assert(!p.contains("Exchange"), s"bucketed join should not shuffle:\n$p")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
+
+  test("bucketed warehouse: upsert anti-join shuffles only the incoming batch") {
+    import spark.implicits._
+    // li_bucketed (created above) plays the bucketed warehouse: the
+    // ON-CONFLICT anti-join hashes the SMALL incoming batch to the
+    // warehouse's bucketing; the big side is read in place — the
+    // upsertWarehouseSink scale path from its scaladoc, proven on a plan
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val batch = spark.range(0, 1000).select(($"id" * 3).as("l_orderkey"))
+      val fresh = batch.join(
+        spark.table("li_bucketed").select($"l_orderkey"), Seq("l_orderkey"), "left_anti")
+      fresh.collect()
+      val p = fresh.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head // AQE echoes the pre-AQE plan below
+      val exchanges = p.split("Exchange").length - 1
+      assert(exchanges == 1, s"expected exactly one (batch-side) exchange:\n$p")
+      assert(p.contains("Bucketed: true"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
 }
