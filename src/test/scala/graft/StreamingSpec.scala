@@ -268,6 +268,29 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("end-to-end streaming ETL: file ingest -> dedup -> idempotent warehouse") {
+    import spark.implicits._
+    // the reference's main.py loop (extract -> clean -> conflict-free load)
+    // as one continuous pipeline from the existing pieces
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_e2e_src").toString
+    val whPath = java.nio.file.Files.createTempDirectory("graft_e2e_wh").toString + "/wh"
+    val events = Tables.events(spark, sf)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+    events.repartition(8).write.mode("overwrite").parquet(srcDir)
+    val n = events.count()
+
+    val pipeline = EventsPipeline.streamingDedup(EventsPipeline.fileIngest(spark, srcDir))
+    val q = EventsPipeline.upsertWarehouseSink(pipeline, whPath, "event_id")
+      .option("checkpointLocation", java.nio.file.Files.createTempDirectory("graft_e2e_ck").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      val loaded = spark.read.parquet(whPath)
+      assert(loaded.count() == n)
+      assert(loaded.select("event_id").distinct().count() == n)
+    } finally q.stop()
+  }
+
   test("file ingest picks up the events directory incrementally") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
