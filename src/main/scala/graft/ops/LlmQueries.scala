@@ -50,9 +50,16 @@ object LlmQueries {
     * duplicate groups. One shuffle on the 128-bit key; partial agg does the
     * heavy lifting map-side.
     */
-  def dedupExact(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    Tables.documents(spark, dir)
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    dedupExactOn(Tables.documents(spark, dir))
+
+  /** Core of [[dedupExact]] over any (doc_id, text) corpus — sf0.01 has no
+    * exact duplicates, so the positive path is pinned by DedupExactSpec on
+    * a synthetic duplicate corpus.
+    */
+  private[graft] def dedupExactOn(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
       .select($"doc_id", md5(lower(trim($"text"))).as("text_key"))
       .groupBy($"text_key")
       .agg(
@@ -79,10 +86,16 @@ object LlmQueries {
     * still emits one bounded row per member. One shuffle on the 128-bit
     * key; the min is a window sharing that partitioning.
     */
-  def dedupExactKeeper(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+  def dedupExactKeeper(spark: SparkSession, dir: String): DataFrame =
+    dedupExactKeeperOn(Tables.documents(spark, dir))
+
+  /** Core of [[dedupExactKeeper]] over any (doc_id, text) corpus (see
+    * [[dedupExactOn]] for why the corpus is injectable).
+    */
+  private[graft] def dedupExactKeeperOn(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
     val w = Window.partitionBy($"text_key")
-    Tables.documents(spark, dir)
+    docs
       .select($"doc_id", md5(lower(trim($"text"))).as("text_key"))
       .withColumn("keeper_doc_id", min($"doc_id").over(w))
       .filter($"doc_id" =!= $"keeper_doc_id")

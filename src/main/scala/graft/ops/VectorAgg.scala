@@ -14,6 +14,15 @@ import graft.Tables
   * map-side. `annTopkIvf` then uses those centroids as coarse cells: each
   * vector is assigned to its nearest centroid, each query probes the 2
   * nearest cells, and ranking happens only within probed cells.
+  *
+  * Cell assignment is MAP-SIDE throughout: the k centroids are collapsed
+  * to a single array-of-structs row and broadcast, each corpus row ranks
+  * its k scores locally with `transform` + `array_sort`, and no Exchange
+  * ever touches the corpus. (The previous form — crossJoin(broadcast) then
+  * `row_number().over(Window.partitionBy(vec_id))` — hash-exchanged n·k
+  * rows to rank k candidates that were broadcast in the first place: k
+  * corpus volumes through one shuffle at 100 TB, for a per-row argmin with
+  * no cross-row dependency.)
   */
 object VectorAgg {
 
@@ -45,19 +54,53 @@ object VectorAgg {
       |GROUP BY label, u.i
       |ORDER BY label, dim""".stripMargin
 
+  /** A (cell, cv) centroid table collapsed to ONE row holding an array of
+    * (cell, cv, cc) structs, cell-sorted. `cc` = cv·cv is computed here —
+    * once per CELL — because HOF lambdas re-evaluate free subtrees per
+    * element, so computing it inside the assignment lambda would cost a
+    * dot product per (row, cell) instead of per cell. Broadcast-joining
+    * this single row is a BroadcastNestedLoopJoin: the corpus side streams
+    * through map tasks untouched, with no Exchange.
+    */
+  private[graft] def centroidArray(centroids: DataFrame): DataFrame = {
+    import centroids.sparkSession.implicits._
+    import graft.functions.LongVectorDot.vector_dot
+    centroids
+      .select(struct($"cell", $"cv", vector_dot($"cv", $"cv").as("cc")).as("c"))
+      .agg(array_sort(collect_list($"c")).as("cents"))
+  }
+
+  /** corpus (vec_id, v, …) × centroids (cell, cv) → corpus columns +
+    * `cellRank`: the array of (d2, cell) structs sorted nearest-first,
+    * where d2 = cv·cv − 2·v·cv (the true L2² minus the per-row constant
+    * v·v, so the ORDER is the true nearest-centroid order). Pure map-side:
+    * broadcast 1-row centroid array, per-row `transform` + `array_sort`,
+    * zero Exchange on the corpus (PlanSpec asserts this).
+    */
+  private[graft] def withCellRank(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    import corpus.sparkSession.implicits._
+    import graft.functions.LongVectorDot.vector_dot
+    corpus.crossJoin(broadcast(centroidArray(centroids)))
+      .withColumn("cellRank", array_sort(transform($"cents", c =>
+        struct((c.getField("cc") - lit(2L) * vector_dot($"v", c.getField("cv"))).as("d2"),
+          c.getField("cell").as("cell")))))
+      .drop("cents")
+  }
+
   /** IVF ANN (rows-only): centroids from the data itself (per-label means),
-    * vectors assigned to their nearest centroid cell, queries probe the 2
-    * nearest cells. Candidate work per query = 2 cells' occupancy, and the
-    * cell join is an equi-shuffle — the same plan shape a billion-vector
-    * index needs.
+    * vectors assigned to their nearest centroid cell, queries probe the 3
+    * nearest cells. Candidate work per query = probed cells' occupancy, and
+    * the cell join is an equi-shuffle — the same plan shape a
+    * billion-vector index needs.
     */
   def annTopkIvf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.functions.LongVectorDot.vector_dot
 
     val q = Tables.embeddings(spark, dir)
-      .select($"vec_id", $"label",
-        transform($"embedding", x => floor(x.cast("double") * 1000.0 + 0.5).cast("long")).as("v"))
+      .select($"vec_id",
+        transform($"embedding", x => floor(x.cast("double") * 1000.0 + 0.5).cast("long")).as("v"),
+        $"label")
 
     // centroid vector per label, quantized to longs (×1000) so cell
     // assignment runs through the fused native dot product
@@ -69,19 +112,24 @@ object VectorAgg {
       .select($"label".as("cell"),
         transform($"dm", s => floor(s.getField("mean") * 1000.0 + 0.5).cast("long")).as("cv"))
 
-    // one ranked pass: rank of every (vector, cell) by dot score
-    val wAssign = Window.partitionBy($"vec_id").orderBy($"score".desc, $"cell")
-    val ranked = q.crossJoin(broadcast(centroids))
-      .withColumn("score", vector_dot($"v", $"cv"))
-      .withColumn("r", row_number().over(wAssign))
-      .filter($"r" <= 3)
-    val assigned = ranked.filter($"r" === 1).select($"vec_id", $"label", $"v", $"cell")
+    // map-side cell ranking: this query ranks by raw dot DESC (cell asc on
+    // ties), so sort (−dot, cell) structs ascending — no Window, no Exchange
+    val ranked = q.drop("label").crossJoin(broadcast(centroidArray(centroids)))
+      .withColumn("cellRank", array_sort(transform($"cents", c =>
+        struct((-vector_dot($"v", c.getField("cv"))).as("neg_score"),
+          c.getField("cell").as("cell")))))
+      .drop("cents")
+    val assigned = ranked.select($"vec_id", $"v",
+      element_at($"cellRank", 1).getField("cell").as("cell"))
     val probed = ranked.filter($"vec_id" % 10 === 0) // queries probe 3 cells
-      .select($"vec_id".as("query_id"), $"v".as("qv"), $"cell")
+      .select($"vec_id".as("query_id"), $"v".as("qv"),
+        explode(transform(slice($"cellRank", 1, 3), s => s.getField("cell"))).as("cell"))
 
+    // (query, neighbor) pairs are already unique — each neighbor lives in
+    // exactly one cell and a query's probed cells are distinct — so no
+    // dropDuplicates (and no extra shuffle) is needed
     val scored = probed.join(assigned.select($"vec_id".as("neighbor_id"), $"v".as("nv"), $"cell"), Seq("cell"))
       .filter($"query_id" =!= $"neighbor_id")
-      .dropDuplicates("query_id", "neighbor_id")
       .withColumn("dot", vector_dot($"qv", $"nv"))
     val wRank = Window.partitionBy($"query_id").orderBy($"dot".desc, $"neighbor_id")
     scored.withColumn("rank", row_number().over(wRank))
@@ -94,7 +142,7 @@ object VectorAgg {
     * and distances become exact integer arithmetic through the fused native
     * [[graft.functions.LongVectorDot]].
     */
-  private def quantized(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def quantized(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.embeddings(spark, dir)
       .select($"vec_id",
@@ -105,29 +153,28 @@ object VectorAgg {
     * training step (the per-label cells in [[annTopkIvf]] are a stand-in).
     * Fully declarative: no centroid ever leaves the plan (no driver
     * collect); each round is
-    *   1. broadcast the k×d centroid table and rank the n·k fused dot
-    *      products per vector (nearest by L2: argmin c·c − 2·v·c, since
-    *      v·v is constant per vector),
+    *   1. broadcast the k-centroid array row and take the per-vector
+    *      argmin over the k fused dot products MAP-SIDE (nearest by L2:
+    *      argmin c·c − 2·v·c, since v·v is constant per vector) — zero
+    *      shuffle of the corpus,
     *   2. re-average per (cell, dimension) via posexplode + groupBy — only
     *      k·d rows cross the shuffle.
     * Seeds are the k lowest vec_ids (deterministic across runs and
     * layouts). Cells that lose all members drop out (standard Lloyd); the
-    * survivors keep their seed id. Bounded `iters` keeps the lineage
-    * shallow — at 100 TB each round is one broadcast join + one partial-agg
-    * shuffle over the full corpus, the same cost profile as MLlib's
-    * implementation without materializing centroids driver-side.
+    * survivors keep their seed id. Each round's k×d centroid table is
+    * `localCheckpoint`ed, so plan depth stays O(1) per iteration —
+    * iteration count multiplies executor work only, not planning cost.
+    * At 100 TB each round is one broadcast join + one partial-agg shuffle
+    * of k·d rows, the same cost profile as MLlib's implementation without
+    * materializing centroids driver-side.
     */
   def kmeansCells(spark: SparkSession, dir: String, k: Int, iters: Int): DataFrame = {
     import spark.implicits._
-    import graft.functions.LongVectorDot.vector_dot
     val q = quantized(spark, dir)
     var centroids = q.orderBy($"vec_id").limit(k).select($"vec_id".as("cell"), $"v".as("cv"))
     for (_ <- 1 to iters) {
-      val wA = Window.partitionBy($"vec_id").orderBy($"d2", $"cell")
-      val assigned = q.crossJoin(broadcast(centroids))
-        .withColumn("d2", vector_dot($"cv", $"cv") - lit(2L) * vector_dot($"v", $"cv"))
-        .withColumn("r", row_number().over(wA))
-        .filter($"r" === 1)
+      val assigned = withCellRank(q, centroids)
+        .select($"vec_id", $"v", element_at($"cellRank", 1).getField("cell").as("cell"))
       centroids = assigned
         .select($"cell", posexplode($"v").as(Seq("dim0", "x")))
         .groupBy($"cell", $"dim0")
@@ -136,6 +183,7 @@ object VectorAgg {
         .agg(array_sort(collect_list(struct($"dim0", $"mean"))).as("dm"))
         .select($"cell",
           transform($"dm", s => floor(s.getField("mean") + 0.5).cast("long")).as("cv"))
+        .localCheckpoint() // k rows; truncates lineage so each Lloyd round replans O(1), not O(round)
     }
     centroids
   }
@@ -152,12 +200,13 @@ object VectorAgg {
     import graft.functions.LongVectorDot.vector_dot
     val q = quantized(spark, dir)
     val cells = kmeansCells(spark, dir, k, iters)
-    val wA = Window.partitionBy($"vec_id").orderBy($"d2", $"cell")
-    q.crossJoin(broadcast(cells))
-      .withColumn("d2",
-        vector_dot($"v", $"v") - lit(2L) * vector_dot($"v", $"cv") + vector_dot($"cv", $"cv"))
-      .withColumn("r", row_number().over(wA))
-      .filter($"r" === 1)
+    // the ranked (d2, cell) array orders by cc − 2·v·cv; the true L2² adds
+    // the per-row constant v·v AFTER the argmin (once per row — inside the
+    // lambda it would be re-evaluated once per (row, cell))
+    withCellRank(q, cells)
+      .select($"vec_id", vector_dot($"v", $"v").as("vv"), element_at($"cellRank", 1).as("best"))
+      .select($"vec_id", $"best".getField("cell").as("cell"),
+        ($"vv" + $"best".getField("d2")).as("d2"))
       .groupBy($"cell")
       .agg(count(lit(1)).as("n_vectors"), sum($"d2").as("inertia"))
       .orderBy($"cell")
@@ -173,18 +222,16 @@ object VectorAgg {
     import graft.functions.LongVectorDot.vector_dot
     val q = quantized(spark, dir)
     val cells = kmeansCells(spark, dir, k = 16, iters = 2)
-    val wAssign = Window.partitionBy($"vec_id").orderBy($"d2", $"cell")
-    val ranked = q.crossJoin(broadcast(cells))
-      .withColumn("d2", vector_dot($"cv", $"cv") - lit(2L) * vector_dot($"v", $"cv"))
-      .withColumn("r", row_number().over(wAssign))
-      .filter($"r" <= 2)
-    val assigned = ranked.filter($"r" === 1).select($"vec_id", $"v", $"cell")
+    val ranked = withCellRank(q, cells)
+    val assigned = ranked.select($"vec_id", $"v",
+      element_at($"cellRank", 1).getField("cell").as("cell"))
     val probed = ranked.filter($"vec_id" % 10 === 0) // every 10th vector queries, probing 2 cells
-      .select($"vec_id".as("query_id"), $"v".as("qv"), $"cell")
+      .select($"vec_id".as("query_id"), $"v".as("qv"),
+        explode(transform(slice($"cellRank", 1, 2), s => s.getField("cell"))).as("cell"))
+    // (query, neighbor) pairs unique by construction — no dedup shuffle
     val scored = probed
       .join(assigned.select($"vec_id".as("neighbor_id"), $"v".as("nv"), $"cell"), Seq("cell"))
       .filter($"query_id" =!= $"neighbor_id")
-      .dropDuplicates("query_id", "neighbor_id")
       .withColumn("dot", vector_dot($"qv", $"nv"))
     scored
       .withColumn("rank",

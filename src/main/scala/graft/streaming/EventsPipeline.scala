@@ -200,68 +200,148 @@ object EventsPipeline {
     df.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val deduped = batch.dropDuplicates(key)
-        val fresh =
+        freshRows(batch, path, key).withColumn("_batch_id", lit(batchId))
+          .write.mode("append").parquet(path)
+      }
+
+  /** The per-batch body of [[upsertWarehouseSink]], factored out so its
+    * plan is testable: dedupe the batch on the natural key, then anti-join
+    * against the warehouse keys to keep only genuinely-new rows.
+    *
+    * Null keys are quarantined (dropped) first: the anti-join's equi-key
+    * never matches NULL, so a null-key row would be re-appended on every
+    * re-delivered batch — ON CONFLICT semantics need a definite key, same
+    * as the reference's PRIMARY KEY columns being NOT NULL.
+    *
+    * The warehouse scan is pre-filtered with a Bloom filter built over the
+    * batch's keys: a warehouse key the filter rejects cannot match any
+    * batch row, so dropping it early never changes the anti-join result
+    * (false positives only add candidates). At 100 TB this turns "read the
+    * whole warehouse key column per micro-batch" into "read it and discard
+    * ~99% before the join", on top of the bucketed co-partitioning path
+    * proven in EtlSourcesSpec.
+    */
+  private[graft] def freshRows(batch: DataFrame, path: String, key: String): DataFrame = {
+    val deduped = batch.filter(col(key).isNotNull).dropDuplicates(key)
+    // stat.bloomFilter over ZERO rows yields a null sketch buffer (NPE on
+    // readFrom) — and an empty batch has nothing to anti-join anyway
+    if (deduped.isEmpty) deduped
+    else try {
+      val bf = deduped.stat.bloomFilter(col(key).cast("string"), 1000000L, 0.01)
+      val bcBf = batch.sparkSession.sparkContext.broadcast(bf)
+      val batchMightContain = udf((k: String) => k != null && bcBf.value.mightContain(k))
+      val existingKeys = batch.sparkSession.read.parquet(path).select(key)
+        .filter(batchMightContain(col(key).cast("string")))
+      deduped.join(existingKeys, Seq(key), "left_anti")
+    } catch {
+      // first batch: warehouse path does not exist yet
+      case e: org.apache.spark.sql.AnalysisException
+        if e.getMessage != null && e.getMessage.contains("PATH_NOT_FOUND") =>
+        deduped
+      case _: java.io.FileNotFoundException =>
+        deduped
+    }
+  }
+
+  /** Merge-update micro-batch load — the reference's `ON CONFLICT DO
+    * UPDATE SET ...` upsert (ts_version_mapping.py UPSERT_SQL updates an
+    * existing mapping's payload in place): matched keys take the incoming
+    * row's payload, unmatched warehouse rows are kept, new keys are
+    * inserted. Implemented as anti-join (keep untouched rows) ∪ incoming
+    * batch — the logical MERGE — with the result materialized
+    * (localCheckpoint) before overwriting the path it was read from.
+    * Naturally idempotent: re-delivering a batch rewrites the same rows to
+    * the same values, so count and payload are stable under retries.
+    *
+    * Scale note: a full rewrite per batch is the no-table-format fallback;
+    * at 100 TB the warehouse is partitioned on a key bucket and only
+    * partitions containing matched keys are rewritten (or the same
+    * anti-join ∪ union drops into a transactional format's MERGE). Null
+    * keys are quarantined as in [[freshRows]].
+    */
+  def mergeWarehouseSink(df: DataFrame, path: String, key: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val incoming = batch.filter(col(key).isNotNull).dropDuplicates(key)
+          .withColumn("_batch_id", lit(batchId))
+        val merged =
           try {
-            val existingKeys = batch.sparkSession.read.parquet(path).select(key)
-            deduped.join(existingKeys, Seq(key), "left_anti")
+            val existing = spark.read.parquet(path)
+            existing.join(incoming.select(key), Seq(key), "left_anti")
+              .unionByName(incoming)
           } catch {
-            // first batch: warehouse path does not exist yet
             case e: org.apache.spark.sql.AnalysisException
               if e.getMessage != null && e.getMessage.contains("PATH_NOT_FOUND") =>
-              deduped
+              incoming
             case _: java.io.FileNotFoundException =>
-              deduped
+              incoming
           }
-        fresh.withColumn("_batch_id", lit(batchId))
-          .write.mode("append").parquet(path)
+        // materialize before overwriting the input path (lazy plans must
+        // not re-read parquet files the write is deleting)
+        merged.localCheckpoint().write.mode("overwrite").parquet(path)
       }
 
   /** Streaming k-means — continuous IVF index maintenance over an
     * embedding stream (the streaming form of ops.VectorAgg.kmeansCells).
     * Each micro-batch applies the mini-batch k-means update: assign the
-    * batch's vectors to their nearest current centroid (broadcast k×d
-    * table + fused dot products), aggregate per-cell batch sums/counts
-    * (k·d rows through the shuffle), and fold them into the persisted
-    * (cell, sum-vector, count) state, so a cell's centroid is always the
-    * exact mean of every vector ever assigned to it.
+    * batch's vectors to their nearest current centroid MAP-SIDE (broadcast
+    * 1-row centroid array + per-row argmin over the fused dot products —
+    * no Exchange of the batch; see ops.VectorAgg.withCellRank), aggregate
+    * per-cell batch sums/counts (k·d rows through the shuffle), and fold
+    * them into the persisted (cell, sum-vector, count) state, so a cell's
+    * centroid is always the exact mean of every vector ever assigned to it.
     *
     * State is k rows of index metadata — the one thing that legitimately
     * lives driver-side per batch (like MLlib's StreamingKMeans); the
     * per-vector work stays fully distributed. First non-empty batch seeds
     * the k cells from its lowest vec_ids.
+    *
+    * Retry-safe: the state file records the last applied batchId, and a
+    * re-delivered batch (foreachBatch retries after a crash between the
+    * state overwrite and the checkpoint commit) is skipped instead of
+    * double-folded — the exact-mean invariant survives at-least-once
+    * delivery.
     */
   def streamingKmeans(vectors: DataFrame, statePath: String, k: Int = 8): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     vectors.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        kmeansFold(batch, statePath, k, batchId)
+      }
+
+  /** The per-batch body of [[streamingKmeans]], factored out so the
+    * retry-idempotence guard is directly testable.
+    */
+  private[graft] def kmeansFold(batch: DataFrame, statePath: String, k: Int, batchId: Long): Unit =
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
           import spark.implicits._
-          import org.apache.spark.sql.expressions.Window
-          import graft.functions.LongVectorDot.vector_dot
 
           val q = batch.select($"vec_id",
             transform($"embedding", x => floor(x.cast("double") * 1000.0 + 0.5).cast("long")).as("v"))
-          val prev: Seq[(Long, Seq[Long], Long)] =
+          val prev: Seq[(Long, Seq[Long], Long, Long)] =
             try spark.read.parquet(statePath)
-              .select($"cell", $"sums", $"n").as[(Long, Seq[Long], Long)].collect().toSeq
+              .select($"cell", $"sums", $"n", $"last_batch_id")
+              .as[(Long, Seq[Long], Long, Long)].collect().toSeq
             catch {
               case e: org.apache.spark.sql.AnalysisException
                 if e.getMessage != null && e.getMessage.contains("PATH_NOT_FOUND") => Seq.empty
               case _: java.io.FileNotFoundException => Seq.empty
             }
+          if (prev.nonEmpty && prev.head._4 >= batchId) {
+            // this batch is already folded into the state (foreachBatch
+            // re-delivery) — applying it again would double-count
+          } else {
           val centroids =
             if (prev.isEmpty) q.orderBy($"vec_id").limit(k).select($"vec_id".as("cell"), $"v".as("cv"))
-            else prev.toDF("cell", "sums", "n")
+            else prev.map(p => (p._1, p._2, p._3)).toDF("cell", "sums", "n")
               .select($"cell", transform($"sums", s =>
                 floor(s.cast("double") / $"n".cast("double") + 0.5).cast("long")).as("cv"))
 
-          val wA = Window.partitionBy($"vec_id").orderBy($"d2", $"cell")
-          val assigned = q.crossJoin(broadcast(centroids))
-            .withColumn("d2", vector_dot($"cv", $"cv") - lit(2L) * vector_dot($"v", $"cv"))
-            .withColumn("r", row_number().over(wA))
-            .filter($"r" === 1)
+          val assigned = graft.ops.VectorAgg.withCellRank(q, centroids)
+            .select($"vec_id", $"v", element_at($"cellRank", 1).getField("cell").as("cell"))
           val batchAgg = assigned
             .select($"cell", posexplode($"v").as(Seq("dim", "x")))
             .groupBy($"cell", $"dim")
@@ -271,17 +351,18 @@ object EventsPipeline {
             .select($"cell", transform($"ds", p => p.getField("s")).as("bsums"), $"bn")
 
           // prev comes from collected rows, so overwriting statePath is safe
-          val prevDf = prev.toDF("cell", "sums", "n")
+          val prevDf = prev.map(p => (p._1, p._2, p._3)).toDF("cell", "sums", "n")
           prevDf.join(batchAgg, Seq("cell"), "full_outer")
             .select($"cell",
               when($"sums".isNull, $"bsums")
                 .when($"bsums".isNull, $"sums")
                 .otherwise(zip_with($"sums", $"bsums", (a, b) => a + b)).as("sums"),
-              (coalesce($"n", lit(0L)) + coalesce($"bn", lit(0L))).as("n"))
+              (coalesce($"n", lit(0L)) + coalesce($"bn", lit(0L))).as("n"),
+              lit(batchId).as("last_batch_id"))
             .coalesce(1)
             .write.mode("overwrite").parquet(statePath)
+          }
         }
-      }
 
   /** File-source incremental ingest — the streaming form of the reference's
     * delta load (extractor.py re-runs over a directory; here new files are

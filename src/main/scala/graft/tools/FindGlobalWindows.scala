@@ -23,10 +23,9 @@ object FindGlobalWindows {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
-        val hits = df.queryExecution.executedPlan.collect {
-          case w: org.apache.spark.sql.execution.window.WindowExec if w.partitionSpec.isEmpty => w
-          case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec if w.partitionSpec.isEmpty => w
-        }
+        // PlanWalk descends through AdaptiveSparkPlanExec — a plain
+        // .collect on the executedPlan sees only the AQE leaf wrapper
+        val hits = PlanWalk.globalWindows(df.queryExecution.executedPlan)
         if (hits.nonEmpty) println(s"GLOBALWINDOW $name: ${hits.size}")
       } catch { case e: Throwable => println(s"ERR $name: ${e.getMessage.take(100)}") }
     }

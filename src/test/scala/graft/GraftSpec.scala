@@ -176,9 +176,38 @@ class ScaleDedupSpec extends SparkSuite {
     assert(bits(1L) != bits(3L))
   }
 
-  test("exact dedup agrees with fingerprint grouping") {
-    val d = ops.LlmQueries.dedupExact(spark, sf).collect()
-    d.foreach { r => assert(r.getAs[Long]("n_docs") > 1) }
+  test("exact dedup collapses a known duplicate cluster to its min doc_id") {
+    import spark.implicits._
+    // sf0.01 documents has no exact duplicates, so the registered query's
+    // oracle gate is vacuous (0 = 0) — this synthetic corpus pins the
+    // positive path: {7,3,9} share one normalized text, {5,2} another
+    val docs = Seq(
+      (7L, "Spark Shuffles The Partitions  "),
+      (3L, "spark shuffles the partitions"),
+      (9L, "  SPARK SHUFFLES THE PARTITIONS"),
+      (5L, "a different document"),
+      (2L, "A DIFFERENT DOCUMENT"),
+      (11L, "unique text, no duplicate")).toDF("doc_id", "text")
+    val got = ops.LlmQueries.dedupExactOn(docs).collect()
+      .map(r => (r.getAs[Long]("keeper_doc_id"), r.getAs[Long]("n_docs"),
+        r.getAs[String]("doc_ids"))).toSet
+    assert(got == Set((3L, 3L, "3,7,9"), (2L, 2L, "2,5")))
+  }
+
+  test("exact dedup keeper mapping emits member→min rows for real duplicates") {
+    import spark.implicits._
+    val docs = Seq(
+      (7L, "Spark Shuffles The Partitions  "),
+      (3L, "spark shuffles the partitions"),
+      (9L, "  SPARK SHUFFLES THE PARTITIONS"),
+      (5L, "a different document"),
+      (2L, "A DIFFERENT DOCUMENT"),
+      (11L, "unique text, no duplicate")).toDF("doc_id", "text")
+    val got = ops.LlmQueries.dedupExactKeeperOn(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    // keeper rows only for non-keepers, keeper = min of the cluster,
+    // ordered by doc_id; unique docs emit nothing
+    assert(got.toSeq == Seq(5L -> 2L, 7L -> 3L, 9L -> 3L))
   }
 }
 
@@ -436,13 +465,50 @@ class PlanSpec extends SparkSuite {
   test("no query plans an unpartitioned (single-partition) window") {
     // the 100 TB red flag: WindowExec with an empty partition spec moves
     // the whole input through one task. Checked across EVERY entry.
+    // PlanWalk descends through the AdaptiveSparkPlanExec wrapper — a plain
+    // .collect on executedPlan sees only the AQE leaf and is vacuously
+    // green for any windowed query (windows imply an exchange → AQE wraps).
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.row_number
+    import spark.implicits._
+    // detector self-check: a deliberately global window MUST be flagged
+    val bad = Tables.events(spark, sf)
+      .withColumn("rn", row_number().over(Window.orderBy($"event_id")))
+    assert(tools.PlanWalk.globalWindows(bad.queryExecution.executedPlan).nonEmpty,
+      "detector failed to flag a deliberately unpartitioned window:\n" +
+        bad.queryExecution.executedPlan.toString)
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val hits = fn(spark, sf).queryExecution.executedPlan.collect {
-        case w: org.apache.spark.sql.execution.window.WindowExec if w.partitionSpec.isEmpty => w
-        case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec if w.partitionSpec.isEmpty => w
-      }
+      val hits = tools.PlanWalk.globalWindows(fn(spark, sf).queryExecution.executedPlan)
       assert(hits.isEmpty, s"$name has ${hits.size} unpartitioned window(s)")
     }
+  }
+
+  test("kmeans/ANN cell assignment shuffles zero corpus rows (map-side argmin)") {
+    import spark.implicits._
+    // centroids inline (LocalRelation) so the ONLY possible file scan is
+    // the embeddings corpus; the assignment must broadcast the collapsed
+    // centroid row and never put the corpus through an Exchange (the old
+    // row_number-over-Window form hash-exchanged n·k rows)
+    val corpus = ops.VectorAgg.quantized(spark, sf)
+    val dim = corpus.select(org.apache.spark.sql.functions.size($"v")).first().getInt(0)
+    val centroids = Seq(1L, 2L, 3L, 4L)
+      .map(c => (c, Seq.fill(dim)(c * 100L))).toDF("cell", "cv")
+    val assigned = ops.VectorAgg.withCellRank(corpus, centroids)
+      .select($"vec_id",
+        org.apache.spark.sql.functions.element_at($"cellRank", 1).getField("cell").as("cell"))
+    assert(assigned.count() == corpus.count()) // executes → AQE final plan
+    val nodes = tools.PlanWalk.flatten(assigned.queryExecution.executedPlan)
+    // no Window at all, and no shuffle whose subtree reads the corpus file
+    assert(!nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]))
+    val shufflesOverCorpus = nodes
+      .collect { case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+      .filter(e => tools.PlanWalk.flatten(e).exists {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.toString.contains("embeddings")
+        case _ => false
+      })
+    assert(shufflesOverCorpus.isEmpty,
+      shufflesOverCorpus.map(_.treeString).mkString("\n---\n"))
   }
 
   test("q1: filter pushed to parquet scan, whole-stage codegen") {

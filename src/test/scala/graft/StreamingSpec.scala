@@ -153,6 +153,106 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("merge sink: re-delivered changed row updates payload, count unchanged") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft_merge").toString + "/wh"
+    val events = loadEvents().take(100)
+    val stream = MemoryStream[Event]
+    val q = EventsPipeline.mergeWarehouseSink(stream.toDF(), out, "event_id")
+      .option("checkpointLocation", java.nio.file.Files.createTempDirectory("graft_mgck").toString)
+      .start()
+    try {
+      stream.addData(events); q.processAllAvailable()
+      assert(spark.read.parquet(out).count() == 100)
+      // the reference's ON CONFLICT DO UPDATE: same keys, refreshed payload
+      val changed = events.take(10).map(e => e.copy(value = e.value + 1000.0))
+      stream.addData(changed); q.processAllAvailable()
+      val after = spark.read.parquet(out)
+      assert(after.count() == 100) // count unchanged: matched keys updated in place
+      val updated = after.filter($"event_id".isin(changed.map(_.event_id): _*))
+        .select($"event_id", $"value").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      changed.foreach(e => assert(updated(e.event_id) == e.value, s"event ${e.event_id} not updated"))
+      // unmatched rows kept their original payload
+      val kept = after.filter($"event_id" === events(50).event_id)
+        .select($"value").head().getDouble(0)
+      assert(kept == events(50).value)
+      // a genuinely new key still inserts
+      stream.addData(events.take(3).map(e => e.copy(event_id = e.event_id + 5000000L)))
+      q.processAllAvailable()
+      assert(spark.read.parquet(out).count() == 103)
+    } finally q.stop()
+  }
+
+  test("upsert sink quarantines null keys (no re-append on redelivery)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft_nullk").toString + "/wh"
+    val stream = MemoryStream[(Option[Long], String)]
+    val q = EventsPipeline.upsertWarehouseSink(
+        stream.toDF().toDF("k", "payload"), out, "k")
+      .option("checkpointLocation", java.nio.file.Files.createTempDirectory("graft_nkck").toString)
+      .start()
+    try {
+      val rows = Seq((Some(1L), "a"), (Some(2L), "b"), (None: Option[Long], "null-key"))
+      stream.addData(rows); q.processAllAvailable()
+      stream.addData(rows); q.processAllAvailable() // redelivery
+      stream.addData(rows); q.processAllAvailable() // and again
+      val wh = spark.read.parquet(out)
+      // NULL never equi-matches, so un-quarantined null keys would append
+      // on every redelivery; the contract is: definite keys upsert once,
+      // null keys never land
+      assert(wh.count() == 2)
+      assert(wh.filter($"k".isNull).count() == 0)
+    } finally q.stop()
+  }
+
+  test("upsert freshRows: batch-key bloom filter lands on the warehouse scan") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_bloomwh").toString + "/wh"
+    spark.range(0, 1000).select($"id".as("event_id"), lit("old").as("payload"))
+      .write.parquet(wh)
+    val batch = spark.range(990, 1010).select($"id".as("event_id"), lit("new").as("payload"))
+    val fresh = EventsPipeline.freshRows(batch, wh, "event_id")
+    assert(fresh.select("event_id").collect().map(_.getLong(0)).toSet ==
+      (1000L until 1010L).toSet) // anti-join semantics intact
+    // the warehouse side is pre-filtered by the bloom over the batch's keys
+    // BEFORE the anti-join: a FilterExec with the mightContain UDF sits on
+    // the warehouse scan, so at 100 TB most warehouse keys die at the scan
+    val nodes = tools.PlanWalk.flatten(fresh.queryExecution.executedPlan)
+    val bloomOnWarehouse = nodes.exists {
+      case f: org.apache.spark.sql.execution.FilterExec =>
+        f.condition.toString.contains("UDF") &&
+          tools.PlanWalk.flatten(f).exists {
+            case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+              s.toString.contains("graft_bloomwh")
+            case _ => false
+          }
+      case _ => false
+    }
+    assert(bloomOnWarehouse,
+      fresh.queryExecution.executedPlan.toString)
+  }
+
+  test("streaming kmeans: refolding the same batch id is skipped (retry-safe)") {
+    import spark.implicits._
+    val statePath = java.nio.file.Files.createTempDirectory("graft_skmr").toString + "/state"
+    val vecs = Tables.embeddings(spark, sf).select($"vec_id", $"embedding").limit(100)
+    EventsPipeline.kmeansFold(vecs, statePath, k = 4, batchId = 0L)
+    def state() = spark.read.parquet(statePath).collect()
+      .map(r => (r.getAs[Long]("cell"), r.getAs[Seq[Long]]("sums"), r.getAs[Long]("n"))).toSet
+    val s1 = state()
+    assert(s1.toSeq.map(_._3).sum == 100L)
+    // foreachBatch retry after a crash between state overwrite and
+    // checkpoint commit re-delivers the SAME batchId — must be a no-op
+    EventsPipeline.kmeansFold(vecs, statePath, k = 4, batchId = 0L)
+    assert(state() == s1, "refold of an applied batch double-counted the vectors")
+    // the next batch id folds normally
+    EventsPipeline.kmeansFold(vecs, statePath, k = 4, batchId = 1L)
+    assert(state().toSeq.map(_._3).sum == 200L)
+  }
+
   test("streaming kmeans folds micro-batches into exact running cell state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
