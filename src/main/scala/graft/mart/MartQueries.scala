@@ -221,24 +221,62 @@ object MartQueries {
       filterArtist: Option[String] = None, returnLimit: Int = 25): DataFrame = {
     import spark.implicits._
     val pm = parentMap(spark, dir)
+    // the reference's dm.top_* return the track's cover_art
+    // (dm_ddl.sql top_tracks; dashboard_queries.py columns list): thread
+    // the etl_json_nested extraction in via the PARENT partkey — variants
+    // collapse to the parent, so the group's cover is the parent's cover
+    // (constant within a group; MIN makes that deterministic either way)
+    val ca = graft.etl.EtlQueries.jsonNested(spark, dir)
+      .select($"p_partkey".as("ca_partkey"), $"cover_art_url")
     val artistPred = filterArtist.map($"p_brand" === _).getOrElse(lit(true))
+    val aggs = rankedMetrics :+ min($"cover_art_url").as("cover_art_url")
     listeningFacts(spark, dir)
       .filter(yearMonthFilter(filterYear, filterMonth))
       .join(broadcast(pm), $"l_partkey" === $"p_partkey", "left")
       .filter(artistPred)
+      .join(broadcast(ca), $"parent_partkey" === $"ca_partkey", "left")
       .groupBy(
         coalesce($"p_name", lit("<unknown>")).as("track"),
         coalesce($"p_brand", lit("<unknown>")).as("artist"))
-      .agg(rankedMetrics.head, rankedMetrics.tail: _*)
+      .agg(aggs.head, aggs.tail: _*)
       .orderBy($"hours_played".desc, $"track", $"artist")
       .limit(returnLimit)
   }
 
+  /** pm (parent-variant map) + ca (cover-art per partkey, the oracle twin
+    * of etl_json_nested's extraction) CTEs shared by the top_tracks SQLs.
+    */
+  private val coverCte: String =
+    """pm AS (
+      |  SELECT p_partkey, p_name, p_brand,
+      |    MIN(p_partkey) OVER (PARTITION BY p_name, p_brand) AS parent_partkey
+      |  FROM part
+      |), staged AS (
+      |  SELECT p_partkey, to_json(struct_pack(
+      |    uri := 'track:' || p_partkey,
+      |    name := p_name,
+      |    album := struct_pack(images := [
+      |      struct_pack(url := 'img://' || p_partkey || '/a', height := p_partkey % 400 + 241),
+      |      struct_pack(url := 'img://' || p_partkey || '/b', height := 300),
+      |      struct_pack(url := 'img://' || p_partkey || '/c', height := 64)])
+      |  )) AS raw_json FROM part
+      |), ca AS (
+      |  SELECT p_partkey AS ca_partkey,
+      |    list_filter(images, x -> x.height = list_max(list_transform(images, y -> y.height)))[1].url AS cover_art_url
+      |  FROM (
+      |    SELECT p_partkey,
+      |      CAST(json_transform(raw_json, '{"album":{"images":[{"url":"VARCHAR","height":"BIGINT"}]}}').album.images
+      |        AS STRUCT(url VARCHAR, height BIGINT)[]) AS images
+      |    FROM staged)
+      |)""".stripMargin
+
   val topTracksSql: String =
-    s"""$fhCte
+    s"""$fhCte, $coverCte
        |SELECT coalesce(p_name, '<unknown>') AS track, coalesce(p_brand, '<unknown>') AS artist,
-       |$rankedMetricsSql
-       |FROM fh LEFT JOIN part ON l_partkey = p_partkey
+       |$rankedMetricsSql,
+       |  MIN(cover_art_url) AS cover_art_url
+       |FROM fh LEFT JOIN pm ON l_partkey = pm.p_partkey
+       |  LEFT JOIN ca ON pm.parent_partkey = ca.ca_partkey
        |GROUP BY 1, 2
        |ORDER BY hours_played DESC, track, artist
        |LIMIT 25""".stripMargin
@@ -351,10 +389,12 @@ object MartQueries {
     * reference dm_ddl.sql:110).
     */
   val topTracksMonthSql: String =
-    s"""$fhCte
+    s"""$fhCte, $coverCte
        |SELECT coalesce(p_name, '<unknown>') AS track, coalesce(p_brand, '<unknown>') AS artist,
-       |$rankedMetricsSql
-       |FROM fh LEFT JOIN part ON l_partkey = p_partkey
+       |$rankedMetricsSql,
+       |  MIN(cover_art_url) AS cover_art_url
+       |FROM fh LEFT JOIN pm ON l_partkey = pm.p_partkey
+       |  LEFT JOIN ca ON pm.parent_partkey = ca.ca_partkey
        |WHERE year(ts) = 1997 AND month(ts) = 5
        |GROUP BY 1, 2
        |ORDER BY hours_played DESC, track, artist

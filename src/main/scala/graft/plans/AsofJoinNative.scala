@@ -120,14 +120,22 @@ case class AsofJoinExec(
               val cmp = keyOrd.compare(rk, lk)
               if (cmp < 0) {
                 rBuf.next() // smaller key: skip (stale candidates guarded by key check below)
-              } else if (cmp == 0 && {
+              } else if (cmp == 0) {
                 val rt = rTimeEval.eval(head)
-                rt != null && timeOrd.compare(rt, lt) <= 0
-              }) {
-                candidate = payloadProj.apply(rBuf.next()).copy()
-                candidateKey = lk
+                if (rt == null) {
+                  // null right times match nothing, and nulls sort FIRST
+                  // under the required Ascending ordering — consume the row,
+                  // or it would sit at the head of its key group forever and
+                  // block every later valid same-key right row
+                  rBuf.next()
+                } else if (timeOrd.compare(rt, lt) <= 0) {
+                  candidate = payloadProj.apply(rBuf.next()).copy()
+                  candidateKey = lk
+                } else {
+                  advance = false // same key but future time: keep for next left rows
+                }
               } else {
-                advance = false // same key but future time, or a later key: keep for next left rows
+                advance = false // later key: keep for next left rows
               }
             }
           }

@@ -76,6 +76,28 @@ class OpsSpec extends SparkSuite {
     assert(got(4L).isEmpty)       // only future signup → null
   }
 
+  test("native as-of join: null right time at a key-group head does not block real matches") {
+    import spark.implicits._
+    // nulls sort FIRST under the operator's Ascending time ordering, so a
+    // null-time right row sits at the head of its key group — it must be
+    // consumed (it can never match), not treated as a blocking future row,
+    // or every left row for that key silently gets a null payload
+    val left = Seq((1L, 100L, 50L), (2L, 100L, 5L), (3L, 200L, 50L))
+      .toDF("event_id", "user_id", "ts_sec")
+    val right = Seq(
+      (100L, None: Option[Long]), // null time, heads the key-100 group
+      (100L, Some(40L)),          // the real match for event 1
+      (200L, None: Option[Long])) // key 200 has ONLY a null-time row
+      .toDF("user_id", "ts_opt")
+      .select($"user_id", $"ts_opt".as("ts_sec"), $"ts_opt".as("signup_ts_sec"))
+    val df = graft.plans.AsofJoinNative.asof(left, right, "user_id", "ts_sec", Seq("signup_ts_sec"))
+    val got = df.select($"event_id", $"asof_signup_ts_sec")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got(1L).contains(40L)) // not blocked by the null-time head row
+    assert(got(2L).isEmpty)       // before the only real signup
+    assert(got(3L).isEmpty)       // null-time rows never match
+  }
+
   test("native as-of join == declarative as-of join on the full event stream") {
     val a = ops.AsofJoin.asofJoinEvents(spark, sf).collect().map(_.toString).sorted
     val b = ops.AsofJoin.asofJoinNative(spark, sf).collect().map(_.toString).sorted
