@@ -246,6 +246,23 @@ class AnnSpec extends SparkSuite {
     assert(i2 > 0)
   }
 
+  test("kmeans: localCheckpoint keeps plan depth O(1) across Lloyd rounds") {
+    // each round used to deepen an unmaterialized lineage (replanning the
+    // whole history per iteration); the per-round localCheckpoint truncates
+    // it, so even at iters=5 the centroid table's logical plan is a leaf
+    // (LogicalRDD), not a 5-round tree — planning cost is flat per round
+    val cells = ops.VectorAgg.kmeansCells(spark, sf, k = 8, iters = 5)
+    val analyzed = cells.queryExecution.analyzed
+    assert(analyzed.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD],
+      s"expected a checkpoint leaf, got:\n$analyzed")
+    assert(cells.count() <= 8 && cells.count() > 0)
+    // and the deeper run still trains: inertia at 5 rounds ≤ inertia at 2
+    def inertia(iters: Int): Long =
+      ops.VectorAgg.kmeansTrainAt(spark, sf, k = 8, iters = iters)
+        .collect().map(_.getAs[Long]("inertia")).sum
+    assert(inertia(5) <= inertia(2))
+  }
+
   test("kmeans IVF ANN recall@5 vs brute force") {
     val exact = ops.LlmQueries.annTopkExact(spark, sf)
       .select("query_id", "neighbor_id").collect()
