@@ -350,6 +350,15 @@ object EtlQueries {
     */
   def jsonNested(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    jsonNestedCore(spark, dir).orderBy($"p_partkey")
+  }
+
+  /** [[jsonNested]] without the presentation sort — the join-side form
+    * (MartQueries.topTracks broadcasts the (p_partkey, cover_art_url)
+    * projection; a sort below a broadcast build is wasted work).
+    */
+  def jsonNestedCore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val pk = $"p_partkey".cast("string")
     val staged = Tables.part(spark, dir).select($"p_partkey",
       to_json(struct(
@@ -376,7 +385,6 @@ object EtlQueries {
           .getField("url").as("cover_art_url"),
         size($"images").cast("long").as("n_images"),
         $"max_height")
-      .orderBy($"p_partkey")
   }
 
   val jsonNestedSql: String =

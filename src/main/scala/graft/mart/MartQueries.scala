@@ -226,7 +226,7 @@ object MartQueries {
     // the etl_json_nested extraction in via the PARENT partkey — variants
     // collapse to the parent, so the group's cover is the parent's cover
     // (constant within a group; MIN makes that deterministic either way)
-    val ca = graft.etl.EtlQueries.jsonNested(spark, dir)
+    val ca = graft.etl.EtlQueries.jsonNestedCore(spark, dir)
       .select($"p_partkey".as("ca_partkey"), $"cover_art_url")
     val artistPred = filterArtist.map($"p_brand" === _).getOrElse(lit(true))
     val aggs = rankedMetrics :+ min($"cover_art_url").as("cover_art_url")
