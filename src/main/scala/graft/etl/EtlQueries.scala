@@ -494,7 +494,57 @@ object EtlQueries {
       |JOIN api ON ev.user_id = api.user_id
       |ORDER BY event_id""".stripMargin
 
+  /** SCD2 dimension build — the history-PRESERVING alternative to the
+    * reference's ON CONFLICT upsert family (ts_version_mapping rewrites a
+    * mapping in place; an SCD2 dim would version it): per user, each CHANGE
+    * of event_type closes the previous version and opens a new one with
+    * [valid_from_sec, valid_to_sec] bounds and an is_current flag.
+    * Change detection (lag), versioning (row_number) and interval close
+    * (lead) all share one (user_id) partitioning — a single shuffle end to
+    * end, and at 100 TB the state per window group is one user's rows.
+    */
+  def scd2History(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts_sec", $"event_id")
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"event_type", unix_timestamp($"ts").as("ts_sec"))
+    val changes = ev
+      .withColumn("prev_type", lag($"event_type", 1).over(w))
+      .filter($"prev_type".isNull || $"prev_type" =!= $"event_type")
+    changes
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_to_sec", lead($"ts_sec", 1).over(w) - 1)
+      .withColumn("is_current", lead($"ts_sec", 1).over(w).isNull)
+      .select($"user_id", $"version", $"event_type", $"ts_sec".as("valid_from_sec"),
+        $"valid_to_sec", $"is_current")
+      .orderBy($"user_id", $"version")
+  }
+
+  val scd2HistorySql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, event_type,
+      |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ts_sec
+      |  FROM events
+      |), ch AS (
+      |  SELECT user_id, event_id, event_type, ts_sec,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) AS prev_type
+      |  FROM ev
+      |), chg AS (
+      |  SELECT user_id, event_id, event_type, ts_sec FROM ch
+      |  WHERE prev_type IS NULL OR prev_type <> event_type
+      |)
+      |SELECT user_id,
+      |  CAST(row_number() OVER w AS BIGINT) AS version,
+      |  event_type,
+      |  ts_sec AS valid_from_sec,
+      |  lead(ts_sec) OVER w - 1 AS valid_to_sec,
+      |  lead(ts_sec) OVER w IS NULL AS is_current
+      |FROM chg
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)
+      |ORDER BY user_id, version""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_scd2_history"    -> (scd2History _),
     "etl_extract_history" -> (extractHistory _),
     "etl_delta_load"      -> (deltaLoad _),
     "etl_new_items"       -> (newItems _),
@@ -511,6 +561,7 @@ object EtlQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "etl_scd2_history"    -> scd2HistorySql,
     "etl_extract_history" -> extractHistorySql,
     "etl_delta_load"      -> deltaLoadSql,
     "etl_new_items"       -> newItemsSql,

@@ -442,7 +442,50 @@ object LlmQueries {
       |FROM t
       |ORDER BY doc_id""".stripMargin
 
+  /** Distinctive-term extraction — integer tf-idf: per document, the top-3
+    * terms ranked by (tf DESC, df ASC, term ASC). The tf-idf ordering is
+    * monotone in term frequency and inverse document frequency, so ranking
+    * on the raw integers gives the tf-idf ranking without a transcendental
+    * log — engine-portable and oracle-exact (doubles never appear).
+    * Plan shape: two partial-agg shuffles (doc-term tf, term df), one
+    * equi-join on term (vocabulary-sized — shuffle join, the right call at
+    * 100 TB where the vocabulary itself is too big to broadcast), one
+    * per-doc window.
+    */
+  def textTfidf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select($"doc_id", explode(words($"text")).as("term"))
+    val tf = toks.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val dfreq = toks.groupBy($"term").agg(countDistinct($"doc_id").as("df"))
+    val w = Window.partitionBy($"doc_id").orderBy($"tf".desc, $"df".asc, $"term")
+    tf.join(dfreq, Seq("term"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 3)
+      .select($"doc_id", $"rank", $"term", $"tf", $"df")
+      .orderBy($"doc_id", $"rank")
+  }
+
+  val textTfidfSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, u AS term
+      |  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
+      |    UNNEST(w) AS r(u)
+      |), t AS (
+      |  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+      |), d AS (
+      |  SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term
+      |), ranked AS (
+      |  SELECT t.doc_id, t.term, t.tf, d.df,
+      |    CAST(row_number() OVER (PARTITION BY t.doc_id ORDER BY t.tf DESC, d.df ASC, t.term) AS BIGINT) AS rank
+      |  FROM t JOIN d USING (term)
+      |)
+      |SELECT doc_id, rank, term, tf, df
+      |FROM ranked WHERE rank <= 3
+      |ORDER BY doc_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tfidf"          -> (textTfidf _),
     "dedup_exact"         -> (dedupExact _),
     "dedup_exact_keeper"  -> (dedupExactKeeper _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
@@ -456,6 +499,7 @@ object LlmQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "text_tfidf"          -> textTfidfSql,
     "dedup_exact"         -> dedupExactSql,
     "dedup_exact_keeper"  -> dedupExactKeeperSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,

@@ -241,6 +241,42 @@ object VectorAgg {
       .orderBy($"query_id", $"rank")
   }
 
+  /** Radius (range) search: every same-label pair within L2² ≤ radius,
+    * exact over the ×1000-quantized integers. Label blocking keeps pair
+    * work O(n·block) — the self-join is an equi-shuffle on the block key,
+    * the same plan shape as the embedding dedup, parameterized by radius
+    * instead of cosine. Norms are precomputed per SIDE (one dot per vector,
+    * not per pair), so the per-pair cost is a single fused dot product.
+    */
+  def annRangeSearch(spark: SparkSession, dir: String, radius: Long = 1450000L): DataFrame = {
+    import spark.implicits._
+    import graft.functions.LongVectorDot.vector_dot
+    val q = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"label",
+        transform($"embedding", x => floor(x.cast("double") * 1000.0 + 0.5).cast("long")).as("v"))
+      .withColumn("nrm", vector_dot($"v", $"v"))
+    val a = q.select($"label", $"vec_id".as("a"), $"v".as("va"), $"nrm".as("na"))
+    val b = q.select($"label", $"vec_id".as("b"), $"v".as("vb"), $"nrm".as("nb"))
+    a.join(b, Seq("label"))
+      .filter($"a" < $"b")
+      .withColumn("d2", $"na" + $"nb" - lit(2L) * vector_dot($"va", $"vb"))
+      .filter($"d2" <= radius)
+      .select($"label", $"a", $"b", $"d2")
+      .orderBy($"label", $"a", $"b")
+  }
+
+  val annRangeSearchSql: String =
+    """WITH q AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)) AS v
+      |  FROM embeddings
+      |)
+      |SELECT a.label, a.vec_id AS a, b.vec_id AS b,
+      |  CAST(list_sum(list_transform(range(1, len(a.v) + 1), i -> (a.v[i] - b.v[i]) * (a.v[i] - b.v[i]))) AS BIGINT) AS d2
+      |FROM q a JOIN q b ON a.label = b.label AND a.vec_id < b.vec_id
+      |WHERE list_sum(list_transform(range(1, len(a.v) + 1), i -> (a.v[i] - b.v[i]) * (a.v[i] - b.v[i]))) <= 1450000
+      |ORDER BY a.label, a.vec_id, b.vec_id""".stripMargin
+
   /** Skew-safe top-N: two-stage salted aggregation. Stage 1 pre-aggregates
     * on (key, salt) — hot keys split across partitions — stage 2 combines
     * the ≤SALTS partials per key. Identical result to the direct groupBy
@@ -275,11 +311,13 @@ object VectorAgg {
     "ann_topk_ivf"        -> (annTopkIvf _),
     "ann_kmeans_train"    -> (annKmeansTrain _),
     "ann_topk_kmeans"     -> (annTopkKmeans _),
+    "ann_range_search"    -> ((s, d) => annRangeSearch(s, d)),
     "skew_salted_topk"    -> (skewSaltedTopk _)
   )
 
   val oracleSql: Map[String, String] = Map(
     "embedding_centroids" -> embeddingCentroidsSql,
+    "ann_range_search"    -> annRangeSearchSql,
     "skew_salted_topk"    -> skewSaltedTopkSql
   )
 }

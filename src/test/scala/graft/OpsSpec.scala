@@ -104,6 +104,63 @@ class OpsSpec extends SparkSuite {
     assert(a.length == b.length && a.sameElements(b))
   }
 
+  test("tfidf: per-doc ranks dense, ordered by (tf desc, df asc)") {
+    val rows = ops.LlmQueries.textTfidf(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq == (1L to sorted.length))
+      sorted.sliding(2).foreach {
+        case Array(hi, lo) =>
+          val (t1, d1) = (hi.getAs[Long]("tf"), hi.getAs[Long]("df"))
+          val (t2, d2) = (lo.getAs[Long]("tf"), lo.getAs[Long]("df"))
+          assert(t1 > t2 || (t1 == t2 && d1 <= d2))
+        case _ =>
+      }
+    }
+  }
+
+  test("range search matches the brute-force in-radius pair set") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val radius = 1450000L
+    val got = ops.VectorAgg.annRangeSearch(spark, sf, radius).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Long]("d2"))).toSet
+    // brute force over the collected corpus (500 vectors at test scale)
+    val vecs = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"label",
+        transform($"embedding", x => floor(x.cast("double") * 1000.0 + 0.5).cast("long")).as("v"))
+      .collect().map(r => (r.getLong(0), r.get(1), r.getSeq[Long](2).toArray))
+    val want = (for {
+      (ia, la, va) <- vecs; (ib, lb, vb) <- vecs
+      if la == lb && ia < ib
+      d2 = va.zip(vb).map { case (x, y) => (x - y) * (x - y) }.sum
+      if d2 <= radius
+    } yield (ia, ib, d2)).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("scd2: versions dense, intervals chain, exactly one current per user") {
+    val rows = etl.EtlQueries.scd2History(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (u, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("version"))
+      assert(sorted.map(_.getAs[Long]("version")).toSeq == (1L to sorted.length), s"user $u")
+      assert(sorted.count(_.getAs[Boolean]("is_current")) == 1, s"user $u")
+      assert(sorted.last.getAs[Boolean]("is_current") && sorted.last.isNullAt(
+        sorted.last.fieldIndex("valid_to_sec")), s"user $u")
+      sorted.sliding(2).foreach {
+        case Array(prev, next) =>
+          // closed interval ends one second before the next version opens
+          assert(prev.getAs[Long]("valid_to_sec") ==
+            next.getAs[Long]("valid_from_sec") - 1, s"user $u")
+          // a version exists only on CHANGE of the tracked attribute
+          assert(prev.getAs[String]("event_type") != next.getAs[String]("event_type"), s"user $u")
+        case _ =>
+      }
+    }
+  }
+
   test("chunking covers every token with the configured overlap") {
     val chunks = ops.Curation.textChunking(spark, sf).collect()
       .groupBy(_.getAs[Long]("doc_id"))
