@@ -149,6 +149,59 @@ object LlmQueries {
       |    / CAST(len(list_distinct(list_concat(a.w, b.w))) AS DOUBLE) >= 0.9
       |ORDER BY 1, 2, 3""".stripMargin
 
+  /** Incremental dedup — the shape every continuously-fed training corpus
+    * needs: an incoming batch (doc_id > watermark) is checked against the
+    * EXISTING corpus (doc_id ≤ watermark), never against itself; each
+    * incoming doc that near-duplicates (unigram Jaccard ≥ 0.9, lang-
+    * blocked) any corpus doc is reported once with its best match (highest
+    * Jaccard, min corpus id on ties — Jaccard is an int/int division, so
+    * the ordering is engine-exact). At 100 TB the corpus side is the
+    * pre-computed fingerprint index and the batch side is small — the join
+    * shuffles the batch to the index's lang/band partitioning, exactly like
+    * the streaming upsert's anti-join.
+    */
+  def dedupIncremental(spark: SparkSession, dir: String, watermarkId: Long = 250L): DataFrame = {
+    import spark.implicits._
+    val t = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", wordSet($"text").as("w"))
+    val corpus = t.filter($"doc_id" <= watermarkId)
+      .select($"lang", $"doc_id".as("corpus_doc_id"), $"w".as("wc"))
+    val incoming = t.filter($"doc_id" > watermarkId)
+    val m = incoming.join(corpus, Seq("lang"))
+      .withColumn("inter", size(array_intersect($"w", $"wc")))
+      .withColumn("uni", size(array_union($"w", $"wc")))
+      .withColumn("jaccard", $"inter".cast("double") / $"uni".cast("double"))
+      .filter($"jaccard" >= 0.9)
+    val w = Window.partitionBy($"doc_id").orderBy($"jaccard".desc, $"corpus_doc_id")
+    m.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"lang", $"doc_id", $"corpus_doc_id", $"inter", $"uni", $"jaccard")
+      .orderBy($"lang", $"doc_id")
+  }
+
+  val dedupIncrementalSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang,
+      |    list_sort(list_distinct(string_split(lower(trim(text)), ' '))) AS w
+      |  FROM documents
+      |), m AS (
+      |  SELECT i.lang, i.doc_id, c.doc_id AS corpus_doc_id,
+      |    len(list_intersect(i.w, c.w)) AS inter,
+      |    len(list_distinct(list_concat(i.w, c.w))) AS uni,
+      |    CAST(len(list_intersect(i.w, c.w)) AS DOUBLE)
+      |      / CAST(len(list_distinct(list_concat(i.w, c.w))) AS DOUBLE) AS jaccard
+      |  FROM t i JOIN t c ON i.lang = c.lang AND i.doc_id > 250 AND c.doc_id <= 250
+      |  WHERE CAST(len(list_intersect(i.w, c.w)) AS DOUBLE)
+      |      / CAST(len(list_distinct(list_concat(i.w, c.w))) AS DOUBLE) >= 0.9
+      |), r AS (
+      |  SELECT lang, doc_id, corpus_doc_id, inter, uni, jaccard,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY jaccard DESC, corpus_doc_id) AS rn
+      |  FROM m
+      |)
+      |SELECT lang, doc_id, corpus_doc_id, inter, uni, jaccard
+      |FROM r WHERE rn = 1
+      |ORDER BY lang, doc_id""".stripMargin
+
   /** Ranked 3-gram-shingle near-dup candidates: top 10 most similar pairs
     * per lang block (deterministic tie-breaks), the "review queue" flavor
     * of shingle dedup.
@@ -489,6 +542,7 @@ object LlmQueries {
     "dedup_exact"         -> (dedupExact _),
     "dedup_exact_keeper"  -> (dedupExactKeeper _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_incremental"   -> ((s, d) => dedupIncremental(s, d)),
     "dedup_shingle_topk"  -> (dedupShingleTopk _),
     "dedup_embedding"     -> (dedupEmbedding _),
     "ann_topk_exact"      -> (annTopkExact _),
@@ -503,6 +557,7 @@ object LlmQueries {
     "dedup_exact"         -> dedupExactSql,
     "dedup_exact_keeper"  -> dedupExactKeeperSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "dedup_incremental"   -> dedupIncrementalSql,
     "dedup_shingle_topk"  -> dedupShingleTopkSql,
     "dedup_embedding"     -> dedupEmbeddingSql,
     "ann_topk_exact"      -> annTopkExactSql,
