@@ -352,6 +352,52 @@ object VectorAgg {
       .orderBy($"query_id", $"rank")
   }
 
+  /** IVF-PQ — the production composition of [[annTopkKmeans]] (coarse
+    * k-means cells bound the candidate set) and [[annTopkPq]] (candidates
+    * are scored from 32×-compressed codes via the query's ADC table, never
+    * from raw vectors): the inverted lists hold (cell, code) only, queries
+    * probe their 2 nearest cells, and each candidate costs M table lookups.
+    * This is the index layout a billion-vector corpus actually ships —
+    * raw vectors are never touched after the one encode pass. Rows-only;
+    * recall vs exact L2 pinned by AnnSpec.
+    */
+  def annTopkIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.LongVectorDot.vector_dot
+    val M = 16; val K = 16; val sub = 4
+    val q = quantized(spark, dir)
+    val cells = kmeansCells(spark, dir, k = 16, iters = 2)
+    val cbArr = pqCollapse(pqCodebook(spark, dir, M, K, sub)).localCheckpoint()
+    val ranked = withCellRank(q, cells).crossJoin(broadcast(cbArr))
+      .withColumn("svs", transform(sequence(lit(0), lit(M - 1)), mm => slice($"v", mm * sub + 1, lit(sub))))
+    // the inverted lists ARE the persisted index: (coarse cell, PQ code)
+    // per vector — raw vectors end here
+    val lists = ranked.select($"vec_id".as("neighbor_id"),
+        element_at($"cellRank", 1).getField("cell").as("cell"),
+        transform($"svs", (sv, mm) => element_at(array_sort(transform(
+          element_at($"cbs", mm + 1),
+          c => struct((c.getField("cc") - lit(2L) * vector_dot(sv, c.getField("cv"))).as("d2"),
+            c.getField("cell").as("cell")))), 1).getField("cell")).as("code"))
+      .localCheckpoint()
+    val probed = ranked.filter($"vec_id" % 10 === 0) // queries probe 2 cells
+      .select($"vec_id".as("query_id"),
+        explode(transform(slice($"cellRank", 1, 2), s => s.getField("cell"))).as("cell"),
+        flatten(transform($"cbs", (cl, mm) =>
+          transform(cl, c => c.getField("cc") - lit(2L) * vector_dot(
+            element_at($"svs", mm + 1), c.getField("cv"))))).as("dtab"))
+    probed.join(lists, Seq("cell"))
+      .filter($"query_id" =!= $"neighbor_id")
+      .withColumn("approx_d2", aggregate(
+        transform(sequence(lit(0), lit(M - 1)),
+          mm => element_at($"dtab", mm * K + element_at($"code", mm + 1) + 1)),
+        lit(0L), (acc, x) => acc + x))
+      .withColumn("rank",
+        row_number().over(Window.partitionBy($"query_id").orderBy($"approx_d2", $"neighbor_id")))
+      .filter($"rank" <= 5)
+      .select($"query_id", $"rank", $"neighbor_id", $"approx_d2")
+      .orderBy($"query_id", $"rank")
+  }
+
   /** Radius (range) search: every same-label pair within L2² ≤ radius,
     * exact over the ×1000-quantized integers. Label blocking keeps pair
     * work O(n·block) — the self-join is an equi-shuffle on the block key,
@@ -424,6 +470,7 @@ object VectorAgg {
     "ann_topk_kmeans"     -> (annTopkKmeans _),
     "ann_range_search"    -> ((s, d) => annRangeSearch(s, d)),
     "ann_topk_pq"         -> (annTopkPq _),
+    "ann_topk_ivfpq"      -> (annTopkIvfPq _),
     "skew_salted_topk"    -> (skewSaltedTopk _)
   )
 

@@ -300,6 +300,29 @@ class AnnSpec extends SparkSuite {
     assert(recall >= 0.2, s"pq recall@5 = $recall")
   }
 
+  test("IVF-PQ ANN: candidate gen from cells + ADC scoring keeps recall@5") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val got = ops.VectorAgg.annTopkIvfPq(spark, sf)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val vecs = Tables.embeddings(spark, sf)
+      .select($"vec_id",
+        transform($"embedding", x => floor(x.cast("double") * 1000.0 + 0.5).cast("long")).as("v"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val exact = (for {
+      (qid, qv) <- vecs.filter(_._1 % 10 == 0).toSeq
+      top = vecs.filter(_._1 != qid)
+        .map { case (nid, nv) => (nid, qv.zip(nv).map { case (a, b) => (a - b) * (a - b) }.sum) }
+        .sortBy { case (nid, d2) => (d2, nid) }.take(5)
+      (nid, _) <- top
+    } yield (qid, nid)).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    // deterministic; observed 0.208 (2-of-16-cell probe × 32×-compressed
+    // ADC scoring compounds both approximations)
+    assert(recall >= 0.12, s"ivf-pq recall@5 = $recall")
+  }
+
   test("ann ranks are 1..5 per query") {
     val rows = ops.LlmQueries.annTopkExact(spark, sf).collect()
     rows.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>
