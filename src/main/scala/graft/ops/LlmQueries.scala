@@ -437,6 +437,70 @@ object LlmQueries {
       |FROM s
       |ORDER BY doc_id""".stripMargin
 
+  /** Curation filter chain — the keep/drop decision step of a training
+    * pipeline: rules evaluated in PRIORITY order (first failure wins, like
+    * a real filter cascade's short-circuit), each doc emits its verdict and
+    * the first reject reason. Pure map-side CASE over the same integer/
+    * double metrics as [[textQuality]] (hash-green precedent), so the
+    * verdict is engine-exact.
+    */
+  def curationFilter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = words($"text")
+    val stop = Seq("the", "a", "of", "and", "to")
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", $"n_chars",
+        size(w).cast("long").as("n_words"),
+        size(array_distinct(w)).cast("long").as("n_distinct_words"),
+        size(filter(w, x => stop.map(m => x === lit(m)).reduce(_ || _))).cast("long").as("n_stopwords"))
+      .withColumn("avg_word_len",
+        ($"n_chars" - ($"n_words" - 1)).cast("double") / $"n_words".cast("double"))
+      .withColumn("distinct_ratio", $"n_distinct_words".cast("double") / $"n_words".cast("double"))
+      .withColumn("reason",
+        when($"n_words" < 10, "too_short")
+          .when($"avg_word_len" < 2.0 || $"avg_word_len" > 12.0, "word_len_out_of_range")
+          .when($"distinct_ratio" < 0.2, "low_diversity")
+          .when($"n_stopwords" === 0, "no_stopwords")
+          .otherwise("keep"))
+      .select($"doc_id", $"lang", $"n_words", $"reason",
+        ($"reason" === "keep").as("keep"))
+      .orderBy($"doc_id")
+  }
+
+  val curationFilterSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang, n_chars, string_split(lower(trim(text)), ' ') AS w
+      |  FROM documents
+      |), s AS (
+      |  SELECT doc_id, lang, n_chars,
+      |    CAST(len(w) AS BIGINT) AS n_words,
+      |    CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct_words,
+      |    CAST(len(list_filter(w, x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'and' OR x = 'to')) AS BIGINT) AS n_stopwords
+      |  FROM t
+      |), m AS (
+      |  SELECT doc_id, lang, n_words, n_stopwords,
+      |    CAST(n_chars - (n_words - 1) AS DOUBLE) / CAST(n_words AS DOUBLE) AS avg_word_len,
+      |    CAST(n_distinct_words AS DOUBLE) / CAST(n_words AS DOUBLE) AS distinct_ratio
+      |  FROM s
+      |)
+      |SELECT doc_id, lang, n_words,
+      |  CASE
+      |    WHEN n_words < 10 THEN 'too_short'
+      |    WHEN avg_word_len < 2.0 OR avg_word_len > 12.0 THEN 'word_len_out_of_range'
+      |    WHEN distinct_ratio < 0.2 THEN 'low_diversity'
+      |    WHEN n_stopwords = 0 THEN 'no_stopwords'
+      |    ELSE 'keep'
+      |  END AS reason,
+      |  (CASE
+      |    WHEN n_words < 10 THEN 'too_short'
+      |    WHEN avg_word_len < 2.0 OR avg_word_len > 12.0 THEN 'word_len_out_of_range'
+      |    WHEN distinct_ratio < 0.2 THEN 'low_diversity'
+      |    WHEN n_stopwords = 0 THEN 'no_stopwords'
+      |    ELSE 'keep'
+      |  END = 'keep') AS keep
+      |FROM m
+      |ORDER BY doc_id""".stripMargin
+
   /** Token counting: whitespace tokens + a bytes-per-token estimate (the
     * BPE-ish ~4 chars/token heuristic), per source rollup.
     */
@@ -548,6 +612,7 @@ object LlmQueries {
     "ann_topk_exact"      -> (annTopkExact _),
     "text_langid"         -> (textLangid _),
     "text_quality"        -> (textQuality _),
+    "curation_filter"     -> (curationFilter _),
     "text_tokens"         -> (textTokens _),
     "text_fingerprint"    -> (textFingerprint _)
   )
@@ -563,6 +628,7 @@ object LlmQueries {
     "ann_topk_exact"      -> annTopkExactSql,
     "text_langid"         -> textLangidSql,
     "text_quality"        -> textQualitySql,
+    "curation_filter"     -> curationFilterSql,
     "text_tokens"         -> textTokensSql,
     "text_fingerprint"    -> textFingerprintSql
   )

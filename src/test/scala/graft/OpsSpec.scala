@@ -161,6 +161,17 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("curation filter: verdicts consistent, both branches non-vacuous") {
+    val rows = ops.LlmQueries.curationFilter(spark, sf).collect()
+    val reasons = Set("too_short", "word_len_out_of_range", "low_diversity", "no_stopwords", "keep")
+    rows.foreach { r =>
+      assert(reasons.contains(r.getAs[String]("reason")))
+      assert(r.getAs[Boolean]("keep") == (r.getAs[String]("reason") == "keep"))
+    }
+    assert(rows.exists(_.getAs[Boolean]("keep")), "filter kept nothing")
+    assert(rows.exists(!_.getAs[Boolean]("keep")), "filter rejected nothing — cascade untested")
+  }
+
   test("chunking covers every token with the configured overlap") {
     val chunks = ops.Curation.textChunking(spark, sf).collect()
       .groupBy(_.getAs[Long]("doc_id"))
