@@ -498,10 +498,15 @@ object EtlQueries {
     * reference's ON CONFLICT upsert family (ts_version_mapping rewrites a
     * mapping in place; an SCD2 dim would version it): per user, each CHANGE
     * of event_type closes the previous version and opens a new one with
-    * [valid_from_sec, valid_to_sec] bounds and an is_current flag.
-    * Change detection (lag), versioning (row_number) and interval close
-    * (lead) all share one (user_id) partitioning — a single shuffle end to
-    * end, and at 100 TB the state per window group is one user's rows.
+    * HALF-OPEN [valid_from_sec, valid_to_sec) bounds (valid_to = the next
+    * version's valid_from; null while current) and an is_current flag.
+    * Half-open is the standard SCD2 convention precisely because a closed
+    * `next−1` bound inverts when two changes land in the same second —
+    * here a same-second change just yields an empty (zero-duration)
+    * version, never an inverted one. Change detection (lag), versioning
+    * (row_number) and interval close (lead) all share one (user_id)
+    * partitioning — a single shuffle end to end, and at 100 TB the state
+    * per window group is one user's rows.
     */
   def scd2History(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -513,7 +518,7 @@ object EtlQueries {
       .filter($"prev_type".isNull || $"prev_type" =!= $"event_type")
     changes
       .withColumn("version", row_number().over(w).cast("long"))
-      .withColumn("valid_to_sec", lead($"ts_sec", 1).over(w) - 1)
+      .withColumn("valid_to_sec", lead($"ts_sec", 1).over(w))
       .withColumn("is_current", lead($"ts_sec", 1).over(w).isNull)
       .select($"user_id", $"version", $"event_type", $"ts_sec".as("valid_from_sec"),
         $"valid_to_sec", $"is_current")
@@ -537,7 +542,7 @@ object EtlQueries {
       |  CAST(row_number() OVER w AS BIGINT) AS version,
       |  event_type,
       |  ts_sec AS valid_from_sec,
-      |  lead(ts_sec) OVER w - 1 AS valid_to_sec,
+      |  lead(ts_sec) OVER w AS valid_to_sec,
       |  lead(ts_sec) OVER w IS NULL AS is_current
       |FROM chg
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)

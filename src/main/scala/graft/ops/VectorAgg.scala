@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -241,36 +241,77 @@ object VectorAgg {
       .orderBy($"query_id", $"rank")
   }
 
-  /** Per-subspace PQ codebook: split the d-dim vectors into `M` sub-vectors
-    * of `sub` dims, seed each subspace's `K` centroids from the K lowest
-    * vec_ids, refine with one Lloyd round (assignment map-side via the
-    * broadcast codebook array; re-average shuffles only M·K·sub rows).
-    * Output: (m: int, cell: int 0..K-1, cv: array<long>).
+  /** Nearest sub-codebook cell id for one sub-vector: argmin over the
+    * (cell, cv, cc) entries of a single subspace's array `cl` — the ONE
+    * definition shared by training assignment, corpus encode, and IVF-PQ
+    * encode, so train-time cells and encode-time codes can never diverge.
     */
-  private def pqCodebook(spark: SparkSession, dir: String, m0: Int, k0: Int, sub: Int): DataFrame = {
-    import spark.implicits._
+  private def pqNearestCell(sv: Column, cl: Column): Column = {
     import graft.functions.LongVectorDot.vector_dot
-    val q = quantized(spark, dir)
+    element_at(array_sort(transform(cl,
+      c => struct((c.getField("cc") - lit(2L) * vector_dot(sv, c.getField("cv"))).as("d2"),
+        c.getField("cell").as("cell")))), 1).getField("cell")
+  }
+
+  /** Per-row PQ code: nearest cell per subspace over the broadcast `cbs`. */
+  private def pqCode(svs: Column, cbs: Column): Column =
+    transform(svs, (sv, mm) => pqNearestCell(sv, element_at(cbs, mm + 1)))
+
+  /** Per-query flat ADC table in m·K+cell layout — valid because
+    * [[pqCodebookOn]] guarantees every subspace has exactly K dense cells.
+    */
+  private def pqDtab(svs: Column, cbs: Column): Column = {
+    import graft.functions.LongVectorDot.vector_dot
+    flatten(transform(cbs, (cl, mm) =>
+      transform(cl, c => c.getField("cc") - lit(2L) * vector_dot(
+        element_at(svs, mm + 1), c.getField("cv")))))
+  }
+
+  /** ADC score: Σ_m dtab[m·K + code[m]]. */
+  private def pqAdc(dtab: Column, code: Column, m0: Int, k0: Int): Column =
+    aggregate(transform(sequence(lit(0), lit(m0 - 1)),
+      mm => element_at(dtab, mm * k0 + element_at(code, mm + 1) + 1)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** The per-row array of sub-vectors. */
+  private def pqSvs(v: Column, m0: Int, sub: Int): Column =
+    transform(sequence(lit(0), lit(m0 - 1)), mm => slice(v, mm * sub + 1, lit(sub)))
+
+  private def pqCodebook(spark: SparkSession, dir: String, m0: Int, k0: Int, sub: Int): DataFrame =
+    pqCodebookOn(quantized(spark, dir), m0, k0, sub)
+
+  /** Per-subspace PQ codebook over a (vec_id, v) corpus: split the d-dim
+    * vectors into `m0` sub-vectors of `sub` dims, seed each subspace's `k0`
+    * centroids from the k0 lowest vec_ids, refine with one Lloyd round
+    * (assignment map-side via the broadcast codebook array; re-average
+    * shuffles only M·K·sub rows). A cell that loses every member KEEPS its
+    * seed centroid: every subspace always holds exactly K dense cells
+    * 0..K-1, which the flat m·K+cell ADC layout depends on — dropping
+    * starved cells (plain Lloyd) would silently shift every later
+    * subspace's table offsets (PqSpec pins this on a corpus with a
+    * deliberately starved cell). Output: (m: int, cell: int, cv).
+    */
+  private[graft] def pqCodebookOn(q: DataFrame, m0: Int, k0: Int, sub: Int): DataFrame = {
+    import q.sparkSession.implicits._
     // dense 0..K-1 cell ids; pmod(vec_id,1) = non-foldable constant so the
     // 16-row window stays partition-defined (no global-window red flag)
     val wSeed = Window.partitionBy(pmod($"vec_id", lit(1))).orderBy($"vec_id")
     val seeds = q.orderBy($"vec_id").limit(k0)
       .withColumn("cell", row_number().over(wSeed) - 1)
-    val seedCb = seeds.select($"cell", posexplode(transform(sequence(lit(0), lit(m0 - 1)),
-        mm => slice($"v", mm * sub + 1, lit(sub)))).as(Seq("m", "cv")))
+    val seedCb = seeds.select($"cell", posexplode(pqSvs($"v", m0, sub)).as(Seq("m", "cv")))
       .select($"m", $"cell", $"cv")
-    val subRows = q.select($"vec_id", posexplode(transform(sequence(lit(0), lit(m0 - 1)),
-        mm => slice($"v", mm * sub + 1, lit(sub)))).as(Seq("m", "sv")))
+    val subRows = q.select($"vec_id", posexplode(pqSvs($"v", m0, sub)).as(Seq("m", "sv")))
     val assigned = subRows.crossJoin(broadcast(pqCollapse(seedCb)))
       .select($"m", $"sv",
-        element_at(array_sort(transform(element_at($"cbs", $"m" + 1),
-          c => struct((c.getField("cc") - lit(2L) * vector_dot($"sv", c.getField("cv"))).as("d2"),
-            c.getField("cell").as("cell")))), 1).getField("cell").as("cell"))
-    assigned.select($"m", $"cell", posexplode($"sv").as(Seq("dim0", "x")))
+        pqNearestCell($"sv", element_at($"cbs", $"m" + 1)).as("cell"))
+    val refined = assigned.select($"m", $"cell", posexplode($"sv").as(Seq("dim0", "x")))
       .groupBy($"m", $"cell", $"dim0").agg(avg($"x").as("mean"))
       .groupBy($"m", $"cell")
       .agg(array_sort(collect_list(struct($"dim0", $"mean"))).as("dm"))
       .select($"m", $"cell", transform($"dm", s => floor(s.getField("mean") + 0.5).cast("long")).as("cv"))
+    seedCb.select($"m", $"cell", $"cv".as("seed_cv"))
+      .join(refined.select($"m", $"cell", $"cv".as("new_cv")), Seq("m", "cell"), "left")
+      .select($"m", $"cell", coalesce($"new_cv", $"seed_cv").as("cv"))
   }
 
   /** (m, cell, cv) codebook collapsed to ONE broadcastable row:
@@ -311,39 +352,27 @@ object VectorAgg {
     */
   def annTopkPq(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import graft.functions.LongVectorDot.vector_dot
     val M = 16; val K = 16; val sub = 4
     val q = quantized(spark, dir)
     // tiny (M·K×(sub+1) longs) and used by two consumers — checkpoint so
     // the one-Lloyd-round training runs once
     val cbArr = pqCollapse(pqCodebook(spark, dir, M, K, sub)).localCheckpoint()
     val base = q.crossJoin(broadcast(cbArr))
-      .withColumn("svs", transform(sequence(lit(0), lit(M - 1)), mm => slice($"v", mm * sub + 1, lit(sub))))
+      .withColumn("svs", pqSvs($"v", M, sub))
     // the codes ARE the index: at scale this is written once as the PQ
     // index table and scanned by every query — the checkpoint models that
     // materialization and stops the deep nested-lambda plan from being
     // re-optimized/re-executed by each downstream consumer
-    val encoded = base.select($"vec_id",
-      transform($"svs", (sv, mm) => element_at(array_sort(transform(
-        element_at($"cbs", mm + 1),
-        c => struct((c.getField("cc") - lit(2L) * vector_dot(sv, c.getField("cv"))).as("d2"),
-          c.getField("cell").as("cell")))), 1).getField("cell")).as("code"))
+    val encoded = base.select($"vec_id", pqCode($"svs", $"cbs").as("code"))
       .localCheckpoint()
-    // per-query ADC table: flatten per-subspace distance arrays into the
-    // flat m·K+cell layout (cells are dense 0..K-1); the per-query constant
-    // Σ‖q_m‖² is dropped — it does not change the ranking
+    // per-query ADC table in the flat m·K+cell layout; the per-query
+    // constant Σ‖q_m‖² is dropped — it does not change the ranking
     val queriesDf = base.filter($"vec_id" % 10 === 0)
-      .select($"vec_id".as("query_id"),
-        flatten(transform($"cbs", (cl, mm) =>
-          transform(cl, c => c.getField("cc") - lit(2L) * vector_dot(
-            element_at($"svs", mm + 1), c.getField("cv"))))).as("dtab"))
+      .select($"vec_id".as("query_id"), pqDtab($"svs", $"cbs").as("dtab"))
     val scored = encoded.select($"vec_id".as("neighbor_id"), $"code")
       .crossJoin(broadcast(queriesDf))
       .filter($"query_id" =!= $"neighbor_id")
-      .withColumn("approx_d2", aggregate(
-        transform(sequence(lit(0), lit(M - 1)),
-          mm => element_at($"dtab", mm * K + element_at($"code", mm + 1) + 1)),
-        lit(0L), (acc, x) => acc + x))
+      .withColumn("approx_d2", pqAdc($"dtab", $"code", M, K))
     scored
       .withColumn("rank",
         row_number().over(Window.partitionBy($"query_id").orderBy($"approx_d2", $"neighbor_id")))
@@ -363,34 +392,25 @@ object VectorAgg {
     */
   def annTopkIvfPq(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import graft.functions.LongVectorDot.vector_dot
     val M = 16; val K = 16; val sub = 4
     val q = quantized(spark, dir)
     val cells = kmeansCells(spark, dir, k = 16, iters = 2)
     val cbArr = pqCollapse(pqCodebook(spark, dir, M, K, sub)).localCheckpoint()
     val ranked = withCellRank(q, cells).crossJoin(broadcast(cbArr))
-      .withColumn("svs", transform(sequence(lit(0), lit(M - 1)), mm => slice($"v", mm * sub + 1, lit(sub))))
+      .withColumn("svs", pqSvs($"v", M, sub))
     // the inverted lists ARE the persisted index: (coarse cell, PQ code)
     // per vector — raw vectors end here
     val lists = ranked.select($"vec_id".as("neighbor_id"),
         element_at($"cellRank", 1).getField("cell").as("cell"),
-        transform($"svs", (sv, mm) => element_at(array_sort(transform(
-          element_at($"cbs", mm + 1),
-          c => struct((c.getField("cc") - lit(2L) * vector_dot(sv, c.getField("cv"))).as("d2"),
-            c.getField("cell").as("cell")))), 1).getField("cell")).as("code"))
+        pqCode($"svs", $"cbs").as("code"))
       .localCheckpoint()
     val probed = ranked.filter($"vec_id" % 10 === 0) // queries probe 2 cells
       .select($"vec_id".as("query_id"),
         explode(transform(slice($"cellRank", 1, 2), s => s.getField("cell"))).as("cell"),
-        flatten(transform($"cbs", (cl, mm) =>
-          transform(cl, c => c.getField("cc") - lit(2L) * vector_dot(
-            element_at($"svs", mm + 1), c.getField("cv"))))).as("dtab"))
+        pqDtab($"svs", $"cbs").as("dtab"))
     probed.join(lists, Seq("cell"))
       .filter($"query_id" =!= $"neighbor_id")
-      .withColumn("approx_d2", aggregate(
-        transform(sequence(lit(0), lit(M - 1)),
-          mm => element_at($"dtab", mm * K + element_at($"code", mm + 1) + 1)),
-        lit(0L), (acc, x) => acc + x))
+      .withColumn("approx_d2", pqAdc($"dtab", $"code", M, K))
       .withColumn("rank",
         row_number().over(Window.partitionBy($"query_id").orderBy($"approx_d2", $"neighbor_id")))
       .filter($"rank" <= 5)

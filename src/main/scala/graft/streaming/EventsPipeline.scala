@@ -200,8 +200,14 @@ object EventsPipeline {
     df.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        freshRows(batch, path, key).withColumn("_batch_id", lit(batchId))
-          .write.mode("append").parquet(path)
+        // persist the deduped batch: it is consumed three times (isEmpty,
+        // bloom build, anti-join) and the dedup shuffle must run once
+        val deduped = batch.filter(col(key).isNotNull).dropDuplicates(key)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try
+          antiJoinFresh(deduped, path, key).withColumn("_batch_id", lit(batchId))
+            .write.mode("append").parquet(path)
+        finally deduped.unpersist()
       }
 
   /** The per-batch body of [[upsertWarehouseSink]], factored out so its
@@ -221,16 +227,19 @@ object EventsPipeline {
     * ~99% before the join", on top of the bucketed co-partitioning path
     * proven in EtlSourcesSpec.
     */
-  private[graft] def freshRows(batch: DataFrame, path: String, key: String): DataFrame = {
-    val deduped = batch.filter(col(key).isNotNull).dropDuplicates(key)
+  private[graft] def freshRows(batch: DataFrame, path: String, key: String): DataFrame =
+    antiJoinFresh(batch.filter(col(key).isNotNull).dropDuplicates(key), path, key)
+
+  /** Bloom + anti-join over an already null-free, key-unique batch. */
+  private def antiJoinFresh(deduped: DataFrame, path: String, key: String): DataFrame = {
     // stat.bloomFilter over ZERO rows yields a null sketch buffer (NPE on
     // readFrom) — and an empty batch has nothing to anti-join anyway
     if (deduped.isEmpty) deduped
     else try {
       val bf = deduped.stat.bloomFilter(col(key).cast("string"), 1000000L, 0.01)
-      val bcBf = batch.sparkSession.sparkContext.broadcast(bf)
+      val bcBf = deduped.sparkSession.sparkContext.broadcast(bf)
       val batchMightContain = udf((k: String) => k != null && bcBf.value.mightContain(k))
-      val existingKeys = batch.sparkSession.read.parquet(path).select(key)
+      val existingKeys = deduped.sparkSession.read.parquet(path).select(key)
         .filter(batchMightContain(col(key).cast("string")))
       deduped.join(existingKeys, Seq(key), "left_anti")
     } catch {
@@ -248,23 +257,35 @@ object EventsPipeline {
     * existing mapping's payload in place): matched keys take the incoming
     * row's payload, unmatched warehouse rows are kept, new keys are
     * inserted. Implemented as anti-join (keep untouched rows) ∪ incoming
-    * batch — the logical MERGE — with the result materialized
-    * (localCheckpoint) before overwriting the path it was read from.
-    * Naturally idempotent: re-delivering a batch rewrites the same rows to
-    * the same values, so count and payload are stable under retries.
+    * batch — the logical MERGE. Idempotent: re-delivering a batch rewrites
+    * the same rows to the same values, so count and payload are stable
+    * under retries.
     *
-    * Scale note: a full rewrite per batch is the no-table-format fallback;
-    * at 100 TB the warehouse is partitioned on a key bucket and only
-    * partitions containing matched keys are rewritten (or the same
-    * anti-join ∪ union drops into a transactional format's MERGE). Null
-    * keys are quarantined as in [[freshRows]].
+    * In-batch duplicate keys collapse to a DETERMINISTIC winner (greatest
+    * payload struct per key): the reference applies rows sequentially so
+    * its last write wins, but a shuffled micro-batch has no row order —
+    * include an explicit sequence column in the payload to make
+    * "greatest" mean "latest".
+    *
+    * Crash safety: the merge is written to a staging directory first, then
+    * swapped in (delete + rename), so a crash mid-rewrite leaves either the
+    * intact old warehouse or a complete staging copy — never a
+    * half-deleted warehouse. The delete→rename pair is still two
+    * operations; a transactional table format's MERGE (same logical plan)
+    * closes that last gap at production scale, where the warehouse would
+    * also be key-bucketed so only affected partitions rewrite. Null keys
+    * are quarantined as in [[freshRows]].
     */
   def mergeWarehouseSink(df: DataFrame, path: String, key: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     df.writeStream
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val incoming = batch.filter(col(key).isNotNull).dropDuplicates(key)
+        val payloadCols = batch.columns.filterNot(_ == key)
+        val incoming = batch.filter(col(key).isNotNull)
+          .groupBy(col(key))
+          .agg(max(struct(payloadCols.map(col).toIndexedSeq: _*)).as("_p"))
+          .select(col(key) +: payloadCols.map(n => col("_p").getField(n).as(n)): _*)
           .withColumn("_batch_id", lit(batchId))
         val merged =
           try {
@@ -278,9 +299,14 @@ object EventsPipeline {
             case _: java.io.FileNotFoundException =>
               incoming
           }
-        // materialize before overwriting the input path (lazy plans must
-        // not re-read parquet files the write is deleting)
-        merged.localCheckpoint().write.mode("overwrite").parquet(path)
+        // stage-then-swap: merged reads the live path and writes elsewhere,
+        // so no self-overwrite race and no whole-warehouse checkpoint
+        val staging = path + ".staging"
+        merged.write.mode("overwrite").parquet(staging)
+        val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(path), true)
+        fs.rename(new org.apache.hadoop.fs.Path(staging), new org.apache.hadoop.fs.Path(path))
+        ()
       }
 
   /** Streaming k-means — continuous IVF index maintenance over an
@@ -330,9 +356,18 @@ object EventsPipeline {
                 if e.getMessage != null && e.getMessage.contains("PATH_NOT_FOUND") => Seq.empty
               case _: java.io.FileNotFoundException => Seq.empty
             }
-          if (prev.nonEmpty && prev.head._4 >= batchId) {
-            // this batch is already folded into the state (foreachBatch
-            // re-delivery) — applying it again would double-count
+          if (prev.nonEmpty && prev.head._4 == batchId) {
+            // this exact batch is already folded into the state (the
+            // foreachBatch retry signature: re-delivery of the LAST
+            // committed batch) — applying it again would double-count
+          } else if (prev.nonEmpty && prev.head._4 > batchId) {
+            // batch ids restart at 0 under a FRESH checkpoint: silently
+            // skipping (state wins) would drop data, silently folding
+            // would double-count history — fail loudly instead
+            throw new IllegalStateException(
+              s"streamingKmeans state at $statePath was last written by batch ${prev.head._4} " +
+                s"but received batch $batchId — restarting with a new checkpoint against " +
+                "existing state is ambiguous; clear the state path or restore the checkpoint")
           } else {
           val centroids =
             if (prev.isEmpty) q.orderBy($"vec_id").limit(k).select($"vec_id".as("cell"), $"v".as("cv"))

@@ -274,24 +274,30 @@ class AnnSpec extends SparkSuite {
     assert(recall >= 0.2, s"kmeans ivf recall@5 = $recall") // 2-of-16-cell probe
   }
 
-  test("PQ ANN: recall@5 vs exact L2, and codes compress to M small ids") {
+  /** Exact L2 top-5 per query vec (brute force over the test corpus) —
+    * the shared ground truth for the PQ/IVF-PQ recall tests.
+    */
+  private def exactL2Top5(): Set[(Long, Long)] = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    val pq = ops.VectorAgg.annTopkPq(spark, sf)
-      .select("query_id", "neighbor_id").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    // exact L2 top-5 per query (brute force over the 500-vector test corpus)
     val vecs = Tables.embeddings(spark, sf)
       .select($"vec_id",
         transform($"embedding", x => floor(x.cast("double") * 1000.0 + 0.5).cast("long")).as("v"))
       .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
-    val exact = (for {
+    (for {
       (qid, qv) <- vecs.filter(_._1 % 10 == 0).toSeq
       top = vecs.filter(_._1 != qid)
         .map { case (nid, nv) => (nid, qv.zip(nv).map { case (a, b) => (a - b) * (a - b) }.sum) }
         .sortBy { case (nid, d2) => (d2, nid) }.take(5)
       (nid, _) <- top
     } yield (qid, nid)).toSet
+  }
+
+  test("PQ ANN: recall@5 vs exact L2, and codes compress to M small ids") {
+    val pq = ops.VectorAgg.annTopkPq(spark, sf)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = exactL2Top5()
     assert(exact.nonEmpty)
     val recall = (exact & pq).size.toDouble / exact.size
     // deterministic pipeline (no RNG): observed 0.292 on this corpus; PQ on
@@ -301,26 +307,33 @@ class AnnSpec extends SparkSuite {
   }
 
   test("IVF-PQ ANN: candidate gen from cells + ADC scoring keeps recall@5") {
-    import spark.implicits._
-    import org.apache.spark.sql.functions._
     val got = ops.VectorAgg.annTopkIvfPq(spark, sf)
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val vecs = Tables.embeddings(spark, sf)
-      .select($"vec_id",
-        transform($"embedding", x => floor(x.cast("double") * 1000.0 + 0.5).cast("long")).as("v"))
-      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
-    val exact = (for {
-      (qid, qv) <- vecs.filter(_._1 % 10 == 0).toSeq
-      top = vecs.filter(_._1 != qid)
-        .map { case (nid, nv) => (nid, qv.zip(nv).map { case (a, b) => (a - b) * (a - b) }.sum) }
-        .sortBy { case (nid, d2) => (d2, nid) }.take(5)
-      (nid, _) <- top
-    } yield (qid, nid)).toSet
-    val recall = (exact & got).size.toDouble / exact.size
+    val recall = (exactL2Top5() & got).size.toDouble / exactL2Top5().size
     // deterministic; observed 0.208 (2-of-16-cell probe × 32×-compressed
     // ADC scoring compounds both approximations)
     assert(recall >= 0.12, s"ivf-pq recall@5 = $recall")
+  }
+
+  test("PQ codebook keeps starved cells: every subspace stays K-dense") {
+    import spark.implicits._
+    // vec 1 and 2 share their subspace-0 sub-vector, so (ties go to the
+    // lower cell) seed cell 1 of subspace 0 attracts NO members in the
+    // Lloyd round. Plain drop-on-starve would leave subspace 0 with K−1
+    // cells and silently shift the flat m·K+cell ADC table offsets of
+    // every later subspace; the seed-keep rule must retain it.
+    val vecs = Seq(
+      (1L, Seq(1L, 1L, 1L, 1L, 9L, 9L, 9L, 9L)),
+      (2L, Seq(1L, 1L, 1L, 1L, 5L, 5L, 5L, 5L)),
+      (3L, Seq(7L, 7L, 7L, 7L, 1L, 1L, 1L, 1L)),
+      (4L, Seq(3L, 3L, 3L, 3L, 2L, 2L, 2L, 2L)),
+      (5L, Seq(1L, 1L, 1L, 2L, 9L, 9L, 9L, 8L))).toDF("vec_id", "v")
+    val cb = ops.VectorAgg.pqCodebookOn(vecs, m0 = 2, k0 = 4, sub = 4).collect()
+    cb.groupBy(_.getAs[Int]("m")).foreach { case (m, rows) =>
+      assert(rows.map(_.getAs[Int]("cell")).sorted.toSeq == (0 until 4),
+        s"subspace $m lost a cell: ${rows.map(_.getAs[Int]("cell")).sorted.mkString(",")}")
+    }
   }
 
   test("ann ranks are 1..5 per query") {

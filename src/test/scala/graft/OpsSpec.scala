@@ -151,9 +151,11 @@ class OpsSpec extends SparkSuite {
         sorted.last.fieldIndex("valid_to_sec")), s"user $u")
       sorted.sliding(2).foreach {
         case Array(prev, next) =>
-          // closed interval ends one second before the next version opens
+          // half-open chaining: a version ends exactly where the next opens
           assert(prev.getAs[Long]("valid_to_sec") ==
-            next.getAs[Long]("valid_from_sec") - 1, s"user $u")
+            next.getAs[Long]("valid_from_sec"), s"user $u")
+          // never inverted (same-second changes yield empty, not negative)
+          assert(prev.getAs[Long]("valid_from_sec") <= prev.getAs[Long]("valid_to_sec"), s"user $u")
           // a version exists only on CHANGE of the tracked attribute
           assert(prev.getAs[String]("event_type") != next.getAs[String]("event_type"), s"user $u")
         case _ =>
