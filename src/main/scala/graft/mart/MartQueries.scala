@@ -174,25 +174,43 @@ object MartQueries {
     * (dm_ddl.sql:119) — ranked artists with optional year/month filters;
     * supplier dim broadcast; deterministic tie-break.
     */
+  /** (track partkey → cover_art_url) from the etl_json_nested extraction,
+    * broadcast-joined into the dm.top_* outputs. The reference's top_*
+    * return `max(cover_art_url)` per group ("random track cover art should
+    * be good enough", dm_ddl.sql:76) — MAX over the group's own tracks'
+    * covers mirrors that exactly.
+    */
+  private def coverArt(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.etl.EtlQueries.jsonNestedCore(spark, dir)
+      .select($"p_partkey".as("ca_partkey"), $"cover_art_url")
+  }
+
+  private def coverAgg: Column = max(col("cover_art_url")).as("cover_art_url")
+
   def topArtists(spark: SparkSession, dir: String,
       filterYear: Option[Int] = Some(1997), filterMonth: Option[Int] = None,
       returnLimit: Int = 10): DataFrame = {
     import spark.implicits._
     val sup = Tables.supplier(spark, dir).select($"s_suppkey", $"s_name")
+    val aggs = rankedMetrics :+ coverAgg
     listeningFacts(spark, dir)
       .filter(yearMonthFilter(filterYear, filterMonth))
       .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(coverArt(spark, dir)), $"l_partkey" === $"ca_partkey", "left")
       .groupBy($"s_name".as("artist"))
-      .agg(rankedMetrics.head, rankedMetrics.tail: _*)
+      .agg(aggs.head, aggs.tail: _*)
       .orderBy($"hours_played".desc, $"artist")
       .limit(returnLimit)
   }
 
   val topArtistsSql: String =
-    s"""$fhCte
+    s"""$fhCte, $coverCte
        |SELECT s_name AS artist,
-       |$rankedMetricsSql
+       |$rankedMetricsSql,
+       |  MAX(cover_art_url) AS cover_art_url
        |FROM fh JOIN supplier ON l_suppkey = s_suppkey
+       |  LEFT JOIN ca ON fh.l_partkey = ca.ca_partkey
        |WHERE year(ts) = 1997
        |GROUP BY s_name
        |ORDER BY hours_played DESC, artist
@@ -221,20 +239,15 @@ object MartQueries {
       filterArtist: Option[String] = None, returnLimit: Int = 25): DataFrame = {
     import spark.implicits._
     val pm = parentMap(spark, dir)
-    // the reference's dm.top_* return the track's cover_art
-    // (dm_ddl.sql top_tracks; dashboard_queries.py columns list): thread
-    // the etl_json_nested extraction in via the PARENT partkey — variants
-    // collapse to the parent, so the group's cover is the parent's cover
-    // (constant within a group; MIN makes that deterministic either way)
-    val ca = graft.etl.EtlQueries.jsonNestedCore(spark, dir)
-      .select($"p_partkey".as("ca_partkey"), $"cover_art_url")
+    // the reference's top_tracks returns max(dt.cover_art_url) per group
+    // (dm_ddl.sql:104): MAX over the member tracks' own covers
     val artistPred = filterArtist.map($"p_brand" === _).getOrElse(lit(true))
-    val aggs = rankedMetrics :+ min($"cover_art_url").as("cover_art_url")
+    val aggs = rankedMetrics :+ coverAgg
     listeningFacts(spark, dir)
       .filter(yearMonthFilter(filterYear, filterMonth))
       .join(broadcast(pm), $"l_partkey" === $"p_partkey", "left")
       .filter(artistPred)
-      .join(broadcast(ca), $"parent_partkey" === $"ca_partkey", "left")
+      .join(broadcast(coverArt(spark, dir)), $"l_partkey" === $"ca_partkey", "left")
       .groupBy(
         coalesce($"p_name", lit("<unknown>")).as("track"),
         coalesce($"p_brand", lit("<unknown>")).as("artist"))
@@ -244,9 +257,10 @@ object MartQueries {
   }
 
   /** pm (parent-variant map) + ca (cover-art per partkey, the oracle twin
-    * of etl_json_nested's extraction) CTEs shared by the top_tracks SQLs.
+    * of etl_json_nested's extraction) CTEs shared by the dm.top_* SQLs
+    * (lazy: referenced by SQL vals declared earlier in the file).
     */
-  private val coverCte: String =
+  private lazy val coverCte: String =
     """pm AS (
       |  SELECT p_partkey, p_name, p_brand,
       |    MIN(p_partkey) OVER (PARTITION BY p_name, p_brand) AS parent_partkey
@@ -274,9 +288,9 @@ object MartQueries {
     s"""$fhCte, $coverCte
        |SELECT coalesce(p_name, '<unknown>') AS track, coalesce(p_brand, '<unknown>') AS artist,
        |$rankedMetricsSql,
-       |  MIN(cover_art_url) AS cover_art_url
+       |  MAX(cover_art_url) AS cover_art_url
        |FROM fh LEFT JOIN pm ON l_partkey = pm.p_partkey
-       |  LEFT JOIN ca ON pm.parent_partkey = ca.ca_partkey
+       |  LEFT JOIN ca ON fh.l_partkey = ca.ca_partkey
        |GROUP BY 1, 2
        |ORDER BY hours_played DESC, track, artist
        |LIMIT 25""".stripMargin
@@ -290,21 +304,25 @@ object MartQueries {
     import spark.implicits._
     val pt = Tables.part(spark, dir).select($"p_partkey", $"p_brand", $"p_type")
     val artistPred = filterArtist.map($"p_type" === _).getOrElse(lit(true))
+    val aggs = rankedMetrics :+ coverAgg
     listeningFacts(spark, dir)
       .filter(yearMonthFilter(filterYear, filterMonth))
       .join(broadcast(pt), $"l_partkey" === $"p_partkey")
       .filter(artistPred)
+      .join(broadcast(coverArt(spark, dir)), $"l_partkey" === $"ca_partkey", "left")
       .groupBy($"p_brand".as("album"))
-      .agg(rankedMetrics.head, rankedMetrics.tail: _*)
+      .agg(aggs.head, aggs.tail: _*)
       .orderBy($"hours_played".desc, $"album")
       .limit(returnLimit)
   }
 
   val topAlbumsSql: String =
-    s"""$fhCte
+    s"""$fhCte, $coverCte
        |SELECT p_brand AS album,
-       |$rankedMetricsSql
-       |FROM fh JOIN part ON l_partkey = p_partkey
+       |$rankedMetricsSql,
+       |  MAX(cover_art_url) AS cover_art_url
+       |FROM fh JOIN part ON fh.l_partkey = part.p_partkey
+       |  LEFT JOIN ca ON fh.l_partkey = ca.ca_partkey
        |GROUP BY p_brand
        |ORDER BY hours_played DESC, album
        |LIMIT 10""".stripMargin
@@ -392,9 +410,9 @@ object MartQueries {
     s"""$fhCte, $coverCte
        |SELECT coalesce(p_name, '<unknown>') AS track, coalesce(p_brand, '<unknown>') AS artist,
        |$rankedMetricsSql,
-       |  MIN(cover_art_url) AS cover_art_url
+       |  MAX(cover_art_url) AS cover_art_url
        |FROM fh LEFT JOIN pm ON l_partkey = pm.p_partkey
-       |  LEFT JOIN ca ON pm.parent_partkey = ca.ca_partkey
+       |  LEFT JOIN ca ON fh.l_partkey = ca.ca_partkey
        |WHERE year(ts) = 1997 AND month(ts) = 5
        |GROUP BY 1, 2
        |ORDER BY hours_played DESC, track, artist
