@@ -336,6 +336,19 @@ class AnnSpec extends SparkSuite {
     }
   }
 
+  test("cell-bounded range search == exact range search (triangle bound is complete)") {
+    // recall is PROVABLY 1 (triangle-inequality cell-pair pruning) and
+    // scoring is the same exact integer arithmetic — so the outputs must be
+    // identical row for row, not just overlapping
+    val exact = ops.VectorAgg.annRangeSearch(spark, sf).collect()
+      .map(r => (r.getAs[String]("label"), r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Long]("d2"))).toSet
+    val ivf = ops.VectorAgg.annRangeSearchIvf(spark, sf).collect()
+      .map(r => (r.getAs[String]("label"), r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Long]("d2"))).toSet
+    assert(exact.nonEmpty)
+    assert(ivf == exact,
+      s"missing=${(exact -- ivf).take(5)} extra=${(ivf -- exact).take(5)}")
+  }
+
   test("ann ranks are 1..5 per query") {
     val rows = ops.LlmQueries.annTopkExact(spark, sf).collect()
     rows.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>
@@ -588,6 +601,33 @@ class PlanSpec extends SparkSuite {
       })
     assert(shufflesOverCorpus.isEmpty,
       shufflesOverCorpus.map(_.treeString).mkString("\n---\n"))
+  }
+
+  test("PQ scoring never broadcasts the query side (ADC tables flow through a shuffle)") {
+    // the round-3 form crossJoin(broadcast(queriesDf)) shipped every
+    // query's M·K-entry ADC table to every executor — memory grew with the
+    // query set (~10 TB when queries are 10% of a 100 TB corpus). The
+    // chunked equi-join must keep the ADC table (`dtab`) out of every
+    // broadcast build side; the only legitimate broadcast left is the
+    // one-row codebook (`cbs`).
+    val df = ops.VectorAgg.annTopkPq(spark, sf)
+    df.collect() // finalize AQE so the chosen join strategies are real
+    val nodes = tools.PlanWalk.flatten(df.queryExecution.executedPlan)
+    val badBroadcasts = nodes.collect {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+        if b.output.exists(_.name == "dtab") => b
+    }
+    assert(badBroadcasts.isEmpty,
+      badBroadcasts.map(_.treeString).mkString("\n---\n"))
+    // and the pairing actually goes through a shuffle equi-join on chunk
+    val shuffleJoin = nodes.exists {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+        j.leftKeys.exists(_.toString.contains("chunk"))
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec =>
+        j.leftKeys.exists(_.toString.contains("chunk"))
+      case _ => false
+    }
+    assert(shuffleJoin, df.queryExecution.executedPlan.toString)
   }
 
   test("q1: filter pushed to parquet scan, whole-stage codegen") {
