@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -230,27 +230,52 @@ object EventsPipeline {
   private[graft] def freshRows(batch: DataFrame, path: String, key: String): DataFrame =
     antiJoinFresh(batch.filter(col(key).isNotNull).dropDuplicates(key), path, key)
 
-  /** Bloom + anti-join over an already null-free, key-unique batch. */
-  private def antiJoinFresh(deduped: DataFrame, path: String, key: String): DataFrame = {
-    // stat.bloomFilter over ZERO rows yields a null sketch buffer (NPE on
-    // readFrom) — and an empty batch has nothing to anti-join anyway
-    if (deduped.isEmpty) deduped
-    else try {
-      val bf = deduped.stat.bloomFilter(col(key).cast("string"), 1000000L, 0.01)
-      val bcBf = deduped.sparkSession.sparkContext.broadcast(bf)
-      val batchMightContain = udf((k: String) => k != null && bcBf.value.mightContain(k))
-      val existingKeys = deduped.sparkSession.read.parquet(path).select(key)
-        .filter(batchMightContain(col(key).cast("string")))
-      deduped.join(existingKeys, Seq(key), "left_anti")
-    } catch {
-      // first batch: warehouse path does not exist yet
+  /** The warehouse as Some(df), or None before the first batch ever
+    * commits (missing path, or a path holding only a crashed write's
+    * temporary files — both mean "no committed rows yet").
+    */
+  private def readWarehouse(spark: SparkSession, path: String): Option[DataFrame] =
+    try Some(spark.read.parquet(path))
+    catch {
       case e: org.apache.spark.sql.AnalysisException
-        if e.getMessage != null && e.getMessage.contains("PATH_NOT_FOUND") =>
-        deduped
-      case _: java.io.FileNotFoundException =>
-        deduped
+        if e.getMessage != null && (e.getMessage.contains("PATH_NOT_FOUND") ||
+          e.getMessage.contains("UNABLE_TO_INFER_SCHEMA")) => None
+      case _: java.io.FileNotFoundException => None
     }
-  }
+
+  /** Bloom + anti-join over an already null-free, key-unique batch.
+    *
+    * The probe is Catalyst's native `BloomFilterMightContain` (via the
+    * graftshim Expression↔Column bridge), NOT a per-row Scala udf: it
+    * codegens into the warehouse scan's stage, so the pre-filter keeps the
+    * "no per-row UDF in a hot path" invariant. Both sides hash the key
+    * through xxhash64 (build inserts longs, probe tests longs — the same
+    * pairing Spark's own runtime row-level filtering uses).
+    *
+    * The warehouse is resolved FIRST: on the very first batch there is
+    * nothing to anti-join, so the Bloom build (a batch-wide aggregation
+    * pass) is skipped instead of computed and discarded.
+    */
+  private def antiJoinFresh(deduped: DataFrame, path: String, key: String): DataFrame =
+    readWarehouse(deduped.sparkSession, path) match {
+      case None => deduped // first batch: no warehouse yet, nothing to prune
+      case Some(warehouse) =>
+        // stat.bloomFilter over ZERO rows yields a null sketch buffer (NPE
+        // on readFrom) — and an empty batch has nothing to anti-join anyway
+        if (deduped.isEmpty) deduped
+        else {
+          val bf = deduped.stat.bloomFilter(xxhash64(col(key).cast("string")), 1000000L, 0.01)
+          val bos = new java.io.ByteArrayOutputStream()
+          bf.writeTo(bos)
+          val probe = org.apache.spark.sql.graftshim.toColumn(
+            org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+              org.apache.spark.sql.catalyst.expressions.Literal
+                .create(bos.toByteArray, org.apache.spark.sql.types.BinaryType),
+              org.apache.spark.sql.graftshim.toExpression(xxhash64(col(key).cast("string")))))
+          val existingKeys = warehouse.select(key).filter(probe)
+          deduped.join(existingKeys, Seq(key), "left_anti")
+        }
+    }
 
   /** Merge-update micro-batch load — the reference's `ON CONFLICT DO
     * UPDATE SET ...` upsert (ts_version_mapping.py UPSERT_SQL updates an
@@ -267,47 +292,148 @@ object EventsPipeline {
     * include an explicit sequence column in the payload to make
     * "greatest" mean "latest".
     *
-    * Crash safety: the merge is written to a staging directory first, then
-    * swapped in (delete + rename), so a crash mid-rewrite leaves either the
-    * intact old warehouse or a complete staging copy — never a
-    * half-deleted warehouse. The delete→rename pair is still two
-    * operations; a transactional table format's MERGE (same logical plan)
-    * closes that last gap at production scale, where the warehouse would
-    * also be key-bucketed so only affected partitions rewrite. Null keys
-    * are quarantined as in [[freshRows]].
+    * The warehouse is PARTITIONED BY a key-hash bucket and the merge
+    * rewrites only the buckets the batch touches (dynamic partition
+    * overwrite): per-batch I/O is O(affected buckets), not O(warehouse) —
+    * a 1-key batch rewrites 1/`buckets` of the data, and at 100 TB the
+    * bucket count scales with the warehouse so a micro-batch's rewrite
+    * stays bounded. StreamingSpec asserts untouched buckets' files are
+    * byte-identical (same path + mtime) across a merge.
+    *
+    * Crash safety: there is no delete-then-rename window — the root path
+    * always holds a complete warehouse. Dynamic overwrite stages each
+    * bucket's files and swaps them at commit; a crash mid-commit leaves a
+    * mix of pre/post-merge BUCKETS, and the foreachBatch retry re-derives
+    * the same deterministic merge from them (already-merged buckets
+    * re-merge to identical rows — idempotent), converging on the committed
+    * result. A transactional format's MERGE (same logical plan) is the
+    * drop-in production upgrade. Null keys are quarantined as in
+    * [[freshRows]].
     */
-  def mergeWarehouseSink(df: DataFrame, path: String, key: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+  def mergeWarehouseSink(df: DataFrame, path: String, key: String, buckets: Int = 16): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     df.writeStream
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val payloadCols = batch.columns.filterNot(_ == key)
-        val incoming = batch.filter(col(key).isNotNull)
-          .groupBy(col(key))
-          .agg(max(struct(payloadCols.map(col).toIndexedSeq: _*)).as("_p"))
-          .select(col(key) +: payloadCols.map(n => col("_p").getField(n).as(n)): _*)
-          .withColumn("_batch_id", lit(batchId))
-        val merged =
-          try {
-            val existing = spark.read.parquet(path)
-            existing.join(incoming.select(key), Seq(key), "left_anti")
-              .unionByName(incoming)
-          } catch {
-            case e: org.apache.spark.sql.AnalysisException
-              if e.getMessage != null && e.getMessage.contains("PATH_NOT_FOUND") =>
-              incoming
-            case _: java.io.FileNotFoundException =>
-              incoming
-          }
-        // stage-then-swap: merged reads the live path and writes elsewhere,
-        // so no self-overwrite race and no whole-warehouse checkpoint
-        val staging = path + ".staging"
-        merged.write.mode("overwrite").parquet(staging)
-        val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-        fs.delete(new org.apache.hadoop.fs.Path(path), true)
-        fs.rename(new org.apache.hadoop.fs.Path(staging), new org.apache.hadoop.fs.Path(path))
-        ()
+        mergeBatch(batch, path, key, buckets, batchId)
       }
+
+  /** The per-batch body of [[mergeWarehouseSink]], factored out so bucket
+    * isolation is directly testable.
+    */
+  private[graft] def mergeBatch(batch: DataFrame, path: String, key: String, buckets: Int, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val payloadCols = batch.columns.filterNot(_ == key)
+    val incoming = batch.filter(col(key).isNotNull)
+      .groupBy(col(key))
+      .agg(max(struct(payloadCols.map(col).toIndexedSeq: _*)).as("_p"))
+      .select(col(key) +: payloadCols.map(n => col("_p").getField(n).as(n)): _*)
+      .withColumn("_batch_id", lit(batchId))
+      .withColumn("_bucket", pmod(xxhash64(col(key).cast("string")), lit(buckets)).cast("int"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // ≤ `buckets` ints — bounded index metadata, like the k-means state
+      val affected = incoming.select("_bucket").distinct().collect().map(_.getInt(0)).toSeq
+      if (affected.nonEmpty) {
+        val merged = readWarehouse(spark, path) match {
+          case None => incoming
+          case Some(wh) =>
+            // partition pruning: only affected buckets are ever read
+            wh.filter(col("_bucket").isin(affected: _*))
+              .join(incoming.select(col(key)), Seq(key), "left_anti")
+              .unionByName(incoming)
+        }
+        // materialize BEFORE overwriting: the merge reads the same buckets
+        // it replaces, and the checkpoint is bounded by the affected
+        // buckets' size, not the warehouse
+        merged.localCheckpoint()
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("_bucket")
+          .parquet(path)
+      }
+    } finally { incoming.unpersist(); () }
+  }
+
+  /** SCD2 dimension sink — [[graft.etl.EtlQueries.scd2History]]'s
+    * versioning composed with the merge sink's bucketed layout: the
+    * history-PRESERVING streaming upsert (the reference's
+    * ts_version_mapping rewrites a mapping in place; this sink instead
+    * closes the current version and appends a new one on every attribute
+    * change). Per batch, per key:
+    *
+    *  - new key               → insert version 1, current, [ts, null)
+    *  - attributes changed    → close the current version at the incoming
+    *                            ts (half-open [from, to)) and append
+    *                            version n+1, current, [ts, null)
+    *  - attributes unchanged  → no-op, which is exactly what makes a
+    *                            re-delivered batch idempotent: its rows
+    *                            compare equal to the version they created
+    *
+    * In-batch duplicates collapse to the latest (max event time, greatest
+    * payload tie-break) — intermediate same-batch states are not
+    * versioned, matching the merge sink's winner rule. The dimension is
+    * bucketed by key hash and only affected buckets rewrite (dynamic
+    * partition overwrite), same shapes and crash story as [[mergeBatch]].
+    */
+  def scd2DimSink(df: DataFrame, path: String, key: String, tsCol: String, buckets: Int = 16): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        scd2Fold(batch, path, key, tsCol, buckets, batchId)
+      }
+
+  /** The per-batch body of [[scd2DimSink]], factored out for direct
+    * testability of the versioning rules.
+    */
+  private[graft] def scd2Fold(batch: DataFrame, path: String, key: String, tsCol: String, buckets: Int, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val attrCols = batch.columns.filterNot(c => c == key || c == tsCol).toSeq
+    val incoming = batch.filter(col(key).isNotNull)
+      .groupBy(col(key))
+      .agg(max(struct(unix_timestamp(col(tsCol)).as("ts_sec") +: attrCols.map(col): _*)).as("_p"))
+      .select(col(key).as("_ik") +: col("_p").getField("ts_sec").as("_its") +:
+        attrCols.map(n => col("_p").getField(n).as("_i_" + n)): _*)
+      .withColumn("_ibucket", pmod(xxhash64(col("_ik").cast("string")), lit(buckets)).cast("int"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val affected = incoming.select("_ibucket").distinct().collect().map(_.getInt(0)).toSeq
+      if (affected.nonEmpty) {
+        def asNewVersion(df: DataFrame, version: Column): DataFrame =
+          df.select(col("_ik").as(key) +: attrCols.map(n => col("_i_" + n).as(n)) ++: Seq(
+            col("_its").as("valid_from_sec"),
+            lit(null).cast("long").as("valid_to_sec"),
+            lit(true).as("is_current"),
+            version.as("version"),
+            col("_ibucket").as("_bucket")): _*)
+        val merged = readWarehouse(spark, path) match {
+          case None => asNewVersion(incoming, lit(1L))
+          case Some(dim) =>
+            val dimAff = dim.filter(col("_bucket").isin(affected: _*))
+            val history = dimAff.filter(!col("is_current")) // closed versions never change
+            val cur = dimAff.filter(col("is_current"))
+            val j = cur.join(incoming, cur(key) === incoming("_ik"), "full_outer")
+            val attrsEqual = struct(attrCols.map(col): _*) <=> struct(attrCols.map(n => col("_i_" + n)): _*)
+            val isChange = col("_ik").isNotNull && (col(key).isNull || !attrsEqual)
+            // current rows: closed at the incoming ts if changed, kept verbatim otherwise
+            val keptOrClosed = j.filter(col(key).isNotNull)
+              .select(col(key) +: attrCols.map(col) ++: Seq(
+                col("valid_from_sec"),
+                when(isChange, col("_its")).otherwise(col("valid_to_sec")).as("valid_to_sec"),
+                when(isChange, lit(false)).otherwise(col("is_current")).as("is_current"),
+                col("version"),
+                col("_bucket")): _*)
+            val newVersions = asNewVersion(j.filter(isChange),
+              coalesce(col("version"), lit(0L)) + lit(1L))
+            history.unionByName(keptOrClosed).unionByName(newVersions)
+        }
+        merged.localCheckpoint()
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("_bucket")
+          .parquet(path)
+      }
+    } finally { incoming.unpersist(); () }
+  }
 
   /** Streaming k-means — continuous IVF index maintenance over an
     * embedding stream (the streaming form of ops.VectorAgg.kmeansCells).
@@ -324,50 +450,55 @@ object EventsPipeline {
     * per-vector work stays fully distributed. First non-empty batch seeds
     * the k cells from its lowest vec_ids.
     *
-    * Retry-safe: the state file records the last applied batchId, and a
-    * re-delivered batch (foreachBatch retries after a crash between the
-    * state overwrite and the checkpoint commit) is skipped instead of
-    * double-folded — the exact-mean invariant survives at-least-once
-    * delivery.
+    * Retry-safe: the state file records the last applied batchId AND the
+    * caller's run tag (tie it to the checkpoint location — same checkpoint,
+    * same tag). A re-delivered batch (foreachBatch retries after a crash
+    * between the state overwrite and the checkpoint commit) presents the
+    * same tag + same batchId and is skipped instead of double-folded — the
+    * exact-mean invariant survives at-least-once delivery. A FRESH
+    * checkpoint presents a different tag and fails loudly even at batch 0,
+    * where batchId alone cannot distinguish "retry of the first batch"
+    * (skip) from "new run against stale state" (data loss if skipped).
     */
-  def streamingKmeans(vectors: DataFrame, statePath: String, k: Int = 8): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+  def streamingKmeans(vectors: DataFrame, statePath: String, k: Int = 8, runTag: String = "default"): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     vectors.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        kmeansFold(batch, statePath, k, batchId)
+        kmeansFold(batch, statePath, k, batchId, runTag)
       }
 
   /** The per-batch body of [[streamingKmeans]], factored out so the
     * retry-idempotence guard is directly testable.
     */
-  private[graft] def kmeansFold(batch: DataFrame, statePath: String, k: Int, batchId: Long): Unit =
+  private[graft] def kmeansFold(batch: DataFrame, statePath: String, k: Int, batchId: Long, runTag: String = "default"): Unit =
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
           import spark.implicits._
 
           val q = batch.select($"vec_id",
             transform($"embedding", x => floor(x.cast("double") * 1000.0 + 0.5).cast("long")).as("v"))
-          val prev: Seq[(Long, Seq[Long], Long, Long)] =
-            try spark.read.parquet(statePath)
-              .select($"cell", $"sums", $"n", $"last_batch_id")
-              .as[(Long, Seq[Long], Long, Long)].collect().toSeq
-            catch {
-              case e: org.apache.spark.sql.AnalysisException
-                if e.getMessage != null && e.getMessage.contains("PATH_NOT_FOUND") => Seq.empty
-              case _: java.io.FileNotFoundException => Seq.empty
+          val prev: Seq[(Long, Seq[Long], Long, Long, String)] =
+            readWarehouse(spark, statePath) match {
+              case None => Seq.empty
+              case Some(st) => st.select($"cell", $"sums", $"n", $"last_batch_id", $"run_tag")
+                .as[(Long, Seq[Long], Long, Long, String)].collect().toSeq
             }
-          if (prev.nonEmpty && prev.head._4 == batchId) {
+          if (prev.nonEmpty && prev.head._5 == runTag && prev.head._4 == batchId) {
             // this exact batch is already folded into the state (the
             // foreachBatch retry signature: re-delivery of the LAST
-            // committed batch) — applying it again would double-count
-          } else if (prev.nonEmpty && prev.head._4 > batchId) {
-            // batch ids restart at 0 under a FRESH checkpoint: silently
-            // skipping (state wins) would drop data, silently folding
-            // would double-count history — fail loudly instead
+            // committed batch by the SAME run) — applying it again would
+            // double-count
+          } else if (prev.nonEmpty && (prev.head._5 != runTag || prev.head._4 > batchId)) {
+            // batch ids restart at 0 under a FRESH checkpoint, so batchId
+            // alone cannot tell "retry of batch 0" from "new run against
+            // stale state" — the run tag can. Silently skipping (state
+            // wins) would drop data, silently folding would double-count
+            // history — fail loudly instead
             throw new IllegalStateException(
-              s"streamingKmeans state at $statePath was last written by batch ${prev.head._4} " +
-                s"but received batch $batchId — restarting with a new checkpoint against " +
-                "existing state is ambiguous; clear the state path or restore the checkpoint")
+              s"streamingKmeans state at $statePath was last written by run '${prev.head._5}' " +
+                s"batch ${prev.head._4} but received batch $batchId from run '$runTag' — " +
+                "restarting with a new checkpoint against existing state is ambiguous; " +
+                "clear the state path or restore the checkpoint")
           } else {
           val centroids =
             if (prev.isEmpty) q.orderBy($"vec_id").limit(k).select($"vec_id".as("cell"), $"v".as("cv"))
@@ -393,7 +524,8 @@ object EventsPipeline {
                 .when($"bsums".isNull, $"sums")
                 .otherwise(zip_with($"sums", $"bsums", (a, b) => a + b)).as("sums"),
               (coalesce($"n", lit(0L)) + coalesce($"bn", lit(0L))).as("n"),
-              lit(batchId).as("last_batch_id"))
+              lit(batchId).as("last_batch_id"),
+              lit(runTag).as("run_tag"))
             .coalesce(1)
             .write.mode("overwrite").parquet(statePath)
           }

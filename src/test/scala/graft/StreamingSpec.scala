@@ -218,12 +218,14 @@ class StreamingSpec extends SparkSuite {
     assert(fresh.select("event_id").collect().map(_.getLong(0)).toSet ==
       (1000L until 1010L).toSet) // anti-join semantics intact
     // the warehouse side is pre-filtered by the bloom over the batch's keys
-    // BEFORE the anti-join: a FilterExec with the mightContain UDF sits on
-    // the warehouse scan, so at 100 TB most warehouse keys die at the scan
+    // BEFORE the anti-join: a FilterExec with Catalyst's NATIVE
+    // might_contain sits on the warehouse scan (codegen'd into the scan
+    // stage — no per-row Scala UDF), so at 100 TB most warehouse keys die
+    // at the scan
     val nodes = tools.PlanWalk.flatten(fresh.queryExecution.executedPlan)
     val bloomOnWarehouse = nodes.exists {
       case f: org.apache.spark.sql.execution.FilterExec =>
-        f.condition.toString.contains("UDF") &&
+        f.condition.toString.toLowerCase.contains("might_contain") &&
           tools.PlanWalk.flatten(f).exists {
             case s: org.apache.spark.sql.execution.FileSourceScanExec =>
               s.toString.contains("graft_bloomwh")
@@ -233,6 +235,102 @@ class StreamingSpec extends SparkSuite {
     }
     assert(bloomOnWarehouse,
       fresh.queryExecution.executedPlan.toString)
+    assert(!fresh.queryExecution.executedPlan.toString.contains("UDF"),
+      "per-row Scala UDF crept back into the bloom probe:\n" +
+        fresh.queryExecution.executedPlan.toString)
+  }
+
+  test("merge sink: a batch touching one bucket leaves other buckets' files unmodified") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_mbuck").toString + "/wh"
+    val buckets = 16
+    // seed: enough keys to populate every bucket
+    val seed = spark.range(0, 200).select($"id".as("event_id"), lit("seed").as("payload"))
+    streaming.EventsPipeline.mergeBatch(seed, root, "event_id", buckets, 0L)
+    def files(): Map[String, Set[(String, Long, Long)]] = {
+      val base = new java.io.File(root)
+      base.listFiles().filter(_.getName.startsWith("_bucket=")).map { d =>
+        d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getName, f.lastModified(), f.length())).toSet
+      }.toMap
+    }
+    val before = files()
+    assert(before.size == buckets, s"seed did not cover every bucket: ${before.keys}")
+    // one-key batch: exactly one bucket is affected
+    val one = Seq((7L, "updated")).toDF("event_id", "payload")
+    val hitBucket = one.select(
+      pmod(xxhash64($"event_id".cast("string")), lit(buckets)).cast("int")).head().getInt(0)
+    streaming.EventsPipeline.mergeBatch(one, root, "event_id", buckets, 1L)
+    val after = files()
+    before.foreach { case (dir, fs) =>
+      if (dir == s"_bucket=$hitBucket")
+        assert(after(dir) != fs, s"affected bucket $dir was not rewritten")
+      else
+        assert(after(dir) == fs, s"untouched bucket $dir was rewritten: $fs -> ${after(dir)}")
+    }
+    // and the merge itself is correct: count stable, payload updated
+    val wh = spark.read.parquet(root)
+    assert(wh.count() == 200)
+    assert(wh.filter($"event_id" === 7L).head().getAs[String]("payload") == "updated")
+  }
+
+  test("scd2 dim sink: attribute change chains half-open versions; redelivery is a no-op") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val path = java.nio.file.Files.createTempDirectory("graft_scd2").toString + "/dim"
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    val stream = MemoryStream[(Long, String, Timestamp)]
+    val q = streaming.EventsPipeline.scd2DimSink(
+        stream.toDF().toDF("user_id", "plan", "ts"), path, "user_id", "ts", buckets = 8)
+      .option("checkpointLocation", java.nio.file.Files.createTempDirectory("graft_scd2ck").toString)
+      .start()
+    try {
+      stream.addData(Seq((1L, "free", ts(1000)), (2L, "pro", ts(1000))))
+      q.processAllAvailable()
+      val d1 = spark.read.parquet(path)
+      assert(d1.count() == 2 && d1.filter($"is_current").count() == 2)
+      // batch 2: user 1 changes plan — v1 closes half-open at the new ts,
+      // v2 opens current
+      stream.addData(Seq((1L, "plus", ts(2000))))
+      q.processAllAvailable()
+      val u1 = spark.read.parquet(path).filter($"user_id" === 1L)
+        .select($"version", $"plan", $"valid_from_sec", $"valid_to_sec", $"is_current")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4)))
+        .sortBy(_._1).toSeq
+      assert(u1 == Seq((1L, "free", 1000L, 2000L, false), (2L, "plus", 2000L, -1L, true)), u1)
+      // user 2 untouched throughout
+      val u2 = spark.read.parquet(path).filter($"user_id" === 2L).collect()
+      assert(u2.length == 1 && u2.head.getAs[String]("plan") == "pro" &&
+        u2.head.getAs[Boolean]("is_current"))
+      // foreachBatch retry: re-applying the SAME batch is a no-op (the
+      // incoming attrs equal the version they created)
+      streaming.EventsPipeline.scd2Fold(
+        Seq((1L, "plus", ts(2000))).toDF("user_id", "plan", "ts"), path, "user_id", "ts", 8, 1L)
+      assert(spark.read.parquet(path).count() == 3)
+      // and at-least-once upstream redelivery in a LATER batch is also a no-op
+      stream.addData(Seq((1L, "plus", ts(2000))))
+      q.processAllAvailable()
+      assert(spark.read.parquet(path).count() == 3)
+    } finally q.stop()
+  }
+
+  test("streaming kmeans: fresh run tag against existing state fails loudly at batch 0") {
+    import spark.implicits._
+    val statePath = java.nio.file.Files.createTempDirectory("graft_skmtag").toString + "/state"
+    val vecs = Tables.embeddings(spark, sf).select($"vec_id", $"embedding").limit(50)
+    EventsPipeline.kmeansFold(vecs, statePath, k = 4, batchId = 0L, runTag = "run-a")
+    // same run re-delivers batch 0 (crash between state write and
+    // checkpoint commit): skipped, state unchanged
+    EventsPipeline.kmeansFold(vecs, statePath, k = 4, batchId = 0L, runTag = "run-a")
+    assert(spark.read.parquet(statePath).collect().map(_.getAs[Long]("n")).sum == 50L)
+    // a NEW run (fresh checkpoint, batch ids restart at 0) against the same
+    // state is ambiguous — batchId == last_batch_id == 0 looks exactly like
+    // the retry above, so only the run tag can force the loud failure
+    intercept[IllegalStateException] {
+      EventsPipeline.kmeansFold(vecs, statePath, k = 4, batchId = 0L, runTag = "run-b")
+    }
   }
 
   test("streaming kmeans: refolding the same batch id is skipped (retry-safe)") {
