@@ -34,7 +34,8 @@ object Bench {
     "text_chunking", "text_packing", "sample_stratified",
     "text_vocab", "text_cooccurrence", "etl_json_nested",
     "text_tfidf", "ann_range_search", "etl_scd2_history", "ann_topk_pq",
-    "ann_topk_ivfpq", "curation_filter")
+    "ann_topk_ivfpq", "curation_filter",
+    "ann_range_search_ivf", "dedup_incremental_banded")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

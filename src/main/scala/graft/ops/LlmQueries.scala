@@ -160,9 +160,17 @@ object LlmQueries {
     * shuffles the batch to the index's lang/band partitioning, exactly like
     * the streaming upsert's anti-join.
     */
-  def dedupIncremental(spark: SparkSession, dir: String, watermarkId: Long = 250L): DataFrame = {
-    import spark.implicits._
-    val t = Tables.documents(spark, dir)
+  def dedupIncremental(spark: SparkSession, dir: String, watermarkId: Long = 250L): DataFrame =
+    dedupIncrementalOn(Tables.documents(spark, dir), watermarkId)
+
+  /** Core of [[dedupIncremental]] over any (doc_id, lang, text) corpus —
+    * injectable so the banded scale twin
+    * ([[ScaleDedup.dedupIncrementalBandedOn]]) can be parity-tested against
+    * it on a synthetic near-dup corpus.
+    */
+  private[graft] def dedupIncrementalOn(docs: DataFrame, watermarkId: Long): DataFrame = {
+    import docs.sparkSession.implicits._
+    val t = docs
       .select($"doc_id", $"lang", wordSet($"text").as("w"))
     val corpus = t.filter($"doc_id" <= watermarkId)
       .select($"lang", $"doc_id".as("corpus_doc_id"), $"w".as("wc"))

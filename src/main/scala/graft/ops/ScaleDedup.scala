@@ -64,26 +64,34 @@ object ScaleDedup {
     * provably land on the same keeper; lower-similarity links may need
     * more hops (full connected components is an iterated form of step 4).
     */
-  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    // token hashes in one interpreted pass; ALL 64 lanes in one fused
-    // codegen loop (graft.functions.MinHashSignature) — the declarative
-    // 64 × array_min(transform(...)) form re-walked the hash array per lane
-    // (19 s at sf0.1 vs ~1 s fused)
-    val sigDf = Tables.documents(spark, dir)
+  /** (doc_id, band, band_key) LSH bucket rows for a (doc_id, text, …)
+    * corpus — the persisted band INDEX at scale. Token hashes in one
+    * interpreted pass; ALL 64 lanes in one fused codegen loop
+    * (graft.functions.MinHashSignature) — the declarative
+    * 64 × array_min(transform(...)) form re-walked the hash array per lane
+    * (19 s at sf0.1 vs ~1 s fused). Band keys are 16 slices of the
+    * materialized sig column (≥2 references → CollapseProject keeps sig a
+    * real column, computed once per row).
+    */
+  private[graft] def bandRows(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val sigDf = docs
       .select($"doc_id", transform(words($"text"), t => pmod(xxhash64(t), lit(P))).as("hs"))
       .select($"doc_id",
         graft.functions.MinHashSignature.minhash_signature(
           $"hs", perms.map(_._1), perms.map(_._2), P).as("sig"))
-    // band keys: 16 slices of the materialized sig column (≥2 references →
-    // CollapseProject keeps sig a real column, computed once per row)
     val bandStructs = (0 until numBands).map { bi =>
       struct(lit(bi).as("band"),
         xxhash64(slice($"sig", bi * rowsPerBand + 1, rowsPerBand)).as("band_key"))
     }
-    val bands = sigDf
+    sigDf
       .select($"doc_id", explode(array(bandStructs: _*)).as("bk"))
       .select($"doc_id", $"bk.band", $"bk.band_key")
+  }
+
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bands = bandRows(Tables.documents(spark, dir))
 
     val bucketMin = bands.groupBy($"band", $"band_key")
       .agg(min($"doc_id").as("bucket_min"), count(lit(1)).as("bucket_size"))
@@ -139,6 +147,50 @@ object ScaleDedup {
       .orderBy($"a", $"b")
   }
 
+  /** Banded incremental dedup — the 100 TB form of
+    * [[LlmQueries.dedupIncremental]]: the exact twin joins the incoming
+    * batch to the corpus blocked on `lang` alone, which is batch ×
+    * (corpus/langs) candidate pairs; here the batch joins a persisted
+    * MinHash BAND INDEX on (band, band_key), so candidate work is bucket
+    * occupancy — independent of corpus size. Candidates are then verified
+    * with the same exact unigram Jaccard ≥ 0.9 (same lang constraint, same
+    * best-match tie-breaks), so on clear near-dups (signature-sharing docs
+    * land in every common band's bucket) the output matches the exact twin
+    * row for row — OpsSpec pins that parity; rows-only by SURVEY design
+    * because a sub-threshold-similarity band miss is probabilistic
+    * ((1−0.9⁴)¹⁶ ≈ 4e-8 per qualifying pair), not impossible.
+    */
+  def dedupIncrementalBanded(spark: SparkSession, dir: String, watermarkId: Long = 250L): DataFrame =
+    dedupIncrementalBandedOn(Tables.documents(spark, dir), watermarkId)
+
+  private[graft] def dedupIncrementalBandedOn(docs: DataFrame, watermarkId: Long): DataFrame = {
+    import docs.sparkSession.implicits._
+    val t = docs.select($"doc_id", $"lang", $"text")
+    val corpus = t.filter($"doc_id" <= watermarkId)
+    val incoming = t.filter($"doc_id" > watermarkId)
+    // the band index over the EXISTING corpus only (never batch×batch);
+    // at scale this side is precomputed and persisted, and the join
+    // shuffles the small batch to the index's (band, band_key) layout
+    val corpusIndex = bandRows(corpus).select($"band", $"band_key", $"doc_id".as("corpus_doc_id"))
+    val candidates = bandRows(incoming).join(corpusIndex, Seq("band", "band_key"))
+      .select($"doc_id", $"corpus_doc_id")
+      .distinct() // a pair can share several bands; verify it once
+    val iW = incoming.select($"doc_id", $"lang", wordSet($"text").as("w"))
+    val cW = corpus.select($"doc_id".as("corpus_doc_id"), $"lang".as("c_lang"), wordSet($"text").as("wc"))
+    val m = candidates.join(iW, Seq("doc_id")).join(cW, Seq("corpus_doc_id"))
+      .filter($"lang" === $"c_lang") // same block rule as the exact twin
+      .withColumn("inter", size(array_intersect($"w", $"wc")))
+      .withColumn("uni", size(array_union($"w", $"wc")))
+      .withColumn("jaccard", $"inter".cast("double") / $"uni".cast("double"))
+      .filter($"jaccard" >= 0.9)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"jaccard".desc, $"corpus_doc_id")
+    m.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"lang", $"doc_id", $"corpus_doc_id", $"inter", $"uni", $"jaccard")
+      .orderBy($"lang", $"doc_id")
+  }
+
   /** Iterate keeper-of-keeper joins to a (bounded) fixpoint — full
     * connected components over the LSH bucket graph for corpora where
     * similarity chains span buckets. Each hop is one self-join of the O(n)
@@ -155,7 +207,8 @@ object ScaleDedup {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "dedup_minhash_lsh" -> (dedupMinhashLsh _),
-    "dedup_simhash"     -> (dedupSimhash _)
+    "dedup_minhash_lsh"        -> (dedupMinhashLsh _),
+    "dedup_simhash"            -> (dedupSimhash _),
+    "dedup_incremental_banded" -> ((s, d) => dedupIncrementalBanded(s, d))
   )
 }

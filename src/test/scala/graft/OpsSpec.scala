@@ -208,6 +208,40 @@ class OpsSpec extends SparkSuite {
     assert(freqs.sameElements(freqs.sortBy(-_)))
   }
 
+  test("banded incremental dedup == exact incremental dedup on clear near-dups") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // clear near-dups across the watermark (id 100): identical token sets
+    // (jaccard 1 → identical signatures → every common band matches) plus
+    // one high-but-sub-1 jaccard pair and unrelated noise docs
+    val base = "spark shuffles the partitions across the cluster ring with deterministic hashing"
+    val docs = Seq(
+      (10L, "en", base),
+      (20L, "en", base + " extra"), // 12-token superset of the 11-token base
+      (30L, "en", "completely unrelated text about something else entirely different"),
+      (40L, "de", base), // same text, other lang block: must never match cross-lang
+      (101L, "en", base), // dup of 10/20
+      (102L, "en", base + " extra"),
+      (103L, "en", "fresh unique document with no corpus relative at all"),
+      (104L, "de", base) // dup of 40 within the de block
+    ).toDF("doc_id", "lang", "text")
+    def collectRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("corpus_doc_id"), r.getAs[Long]("inter"), r.getAs[Long]("uni"),
+        r.getAs[Double]("jaccard"))).toSeq
+    val exact = collectRows(ops.LlmQueries.dedupIncrementalOn(docs, watermarkId = 100L))
+    val banded = collectRows(ops.ScaleDedup.dedupIncrementalBandedOn(docs, watermarkId = 100L))
+    assert(exact.nonEmpty && exact.map(_._2).toSet == Set(101L, 102L, 104L))
+    assert(banded == exact, s"banded=$banded exact=$exact")
+    // and the candidate generation is a (band, band_key) equi-join, not a
+    // lang-block or cross join
+    val joins = ops.ScaleDedup.dedupIncrementalBandedOn(docs, watermarkId = 100L)
+      .queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j.condition.map(_.toString).getOrElse("")
+      }
+    assert(joins.exists(c => c.contains("band_key") && c.contains("band")), joins.mkString("\n"))
+  }
+
   test("simhash blocked pairs: exactly the brute-force hamming<=7 pairs (pigeonhole-complete)") {
     import spark.implicits._
     val bits = Tables.documents(spark, sf)
