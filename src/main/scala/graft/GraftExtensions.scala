@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{LongVectorDot, RollingHash}
+import graft.functions.{AdjacentBigrams, LongVectorDot, RollingHash}
 
 /** Session extension: installs graft's native expressions as SQL functions
   * and the dot-product rewrite rule (plans.RewriteDotProduct) at session
@@ -35,5 +35,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vector_dot"),
       info("vector_dot", "vector_dot(a, b) - integer dot product of two array<bigint> vectors"),
       (exprs: Seq[Expression]) => LongVectorDot(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("adjacent_bigrams"),
+      info("adjacent_bigrams", "adjacent_bigrams(str) - array of space-joined adjacent token pairs"),
+      (exprs: Seq[Expression]) => AdjacentBigrams(exprs.head)))
   }
 }

@@ -174,18 +174,16 @@ object Curation {
       |LIMIT 100""".stripMargin
 
   /** Adjacent-bigram co-occurrence counts (skip-gram window 1) — the
-    * embedding-training pair stream. Bigrams are zip_with over a shifted
-    * slice (split evaluated O(1) per row), exploded and counted.
+    * embedding-training pair stream. Bigram extraction is the native
+    * codegen `functions.AdjacentBigrams` — one pass over the UTF-8 bytes
+    * per row (the previous zip_with-over-shifted-slice form ran
+    * interpreted and re-evaluated the regex split per use site).
     */
   def textCooccurrence(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val w  = split(lower(trim($"text")), " +")
     Tables.documents(spark, dir)
-      .select($"doc_id", w.as("w"))
-      .select(explode(zip_with($"w",
-        slice($"w", lit(2), greatest(size($"w") - 1, lit(0))),
-        (a, b) => concat(a, lit(" "), b))).as("bigram"))
-      .filter($"bigram".isNotNull)
+      .select(explode(
+        graft.functions.AdjacentBigrams.adjacent_bigrams(lower(trim($"text")))).as("bigram"))
       .groupBy($"bigram")
       .agg(count(lit(1)).as("n"))
       .orderBy($"n".desc, $"bigram")

@@ -440,6 +440,44 @@ class RollingHashSpec extends SparkSuite {
   }
 }
 
+class AdjacentBigramsSpec extends SparkSuite {
+  import graft.functions.AdjacentBigrams.adjacent_bigrams
+
+  private def ref(s: String): Seq[String] = {
+    val toks = s.split(" +").filter(_.nonEmpty)
+    toks.zip(toks.drop(1)).map { case (a, b) => s"$a $b" }.toSeq
+  }
+
+  test("matches the split+zip reference on varied inputs (codegen + interpreted)") {
+    import spark.implicits._
+    val inputs = Seq(
+      "a b c", "one", "", "   ", "a  b   c", " lead trail ",
+      "the quick brown fox jumps", "ünïcödé tökens ⊕ here")
+    val got = inputs.toDF("s").select(adjacent_bigrams($"s").as("bg"))
+      .collect().map(_.getSeq[String](0))
+    inputs.zip(got).foreach { case (in, g) =>
+      assert(g == ref(in), s"input '$in'")
+    }
+    // interpreted path (eval) agrees
+    inputs.foreach { in =>
+      val e = graft.functions.AdjacentBigrams(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          org.apache.spark.unsafe.types.UTF8String.fromString(in)))
+      val arr = e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val vals = (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString)
+      assert(vals == ref(in), s"interpreted input '$in'")
+    }
+  }
+
+  test("null-safe and empty for <2 tokens") {
+    import spark.implicits._
+    val r = Seq[String](null).toDF("s").select(adjacent_bigrams($"s")).collect().head
+    assert(r.isNullAt(0))
+    assert(Seq("solo").toDF("s").select(adjacent_bigrams($"s"))
+      .collect().head.getSeq[String](0).isEmpty)
+  }
+}
+
 class ExtensionsSpec extends AnyFunSuite {
   test("GraftExtensions installs SQL functions at session build") {
     // getOrCreate reuses any existing session (ignoring extensions), so
