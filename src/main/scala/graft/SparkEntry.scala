@@ -15,7 +15,7 @@ object SparkEntry {
       core.MiscQueries.queries ++ mart.MartQueries.queries ++
       etl.EtlQueries.queries ++ ops.LlmQueries.queries ++ ops.ScaleDedup.queries ++
       ops.AnnLsh.queries ++ ops.Multimodal.queries ++ ops.AsofJoin.queries ++ ops.VectorAgg.queries ++
-      ops.Curation.queries
+      ops.Curation.queries ++ ops.RangeJoin.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -24,5 +24,5 @@ object SparkEntry {
     core.CoreQueries.oracleSql ++ core.ExtraQueries.oracleSql ++ core.WindowQueries.oracleSql ++
       core.MiscQueries.oracleSql ++ mart.MartQueries.oracleSql ++
       etl.EtlQueries.oracleSql ++ ops.LlmQueries.oracleSql ++ ops.AsofJoin.oracleSql ++
-      ops.VectorAgg.oracleSql ++ ops.Curation.oracleSql
+      ops.VectorAgg.oracleSql ++ ops.Curation.oracleSql ++ ops.RangeJoin.oracleSql
 }

@@ -699,4 +699,14 @@ class PlanSpec extends SparkSuite {
     val p = plan(etl.EtlQueries.deltaLoad(spark, sf))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
   }
+
+  test("range join pairs via a bucket equi-join, never a nested loop") {
+    // the raw BETWEEN predicate would plan BroadcastNestedLoopJoin —
+    // O(probes × intervals) compares. The bucketed form must plan a hash
+    // or sort-merge equi-join on the bucket key.
+    val p = plan(ops.RangeJoin.rangeJoinIntervals(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p)
+  }
 }
