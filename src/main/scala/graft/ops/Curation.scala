@@ -207,12 +207,83 @@ object Curation {
       |ORDER BY rank
       |LIMIT 50""".stripMargin
 
+  /** Repetition-based quality filter (Gopher-style rules): per-doc
+    * top-token fraction, top-adjacent-bigram fraction and unique-token
+    * fraction, cascaded into a first-matching-rule verdict. The document
+    * axis is the partition key throughout — two explode→partial-agg passes
+    * (tokens, bigrams) and one doc-keyed join, so the shape scales with
+    * corpus size, no global state. Thresholds sit inside the testdata
+    * metric distributions so every branch is exercised (spec-pinned).
+    */
+  def textRepetitionFilter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val tokAgg = docs
+      .select($"doc_id", explode(split(lower(trim($"text")), " +")).as("token"))
+      .groupBy($"doc_id", $"token").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_tokens"), max($"c").as("top_cnt"), count(lit(1)).as("n_unique"))
+    val biAgg = docs
+      .select($"doc_id", explode(
+        graft.functions.AdjacentBigrams.adjacent_bigrams(lower(trim($"text")))).as("bigram"))
+      .groupBy($"doc_id", $"bigram").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id").agg(sum($"c").as("n_bigrams"), max($"c").as("top_bi"))
+    tokAgg.join(biAgg, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_tokens", $"n_unique",
+        ($"top_cnt".cast("double") / $"n_tokens".cast("double")).as("top_token_frac"),
+        coalesce($"top_bi".cast("double") / $"n_bigrams".cast("double"), lit(0.0))
+          .as("top_bigram_frac"),
+        ($"n_unique".cast("double") / $"n_tokens".cast("double")).as("unique_frac"))
+      .withColumn("verdict",
+        when($"top_token_frac" > 0.12, lit("repeated_token"))
+          .when($"top_bigram_frac" > 0.08, lit("repeated_bigram"))
+          .when($"unique_frac" < 0.35, lit("low_diversity"))
+          .otherwise(lit("keep")))
+      .orderBy($"doc_id")
+  }
+
+  val textRepetitionFilterSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, u AS token
+      |  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
+      |    UNNEST(w) AS r(u)
+      |), tc AS (
+      |  SELECT doc_id, token, COUNT(*) AS c FROM toks GROUP BY 1, 2
+      |), ta AS (
+      |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, MAX(c) AS top_cnt,
+      |    CAST(COUNT(*) AS BIGINT) AS n_unique
+      |  FROM tc GROUP BY 1
+      |), t2 AS (
+      |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents
+      |), bi AS (
+      |  SELECT doc_id, w[u] || ' ' || w[u+1] AS bigram
+      |  FROM t2, UNNEST(range(1, len(w))) AS r(u)
+      |), bc AS (
+      |  SELECT doc_id, bigram, COUNT(*) AS c FROM bi GROUP BY 1, 2
+      |), ba AS (
+      |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams, MAX(c) AS top_bi FROM bc GROUP BY 1
+      |), m AS (
+      |  SELECT ta.doc_id, n_tokens, n_unique,
+      |    CAST(top_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS top_token_frac,
+      |    COALESCE(CAST(top_bi AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 0.0) AS top_bigram_frac,
+      |    CAST(n_unique AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS unique_frac
+      |  FROM ta LEFT JOIN ba ON ta.doc_id = ba.doc_id
+      |)
+      |SELECT doc_id, n_tokens, n_unique, top_token_frac, top_bigram_frac, unique_frac,
+      |  CASE WHEN top_token_frac > 0.12 THEN 'repeated_token'
+      |       WHEN top_bigram_frac > 0.08 THEN 'repeated_bigram'
+      |       WHEN unique_frac < 0.35 THEN 'low_diversity'
+      |       ELSE 'keep' END AS verdict
+      |FROM m
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_chunking"     -> (textChunking _),
     "text_packing"      -> (textPacking _),
     "sample_stratified" -> (sampleStratified _),
     "text_vocab"        -> (textVocab _),
-    "text_cooccurrence" -> (textCooccurrence _)
+    "text_cooccurrence" -> (textCooccurrence _),
+    "text_repetition_filter" -> (textRepetitionFilter _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -220,6 +291,7 @@ object Curation {
     "text_packing"      -> textPackingSql,
     "sample_stratified" -> sampleStratifiedSql,
     "text_vocab"        -> textVocabSql,
-    "text_cooccurrence" -> textCooccurrenceSql
+    "text_cooccurrence" -> textCooccurrenceSql,
+    "text_repetition_filter" -> textRepetitionFilterSql
   )
 }

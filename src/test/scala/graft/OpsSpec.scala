@@ -174,6 +174,22 @@ class OpsSpec extends SparkSuite {
     assert(rows.exists(!_.getAs[Boolean]("keep")), "filter rejected nothing — cascade untested")
   }
 
+  test("repetition filter: metrics in range, every verdict branch non-vacuous") {
+    val rows = ops.Curation.textRepetitionFilter(spark, sf).collect()
+    rows.foreach { r =>
+      val top = r.getAs[Double]("top_token_frac")
+      val bi  = r.getAs[Double]("top_bigram_frac")
+      val unq = r.getAs[Double]("unique_frac")
+      assert(top > 0.0 && top <= 1.0 && bi >= 0.0 && bi <= 1.0 && unq > 0.0 && unq <= 1.0)
+      // a doc cannot have more unique tokens than tokens
+      assert(r.getAs[Long]("n_unique") <= r.getAs[Long]("n_tokens"))
+    }
+    val verdicts = rows.map(_.getAs[String]("verdict")).toSet
+    Seq("repeated_token", "repeated_bigram", "low_diversity", "keep").foreach { v =>
+      assert(verdicts.contains(v), s"verdict '$v' never produced — threshold vacuous")
+    }
+  }
+
   test("chunking covers every token with the configured overlap") {
     val chunks = ops.Curation.textChunking(spark, sf).collect()
       .groupBy(_.getAs[Long]("doc_id"))
