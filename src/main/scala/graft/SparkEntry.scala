@@ -23,6 +23,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     core.CoreQueries.oracleSql ++ core.ExtraQueries.oracleSql ++ core.WindowQueries.oracleSql ++
       core.MiscQueries.oracleSql ++ mart.MartQueries.oracleSql ++
-      etl.EtlQueries.oracleSql ++ ops.LlmQueries.oracleSql ++ ops.AsofJoin.oracleSql ++
+      etl.EtlQueries.oracleSql ++ ops.LlmQueries.oracleSql ++ ops.ScaleDedup.oracleSql ++
+      ops.AsofJoin.oracleSql ++
       ops.VectorAgg.oracleSql ++ ops.Curation.oracleSql ++ ops.RangeJoin.oracleSql
 }

@@ -142,12 +142,44 @@ object MiscQueries {
       .orderBy($"event_type")
   }
 
+  /** Count-min-sketch heavy hitters: the CMS is built as ONE distributed,
+    * mergeable aggregation over every token occurrence (bounded d×w counter
+    * array per partial — the 100 TB path for frequency estimation: the
+    * sketch never grows with cardinality, unlike the exact groupBy whose
+    * state is O(distinct tokens)). The exact top-k (orderBy+limit →
+    * TakeOrderedAndProject) rides beside it as ground truth; the k
+    * surviving tokens are estimated locally against the collected sketch —
+    * a bounded k-row driver read, same footing as the k-means state read.
+    * Rows-only by design (sketch internals are engine-specific); the CMS
+    * one-sided error bound (exact ≤ est ≤ exact + ε·N) is pinned by
+    * SketchSpec.
+    */
+  def sketchHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val eps = 0.0001
+    val toks = Tables.documents(spark, dir)
+      .select(explode(split(lower(trim($"text")), " +")).as("token"))
+    val skBytes = toks
+      .agg(count_min_sketch($"token", lit(eps), lit(0.99), lit(42)).as("sk"))
+      .head().getAs[Array[Byte]]("sk")
+    val sketch = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(skBytes))
+    val top = toks.groupBy($"token").agg(count(lit(1)).as("exact_n"))
+      .orderBy($"exact_n".desc, $"token").limit(20)
+      .collect() // bounded: k = 20 rows
+    val est = top.map(r =>
+      (r.getString(0), r.getLong(1), sketch.estimateCount(r.getString(0))))
+    spark.createDataFrame(est.toSeq).toDF("token", "exact_n", "est_n")
+      .orderBy($"exact_n".desc, $"token")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "set_ops_suite"         -> (setOpsSuite _),
     "dm_pivot_event_types"  -> (pivotEventTypes _),
     "agg_weighted_mean"     -> (aggWeightedMean _),
     "sketch_distinct_hll"   -> (sketchDistinct _),
-    "sketch_percentile_kll" -> (sketchPercentile _)
+    "sketch_percentile_kll" -> (sketchPercentile _),
+    "sketch_heavy_hitters"  -> (sketchHeavyHitters _)
   )
 
   val oracleSql: Map[String, String] = Map(

@@ -261,7 +261,7 @@ object LlmQueries {
   /** Embedding quantized to exact integers (floor(x·1000+0.5)): dot
     * products and norms become engine-exact integer arithmetic.
     */
-  private def quantized(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def quantized(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.embeddings(spark, dir)
       .select($"vec_id", $"label",
@@ -269,7 +269,7 @@ object LlmQueries {
       .withColumn("nrm", graft.functions.LongVectorDot.vector_dot($"v", $"v"))
   }
 
-  private val quantizedCte: String =
+  private[graft] val quantizedCte: String =
     """WITH q AS (
       |  SELECT vec_id, label,
       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)) AS v

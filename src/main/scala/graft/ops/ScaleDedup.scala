@@ -191,6 +191,121 @@ object ScaleDedup {
       .orderBy($"lang", $"doc_id")
   }
 
+  // ------------------------------------------- embedding LSH (sign bands)
+
+  /** 32 deterministic ±1 hyperplanes over the 64-dim embedding space,
+    * grouped into 8 bands × 4 planes (OR-of-AND construction). Fixed seed:
+    * the SAME constants are compiled into both the Spark plan and the
+    * generated DuckDB oracle SQL below, so the banded candidate set is
+    * engine-identical and the operator is oracle-HASH-exact — recall loss
+    * is deterministic and mirrored, not a fuzzy "approximately equal".
+    */
+  private val embBands = 8
+  private val embRows = 4
+  private val embDim = 64
+  private[graft] val embPlanes: Array[Array[Long]] = {
+    val rnd = new scala.util.Random(7)
+    Array.fill(embBands * embRows, embDim)(if (rnd.nextBoolean()) 1L else -1L)
+  }
+
+  /** 4-bit sign signature of quantized vector `v` for band b: bit j is the
+    * sign (≥ 0) of the integer dot with plane b·4+j. Codegen'd vector_dot
+    * against a literal array — one fused loop per plane, no shuffle.
+    */
+  private def embSig(b: Int): Column =
+    (0 until embRows).map { j =>
+      val plane = lit(embPlanes(b * embRows + j))
+      when(graft.functions.LongVectorDot.vector_dot(col("v"), plane) >= 0, 1 << j)
+        .otherwise(0)
+    }.reduce(_ + _)
+
+  /** Embedding near-dup pairs (cos ≥ 0.4, label-blocked) — the 100 TB twin
+    * of [[LlmQueries.dedupEmbedding]]. The exact twin self-joins every
+    * same-label pair (O(n²/labels) comparisons); here each vector becomes 8
+    * (band, sig) bucket rows and only same-bucket pairs are scored, so the
+    * candidate join is an equi-shuffle on (label, band, sig) and pair work
+    * is bucket occupancy, not corpus size. Candidates are verified with the
+    * exact integer threshold (dot²·100 ≥ 16·‖a‖²·‖b‖², dot > 0), so output
+    * ⊆ exact pairs (precision 1, OpsSpec-pinned). Per-pair recall at
+    * cos = c is 1−(1−p⁴)⁸ with p = 1−arccos(c)/π — identical vectors share
+    * every band deterministically (recall 1, spec-pinned). At larger scale
+    * raise rows-per-band so bucket occupancy stays bounded, exactly like
+    * the MinHash band index.
+    *
+    * Reference anchor: the same near-dup surface as dedup_embedding
+    * (SURVEY §2); LSH construction per Charikar's sign-random-projection.
+    */
+  def dedupEmbeddingLsh(spark: SparkSession, dir: String): DataFrame =
+    dedupEmbeddingLshOn(LlmQueries.quantized(spark, dir))
+
+  private[graft] def dedupEmbeddingLshOn(q: DataFrame): DataFrame = {
+    import q.sparkSession.implicits._
+    val bandStructs = (0 until embBands).map { b =>
+      struct(lit(b).as("band"), embSig(b).as("sig"))
+    }
+    val bands = q
+      .select($"vec_id", $"label", explode(array(bandStructs: _*)).as("bs"))
+      .select($"vec_id", $"label", $"bs.band", $"bs.sig")
+    val cand = bands.select($"label", $"band", $"sig", $"vec_id".as("a"))
+      .join(bands.select($"label", $"band", $"sig", $"vec_id".as("b")),
+        Seq("label", "band", "sig"))
+      .filter($"a" < $"b")
+      .select($"label", $"a", $"b")
+      .distinct() // a pair can share several bands; score it once
+    val xa = q.select($"vec_id".as("a"), $"v".as("va"), $"nrm".as("na"))
+    val xb = q.select($"vec_id".as("b"), $"v".as("vb"), $"nrm".as("nb"))
+    cand.join(xa, Seq("a")).join(xb, Seq("b"))
+      .withColumn("dot", graft.functions.LongVectorDot.vector_dot($"va", $"vb"))
+      .filter($"dot" > 0 && $"dot" * $"dot" * 100L >= $"na" * $"nb" * 16L)
+      .withColumn("cosine", $"dot".cast("double") / sqrt(($"na" * $"nb").cast("double")))
+      .select($"label", $"a", $"b", $"dot", $"na", $"nb", $"cosine")
+      .orderBy($"label", $"a", $"b")
+  }
+
+  /** ±v[i] sum for one literal plane (DuckDB 1-based list indexing). */
+  private def planeSumSql(p: Array[Long]): String =
+    p.zipWithIndex.map { case (c, i) =>
+      (if (c > 0) "+" else "-") + s"v[${i + 1}]"
+    }.mkString("(", "", ")")
+
+  private def sigSql(b: Int): String =
+    (0 until embRows).map { j =>
+      s"(CASE WHEN ${planeSumSql(embPlanes(b * embRows + j))} >= 0 THEN ${1 << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** DuckDB oracle generated from the SAME plane constants as the Spark
+    * plan — both engines compute identical integer sign signatures, so the
+    * banded candidate set (and therefore the full result) hash-matches.
+    */
+  val dedupEmbeddingLshSql: String = {
+    val sigCols = (0 until embBands).map(b => s"${sigSql(b)} AS s$b").mkString(",\n    ")
+    val bandSelects = (0 until embBands)
+      .map(b => s"SELECT vec_id, label, $b AS band, s$b AS sig FROM sigs")
+      .mkString("\n  UNION ALL\n  ")
+    s"""${LlmQueries.quantizedCte}, sigs AS (
+       |  SELECT vec_id, label,
+       |    $sigCols
+       |  FROM n
+       |), bands AS (
+       |  $bandSelects
+       |), cand AS (
+       |  SELECT DISTINCT ba.label, ba.vec_id AS a, bb.vec_id AS b
+       |  FROM bands ba JOIN bands bb
+       |    ON ba.label = bb.label AND ba.band = bb.band AND ba.sig = bb.sig
+       |   AND ba.vec_id < bb.vec_id
+       |), scored AS (
+       |  SELECT c.label, c.a, c.b,
+       |    CAST(list_sum(list_transform(range(1, len(x.v) + 1), i -> x.v[i] * y.v[i])) AS BIGINT) AS dot,
+       |    x.nrm AS na, y.nrm AS nb
+       |  FROM cand c JOIN n x ON x.vec_id = c.a JOIN n y ON y.vec_id = c.b
+       |)
+       |SELECT label, a, b, dot, na, nb,
+       |  CAST(dot AS DOUBLE) / sqrt(CAST(na * nb AS DOUBLE)) AS cosine
+       |FROM scored
+       |WHERE dot > 0 AND dot * dot * 100 >= na * nb * 16
+       |ORDER BY 1, 2, 3""".stripMargin
+  }
+
   /** Iterate keeper-of-keeper joins to a (bounded) fixpoint — full
     * connected components over the LSH bucket graph for corpora where
     * similarity chains span buckets. Each hop is one self-join of the O(n)
@@ -209,6 +324,11 @@ object ScaleDedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_minhash_lsh"        -> (dedupMinhashLsh _),
     "dedup_simhash"            -> (dedupSimhash _),
-    "dedup_incremental_banded" -> ((s, d) => dedupIncrementalBanded(s, d))
+    "dedup_incremental_banded" -> ((s, d) => dedupIncrementalBanded(s, d)),
+    "dedup_embedding_lsh"      -> (dedupEmbeddingLsh _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "dedup_embedding_lsh" -> dedupEmbeddingLshSql
   )
 }

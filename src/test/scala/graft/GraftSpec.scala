@@ -380,6 +380,24 @@ class SketchSpec extends SparkSuite {
       }
     }
   }
+
+  test("CMS heavy-hitter estimates obey the one-sided error bound") {
+    import org.apache.spark.sql.functions._
+    val rows = core.MiscQueries.sketchHeavyHitters(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val n = Tables.documents(spark, sf)
+      .select(explode(split(lower(trim(col("text"))), " +")).as("t")).count()
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("exact_n")
+      val est   = r.getAs[Long]("est_n")
+      // CMS never underestimates; overestimate bounded by ε·N (ε = 1e-4)
+      assert(est >= exact, s"${r.getAs[String]("token")}: est $est < exact $exact")
+      assert(est <= exact + math.ceil(1e-4 * n).toLong,
+        s"${r.getAs[String]("token")}: est $est vs exact $exact (N=$n)")
+    }
+    // the survivors are genuinely heavy, not an all-singleton corpus
+    assert(rows.map(_.getAs[Long]("exact_n")).max > 1)
+  }
 }
 
 class VectorDotSpec extends SparkSuite {

@@ -258,6 +258,43 @@ class OpsSpec extends SparkSuite {
     assert(joins.exists(c => c.contains("band_key") && c.contains("band")), joins.mkString("\n"))
   }
 
+  test("embedding LSH dedup: precision 1 vs exact twin; identical vectors always collide") {
+    import spark.implicits._
+    // precision: every LSH pair is an exact-twin pair with identical scores
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Int]("label"), r.getAs[Long]("a"), r.getAs[Long]("b"),
+        r.getAs[Long]("dot"), r.getAs[Long]("na"), r.getAs[Long]("nb"))).toSet
+    val exact = rows(ops.LlmQueries.dedupEmbedding(spark, sf))
+    val lsh = rows(ops.ScaleDedup.dedupEmbeddingLsh(spark, sf))
+    assert((lsh -- exact).isEmpty, s"false positives: ${(lsh -- exact).take(3)}")
+
+    // planted corpus: identical pair (cos 1) and a one-coordinate
+    // perturbation (cos ≈ 1) must be found; a sign-alternating vector is
+    // below the 0.4 threshold and must not pair with the base
+    val base = Array.tabulate(64)(i => 100L + i)
+    val pert = base.clone(); pert(0) += 1
+    val anti = Array.tabulate(64)(i => if (i % 2 == 0) 100L + i else -(100L + i))
+    def nrm(v: Array[Long]) = v.map(x => x * x).sum
+    val q = Seq(
+      (1L, 0, base.toSeq, nrm(base)), (2L, 0, base.toSeq, nrm(base)),
+      (3L, 0, pert.toSeq, nrm(pert)), (4L, 0, anti.toSeq, nrm(anti))
+    ).toDF("vec_id", "label", "v", "nrm")
+    val found = ops.ScaleDedup.dedupEmbeddingLshOn(q).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    assert(found.contains((1L, 2L)), s"identical pair missed: $found")
+    assert(found.contains((1L, 3L)) && found.contains((2L, 3L)), s"near-identical missed: $found")
+    assert(!found.exists { case (a, b) => b == 4L || a == 4L }, s"false positive with anti: $found")
+
+    // candidate generation is an equi-join carrying (band, sig), not a
+    // label-block cross join
+    val joins = ops.ScaleDedup.dedupEmbeddingLshOn(q)
+      .queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+          j.condition.map(_.toString).getOrElse("")
+      }
+    assert(joins.exists(c => c.contains("band") && c.contains("sig")), joins.mkString("\n"))
+  }
+
   test("simhash blocked pairs: exactly the brute-force hamming<=7 pairs (pigeonhole-complete)") {
     import spark.implicits._
     val bits = Tables.documents(spark, sf)
