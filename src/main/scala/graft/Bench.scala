@@ -35,7 +35,10 @@ object Bench {
     "text_vocab", "text_cooccurrence", "etl_json_nested",
     "text_tfidf", "ann_range_search", "etl_scd2_history", "ann_topk_pq",
     "ann_topk_ivfpq", "curation_filter",
-    "ann_range_search_ivf", "dedup_incremental_banded")
+    "ann_range_search_ivf", "dedup_incremental_banded",
+    "range_join_intervals", "text_repetition_filter",
+    "sketch_heavy_hitters", "dedup_embedding_lsh",
+    "decontaminate_ngram", "text_lm_quality", "sample_domain_mix")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -15,7 +15,7 @@ object SparkEntry {
       core.MiscQueries.queries ++ mart.MartQueries.queries ++
       etl.EtlQueries.queries ++ ops.LlmQueries.queries ++ ops.ScaleDedup.queries ++
       ops.AnnLsh.queries ++ ops.Multimodal.queries ++ ops.AsofJoin.queries ++ ops.VectorAgg.queries ++
-      ops.Curation.queries ++ ops.RangeJoin.queries
+      ops.Curation.queries ++ ops.RangeJoin.queries ++ ops.CorpusOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -25,5 +25,6 @@ object SparkEntry {
       core.MiscQueries.oracleSql ++ mart.MartQueries.oracleSql ++
       etl.EtlQueries.oracleSql ++ ops.LlmQueries.oracleSql ++ ops.ScaleDedup.oracleSql ++
       ops.AsofJoin.oracleSql ++
-      ops.VectorAgg.oracleSql ++ ops.Curation.oracleSql ++ ops.RangeJoin.oracleSql
+      ops.VectorAgg.oracleSql ++ ops.Curation.oracleSql ++ ops.RangeJoin.oracleSql ++
+      ops.CorpusOps.oracleSql
 }

@@ -1,0 +1,231 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Corpus-level training-data operators: benchmark decontamination,
+  * n-gram LM quality scoring, and temperature-based domain mixing.
+  *
+  * These are the corpus-hygiene passes an LLM pretraining pipeline runs
+  * after dedup and before packing (the same surface family as
+  * [[LlmQueries]]/[[Curation]]; reference anchor: the cleaning/quarantine
+  * stages of scripts/etl/transformer.py re-expressed for document corpora).
+  * All three are oracle-hash-exact: pure string/integer arithmetic, plus
+  * IEEE-exact sqrt (correctly rounded in both engines) for the mixing
+  * thresholds.
+  */
+object CorpusOps {
+
+  // ------------------------------------------ benchmark decontamination
+
+  private val ngramN = 8
+  /** Deterministic "benchmark" slice: doc_id ≡ 0 (mod 37). In production
+    * the benchmark set is an external table (MMLU/GSM8K/… test splits);
+    * here a fixed residue class plays that role so the oracle sees the
+    * same split.
+    */
+  private val benchResidue = 37
+
+  /** word n-grams as strings, one per start position. `w` must be an
+    * attribute (projected beforehand), not an inline expression: HOF
+    * lambdas re-evaluate captured expressions per element.
+    */
+  private def ngrams(w: Column, n: Int): Column =
+    transform(sequence(lit(1), size(w) - lit(n - 1)),
+      i => concat_ws(" ", slice(w, i, lit(n))))
+
+  /** Test-set decontamination (GPT-3 appendix-C style): flag every training
+    * document sharing a verbatim 8-gram with the benchmark set.
+    *
+    * Scale shape: the benchmark n-gram set is tiny relative to the corpus
+    * (benchmarks are MBs; the corpus is TBs) → it is the BROADCAST side of
+    * the membership probe, so the training side never shuffles for the
+    * join. The per-doc rollup groups on doc_id right after a map-side
+    * explode, so partial aggregation collapses each doc's grams to one row
+    * before the only shuffle. At 100 TB this is one pass over the corpus +
+    * a broadcast of the benchmark grams — the same shape as the Bloom
+    * pre-filter in the streaming upsert sink (a Bloom over bench grams is
+    * the drop-in refinement when even the exact gram set outgrows a
+    * broadcast).
+    */
+  def decontaminateNgram(spark: SparkSession, dir: String): DataFrame =
+    decontaminateNgramOn(Tables.documents(spark, dir))
+
+  private[graft] def decontaminateNgramOn(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val grams = docs
+      .select($"doc_id", split(lower(trim($"text")), " +").as("w"))
+      .filter(size($"w") >= ngramN)
+      .select($"doc_id", explode(ngrams($"w", ngramN)).as("ng"))
+    val bench = grams.filter($"doc_id" % benchResidue === 0)
+      .select($"ng").distinct()
+      .withColumn("hit", lit(1L))
+    grams.filter($"doc_id" % benchResidue =!= 0)
+      .join(broadcast(bench), Seq("ng"), "left")
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_ngrams"),
+        sum(coalesce($"hit", lit(0L))).as("n_hits"),
+        countDistinct(when($"hit".isNotNull, $"ng")).as("n_distinct_hits"))
+      .withColumn("verdict", when($"n_hits" > 0, "drop_contaminated").otherwise("keep"))
+      .orderBy($"doc_id")
+  }
+
+  val decontaminateNgramSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents
+       |), g AS (
+       |  SELECT doc_id,
+       |    array_to_string(list_slice(w, u, u + ${ngramN - 1}), ' ') AS ng
+       |  FROM t, UNNEST(range(1, len(w) - ${ngramN - 1} + 1)) AS r(u)
+       |  WHERE len(w) >= $ngramN
+       |), bench AS (
+       |  SELECT DISTINCT ng FROM g WHERE doc_id % $benchResidue = 0
+       |)
+       |SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+       |  CAST(SUM(CASE WHEN b.ng IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       |  CAST(COUNT(DISTINCT CASE WHEN b.ng IS NOT NULL THEN g.ng END) AS BIGINT) AS n_distinct_hits,
+       |  CASE WHEN SUM(CASE WHEN b.ng IS NOT NULL THEN 1 ELSE 0 END) > 0
+       |       THEN 'drop_contaminated' ELSE 'keep' END AS verdict
+       |FROM g LEFT JOIN bench b ON g.ng = b.ng
+       |WHERE g.doc_id % $benchResidue <> 0
+       |GROUP BY g.doc_id
+       |ORDER BY g.doc_id""".stripMargin
+
+  // ------------------------------------------- n-gram LM quality scoring
+
+  /** n-gram LM quality scoring, integer-exact: the KenLM-filter analog
+    * with corpus bigram frequency standing in for log-probability (both
+    * rank "how typical is this text of the corpus"; frequency needs no
+    * transcendentals, so the score is oracle-hash-exact).
+    *
+    * Per doc: bigram count, total/min corpus frequency, count of
+    * corpus-unique bigrams (frequency 1 — the doc's "OOV mass"), average
+    * frequency, and a verdict flagging docs carrying any corpus-unique
+    * bigram.
+    *
+    * Scale shape: bigram extraction is the codegen'd
+    * [[graft.functions.AdjacentBigrams]] (one pass over UTF-8 bytes);
+    * corpus counts are a partial-agg-friendly groupBy (shuffle carries
+    * distinct bigrams only); the score join is a shuffle equi-join on
+    * bigram — both sides partition on the same key, and AQE handles the
+    * skew of stop-word bigrams. Per-doc rollup again collapses map-side.
+    * The LM "model" (bigram→freq) is exactly the persisted count table a
+    * production filter would train once and reuse.
+    */
+  def textLmQuality(spark: SparkSession, dir: String): DataFrame =
+    textLmQualityOn(Tables.documents(spark, dir))
+
+  private[graft] def textLmQualityOn(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val bi = docs.select($"doc_id",
+      explode(graft.functions.AdjacentBigrams.adjacent_bigrams(lower(trim($"text")))).as("bigram"))
+    val counts = bi.groupBy($"bigram").agg(count(lit(1)).as("freq"))
+    bi.join(counts, Seq("bigram"))
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum($"freq").as("sum_freq"),
+        min($"freq").as("min_freq"),
+        sum(when($"freq" === 1, 1L).otherwise(0L)).as("oov_bigrams"))
+      .withColumn("avg_freq", $"sum_freq".cast("double") / $"n_bigrams")
+      .withColumn("verdict", when($"oov_bigrams" > 0, "flag_rare").otherwise("keep"))
+      .orderBy($"doc_id")
+  }
+
+  val textLmQualitySql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents
+      |), bi AS (
+      |  SELECT doc_id, w[u] || ' ' || w[u+1] AS bigram
+      |  FROM t, UNNEST(range(1, len(w))) AS r(u)
+      |), c AS (
+      |  SELECT bigram, COUNT(*) AS freq FROM bi GROUP BY bigram
+      |)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |  CAST(SUM(freq) AS BIGINT) AS sum_freq,
+      |  CAST(MIN(freq) AS BIGINT) AS min_freq,
+      |  CAST(SUM(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS BIGINT) AS oov_bigrams,
+      |  CAST(CAST(SUM(freq) AS BIGINT) AS DOUBLE) / COUNT(*) AS avg_freq,
+      |  CASE WHEN SUM(CASE WHEN freq = 1 THEN 1 ELSE 0 END) > 0
+      |       THEN 'flag_rare' ELSE 'keep' END AS verdict
+      |FROM bi JOIN c USING (bigram)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------- temperature domain mix
+
+  /** Temperature-based domain mixing (the multilingual-pretraining
+    * resampling rule, α = 0.5): target sampling weight per source ∝
+    * sqrt(n_source), realized as keep-probability sqrt(n_min / n_source) —
+    * the smallest source keeps everything, larger sources are flattened
+    * toward it. Selection is the same deterministic Knuth multiplicative
+    * hash as [[Curation.sampleStratified]] (reproducible, no RNG):
+    * keep ⇔ bucket(doc_id) < floor(10⁶·sqrt(n_min/n_source) + 0.5).
+    *
+    * Oracle-exactness: sqrt is correctly rounded in IEEE 754 (identical
+    * bits in both engines on the identical double n_min/n_source), and the
+    * floor(x + 0.5) quantization is the repo-wide portable-rounding rule.
+    *
+    * Scale shape: source counts are a partial-agg groupBy over a
+    * low-cardinality key; thresholds (one row per source) broadcast back;
+    * the keep decision is map-side per row. One corpus pass, one
+    * bounded-size broadcast — the production shape for trillion-token
+    * mixture rebalancing. (Production ids exceeding 2³¹ would switch the
+    * bucket hash to xxhash64 to avoid 64-bit overflow; the Knuth form is
+    * kept engine-portable here, as in sample_stratified.)
+    */
+  def sampleDomainMix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"source", $"n_chars")
+    val counts = docs.groupBy($"source").agg(count(lit(1)).as("n_docs"))
+    val nmin = counts.agg(min($"n_docs").as("n_min"))
+    val thr = counts.crossJoin(broadcast(nmin))
+      .withColumn("threshold",
+        floor(lit(1000000.0) * sqrt($"n_min".cast("double") / $"n_docs") + lit(0.5)))
+      .select($"source", $"n_docs", $"threshold")
+    docs
+      .withColumn("bucket", pmod($"doc_id" * 2654435761L % 1000000007L, lit(1000000)))
+      .join(broadcast(thr), Seq("source"))
+      .groupBy($"source", $"n_docs", $"threshold")
+      .agg(
+        sum(when($"bucket" < $"threshold", 1L).otherwise(0L)).as("n_sampled"),
+        sum(when($"bucket" < $"threshold", $"n_chars").otherwise(0L)).as("sampled_chars"))
+      .orderBy($"source")
+  }
+
+  val sampleDomainMixSql: String =
+    """WITH c AS (
+      |  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+      |), m AS (
+      |  SELECT MIN(n_docs) AS n_min FROM c
+      |), thr AS (
+      |  SELECT source, n_docs,
+      |    CAST(FLOOR(1000000.0 * SQRT(CAST(n_min AS DOUBLE) / n_docs) + 0.5) AS BIGINT) AS threshold
+      |  FROM c, m
+      |), b AS (
+      |  SELECT source, n_chars,
+      |    ((doc_id * 2654435761) % 1000000007 % 1000000 + 1000000) % 1000000 AS bucket
+      |  FROM documents
+      |)
+      |SELECT t.source, CAST(t.n_docs AS BIGINT) AS n_docs, t.threshold,
+      |  CAST(SUM(CASE WHEN b.bucket < t.threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+      |  CAST(SUM(CASE WHEN b.bucket < t.threshold THEN b.n_chars ELSE 0 END) AS BIGINT) AS sampled_chars
+      |FROM b JOIN thr t ON b.source = t.source
+      |GROUP BY t.source, t.n_docs, t.threshold
+      |ORDER BY t.source""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "decontaminate_ngram" -> (decontaminateNgram _),
+    "text_lm_quality"     -> (textLmQuality _),
+    "sample_domain_mix"   -> (sampleDomainMix _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "decontaminate_ngram" -> decontaminateNgramSql,
+    "text_lm_quality"     -> textLmQualitySql,
+    "sample_domain_mix"   -> sampleDomainMixSql
+  )
+}

@@ -295,6 +295,68 @@ class OpsSpec extends SparkSuite {
     assert(joins.exists(c => c.contains("band") && c.contains("sig")), joins.mkString("\n"))
   }
 
+  test("decontamination: planted verbatim 8-gram is flagged, clean doc kept, bench side broadcast") {
+    import spark.implicits._
+    // doc 0 (residue 0 mod 37) is "benchmark"; doc 38 copies 8 of its
+    // words verbatim inside other text; doc 39 shares no 8-gram
+    val benchWords = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val leaked = "pre1 pre2 " + (1 to 8).map(i => s"tok$i").mkString(" ") + " post1 post2"
+    val clean = (1 to 12).map(i => s"other$i").mkString(" ")
+    val docs = Seq((0L, benchWords), (38L, leaked), (39L, clean)).toDF("doc_id", "text")
+    val out = ops.CorpusOps.decontaminateNgramOn(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_hits"), r.getAs[String]("verdict"))).toMap
+    assert(out(38L)._1 > 0 && out(38L)._2 == "drop_contaminated", out.toString)
+    assert(out(39L)._1 == 0 && out(39L)._2 == "keep", out.toString)
+    assert(!out.contains(0L)) // benchmark docs are not part of the output
+
+    // the bench gram set must be the broadcast build side of the probe join
+    val plan = ops.CorpusOps.decontaminateNgramOn(docs).queryExecution.optimizedPlan
+    val broadcasts = plan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+        if j.hint.leftHint.exists(_.strategy.isDefined) ||
+           j.hint.rightHint.exists(_.strategy.isDefined) => j
+    }
+    assert(broadcasts.nonEmpty, plan.toString)
+  }
+
+  test("lm quality: corpus-unique bigrams drive the verdict; full-corpus run has both branches") {
+    import spark.implicits._
+    // "a b" appears in docs 1 and 2 (freq 2); "x y" only in doc 3 (freq 1)
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "x y")).toDF("doc_id", "text")
+    val out = ops.CorpusOps.textLmQualityOn(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("min_freq"), r.getAs[Long]("oov_bigrams"), r.getAs[String]("verdict"))).toMap
+    assert(out(1L) == ((2L, 0L, "keep")), out.toString)
+    assert(out(2L) == ((2L, 0L, "keep")), out.toString)
+    assert(out(3L) == ((1L, 1L, "flag_rare")), out.toString)
+
+    val full = ops.CorpusOps.textLmQuality(spark, sf).collect()
+    val verdicts = full.map(_.getAs[String]("verdict")).toSet
+    assert(verdicts == Set("keep", "flag_rare"), verdicts.toString)
+    full.foreach { r =>
+      assert(r.getAs[Long]("min_freq") >= 1L)
+      assert(r.getAs[Long]("oov_bigrams") <= r.getAs[Long]("n_bigrams"))
+    }
+  }
+
+  test("domain mix: smallest source keeps everything; thresholds inverse to size") {
+    val out = ops.CorpusOps.sampleDomainMix(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("threshold"), r.getAs[Long]("n_sampled")))
+    assert(out.nonEmpty)
+    val byDocs = out.sortBy(_._2)
+    // smallest source: threshold exactly 10^6 → keeps all its docs
+    assert(byDocs.head._3 == 1000000L, byDocs.head.toString)
+    assert(byDocs.head._4 == byDocs.head._2, byDocs.head.toString)
+    // thresholds are non-increasing as source size grows
+    byDocs.sliding(2).foreach {
+      case Array(s, l) => assert(l._3 <= s._3, s"$s vs $l")
+      case _ =>
+    }
+    out.foreach { case (_, n, _, k) => assert(k <= n) }
+  }
+
   test("simhash blocked pairs: exactly the brute-force hamming<=7 pairs (pigeonhole-complete)") {
     import spark.implicits._
     val bits = Tables.documents(spark, sf)
