@@ -61,7 +61,7 @@ object ExtraQueries {
   def rollupAgg(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     graft.mart.MartQueries.listeningFacts(spark, dir)
-      .select(year($"ts").cast("long").as("y"), month($"ts").cast("long").as("m"),
+      .select($"ts_year".as("y"), $"ts_month".as("m"),
         $"sec_played")
       .rollup($"y", $"m")
       .agg(

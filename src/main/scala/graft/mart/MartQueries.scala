@@ -37,10 +37,20 @@ object MartQueries {
     import spark.implicits._
     val li  = Tables.lineitem(spark, dir)
       .select($"l_orderkey", $"l_partkey", $"l_suppkey", $"l_quantity", $"l_extendedprice")
-    val ord = Tables.orders(spark, dir).select($"o_orderkey", $"o_orderdate")
+    // calendar keys are computed on the ORDERS side BEFORE the broadcast
+    // join: 4× fewer evaluations than deriving them per joined fact row,
+    // and consumers that filter on ts_year prune the build side pre-join.
+    // Unused keys are column-pruned out of the broadcast, so queries that
+    // ignore them pay nothing.
+    val ord = Tables.orders(spark, dir).select($"o_orderkey", $"o_orderdate",
+      year($"o_orderdate").cast("long").as("ts_year"),
+      month($"o_orderdate").cast("long").as("ts_month"),
+      date_trunc("year", $"o_orderdate").as("ts_year_start"),
+      date_trunc("month", $"o_orderdate").as("ts_month_start"))
     li.join(ord, $"l_orderkey" === $"o_orderkey")
       .select(
         $"o_orderdate".as("ts"),
+        $"ts_year", $"ts_month", $"ts_year_start", $"ts_month_start",
         $"l_partkey", $"l_suppkey", $"l_quantity",
         dec($"l_extendedprice").as("sec_played"),
         round($"l_quantity" / lit(50.0) * lit(100.0), 1).cast("decimal(5,1)").as("percent_played")
@@ -80,7 +90,7 @@ object MartQueries {
   def yearlyAgg(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     listeningFacts(spark, dir)
-      .groupBy(year($"ts").cast("long").as("year"), date_trunc("year", $"ts").as("year_start"))
+      .groupBy($"ts_year".as("year"), $"ts_year_start".as("year_start"))
       .agg(aggMetrics.head, aggMetrics.tail: _*)
       .orderBy($"year".desc)
   }
@@ -98,9 +108,9 @@ object MartQueries {
     import spark.implicits._
     listeningFacts(spark, dir)
       .groupBy(
-        year($"ts").cast("long").as("year"),
-        month($"ts").cast("long").as("month_num"),
-        date_trunc("month", $"ts").as("month_start"))
+        $"ts_year".as("year"),
+        $"ts_month".as("month_num"),
+        $"ts_month_start".as("month_start"))
       .agg(aggMetrics.head, aggMetrics.tail: _*)
       .orderBy($"year".desc, $"month_num".desc)
   }
@@ -162,9 +172,9 @@ object MartQueries {
     */
   private def yearMonthFilter(filterYear: Option[Int], filterMonth: Option[Int]): Column = {
     import org.apache.spark.sql.functions.{col => c}
-    val y = filterYear.map(v => year(c("ts")) === v).getOrElse(lit(true))
+    val y = filterYear.map(v => c("ts_year") === v.toLong).getOrElse(lit(true))
     val m = (filterYear, filterMonth) match {
-      case (Some(_), Some(mv)) => month(c("ts")) === mv
+      case (Some(_), Some(mv)) => c("ts_month") === mv.toLong
       case _                   => lit(true)
     }
     y && m
