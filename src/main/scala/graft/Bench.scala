@@ -38,7 +38,8 @@ object Bench {
     "ann_range_search_ivf", "dedup_incremental_banded",
     "range_join_intervals", "text_repetition_filter",
     "sketch_heavy_hitters", "dedup_embedding_lsh",
-    "decontaminate_ngram", "text_lm_quality", "sample_domain_mix")
+    "decontaminate_ngram", "text_lm_quality", "sample_domain_mix",
+    "dedup_substring_spans")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

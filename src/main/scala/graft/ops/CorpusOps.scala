@@ -217,15 +217,127 @@ object CorpusOps {
       |GROUP BY t.source, t.n_docs, t.threshold
       |ORDER BY t.source""".stripMargin
 
+  // ------------------------------------------ exact substring-span dedup
+
+  private val spanN = 15
+
+  /** Exact duplicated-substring detection (the Lee-et-al. "Deduplicating
+    * Training Data" repeated-span operator): every token position covered
+    * by a 15-gram that occurs more than once in the corpus (across docs OR
+    * within one) is duplicated text; per doc we report the interval-union
+    * coverage of those spans and flag docs that are mostly duplication.
+    *
+    * The interval union is gaps-and-islands arithmetic: spans sorted by
+    * start position, a new island opens where a span starts past the
+    * running max end, and coverage sums (max_end − min_start + 1) per
+    * island — all in windows PARTITIONED BY doc_id (never global, bounded
+    * by doc length).
+    *
+    * Scale shape: gram extraction is map-side; the frequency table is
+    * corpus-sized (unlike decontamination's benchmark set) so the
+    * count-join is a shuffle equi-join on the gram — both sides partition
+    * on the same key, AQE splits hot boilerplate grams; per-doc windows
+    * and rollups shuffle once on doc_id. The production form persists the
+    * gram-count table and trims [min_start, max_end] ranges instead of
+    * flagging — same plan, different final projection.
+    */
+  def dedupSubstringSpans(spark: SparkSession, dir: String): DataFrame =
+    dedupSubstringSpansOn(Tables.documents(spark, dir))
+
+  private[graft] def dedupSubstringSpansOn(docsRaw: DataFrame): DataFrame = {
+    import docsRaw.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = docsRaw
+      .select($"doc_id", split(lower(trim($"text")), " +").as("w"))
+      .filter(size($"w") >= spanN)
+      .select($"doc_id", size($"w").cast("long").as("n_tokens"), $"w")
+    val grams = docs.select($"doc_id", $"n_tokens",
+      explode(transform(sequence(lit(1), size($"w") - lit(spanN - 1)),
+        i => struct(i.cast("long").as("pos"),
+          concat_ws(" ", slice($"w", i, lit(spanN))).as("ng")))).as("g"))
+      .select($"doc_id", $"n_tokens", $"g.pos", $"g.ng")
+    val counts = grams.groupBy($"ng").agg(count(lit(1)).as("cnt"))
+    val dup = grams.join(counts, Seq("ng")).filter($"cnt" > 1)
+
+    val byPos = Window.partitionBy($"doc_id").orderBy($"pos")
+    val prevEnd = max($"pos" + lit(spanN - 1))
+      .over(byPos.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = dup
+      .withColumn("new_island",
+        when($"pos" > coalesce(prevEnd, lit(-1L)), 1L).otherwise(0L))
+      .withColumn("island",
+        sum($"new_island").over(byPos.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy($"doc_id", $"island")
+      .agg((max($"pos") + lit(spanN - 1) - min($"pos") + lit(1)).as("cov"),
+        count(lit(1)).as("n_span"))
+      .groupBy($"doc_id")
+      .agg(sum($"cov").as("dup_coverage"), sum($"n_span").as("n_dup_spans"))
+
+    docs.select($"doc_id", $"n_tokens",
+        (size($"w") - lit(spanN - 1)).cast("long").as("n_spans"))
+      .join(islands, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_tokens", $"n_spans",
+        coalesce($"n_dup_spans", lit(0L)).as("n_dup_spans"),
+        coalesce($"dup_coverage", lit(0L)).as("dup_coverage"))
+      .withColumn("verdict",
+        when($"dup_coverage" * 5 > $"n_tokens", "trim").otherwise("keep"))
+      .orderBy($"doc_id")
+  }
+
+  val dedupSubstringSpansSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents
+       |), d AS (
+       |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens, w FROM t WHERE len(w) >= $spanN
+       |), g AS (
+       |  SELECT doc_id, n_tokens, CAST(u AS BIGINT) AS pos,
+       |    array_to_string(list_slice(w, u, u + ${spanN - 1}), ' ') AS ng
+       |  FROM d, UNNEST(range(1, len(w) - ${spanN - 1} + 1)) AS r(u)
+       |), c AS (
+       |  SELECT ng, COUNT(*) AS cnt FROM g GROUP BY ng
+       |), dup AS (
+       |  SELECT g.* FROM g JOIN c USING (ng) WHERE c.cnt > 1
+       |), isl AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN pos > COALESCE(max(pos + ${spanN - 1}) OVER (
+       |        PARTITION BY doc_id ORDER BY pos
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+       |      THEN 1 ELSE 0 END AS new_island
+       |  FROM dup
+       |), isl2 AS (
+       |  SELECT doc_id, pos,
+       |    SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |  FROM isl
+       |), cov AS (
+       |  SELECT doc_id, island,
+       |    MAX(pos) + ${spanN - 1} - MIN(pos) + 1 AS cov, COUNT(*) AS n_span
+       |  FROM isl2 GROUP BY doc_id, island
+       |), per_doc AS (
+       |  SELECT doc_id, CAST(SUM(cov) AS BIGINT) AS dup_coverage,
+       |    CAST(SUM(n_span) AS BIGINT) AS n_dup_spans
+       |  FROM cov GROUP BY doc_id
+       |)
+       |SELECT d.doc_id, d.n_tokens,
+       |  CAST(len(d.w) - ${spanN - 1} AS BIGINT) AS n_spans,
+       |  COALESCE(p.n_dup_spans, 0) AS n_dup_spans,
+       |  COALESCE(p.dup_coverage, 0) AS dup_coverage,
+       |  CASE WHEN COALESCE(p.dup_coverage, 0) * 5 > d.n_tokens
+       |       THEN 'trim' ELSE 'keep' END AS verdict
+       |FROM d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "decontaminate_ngram" -> (decontaminateNgram _),
-    "text_lm_quality"     -> (textLmQuality _),
-    "sample_domain_mix"   -> (sampleDomainMix _)
+    "decontaminate_ngram"   -> (decontaminateNgram _),
+    "text_lm_quality"       -> (textLmQuality _),
+    "sample_domain_mix"     -> (sampleDomainMix _),
+    "dedup_substring_spans" -> (dedupSubstringSpans _)
   )
 
   val oracleSql: Map[String, String] = Map(
-    "decontaminate_ngram" -> decontaminateNgramSql,
-    "text_lm_quality"     -> textLmQualitySql,
-    "sample_domain_mix"   -> sampleDomainMixSql
+    "decontaminate_ngram"   -> decontaminateNgramSql,
+    "text_lm_quality"       -> textLmQualitySql,
+    "sample_domain_mix"     -> sampleDomainMixSql,
+    "dedup_substring_spans" -> dedupSubstringSpansSql
   )
 }

@@ -357,6 +357,30 @@ class OpsSpec extends SparkSuite {
     out.foreach { case (_, n, _, k) => assert(k <= n) }
   }
 
+  test("substring spans: overlapping dup spans merge into interval-union coverage") {
+    import spark.implicits._
+    val p = (1 to 20).map(i => s"p$i").mkString(" ")          // docA: 20 tokens
+    val docB = "q1 q2 " + p + " q3"                           // shares all of docA
+    val docC = (1 to 20).map(i => s"c$i").mkString(" ")       // unique
+    val docD = ((1 to 15).map(i => s"r$i") ++ (1 to 15).map(i => s"r$i")).mkString(" ")
+    val docs = Seq((1L, p), (2L, docB), (3L, docC), (4L, docD)).toDF("doc_id", "text")
+    val out = ops.CorpusOps.dedupSubstringSpansOn(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_dup_spans"), r.getAs[Long]("dup_coverage"), r.getAs[String]("verdict"))).toMap
+    // docA: 6 dup 15-gram starts (1..6) merging into ONE island covering all 20 tokens
+    assert(out(1L) == ((6L, 20L, "trim")), out.toString)
+    // docB: the same 6 grams at positions 3..8 → union 3..22 = 20 tokens
+    assert(out(2L) == ((6L, 20L, "trim")), out.toString)
+    assert(out(3L) == ((0L, 0L, "keep")), out.toString)
+    // docD: internal repetition — gram at pos 1 == gram at pos 16, two islands
+    assert(out(4L)._1 == 2L && out(4L)._2 == 30L, out.toString)
+
+    // full corpus: both verdict branches live, coverage bounded by doc length
+    val full = ops.CorpusOps.dedupSubstringSpans(spark, sf).collect()
+    assert(full.map(_.getAs[String]("verdict")).toSet == Set("keep", "trim"))
+    full.foreach(r => assert(r.getAs[Long]("dup_coverage") <= r.getAs[Long]("n_tokens")))
+  }
+
   test("simhash blocked pairs: exactly the brute-force hamming<=7 pairs (pigeonhole-complete)") {
     import spark.implicits._
     val bits = Tables.documents(spark, sf)
