@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Streaming corpus hygiene: the continuous-ingestion twin of
+  * [[graft.ops.CorpusOps]] — documents arrive as a stream and are screened
+  * against a STATIC benchmark set before landing in the corpus.
+  */
+object CorpusStream {
+
+  private val ngramN = 8
+
+  /** The benchmark 8-gram set for a testdata dir (the static side of the
+    * screen): distinct grams of the doc_id ≡ 0 (mod 37) slice, exactly the
+    * split [[graft.ops.CorpusOps.decontaminateNgram]] uses.
+    */
+  def benchGrams(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .filter($"doc_id" % 37 === 0)
+      .select($"doc_id", split(lower(trim($"text")), " +").as("w"))
+      .filter(size($"w") >= ngramN)
+      .select(explode(transform(sequence(lit(1), size($"w") - lit(ngramN - 1)),
+        i => concat_ws(" ", slice($"w", i, lit(ngramN))))).as("ng"))
+      .distinct()
+  }
+
+  /** Stream-static decontamination screen: every incoming document's
+    * 8-grams are probed against the static benchmark gram set; the output
+    * stream carries one row per (doc_id, matching gram) — the audit log of
+    * leaked spans. Contaminated docs are `SELECT DISTINCT doc_id` at the
+    * sink; clean docs pass by never appearing.
+    *
+    * Scale shape: the gram explode is map-side per micro-batch; the probe
+    * is a stream-static LEFT SEMI join whose static side (benchmark grams —
+    * MBs for real benchmark suites) is broadcast, so the stream never
+    * shuffles and no streaming state accumulates (no watermark needed: a
+    * semi join against a static side is stateless). When even the gram set
+    * outgrows a broadcast, the production refinement is a Bloom filter
+    * literal probed per gram via the native BloomFilterMightContain
+    * expression (as in EventsPipeline.antiJoinFresh), with the exact semi
+    * join run only on the flagged remainder.
+    *
+    * `docs` must be a streaming DataFrame with (doc_id, text).
+    */
+  def decontaminateStream(docs: DataFrame, bench: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .select($"doc_id", split(lower(trim($"text")), " +").as("w"))
+      .filter(size($"w") >= ngramN)
+      .select($"doc_id", explode(transform(sequence(lit(1), size($"w") - lit(ngramN - 1)),
+        i => concat_ws(" ", slice($"w", i, lit(ngramN))))).as("ng"))
+      .join(broadcast(bench), Seq("ng"), "left_semi")
+      .select($"doc_id", $"ng")
+  }
+}

@@ -505,4 +505,34 @@ class StreamingSpec extends SparkSuite {
       assert(total == Tables.events(spark, sf).count())
     } finally q.stop()
   }
+
+  test("streaming decontamination == batch: same contaminated doc set, stateless plan") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val bench = graft.streaming.CorpusStream.benchGrams(spark, sf)
+
+    val docs = Tables.documents(spark, sf)
+      .filter($"doc_id" % 37 =!= 0)
+      .select($"doc_id", $"text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.streaming.CorpusStream.decontaminateStream(
+        stream.toDF().toDF("doc_id", "text"), bench)
+      .writeStream.outputMode("append").format("memory").queryName("decon_out").start()
+    try {
+      val (a, b) = docs.splitAt(docs.size / 2)
+      stream.addData(a); q.processAllAvailable()
+      stream.addData(b); q.processAllAvailable()
+      val streamed = spark.table("decon_out")
+        .select($"doc_id").distinct().collect().map(_.getLong(0)).toSet
+
+      val batch = ops.CorpusOps.decontaminateNgram(spark, sf)
+        .filter($"verdict" === "drop_contaminated")
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(batch.nonEmpty)
+      assert(streamed == batch,
+        s"missed=${(batch -- streamed).take(5)} extra=${(streamed -- batch).take(5)}")
+    } finally q.stop()
+  }
 }
