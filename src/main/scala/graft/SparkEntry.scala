@@ -12,6 +12,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     core.CoreQueries.queries ++ core.ExtraQueries.queries ++ core.WindowQueries.queries ++
+      core.BehaviorQueries.queries ++
       core.MiscQueries.queries ++ mart.MartQueries.queries ++
       etl.EtlQueries.queries ++ ops.LlmQueries.queries ++ ops.ScaleDedup.queries ++
       ops.AnnLsh.queries ++ ops.Multimodal.queries ++ ops.AsofJoin.queries ++ ops.VectorAgg.queries ++
@@ -22,6 +23,7 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     core.CoreQueries.oracleSql ++ core.ExtraQueries.oracleSql ++ core.WindowQueries.oracleSql ++
+      core.BehaviorQueries.oracleSql ++
       core.MiscQueries.oracleSql ++ mart.MartQueries.oracleSql ++
       etl.EtlQueries.oracleSql ++ ops.LlmQueries.oracleSql ++ ops.ScaleDedup.oracleSql ++
       ops.AsofJoin.oracleSql ++

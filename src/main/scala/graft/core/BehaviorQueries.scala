@@ -1,0 +1,152 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** User-behavior analytics over the event stream: ordered-step funnel
+  * conversion and cohort retention — the dashboard questions a
+  * listening-history product asks right after the top-N charts
+  * (reference anchor: dashboard/dashboard_queries.py's engagement grain;
+  * dm_ddl.sql's non-skip/session measures are the same "how engaged"
+  * axis, these add "when do users convert / come back").
+  */
+object BehaviorQueries {
+
+  /** Ordered-step funnel: view → click-after-first-view →
+    * purchase-after-that-click, each step within a 24-hour attribution
+    * window of the previous one. Step k's timestamp is the user's earliest
+    * qualifying event strictly after step k-1's (and inside its window), so
+    * a click that precedes every view does not count — the strict-sequence,
+    * bounded-window semantics real funnel tools use.
+    *
+    * Scale shape: one shuffle on user_id for the first-view aggregate;
+    * the click and purchase passes join events to the (user, t_k) table on
+    * user_id — the same key, so AQE reuses the partitioning and no new
+    * shuffle key ever appears. Per-step user counts are a single partial
+    * agg; the 3-row output is a `stack` over one collected aggregate row.
+    * Gap math on whole epoch-seconds (engine-agnostic, see sessionize).
+    */
+  private val funnelWindowSec = 86400L
+
+  def eventsFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", $"event_type", unix_timestamp($"ts").as("ts_sec"))
+    val t1 = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts_sec").as("t1"))
+    val t2 = ev.filter($"event_type" === "click")
+      .join(t1, Seq("user_id"))
+      .filter($"ts_sec" > $"t1" && $"ts_sec" <= $"t1" + funnelWindowSec)
+      .groupBy($"user_id").agg(min($"ts_sec").as("t2"))
+    val t3 = ev.filter($"event_type" === "purchase")
+      .join(t2, Seq("user_id"))
+      .filter($"ts_sec" > $"t2" && $"ts_sec" <= $"t2" + funnelWindowSec)
+      .groupBy($"user_id").agg(min($"ts_sec").as("t3"))
+    t1.join(t2, Seq("user_id"), "left").join(t3, Seq("user_id"), "left")
+      .agg(count($"t1").as("n1"), count($"t2").as("n2"), count($"t3").as("n3"))
+      .selectExpr(
+        """stack(3,
+          |  1, 'view',                n1, CAST(n1 AS DOUBLE) / n1,
+          |  2, 'click_after_view',    n2, CAST(n2 AS DOUBLE) / n1,
+          |  3, 'purchase_after_click', n3, CAST(n3 AS DOUBLE) / n1
+          |) AS (step, step_name, n_users, pct_of_first)""".stripMargin)
+      .orderBy($"step")
+  }
+
+  val eventsFunnelSql: String =
+    s"""WITH ev AS (
+      |  SELECT user_id, event_type,
+      |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ts_sec
+      |  FROM events
+      |), s1 AS (
+      |  SELECT user_id, MIN(ts_sec) AS t1 FROM ev
+      |  WHERE event_type = 'view' GROUP BY user_id
+      |), s2 AS (
+      |  SELECT e.user_id, MIN(e.ts_sec) AS t2
+      |  FROM ev e JOIN s1 USING (user_id)
+      |  WHERE e.event_type = 'click' AND e.ts_sec > s1.t1
+      |    AND e.ts_sec <= s1.t1 + $funnelWindowSec
+      |  GROUP BY e.user_id
+      |), s3 AS (
+      |  SELECT e.user_id, MIN(e.ts_sec) AS t3
+      |  FROM ev e JOIN s2 USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.ts_sec > s2.t2
+      |    AND e.ts_sec <= s2.t2 + $funnelWindowSec
+      |  GROUP BY e.user_id
+      |), c AS (
+      |  SELECT (SELECT COUNT(*) FROM s1) AS n1,
+      |         (SELECT COUNT(*) FROM s2) AS n2,
+      |         (SELECT COUNT(*) FROM s3) AS n3
+      |)
+      |SELECT 1 AS step, 'view' AS step_name, n1 AS n_users,
+      |  CAST(n1 AS DOUBLE) / n1 AS pct_of_first FROM c
+      |UNION ALL
+      |SELECT 2, 'click_after_view', n2, CAST(n2 AS DOUBLE) / n1 FROM c
+      |UNION ALL
+      |SELECT 3, 'purchase_after_click', n3, CAST(n3 AS DOUBLE) / n1 FROM c
+      |ORDER BY step""".stripMargin
+
+  /** Cohort retention: users grouped by first-activity day, counted on
+    * each later active day as (cohort_day, day_offset, n_users,
+    * cohort_size, retention_pct).
+    *
+    * Scale shape: first-activity is one partial-agg groupBy on user_id;
+    * active (user, day) pairs are a distinct that partial-aggregates
+    * map-side (each user's events collapse to ≤ n_days rows before the
+    * shuffle); the join back to cohorts is on user_id again (partitioning
+    * reuse); the final rollup keys on (cohort_day, offset) — bounded by
+    * days², never by corpus size. Dates are formatted as strings at the
+    * edge only (repo policy: no DATE columns in driver output).
+    */
+  def userRetentionCohort(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", to_date($"ts").as("d"))
+    val firsts = ev.groupBy($"user_id").agg(min($"d").as("cohort_d"))
+    val sizes = firsts.groupBy($"cohort_d").agg(count(lit(1)).as("cohort_size"))
+    val active = ev.distinct()
+    active.join(firsts, Seq("user_id"))
+      .groupBy($"cohort_d", datediff($"d", $"cohort_d").cast("int").as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .join(broadcast(sizes), Seq("cohort_d"))
+      .select(
+        date_format($"cohort_d", "yyyy-MM-dd").as("cohort_day"),
+        $"day_offset", $"n_users", $"cohort_size",
+        ($"n_users".cast("double") / $"cohort_size").as("retention_pct"))
+      .orderBy($"cohort_day", $"day_offset")
+  }
+
+  val userRetentionCohortSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events
+      |), firsts AS (
+      |  SELECT user_id, MIN(d) AS cohort_d FROM ev GROUP BY user_id
+      |), sizes AS (
+      |  SELECT cohort_d, COUNT(*) AS cohort_size FROM firsts GROUP BY cohort_d
+      |), active AS (
+      |  SELECT DISTINCT user_id, d FROM ev
+      |), ret AS (
+      |  SELECT f.cohort_d,
+      |    CAST(date_diff('day', f.cohort_d, a.d) AS INTEGER) AS day_offset,
+      |    COUNT(*) AS n_users
+      |  FROM active a JOIN firsts f USING (user_id)
+      |  GROUP BY 1, 2
+      |)
+      |SELECT strftime(r.cohort_d, '%Y-%m-%d') AS cohort_day,
+      |  r.day_offset, r.n_users, s.cohort_size,
+      |  CAST(r.n_users AS DOUBLE) / s.cohort_size AS retention_pct
+      |FROM ret r JOIN sizes s USING (cohort_d)
+      |ORDER BY cohort_day, day_offset""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_funnel"         -> (eventsFunnel _),
+    "user_retention_cohort" -> (userRetentionCohort _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "events_funnel"         -> eventsFunnelSql,
+    "user_retention_cohort" -> userRetentionCohortSql
+  )
+}

@@ -548,7 +548,56 @@ object EtlQueries {
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)
       |ORDER BY user_id, version""".stripMargin
 
+  /** extractor.py:_process_spotify_batch — the per-item retry loop: an item
+    * whose metadata fetch fails is retried up to 3 times; items that
+    * exhaust their retries land in etl_internal.failed_uris. The
+    * imperative loop becomes a declarative attempt lattice: explode each
+    * item into its (bounded) attempt numbers map-side, mark each attempt's
+    * outcome with a deterministic hash (standing in for the stubbed API,
+    * same device as enrichMetadata), and keep the first success per item.
+    *
+    * Scale shape: explode ×3 is map-side; the min-attempt rollup is one
+    * partial-agg groupBy on the item key; the left join back to the item
+    * set shares that key. No driver loop, no collect — the retry policy
+    * rides inside the plan. (Production ids beyond 2³¹ would switch the
+    * outcome hash to xxhash64; the Knuth form is kept engine-portable, as
+    * in sample_domain_mix.)
+    */
+  def retryQuarantine(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val items = Tables.events(spark, dir).select($"user_id".as("item_id")).distinct()
+    val ok = items
+      .select($"item_id", explode(sequence(lit(1), lit(3))).as("attempt"))
+      .filter((($"item_id" * 31 + $"attempt") * lit(2654435761L))
+        % lit(1000000007L) % 10 < 7)
+      .groupBy($"item_id").agg(min($"attempt").cast("long").as("first_success"))
+    items.join(ok, Seq("item_id"), "left")
+      .select($"item_id",
+        coalesce($"first_success", lit(3L)).as("attempts_used"),
+        when($"first_success".isNotNull, "loaded")
+          .otherwise("quarantined").as("status"))
+      .orderBy($"item_id")
+  }
+
+  val retryQuarantineSql: String =
+    """WITH items AS (
+      |  SELECT DISTINCT user_id AS item_id FROM events
+      |), attempts AS (
+      |  SELECT item_id, u AS attempt
+      |  FROM items, UNNEST(range(1, 4)) AS r(u)
+      |  WHERE ((item_id * 31 + u) * 2654435761) % 1000000007 % 10 < 7
+      |), ok AS (
+      |  SELECT item_id, MIN(attempt) AS first_success FROM attempts GROUP BY item_id
+      |)
+      |SELECT i.item_id,
+      |  COALESCE(ok.first_success, 3) AS attempts_used,
+      |  CASE WHEN ok.first_success IS NOT NULL THEN 'loaded'
+      |       ELSE 'quarantined' END AS status
+      |FROM items i LEFT JOIN ok USING (item_id)
+      |ORDER BY item_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_retry_quarantine" -> (retryQuarantine _),
     "etl_scd2_history"    -> (scd2History _),
     "etl_extract_history" -> (extractHistory _),
     "etl_delta_load"      -> (deltaLoad _),
@@ -566,6 +615,7 @@ object EtlQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "etl_retry_quarantine" -> retryQuarantineSql,
     "etl_scd2_history"    -> scd2HistorySql,
     "etl_extract_history" -> extractHistorySql,
     "etl_delta_load"      -> deltaLoadSql,

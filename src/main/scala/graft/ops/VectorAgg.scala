@@ -378,6 +378,17 @@ object VectorAgg {
     */
   def annTopkPq(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    pqShortlist(spark, dir, r = 5)
+      .select($"query_id", $"rank", $"neighbor_id", $"approx_d2")
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** Top-`r` ADC shortlist per query — the candidate-generation stage
+    * shared by [[annTopkPq]] (r = k, the shortlist IS the answer) and
+    * [[annTopkPqRefine]] (r > k, the shortlist feeds an exact re-rank).
+    */
+  private def pqShortlist(spark: SparkSession, dir: String, r: Int): DataFrame = {
+    import spark.implicits._
     val M = 16; val K = 16; val sub = 4; val chunks = 8
     val q = quantized(spark, dir)
     val cbArr = pqCodebookArray(spark, dir, M, K, sub)
@@ -398,8 +409,37 @@ object VectorAgg {
     scored
       .withColumn("rank",
         row_number().over(Window.partitionBy($"query_id").orderBy($"approx_d2", $"neighbor_id")))
+      .filter($"rank" <= r)
+  }
+
+  /** Two-stage PQ retrieval (the layout FAISS-style deployments run in
+    * production): the compressed ADC pass shortlists 4k candidates per
+    * query, then ONLY those pairs are re-ranked with the exact integer L2²
+    * over the raw vectors. Refinement reads raw vectors for
+    * queries·shortlist rows instead of queries·corpus — the expensive exact
+    * math is confined to a bounded candidate set, recovering most of the
+    * recall the 32× compression gave up (AnnSpec pins refine-recall ≥
+    * PQ-recall and ≥ a floor).
+    *
+    * Scale shape: the shortlist is queries×R rows; both refine joins are
+    * shuffle equi-joins on a vector id (never a broadcast of anything
+    * query-sized); the final top-k window repartitions on query_id, which
+    * the second join already provides.
+    */
+  def annTopkPqRefine(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.LongVectorDot.vector_dot
+    val q = quantized(spark, dir)
+    val pairs = pqShortlist(spark, dir, r = 20).select($"query_id", $"neighbor_id")
+    pairs
+      .join(q.select($"vec_id".as("neighbor_id"), $"v".as("nv")), Seq("neighbor_id"))
+      .join(q.select($"vec_id".as("query_id"), $"v".as("qv")), Seq("query_id"))
+      .withColumn("d2",
+        vector_dot($"qv", $"qv") + vector_dot($"nv", $"nv") - lit(2L) * vector_dot($"qv", $"nv"))
+      .withColumn("rank",
+        row_number().over(Window.partitionBy($"query_id").orderBy($"d2", $"neighbor_id")))
       .filter($"rank" <= 5)
-      .select($"query_id", $"rank", $"neighbor_id", $"approx_d2")
+      .select($"query_id", $"rank", $"neighbor_id", $"d2")
       .orderBy($"query_id", $"rank")
   }
 
@@ -569,6 +609,7 @@ object VectorAgg {
     "ann_range_search"    -> ((s, d) => annRangeSearch(s, d)),
     "ann_range_search_ivf" -> ((s, d) => annRangeSearchIvf(s, d)),
     "ann_topk_pq"         -> (annTopkPq _),
+    "ann_topk_pq_refine"  -> (annTopkPqRefine _),
     "ann_topk_ivfpq"      -> (annTopkIvfPq _),
     "skew_salted_topk"    -> (skewSaltedTopk _)
   )

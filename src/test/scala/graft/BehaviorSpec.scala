@@ -1,0 +1,57 @@
+package graft
+
+/** Invariant specs for the behavioral-analytics surface (funnel, cohort
+  * retention) and the declarative retry-quarantine lattice. Value-level
+  * correctness is the driver's DuckDB gate; these pin the Spark-side
+  * shape invariants and that every output branch is non-vacuous on the
+  * test corpus.
+  */
+class BehaviorSpec extends SparkSuite {
+
+  test("funnel: windowed ordered steps shrink monotonically, all populated") {
+    val rows = core.BehaviorQueries.eventsFunnel(spark, sf).collect()
+    assert(rows.length == 3)
+    val byStep = rows.map(r => r.getAs[Int]("step") -> r.getAs[Long]("n_users")).toMap
+    assert(byStep(1) >= byStep(2) && byStep(2) >= byStep(3))
+    assert(byStep(3) >= 1, "purchase step must be non-vacuous")
+    assert(byStep(2) < byStep(1), "the 24h window must create real drop-off")
+    rows.foreach { r =>
+      val pct = r.getAs[Double]("pct_of_first")
+      assert(pct > 0.0 && pct <= 1.0)
+    }
+  }
+
+  test("cohort retention: offset 0 retains the full cohort, counts bounded") {
+    val rows = core.BehaviorQueries.userRetentionCohort(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val day0 = rows.filter(_.getAs[Int]("day_offset") == 0)
+    assert(day0.nonEmpty)
+    // by construction every user is active on their own first day
+    day0.foreach { r =>
+      assert(r.getAs[Long]("n_users") == r.getAs[Long]("cohort_size"),
+        s"cohort ${r.getAs[String]("cohort_day")} incomplete at offset 0")
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_users") <= r.getAs[Long]("cohort_size"))
+      assert(r.getAs[Int]("day_offset") >= 0)
+      assert(r.getAs[Double]("retention_pct") <= 1.0)
+    }
+    // retention must decay somewhere (a flat 100% matrix would be vacuous)
+    assert(rows.exists(_.getAs[Double]("retention_pct") < 1.0))
+  }
+
+  test("retry quarantine: both outcomes occur, attempts within the budget") {
+    val rows = etl.EtlQueries.retryQuarantine(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byStatus = rows.groupBy(_.getAs[String]("status")).view.mapValues(_.length).toMap
+    assert(byStatus.getOrElse("loaded", 0) > 0, "no item ever loads")
+    assert(byStatus.getOrElse("quarantined", 0) > 0,
+      "retry exhaustion never happens — quarantine branch vacuous")
+    rows.foreach { r =>
+      val a = r.getAs[Long]("attempts_used")
+      assert(a >= 1 && a <= 3)
+      // a first-attempt quarantine is impossible: quarantined == 3 attempts
+      if (r.getAs[String]("status") == "quarantined") assert(a == 3)
+    }
+  }
+}

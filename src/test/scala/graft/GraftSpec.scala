@@ -316,6 +316,23 @@ class AnnSpec extends SparkSuite {
     assert(recall >= 0.12, s"ivf-pq recall@5 = $recall")
   }
 
+  test("PQ refine: exact re-rank of the ADC shortlist dominates PQ recall") {
+    val exact = exactL2Top5()
+    val pq = ops.VectorAgg.annTopkPq(spark, sf)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ref = ops.VectorAgg.annTopkPqRefine(spark, sf)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rPq  = (exact & pq).size.toDouble / exact.size
+    val rRef = (exact & ref).size.toDouble / exact.size
+    // the re-rank scores shortlisted pairs with the TRUE integer L2², so
+    // any exact top-5 pair the 4k-deep shortlist catches is recovered —
+    // refine recall can only add to the raw ADC ranking's
+    assert(rRef >= rPq, s"refine recall $rRef < pq recall $rPq")
+    assert(rRef >= 0.5, s"refine recall@5 = $rRef") // observed 0.63+ (deterministic)
+  }
+
   test("PQ codebook keeps starved cells: every subspace stays K-dense") {
     import spark.implicits._
     // vec 1 and 2 share their subspace-0 sub-vector, so (ties go to the
