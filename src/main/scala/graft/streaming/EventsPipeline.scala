@@ -354,6 +354,72 @@ object EventsPipeline {
     } finally { incoming.unpersist(); () }
   }
 
+  /** Bucketed APPEND sink — the cheap-write half of the append+compact
+    * pattern: each micro-batch appends one file per touched key-hash
+    * bucket (repartition on the bucket column first, so a batch never
+    * sprays `shuffle.partitions` files into every bucket dir). Appends
+    * cost O(batch) with no merge read, but small files accumulate — one
+    * per (batch, bucket) — which is what [[compactBuckets]] bounds. Use
+    * this layout when the stream is insert-only and reads can collapse
+    * duplicates (vs the merge sink, which pays a bucket rewrite per batch
+    * to keep the warehouse exactly-merged at all times).
+    */
+  def appendBucketedSink(df: DataFrame, path: String, key: String, buckets: Int = 16): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val withBucket = batch.filter(col(key).isNotNull)
+          .withColumn("_bucket", pmod(xxhash64(col(key).cast("string")), lit(buckets)).cast("int"))
+        withBucket
+          .repartition(col("_bucket"))
+          .write.mode("append")
+          .partitionBy("_bucket")
+          .parquet(path)
+        ()
+      }
+
+  /** Small-file compaction over the bucketed warehouse layout (the
+    * maintenance job every append-mode streaming warehouse schedules):
+    * buckets holding more than `maxFiles` parquet files are read back and
+    * rewritten as one file each via dynamic partition overwrite; buckets
+    * at or under the ceiling are never read, never rewritten (StreamingSpec
+    * pins both row preservation and untouched-bucket isolation by mtime).
+    *
+    * Scale shape: the file census is pure namenode/listing metadata (no
+    * data read); compaction I/O is O(oversized buckets), so amortized cost
+    * tracks the append rate, not the warehouse size — the same
+    * only-affected-partitions contract as [[mergeBatch]]. The
+    * `repartition(n, _bucket)` gives each oversized bucket exactly one
+    * output file (all rows of a bucket hash to one partition). Crash-safe
+    * the same way the merge sink is: dynamic overwrite swaps whole bucket
+    * dirs at commit, and re-running compaction is idempotent.
+    * Returns the compacted bucket ids.
+    */
+  def compactBuckets(spark: SparkSession, path: String, maxFiles: Int = 4): Seq[Int] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    val oversized = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("_bucket="))
+      .filter(d => fs.listStatus(d.getPath)
+        .count(_.getPath.getName.endsWith(".parquet")) > maxFiles)
+      .map(_.getPath.getName.stripPrefix("_bucket=").toInt)
+      .sorted
+    if (oversized.nonEmpty) {
+      spark.read.parquet(path)
+        .filter(col("_bucket").isin(oversized: _*)) // partition-pruned scan
+        .repartition(oversized.length, col("_bucket"))
+        // materialize before overwriting the same buckets being read
+        .localCheckpoint()
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_bucket")
+        .parquet(path)
+    }
+    oversized
+  }
+
   /** SCD2 dimension sink — [[graft.etl.EtlQueries.scd2History]]'s
     * versioning composed with the merge sink's bucketed layout: the
     * history-PRESERVING streaming upsert (the reference's

@@ -274,6 +274,45 @@ class StreamingSpec extends SparkSuite {
     assert(wh.filter($"event_id" === 7L).head().getAs[String]("payload") == "updated")
   }
 
+  test("append+compact: compaction bounds file counts, preserves rows, skips small buckets") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_cmpct").toString + "/wh"
+    val buckets = 8
+    def bucketOf(k: Long): Int = Seq(k).toDF("k")
+      .select(pmod(xxhash64($"k".cast("string")), lit(buckets)).cast("int")).head().getInt(0)
+    val k1 = 7L
+    // a second key whose bucket differs from k1's (hash-dependent, so probe)
+    val k2 = (1L to 64L).find(bucketOf(_) != bucketOf(k1)).get
+    val stream = MemoryStream[(Long, String)]
+    val q = streaming.EventsPipeline.appendBucketedSink(
+        stream.toDF().toDF("event_id", "payload"), root, "event_id", buckets)
+      .option("checkpointLocation", java.nio.file.Files.createTempDirectory("graft_cmpctck").toString)
+      .start()
+    try {
+      stream.addData(Seq((k1, "a"))); q.processAllAvailable()
+      stream.addData(Seq((k1, "b"))); q.processAllAvailable()
+      stream.addData(Seq((k1, "c"), (k2, "d"))); q.processAllAvailable()
+    } finally q.stop()
+    def files(b: Int): Set[(String, Long, Long)] =
+      new java.io.File(root, s"_bucket=$b").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified(), f.length())).toSet
+    val (b1, b2) = (bucketOf(k1), bucketOf(k2))
+    assert(files(b1).size == 3, "append sink must write one file per (batch, bucket)")
+    assert(files(b2).size == 1)
+    val smallBefore = files(b2)
+    val compacted = streaming.EventsPipeline.compactBuckets(spark, root, maxFiles = 2)
+    assert(compacted == Seq(b1), s"only the oversized bucket compacts: $compacted")
+    assert(files(b1).size == 1, "compaction must leave one file per bucket")
+    assert(files(b2) == smallBefore, "bucket under the ceiling was rewritten")
+    val rows = spark.read.parquet(root).select($"event_id", $"payload")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows == Set((k1, "a"), (k1, "b"), (k1, "c"), (k2, "d")), rows)
+    // idempotent: a second pass finds nothing over the ceiling
+    assert(streaming.EventsPipeline.compactBuckets(spark, root, maxFiles = 2).isEmpty)
+  }
+
   test("scd2 dim sink: attribute change chains half-open versions; redelivery is a no-op") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
