@@ -39,7 +39,9 @@ object Bench {
     "range_join_intervals", "text_repetition_filter",
     "sketch_heavy_hitters", "dedup_embedding_lsh",
     "decontaminate_ngram", "text_lm_quality", "sample_domain_mix",
-    "dedup_substring_spans")
+    "dedup_substring_spans",
+    "events_funnel", "user_retention_cohort", "etl_retry_quarantine",
+    "ann_topk_pq_refine")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

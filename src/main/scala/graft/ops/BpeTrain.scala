@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Distributed BPE tokenizer training (the merge-learning loop of
+  * byte-pair encoding, Sennrich et al.): learn the top-k merge rules from
+  * corpus word frequencies. [[Curation.textVocab]] produces the training
+  * INPUT (token/doc frequencies); this learns the merge TABLE a tokenizer
+  * ships.
+  *
+  * Scale design — the part that matters at 100 TB: the corpus is read
+  * EXACTLY ONCE, for the word-frequency aggregation (one partial-agg
+  * shuffle keyed by word). Every merge round after that operates on the
+  * word-FORM table — bounded by unique-word count, corpus-size-
+  * independent — so 10 extra rounds cost 10 small shuffles of the vocab
+  * table, not 10 corpus passes. Each round is fully declarative:
+  *   1. pair counts: explode each word form's adjacent symbol pairs,
+  *      weighted by word frequency (partial-agg groupBy on the pair);
+  *   2. best pair: orderBy + limit 1 (TakeOrderedAndProject — a parallel
+  *      partial top-1, never a global sort);
+  *   3. apply: crossJoin(broadcast(<the one best row>)) and rebuild each
+  *      symbol array with a left-to-right greedy fold (the HOF `aggregate`
+  *      lambda below) — map-side, the same 1-row-broadcast argmin pattern
+  *      as the k-means cell assignment.
+  * The merge table never leaves the plan (no collect); each round's word
+  * forms are localCheckpoint'ed so plan depth stays O(1) per round, as in
+  * kmeansCellsTrain.
+  */
+object BpeTrain {
+
+  /** Greedy left-to-right merge of adjacent (l, r) into l+r within one
+    * symbol array — non-overlapping, like the reference BPE apply loop:
+    * "aaa" under (a,a) becomes ["aa","a"], because the fold consumes the
+    * merged occurrence before considering the next symbol.
+    */
+  private def applyMerge(sym: Column, l: Column, r: Column): Column =
+    aggregate(sym, array().cast("array<string>"), (acc, x) =>
+      when(size(acc) > 0 && element_at(acc, -1) === l && x === r,
+        concat(slice(acc, lit(1), size(acc) - 1), array(concat(l, r))))
+        .otherwise(concat(acc, array(x))))
+
+  private def adjacentPairs(sym: Column): Column =
+    transform(sequence(lit(1), size(sym) - 1),
+      i => struct(element_at(sym, i).as("left"), element_at(sym, i + 1).as("right")))
+
+  /** Learn `k` BPE merges from the documents corpus. Output: one row per
+    * merge round — (round, left, right, merged, pair_count), the exact
+    * merge table a BPE tokenizer persists. Rows-only (the iterative fold
+    * has no reasonable single-query SQL form); BpeSpec pins the learned
+    * merges on a hand-checkable corpus, the non-increasing best-pair-count
+    * invariant, and determinism.
+    */
+  def bpeTrainMerges(spark: SparkSession, dir: String): DataFrame =
+    bpeTrainMergesOn(
+      Tables.documents(spark, dir)
+        .select(explode(split(lower(trim(col("text"))), " +")).as("word")),
+      k = 8)
+
+  private[graft] def bpeTrainMergesOn(words: DataFrame, k: Int): DataFrame = {
+    import words.sparkSession.implicits._
+    // the ONE corpus pass: everything after operates on unique word forms
+    var forms = words.filter(length($"word") > 0)
+      .groupBy($"word").agg(count(lit(1)).as("freq"))
+      .select($"freq",
+        transform(sequence(lit(1), length($"word")), i => substring($"word", i, lit(1))).as("sym"))
+      .localCheckpoint()
+    var merges: DataFrame = null
+    for (round <- 1 to k) {
+      val best = forms.filter(size($"sym") >= 2)
+        .select($"freq", explode(adjacentPairs($"sym")).as("p"))
+        .groupBy($"p.left".as("left"), $"p.right".as("right"))
+        .agg(sum($"freq").as("pair_count"))
+        .orderBy($"pair_count".desc, $"left", $"right") // deterministic ties
+        .limit(1)
+        .withColumn("round", lit(round))
+        .localCheckpoint()
+      merges = if (merges == null) best else merges.unionByName(best)
+      forms = forms.crossJoin(broadcast(best.select($"left".as("_l"), $"right".as("_r"))))
+        .select($"freq", applyMerge($"sym", $"_l", $"_r").as("sym"))
+        .localCheckpoint()
+    }
+    merges
+      .select($"round", $"left", $"right",
+        concat($"left", $"right").as("merged"), $"pair_count")
+      .orderBy($"round")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bpe_train_merges" -> (bpeTrainMerges _)
+  )
+}

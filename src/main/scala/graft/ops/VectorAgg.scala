@@ -395,9 +395,13 @@ object VectorAgg {
     val base = q.crossJoin(broadcast(cbArr))
       .withColumn("svs", pqSvs($"v", M, sub))
     // the codes ARE the index: at scale this is written once as the PQ
-    // index table and scanned by every query
-    val encoded = base.select($"vec_id".as("neighbor_id"), pqCode($"svs", $"cbs").as("code"),
-      pmod(xxhash64($"vec_id"), lit(chunks)).cast("int").as("chunk"))
+    // index table and scanned by every query — cached per (session, dir,
+    // params) like the codebook, so ann_topk_pq and the refine stage
+    // share one encode pass instead of re-encoding the corpus each
+    val encoded = indexCache.getOrElseUpdate((spark, dir, s"pqcodes:$M:$K:$sub:$chunks"),
+      base.select($"vec_id".as("neighbor_id"), pqCode($"svs", $"cbs").as("code"),
+          pmod(xxhash64($"vec_id"), lit(chunks)).cast("int").as("chunk"))
+        .localCheckpoint())
     // per-query ADC table in the flat m·K+cell layout; the per-query
     // constant Σ‖q_m‖² is dropped — it does not change the ranking
     val queriesDf = base.filter($"vec_id" % 10 === 0)
@@ -431,8 +435,12 @@ object VectorAgg {
     import graft.functions.LongVectorDot.vector_dot
     val q = quantized(spark, dir)
     val pairs = pqShortlist(spark, dir, r = 20).select($"query_id", $"neighbor_id")
-    pairs
+    // merge-hinted: the shortlist is query-derived, so broadcasting it
+    // would re-grow executor memory with the query set (the round-3 PQ
+    // flaw); the equi-joins must stay shuffles (PlanSpec-asserted)
+    pairs.hint("merge")
       .join(q.select($"vec_id".as("neighbor_id"), $"v".as("nv")), Seq("neighbor_id"))
+      .hint("merge")
       .join(q.select($"vec_id".as("query_id"), $"v".as("qv")), Seq("query_id"))
       .withColumn("d2",
         vector_dot($"qv", $"qv") + vector_dot($"nv", $"nv") - lit(2L) * vector_dot($"qv", $"nv"))

@@ -703,6 +703,19 @@ class PlanSpec extends SparkSuite {
     assert(shuffleJoin, df.queryExecution.executedPlan.toString)
   }
 
+  test("PQ refine keeps query-derived sides out of every broadcast") {
+    // the shortlist (and anything carrying query_id or an ADC table) grows
+    // with the query set — only the one-row codebook may broadcast
+    val df = ops.VectorAgg.annTopkPqRefine(spark, sf)
+    df.collect()
+    val nodes = tools.PlanWalk.flatten(df.queryExecution.executedPlan)
+    val bad = nodes.collect {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+        if b.output.exists(a => a.name == "dtab" || a.name == "query_id") => b
+    }
+    assert(bad.isEmpty, bad.map(_.treeString).mkString("\n---\n"))
+  }
+
   test("q1: filter pushed to parquet scan, whole-stage codegen") {
     val p = plan(core.CoreQueries.q1PricingSummary(spark, sf))
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
