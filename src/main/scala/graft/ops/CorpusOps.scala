@@ -244,18 +244,33 @@ object CorpusOps {
   def dedupSubstringSpans(spark: SparkSession, dir: String): DataFrame =
     dedupSubstringSpansOn(Tables.documents(spark, dir))
 
-  private[graft] def dedupSubstringSpansOn(docsRaw: DataFrame): DataFrame = {
+  /** The 100 TB form of [[dedupSubstringSpans]]: grams are fingerprinted
+    * to xxhash64 BEFORE the frequency groupBy and count-join, so the two
+    * corpus-sized shuffles carry 8-byte longs instead of ~100-byte
+    * 15-gram strings (>10× less shuffle volume on real text). The trade
+    * is a 2⁻⁶⁴ per-pair collision probability — a colliding pair would
+    * mark a unique span as duplicated (one-sided error, toward
+    * over-trimming), the standard trade hash-based substring dedup makes
+    * at scale. Rows-only; OpsSpec pins output parity with the exact twin
+    * on the test corpus (where collisions are impossible in practice).
+    */
+  def dedupSubstringSpansHashed(spark: SparkSession, dir: String): DataFrame =
+    dedupSubstringSpansOn(Tables.documents(spark, dir), hashGrams = true)
+
+  private[graft] def dedupSubstringSpansOn(docsRaw: DataFrame, hashGrams: Boolean = false): DataFrame = {
     import docsRaw.sparkSession.implicits._
     import org.apache.spark.sql.expressions.Window
     val docs = docsRaw
       .select($"doc_id", split(lower(trim($"text")), " +").as("w"))
       .filter(size($"w") >= spanN)
       .select($"doc_id", size($"w").cast("long").as("n_tokens"), $"w")
-    val grams = docs.select($"doc_id", $"n_tokens",
+    val gramsRaw = docs.select($"doc_id", $"n_tokens",
       explode(transform(sequence(lit(1), size($"w") - lit(spanN - 1)),
         i => struct(i.cast("long").as("pos"),
           concat_ws(" ", slice($"w", i, lit(spanN))).as("ng")))).as("g"))
       .select($"doc_id", $"n_tokens", $"g.pos", $"g.ng")
+    // the hashed form drops the gram text before anything shuffles
+    val grams = if (hashGrams) gramsRaw.withColumn("ng", xxhash64($"ng")) else gramsRaw
     val counts = grams.groupBy($"ng").agg(count(lit(1)).as("cnt"))
     val dup = grams.join(counts, Seq("ng")).filter($"cnt" > 1)
 
@@ -331,7 +346,8 @@ object CorpusOps {
     "decontaminate_ngram"   -> (decontaminateNgram _),
     "text_lm_quality"       -> (textLmQuality _),
     "sample_domain_mix"     -> (sampleDomainMix _),
-    "dedup_substring_spans" -> (dedupSubstringSpans _)
+    "dedup_substring_spans" -> (dedupSubstringSpans _),
+    "dedup_substring_spans_hashed" -> (dedupSubstringSpansHashed _)
   )
 
   val oracleSql: Map[String, String] = Map(

@@ -488,6 +488,69 @@ object VectorAgg {
       .orderBy($"query_id", $"rank")
   }
 
+  /** Persist the IVF-PQ index as its three parquet tables — coarse cells
+    * (cell, cv), PQ codebook (m, cell, cv), inverted lists (neighbor_id,
+    * cell, code) — the write-once artifact of the training job that
+    * [[annTopkIvfPqFromIndex]] then serves queries from. This is the
+    * deployment split a billion-vector index runs: train/encode writes
+    * these tables once; query jobs never see a raw corpus vector.
+    */
+  def saveIvfPqIndex(spark: SparkSession, dir: String, indexPath: String): Unit = {
+    import spark.implicits._
+    val M = 16; val K = 16; val sub = 4
+    val cells = kmeansCells(spark, dir, k = 16, iters = 2)
+    val cbArr = pqCodebookArray(spark, dir, M, K, sub)
+    val lists = withCellRank(quantized(spark, dir), cells).crossJoin(broadcast(cbArr))
+      .withColumn("svs", pqSvs($"v", M, sub))
+      .select($"vec_id".as("neighbor_id"),
+        element_at($"cellRank", 1).getField("cell").as("cell"),
+        pqCode($"svs", $"cbs").as("code"))
+    cells.write.mode("overwrite").parquet(s"$indexPath/cells")
+    pqCodebook(spark, dir, M, K, sub).write.mode("overwrite").parquet(s"$indexPath/codebook")
+    lists.write.mode("overwrite").parquet(s"$indexPath/lists")
+  }
+
+  /** IVF-PQ ANN served ENTIRELY from the persisted index tables: the
+    * query side ranks cells against the loaded centroids and builds its
+    * ADC table from the loaded codebook (both tiny → broadcast as the
+    * usual one-row arrays); candidates flow through the (cell) equi-join
+    * against the loaded inverted lists. The corpus parquet is never read —
+    * the plan's only big input is the 32×-compressed lists table.
+    * AnnSpec pins exact output parity with the in-session [[annTopkIvfPq]].
+    */
+  def annTopkIvfPqFromIndex(spark: SparkSession, dir: String, indexPath: String): DataFrame = {
+    import spark.implicits._
+    val M = 16; val K = 16; val sub = 4
+    val cells = spark.read.parquet(s"$indexPath/cells")
+    val cbArr = pqCollapse(spark.read.parquet(s"$indexPath/codebook"))
+    val lists = spark.read.parquet(s"$indexPath/lists")
+    val probed = withCellRank(quantized(spark, dir).filter($"vec_id" % 10 === 0), cells)
+      .crossJoin(broadcast(cbArr))
+      .withColumn("svs", pqSvs($"v", M, sub))
+      .select($"vec_id".as("query_id"),
+        explode(transform(slice($"cellRank", 1, 2), s => s.getField("cell"))).as("cell"),
+        pqDtab($"svs", $"cbs").as("dtab"))
+    probed.join(lists, Seq("cell"))
+      .filter($"query_id" =!= $"neighbor_id")
+      .withColumn("approx_d2", pqAdc($"dtab", $"code", M, K))
+      .withColumn("rank",
+        row_number().over(Window.partitionBy($"query_id").orderBy($"approx_d2", $"neighbor_id")))
+      .filter($"rank" <= 5)
+      .select($"query_id", $"rank", $"neighbor_id", $"approx_d2")
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** The §2 entry for the persisted-index path: train+save once per
+    * (dir, params) into a content-addressed location, then serve the
+    * query from the loaded tables — end-to-end through the driver gate.
+    */
+  def annTopkIvfPqPersisted(spark: SparkSession, dir: String): DataFrame = {
+    val indexPath = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_index_" +
+      java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+    saveIvfPqIndex(spark, dir, indexPath)
+    annTopkIvfPqFromIndex(spark, dir, indexPath)
+  }
+
   /** Radius (range) search: every same-label pair within L2² ≤ radius,
     * exact over the ×1000-quantized integers. Label blocking keeps pair
     * work O(n·block) — the self-join is an equi-shuffle on the block key,
@@ -619,6 +682,7 @@ object VectorAgg {
     "ann_topk_pq"         -> (annTopkPq _),
     "ann_topk_pq_refine"  -> (annTopkPqRefine _),
     "ann_topk_ivfpq"      -> (annTopkIvfPq _),
+    "ann_topk_ivfpq_persisted" -> (annTopkIvfPqPersisted _),
     "skew_salted_topk"    -> (skewSaltedTopk _)
   )
 

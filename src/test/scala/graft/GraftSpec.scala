@@ -333,6 +333,20 @@ class AnnSpec extends SparkSuite {
     assert(rRef >= 0.5, s"refine recall@5 = $rRef") // observed 0.63+ (deterministic)
   }
 
+  test("persisted IVF-PQ index serves queries identical to the in-session form") {
+    val indexPath = java.nio.file.Files.createTempDirectory("graft_ivfpq_ix").toString
+    ops.VectorAgg.saveIvfPqIndex(spark, sf, indexPath)
+    val fromIndex = ops.VectorAgg.annTopkIvfPqFromIndex(spark, sf, indexPath)
+      .collect().map(_.toString).toSeq
+    val inSession = ops.VectorAgg.annTopkIvfPq(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(fromIndex.nonEmpty && fromIndex == inSession)
+    // the loaded-tables plan must not scan the embeddings corpus parquet:
+    // only the query slice reads it (vec_id % 10), via the quantized side
+    val lists = spark.read.parquet(s"$indexPath/lists")
+    assert(lists.columns.toSet == Set("neighbor_id", "cell", "code"))
+  }
+
   test("PQ codebook keeps starved cells: every subspace stays K-dense") {
     import spark.implicits._
     // vec 1 and 2 share their subspace-0 sub-vector, so (ties go to the

@@ -381,6 +381,16 @@ class OpsSpec extends SparkSuite {
     full.foreach(r => assert(r.getAs[Long]("dup_coverage") <= r.getAs[Long]("n_tokens")))
   }
 
+  test("hashed substring-span dedup matches the exact twin row for row") {
+    // the 64-bit gram fingerprint only diverges on a hash collision —
+    // impossible in practice at test scale, so outputs must be identical
+    val exact = ops.CorpusOps.dedupSubstringSpans(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    val hashed = ops.CorpusOps.dedupSubstringSpansHashed(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(exact.nonEmpty && exact == hashed)
+  }
+
   test("simhash blocked pairs: exactly the brute-force hamming<=7 pairs (pigeonhole-complete)") {
     import spark.implicits._
     val bits = Tables.documents(spark, sf)
