@@ -609,7 +609,60 @@ object LlmQueries {
       |FROM ranked WHERE rank <= 3
       |ORDER BY doc_id, rank""".stripMargin
 
+  /** Model-based quality filtering (the FineWeb/fastText-classifier stage
+    * that follows the heuristic rules): a linear classifier's dot product
+    * over per-doc count features, applied as one map-side inference pass.
+    * The weight vector is a fixed integer stand-in for trained
+    * coefficients (diversity up, stopword evidence up, repetition down);
+    * the decision normalizes by document length via cross-multiplication
+    * — margin = 10·(w·f) − 25·n_words — so everything stays
+    * integer-exact (no ratio, no sigmoid; monotone in the same decision,
+    * the device that made text_tfidf oracle-exact).
+    *
+    * Scale shape: features come from the same split-once word array as
+    * [[textQuality]]; inference is pure projection — no shuffle at all
+    * before the output sort. At 100 TB this is the cheapest pass in the
+    * pipeline, exactly as classifier inference should be.
+    */
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = words($"text")
+    val stop = Seq("the", "a", "of", "and", "to")
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        size(w).cast("long").as("n_words"),
+        size(array_distinct(w)).cast("long").as("n_distinct"),
+        size(filter(w, x => stop.map(m => x === lit(m)).reduce(_ || _))).cast("long").as("n_stopwords"))
+      .withColumn("score",
+        lit(5L) * $"n_distinct" + lit(3L) * $"n_stopwords"
+          - lit(2L) * ($"n_words" - $"n_distinct"))
+      .withColumn("margin", lit(10L) * $"score" - lit(25L) * $"n_words")
+      .withColumn("label", when($"margin" >= 0, "hq").otherwise("lq"))
+      .orderBy($"doc_id")
+  }
+
+  val qualityClassifierSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents
+      |), f AS (
+      |  SELECT doc_id,
+      |    CAST(len(w) AS BIGINT) AS n_words,
+      |    CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+      |    CAST(len(list_filter(w, x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'and' OR x = 'to')) AS BIGINT) AS n_stopwords
+      |  FROM t
+      |), s AS (
+      |  SELECT *, 5 * n_distinct + 3 * n_stopwords - 2 * (n_words - n_distinct) AS score
+      |  FROM f
+      |)
+      |SELECT doc_id, n_words, n_distinct, n_stopwords,
+      |  CAST(score AS BIGINT) AS score,
+      |  CAST(10 * score - 25 * n_words AS BIGINT) AS margin,
+      |  CASE WHEN 10 * score - 25 * n_words >= 0 THEN 'hq' ELSE 'lq' END AS label
+      |FROM s
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quality_classifier"  -> (qualityClassifier _),
     "text_tfidf"          -> (textTfidf _),
     "dedup_exact"         -> (dedupExact _),
     "dedup_exact_keeper"  -> (dedupExactKeeper _),
@@ -626,6 +679,7 @@ object LlmQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "quality_classifier"  -> qualityClassifierSql,
     "text_tfidf"          -> textTfidfSql,
     "dedup_exact"         -> dedupExactSql,
     "dedup_exact_keeper"  -> dedupExactKeeperSql,

@@ -381,6 +381,16 @@ class OpsSpec extends SparkSuite {
     full.foreach(r => assert(r.getAs[Long]("dup_coverage") <= r.getAs[Long]("n_tokens")))
   }
 
+  test("quality classifier: both labels occur and the margin decides them") {
+    val rows = ops.LlmQueries.qualityClassifier(spark, sf).collect()
+    val labels = rows.map(_.getAs[String]("label")).toSet
+    assert(labels == Set("hq", "lq"), s"classifier degenerate: $labels")
+    rows.foreach { r =>
+      val expected = if (r.getAs[Long]("margin") >= 0) "hq" else "lq"
+      assert(r.getAs[String]("label") == expected)
+    }
+  }
+
   test("hashed substring-span dedup matches the exact twin row for row") {
     // the 64-bit gram fingerprint only diverges on a hash collision —
     // impossible in practice at test scale, so outputs must be identical
