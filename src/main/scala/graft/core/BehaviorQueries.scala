@@ -140,13 +140,72 @@ object BehaviorQueries {
       |FROM ret r JOIN sizes s USING (cohort_d)
       |ORDER BY cohort_day, day_offset""".stripMargin
 
+  /** Longest consecutive-day activity streak per user (the Wrapped-style
+    * "your longest listening streak" stat): classic gaps-and-islands —
+    * distinct active days, island id = day − dense day rank (constant
+    * within a consecutive run), longest island per user with earliest-
+    * start tie-break.
+    *
+    * Scale shape: the distinct (user, day) set partial-aggregates
+    * map-side; every window is PARTITIONED BY user_id (state bounded by
+    * one user's days, never global); the per-user pick is a rank inside
+    * the same partitioning. One logical shuffle on user_id end to end.
+    */
+  def listeningStreaks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy($"user_id")
+    val active = Tables.events(spark, dir)
+      .select($"user_id", to_date($"ts").as("d")).distinct()
+    val streaks = active
+      .withColumn("island",
+        datediff($"d", lit("2024-01-01").cast("date")) -
+          row_number().over(byUser.orderBy($"d")))
+      .groupBy($"user_id", $"island")
+      .agg(count(lit(1)).as("streak_days"),
+        min($"d").as("start_d"), max($"d").as("end_d"))
+    streaks
+      .withColumn("rk", row_number().over(
+        byUser.orderBy($"streak_days".desc, $"start_d")))
+      .filter($"rk" === 1)
+      .select($"user_id", $"streak_days",
+        date_format($"start_d", "yyyy-MM-dd").as("streak_start"),
+        date_format($"end_d", "yyyy-MM-dd").as("streak_end"))
+      .orderBy($"user_id")
+  }
+
+  val listeningStreaksSql: String =
+    """WITH active AS (
+      |  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events
+      |), isl AS (
+      |  SELECT user_id, d,
+      |    date_diff('day', DATE '2024-01-01', d)
+      |      - row_number() OVER (PARTITION BY user_id ORDER BY d) AS island
+      |  FROM active
+      |), streaks AS (
+      |  SELECT user_id, island, COUNT(*) AS streak_days,
+      |    MIN(d) AS start_d, MAX(d) AS end_d
+      |  FROM isl GROUP BY user_id, island
+      |), ranked AS (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY user_id ORDER BY streak_days DESC, start_d) AS rk
+      |  FROM streaks
+      |)
+      |SELECT user_id, streak_days,
+      |  strftime(start_d, '%Y-%m-%d') AS streak_start,
+      |  strftime(end_d, '%Y-%m-%d') AS streak_end
+      |FROM ranked WHERE rk = 1
+      |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_funnel"         -> (eventsFunnel _),
-    "user_retention_cohort" -> (userRetentionCohort _)
+    "user_retention_cohort" -> (userRetentionCohort _),
+    "dm_listening_streaks"  -> (listeningStreaks _)
   )
 
   val oracleSql: Map[String, String] = Map(
     "events_funnel"         -> eventsFunnelSql,
-    "user_retention_cohort" -> userRetentionCohortSql
+    "user_retention_cohort" -> userRetentionCohortSql,
+    "dm_listening_streaks"  -> listeningStreaksSql
   )
 }

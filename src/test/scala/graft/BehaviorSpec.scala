@@ -40,6 +40,21 @@ class BehaviorSpec extends SparkSuite {
     assert(rows.exists(_.getAs[Double]("retention_pct") < 1.0))
   }
 
+  test("listening streaks: one row per user, length consistent with bounds") {
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd")
+    val rows = core.BehaviorQueries.listeningStreaks(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("user_id")).distinct.length == rows.length)
+    rows.foreach { r =>
+      val s = java.time.LocalDate.parse(r.getAs[String]("streak_start"), fmt)
+      val e = java.time.LocalDate.parse(r.getAs[String]("streak_end"), fmt)
+      assert(!e.isBefore(s))
+      // a streak of consecutive days spans exactly its length
+      assert(java.time.temporal.ChronoUnit.DAYS.between(s, e) + 1 ==
+        r.getAs[Long]("streak_days"))
+    }
+  }
+
   test("retry quarantine: both outcomes occur, attempts within the budget") {
     val rows = etl.EtlQueries.retryQuarantine(spark, sf).collect()
     assert(rows.nonEmpty)
