@@ -197,13 +197,67 @@ object BehaviorQueries {
       |FROM ranked WHERE rk = 1
       |ORDER BY user_id""".stripMargin
 
+  /** Daily volume anomaly detection per event type (the monitoring query
+    * every event pipeline runs against itself): per-type daily counts
+    * z-scored against that type's own mean/std, days beyond |z| > 2
+    * flagged. The moment sums (Σc, Σc²) are exact BIGINTs; mean/var/z are
+    * then the IDENTICAL double expression tree in Spark and the oracle, so
+    * even the floating-point scores hash-match (each IEEE op is exact on
+    * identical inputs — the repo's single-double-op rule, chained).
+    *
+    * Scale shape: daily counts partial-aggregate map-side (key space =
+    * types × days); the per-type stats row broadcasts back; z is map-side.
+    * Bounded output regardless of event volume.
+    */
+  def eventsAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, dir)
+      .groupBy($"event_type", to_date($"ts").as("d"))
+      .agg(count(lit(1)).as("n_events"))
+    val stats = daily.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"n_events").as("s"),
+        sum($"n_events" * $"n_events").as("q"))
+    val mean = $"s".cast("double") / $"n"
+    daily.join(broadcast(stats), Seq("event_type"))
+      .withColumn("z_score",
+        ($"n_events".cast("double") - mean) /
+          sqrt($"q".cast("double") / $"n" - mean * mean))
+      .select($"event_type", date_format($"d", "yyyy-MM-dd").as("day"),
+        $"n_events", $"z_score",
+        when(abs($"z_score") > 2.0, "anomaly").otherwise("normal").as("verdict"))
+      .orderBy($"event_type", $"day")
+  }
+
+  val eventsAnomalySql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+      |    COUNT(*) AS n_events
+      |  FROM events GROUP BY 1, 2
+      |), stats AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    CAST(SUM(n_events) AS BIGINT) AS s,
+      |    CAST(SUM(n_events * n_events) AS BIGINT) AS q
+      |  FROM daily GROUP BY 1
+      |)
+      |SELECT daily.event_type, strftime(d, '%Y-%m-%d') AS day, n_events,
+      |  (CAST(n_events AS DOUBLE) - CAST(s AS DOUBLE) / n)
+      |    / SQRT(CAST(q AS DOUBLE) / n - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)) AS z_score,
+      |  CASE WHEN ABS((CAST(n_events AS DOUBLE) - CAST(s AS DOUBLE) / n)
+      |    / SQRT(CAST(q AS DOUBLE) / n - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))) > 2.0
+      |    THEN 'anomaly' ELSE 'normal' END AS verdict
+      |FROM daily JOIN stats ON daily.event_type = stats.event_type
+      |ORDER BY daily.event_type, day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_anomaly"        -> (eventsAnomaly _),
     "events_funnel"         -> (eventsFunnel _),
     "user_retention_cohort" -> (userRetentionCohort _),
     "dm_listening_streaks"  -> (listeningStreaks _)
   )
 
   val oracleSql: Map[String, String] = Map(
+    "events_anomaly"        -> eventsAnomalySql,
     "events_funnel"         -> eventsFunnelSql,
     "user_retention_cohort" -> userRetentionCohortSql,
     "dm_listening_streaks"  -> listeningStreaksSql

@@ -626,9 +626,19 @@ object LlmQueries {
     */
   def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    qualityClassifierOn(Tables.documents(spark, dir)).orderBy($"doc_id")
+  }
+
+  /** The inference core, shared with the streaming screen
+    * ([[graft.streaming.CorpusStream.classifyStream]]) so batch and
+    * streaming decisions can never diverge. Works on any (doc_id, text)
+    * frame, batch or streaming (pure projection — stateless).
+    */
+  private[graft] def qualityClassifierOn(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
     val w = words($"text")
     val stop = Seq("the", "a", "of", "and", "to")
-    Tables.documents(spark, dir)
+    docs
       .select($"doc_id",
         size(w).cast("long").as("n_words"),
         size(array_distinct(w)).cast("long").as("n_distinct"),
@@ -638,7 +648,6 @@ object LlmQueries {
           - lit(2L) * ($"n_words" - $"n_distinct"))
       .withColumn("margin", lit(10L) * $"score" - lit(25L) * $"n_words")
       .withColumn("label", when($"margin" >= 0, "hq").otherwise("lq"))
-      .orderBy($"doc_id")
   }
 
   val qualityClassifierSql: String =

@@ -46,6 +46,19 @@ object CorpusStream {
     *
     * `docs` must be a streaming DataFrame with (doc_id, text).
     */
+  /** Streaming quality-classifier screen: the model-based filter applied
+    * at ingest time — one stateless map-side inference pass per
+    * micro-batch (classifier inference is THE streaming-friendly curation
+    * op: no state, no watermark, no shuffle). The scoring core is shared
+    * with the batch [[graft.ops.LlmQueries.qualityClassifier]], so a doc
+    * gets the identical margin and label whether it arrives in a backfill
+    * or on the stream (StreamingSpec pins the parity).
+    *
+    * `docs` must be a streaming DataFrame with (doc_id, text).
+    */
+  def classifyStream(docs: DataFrame): DataFrame =
+    graft.ops.LlmQueries.qualityClassifierOn(docs)
+
   def decontaminateStream(docs: DataFrame, bench: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     docs

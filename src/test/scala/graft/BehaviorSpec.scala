@@ -55,6 +55,19 @@ class BehaviorSpec extends SparkSuite {
     }
   }
 
+  test("anomaly detection: z-scores centered per type, verdict consistent") {
+    val rows = core.BehaviorQueries.eventsAnomaly(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (t, rs) =>
+      val zs = rs.map(_.getAs[Double]("z_score"))
+      assert(math.abs(zs.sum / zs.length) < 1e-9, s"$t z-scores not centered")
+    }
+    rows.foreach { r =>
+      val expected = if (math.abs(r.getAs[Double]("z_score")) > 2.0) "anomaly" else "normal"
+      assert(r.getAs[String]("verdict") == expected)
+    }
+  }
+
   test("retry quarantine: both outcomes occur, attempts within the budget") {
     val rows = etl.EtlQueries.retryQuarantine(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -545,6 +545,30 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming classifier screen == batch classifier on every doc") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.streaming.CorpusStream.classifyStream(
+        stream.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append").format("memory").queryName("clf_out").start()
+    try {
+      val (a, b) = docs.splitAt(docs.size / 2)
+      stream.addData(a); q.processAllAvailable()
+      stream.addData(b); q.processAllAvailable()
+      val streamed = spark.table("clf_out")
+        .select($"doc_id", $"margin", $"label")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      val batch = ops.LlmQueries.qualityClassifier(spark, sf)
+        .select($"doc_id", $"margin", $"label")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(batch.nonEmpty && streamed == batch)
+    } finally q.stop()
+  }
+
   test("streaming decontamination == batch: same contaminated doc set, stateless plan") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
