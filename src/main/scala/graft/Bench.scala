@@ -43,7 +43,8 @@ object Bench {
     "events_funnel", "user_retention_cohort", "etl_retry_quarantine",
     "ann_topk_pq_refine", "dedup_substring_spans_hashed",
     "ann_topk_ivfpq_persisted", "bpe_train_merges", "quality_classifier",
-    "dm_listening_streaks", "events_anomaly")
+    "dm_listening_streaks", "events_anomaly",
+    "curation_quality_prune", "bpe_tokenize")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

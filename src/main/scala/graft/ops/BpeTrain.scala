@@ -88,7 +88,51 @@ object BpeTrain {
       .orderBy($"round")
   }
 
+  /** Tokenize one word's symbol array by folding the (round-ordered)
+    * merge array over it — the BPE inference rule: merges apply in the
+    * order they were learned, each as the greedy left-to-right pass of
+    * [[applyMerge]]. `ml` is an array of (left, right) structs.
+    */
+  private[graft] def applyAllMerges(sym: Column, ml: Column): Column =
+    aggregate(ml, sym, (acc, m) =>
+      applyMerge(acc, m.getField("left"), m.getField("right")))
+
+  /** BPE tokenization INFERENCE over the corpus: apply the learned merge
+    * table to every word and report per-doc token statistics (symbols
+    * before, tokens after, bytes-per-token compression). The merge table
+    * — k rows, the model — collapses to ONE round-ordered broadcast row;
+    * tokenization is then a pure map-side nested fold per word (no
+    * shuffle until the per-doc rollup on doc_id). This is the shape
+    * tokenizer inference must have at 100 TB: model broadcast, corpus
+    * touched once, output keyed by document. Rows-only; BpeSpec pins the
+    * classic-corpus tokenization ("lowest" → [low, est]) and the
+    * token-count-never-increases invariant.
+    */
+  def bpeTokenize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val mergeRow = bpeTrainMerges(spark, dir)
+      .agg(array_sort(collect_list(struct($"round", $"left", $"right"))).as("ms"))
+      .select(transform($"ms", m =>
+        struct(m.getField("left").as("left"), m.getField("right").as("right"))).as("ml"))
+    Tables.documents(spark, dir)
+      .select($"doc_id", explode(split(lower(trim($"text")), " +")).as("word"))
+      .filter(length($"word") > 0)
+      .crossJoin(broadcast(mergeRow))
+      .select($"doc_id", length($"word").cast("long").as("n_symbols"),
+        size(applyAllMerges(
+          transform(sequence(lit(1), length($"word")), i => substring($"word", i, lit(1))),
+          $"ml")).cast("long").as("n_tokens"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum($"n_symbols").as("n_symbols"),
+        sum($"n_tokens").as("n_tokens"))
+      .withColumn("bytes_per_token",
+        $"n_symbols".cast("double") / $"n_tokens".cast("double"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "bpe_train_merges" -> (bpeTrainMerges _)
+    "bpe_train_merges" -> (bpeTrainMerges _),
+    "bpe_tokenize"     -> (bpeTokenize _)
   )
 }

@@ -670,7 +670,67 @@ object LlmQueries {
       |FROM s
       |ORDER BY doc_id""".stripMargin
 
+  /** Quality-pruned mixture (the FineWeb-style "keep the best 30% of each
+    * source" stage): classifier margins ranked WITHIN each source via
+    * percent_rank (deterministic doc_id tie-break), the top fraction kept,
+    * reported as a per-source rollup. Pruning per source rather than
+    * globally preserves the mixture — a weak source is thinned, not
+    * deleted by stronger sources' scores.
+    *
+    * Scale shape: inference is the map-side classifier pass; the rank
+    * window partitions on source (state bounded per partition by that
+    * source's docs — at trillion-doc scale the same decision runs as a
+    * per-source quantile threshold from sketch_percentile_kll, one
+    * broadcast row per source, avoiding the within-source sort); rollup is
+    * a partial agg on the same key. percent_rank's (rank−1)/(n−1) is the
+    * identical double in both engines, so the keep set is oracle-exact.
+    */
+  def curationQualityPrune(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val keep = 0.3
+    val scored = qualityClassifierOn(Tables.documents(spark, dir))
+      .join(Tables.documents(spark, dir).select($"doc_id", $"source"), Seq("doc_id"))
+    val pr = percent_rank().over(
+      Window.partitionBy($"source").orderBy($"margin".desc, $"doc_id"))
+    scored.withColumn("pr", pr)
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when($"pr" <= keep, 1L).otherwise(0L)).as("n_kept"),
+        min(when($"pr" <= keep, $"margin")).as("min_kept_margin"),
+        max(when($"pr" > keep, $"margin")).as("max_dropped_margin"))
+      .orderBy($"source")
+  }
+
+  val curationQualityPruneSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, source, string_split(lower(trim(text)), ' ') AS w FROM documents
+      |), f AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(w) AS BIGINT) AS n_words,
+      |    CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+      |    CAST(len(list_filter(w, x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'and' OR x = 'to')) AS BIGINT) AS n_stopwords
+      |  FROM t
+      |), m AS (
+      |  SELECT doc_id, source,
+      |    10 * (5 * n_distinct + 3 * n_stopwords - 2 * (n_words - n_distinct)) - 25 * n_words AS margin
+      |  FROM f
+      |), r AS (
+      |  SELECT *, percent_rank() OVER (
+      |    PARTITION BY source ORDER BY margin DESC, doc_id) AS pr
+      |  FROM m
+      |)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN pr <= 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(MIN(CASE WHEN pr <= 0.3 THEN margin END) AS BIGINT) AS min_kept_margin,
+      |  CAST(MAX(CASE WHEN pr > 0.3 THEN margin END) AS BIGINT) AS max_dropped_margin
+      |FROM r
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curation_quality_prune" -> (curationQualityPrune _),
     "quality_classifier"  -> (qualityClassifier _),
     "text_tfidf"          -> (textTfidf _),
     "dedup_exact"         -> (dedupExact _),
@@ -688,6 +748,7 @@ object LlmQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "curation_quality_prune" -> curationQualityPruneSql,
     "quality_classifier"  -> qualityClassifierSql,
     "text_tfidf"          -> textTfidfSql,
     "dedup_exact"         -> dedupExactSql,

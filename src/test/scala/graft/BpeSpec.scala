@@ -38,6 +38,39 @@ class BpeSpec extends SparkSuite {
     assert(m == Seq((1, "aa", 13L), (2, "aaaa", 3L)), m)
   }
 
+  test("BPE tokenize: classic-corpus merges tokenize 'lowest' to [low, est]") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val words = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).toDF("word")
+    val mergeRow = ops.BpeTrain.bpeTrainMergesOn(words, k = 4)
+      .agg(array_sort(collect_list(struct($"round", $"left", $"right"))).as("ms"))
+      .select(transform($"ms", m =>
+        struct(m.getField("left").as("left"), m.getField("right").as("right"))).as("ml"))
+    val toks = Seq("lowest", "newest", "low").toDF("word")
+      .crossJoin(broadcast(mergeRow))
+      .select($"word", ops.BpeTrain.applyAllMerges(
+        transform(sequence(lit(1), length($"word")), i => substring($"word", i, lit(1))),
+        $"ml").as("tokens"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    // merges learned: es, est, lo, low — so an UNSEEN word tokenizes too
+    assert(toks("lowest") == List("low", "est"), toks)
+    assert(toks("newest") == List("n", "e", "w", "est"), toks)
+    assert(toks("low") == List("low"), toks)
+  }
+
+  test("BPE tokenize on the documents corpus: tokens never exceed symbols") {
+    val rows = ops.BpeTrain.bpeTokenize(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (s, t) = (r.getAs[Long]("n_symbols"), r.getAs[Long]("n_tokens"))
+      assert(t >= r.getAs[Long]("n_words"), "a word is at least one token")
+      assert(t <= s, s"merges must never grow the token count: $t > $s")
+    }
+    // the learned merges must actually fire somewhere
+    assert(rows.exists(r => r.getAs[Long]("n_tokens") < r.getAs[Long]("n_symbols")))
+  }
+
   test("BPE on the documents corpus: k rounds, deterministic, counts sane") {
     val merges = ops.BpeTrain.bpeTrainMerges(spark, sf).collect()
     assert(merges.length == 8)
