@@ -108,20 +108,40 @@ object BpeTrain {
     * classic-corpus tokenization ("lowest" → [low, est]) and the
     * token-count-never-increases invariant.
     */
+  private val modelCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** The trained merge table as ONE round-ordered broadcast row — the
+    * model artifact, trained once per (session, dir) like the ANN index
+    * cache.
+    */
+  private def mergeRow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    modelCache.getOrElseUpdate((spark, dir),
+      bpeTrainMerges(spark, dir)
+        .agg(array_sort(collect_list(struct($"round", $"left", $"right"))).as("ms"))
+        .select(transform($"ms", m =>
+          struct(m.getField("left").as("left"), m.getField("right").as("right"))).as("ml"))
+        .localCheckpoint())
+  }
+
   def bpeTokenize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val mergeRow = bpeTrainMerges(spark, dir)
-      .agg(array_sort(collect_list(struct($"round", $"left", $"right"))).as("ms"))
-      .select(transform($"ms", m =>
-        struct(m.getField("left").as("left"), m.getField("right").as("right"))).as("ml"))
-    Tables.documents(spark, dir)
+    val occurrences = Tables.documents(spark, dir)
       .select($"doc_id", explode(split(lower(trim($"text")), " +")).as("word"))
       .filter(length($"word") > 0)
-      .crossJoin(broadcast(mergeRow))
-      .select($"doc_id", length($"word").cast("long").as("n_symbols"),
+    // tokenize each unique word FORM once, not each occurrence: the fold
+    // cost tracks the vocabulary, and occurrences just equi-join the
+    // (word → token count) table on the word key (AQE broadcasts it while
+    // it is small; at web-scale vocab it is a co-keyed shuffle join). The
+    // same vocabulary-not-corpus principle as the training loop.
+    val tokenized = occurrences.select($"word").distinct()
+      .crossJoin(broadcast(mergeRow(spark, dir)))
+      .select($"word", length($"word").cast("long").as("n_symbols"),
         size(applyAllMerges(
           transform(sequence(lit(1), length($"word")), i => substring($"word", i, lit(1))),
           $"ml")).cast("long").as("n_tokens"))
+    occurrences.join(tokenized, Seq("word"))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_words"),
         sum($"n_symbols").as("n_symbols"),
