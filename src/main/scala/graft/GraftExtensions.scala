@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{AdjacentBigrams, LongVectorDot, RollingHash}
+import graft.functions.{AdjacentBigrams, LongVectorDot, RollingHash, WordNgrams}
 
 /** Session extension: installs graft's native expressions as SQL functions
   * and the dot-product rewrite rule (plans.RewriteDotProduct) at session
@@ -39,5 +39,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("adjacent_bigrams"),
       info("adjacent_bigrams", "adjacent_bigrams(str) - array of space-joined adjacent token pairs"),
       (exprs: Seq[Expression]) => AdjacentBigrams(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("word_ngrams"),
+      info("word_ngrams", "word_ngrams(str, n) - array of space-joined word n-grams, one per start position"),
+      (exprs: Seq[Expression]) => WordNgrams(exprs.head,
+        exprs(1).eval(null).asInstanceOf[Int])))
   }
 }

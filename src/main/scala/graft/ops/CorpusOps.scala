@@ -28,14 +28,6 @@ object CorpusOps {
     */
   private val benchResidue = 37
 
-  /** word n-grams as strings, one per start position. `w` must be an
-    * attribute (projected beforehand), not an inline expression: HOF
-    * lambdas re-evaluate captured expressions per element.
-    */
-  private def ngrams(w: Column, n: Int): Column =
-    transform(sequence(lit(1), size(w) - lit(n - 1)),
-      i => concat_ws(" ", slice(w, i, lit(n))))
-
   /** Test-set decontamination (GPT-3 appendix-C style): flag every training
     * document sharing a verbatim 8-gram with the benchmark set.
     *
@@ -55,10 +47,11 @@ object CorpusOps {
 
   private[graft] def decontaminateNgramOn(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
+    import graft.functions.WordNgrams.word_ngrams
+    // one codegen pass over the bytes; docs under n tokens yield an empty
+    // array that explode drops — same row set as the old size(w) filter
     val grams = docs
-      .select($"doc_id", split(lower(trim($"text")), " +").as("w"))
-      .filter(size($"w") >= ngramN)
-      .select($"doc_id", explode(ngrams($"w", ngramN)).as("ng"))
+      .select($"doc_id", explode(word_ngrams(lower(trim($"text")), ngramN)).as("ng"))
     val bench = grams.filter($"doc_id" % benchResidue === 0)
       .select($"ng").distinct()
       .withColumn("hit", lit(1L))
@@ -260,15 +253,19 @@ object CorpusOps {
   private[graft] def dedupSubstringSpansOn(docsRaw: DataFrame, hashGrams: Boolean = false): DataFrame = {
     import docsRaw.sparkSession.implicits._
     import org.apache.spark.sql.expressions.Window
+    import graft.functions.WordNgrams.word_ngrams
+    // gram extraction is one codegen byte pass; n_tokens/n_spans recover
+    // from the gram count (n_tokens = grams + spanN − 1), and posexplode's
+    // 0-based index is the old 1-based start position − 1
     val docs = docsRaw
-      .select($"doc_id", split(lower(trim($"text")), " +").as("w"))
-      .filter(size($"w") >= spanN)
-      .select($"doc_id", size($"w").cast("long").as("n_tokens"), $"w")
-    val gramsRaw = docs.select($"doc_id", $"n_tokens",
-      explode(transform(sequence(lit(1), size($"w") - lit(spanN - 1)),
-        i => struct(i.cast("long").as("pos"),
-          concat_ws(" ", slice($"w", i, lit(spanN))).as("ng")))).as("g"))
-      .select($"doc_id", $"n_tokens", $"g.pos", $"g.ng")
+      .select($"doc_id", word_ngrams(lower(trim($"text")), spanN).as("gs"))
+      .filter(size($"gs") >= 1)
+      .select($"doc_id",
+        (size($"gs") + lit(spanN - 1)).cast("long").as("n_tokens"),
+        size($"gs").cast("long").as("n_spans"), $"gs")
+    val gramsRaw = docs
+      .select($"doc_id", $"n_tokens", posexplode($"gs").as(Seq("pos0", "ng")))
+      .select($"doc_id", $"n_tokens", ($"pos0" + 1).cast("long").as("pos"), $"ng")
     // the hashed form drops the gram text before anything shuffles
     val grams = if (hashGrams) gramsRaw.withColumn("ng", xxhash64($"ng")) else gramsRaw
     val counts = grams.groupBy($"ng").agg(count(lit(1)).as("cnt"))
@@ -288,8 +285,7 @@ object CorpusOps {
       .groupBy($"doc_id")
       .agg(sum($"cov").as("dup_coverage"), sum($"n_span").as("n_dup_spans"))
 
-    docs.select($"doc_id", $"n_tokens",
-        (size($"w") - lit(spanN - 1)).cast("long").as("n_spans"))
+    docs.select($"doc_id", $"n_tokens", $"n_spans")
       .join(islands, Seq("doc_id"), "left")
       .select($"doc_id", $"n_tokens", $"n_spans",
         coalesce($"n_dup_spans", lit(0L)).as("n_dup_spans"),

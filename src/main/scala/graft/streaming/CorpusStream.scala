@@ -19,12 +19,10 @@ object CorpusStream {
     */
   def benchGrams(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    import graft.functions.WordNgrams.word_ngrams
     Tables.documents(spark, dir)
       .filter($"doc_id" % 37 === 0)
-      .select($"doc_id", split(lower(trim($"text")), " +").as("w"))
-      .filter(size($"w") >= ngramN)
-      .select(explode(transform(sequence(lit(1), size($"w") - lit(ngramN - 1)),
-        i => concat_ws(" ", slice($"w", i, lit(ngramN))))).as("ng"))
+      .select(explode(word_ngrams(lower(trim($"text")), ngramN)).as("ng"))
       .distinct()
   }
 
@@ -61,11 +59,9 @@ object CorpusStream {
 
   def decontaminateStream(docs: DataFrame, bench: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
+    import graft.functions.WordNgrams.word_ngrams
     docs
-      .select($"doc_id", split(lower(trim($"text")), " +").as("w"))
-      .filter(size($"w") >= ngramN)
-      .select($"doc_id", explode(transform(sequence(lit(1), size($"w") - lit(ngramN - 1)),
-        i => concat_ws(" ", slice($"w", i, lit(ngramN))))).as("ng"))
+      .select($"doc_id", explode(word_ngrams(lower(trim($"text")), ngramN)).as("ng"))
       .join(broadcast(bench), Seq("ng"), "left_semi")
       .select($"doc_id", $"ng")
   }

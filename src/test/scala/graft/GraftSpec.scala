@@ -527,6 +527,52 @@ class AdjacentBigramsSpec extends SparkSuite {
   }
 }
 
+class WordNgramsSpec extends SparkSuite {
+  import graft.functions.WordNgrams.word_ngrams
+
+  /** The HOF formulation WordNgrams replaces — the parity reference. */
+  private def hofNgrams(s: org.apache.spark.sql.Column, n: Int) = {
+    import org.apache.spark.sql.functions._
+    val w = split(trim(s), " +")
+    when(size(w) >= n,
+      transform(sequence(lit(1), size(w) - lit(n - 1)),
+        i => concat_ws(" ", slice(w, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  test("word_ngrams == the transform/slice/concat_ws formulation, n in {2, 8, 15}") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    for (n <- Seq(2, 8, 15)) {
+      val diff = Tables.documents(spark, sf)
+        .select(lower(trim($"text")).as("s"))
+        .select(word_ngrams($"s", n).as("fast"), hofNgrams($"s", n).as("ref"))
+        .filter(not($"fast" <=> $"ref"))
+      assert(diff.isEmpty, s"n=$n: ${diff.take(1).mkString}")
+    }
+  }
+
+  test("word_ngrams edges: multi-space, boundary token counts, nulls") {
+    import spark.implicits._
+    def grams(s: String, n: Int): Seq[String] =
+      Seq(s).toDF("s").select(word_ngrams($"s", n)).collect().head.getSeq[String](0)
+    assert(grams("a  b   c", 2) == Seq("a b", "b c")) // runs of spaces collapse
+    assert(grams("  x y  ", 2) == Seq("x y"))         // leading/trailing spaces
+    assert(grams("a b c", 3) == Seq("a b c"))         // exactly n tokens
+    assert(grams("a b", 3).isEmpty)                   // fewer than n
+    assert(grams("", 2).isEmpty)
+    val r = Seq[String](null).toDF("s").select(word_ngrams($"s", 5)).collect().head
+    assert(r.isNullAt(0))
+    // interpreted eval path agrees with codegen
+    val e = graft.functions.WordNgrams(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString("p q r s")), 2)
+    val arr = e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    assert((0 until arr.numElements()).map(i => arr.getUTF8String(i).toString) ==
+      Seq("p q", "q r", "r s"))
+  }
+}
+
 class ExtensionsSpec extends AnyFunSuite {
   test("GraftExtensions installs SQL functions at session build") {
     // getOrCreate reuses any existing session (ignoring extensions), so
@@ -546,6 +592,8 @@ class ExtensionsSpec extends AnyFunSuite {
         .collect().head
       assert(r.getLong(0) == "spark".getBytes("UTF-8").foldLeft(0L)((h, b) => h * 31L + (b & 0xff)))
       assert(r.getLong(1) == 32L)
+      assert(s.sql("SELECT word_ngrams('a b c d', 3) AS g").collect().head
+        .getSeq[String](0) == Seq("a b c", "b c d"))
       // optimizer rule: plain zip_with/aggregate dot product is rewritten
       // to the fused native expression
       import org.apache.spark.sql.functions._
