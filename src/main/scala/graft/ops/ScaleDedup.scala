@@ -321,7 +321,51 @@ object ScaleDedup {
     }
   }
 
+  /** Leakage-safe train/holdout split: the split key is the MinHash-LSH
+    * CLUSTER keeper, not the document — every near-duplicate group lands
+    * entirely on one side, so the holdout can never contain a near-copy
+    * of a training document (the contamination mode a naive per-doc hash
+    * split silently creates; GPT-3's appendix names exactly this
+    * failure). Singleton docs are their own keeper. Selection is the
+    * deterministic Knuth-hash device of sample_stratified: train ⇔
+    * bucket(keeper) < 8 of 10.
+    *
+    * Scale shape: the keeper mapping is the dedup_minhash_lsh pipeline
+    * (ids-only shuffles, O(n) output); the split decision is map-side on
+    * the keeper id; the rollup groups on (source, split) — bounded.
+    * Rows-only (LSH clustering has no SQL oracle); the spec pins cluster
+    * atomicity (no keeper spans both splits), planted near-dup
+    * co-placement, and a sane train fraction.
+    */
+  def splitTrainHoldout(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    splitAssignments(Tables.documents(spark, dir))
+      .groupBy($"source", $"split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct($"keeper").as("n_clusters"))
+      .orderBy($"source", $"split")
+  }
+
+  private[graft] def splitAssignments(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val bands = bandRows(docs)
+    val bucketMin = bands.groupBy($"band", $"band_key")
+      .agg(min($"doc_id").as("bucket_min"))
+    val k1 = bands.join(bucketMin, Seq("band", "band_key"))
+      .groupBy($"doc_id")
+      .agg(min($"bucket_min").as("keeper_doc_id"))
+    val resolved = keeperFixpoint(k1, hops = 3)
+    docs.select($"doc_id", $"source")
+      .join(resolved, Seq("doc_id"), "left")
+      .select($"doc_id", $"source",
+        coalesce($"keeper_doc_id", $"doc_id").as("keeper"))
+      .withColumn("split",
+        when(pmod($"keeper" * 2654435761L % 1000000007L, lit(10)) < 8, "train")
+          .otherwise("holdout"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "split_train_holdout" -> (splitTrainHoldout _),
     "dedup_minhash_lsh"        -> (dedupMinhashLsh _),
     "dedup_simhash"            -> (dedupSimhash _),
     "dedup_incremental_banded" -> ((s, d) => dedupIncrementalBanded(s, d)),

@@ -381,6 +381,34 @@ class OpsSpec extends SparkSuite {
     full.foreach(r => assert(r.getAs[Long]("dup_coverage") <= r.getAs[Long]("n_tokens")))
   }
 
+  test("leakage-safe split: clusters are atomic, planted near-dups co-placed") {
+    import spark.implicits._
+    // real corpus: no keeper may ever appear on both sides (the testdata
+    // word-salad corpus is deliberately one big near-dup soup — 496/500
+    // docs cluster — so fraction checks belong on the synthetic corpus)
+    val a = ops.ScaleDedup.splitAssignments(Tables.documents(spark, sf))
+    val spanning = a.groupBy($"keeper")
+      .agg(countDistinct($"split").as("ns")).filter($"ns" > 1)
+    assert(spanning.isEmpty, spanning.take(3).mkString)
+    // synthetic corpus: 40 singleton docs with disjoint vocab + one
+    // planted near-identical pair on far-apart doc ids
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    val singles = (0L until 40L).map(i =>
+      (i, (0 until 12).map(j => s"w${i}x$j").mkString(" "), s"src${i % 4}"))
+    val planted = (singles ++ Seq(
+      (1000L, base + "tail one", "srcX"),
+      (2000L, base + "tail one", "srcX"))).toDF("doc_id", "text", "source")
+    val pa = ops.ScaleDedup.splitAssignments(planted)
+    val m = pa.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    assert(m(1000L) == m(2000L), s"near-dup pair split across sides: $m")
+    val frac = m.values.count(_ == "train").toDouble / m.size
+    assert(frac > 0.5 && frac < 0.95, s"train fraction $frac")
+    assert(m.values.toSet == Set("train", "holdout"), "both splits must occur")
+    val spanning2 = pa.groupBy($"keeper")
+      .agg(countDistinct($"split").as("ns")).filter($"ns" > 1)
+    assert(spanning2.isEmpty)
+  }
+
   test("quality classifier: both labels occur and the margin decides them") {
     val rows = ops.LlmQueries.qualityClassifier(spark, sf).collect()
     val labels = rows.map(_.getAs[String]("label")).toSet
