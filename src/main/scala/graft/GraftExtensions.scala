@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{AdjacentBigrams, LongVectorDot, RollingHash, WordNgrams}
+import graft.functions.{LongVectorDot, RollingHash, WordNgrams}
 
 /** Session extension: installs graft's native expressions as SQL functions
   * and the dot-product rewrite rule (plans.RewriteDotProduct) at session
@@ -38,11 +38,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("adjacent_bigrams"),
       info("adjacent_bigrams", "adjacent_bigrams(str) - array of space-joined adjacent token pairs"),
-      (exprs: Seq[Expression]) => AdjacentBigrams(exprs.head)))
+      (exprs: Seq[Expression]) => WordNgrams(exprs.head, 2)))
     ext.injectFunction((
       FunctionIdentifier("word_ngrams"),
       info("word_ngrams", "word_ngrams(str, n) - array of space-joined word n-grams, one per start position"),
-      (exprs: Seq[Expression]) => WordNgrams(exprs.head,
-        exprs(1).eval(null).asInstanceOf[Int])))
+      (exprs: Seq[Expression]) => {
+        // n must be a literal: it shapes the generated code, so it cannot
+        // vary per row. Validate here for a real error message instead of
+        // a raw ClassCastException from a blind eval.
+        if (exprs.length != 2)
+          throw new IllegalArgumentException(
+            s"word_ngrams(str, n) takes 2 arguments, got ${exprs.length}")
+        val n = exprs(1) match {
+          case e if e.foldable => e.eval(null) match {
+            case i: Int => i
+            case l: Long => l.toInt
+            case other => throw new IllegalArgumentException(
+              s"word_ngrams: n must be an integer literal, got $other")
+          }
+          case _ => throw new IllegalArgumentException(
+            "word_ngrams: n must be a literal (it shapes the generated code)")
+        }
+        WordNgrams(exprs.head, n)
+      }))
   }
 }

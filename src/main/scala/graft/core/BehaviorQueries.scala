@@ -219,10 +219,14 @@ object BehaviorQueries {
         sum($"n_events").as("s"),
         sum($"n_events" * $"n_events").as("q"))
     val mean = $"s".cast("double") / $"n"
+    val variance = $"q".cast("double") / $"n" - mean * mean
     daily.join(broadcast(stats), Seq("event_type"))
+      // zero deviation (constant counts, or one active day) means nothing
+      // is anomalous — guard it or 0/0 = NaN, which abs(..) > 2 would
+      // label 'anomaly' (NaN sorts above every double in Spark)
       .withColumn("z_score",
-        ($"n_events".cast("double") - mean) /
-          sqrt($"q".cast("double") / $"n" - mean * mean))
+        when(variance === 0.0, lit(0.0))
+          .otherwise(($"n_events".cast("double") - mean) / sqrt(variance)))
       .select($"event_type", date_format($"d", "yyyy-MM-dd").as("day"),
         $"n_events", $"z_score",
         when(abs($"z_score") > 2.0, "anomaly").otherwise("normal").as("verdict"))
@@ -239,15 +243,19 @@ object BehaviorQueries {
       |    CAST(SUM(n_events) AS BIGINT) AS s,
       |    CAST(SUM(n_events * n_events) AS BIGINT) AS q
       |  FROM daily GROUP BY 1
+      |), z AS (
+      |  SELECT daily.event_type, d, n_events,
+      |    CASE WHEN CAST(q AS DOUBLE) / n - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n) = 0
+      |      THEN 0.0
+      |      ELSE (CAST(n_events AS DOUBLE) - CAST(s AS DOUBLE) / n)
+      |        / SQRT(CAST(q AS DOUBLE) / n - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+      |    END AS z_score
+      |  FROM daily JOIN stats ON daily.event_type = stats.event_type
       |)
-      |SELECT daily.event_type, strftime(d, '%Y-%m-%d') AS day, n_events,
-      |  (CAST(n_events AS DOUBLE) - CAST(s AS DOUBLE) / n)
-      |    / SQRT(CAST(q AS DOUBLE) / n - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)) AS z_score,
-      |  CASE WHEN ABS((CAST(n_events AS DOUBLE) - CAST(s AS DOUBLE) / n)
-      |    / SQRT(CAST(q AS DOUBLE) / n - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))) > 2.0
-      |    THEN 'anomaly' ELSE 'normal' END AS verdict
-      |FROM daily JOIN stats ON daily.event_type = stats.event_type
-      |ORDER BY daily.event_type, day""".stripMargin
+      |SELECT event_type, strftime(d, '%Y-%m-%d') AS day, n_events, z_score,
+      |  CASE WHEN ABS(z_score) > 2.0 THEN 'anomaly' ELSE 'normal' END AS verdict
+      |FROM z
+      |ORDER BY event_type, day""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_anomaly"        -> (eventsAnomaly _),

@@ -632,17 +632,19 @@ object LlmQueries {
   /** The inference core, shared with the streaming screen
     * ([[graft.streaming.CorpusStream.classifyStream]]) so batch and
     * streaming decisions can never diverge. Works on any (doc_id, text)
-    * frame, batch or streaming (pure projection — stateless).
+    * frame, batch or streaming (pure projection — stateless);
+    * `passthrough` columns ride along so downstream stages (per-source
+    * pruning) need no corpus re-scan or self-join to recover them.
     */
-  private[graft] def qualityClassifierOn(docs: DataFrame): DataFrame = {
+  private[graft] def qualityClassifierOn(docs: DataFrame, passthrough: Seq[String] = Nil): DataFrame = {
     import docs.sparkSession.implicits._
     val w = words($"text")
     val stop = Seq("the", "a", "of", "and", "to")
     docs
-      .select($"doc_id",
+      .select(($"doc_id" +: passthrough.map(col)) ++ Seq(
         size(w).cast("long").as("n_words"),
         size(array_distinct(w)).cast("long").as("n_distinct"),
-        size(filter(w, x => stop.map(m => x === lit(m)).reduce(_ || _))).cast("long").as("n_stopwords"))
+        size(filter(w, x => stop.map(m => x === lit(m)).reduce(_ || _))).cast("long").as("n_stopwords")): _*)
       .withColumn("score",
         lit(5L) * $"n_distinct" + lit(3L) * $"n_stopwords"
           - lit(2L) * ($"n_words" - $"n_distinct"))
@@ -689,8 +691,9 @@ object LlmQueries {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     val keep = 0.3
-    val scored = qualityClassifierOn(Tables.documents(spark, dir))
-      .join(Tables.documents(spark, dir).select($"doc_id", $"source"), Seq("doc_id"))
+    // source rides through the classifier core — no corpus re-scan or
+    // doc_id self-join just to recover it
+    val scored = qualityClassifierOn(Tables.documents(spark, dir), passthrough = Seq("source"))
     val pr = percent_rank().over(
       Window.partitionBy($"source").orderBy($"margin".desc, $"doc_id"))
     scored.withColumn("pr", pr)

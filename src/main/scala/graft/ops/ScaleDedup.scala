@@ -321,21 +321,24 @@ object ScaleDedup {
     }
   }
 
-  /** Leakage-safe train/holdout split: the split key is the MinHash-LSH
-    * CLUSTER keeper, not the document — every near-duplicate group lands
-    * entirely on one side, so the holdout can never contain a near-copy
-    * of a training document (the contamination mode a naive per-doc hash
-    * split silently creates; GPT-3's appendix names exactly this
-    * failure). Singleton docs are their own keeper. Selection is the
+  /** Leakage-safe train/holdout split: the split key is the near-dup
+    * CLUSTER label — true connected components over the LSH bucket graph
+    * ([[ccKeepers]]) — so every near-duplicate group lands entirely on
+    * one side and the holdout can never contain a near-copy of a
+    * training document (the contamination a naive per-doc hash split
+    * silently creates; GPT-3's appendix names exactly this failure).
+    * Full CC matters here: a bounded keeper-pointer chase can split a
+    * CHAIN cluster (A~C, B~C, A≁B) across sides, which would still
+    * leak. Singleton docs are their own label. Selection is the
     * deterministic Knuth-hash device of sample_stratified: train ⇔
     * bucket(keeper) < 8 of 10.
     *
-    * Scale shape: the keeper mapping is the dedup_minhash_lsh pipeline
-    * (ids-only shuffles, O(n) output); the split decision is map-side on
-    * the keeper id; the rollup groups on (source, split) — bounded.
-    * Rows-only (LSH clustering has no SQL oracle); the spec pins cluster
-    * atomicity (no keeper spans both splits), planted near-dup
-    * co-placement, and a sane train fraction.
+    * Scale shape: banding is the dedup_minhash_lsh pipeline (ids-only
+    * shuffles); label propagation is diameter-bounded rounds of two
+    * partial-agg shuffles; the split decision is map-side on the label;
+    * the rollup groups on (source, split) — bounded. Rows-only (LSH
+    * clustering has no SQL oracle); the spec pins chain-cluster
+    * atomicity, planted co-placement, and a sane train fraction.
     */
   def splitTrainHoldout(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -346,19 +349,48 @@ object ScaleDedup {
       .orderBy($"source", $"split")
   }
 
+  /** TRUE connected-component labels over the LSH bucket graph: min-label
+    * propagation between docs and their band buckets, iterated to
+    * convergence. Unlike the keeper min-pointer chase of
+    * [[dedupMinhashLsh]] (whose contract explicitly tolerates long
+    * cross-bucket chains needing more hops), this converges for ANY
+    * cluster shape — a chain A~C, B~C with A≁B (buckets {a,c} and {b,c})
+    * labels all three min(a,b,c), where the pointer chase can leave
+    * keeper(B)=B while keeper(C) walks to A, splitting the B~C pair.
+    *
+    * Each round is two ids-only partial-agg shuffles (doc→bucket min,
+    * bucket→doc min); rounds needed = cluster-graph diameter in bucket
+    * hops. The convergence probe is a bounded driver-side emptiness
+    * check (same class as the k-means index state) and each round
+    * localCheckpoints, so plan depth stays O(1) per round.
+    */
+  private[graft] def ccKeepers(bands: DataFrame, maxRounds: Int = 10): DataFrame = {
+    import bands.sparkSession.implicits._
+    var labels = bands.select($"doc_id").distinct()
+      .select($"doc_id", $"doc_id".as("keeper"))
+      .localCheckpoint()
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      val bucketMin = bands.join(labels, Seq("doc_id"))
+        .groupBy($"band", $"band_key").agg(min($"keeper").as("bmin"))
+      val next = bands.join(bucketMin, Seq("band", "band_key"))
+        .groupBy($"doc_id").agg(min($"bmin").as("keeper"))
+        .localCheckpoint()
+      converged = next.as("n").join(labels.as("o"), Seq("doc_id"))
+        .filter($"n.keeper" =!= $"o.keeper").isEmpty
+      labels = next
+      round += 1
+    }
+    labels
+  }
+
   private[graft] def splitAssignments(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    val bands = bandRows(docs)
-    val bucketMin = bands.groupBy($"band", $"band_key")
-      .agg(min($"doc_id").as("bucket_min"))
-    val k1 = bands.join(bucketMin, Seq("band", "band_key"))
-      .groupBy($"doc_id")
-      .agg(min($"bucket_min").as("keeper_doc_id"))
-    val resolved = keeperFixpoint(k1, hops = 3)
     docs.select($"doc_id", $"source")
-      .join(resolved, Seq("doc_id"), "left")
+      .join(ccKeepers(bandRows(docs)), Seq("doc_id"), "left")
       .select($"doc_id", $"source",
-        coalesce($"keeper_doc_id", $"doc_id").as("keeper"))
+        coalesce($"keeper", $"doc_id").as("keeper"))
       .withColumn("split",
         when(pmod($"keeper" * 2654435761L % 1000000007L, lit(10)) < 8, "train")
           .otherwise("holdout"))

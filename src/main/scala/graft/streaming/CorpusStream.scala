@@ -44,6 +44,15 @@ object CorpusStream {
     *
     * `docs` must be a streaming DataFrame with (doc_id, text).
     */
+  def decontaminateStream(docs: DataFrame, bench: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    import graft.functions.WordNgrams.word_ngrams
+    docs
+      .select($"doc_id", explode(word_ngrams(lower(trim($"text")), ngramN)).as("ng"))
+      .join(broadcast(bench), Seq("ng"), "left_semi")
+      .select($"doc_id", $"ng")
+  }
+
   /** Streaming quality-classifier screen: the model-based filter applied
     * at ingest time — one stateless map-side inference pass per
     * micro-batch (classifier inference is THE streaming-friendly curation
@@ -56,13 +65,4 @@ object CorpusStream {
     */
   def classifyStream(docs: DataFrame): DataFrame =
     graft.ops.LlmQueries.qualityClassifierOn(docs)
-
-  def decontaminateStream(docs: DataFrame, bench: DataFrame): DataFrame = {
-    import docs.sparkSession.implicits._
-    import graft.functions.WordNgrams.word_ngrams
-    docs
-      .select($"doc_id", explode(word_ngrams(lower(trim($"text")), ngramN)).as("ng"))
-      .join(broadcast(bench), Seq("ng"), "left_semi")
-      .select($"doc_id", $"ng")
-  }
 }

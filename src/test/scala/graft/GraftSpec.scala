@@ -507,11 +507,11 @@ class AdjacentBigramsSpec extends SparkSuite {
     inputs.zip(got).foreach { case (in, g) =>
       assert(g == ref(in), s"input '$in'")
     }
-    // interpreted path (eval) agrees
+    // interpreted path (eval) agrees — adjacent_bigrams IS WordNgrams(_, 2)
     inputs.foreach { in =>
-      val e = graft.functions.AdjacentBigrams(
+      val e = graft.functions.WordNgrams(
         org.apache.spark.sql.catalyst.expressions.Literal(
-          org.apache.spark.unsafe.types.UTF8String.fromString(in)))
+          org.apache.spark.unsafe.types.UTF8String.fromString(in)), 2)
       val arr = e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
       val vals = (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString)
       assert(vals == ref(in), s"interpreted input '$in'")

@@ -409,6 +409,22 @@ class OpsSpec extends SparkSuite {
     assert(spanning2.isEmpty)
   }
 
+  test("ccKeepers labels chain clusters atomically (the pointer-chase gap)") {
+    import spark.implicits._
+    // bucket graph: {2,3} share a bucket, {1,3} share another, 1 and 2
+    // never co-occur — a chain. The bounded keeper-pointer chase leaves
+    // keeper(2)=2 while keeper(3)=1 (splitting the 2~3 pair); true CC
+    // must label all three with 1. Doc 9 is an unrelated singleton.
+    val bands = Seq(
+      (2L, 0, 100L), (3L, 0, 100L), // bucket (0,100) links 2-3
+      (1L, 1, 200L), (3L, 1, 200L), // bucket (1,200) links 1-3
+      (9L, 0, 300L)
+    ).toDF("doc_id", "band", "band_key")
+    val labels = ops.ScaleDedup.ccKeepers(bands)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 9L), labels)
+  }
+
   test("quality classifier: both labels occur and the margin decides them") {
     val rows = ops.LlmQueries.qualityClassifier(spark, sf).collect()
     val labels = rows.map(_.getAs[String]("label")).toSet
