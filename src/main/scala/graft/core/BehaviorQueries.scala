@@ -257,7 +257,57 @@ object BehaviorQueries {
       |FROM z
       |ORDER BY event_type, day""".stripMargin
 
+  /** DAU / WAU engagement stickiness: per day, the distinct users active
+    * that day and in the trailing 7-day window, plus their ratio (the
+    * "how habitual is usage" metric every engagement dashboard carries).
+    *
+    * The trailing window is computed WITHOUT a range-window distinct
+    * (distinct counts don't partial-aggregate under sliding windows):
+    * each distinct (user, day) pair is exploded to the ≤7 future days it
+    * keeps the user "weekly active" for — a map-side ×7 expansion of the
+    * already-collapsed (user, day) set, not of raw events — then one
+    * partial-agg distinct per day. Bounded by users × days either way.
+    */
+  def eventsDauWau(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val active = Tables.events(spark, dir)
+      .select($"user_id", to_date($"ts").as("d")).distinct()
+    val days = active.select($"d".as("day")).distinct()
+    val dau = active.groupBy($"d".as("day"))
+      .agg(countDistinct($"user_id").as("dau"))
+    val wau = active
+      .select($"user_id", explode(sequence($"d", date_add($"d", 6))).as("day"))
+      .join(days, Seq("day")) // trailing windows exist only for observed days
+      .groupBy($"day")
+      .agg(countDistinct($"user_id").as("wau"))
+    dau.join(wau, Seq("day"))
+      .select(date_format($"day", "yyyy-MM-dd").as("day"), $"dau", $"wau",
+        ($"dau".cast("double") / $"wau").as("stickiness"))
+      .orderBy($"day")
+  }
+
+  val eventsDauWauSql: String =
+    """WITH active AS (
+      |  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events
+      |), days AS (
+      |  SELECT DISTINCT d AS day FROM active
+      |), dau AS (
+      |  SELECT d AS day, COUNT(DISTINCT user_id) AS dau FROM active GROUP BY 1
+      |), expanded AS (
+      |  SELECT user_id, d + CAST(u AS INTEGER) AS day
+      |  FROM active, UNNEST(range(0, 7)) AS r(u)
+      |), wau AS (
+      |  SELECT e.day, COUNT(DISTINCT e.user_id) AS wau
+      |  FROM expanded e JOIN days USING (day)
+      |  GROUP BY 1
+      |)
+      |SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau.dau, wau.wau,
+      |  CAST(dau.dau AS DOUBLE) / wau.wau AS stickiness
+      |FROM dau JOIN wau ON dau.day = wau.day
+      |ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_dau_wau"        -> (eventsDauWau _),
     "events_anomaly"        -> (eventsAnomaly _),
     "events_funnel"         -> (eventsFunnel _),
     "user_retention_cohort" -> (userRetentionCohort _),
@@ -265,6 +315,7 @@ object BehaviorQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "events_dau_wau"        -> eventsDauWauSql,
     "events_anomaly"        -> eventsAnomalySql,
     "events_funnel"         -> eventsFunnelSql,
     "user_retention_cohort" -> userRetentionCohortSql,

@@ -68,6 +68,21 @@ class BehaviorSpec extends SparkSuite {
     }
   }
 
+  test("dau/wau: weekly actives dominate daily, stickiness in (0, 1]") {
+    val rows = core.BehaviorQueries.eventsDauWau(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (dau, wau) = (r.getAs[Long]("dau"), r.getAs[Long]("wau"))
+      assert(dau >= 1 && wau >= dau,
+        s"${r.getAs[String]("day")}: wau $wau must include every daily active ($dau)")
+      val s = r.getAs[Double]("stickiness")
+      assert(s > 0.0 && s <= 1.0)
+    }
+    // the trailing window must actually widen somewhere (wau > dau), or
+    // the ×7 expansion is vacuous
+    assert(rows.exists(r => r.getAs[Long]("wau") > r.getAs[Long]("dau")))
+  }
+
   test("retry quarantine: both outcomes occur, attempts within the budget") {
     val rows = etl.EtlQueries.retryQuarantine(spark, sf).collect()
     assert(rows.nonEmpty)
