@@ -96,6 +96,10 @@ object Bench {
       json.getBytes("UTF-8"))
     spark.stop()
     println(json)
+    // compact total-only summary LAST: the driver's stdout tail window
+    // truncated the full (76-query) line mid-way in round 5 — a bounded
+    // tail always catches this short line; bench.json stays authoritative
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.length},"sf":"$sfDir"}""")
     System.out.flush()
   }
 }

@@ -223,9 +223,13 @@ object BehaviorQueries {
     daily.join(broadcast(stats), Seq("event_type"))
       // zero deviation (constant counts, or one active day) means nothing
       // is anomalous — guard it or 0/0 = NaN, which abs(..) > 2 would
-      // label 'anomaly' (NaN sorts above every double in Spark)
+      // label 'anomaly' (NaN sorts above every double in Spark). The
+      // guard is <= 0: the q/n − mean² form can cancel to a tiny NEGATIVE
+      // double when true variance ≈ 0 relative to mean², and
+      // sqrt(negative) is NaN in Spark but an ERROR in DuckDB — both
+      // engines must take the degenerate branch on the same rows
       .withColumn("z_score",
-        when(variance === 0.0, lit(0.0))
+        when(variance <= 0.0, lit(0.0))
           .otherwise(($"n_events".cast("double") - mean) / sqrt(variance)))
       .select($"event_type", date_format($"d", "yyyy-MM-dd").as("day"),
         $"n_events", $"z_score",
@@ -245,7 +249,7 @@ object BehaviorQueries {
       |  FROM daily GROUP BY 1
       |), z AS (
       |  SELECT daily.event_type, d, n_events,
-      |    CASE WHEN CAST(q AS DOUBLE) / n - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n) = 0
+      |    CASE WHEN CAST(q AS DOUBLE) / n - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n) <= 0
       |      THEN 0.0
       |      ELSE (CAST(n_events AS DOUBLE) - CAST(s AS DOUBLE) / n)
       |        / SQRT(CAST(q AS DOUBLE) / n - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))

@@ -113,16 +113,20 @@ object BpeTrain {
 
   /** The trained merge table as ONE round-ordered broadcast row — the
     * model artifact, trained once per (session, dir) like the ANN index
-    * cache.
+    * cache. Population is under a lock: getOrElseUpdate's thunk may run
+    * twice under concurrent first calls, and this one localCheckpoints (a
+    * side effect — the loser's checkpointed RDD would leak unreferenced).
     */
   private def mergeRow(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    modelCache.getOrElseUpdate((spark, dir),
-      bpeTrainMerges(spark, dir)
-        .agg(array_sort(collect_list(struct($"round", $"left", $"right"))).as("ms"))
-        .select(transform($"ms", m =>
-          struct(m.getField("left").as("left"), m.getField("right").as("right"))).as("ml"))
-        .localCheckpoint())
+    modelCache.synchronized {
+      modelCache.getOrElseUpdate((spark, dir),
+        bpeTrainMerges(spark, dir)
+          .agg(array_sort(collect_list(struct($"round", $"left", $"right"))).as("ms"))
+          .select(transform($"ms", m =>
+            struct(m.getField("left").as("left"), m.getField("right").as("right"))).as("ml"))
+          .localCheckpoint())
+    }
   }
 
   def bpeTokenize(spark: SparkSession, dir: String): DataFrame = {

@@ -329,9 +329,9 @@ object ScaleDedup {
     * silently creates; GPT-3's appendix names exactly this failure).
     * Full CC matters here: a bounded keeper-pointer chase can split a
     * CHAIN cluster (A~C, B~C, A≁B) across sides, which would still
-    * leak. Singleton docs are their own label. Selection is the
-    * deterministic Knuth-hash device of sample_stratified: train ⇔
-    * bucket(keeper) < 8 of 10.
+    * leak. Singleton docs are their own label. Selection is a
+    * deterministic hash of the cluster label: train ⇔
+    * xxhash64(keeper) mod 10 < 8 (overflow-safe at any id scale).
     *
     * Scale shape: banding is the dedup_minhash_lsh pipeline (ids-only
     * shuffles); label propagation is diameter-bounded rounds of two
@@ -363,15 +363,28 @@ object ScaleDedup {
     * hops. The convergence probe is a bounded driver-side emptiness
     * check (same class as the k-means index state) and each round
     * localCheckpoints, so plan depth stays O(1) per round.
+    *
+    * The loop runs UNTIL CONVERGED — min-label propagation is a monotone
+    * bounded fixpoint (labels only decrease, floored at the cluster min),
+    * so convergence is guaranteed in ≤ diameter rounds. `maxRounds` is
+    * purely a defensive backstop: exhausting it without convergence means
+    * a bug (e.g. non-deterministic band input), and returning partial
+    * labels would silently violate the split's leakage contract — so it
+    * throws instead.
     */
-  private[graft] def ccKeepers(bands: DataFrame, maxRounds: Int = 10): DataFrame = {
+  private[graft] def ccKeepers(bands: DataFrame, maxRounds: Int = 64): DataFrame = {
     import bands.sparkSession.implicits._
     var labels = bands.select($"doc_id").distinct()
       .select($"doc_id", $"doc_id".as("keeper"))
       .localCheckpoint()
     var round = 0
     var converged = false
-    while (round < maxRounds && !converged) {
+    while (!converged) {
+      if (round >= maxRounds)
+        throw new IllegalStateException(
+          s"ccKeepers: label propagation not converged after $maxRounds rounds — " +
+            "monotone fixpoint should converge in <= cluster-graph diameter; " +
+            "refusing to return partial labels (leakage-safety contract)")
       val bucketMin = bands.join(labels, Seq("doc_id"))
         .groupBy($"band", $"band_key").agg(min($"keeper").as("bmin"))
       val next = bands.join(bucketMin, Seq("band", "band_key"))
@@ -391,8 +404,12 @@ object ScaleDedup {
       .join(ccKeepers(bandRows(docs)), Seq("doc_id"), "left")
       .select($"doc_id", $"source",
         coalesce($"keeper", $"doc_id").as("keeper"))
+      // xxhash64 split key: unlike the Knuth multiplicative form (which
+      // overflows Long for ids above ~2³¹ under ANSI mode), this is
+      // well-defined at any id scale; no oracle constrains the hash here
+      // (split_train_holdout is rows-only) so engine portability is moot
       .withColumn("split",
-        when(pmod($"keeper" * 2654435761L % 1000000007L, lit(10)) < 8, "train")
+        when(pmod(xxhash64($"keeper"), lit(10)) < 8, "train")
           .otherwise("holdout"))
   }
 

@@ -162,6 +162,15 @@ object VectorAgg {
   private val indexCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
 
+  /** Locked cache population: TrieMap.getOrElseUpdate may evaluate its
+    * thunk more than once under concurrent first calls, and every trainer
+    * cached here localCheckpoints (the loser's checkpointed RDD would leak
+    * unreferenced). Current call sites are single-threaded; the lock makes
+    * the write-once contract hold under any caller.
+    */
+  private def cachedIndex(key: (SparkSession, String, String))(train: => DataFrame): DataFrame =
+    indexCache.synchronized { indexCache.getOrElseUpdate(key, train) }
+
   /** Distributed Lloyd k-means over the quantized embeddings — the REAL IVF
     * training step (the per-label cells in [[annTopkIvf]] are a stand-in).
     * Fully declarative: no centroid ever leaves the plan (no driver
@@ -182,7 +191,7 @@ object VectorAgg {
     * materializing centroids driver-side.
     */
   def kmeansCells(spark: SparkSession, dir: String, k: Int, iters: Int): DataFrame =
-    indexCache.getOrElseUpdate((spark, dir, s"cells:$k:$iters"),
+    cachedIndex((spark, dir, s"cells:$k:$iters"))(
       kmeansCellsTrain(spark, dir, k, iters))
 
   private def kmeansCellsTrain(spark: SparkSession, dir: String, k: Int, iters: Int): DataFrame = {
@@ -302,7 +311,7 @@ object VectorAgg {
     * of the persisted codebook table every query would read at scale.
     */
   private def pqCodebookArray(spark: SparkSession, dir: String, m0: Int, k0: Int, sub: Int): DataFrame =
-    indexCache.getOrElseUpdate((spark, dir, s"pqcb:$m0:$k0:$sub"),
+    cachedIndex((spark, dir, s"pqcb:$m0:$k0:$sub"))(
       pqCollapse(pqCodebook(spark, dir, m0, k0, sub)).localCheckpoint())
 
   /** Per-subspace PQ codebook over a (vec_id, v) corpus: split the d-dim
@@ -398,7 +407,7 @@ object VectorAgg {
     // index table and scanned by every query — cached per (session, dir,
     // params) like the codebook, so ann_topk_pq and the refine stage
     // share one encode pass instead of re-encoding the corpus each
-    val encoded = indexCache.getOrElseUpdate((spark, dir, s"pqcodes:$M:$K:$sub:$chunks"),
+    val encoded = cachedIndex((spark, dir, s"pqcodes:$M:$K:$sub:$chunks"))(
       base.select($"vec_id".as("neighbor_id"), pqCode($"svs", $"cbs").as("code"),
           pmod(xxhash64($"vec_id"), lit(chunks)).cast("int").as("chunk"))
         .localCheckpoint())
@@ -548,16 +557,21 @@ object VectorAgg {
     * scaladoc promises — then serve the query from the loaded tables,
     * end-to-end through the driver gate. The path is keyed by the dir
     * hash AND this process's pid, so concurrent driver/bench processes
-    * on one machine never race save-vs-read on a shared path.
+    * on one machine never race save-vs-read on a shared path. The
+    * first-save is under a lock (TrieMap.getOrElseUpdate may evaluate a
+    * thunk twice under concurrent first calls, and this thunk WRITES the
+    * index — two in-flight saves could race overwrite-vs-read in-process).
     */
   def annTopkIvfPqPersisted(spark: SparkSession, dir: String): DataFrame = {
-    val indexPath = savedIndexes.getOrElseUpdate((spark, dir), {
-      val p = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_index_" +
-        java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL) +
-        "_" + ProcessHandle.current().pid()
-      saveIvfPqIndex(spark, dir, p)
-      p
-    })
+    val indexPath = savedIndexes.synchronized {
+      savedIndexes.getOrElseUpdate((spark, dir), {
+        val p = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_index_" +
+          java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL) +
+          "_" + ProcessHandle.current().pid()
+        saveIvfPqIndex(spark, dir, p)
+        p
+      })
+    }
     annTopkIvfPqFromIndex(spark, dir, indexPath)
   }
 
