@@ -45,7 +45,8 @@ object Bench {
     "ann_topk_ivfpq_persisted", "bpe_train_merges", "quality_classifier",
     "dm_listening_streaks", "events_anomaly",
     "curation_quality_prune", "bpe_tokenize", "split_train_holdout",
-    "events_dau_wau")
+    "events_dau_wau",
+    "dedup_incremental_banded_persisted")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -169,15 +169,26 @@ object ScaleDedup {
     val corpus = t.filter($"doc_id" <= watermarkId)
     val incoming = t.filter($"doc_id" > watermarkId)
     // the band index over the EXISTING corpus only (never batch×batch);
-    // at scale this side is precomputed and persisted, and the join
+    // at scale this side is precomputed and persisted
+    // ([[dedupIncrementalBandedPersisted]] IS that form), and the join
     // shuffles the small batch to the index's (band, band_key) layout
     val corpusIndex = bandRows(corpus).select($"band", $"band_key", $"doc_id".as("corpus_doc_id"))
+    val cW = corpus.select($"doc_id".as("corpus_doc_id"), $"lang".as("c_lang"), wordSet($"text").as("wc"))
+    bandedIncremental(incoming, corpusIndex, cW)
+  }
+
+  /** Candidate generation + exact-Jaccard verification shared by the
+    * in-session and persisted-index forms: `corpusIndex` is the (band,
+    * band_key, corpus_doc_id) bucket table, `corpusW` the (corpus_doc_id,
+    * c_lang, wc) word-set table — however those two were produced.
+    */
+  private def bandedIncremental(incoming: DataFrame, corpusIndex: DataFrame, corpusW: DataFrame): DataFrame = {
+    import incoming.sparkSession.implicits._
     val candidates = bandRows(incoming).join(corpusIndex, Seq("band", "band_key"))
       .select($"doc_id", $"corpus_doc_id")
       .distinct() // a pair can share several bands; verify it once
     val iW = incoming.select($"doc_id", $"lang", wordSet($"text").as("w"))
-    val cW = corpus.select($"doc_id".as("corpus_doc_id"), $"lang".as("c_lang"), wordSet($"text").as("wc"))
-    val m = candidates.join(iW, Seq("doc_id")).join(cW, Seq("corpus_doc_id"))
+    val m = candidates.join(iW, Seq("doc_id")).join(corpusW, Seq("corpus_doc_id"))
       .filter($"lang" === $"c_lang") // same block rule as the exact twin
       .withColumn("inter", size(array_intersect($"w", $"wc")))
       .withColumn("uni", size(array_union($"w", $"wc")))
@@ -189,6 +200,73 @@ object ScaleDedup {
       .filter($"rn" === 1)
       .select($"lang", $"doc_id", $"corpus_doc_id", $"inter", $"uni", $"jaccard")
       .orderBy($"lang", $"doc_id")
+  }
+
+  /** Persist the MinHash dedup index over the EXISTING corpus as its two
+    * parquet tables — the write-once artifact of the indexing job that
+    * [[dedupIncrementalBandedFromIndex]] serves every later batch from
+    * (mirroring [[VectorAgg.saveIvfPqIndex]]'s train/serve split):
+    *
+    *  - `bands/`    (band, band_key, doc_id): the LSH bucket index the
+    *    batch equi-joins for candidates;
+    *  - `wordsets/` (doc_id, lang, w): the normalized unigram sets the
+    *    exact-Jaccard verification reads — stored WITH the index so query
+    *    jobs never re-read (or re-tokenize) the corpus text.
+    *
+    * At 100 TB this is the production shape: the corpus is fingerprinted
+    * once when it lands, and each incoming batch's dedup cost is its own
+    * banding + bucket-occupancy joins against these tables. New accepted
+    * docs append their rows to both tables (same layout), which is the
+    * continuous-ingestion loop.
+    */
+  def saveBandIndex(spark: SparkSession, dir: String, indexPath: String, watermarkId: Long = 250L): Unit = {
+    import spark.implicits._
+    val corpus = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", $"text")
+      .filter($"doc_id" <= watermarkId)
+    bandRows(corpus).write.mode("overwrite").parquet(s"$indexPath/bands")
+    corpus.select($"doc_id", $"lang", wordSet($"text").as("w"))
+      .write.mode("overwrite").parquet(s"$indexPath/wordsets")
+  }
+
+  /** Incremental dedup served ENTIRELY from the persisted band index: the
+    * incoming batch is banded in-flight and joined to the LOADED bucket
+    * and word-set tables — no corpus text is read, tokenized, or
+    * re-signed at query time. Same candidate generation and verification
+    * as the in-session twin (OpsSpec pins row parity).
+    */
+  def dedupIncrementalBandedFromIndex(spark: SparkSession, dir: String, indexPath: String,
+      watermarkId: Long = 250L): DataFrame = {
+    import spark.implicits._
+    val incoming = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", $"text")
+      .filter($"doc_id" > watermarkId)
+    val corpusIndex = spark.read.parquet(s"$indexPath/bands")
+      .select($"band", $"band_key", $"doc_id".as("corpus_doc_id"))
+    val corpusW = spark.read.parquet(s"$indexPath/wordsets")
+      .select($"doc_id".as("corpus_doc_id"), $"lang".as("c_lang"), $"w".as("wc"))
+    bandedIncremental(incoming, corpusIndex, corpusW)
+  }
+
+  private val savedBandIndexes =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  /** The §2 entry for the persisted path: index the corpus ONCE per
+    * (session, dir) — first-save under a lock, pid-scoped path, exactly
+    * the [[VectorAgg.annTopkIvfPqPersisted]] contract — then dedup the
+    * incoming batch against the loaded tables end-to-end.
+    */
+  def dedupIncrementalBandedPersisted(spark: SparkSession, dir: String): DataFrame = {
+    val indexPath = savedBandIndexes.synchronized {
+      savedBandIndexes.getOrElseUpdate((spark, dir), {
+        val p = s"${System.getProperty("java.io.tmpdir")}/graft_band_index_" +
+          java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL) +
+          "_" + ProcessHandle.current().pid()
+        saveBandIndex(spark, dir, p)
+        p
+      })
+    }
+    dedupIncrementalBandedFromIndex(spark, dir, indexPath)
   }
 
   // ------------------------------------------- embedding LSH (sign bands)
@@ -418,6 +496,7 @@ object ScaleDedup {
     "dedup_minhash_lsh"        -> (dedupMinhashLsh _),
     "dedup_simhash"            -> (dedupSimhash _),
     "dedup_incremental_banded" -> ((s, d) => dedupIncrementalBanded(s, d)),
+    "dedup_incremental_banded_persisted" -> (dedupIncrementalBandedPersisted _),
     "dedup_embedding_lsh"      -> (dedupEmbeddingLsh _)
   )
 

@@ -258,6 +258,38 @@ class OpsSpec extends SparkSuite {
     assert(joins.exists(c => c.contains("band_key") && c.contains("band")), joins.mkString("\n"))
   }
 
+  test("persisted band index: row parity with the in-session twin, corpus text never read at query time") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("corpus_doc_id"), r.getAs[Long]("inter"), r.getAs[Long]("uni"),
+        r.getAs[Double]("jaccard"))).toSeq
+    val inSession = rows(ops.ScaleDedup.dedupIncrementalBanded(spark, sf))
+    val persisted = ops.ScaleDedup.dedupIncrementalBandedPersisted(spark, sf)
+    assert(rows(persisted) == inSession)
+
+    // the persisted plan's only documents-parquet scans are the INCOMING
+    // batch (banding + word sets — 2 subtree references); the corpus side
+    // comes entirely from the loaded index tables
+    def scanPaths(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toString).mkString(",")
+            case _ => ""
+          }
+      }
+    val paths = scanPaths(persisted)
+    val docScans = paths.count(_.contains("documents"))
+    val indexScans = paths.count(_.contains("graft_band_index_"))
+    assert(docScans == 2, s"expected 2 incoming-side documents scans, got $docScans in $paths")
+    assert(indexScans == 2, s"expected bands+wordsets index scans, got $indexScans in $paths")
+    // while the in-session twin necessarily re-reads the corpus text (4 scans)
+    val inSessionDocScans =
+      scanPaths(ops.ScaleDedup.dedupIncrementalBanded(spark, sf)).count(_.contains("documents"))
+    assert(inSessionDocScans == 4, s"in-session twin expected 4 scans, got $inSessionDocScans")
+  }
+
   test("embedding LSH dedup: precision 1 vs exact twin; identical vectors always collide") {
     import spark.implicits._
     // precision: every LSH pair is an exact-twin pair with identical scores
