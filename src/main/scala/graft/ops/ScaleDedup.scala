@@ -121,8 +121,8 @@ object ScaleDedup {
     * Pigeonhole-COMPLETE: ≤7 differing bits cannot touch all 8 chunks, so
     * every qualifying pair shares at least one equal chunk — recall is
     * exactly 1 (OpsSpec pins this against brute force). Pair output is
-    * quadratic in identical-hash cluster size; at larger scale emit keeper
-    * assignments like dedupMinhashLsh instead.
+    * quadratic in identical-hash cluster size — the CORRECTNESS baseline;
+    * [[dedupSimhashKeeper]] is the O(n) keeper-assignment scale path.
     */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -145,6 +145,73 @@ object ScaleDedup {
       .filter($"hamming" <= 7)
       .select($"a", $"b", $"hamming")
       .orderBy($"a", $"b")
+  }
+
+  /** SimHash dedup as an O(n) KEEPER assignment — the 100 TB twin of
+    * [[dedupSimhash]], closing the last pair-shaped scale path in the
+    * dedup family. The pair form explodes quadratically on an
+    * identical-fingerprint cluster (the exact pathological case LLM dedup
+    * exists for: a 2000-copy boilerplate page is 2M pair rows); here that
+    * cluster costs 2000 rows:
+    *
+    *  1. identical fingerprints collapse FIRST — one hash-groupBy on the
+    *     packed 64-bit fingerprint, keeper = min doc_id per group (O(n),
+    *     never pair-shaped, exactly like [[LlmQueries.dedupExactKeeper]]);
+    *  2. only DISTINCT-fingerprint representatives enter the chunk-blocked
+    *     hamming join (the same pigeonhole-complete 8-chunk blocking as
+    *     the pair form, so rep-level recall is still exactly 1) — pair
+    *     work is bounded by distinct-fingerprint bucket occupancy, not
+    *     duplicate-cluster size;
+    *  3. verified rep edges (hamming ≤ 7) feed [[ccKeepers]] as a
+    *     synthetic one-bucket-per-edge graph → TRUE connected components,
+    *     so the emitted clusters are exactly the pair graph's components
+    *     (OpsSpec pins that equivalence via union-find over the pair
+    *     form's output).
+    *
+    * Output: (doc_id, keeper_doc_id) for every non-keeper doc — keeper is
+    * the cluster-min id, O(n) rows no matter how clustered the corpus is.
+    * The fingerprint packs as two 32-bit halves (hi, lo): a single-long
+    * pack of 64 bits would overflow under ANSI mode.
+    */
+  def dedupSimhashKeeper(spark: SparkSession, dir: String): DataFrame =
+    dedupSimhashKeeperOn(Tables.documents(spark, dir))
+
+  private[graft] def dedupSimhashKeeperOn(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val withBits = docs.select($"doc_id", simhashBits(words($"text")).as("bits"))
+      .withColumn("chunks", transform(sequence(lit(0), lit(7)), k =>
+        aggregate(slice($"bits", k * 8 + 1, lit(8)), lit(0L),
+          (acc, bit) => acc * 2 + bit)))
+      .withColumn("hi", aggregate(slice($"chunks", 1, 4), lit(0L), (acc, c) => acc * 256L + c))
+      .withColumn("lo", aggregate(slice($"chunks", 5, 4), lit(0L), (acc, c) => acc * 256L + c))
+    // step 1: O(n) collapse of identical fingerprints (all bits equal per
+    // (hi, lo) group, so first(bits) is deterministic)
+    val reps = withBits.groupBy($"hi", $"lo")
+      .agg(min($"doc_id").as("rep"), first($"bits").as("bits"), first($"chunks").as("chunks"))
+    val docToRep = withBits.select($"doc_id", $"hi", $"lo")
+      .join(reps.select($"hi", $"lo", $"rep"), Seq("hi", "lo"))
+      .select($"doc_id", $"rep")
+    // step 2: chunk-blocked hamming join between DISTINCT-fingerprint reps
+    val exploded = reps.select($"rep", $"bits",
+      posexplode($"chunks").as(Seq("chunk_idx", "chunk_val")))
+    val l = exploded.select($"chunk_idx", $"chunk_val", $"rep".as("a"), $"bits".as("bits_a"))
+    val r = exploded.select($"chunk_idx", $"chunk_val", $"rep".as("b"), $"bits".as("bits_b"))
+    val edges = l.join(r, Seq("chunk_idx", "chunk_val"))
+      .filter($"a" < $"b")
+      .dropDuplicates("a", "b")
+      .filter(size(filter(zip_with($"bits_a", $"bits_b", (x, y) => x =!= y), m => m)) <= 7)
+      .select($"a", $"b")
+    // step 3: true CC over the verified edge graph — one synthetic bucket
+    // per edge joins its two endpoints
+    val edgeBands = edges
+      .select($"a".as("doc_id"), lit(0).as("band"), xxhash64($"a", $"b").as("band_key"))
+      .unionByName(edges
+        .select($"b".as("doc_id"), lit(0).as("band"), xxhash64($"a", $"b").as("band_key")))
+    val repKeeper = ccKeepers(edgeBands).select($"doc_id".as("rep"), $"keeper")
+    docToRep.join(repKeeper, Seq("rep"), "left")
+      .select($"doc_id", coalesce($"keeper", $"rep").as("keeper_doc_id"))
+      .filter($"doc_id" =!= $"keeper_doc_id")
+      .orderBy($"doc_id")
   }
 
   /** Banded incremental dedup — the 100 TB form of
@@ -495,6 +562,7 @@ object ScaleDedup {
     "split_train_holdout" -> (splitTrainHoldout _),
     "dedup_minhash_lsh"        -> (dedupMinhashLsh _),
     "dedup_simhash"            -> (dedupSimhash _),
+    "dedup_simhash_keeper"     -> (dedupSimhashKeeper _),
     "dedup_incremental_banded" -> ((s, d) => dedupIncrementalBanded(s, d)),
     "dedup_incremental_banded_persisted" -> (dedupIncrementalBandedPersisted _),
     "dedup_embedding_lsh"      -> (dedupEmbeddingLsh _)
