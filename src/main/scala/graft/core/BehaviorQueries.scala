@@ -30,28 +30,54 @@ object BehaviorQueries {
     */
   private val funnelWindowSec = 86400L
 
+  /** The §2 entry: the 3-step view → click → purchase instantiation of
+    * [[eventsFunnelOn]] (oracle-gated; the generalized chain is
+    * BehaviorSpec-pinned on a 4-step synthetic funnel).
+    */
   def eventsFunnel(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val ev = Tables.events(spark, dir)
-      .select($"user_id", $"event_type", unix_timestamp($"ts").as("ts_sec"))
-    val t1 = ev.filter($"event_type" === "view")
-      .groupBy($"user_id").agg(min($"ts_sec").as("t1"))
-    val t2 = ev.filter($"event_type" === "click")
-      .join(t1, Seq("user_id"))
-      .filter($"ts_sec" > $"t1" && $"ts_sec" <= $"t1" + funnelWindowSec)
-      .groupBy($"user_id").agg(min($"ts_sec").as("t2"))
-    val t3 = ev.filter($"event_type" === "purchase")
-      .join(t2, Seq("user_id"))
-      .filter($"ts_sec" > $"t2" && $"ts_sec" <= $"t2" + funnelWindowSec)
-      .groupBy($"user_id").agg(min($"ts_sec").as("t3"))
-    t1.join(t2, Seq("user_id"), "left").join(t3, Seq("user_id"), "left")
-      .agg(count($"t1").as("n1"), count($"t2").as("n2"), count($"t3").as("n3"))
+    eventsFunnelOn(
+      Tables.events(spark, dir)
+        .select($"user_id", $"event_type", unix_timestamp($"ts").as("ts_sec")),
+      Seq("view", "click", "purchase"))
+  }
+
+  /** The general N-step funnel: `steps` is any ordered Seq of event
+    * types; step k's timestamp folds out of step k-1's exactly like the
+    * fixed 3-step chain (earliest qualifying event strictly after the
+    * previous step, inside its `windowSec` attribution window). Step
+    * names derive as `<step>_after_<previous>`, which reproduces the
+    * reference 3-step labels verbatim — the oracle entry is untouched.
+    *
+    * Scale shape is unchanged by N: every join in the fold keys on
+    * user_id, so ONE Exchange partitioning serves the whole chain
+    * regardless of step count, and the output stays N rows.
+    */
+  private[graft] def eventsFunnelOn(ev: DataFrame, steps: Seq[String],
+      windowSec: Long = funnelWindowSec): DataFrame = {
+    import ev.sparkSession.implicits._
+    require(steps.size >= 2, "a funnel needs at least 2 steps")
+    val first = ev.filter($"event_type" === steps.head)
+      .groupBy($"user_id").agg(min($"ts_sec").as("t"))
+    val stepTimes: Seq[DataFrame] = steps.tail.scanLeft(first) { (prev, step) =>
+      ev.filter($"event_type" === step)
+        .join(prev, Seq("user_id"))
+        .filter($"ts_sec" > $"t" && $"ts_sec" <= $"t" + windowSec)
+        .groupBy($"user_id").agg(min($"ts_sec").as("t"))
+    }
+    val joined = stepTimes.zipWithIndex
+      .map { case (df, i) => df.select($"user_id", $"t".as(s"t${i + 1}")) }
+      .reduceLeft((acc, next) => acc.join(next, Seq("user_id"), "left"))
+    val names = steps.head +: steps.tail.zip(steps).map { case (s, prev) => s"${s}_after_$prev" }
+    val counts = joined.agg(
+      count($"t1").as("n1"),
+      (2 to steps.size).map(i => count(col(s"t$i")).as(s"n$i")): _*)
+    val stackArgs = names.zipWithIndex.map { case (name, i) =>
+      s"${i + 1}, '$name', n${i + 1}, CAST(n${i + 1} AS DOUBLE) / n1"
+    }.mkString(",\n")
+    counts
       .selectExpr(
-        """stack(3,
-          |  1, 'view',                n1, CAST(n1 AS DOUBLE) / n1,
-          |  2, 'click_after_view',    n2, CAST(n2 AS DOUBLE) / n1,
-          |  3, 'purchase_after_click', n3, CAST(n3 AS DOUBLE) / n1
-          |) AS (step, step_name, n_users, pct_of_first)""".stripMargin)
+        s"stack(${steps.size},\n$stackArgs\n) AS (step, step_name, n_users, pct_of_first)")
       .orderBy($"step")
   }
 

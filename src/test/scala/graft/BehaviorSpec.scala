@@ -21,6 +21,31 @@ class BehaviorSpec extends SparkSuite {
     }
   }
 
+  test("funnel generalizes: 4-step synthetic chain with hand-checked counts and names") {
+    import spark.implicits._
+    val w = 86400L
+    // u1 completes a→b→c→d in order; u2 stops after c; u3's b precedes its
+    // a (strict order: doesn't count, and no later b exists); u4's b falls
+    // outside the 24h window of its a
+    val ev = Seq(
+      (1L, "a", 0L), (1L, "b", 100L), (1L, "c", 200L), (1L, "d", 300L),
+      (2L, "a", 0L), (2L, "b", 100L), (2L, "c", 200L),
+      (3L, "b", 0L), (3L, "a", 100L),
+      (4L, "a", 0L), (4L, "b", w + 1L)
+    ).toDF("user_id", "event_type", "ts_sec")
+    val rows = core.BehaviorQueries.eventsFunnelOn(ev, Seq("a", "b", "c", "d")).collect()
+    assert(rows.length == 4)
+    assert(rows.map(_.getAs[String]("step_name")).toSeq ==
+      Seq("a", "b_after_a", "c_after_b", "d_after_c"))
+    assert(rows.map(_.getAs[Long]("n_users")).toSeq == Seq(4L, 2L, 2L, 1L))
+    assert(rows.map(_.getAs[Double]("pct_of_first")).toSeq ==
+      Seq(1.0, 0.5, 0.5, 0.25))
+    // the 3-step §2 instantiation is literally the same fold
+    val fixed = core.BehaviorQueries.eventsFunnel(spark, sf).collect()
+    assert(fixed.map(_.getAs[String]("step_name")).toSeq ==
+      Seq("view", "click_after_view", "purchase_after_click"))
+  }
+
   test("cohort retention: offset 0 retains the full cohort, counts bounded") {
     val rows = core.BehaviorQueries.userRetentionCohort(spark, sf).collect()
     assert(rows.nonEmpty)
