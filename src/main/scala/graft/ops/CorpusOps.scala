@@ -173,21 +173,35 @@ object CorpusOps {
   def sampleDomainMix(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir).select($"doc_id", $"source", $"n_chars")
-    val counts = docs.groupBy($"source").agg(count(lit(1)).as("n_docs"))
-    val nmin = counts.agg(min($"n_docs").as("n_min"))
-    val thr = counts.crossJoin(broadcast(nmin))
-      .withColumn("threshold",
-        floor(lit(1000000.0) * sqrt($"n_min".cast("double") / $"n_docs") + lit(0.5)))
-      .select($"source", $"n_docs", $"threshold")
     docs
-      .withColumn("bucket", pmod($"doc_id" * 2654435761L % 1000000007L, lit(1000000)))
-      .join(broadcast(thr), Seq("source"))
+      .withColumn("bucket", domainMixBucket(docs("doc_id")))
+      .join(broadcast(domainMixThresholds(docs)), Seq("source"))
       .groupBy($"source", $"n_docs", $"threshold")
       .agg(
         sum(when($"bucket" < $"threshold", 1L).otherwise(0L)).as("n_sampled"),
         sum(when($"bucket" < $"threshold", $"n_chars").otherwise(0L)).as("sampled_chars"))
       .orderBy($"source")
   }
+
+  /** The per-source (source, n_docs, threshold) table from the STATIC
+    * corpus's source counts — one bounded groupBy, broadcastable.
+    * Shared by the batch rollup above and the stream-static screen
+    * [[graft.streaming.CorpusStream.sampleDomainMixStream]], so the two
+    * cannot diverge on the keep rule.
+    */
+  private[graft] def domainMixThresholds(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val counts = docs.groupBy($"source").agg(count(lit(1)).as("n_docs"))
+    val nmin = counts.agg(min($"n_docs").as("n_min"))
+    counts.crossJoin(broadcast(nmin))
+      .withColumn("threshold",
+        floor(lit(1000000.0) * sqrt($"n_min".cast("double") / $"n_docs") + lit(0.5)))
+      .select($"source", $"n_docs", $"threshold")
+  }
+
+  /** The deterministic Knuth-hash selection bucket (shared batch/stream). */
+  private[graft] def domainMixBucket(docId: Column): Column =
+    pmod(docId * 2654435761L % 1000000007L, lit(1000000))
 
   val sampleDomainMixSql: String =
     """WITH c AS (

@@ -65,4 +65,40 @@ object CorpusStream {
     */
   def classifyStream(docs: DataFrame): DataFrame =
     graft.ops.LlmQueries.qualityClassifierOn(docs)
+
+  /** The per-source keep-threshold table for a testdata dir — the STATIC
+    * side of the domain-mix screen, computed once from the corpus's
+    * source counts by the shared [[graft.ops.CorpusOps.domainMixThresholds]]
+    * core (the same rows the batch rollup aggregates over).
+    */
+  def domainMixThresholds(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.ops.CorpusOps.domainMixThresholds(
+      Tables.documents(spark, dir).select($"doc_id", $"source", $"n_chars"))
+  }
+
+  /** Stream-static domain-mixing screen — the continuous-ingestion twin of
+    * [[graft.ops.CorpusOps.sampleDomainMix]]: the α=0.5 temperature
+    * thresholds come from the STATIC corpus's source statistics (the
+    * mixture being rebalanced toward), broadcast as one bounded row-set;
+    * each incoming document's keep decision is then map-side per
+    * micro-batch — deterministic Knuth-hash bucket < per-source threshold,
+    * the identical rule (identical code) the batch operator applies, so a
+    * doc is kept on the stream iff the batch resample would keep it
+    * (StreamingSpec pins the keep-set parity on replayed batches).
+    *
+    * Stateless: no watermark, no streaming state, no shuffle — a
+    * stream-static broadcast equi-join on `source` plus a map-side filter,
+    * exactly like [[decontaminateStream]]'s screen shape.
+    *
+    * `docs` must be a streaming DataFrame with (doc_id, source, n_chars).
+    */
+  def sampleDomainMixStream(docs: DataFrame, thresholds: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .withColumn("bucket", graft.ops.CorpusOps.domainMixBucket($"doc_id"))
+      .join(broadcast(thresholds.select($"source", $"threshold")), Seq("source"))
+      .filter($"bucket" < $"threshold")
+      .select($"doc_id", $"source", $"n_chars")
+  }
 }

@@ -569,6 +569,71 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("domain mix stream: keep set == batch resample's keep set on replayed batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val thr = graft.streaming.CorpusStream.domainMixThresholds(spark, sf)
+
+    // the batch operator's keep rule, evaluated doc-by-doc (the rollup's
+    // n_sampled is the per-source count of exactly this set)
+    val docsDf = Tables.documents(spark, sf).select($"doc_id", $"source", $"n_chars")
+    val expectedKeep = docsDf
+      .withColumn("bucket", ops.CorpusOps.domainMixBucket($"doc_id"))
+      .join(thr.select($"source", $"threshold"), Seq("source"))
+      .filter($"bucket" < $"threshold")
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+
+    val docs = docsDf.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val stream = MemoryStream[(Long, String, Long)]
+    val q = graft.streaming.CorpusStream.sampleDomainMixStream(
+        stream.toDF().toDF("doc_id", "source", "n_chars"), thr)
+      .writeStream.outputMode("append").format("memory").queryName("mix_out").start()
+    try {
+      val (a, b) = docs.splitAt(docs.size / 2)
+      stream.addData(a); q.processAllAvailable()
+      stream.addData(b); q.processAllAvailable()
+      val streamed = spark.table("mix_out")
+        .select($"doc_id").collect().map(_.getLong(0)).toSet
+      assert(expectedKeep.nonEmpty)
+      assert(streamed == expectedKeep,
+        s"missed=${(expectedKeep -- streamed).take(5)} extra=${(streamed -- expectedKeep).take(5)}")
+      // and the per-source counts match the batch rollup's n_sampled
+      val streamedPerSource = spark.table("mix_out")
+        .groupBy($"source").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val batchRollup = ops.CorpusOps.sampleDomainMix(spark, sf)
+        .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("n_sampled"))
+        .filter(_._2 > 0).toMap
+      assert(streamedPerSource == batchRollup)
+    } finally q.stop()
+
+    // the testdata sources are equal-sized (every threshold = 10⁶ → all
+    // kept), so the DROP branch needs a skewed corpus: 100 "web" docs vs
+    // 25 "books" → web's threshold is 500000 and real drops must occur
+    val skewed = ((1L to 100L).map(i => (i, "web", 10L)) ++
+      (101L to 125L).map(i => (i, "books", 10L))).toDF("doc_id", "source", "n_chars")
+    val skewThr = ops.CorpusOps.domainMixThresholds(skewed)
+    val skewExpected = skewed
+      .withColumn("bucket", ops.CorpusOps.domainMixBucket($"doc_id"))
+      .join(skewThr.select($"source", $"threshold"), Seq("source"))
+      .filter($"bucket" < $"threshold")
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val skewStream = MemoryStream[(Long, String, Long)]
+    val q2 = graft.streaming.CorpusStream.sampleDomainMixStream(
+        skewStream.toDF().toDF("doc_id", "source", "n_chars"), skewThr)
+      .writeStream.outputMode("append").format("memory").queryName("mix_skew_out").start()
+    try {
+      skewStream.addData(skewed.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq)
+      q2.processAllAvailable()
+      val got = spark.table("mix_skew_out").select($"doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(skewExpected.size < 125 && skewExpected.nonEmpty,
+        s"skewed corpus must create real drop-off, kept ${skewExpected.size}")
+      assert(got == skewExpected)
+    } finally q2.stop()
+  }
+
   test("streaming decontamination == batch: same contaminated doc set, stateless plan") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
