@@ -61,5 +61,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         WordNgrams(exprs.head, n)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("partial_topk"),
+      info("partial_topk",
+        "partial_topk(struct, k) - aggregate: k smallest struct rows per group " +
+          "(bounded map-side heaps; at most k rows per group per partition reach the exchange)"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 2)
+          throw new IllegalArgumentException(
+            s"partial_topk(struct, k) takes 2 arguments, got ${exprs.length}")
+        val k = exprs(1) match {
+          case e if e.foldable => e.eval(null) match {
+            case i: Int => i
+            case l: Long => l.toInt
+            case other => throw new IllegalArgumentException(
+              s"partial_topk: k must be an integer literal, got $other")
+          }
+          case _ => throw new IllegalArgumentException(
+            "partial_topk: k must be a literal (it bounds the aggregation buffer)")
+        }
+        graft.functions.PartialTopK(exprs.head, k)
+      }))
   }
 }

@@ -347,6 +347,37 @@ object LlmQueries {
        |FROM ranked WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
 
+  /** [[annTopkExact]]'s semantics through the custom PARTIAL TOP-K
+    * aggregate ([[graft.functions.PartialTopK]]) instead of a
+    * window-rank: per-partition bounded heaps reduce each map task to ≤ k
+    * rows per query BEFORE the exchange, where the window form shuffles
+    * every scored candidate and sorts it query-side — the difference
+    * between `candidates` and `queries × k` rows through the wire, the
+    * shape that matters when candidates are a 100 TB corpus. `ORDER BY
+    * dot DESC, neighbor_id` is encoded as the struct sort key
+    * (−dot, neighbor_id); held to the SAME DuckDB oracle as the window
+    * twin, so the equivalence is hash-checked. PlanSpec asserts the
+    * partial (ObjectHashAggregate) mode below the exchange.
+    */
+  def annTopkAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val q = quantized(spark, dir)
+    val queries = q.filter($"vec_id" % 10 === 0)
+      .select($"vec_id".as("query_id"), $"v".as("va"))
+    val cands = q.select($"vec_id".as("neighbor_id"), $"v".as("vb"))
+    val scored = queries.join(cands, $"query_id" =!= $"neighbor_id")
+      .withColumn("dot", dotCol)
+    scored
+      .groupBy($"query_id")
+      .agg(graft.functions.PartialTopK.partial_topk(
+        struct((-$"dot").as("neg_dot"), $"neighbor_id".as("neighbor_id"), $"dot".as("dot")),
+        5).as("topk"))
+      .select($"query_id", posexplode($"topk").as(Seq("pos", "s")))
+      .select($"query_id", ($"pos" + 1).cast("int").as("rank"),
+        $"s.neighbor_id".as("neighbor_id"), $"s.dot".as("dot"))
+      .orderBy($"query_id", $"rank")
+  }
+
   // ----------------------------------------------------------- text analysis
 
   private val langMarkers: Map[String, Seq[String]] = Map(
@@ -743,6 +774,7 @@ object LlmQueries {
     "dedup_shingle_topk"  -> (dedupShingleTopk _),
     "dedup_embedding"     -> (dedupEmbedding _),
     "ann_topk_exact"      -> (annTopkExact _),
+    "ann_topk_agg"        -> (annTopkAgg _),
     "text_langid"         -> (textLangid _),
     "text_quality"        -> (textQuality _),
     "curation_filter"     -> (curationFilter _),
@@ -761,6 +793,8 @@ object LlmQueries {
     "dedup_shingle_topk"  -> dedupShingleTopkSql,
     "dedup_embedding"     -> dedupEmbeddingSql,
     "ann_topk_exact"      -> annTopkExactSql,
+    // the aggregate form is exact, so it is held to the SAME oracle
+    "ann_topk_agg"        -> annTopkExactSql,
     "text_langid"         -> textLangidSql,
     "text_quality"        -> textQualitySql,
     "curation_filter"     -> curationFilterSql,

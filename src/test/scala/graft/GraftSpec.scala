@@ -594,6 +594,13 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(r.getLong(1) == 32L)
       assert(s.sql("SELECT word_ngrams('a b c d', 3) AS g").collect().head
         .getSeq[String](0) == Seq("a b c", "b c d"))
+      // the partial top-k AGGREGATE registers too (k must be a literal)
+      assert(s.sql(
+        """SELECT g, partial_topk(struct(v, p), 2) AS t
+          |FROM VALUES (1, 5L, 'x'), (1, 3L, 'b'), (1, 4L, 'a'), (2, 9L, 'z') AS t(g, v, p)
+          |GROUP BY g ORDER BY g""".stripMargin)
+        .collect().map(r => r.getInt(0) -> r.getSeq[org.apache.spark.sql.Row](1).map(_.getLong(0)).toList)
+        .toList == List(1 -> List(3L, 4L), 2 -> List(9L)))
       // optimizer rule: plain zip_with/aggregate dot product is rewritten
       // to the fused native expression
       import org.apache.spark.sql.functions._
@@ -776,6 +783,31 @@ class PlanSpec extends SparkSuite {
         if b.output.exists(a => a.name == "dtab" || a.name == "query_id") => b
     }
     assert(bad.isEmpty, bad.map(_.treeString).mkString("\n---\n"))
+  }
+
+  test("ann_topk_agg: partial top-k aggregate runs BELOW the exchange (map-side k rows per group)") {
+    import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{Final, Partial}
+    val df = ops.LlmQueries.annTopkAgg(spark, sf)
+    df.collect() // finalize AQE
+    val nodes = tools.PlanWalk.flatten(df.queryExecution.executedPlan)
+    val aggs = nodes.collect { case a: ObjectHashAggregateExec => a }
+    def withTopK(mode: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateMode) =
+      aggs.filter(_.aggregateExpressions.exists(ae =>
+        ae.mode == mode && ae.aggregateFunction.isInstanceOf[graft.functions.PartialTopK]))
+    val partials = withTopK(Partial)
+    val finals = withTopK(Final)
+    assert(partials.nonEmpty, "no partial-mode partial_topk planned:\n" +
+      df.queryExecution.executedPlan.toString)
+    assert(finals.nonEmpty, "no final-mode partial_topk planned")
+    // the partial heap sits below a shuffle: an exchange's subtree contains
+    // it, so the exchange's input is <= k rows per (group, partition)
+    val exchanges = nodes.collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.exists(e =>
+      tools.PlanWalk.flatten(e).exists(p => partials.exists(_ eq p))),
+      "partial_topk partial mode not below any shuffle exchange:\n" +
+        df.queryExecution.executedPlan.toString)
   }
 
   test("q1: filter pushed to parquet scan, whole-stage codegen") {

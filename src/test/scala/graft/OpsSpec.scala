@@ -496,6 +496,23 @@ class OpsSpec extends SparkSuite {
       s"missed=${(exact -- blocked).take(5)} extra=${(blocked -- exact).take(5)}")
   }
 
+  test("partial_topk: ascending struct order, deterministic ties, groups smaller than k") {
+    import spark.implicits._
+    import graft.functions.PartialTopK.partial_topk
+    val df = Seq((1, 5L, "x"), (1, 3L, "b"), (1, 3L, "a"), (1, 9L, "y"), (2, 7L, "z"))
+      .toDF("g", "ord", "pay")
+      .repartition(3) // force real partial heaps + a merge across partitions
+    val out = df.groupBy($"g")
+      .agg(partial_topk(struct($"ord", $"pay"), 3).as("t"))
+      .select($"g", $"t.ord".as("ords"), $"t.pay".as("pays"))
+      .collect().map(r => r.getInt(0) ->
+        (r.getSeq[Long](1).toList, r.getSeq[String](2).toList)).toMap
+    // group 1: k=3 smallest of 4, ties (3,a) < (3,b) by the payload field
+    assert(out(1) == (List(3L, 3L, 5L), List("a", "b", "x")))
+    // group 2: fewer rows than k → all of them
+    assert(out(2) == (List(7L), List("z")))
+  }
+
   test("simhash keeper twin: clusters == connected components of the pair form") {
     // reference clustering: union-find over the pair form's verified
     // hamming<=7 edges, root = component-min id
