@@ -274,6 +274,62 @@ class StreamingSpec extends SparkSuite {
     assert(wh.filter($"event_id" === 7L).head().getAs[String]("payload") == "updated")
   }
 
+  test("merge+compact composition: hot-key batches keep per-bucket file counts bounded") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_mhot").toString + "/wh"
+    val buckets = 8
+    def bucketOf(k: Long): Int = Seq(k).toDF("k")
+      .select(pmod(xxhash64($"k".cast("string")), lit(buckets)).cast("int")).head().getInt(0)
+    // a hot BUCKET: 16 distinct keys all hashing into key 1's bucket (so
+    // each merge spreads the bucket's rows over several write partitions
+    // → multiple files per rewrite), plus one cold key elsewhere
+    val hotBucket = bucketOf(1L)
+    val hotKeys = (1L to 400L).filter(bucketOf(_) == hotBucket).take(16)
+    assert(hotKeys.size == 16)
+    val coldKey = (1L to 64L).find(bucketOf(_) != hotBucket).get
+    def files(b: Int): Set[(String, Long, Long)] = {
+      val d = new java.io.File(root, s"_bucket=$b")
+      if (!d.exists()) Set.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified(), f.length())).toSet
+    }
+    // batch 0 seeds cold + hot; batches 1..4 hammer ONLY the hot bucket
+    streaming.EventsPipeline.mergeBatch(
+      (hotKeys.map(k => (k, "v0")) :+ (coldKey, "cold")).toDF("event_id", "payload"),
+      root, "event_id", buckets, 0L)
+    val coldFiles = files(bucketOf(coldKey))
+    val countsPerBatch = (1 to 4).map { i =>
+      streaming.EventsPipeline.mergeBatch(
+        hotKeys.map(k => (k, s"v$i")).toDF("event_id", "payload"),
+        root, "event_id", buckets, i.toLong)
+      files(hotBucket).size
+    }
+    // dynamic overwrite REPLACES the bucket: file count is a function of
+    // the batch's write partitioning, not of how many batches ran — it
+    // must not grow with batch count and stays under the write parallelism
+    assert(countsPerBatch.distinct.size == 1,
+      s"hot bucket file count grew across identical batches: $countsPerBatch")
+    assert(countsPerBatch.head <= spark.conf.get("spark.sql.shuffle.partitions").toInt,
+      s"hot bucket files exceed write parallelism: $countsPerBatch")
+    assert(files(bucketOf(coldKey)) == coldFiles, "cold bucket touched by hot-key merges")
+
+    // composition with the compaction job: the multi-file hot bucket
+    // compacts to ONE file, the cold bucket is never read or rewritten
+    assert(countsPerBatch.last >= 2,
+      "precondition: hot bucket must hold multiple files for compaction to act")
+    val compacted = streaming.EventsPipeline.compactBuckets(spark, root, maxFiles = 1)
+    assert(compacted.contains(hotBucket) && !compacted.contains(bucketOf(coldKey)))
+    assert(files(hotBucket).size == 1)
+    assert(files(bucketOf(coldKey)) == coldFiles, "compaction touched the under-ceiling cold bucket")
+    // and the composed warehouse still merges correctly afterwards
+    streaming.EventsPipeline.mergeBatch(
+      Seq((hotKeys.head, "v5")).toDF("event_id", "payload"), root, "event_id", buckets, 5L)
+    val wh = spark.read.parquet(root)
+    assert(wh.count() == hotKeys.size + 1)
+    assert(wh.filter($"event_id" === hotKeys.head).head().getAs[String]("payload") == "v5")
+    assert(wh.filter($"event_id" === coldKey).head().getAs[String]("payload") == "cold")
+  }
+
   test("append+compact: compaction bounds file counts, preserves rows, skips small buckets") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
