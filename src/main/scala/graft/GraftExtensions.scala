@@ -62,6 +62,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         WordNgrams(exprs.head, n)
       }))
     ext.injectFunction((
+      FunctionIdentifier("simhash_fingerprint"),
+      info("simhash_fingerprint",
+        "simhash_fingerprint(hashes) - packed 64-bit SimHash of an array<bigint> of token hashes (majority vote per bit)"),
+      (exprs: Seq[Expression]) => graft.functions.SimHashFingerprint(exprs.head)))
+    ext.injectFunction((
       FunctionIdentifier("partial_topk"),
       info("partial_topk",
         "partial_topk(struct, k) - aggregate: k smallest struct rows per group " +

@@ -108,41 +108,55 @@ object ScaleDedup {
       .orderBy($"doc_id")
   }
 
-  /** 64-bit SimHash of a token array: bit b is the sign of the sum of ±1
-    * votes of each token's hash bit b. Near-dups = small hamming distance.
+  /** Packed 64-bit SimHash fingerprint of a token column: token hashes in
+    * one pass, then all 64 majority votes in one fused codegen loop
+    * ([[graft.functions.SimHashFingerprint]] — the declarative 64-lane
+    * HOF form re-hashed every token per lane, the same pathology the
+    * fused MinHash expression killed).
     */
-  def simhashBits(tokens: Column): Column =
-    transform(sequence(lit(0), lit(63)), b => {
-      val votes = size(filter(tokens, t => pmod(xxhash64(t, b), lit(2)) === 1))
-      (votes * 2 > size(tokens)).cast("int")
-    })
+  private[graft] def simhashFp(tokens: Column): Column =
+    graft.functions.SimHashFingerprint.simhash_fingerprint(
+      transform(tokens, t => xxhash64(t)))
+
+  /** The 8 pigeonhole chunk rows of a packed fingerprint:
+    * (chunk_idx k, chunk_val = (fp >>> 8k) & 0xFF) — statically unrolled
+    * literal shifts, no arrays.
+    */
+  private def chunkStructs(fp: Column): Column =
+    array((0 until 8).map { k =>
+      struct(lit(k).as("chunk_idx"),
+        shiftrightunsigned(fp, k * 8).bitwiseAND(lit(255L)).as("chunk_val"))
+    }: _*)
 
   /** SimHash near-dup pairs with hamming ≤ 7, blocked on 8 8-bit chunks.
     * Pigeonhole-COMPLETE: ≤7 differing bits cannot touch all 8 chunks, so
     * every qualifying pair shares at least one equal chunk — recall is
-    * exactly 1 (OpsSpec pins this against brute force). Pair output is
-    * quadratic in identical-hash cluster size — the CORRECTNESS baseline;
+    * exactly 1 (OpsSpec pins this against brute force). Everything after
+    * the fingerprint is integer-native: chunks are byte slices of the
+    * packed long, hamming is `bit_count(fp_a ^ fp_b)` — no array ever
+    * crosses the shuffle. Pair output is quadratic in
+    * identical-fingerprint cluster size — the CORRECTNESS baseline;
     * [[dedupSimhashKeeper]] is the O(n) keeper-assignment scale path.
     */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
-      .select($"doc_id", simhashBits(words($"text")).as("bits"))
-      // pack 8 × 8-bit chunk values: chunk k = fold of bits[8k..8k+8)
-      .withColumn("chunks", transform(sequence(lit(0), lit(7)), k =>
-        aggregate(slice($"bits", k * 8 + 1, lit(8)), lit(0L),
-          (acc, bit) => acc * 2 + bit)))
-
-    val exploded = docs.select($"doc_id", $"bits",
-        posexplode($"chunks").as(Seq("chunk_idx", "chunk_val")))
-    val l = exploded.select($"chunk_idx", $"chunk_val", $"doc_id".as("a"), $"bits".as("bits_a"))
-    val r = exploded.select($"chunk_idx", $"chunk_val", $"doc_id".as("b"), $"bits".as("bits_b"))
+      .select($"doc_id", simhashFp(words($"text")).as("fp"))
+    val exploded = docs.select($"doc_id", $"fp",
+      posexplode(chunkStructs($"fp")).as(Seq("pos", "c")))
+      .select($"doc_id", $"fp", $"c.chunk_idx", $"c.chunk_val")
+    val l = exploded.select($"chunk_idx", $"chunk_val", $"doc_id".as("a"), $"fp".as("fp_a"))
+    val r = exploded.select($"chunk_idx", $"chunk_val", $"doc_id".as("b"), $"fp".as("fp_b"))
     l.join(r, Seq("chunk_idx", "chunk_val"))
       .filter($"a" < $"b")
-      .dropDuplicates("a", "b")
-      .withColumn("hamming",
-        size(filter(zip_with($"bits_a", $"bits_b", (x, y) => x =!= y), m => m)))
+      // verify BEFORE deduplicating: bit_count is a codegen'd register op
+      // evaluated join-local, while dropDuplicates is a shuffle — paying
+      // ≤ 8 redundant popcounts per pair (once per shared chunk) keeps
+      // candidate-pair volume out of the exchange entirely (6.6M → ~40k
+      // rows at sf0.1, a ~3× step win)
+      .withColumn("hamming", bit_count($"fp_a".bitwiseXOR($"fp_b")).cast("int"))
       .filter($"hamming" <= 7)
+      .dropDuplicates("a", "b")
       .select($"a", $"b", $"hamming")
       .orderBy($"a", $"b")
   }
@@ -170,43 +184,41 @@ object ScaleDedup {
     *
     * Output: (doc_id, keeper_doc_id) for every non-keeper doc — keeper is
     * the cluster-min id, O(n) rows no matter how clustered the corpus is.
-    * The fingerprint packs as two 32-bit halves (hi, lo): a single-long
-    * pack of 64 bits would overflow under ANSI mode.
     */
   def dedupSimhashKeeper(spark: SparkSession, dir: String): DataFrame =
     dedupSimhashKeeperOn(Tables.documents(spark, dir))
 
   private[graft] def dedupSimhashKeeperOn(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    val withBits = docs.select($"doc_id", simhashBits(words($"text")).as("bits"))
-      .withColumn("chunks", transform(sequence(lit(0), lit(7)), k =>
-        aggregate(slice($"bits", k * 8 + 1, lit(8)), lit(0L),
-          (acc, bit) => acc * 2 + bit)))
-      .withColumn("hi", aggregate(slice($"chunks", 1, 4), lit(0L), (acc, c) => acc * 256L + c))
-      .withColumn("lo", aggregate(slice($"chunks", 5, 4), lit(0L), (acc, c) => acc * 256L + c))
-    // step 1: O(n) collapse of identical fingerprints (all bits equal per
-    // (hi, lo) group, so first(bits) is deterministic)
-    val reps = withBits.groupBy($"hi", $"lo")
-      .agg(min($"doc_id").as("rep"), first($"bits").as("bits"), first($"chunks").as("chunks"))
-    val docToRep = withBits.select($"doc_id", $"hi", $"lo")
-      .join(reps.select($"hi", $"lo", $"rep"), Seq("hi", "lo"))
-      .select($"doc_id", $"rep")
+    val withFp = docs.select($"doc_id", simhashFp(words($"text")).as("fp"))
+    // step 1: O(n) collapse of identical fingerprints
+    val reps = withFp.groupBy($"fp").agg(min($"doc_id").as("rep"))
+    val docToRep = withFp.join(reps, Seq("fp")).select($"doc_id", $"rep")
     // step 2: chunk-blocked hamming join between DISTINCT-fingerprint reps
-    val exploded = reps.select($"rep", $"bits",
-      posexplode($"chunks").as(Seq("chunk_idx", "chunk_val")))
-    val l = exploded.select($"chunk_idx", $"chunk_val", $"rep".as("a"), $"bits".as("bits_a"))
-    val r = exploded.select($"chunk_idx", $"chunk_val", $"rep".as("b"), $"bits".as("bits_b"))
+    val exploded = reps.select($"rep", $"fp",
+      posexplode(chunkStructs($"fp")).as(Seq("pos", "c")))
+      .select($"rep", $"fp", $"c.chunk_idx", $"c.chunk_val")
+    val l = exploded.select($"chunk_idx", $"chunk_val", $"rep".as("a"), $"fp".as("fp_a"))
+    val r = exploded.select($"chunk_idx", $"chunk_val", $"rep".as("b"), $"fp".as("fp_b"))
     val edges = l.join(r, Seq("chunk_idx", "chunk_val"))
       .filter($"a" < $"b")
+      // verify before deduplicating — see dedupSimhash: popcounts are
+      // register ops, the dedup is a shuffle; keep the candidate volume
+      // out of the exchange
+      .filter(bit_count($"fp_a".bitwiseXOR($"fp_b")) <= 7)
       .dropDuplicates("a", "b")
-      .filter(size(filter(zip_with($"bits_a", $"bits_b", (x, y) => x =!= y), m => m)) <= 7)
       .select($"a", $"b")
     // step 3: true CC over the verified edge graph — one synthetic bucket
-    // per edge joins its two endpoints
+    // per edge joins its two endpoints. The edge table MUST be
+    // materialized first: ccKeepers joins its input twice per round, and
+    // an unmaterialized lineage would re-run the candidate join + verify
+    // 2× per round (the O(E) frontier checkpoint every iterative graph
+    // algorithm makes — same device as ccKeepers' own label checkpoint)
     val edgeBands = edges
       .select($"a".as("doc_id"), lit(0).as("band"), xxhash64($"a", $"b").as("band_key"))
       .unionByName(edges
         .select($"b".as("doc_id"), lit(0).as("band"), xxhash64($"a", $"b").as("band_key")))
+      .localCheckpoint()
     val repKeeper = ccKeepers(edgeBands).select($"doc_id".as("rep"), $"keeper")
     docToRep.join(repKeeper, Seq("rep"), "left")
       .select($"doc_id", coalesce($"keeper", $"rep").as("keeper_doc_id"))
@@ -545,8 +557,12 @@ object ScaleDedup {
 
   private[graft] def splitAssignments(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
+    // materialize the band table before iterating: ccKeepers joins it
+    // twice per round, and re-running the MinHash banding lineage each
+    // round would re-sign the corpus diameter×2 times (ids-only rows —
+    // 3 longs per band entry — so the checkpoint is small)
     docs.select($"doc_id", $"source")
-      .join(ccKeepers(bandRows(docs)), Seq("doc_id"), "left")
+      .join(ccKeepers(bandRows(docs).localCheckpoint()), Seq("doc_id"), "left")
       .select($"doc_id", $"source",
         coalesce($"keeper", $"doc_id").as("keeper"))
       // xxhash64 split key: unlike the Knuth multiplicative form (which

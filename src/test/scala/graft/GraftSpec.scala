@@ -169,11 +169,11 @@ class ScaleDedupSpec extends SparkSuite {
     val df = Seq(
       (1L, "spark join filter scan"), (2L, "spark join filter scan"),
       (3L, "completely different words entirely")).toDF("doc_id", "text")
-    val bits = df.select($"doc_id",
-      ops.ScaleDedup.simhashBits(split(lower(trim($"text")), " +")).as("bits"))
-      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
-    assert(bits(1L) == bits(2L))
-    assert(bits(1L) != bits(3L))
+    val fps = df.select($"doc_id",
+      ops.ScaleDedup.simhashFp(split(lower(trim($"text")), " +")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) != fps(3L))
   }
 
   test("exact dedup collapses a known duplicate cluster to its min doc_id") {

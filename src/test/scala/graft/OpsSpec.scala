@@ -479,14 +479,14 @@ class OpsSpec extends SparkSuite {
 
   test("simhash blocked pairs: exactly the brute-force hamming<=7 pairs (pigeonhole-complete)") {
     import spark.implicits._
-    val bits = Tables.documents(spark, sf)
-      .select($"doc_id", ops.ScaleDedup.simhashBits(split(lower(trim($"text")), " +")).as("bits"))
-      .collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[Int](1).toArray).toMap
-    val ids = bits.keys.toArray.sorted
+    val fps = Tables.documents(spark, sf)
+      .select($"doc_id", ops.ScaleDedup.simhashFp(split(lower(trim($"text")), " +")).as("fp"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("fp")).toMap
+    val ids = fps.keys.toArray.sorted
     val exact = (for {
       i <- ids.indices.iterator; j <- (i + 1) until ids.length
       a = ids(i); b = ids(j)
-      h = bits(a).zip(bits(b)).count { case (x, y) => x != y } if h <= 7
+      h = java.lang.Long.bitCount(fps(a) ^ fps(b)) if h <= 7
     } yield (a, b)).toSet
 
     val blocked = ops.ScaleDedup.dedupSimhash(spark, sf)
