@@ -516,18 +516,25 @@ object ScaleDedup {
     * keeper(B)=B while keeper(C) walks to A, splitting the B~C pair.
     *
     * Each round is two ids-only partial-agg shuffles (doc→bucket min,
-    * bucket→doc min); rounds needed = cluster-graph diameter in bucket
-    * hops. The convergence probe is a bounded driver-side emptiness
-    * check (same class as the k-means index state) and each round
-    * localCheckpoints, so plan depth stays O(1) per round.
+    * bucket→doc min) plus one V-sized pointer-jumping join: after
+    * propagating through buckets, every label jumps to its label's label
+    * (keeper ← keeper(keeper)), halving the remaining chain length — the
+    * classic parallel-CC pointer-jumping step, so rounds needed are
+    * O(log diameter) instead of O(diameter). At 100 TB each round is a
+    * corpus-ids-wide shuffle, so the round count IS the cost; the jump
+    * join touches only the O(V) label table. The convergence probe is a
+    * bounded driver-side emptiness check (same class as the k-means
+    * index state) and each round localCheckpoints, so plan depth stays
+    * O(1) per round.
     *
-    * The loop runs UNTIL CONVERGED — min-label propagation is a monotone
-    * bounded fixpoint (labels only decrease, floored at the cluster min),
-    * so convergence is guaranteed in ≤ diameter rounds. `maxRounds` is
-    * purely a defensive backstop: exhausting it without convergence means
-    * a bug (e.g. non-deterministic band input), and returning partial
-    * labels would silently violate the split's leakage contract — so it
-    * throws instead.
+    * The loop runs UNTIL CONVERGED — min-label propagation (with or
+    * without jumping: the jump only substitutes an equal-or-smaller label
+    * from the same component) is a monotone bounded fixpoint (labels only
+    * decrease, floored at the cluster min), so convergence is guaranteed.
+    * `maxRounds` is purely a defensive backstop: exhausting it without
+    * convergence means a bug (e.g. non-deterministic band input), and
+    * returning partial labels would silently violate the split's leakage
+    * contract — so it throws instead.
     */
   private[graft] def ccKeepers(bands: DataFrame, maxRounds: Int = 64): DataFrame = {
     import bands.sparkSession.implicits._
@@ -544,8 +551,16 @@ object ScaleDedup {
             "refusing to return partial labels (leakage-safety contract)")
       val bucketMin = bands.join(labels, Seq("doc_id"))
         .groupBy($"band", $"band_key").agg(min($"keeper").as("bmin"))
-      val next = bands.join(bucketMin, Seq("band", "band_key"))
+      val propagated = bands.join(bucketMin, Seq("band", "band_key"))
         .groupBy($"doc_id").agg(min($"bmin").as("keeper"))
+      // pointer jumping: keeper ← keeper(keeper). Sound for min-label
+      // propagation (a node's keeper is in its own component and its
+      // label is ≤ the node's), and identity at the fixpoint (the
+      // component min is its own keeper) — so the probe is unaffected.
+      val hop = propagated.select($"doc_id".as("k"), $"keeper".as("k2"))
+      val next = propagated.join(hop, propagated("keeper") === hop("k"), "left")
+        .select(propagated("doc_id"),
+          coalesce($"k2", propagated("keeper")).as("keeper"))
         .localCheckpoint()
       converged = next.as("n").join(labels.as("o"), Seq("doc_id"))
         .filter($"n.keeper" =!= $"o.keeper").isEmpty
