@@ -19,7 +19,7 @@ import graft.Tables
 object ScaleDedup {
 
   private def words(c: Column): Column = split(lower(trim(c)), " +")
-  private def wordSet(c: Column): Column = array_sort(array_distinct(words(c)))
+  private[graft] def wordSet(c: Column): Column = array_sort(array_distinct(words(c)))
 
   /** Mersenne prime 2³¹−1: permutation field small enough that a·h+b never
     * overflows a long (ANSI mode rejects wraparound arithmetic).
@@ -72,21 +72,29 @@ object ScaleDedup {
     * (19 s at sf0.1 vs ~1 s fused). Band keys are 16 slices of the
     * materialized sig column (≥2 references → CollapseProject keeps sig a
     * real column, computed once per row).
+    *
+    * `carry` columns (must already exist on `docs`) ride along each band
+    * row — the streaming screen uses this to keep a doc's (lang, word
+    * set) attached through the banding, because a streaming plan cannot
+    * re-join them from the same stream afterwards (that would be a
+    * stream-stream join). Batch callers leave it empty.
     */
-  private[graft] def bandRows(docs: DataFrame): DataFrame = {
+  private[graft] def bandRows(docs: DataFrame, carry: Seq[String] = Nil): DataFrame = {
     import docs.sparkSession.implicits._
+    val carryCols = carry.map(col)
     val sigDf = docs
-      .select($"doc_id", transform(words($"text"), t => pmod(xxhash64(t), lit(P))).as("hs"))
-      .select($"doc_id",
+      .select($"doc_id" +: carryCols :+
+        transform(words($"text"), t => pmod(xxhash64(t), lit(P))).as("hs"): _*)
+      .select($"doc_id" +: carryCols :+
         graft.functions.MinHashSignature.minhash_signature(
-          $"hs", perms.map(_._1), perms.map(_._2), P).as("sig"))
+          $"hs", perms.map(_._1), perms.map(_._2), P).as("sig"): _*)
     val bandStructs = (0 until numBands).map { bi =>
       struct(lit(bi).as("band"),
         xxhash64(slice($"sig", bi * rowsPerBand + 1, rowsPerBand)).as("band_key"))
     }
     sigDf
-      .select($"doc_id", explode(array(bandStructs: _*)).as("bk"))
-      .select($"doc_id", $"bk.band", $"bk.band_key")
+      .select($"doc_id" +: carryCols :+ explode(array(bandStructs: _*)).as("bk"): _*)
+      .select($"doc_id" +: carryCols :+ $"bk.band" :+ $"bk.band_key": _*)
   }
 
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {

@@ -101,4 +101,51 @@ object CorpusStream {
       .filter($"bucket" < $"threshold")
       .select($"doc_id", $"source", $"n_chars")
   }
+
+  /** Stream-static near-duplicate screen against the PERSISTED MinHash
+    * band index ([[graft.ops.ScaleDedup.saveBandIndex]]) — ingest-time
+    * near-dedup, the streaming twin of `dedup_incremental_banded_persisted`
+    * and the third screen in this file's decontaminate / classify family:
+    * each incoming document is MinHash-banded in-flight (map-side), its
+    * band rows probe the loaded (band, band_key) bucket table, and
+    * candidates are verified with the SAME exact unigram Jaccard ≥ 0.9
+    * (same lang block) against the loaded word-set table. Output is the
+    * audit-log shape the other screens use: one row per verified
+    * (doc_id, corpus_doc_id, jaccard) match, possibly repeated per shared
+    * band — duplicate docs are `SELECT DISTINCT doc_id` at the sink,
+    * clean docs pass by never appearing. (The batch twin's
+    * best-match-per-doc window cannot run on a stream; distinct-at-sink
+    * replaces it, as in decontaminateStream.)
+    *
+    * Plan shape: banding is stateless and map-side; both probe joins are
+    * stream-STATIC (the index tables are the static side), so no
+    * streaming state accumulates and no watermark is needed. The doc's
+    * (lang, word set) ride the band rows via `bandRows(_, carry)` —
+    * re-joining them from the same stream would be a stream-stream join.
+    * At scale the static side is the persisted index a cluster already
+    * serves batch dedup from; candidate work per micro-batch is bucket
+    * occupancy, independent of corpus size.
+    *
+    * `docs` must be a streaming DataFrame with (doc_id, lang, text).
+    */
+  def nearDedupStream(docs: DataFrame, indexPath: String): DataFrame = {
+    import docs.sparkSession.implicits._
+    val spark = docs.sparkSession
+    val corpusIndex = spark.read.parquet(s"$indexPath/bands")
+      .select($"band", $"band_key", $"doc_id".as("corpus_doc_id"))
+    val corpusW = spark.read.parquet(s"$indexPath/wordsets")
+      .select($"doc_id".as("corpus_doc_id"), $"lang".as("c_lang"), $"w".as("wc"))
+    graft.ops.ScaleDedup.bandRows(
+        docs.select($"doc_id", $"lang", $"text",
+          graft.ops.ScaleDedup.wordSet($"text").as("w")),
+        carry = Seq("lang", "w"))
+      .join(corpusIndex, Seq("band", "band_key"))
+      .join(corpusW, Seq("corpus_doc_id"))
+      .filter($"lang" === $"c_lang")
+      .withColumn("inter", size(array_intersect($"w", $"wc")))
+      .withColumn("uni", size(array_union($"w", $"wc")))
+      .withColumn("jaccard", $"inter".cast("double") / $"uni".cast("double"))
+      .filter($"jaccard" >= 0.9)
+      .select($"doc_id", $"corpus_doc_id", $"jaccard")
+  }
 }

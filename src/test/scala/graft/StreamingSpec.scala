@@ -690,6 +690,43 @@ class StreamingSpec extends SparkSuite {
     } finally q2.stop()
   }
 
+  test("streaming near-dedup screen == batch banded dedup against the persisted index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val indexPath = java.nio.file.Files.createTempDirectory("graft_ndidx").toString + "/idx"
+    ops.ScaleDedup.saveBandIndex(spark, sf, indexPath) // corpus = doc_id <= 250
+
+    val incoming = Tables.documents(spark, sf)
+      .filter($"doc_id" > 250)
+      .select($"doc_id", $"lang", $"text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val stream = MemoryStream[(Long, String, String)]
+    val q = graft.streaming.CorpusStream.nearDedupStream(
+        stream.toDF().toDF("doc_id", "lang", "text"), indexPath)
+      .writeStream.outputMode("append").format("memory").queryName("nd_out").start()
+    try {
+      val (a, b) = incoming.splitAt(incoming.size / 2)
+      stream.addData(a); q.processAllAvailable()
+      stream.addData(b); q.processAllAvailable()
+      val streamedPairs = spark.table("nd_out")
+        .select($"doc_id", $"corpus_doc_id", $"jaccard").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+      // the batch twin keeps only each doc's BEST match (a window the
+      // stream cannot run): its rows must all appear in the stream's
+      // audit log with identical jaccard, and the flagged DOC set must
+      // match exactly
+      val batch = ops.ScaleDedup.dedupIncrementalBandedFromIndex(spark, sf, indexPath)
+        .select($"doc_id", $"corpus_doc_id", $"jaccard")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(batch.nonEmpty)
+      assert(batch.subsetOf(streamedPairs),
+        s"batch best-matches missing from stream: ${(batch -- streamedPairs).take(5)}")
+      assert(streamedPairs.map(_._1) == batch.map(_._1),
+        "flagged doc sets must match")
+    } finally q.stop()
+  }
+
   test("streaming decontamination == batch: same contaminated doc set, stateless plan") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
