@@ -513,6 +513,32 @@ class OpsSpec extends SparkSuite {
     assert(out(2) == (List(7L), List("z")))
   }
 
+  test("partial_topk property: equals sort-take on random data (100 seeds, random k and partitioning)") {
+    import spark.implicits._
+    import graft.functions.PartialTopK.partial_topk
+    val rnd = new scala.util.Random(20260813L)
+    (1 to 100).foreach { trial =>
+      val n = 1 + rnd.nextInt(40)
+      val k = 1 + rnd.nextInt(6)
+      val parts = 1 + rnd.nextInt(4)
+      val groups = 1 + rnd.nextInt(3)
+      // duplicate sort keys on purpose: ties must break on the payload
+      val rows = (1 to n).map(_ => (rnd.nextInt(groups), rnd.nextInt(8).toLong, rnd.nextInt(1000)))
+      val got = rows.toDF("g", "ord", "pay")
+        .repartition(parts)
+        .groupBy($"g")
+        .agg(partial_topk(struct($"ord", $"pay"), k).as("t"))
+        .select($"g", $"t.ord", $"t.pay")
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Long](1).zip(r.getSeq[Int](2)).toList)
+        .toMap
+      val want = rows.groupBy(_._1).map { case (g, rs) =>
+        g -> rs.map(r => (r._2, r._3)).sorted.take(k).toList
+      }
+      assert(got == want, s"trial $trial (n=$n k=$k parts=$parts): got=$got want=$want")
+    }
+  }
+
   test("simhash keeper twin: clusters == connected components of the pair form") {
     // reference clustering: union-find over the pair form's verified
     // hamming<=7 edges, root = component-min id
