@@ -316,6 +316,25 @@ object ScaleDedup {
       .write.mode("overwrite").parquet(s"$indexPath/wordsets")
   }
 
+  /** Append a batch of ACCEPTED documents to an existing band index —
+    * the maintenance half of the continuous-ingestion loop: dedup the
+    * incoming batch against the index ([[dedupIncrementalBandedFromIndex]]),
+    * land the survivors in the corpus, then append THEIR band and
+    * word-set rows here so the next batch deduplicates against the grown
+    * corpus. Parquet append writes only the batch's rows (no index
+    * rewrite); the tables' layouts are exactly [[saveBandIndex]]'s, so
+    * serve-side plans are unchanged. OpsSpec pins that a
+    * save → dedup → append → dedup sequence equals the in-session run
+    * with the watermark moved forward.
+    */
+  def appendToBandIndex(docs: DataFrame, indexPath: String): Unit = {
+    import docs.sparkSession.implicits._
+    val batch = docs.select($"doc_id", $"lang", $"text")
+    bandRows(batch).write.mode("append").parquet(s"$indexPath/bands")
+    batch.select($"doc_id", $"lang", wordSet($"text").as("w"))
+      .write.mode("append").parquet(s"$indexPath/wordsets")
+  }
+
   /** Incremental dedup served ENTIRELY from the persisted band index: the
     * incoming batch is banded in-flight and joined to the LOADED bucket
     * and word-set tables — no corpus text is read, tokenized, or

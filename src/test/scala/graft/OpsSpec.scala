@@ -513,6 +513,30 @@ class OpsSpec extends SparkSuite {
     assert(out(2) == (List(7L), List("z")))
   }
 
+  test("band index append: save -> dedup -> append -> dedup == in-session with the watermark moved") {
+    import spark.implicits._
+    val indexPath = java.nio.file.Files.createTempDirectory("graft_bidx").toString + "/idx"
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"lang", $"text")
+    // index the corpus <= 200, then process the (200, 350] batch and
+    // append it wholesale (every doc lands, dup or not — the keep/drop
+    // policy is the caller's; the index must reflect the landed corpus)
+    ops.ScaleDedup.saveBandIndex(spark, sf, indexPath, watermarkId = 200L)
+    ops.ScaleDedup.dedupIncrementalBandedFromIndex(spark, sf, indexPath, watermarkId = 200L).collect()
+    val landed = docs.filter($"doc_id" > 200 && $"doc_id" <= 350)
+    ops.ScaleDedup.appendToBandIndex(landed, indexPath)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("corpus_doc_id"), r.getAs[Long]("inter"), r.getAs[Long]("uni"),
+        r.getAs[Double]("jaccard"))).toSeq
+    // next batch (> 350) against the grown index == one in-session run
+    // whose corpus watermark sits at 350
+    val fromGrownIndex =
+      rows(ops.ScaleDedup.dedupIncrementalBandedFromIndex(spark, sf, indexPath, watermarkId = 350L))
+    val inSession = rows(ops.ScaleDedup.dedupIncrementalBanded(spark, sf, watermarkId = 350L))
+    assert(inSession.nonEmpty)
+    assert(fromGrownIndex == inSession)
+  }
+
   test("partial_topk property: equals sort-take on random data (100 seeds, random k and partitioning)") {
     import spark.implicits._
     import graft.functions.PartialTopK.partial_topk
