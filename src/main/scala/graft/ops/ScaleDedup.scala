@@ -616,8 +616,94 @@ object ScaleDedup {
           .otherwise("holdout"))
   }
 
+  /** EXACT Jaccard ≥ 0.9 similarity self-join via PREFIX FILTERING — the
+    * scale-shaped form of the quadratic [[LlmQueries.dedupNgramJaccard]]
+    * twin, held to the SAME DuckDB oracle (so the candidate pruning is
+    * provably lossless, not a recall trade like MinHash).
+    *
+    * The filter (Chaudhuri et al., SSJoin; Bayardo et al., "Scaling Up
+    * All Pairs"): order every document's token set by a common total
+    * order — here ascending document frequency, rarest first, ties on the
+    * token — and keep only each set's PREFIX of length
+    * `|w| − ⌈τ·|w|⌉ + 1`. Two sets with Jaccard ≥ τ must share ≥ 1 token
+    * within both prefixes, so the candidate join is an equi-join on
+    * (lang, prefix-token) instead of an O(n²/lang) cross of full sets.
+    * Rare-first ordering makes prefix buckets small by construction: a
+    * stopword never lands in a prefix unless the document is almost
+    * nothing but stopwords.
+    *
+    * Shuffle inventory at scale (the reason this survives 100 TB where
+    * the twin cannot): one exploded-corpus partial agg for document
+    * frequencies (vocabulary-sized result), one df join + per-doc
+    * regroup, a prefix-token equi-join whose input is ~10% of corpus
+    * tokens (τ = 0.9), and two candidate-sized verify joins. Candidate
+    * pairs are additionally pruned by the length filter
+    * `10·min(|a|,|b|) ≥ 9·max(|a|,|b|)` (exact in integers for τ = 0.9)
+    * before any set is compared. No cartesian anywhere.
+    */
+  def dedupJaccardPrefix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", wordSet($"text").as("w"))
+
+    val df = t.select($"lang", explode($"w").as("tok"))
+      .groupBy($"lang", $"tok").agg(count(lit(1)).as("df"))
+
+    // rare-first canonical order; array_sort on (df, tok) structs gives a
+    // deterministic total order shared by every document in the lang block
+    val ordered = t.select($"doc_id", $"lang", explode($"w").as("tok"))
+      .join(df, Seq("lang", "tok"))
+      .groupBy($"doc_id", $"lang")
+      .agg(array_sort(collect_list(struct($"df", $"tok"))).as("o"))
+      .select($"doc_id", $"lang",
+        transform($"o", s => s.getField("tok")).as("toks"),
+        size($"o").as("sz"))
+
+    // prefix length |w| − ⌈0.9·|w|⌉ + 1; ⌈9s/10⌉ = floor((9s+9)/10),
+    // exact in doubles far beyond any real set size. localCheckpoint:
+    // the self-join below would otherwise re-run the df-join + regroup
+    // lineage once per side (and AQE can't share it) — the table is small
+    // (~10% of corpus token occurrences, ids + one token each)
+    val prefixRows = ordered
+      .withColumn("plen",
+        ($"sz" - floor(($"sz" * 9 + 9) / 10) + 1).cast("int"))
+      .select($"lang", $"doc_id", $"sz",
+        posexplode(slice($"toks", lit(1), $"plen")))
+      .withColumnRenamed("col", "tok")
+      .localCheckpoint()
+
+    // candidate pruning, all integer-exact for τ = 0.9:
+    //  - length filter: 10·min ≥ 9·max  ⇔  min ≥ τ·max
+    //  - PPJoin positional filter: a shared token at prefix positions
+    //    (pa, pb) bounds the total overlap by 1 + min(sza−pa−1, szb−pb−1),
+    //    which must reach minoverlap = ⌈τ/(1+τ)·(sza+szb)⌉ = ⌈9(sza+szb)/19⌉.
+    //    A true pair's FIRST shared token always passes (all its common
+    //    tokens sit at or after that position), so pruning is lossless.
+    val cands = prefixRows.select($"lang", $"tok", $"doc_id".as("a"), $"sz".as("sza"), $"pos".as("pa"))
+      .join(prefixRows.select($"lang", $"tok", $"doc_id".as("b"), $"sz".as("szb"), $"pos".as("pb")),
+        Seq("lang", "tok"))
+      .filter($"a" < $"b" &&
+        least($"sza", $"szb") * 10 >= greatest($"sza", $"szb") * 9 &&
+        lit(1) + least($"sza" - $"pa" - 1, $"szb" - $"pb" - 1) >=
+          floor((($"sza" + $"szb") * 9 + 18) / 19))
+      .select($"lang", $"a", $"b").distinct()
+
+    // exact verification on candidates only — expression-identical to the
+    // quadratic twin, so output and oracle are shared
+    cands
+      .join(t.select($"lang", $"doc_id".as("a"), $"w".as("wa")), Seq("lang", "a"))
+      .join(t.select($"lang", $"doc_id".as("b"), $"w".as("wb")), Seq("lang", "b"))
+      .withColumn("inter", size(array_intersect($"wa", $"wb")))
+      .withColumn("uni", size(array_union($"wa", $"wb")))
+      .withColumn("jaccard", $"inter".cast("double") / $"uni".cast("double"))
+      .filter($"jaccard" >= 0.9)
+      .select($"lang", $"a", $"b", $"inter", $"uni", $"jaccard")
+      .orderBy($"lang", $"a", $"b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "split_train_holdout" -> (splitTrainHoldout _),
+    "dedup_jaccard_prefix"     -> (dedupJaccardPrefix _),
     "dedup_minhash_lsh"        -> (dedupMinhashLsh _),
     "dedup_simhash"            -> (dedupSimhash _),
     "dedup_simhash_keeper"     -> (dedupSimhashKeeper _),
@@ -627,6 +713,9 @@ object ScaleDedup {
   )
 
   val oracleSql: Map[String, String] = Map(
-    "dedup_embedding_lsh" -> dedupEmbeddingLshSql
+    "dedup_embedding_lsh" -> dedupEmbeddingLshSql,
+    // deliberately the quadratic twin's oracle: prefix filtering must be
+    // lossless, so the pruned join answers the identical question
+    "dedup_jaccard_prefix" -> LlmQueries.dedupNgramJaccardSql
   )
 }

@@ -842,6 +842,14 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
   }
 
+  test("prefix-filtered jaccard join: every join is an equi-join, never a nested loop") {
+    // the lossless-pruning claim only matters if the candidate join is
+    // actually an equi-join on (lang, prefix-token) — a cartesian here
+    // would be the quadratic twin wearing a costume
+    val p = plan(ops.ScaleDedup.dedupJaccardPrefix(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("range join pairs via a bucket equi-join, never a nested loop") {
     // the raw BETWEEN predicate would plan BroadcastNestedLoopJoin —
     // O(probes × intervals) compares. The bucketed form must plan a hash

@@ -290,6 +290,16 @@ class OpsSpec extends SparkSuite {
     assert(inSessionDocScans == 4, s"in-session twin expected 4 scans, got $inSessionDocScans")
   }
 
+  test("prefix-filtered jaccard: row-for-row parity with the quadratic twin (lossless pruning)") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("a"), r.getAs[Long]("b"),
+        r.getAs[Int]("inter"), r.getAs[Int]("uni"), r.getAs[Double]("jaccard"))).toSeq
+    val exact = rows(ops.LlmQueries.dedupNgramJaccard(spark, sf))
+    val prefix = rows(ops.ScaleDedup.dedupJaccardPrefix(spark, sf))
+    assert(exact.nonEmpty)
+    assert(prefix == exact)
+  }
+
   test("embedding LSH dedup: precision 1 vs exact twin; identical vectors always collide") {
     import spark.implicits._
     // precision: every LSH pair is an exact-twin pair with identical scores
