@@ -1,0 +1,179 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Distributed PCA over the embeddings table — the dimensionality-reduction
+  * step a large-scale training-data pipeline runs before clustering or
+  * coarse ANN (reference scope: the embeddings surface next to
+  * embedding_centroids / ann_topk_*).
+  *
+  * The scale shape is the textbook one and the reason PCA survives 100 TB:
+  *
+  *  1. ONE corpus pass computes the sufficient statistics
+  *     (n, Σx, Σx·xᵀ) through a typed `Aggregator` whose state is a single
+  *     d + d² + 1 double array (d = 64 → 33 KB). Spark runs it as a
+  *     partial aggregate: every partition folds its rows map-side and only
+  *     the 33 KB states cross the wire — corpus rows never shuffle.
+  *  2. The d×d covariance eigendecomposition happens on the DRIVER with a
+  *     cyclic Jacobi solver (symmetric 64×64 — microseconds; this is
+  *     bounded model state like the k-means centroid collect, not data).
+  *  3. Projection back over the corpus is MAP-SIDE: the top-k components
+  *     ship as broadcast literals and each row computes k zip_with dot
+  *     products locally. Zero exchanges end-to-end except the one
+  *     partial-agg reduce.
+  *
+  * Rows-only (float sums are partitioning-order-dependent in the last
+  * ulps, so no cross-engine hash oracle); OpsSpec pins orthonormality of
+  * the basis, eigenvalue/variance agreement, descending order, and the
+  * eigen residual of every returned pair directly against the
+  * covariance matrix.
+  */
+object EmbeddingPca {
+
+  /** Sufficient-statistics aggregator: state = [n, Σx (d), Σxxᵀ (d²)].
+    * Associative and commutative, so partial aggregation is exact modulo
+    * double-add rounding order.
+    */
+  private[graft] class MomentAgg(d: Int)
+      extends Aggregator[Seq[Double], Array[Double], Array[Double]] {
+    override def zero: Array[Double] = new Array[Double](1 + d + d * d)
+    override def reduce(b: Array[Double], x: Seq[Double]): Array[Double] = {
+      val xa = x.toArray
+      b(0) += 1.0
+      var i = 0
+      while (i < d) {
+        b(1 + i) += xa(i)
+        var j = 0
+        val row = 1 + d + i * d
+        while (j < d) { b(row + j) += xa(i) * xa(j); j += 1 }
+        i += 1
+      }
+      b
+    }
+    override def merge(a: Array[Double], c: Array[Double]): Array[Double] = {
+      var i = 0
+      while (i < a.length) { a(i) += c(i); i += 1 }
+      a
+    }
+    override def finish(r: Array[Double]): Array[Double] = r
+    override def bufferEncoder: Encoder[Array[Double]] = ExpressionEncoder[Array[Double]]()
+    override def outputEncoder: Encoder[Array[Double]] = ExpressionEncoder[Array[Double]]()
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix (public
+    * textbook algorithm — Golub & Van Loan §8.5). Returns (eigenvalues,
+    * eigenvectors as COLUMNS), unordered. Deterministic for a given input.
+    */
+  private[graft] def jacobiEigen(sym: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val d = sym.length
+    val a = sym.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    def off(m: Array[Array[Double]]): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < d) { var j = i + 1; while (j < d) { s += m(i)(j) * m(i)(j); j += 1 }; i += 1 }
+      s
+    }
+    var sweep = 0
+    while (off(a) > 1e-18 && sweep < 64) {
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = a(p)(q)
+          if (math.abs(apq) > 1e-300) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t =
+              if (math.abs(theta) > 1e150) 1.0 / (2.0 * theta)
+              else math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var i = 0
+            while (i < d) {
+              val aip = a(i)(p); val aiq = a(i)(q)
+              a(i)(p) = c * aip - s * aiq
+              a(i)(q) = s * aip + c * aiq
+              i += 1
+            }
+            i = 0
+            while (i < d) {
+              val api = a(p)(i); val aqi = a(q)(i)
+              a(p)(i) = c * api - s * aqi
+              a(q)(i) = s * api + c * aqi
+              i += 1
+            }
+            i = 0
+            while (i < d) {
+              val vip = v(i)(p); val viq = v(i)(q)
+              v(i)(p) = c * vip - s * viq
+              v(i)(q) = s * vip + c * viq
+              i += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
+
+  /** Top-k eigenpairs of a covariance matrix, eigenvalue-descending, each
+    * vector sign-canonicalized (largest-|coordinate| entry positive) so the
+    * basis is unique and runs are comparable.
+    */
+  private[graft] def topComponents(cov: Array[Array[Double]], k: Int): (Array[Double], Array[Array[Double]]) = {
+    val d = cov.length
+    val (evals, evecs) = jacobiEigen(cov)
+    val order = (0 until d).sortBy(i => -evals(i)).take(k)
+    val w = order.map { c =>
+      val col = Array.tabulate(d)(i => evecs(i)(c))
+      val m = col.indices.maxBy(i => (math.abs(col(i)), -i))
+      if (col(m) < 0) col.map(x => -x) else col
+    }.toArray
+    (order.map(evals(_)).toArray, w) // w(j) = j-th component, a d-vector
+  }
+
+  /** (n, mean, covariance) of the embedding corpus in one pass. */
+  private[graft] def moments(spark: SparkSession, dir: String): (Long, Array[Double], Array[Array[Double]]) = {
+    import spark.implicits._
+    val d = 64
+    val stats = Tables.embeddings(spark, dir)
+      .select($"embedding".cast("array<double>").as("x"))
+      .as[Seq[Double]]
+      .select(new MomentAgg(d).toColumn)
+      .head() // 1 + d + d² doubles — bounded model state, not data
+    val n = stats(0)
+    val mean = Array.tabulate(d)(i => stats(1 + i) / n)
+    val cov = Array.tabulate(d, d)((i, j) => stats(1 + d + i * d + j) / n - mean(i) * mean(j))
+    (n.toLong, mean, cov)
+  }
+
+  /** The corpus projected onto its top-k principal components. */
+  def embeddingPca(spark: SparkSession, dir: String, k: Int = 16): DataFrame = {
+    import spark.implicits._
+    val (_, mean, cov) = moments(spark, dir)
+    val (_, w) = topComponents(cov, k)
+    val meanLit = lit(mean)
+    val centered = zip_with($"x", meanLit, (x, m) => x - m)
+    val projCols = (0 until k).map { j =>
+      aggregate(zip_with($"c", lit(w(j)), (x, y) => x * y), lit(0.0), (acc, z) => acc + z)
+        .as(s"pc${j + 1}")
+    }
+    Tables.embeddings(spark, dir)
+      .select($"vec_id", $"label", $"embedding".cast("array<double>").as("x"))
+      .withColumn("c", centered)
+      .select(($"vec_id" +: $"label" +: projCols): _*)
+      .orderBy($"vec_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embedding_pca" -> ((s, d) => embeddingPca(s, d))
+  )
+}

@@ -547,6 +547,41 @@ class OpsSpec extends SparkSuite {
     assert(fromGrownIndex == inSession)
   }
 
+  test("embedding PCA: eigen residual ~0, orthonormal basis, projected variance = descending eigenvalues") {
+    val (n, _, cov) = ops.EmbeddingPca.moments(spark, sf)
+    val (evals, w) = ops.EmbeddingPca.topComponents(cov, 16)
+    val d = cov.length
+
+    // descending eigenvalues, all non-negative (covariance is PSD)
+    assert(evals.forall(_ >= -1e-10))
+    assert(evals.zip(evals.tail).forall { case (a, b) => a >= b - 1e-12 })
+
+    // independent check of the eigensolver: cov · w_j ≈ λ_j · w_j
+    for (j <- w.indices) {
+      val av = Array.tabulate(d)(i => (0 until d).map(l => cov(i)(l) * w(j)(l)).sum)
+      val resid = math.sqrt(av.indices.map(i => { val e = av(i) - evals(j) * w(j)(i); e * e }).sum)
+      assert(resid < 1e-8, s"eigen residual $resid for component $j")
+    }
+
+    // orthonormality
+    for (a <- w.indices; b <- w.indices) {
+      val dot = w(a).indices.map(i => w(a)(i) * w(b)(i)).sum
+      assert(math.abs(dot - (if (a == b) 1.0 else 0.0)) < 1e-9, s"w$a · w$b = $dot")
+    }
+
+    // the projected corpus: per-component population variance equals the
+    // eigenvalue, and projections are centered (mean ~ 0)
+    val rows = ops.EmbeddingPca.embeddingPca(spark, sf).collect()
+    assert(rows.length.toLong == n)
+    for (j <- 0 until 16) {
+      val xs = rows.map(_.getDouble(2 + j))
+      val m = xs.sum / n
+      val v = xs.map(x => (x - m) * (x - m)).sum / n
+      assert(math.abs(m) < 1e-9, s"pc${j + 1} mean $m")
+      assert(math.abs(v - evals(j)) <= 1e-8 * math.max(1.0, evals(j)), s"pc${j + 1} var $v vs ${evals(j)}")
+    }
+  }
+
   test("partial_topk property: equals sort-take on random data (100 seeds, random k and partitioning)") {
     import spark.implicits._
     import graft.functions.PartialTopK.partial_topk
