@@ -47,7 +47,8 @@ object Bench {
     "curation_quality_prune", "bpe_tokenize", "split_train_holdout",
     "events_dau_wau",
     "dedup_incremental_banded_persisted", "dedup_simhash_keeper",
-    "ann_topk_agg", "dedup_jaccard_prefix", "embedding_pca")
+    "ann_topk_agg", "dedup_jaccard_prefix", "embedding_pca",
+    "corpus_shard")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -277,7 +277,60 @@ object Curation {
       |FROM m
       |ORDER BY doc_id""".stripMargin
 
+  /** Deterministic training-shard assignment — the OUTPUT side of the
+    * pipeline: the curated corpus lands in `shards` fixed buckets in
+    * pseudo-random order, so a trainer reading shard files sequentially
+    * sees a reproducible global shuffle with no shuffle step of its own.
+    *
+    * Both keys are Knuth/xxhash-style multiplicative hashes mod 2³²
+    * (portable integer arithmetic, so the assignment is oracle-exact
+    * across engines; doc_id · PRIME stays far below 2⁶³ for ids < 2³¹ —
+    * same documented bound as etl_retry_quarantine's outcome hash, and at
+    * web scale you'd swap in xxhash64 exactly like split_train_holdout).
+    * Different primes decorrelate the shard choice from the within-shard
+    * order. Everything is map-side; the output `ORDER BY shard, order_key`
+    * mirrors the writer's exchange-on-shard + sort-within-partitions plan
+    * ([[writeShards]]). No per-shard row_number is materialized — with
+    * thousands of shards at real scale that would be one sequential pass
+    * per shard; a doc's position is implicit in the sorted file order.
+    */
+  def corpusShard(spark: SparkSession, dir: String, shards: Int = 16): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", $"n_chars")
+      .withColumn("order_key", ($"doc_id" * 2654435761L) % 4294967296L)
+      .withColumn("shard", ((($"doc_id" * 2246822519L) % 4294967296L) % shards).cast("long"))
+      .select($"shard", $"order_key", $"doc_id", $"lang", $"n_chars")
+      .orderBy($"shard", $"order_key", $"doc_id")
+  }
+
+  val corpusShardSql: String =
+    """SELECT CAST(((doc_id * 2246822519) % 4294967296) % 16 AS BIGINT) AS shard,
+      |  (doc_id * 2654435761) % 4294967296 AS order_key,
+      |  doc_id, lang, n_chars
+      |FROM documents
+      |ORDER BY shard, order_key, doc_id""".stripMargin
+
+  /** The physical writer for [[corpusShard]]: one exchange on the shard
+    * key, sort within partitions by the order key, one file per shard
+    * (`partitionBy` keeps shard a directory key so a trainer can address
+    * shards individually). Re-running over the same corpus produces
+    * byte-identical shard contents — OpsSpec pins determinism and
+    * read-back parity with the manifest.
+    */
+  def writeShards(docs: DataFrame, path: String, shards: Int = 16): Unit = {
+    import docs.sparkSession.implicits._
+    docs
+      .select($"doc_id", $"lang", $"text")
+      .withColumn("order_key", ($"doc_id" * 2654435761L) % 4294967296L)
+      .withColumn("shard", ((($"doc_id" * 2246822519L) % 4294967296L) % shards).cast("long"))
+      .repartition(shards, $"shard")
+      .sortWithinPartitions($"shard", $"order_key", $"doc_id")
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_shard"      -> ((s, d) => corpusShard(s, d)),
     "text_chunking"     -> (textChunking _),
     "text_packing"      -> (textPacking _),
     "sample_stratified" -> (sampleStratified _),
@@ -287,6 +340,7 @@ object Curation {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "corpus_shard"      -> corpusShardSql,
     "text_chunking"     -> textChunkingSql,
     "text_packing"      -> textPackingSql,
     "sample_stratified" -> sampleStratifiedSql,

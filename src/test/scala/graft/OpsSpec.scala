@@ -547,6 +547,47 @@ class OpsSpec extends SparkSuite {
     assert(fromGrownIndex == inSession)
   }
 
+  test("corpus shards: one file per shard, byte-identical re-runs, read-back order matches the manifest") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val base = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    val p1 = base + "/run1"
+    val p2 = base + "/run2"
+    ops.Curation.writeShards(docs, p1)
+    ops.Curation.writeShards(docs, p2)
+
+    def partFiles(root: String): Map[String, java.io.File] = {
+      val dirs = new java.io.File(root).listFiles().filter(_.getName.startsWith("shard="))
+      dirs.map { d =>
+        val parts = d.listFiles().filter(_.getName.endsWith(".parquet"))
+        assert(parts.length == 1, s"${d.getName}: expected 1 part file, got ${parts.length}")
+        d.getName -> parts.head
+      }.toMap
+    }
+    val f1 = partFiles(p1)
+    assert(f1.size == 16, s"expected 16 shard dirs, got ${f1.size}")
+
+    // re-run determinism: same shard set, byte-identical part files
+    val f2 = partFiles(p2)
+    assert(f1.keySet == f2.keySet)
+    for (s <- f1.keySet) {
+      val b1 = java.nio.file.Files.readAllBytes(f1(s).toPath)
+      val b2 = java.nio.file.Files.readAllBytes(f2(s).toPath)
+      assert(java.util.Arrays.equals(b1, b2), s"$s bytes differ between runs")
+    }
+
+    // read-back parity: each shard file's natural row order is the
+    // manifest's (shard, order_key, doc_id) order
+    val manifest = ops.Curation.corpusShard(spark, sf).collect()
+      .groupBy(_.getAs[Long]("shard"))
+      .map { case (s, rows) => s -> rows.map(_.getAs[Long]("doc_id")).toSeq }
+    for ((shardDir, f) <- f1) {
+      val s = shardDir.stripPrefix("shard=").toLong
+      val got = spark.read.parquet(f.getAbsolutePath).select($"doc_id").as[Long].collect().toSeq
+      assert(got == manifest(s), s"shard $s read-back order mismatch")
+    }
+  }
+
   test("embedding PCA: eigen residual ~0, orthonormal basis, projected variance = descending eigenvalues") {
     val (n, _, cov) = ops.EmbeddingPca.moments(spark, sf)
     val (evals, w) = ops.EmbeddingPca.topComponents(cov, 16)
