@@ -173,7 +173,77 @@ object EmbeddingPca {
       .orderBy($"vec_id")
   }
 
+  /** df with an added `p` column: `x` (array<double>) projected onto the
+    * rows of `w` — map-side, components as literals. UNCENTERED on
+    * purpose: for a dot-product metric, pᵤ(a)·pᵤ(b) with pᵤ = Wx equals
+    * the centered score plus both cross terms with the mean
+    * ((Wμ+p')·(Wμ+q') expands to exactly them), so it estimates the raw
+    * dot a·b with only the energy outside the basis lost — whereas
+    * ranking by centered projections alone adds a per-candidate bias
+    * −μ·(xc−μ) that reorders candidates independent of the truncation.
+    */
+  private def withProjection(df: DataFrame, w: Array[Array[Double]]): DataFrame = {
+    import df.sparkSession.implicits._
+    df.withColumn("p", array(w.indices.map(j =>
+      aggregate(zip_with($"x", lit(w(j)), (x, y) => x * y), lit(0.0), (acc, z) => acc + z)): _*))
+  }
+
+  /** ANN served from the PCA-COMPRESSED index: shortlist in the reduced
+    * space, exact re-rank on the shortlist only — the compression axis of
+    * the ANN family (vs IVF's partitioning axis and PQ's code axis).
+    *
+    * Corpus vectors are projected to `kDims` dims map-side (4× smaller
+    * index than raw d = 64 — at scale this projection is precomputed and
+    * persisted, like the IVF-PQ list tables). The shortlist stage scores
+    * reduced-space dot products and keeps top-`shortlist` per query
+    * through the bounded-heap [[graft.functions.PartialTopK]] aggregate,
+    * so the exchange carries queries×shortlist rows, never the scored
+    * candidate stream. Only shortlisted pairs touch the full-width
+    * vectors for the exact integer re-rank — identical scoring to
+    * ann_topk_exact, so every emitted (query, neighbor, dot) is
+    * exact-twin-correct even when a true neighbor is missed (recall,
+    * not precision, is the approximation; OpsSpec pins recall@5).
+    */
+  def annTopkPca(spark: SparkSession, dir: String, kDims: Int = 32, shortlist: Int = 50): DataFrame = {
+    import spark.implicits._
+    import graft.functions.PartialTopK.partial_topk
+    val (_, _, cov) = moments(spark, dir)
+    val (_, w) = topComponents(cov, kDims)
+
+    val base = withProjection(
+      Tables.embeddings(spark, dir)
+        .select($"vec_id", $"embedding".cast("array<double>").as("x")),
+      w)
+    val qs = base.filter($"vec_id" % 10 === 0)
+      .select($"vec_id".as("query_id"), $"p".as("pa"))
+    val cs = base.select($"vec_id".as("neighbor_id"), $"p".as("pb"))
+
+    val short = qs.join(cs, $"query_id" =!= $"neighbor_id")
+      .withColumn("rdot",
+        aggregate(zip_with($"pa", $"pb", (x, y) => x * y), lit(0.0), (acc, z) => acc + z))
+      .groupBy($"query_id")
+      .agg(partial_topk(
+        struct((-$"rdot").as("neg_rdot"), $"neighbor_id".as("neighbor_id")), shortlist).as("sl"))
+      .select($"query_id", explode($"sl.neighbor_id").as("neighbor_id"))
+
+    // exact integer re-rank, shortlist pairs only — scoring shared with
+    // the exact twin via the same quantization + codegen dot product
+    val quant = LlmQueries.quantized(spark, dir)
+    short
+      .join(quant.select($"vec_id".as("query_id"), $"v".as("va")), Seq("query_id"))
+      .join(quant.select($"vec_id".as("neighbor_id"), $"v".as("vb")), Seq("neighbor_id"))
+      .withColumn("dot", graft.functions.LongVectorDot.vector_dot($"va", $"vb"))
+      .groupBy($"query_id")
+      .agg(partial_topk(
+        struct((-$"dot").as("neg_dot"), $"neighbor_id".as("neighbor_id"), $"dot".as("dot")), 5).as("topk"))
+      .select($"query_id", posexplode($"topk").as(Seq("pos", "s")))
+      .select($"query_id", ($"pos" + 1).cast("int").as("rank"),
+        $"s.neighbor_id".as("neighbor_id"), $"s.dot".as("dot"))
+      .orderBy($"query_id", $"rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "embedding_pca" -> ((s, d) => embeddingPca(s, d))
+    "embedding_pca" -> ((s, d) => embeddingPca(s, d)),
+    "ann_topk_pca"  -> ((s, d) => annTopkPca(s, d))
   )
 }
