@@ -311,6 +311,42 @@ object Curation {
       |FROM documents
       |ORDER BY shard, order_key, doc_id""".stripMargin
 
+  /** Deterministic WEIGHTED sampling without replacement, k per stratum —
+    * Efraimidis–Spirakis (2006): each doc draws u ∈ (0,1) and competes
+    * with key u^(1/w); the top-k keys per stratum are exactly a weighted
+    * sample without replacement. Here w = n_chars (longer docs
+    * proportionally likelier — the usual byte-budget sampling), u is the
+    * portable multiplicative hash of doc_id (so the sample is a pure
+    * function of the corpus — reproducible across runs and engines).
+    *
+    * Scale shape: u and the key are map-side; the per-stratum top-k runs
+    * through the bounded-heap [[graft.functions.PartialTopK]] aggregate,
+    * so each map task forwards ≤ k rows per stratum — the exchange
+    * carries strata×k rows, never the corpus. Rows-only (the key is
+    * Math.pow — selection near the k-th threshold could differ between
+    * engines in the last ulp), pinned instead by OpsSpec against a
+    * single-threaded reference implementation of the same race, which is
+    * JVM-exact.
+    */
+  def sampleWeighted(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    import spark.implicits._
+    import graft.functions.PartialTopK.partial_topk
+    Tables.documents(spark, dir)
+      .select($"source", $"doc_id", $"n_chars")
+      .withColumn("u",
+        ((($"doc_id" * 2654435761L) % 4294967296L) + 1L).cast("double") / 4294967297.0)
+      .withColumn("es_key", pow($"u", lit(1.0) / $"n_chars".cast("double")))
+      .groupBy($"source")
+      .agg(partial_topk(
+        struct((-$"es_key").as("neg_key"), $"doc_id".as("doc_id"), $"n_chars".as("weight")),
+        k).as("s"))
+      .select($"source", posexplode($"s").as(Seq("pos", "r")))
+      .select($"source", ($"pos" + 1).cast("int").as("rank"),
+        $"r.doc_id".as("doc_id"), $"r.weight".as("weight"),
+        (-$"r.neg_key").as("es_key"))
+      .orderBy($"source", $"rank")
+  }
+
   /** The physical writer for [[corpusShard]]: one exchange on the shard
     * key, sort within partitions by the order key, one file per shard
     * (`partitionBy` keeps shard a directory key so a trainer can address
@@ -331,6 +367,7 @@ object Curation {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_shard"      -> ((s, d) => corpusShard(s, d)),
+    "sample_weighted"   -> ((s, d) => sampleWeighted(s, d)),
     "text_chunking"     -> (textChunking _),
     "text_packing"      -> (textPacking _),
     "sample_stratified" -> (sampleStratified _),

@@ -140,20 +140,32 @@ object EmbeddingPca {
     (order.map(evals(_)).toArray, w) // w(j) = j-th component, a d-vector
   }
 
+  /** One sufficient-statistics pass per (session, corpus): embedding_pca
+    * and ann_topk_pca share the model exactly like the PQ code index is
+    * shared across its consumers (VectorAgg.indexCache). Locked first-fill
+    * for the same reason as there: TrieMap.getOrElseUpdate may run a
+    * racing thunk twice.
+    */
+  private val momentsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (Long, Array[Double], Array[Array[Double]])]
+
   /** (n, mean, covariance) of the embedding corpus in one pass. */
-  private[graft] def moments(spark: SparkSession, dir: String): (Long, Array[Double], Array[Array[Double]]) = {
-    import spark.implicits._
-    val d = 64
-    val stats = Tables.embeddings(spark, dir)
-      .select($"embedding".cast("array<double>").as("x"))
-      .as[Seq[Double]]
-      .select(new MomentAgg(d).toColumn)
-      .head() // 1 + d + d² doubles — bounded model state, not data
-    val n = stats(0)
-    val mean = Array.tabulate(d)(i => stats(1 + i) / n)
-    val cov = Array.tabulate(d, d)((i, j) => stats(1 + d + i * d + j) / n - mean(i) * mean(j))
-    (n.toLong, mean, cov)
-  }
+  private[graft] def moments(spark: SparkSession, dir: String): (Long, Array[Double], Array[Array[Double]]) =
+    momentsCache.synchronized {
+      momentsCache.getOrElseUpdate((spark, dir), {
+        import spark.implicits._
+        val d = 64
+        val stats = Tables.embeddings(spark, dir)
+          .select($"embedding".cast("array<double>").as("x"))
+          .as[Seq[Double]]
+          .select(new MomentAgg(d).toColumn)
+          .head() // 1 + d + d² doubles — bounded model state, not data
+        val n = stats(0)
+        val mean = Array.tabulate(d)(i => stats(1 + i) / n)
+        val cov = Array.tabulate(d, d)((i, j) => stats(1 + d + i * d + j) / n - mean(i) * mean(j))
+        (n.toLong, mean, cov)
+      })
+    }
 
   /** The corpus projected onto its top-k principal components. */
   def embeddingPca(spark: SparkSession, dir: String, k: Int = 16): DataFrame = {

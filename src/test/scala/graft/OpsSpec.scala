@@ -547,6 +547,33 @@ class OpsSpec extends SparkSuite {
     assert(fromGrownIndex == inSession)
   }
 
+  test("weighted sample: equals the single-threaded Efraimidis-Spirakis reference race, k per stratum") {
+    import spark.implicits._
+    val got = ops.Curation.sampleWeighted(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Int]("rank"), r.getAs[Long]("doc_id")))
+
+    // reference: same u, same key, same race, computed sequentially
+    val docs = Tables.documents(spark, sf)
+      .select($"source", $"doc_id", $"n_chars").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"), r.getAs[Long]("n_chars")))
+    val expected = docs.groupBy(_._1).toSeq.flatMap { case (src, rows) =>
+      rows.map { case (_, id, w) =>
+        val u = (((id * 2654435761L) % 4294967296L) + 1L).toDouble / 4294967297.0
+        (math.pow(u, 1.0 / w.toDouble), id, w)
+      }.sortBy { case (key, id, _) => (-key, id) }.take(20)
+        .zipWithIndex.map { case ((_, id, _), i) => (src, i + 1, id) }
+    }.sortBy(t => (t._1, t._2))
+
+    assert(got.nonEmpty)
+    assert(got.toSeq == expected)
+
+    // inclusion leans on weight: the sampled docs' mean weight exceeds the
+    // corpus mean (n_chars spreads enough for this to be deterministic)
+    val sampledW = docs.filter(d => got.exists(g => g._3 == d._2)).map(_._3.toDouble)
+    val allW = docs.map(_._3.toDouble)
+    assert(sampledW.sum / sampledW.length > allW.sum / allW.length)
+  }
+
   test("corpus shards: one file per shard, byte-identical re-runs, read-back order matches the manifest") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf)
