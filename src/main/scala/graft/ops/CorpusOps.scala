@@ -352,7 +352,63 @@ object CorpusOps {
        |FROM d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  /** PII redaction — the corpus-hygiene step every published training set
+    * runs before release: emails, IPv4 addresses, and phone-shaped digit
+    * runs are replaced with typed placeholders, and per-doc match counts
+    * are kept for audit. Purely map-side (regexp over each row — zero
+    * shuffles beyond the output ordering), which is the whole scale story:
+    * at 100 TB this is a single pass bounded by regex throughput.
+    *
+    * The patterns are deliberately engine-portable (same semantics in
+    * Java regex and RE2): character classes, bounded repetition, \b —
+    * no lookaround, no backrefs. Order matters and is fixed:
+    * emails first (they contain dots and digits), then IPs (dotted digit
+    * runs), then phones (leftover digit runs).
+    *
+    * The synthetic corpus contains no digits at all — the DuckDB oracle
+    * therefore proves the negative side cross-engine (both engines agree
+    * the regexes match nothing on all 500 real texts, hash-exact on the
+    * full scrubbed text); the positive side is pinned by OpsSpec on an
+    * injected-PII corpus through the same [[textPiiScrubOn]] core — the
+    * dedupExactOn pattern.
+    */
+  def textPiiScrub(spark: SparkSession, dir: String): DataFrame =
+    textPiiScrubOn(Tables.documents(spark, dir))
+
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val ipRe    = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  private val phoneRe = "\\+?[0-9][0-9() -]{6,}[0-9]"
+
+  private[graft] def textPiiScrubOn(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .select($"doc_id",
+        size(regexp_extract_all($"text", lit(emailRe), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all($"text", lit(ipRe), lit(0))).cast("long").as("n_ips"),
+        size(regexp_extract_all($"text", lit(phoneRe), lit(0))).cast("long").as("n_phones"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace($"text", emailRe, "<EMAIL>"),
+            ipRe, "<IP>"),
+          phoneRe, "<PHONE>").as("scrubbed"))
+      .orderBy($"doc_id")
+  }
+
+  val textPiiScrubSql: String =
+    """SELECT doc_id,
+      |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+      |  len(regexp_extract_all(text, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS n_ips,
+      |  len(regexp_extract_all(text, '\+?[0-9][0-9() -]{6,}[0-9]')) AS n_phones,
+      |  regexp_replace(
+      |    regexp_replace(
+      |      regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |      '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+      |    '\+?[0-9][0-9() -]{6,}[0-9]', '<PHONE>', 'g') AS scrubbed
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_pii_scrub"        -> (textPiiScrub _),
     "decontaminate_ngram"   -> (decontaminateNgram _),
     "text_lm_quality"       -> (textLmQuality _),
     "sample_domain_mix"     -> (sampleDomainMix _),
@@ -361,6 +417,7 @@ object CorpusOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "text_pii_scrub"        -> textPiiScrubSql,
     "decontaminate_ngram"   -> decontaminateNgramSql,
     "text_lm_quality"       -> textLmQualitySql,
     "sample_domain_mix"     -> sampleDomainMixSql,

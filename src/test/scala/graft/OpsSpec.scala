@@ -547,6 +547,26 @@ class OpsSpec extends SparkSuite {
     assert(fromGrownIndex == inSession)
   }
 
+  test("pii scrub: injected emails/ips/phones redacted with exact counts; clean text untouched") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "contact me at alice@example.com or bob.smith+tag@sub.domain.org thanks"),
+      (2L, "server at 192.168.0.1 and 10.0.0.255 responded"),
+      (3L, "call +1 415 555 0199 today"),
+      (4L, "mixed: eve@corp.io from 127.0.0.1 dialed 020-7946-0958"),
+      (5L, "no pii here just words")
+    ).toDF("doc_id", "text")
+    val out = ops.CorpusOps.textPiiScrubOn(docs).collect().map(r =>
+      r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_emails"), r.getAs[Long]("n_ips"), r.getAs[Long]("n_phones"),
+          r.getAs[String]("scrubbed")))).toMap
+    assert(out(1L) == ((2L, 0L, 0L, "contact me at <EMAIL> or <EMAIL> thanks")))
+    assert(out(2L) == ((0L, 2L, 0L, "server at <IP> and <IP> responded")))
+    assert(out(3L) == ((0L, 0L, 1L, "call <PHONE> today")))
+    assert(out(4L) == ((1L, 1L, 1L, "mixed: <EMAIL> from <IP> dialed <PHONE>")))
+    assert(out(5L) == ((0L, 0L, 0L, "no pii here just words")))
+  }
+
   test("weighted sample: equals the single-threaded Efraimidis-Spirakis reference race, k per stratum") {
     import spark.implicits._
     val got = ops.Curation.sampleWeighted(spark, sf).collect()
