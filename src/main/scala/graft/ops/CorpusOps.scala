@@ -379,7 +379,11 @@ object CorpusOps {
   private val ipRe    = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
   private val phoneRe = "\\+?[0-9][0-9() -]{6,}[0-9]"
 
-  private[graft] def textPiiScrubOn(docs: DataFrame): DataFrame = {
+  /** Sort-free scrub core — shared verbatim with the streaming screen
+    * ([[graft.streaming.CorpusStream.piiScrubStream]]), so a doc is
+    * scrubbed identically in a backfill and on the stream.
+    */
+  private[graft] def textPiiScrubCore(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     docs
       .select($"doc_id",
@@ -391,7 +395,11 @@ object CorpusOps {
             regexp_replace($"text", emailRe, "<EMAIL>"),
             ipRe, "<IP>"),
           phoneRe, "<PHONE>").as("scrubbed"))
-      .orderBy($"doc_id")
+  }
+
+  private[graft] def textPiiScrubOn(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    textPiiScrubCore(docs).orderBy($"doc_id")
   }
 
   val textPiiScrubSql: String =

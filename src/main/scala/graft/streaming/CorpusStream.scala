@@ -102,6 +102,19 @@ object CorpusStream {
       .select($"doc_id", $"source", $"n_chars")
   }
 
+  /** Streaming PII screen: redaction applied at ingest time — like
+    * [[classifyStream]], a stateless map-side pass per micro-batch (regex
+    * scrubbing has no state, no watermark, no shuffle). The scrub core is
+    * shared verbatim with the batch
+    * [[graft.ops.CorpusOps.textPiiScrub]], so a document is scrubbed and
+    * audit-counted identically in a backfill and on the stream
+    * (StreamingSpec pins the parity).
+    *
+    * `docs` must be a streaming DataFrame with (doc_id, text).
+    */
+  def piiScrubStream(docs: DataFrame): DataFrame =
+    graft.ops.CorpusOps.textPiiScrubCore(docs)
+
   /** Stream-static near-duplicate screen against the PERSISTED MinHash
     * band index ([[graft.ops.ScaleDedup.saveBandIndex]]) — ingest-time
     * near-dedup, the streaming twin of `dedup_incremental_banded_persisted`

@@ -690,6 +690,29 @@ class StreamingSpec extends SparkSuite {
     } finally q2.stop()
   }
 
+  test("streaming pii screen == batch scrub on every doc (replayed batches)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.streaming.CorpusStream.piiScrubStream(
+        stream.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append").format("memory").queryName("pii_out").start()
+    try {
+      val (a, b) = docs.splitAt(docs.size / 2)
+      stream.addData(a); q.processAllAvailable()
+      stream.addData(b); q.processAllAvailable()
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .select($"doc_id", $"n_emails", $"n_ips", $"n_phones", $"scrubbed")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toSet
+      val streamed = rows(spark.table("pii_out"))
+      val batch = rows(ops.CorpusOps.textPiiScrub(spark, sf))
+      assert(batch.nonEmpty && streamed == batch)
+    } finally q.stop()
+  }
+
   test("streaming near-dedup screen == batch banded dedup against the persisted index") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
