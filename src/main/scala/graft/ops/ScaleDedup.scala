@@ -641,9 +641,17 @@ object ScaleDedup {
     * `10·min(|a|,|b|) ≥ 9·max(|a|,|b|)` (exact in integers for τ = 0.9)
     * before any set is compared. No cartesian anywhere.
     */
-  def dedupJaccardPrefix(spark: SparkSession, dir: String): DataFrame = {
+  def dedupJaccardPrefix(spark: SparkSession, dir: String): DataFrame =
+    dedupJaccardPrefixOn(Tables.documents(spark, dir))
+
+  /** Core of [[dedupJaccardPrefix]] over any (doc_id, lang, text) corpus —
+    * injectable so the lossless-pruning property test can race it against
+    * a driver-side exact reference on random corpora.
+    */
+  private[graft] def dedupJaccardPrefixOn(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    val t = Tables.documents(spark, dir)
+    val t = docs
       .select($"doc_id", $"lang", wordSet($"text").as("w"))
 
     val df = t.select($"lang", explode($"w").as("tok"))

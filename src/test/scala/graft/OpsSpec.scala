@@ -300,6 +300,48 @@ class OpsSpec extends SparkSuite {
     assert(prefix == exact)
   }
 
+  test("prefix-filtered jaccard property: equals a driver-side exact reference on 15 random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242)
+    for (trial <- 1 to 15) {
+      val vocabSize = 5 + rnd.nextInt(36)       // 5..40 — small vocabs force shared prefixes
+      val nDocs = 30 + rnd.nextInt(91)          // 30..120
+      val vocab = (0 until vocabSize).map(i => s"w$i")
+      val langs = Seq("en", "de")
+      // base docs + mutated near-copies (drop/add one word) to straddle 0.9
+      val base = (1 to nDocs).map { id =>
+        val len = 3 + rnd.nextInt(28)
+        val words = Seq.fill(len)(vocab(rnd.nextInt(vocabSize)))
+        (id.toLong, langs(rnd.nextInt(2)), words.mkString(" "))
+      }
+      val mutated = base.filter(_ => rnd.nextDouble() < 0.3).map { case (id, lang, text) =>
+        val words = text.split(" ").toSeq
+        val m = if (rnd.nextBoolean() && words.distinct.size > 1)
+          words.filterNot(_ == words(rnd.nextInt(words.size)))       // drop one form
+        else words :+ vocab(rnd.nextInt(vocabSize))                  // add one
+        (id + 10000L, lang, m.mkString(" "))
+      }
+      val docs = (base ++ mutated).toDF("doc_id", "lang", "text")
+
+      // driver-side exact reference: all pairs, set Jaccard >= 0.9
+      val sets = (base ++ mutated).map { case (id, lang, text) =>
+        (id, lang, text.split(" +").map(_.toLowerCase).toSet)
+      }
+      val expected = (for {
+        (a, la, wa) <- sets; (b, lb, wb) <- sets
+        if la == lb && a < b
+        inter = (wa & wb).size; uni = (wa | wb).size
+        if inter.toDouble / uni >= 0.9
+      } yield (la, a, b, inter, uni)).toSet
+
+      val got = ops.ScaleDedup.dedupJaccardPrefixOn(docs).collect()
+        .map(r => (r.getAs[String]("lang"), r.getAs[Long]("a"), r.getAs[Long]("b"),
+          r.getAs[Int]("inter"), r.getAs[Int]("uni"))).toSet
+      assert(got == expected,
+        s"trial $trial (vocab=$vocabSize docs=${sets.size}): missed=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+    }
+  }
+
   test("embedding LSH dedup: precision 1 vs exact twin; identical vectors always collide") {
     import spark.implicits._
     // precision: every LSH pair is an exact-twin pair with identical scores
@@ -632,6 +674,30 @@ class OpsSpec extends SparkSuite {
       val s = shardDir.stripPrefix("shard=").toLong
       val got = spark.read.parquet(f.getAbsolutePath).select($"doc_id").as[Long].collect().toSeq
       assert(got == manifest(s), s"shard $s read-back order mismatch")
+    }
+  }
+
+  test("jacobi eigensolver property: residual ~0 and orthonormal vectors on 25 random symmetric matrices") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 25) {
+      val d = 2 + rnd.nextInt(39)
+      val m = Array.ofDim[Double](d, d)
+      for (i <- 0 until d; j <- i until d) {
+        val x = rnd.nextGaussian() * (if (rnd.nextBoolean()) 1.0 else 1e3)
+        m(i)(j) = x; m(j)(i) = x
+      }
+      val (evals, evecs) = ops.EmbeddingPca.jacobiEigen(m)
+      val scale = math.max(1.0, evals.map(math.abs).max)
+      for (c <- 0 until d) {
+        val v = Array.tabulate(d)(i => evecs(i)(c))
+        val av = Array.tabulate(d)(i => (0 until d).map(l => m(i)(l) * v(l)).sum)
+        val resid = math.sqrt(av.indices.map(i => { val e = av(i) - evals(c) * v(i); e * e }).sum)
+        assert(resid < 1e-9 * scale, s"trial $trial d=$d col $c residual $resid (scale $scale)")
+      }
+      for (a <- 0 until d; b <- a until d) {
+        val dot = (0 until d).map(i => evecs(i)(a) * evecs(i)(b)).sum
+        assert(math.abs(dot - (if (a == b) 1.0 else 0.0)) < 1e-10, s"trial $trial v${a}.v$b = $dot")
+      }
     }
   }
 
