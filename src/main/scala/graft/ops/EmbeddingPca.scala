@@ -254,8 +254,62 @@ object EmbeddingPca {
       .orderBy($"query_id", $"rank")
   }
 
+  /** Hard-negative mining for contrastive embedding training: for every
+    * anchor (vec_id ≡ 0 mod 10, the ANN query slice), the top-3 most
+    * similar vectors from a DIFFERENT cluster label — the pairs that sit
+    * closest to the decision boundary and carry the training signal.
+    *
+    * Scoring is the same exact integer quantized dot as ann_topk_exact
+    * (oracle hash-checked); the rank stage is the bounded-heap
+    * [[graft.functions.PartialTopK]] aggregate, so the exchange carries
+    * anchors×3 rows, never the scored stream. At 100 TB the candidate
+    * join composes with the IVF cell equi-join exactly like annTopkIvf
+    * (probe cells, mine within); the brute-force pairing here is the
+    * declared correctness baseline, like the rest of the exact ANN
+    * family.
+    */
+  def mineHardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.PartialTopK.partial_topk
+    val q = LlmQueries.quantized(spark, dir)
+    val anchors = q.filter($"vec_id" % 10 === 0)
+      .select($"vec_id".as("anchor_id"), $"label".as("anchor_label"), $"v".as("va"))
+    val cands = q.select($"vec_id".as("negative_id"), $"label".as("negative_label"), $"v".as("vb"))
+    anchors.join(cands, $"anchor_label" =!= $"negative_label")
+      .withColumn("dot", graft.functions.LongVectorDot.vector_dot($"va", $"vb"))
+      .groupBy($"anchor_id", $"anchor_label")
+      .agg(partial_topk(
+        struct((-$"dot").as("neg_dot"), $"negative_id".as("negative_id"),
+          $"negative_label".as("negative_label"), $"dot".as("dot")), 3).as("topk"))
+      .select($"anchor_id", $"anchor_label", posexplode($"topk").as(Seq("pos", "s")))
+      .select($"anchor_id", $"anchor_label", ($"pos" + 1).cast("int").as("rank"),
+        $"s.negative_id".as("negative_id"), $"s.negative_label".as("negative_label"),
+        $"s.dot".as("dot"))
+      .orderBy($"anchor_id", $"rank")
+  }
+
+  val mineHardNegativesSql: String =
+    s"""${LlmQueries.quantizedCte}, scored AS (
+       |  SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+       |    b.vec_id AS negative_id, b.label AS negative_label,
+       |    CAST(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) AS BIGINT) AS dot
+       |  FROM n a JOIN n b ON a.vec_id % 10 = 0 AND a.label <> b.label
+       |), ranked AS (
+       |  SELECT anchor_id, anchor_label, negative_id, negative_label, dot,
+       |    row_number() OVER (PARTITION BY anchor_id ORDER BY dot DESC, negative_id) AS rank
+       |  FROM scored
+       |)
+       |SELECT anchor_id, anchor_label, rank, negative_id, negative_label, dot
+       |FROM ranked WHERE rank <= 3
+       |ORDER BY anchor_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "embedding_pca" -> ((s, d) => embeddingPca(s, d)),
-    "ann_topk_pca"  -> ((s, d) => annTopkPca(s, d))
+    "embedding_pca"       -> ((s, d) => embeddingPca(s, d)),
+    "ann_topk_pca"        -> ((s, d) => annTopkPca(s, d)),
+    "mine_hard_negatives" -> (mineHardNegatives _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "mine_hard_negatives" -> mineHardNegativesSql
   )
 }
