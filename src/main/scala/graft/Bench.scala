@@ -49,7 +49,7 @@ object Bench {
     "dedup_incremental_banded_persisted", "dedup_simhash_keeper",
     "ann_topk_agg", "dedup_jaccard_prefix", "embedding_pca",
     "corpus_shard", "ann_topk_pca", "sample_weighted", "text_pii_scrub",
-    "mine_hard_negatives")
+    "mine_hard_negatives", "dedup_jaccard_prefix_keeper")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

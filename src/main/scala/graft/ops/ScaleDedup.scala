@@ -651,8 +651,18 @@ object ScaleDedup {
   private[graft] def dedupJaccardPrefixOn(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val t = docs
-      .select($"doc_id", $"lang", wordSet($"text").as("w"))
+    prefixVerifiedPairs(docs.select($"doc_id", $"lang", wordSet($"text").as("w")))
+      .orderBy($"lang", $"a", $"b")
+  }
+
+  /** The prefix-filter candidate + exact-verify chain over a
+    * (doc_id, lang, w) word-set table — shared by the pair form and the
+    * keeper twin (which runs it over distinct-set representatives only).
+    * Returns verified (lang, a, b, inter, uni, jaccard) pairs, unordered.
+    */
+  private def prefixVerifiedPairs(t: DataFrame): DataFrame = {
+    val spark = t.sparkSession
+    import spark.implicits._
 
     val df = t.select($"lang", explode($"w").as("tok"))
       .groupBy($"lang", $"tok").agg(count(lit(1)).as("df"))
@@ -706,12 +716,69 @@ object ScaleDedup {
       .withColumn("jaccard", $"inter".cast("double") / $"uni".cast("double"))
       .filter($"jaccard" >= 0.9)
       .select($"lang", $"a", $"b", $"inter", $"uni", $"jaccard")
-      .orderBy($"lang", $"a", $"b")
+  }
+
+  /** Exact-Jaccard dedup as an O(n) KEEPER assignment — the same
+    * collapse-reps-then-CC construction as [[dedupSimhashKeeper]], applied
+    * to the prefix-filtered EXACT join: the pair form's output is
+    * quadratic in duplicate-cluster size (a 2000-copy page is 2M pairs),
+    * while this emits one row per non-keeper doc no matter how clustered
+    * the corpus is — and, unlike the MinHash/SimHash keepers, membership
+    * here is EXACT (every edge is a verified Jaccard ≥ 0.9, no
+    * probabilistic recall).
+    *
+    *  1. identical (lang, word-set) groups collapse FIRST — one
+    *     hash-groupBy on xxhash64 of the sorted set (the documented 2⁻⁶⁴
+    *     fingerprint trade of the _hashed span twin), keeper = min doc_id
+    *     per group: O(n), never pair-shaped;
+    *  2. only DISTINCT-set representatives enter the prefix-filtered
+    *     candidate join + exact verify ([[prefixVerifiedPairs]] — lossless
+    *     pruning, so rep-level edges are exactly the ≥ 0.9 pairs);
+    *  3. verified rep edges feed [[ccKeepers]] as a one-bucket-per-edge
+    *     graph → true connected components; members inherit their rep's
+    *     component keeper.
+    *
+    * Output: (doc_id, keeper_doc_id) for every non-keeper doc. OpsSpec
+    * pins cluster-equivalence with the pair form's connected components
+    * via union-find.
+    */
+  def dedupJaccardPrefixKeeper(spark: SparkSession, dir: String): DataFrame =
+    dedupJaccardPrefixKeeperOn(Tables.documents(spark, dir))
+
+  private[graft] def dedupJaccardPrefixKeeperOn(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val keyed = docs.select($"doc_id", $"lang", wordSet($"text").as("w"))
+      .withColumn("set_key", xxhash64($"lang", concat_ws(" ", $"w")))
+    // step 1: O(n) collapse of identical sets (first() is well-defined:
+    // every row in a set_key group carries the same lang and w)
+    val reps = keyed.groupBy($"set_key")
+      .agg(min($"doc_id").as("rep"), first($"lang").as("lang"), first($"w").as("w"))
+    val docToRep = keyed.select($"doc_id", $"set_key")
+      .join(reps.select($"set_key", $"rep"), Seq("set_key"))
+      .select($"doc_id", $"rep")
+    // step 2: exact prefix-filtered pairs between DISTINCT-set reps only
+    val edges = prefixVerifiedPairs(reps.select($"rep".as("doc_id"), $"lang", $"w"))
+      .select($"a", $"b")
+    // step 3: true CC over the verified edge graph (edge table
+    // materialized first — ccKeepers joins it twice per round; same O(E)
+    // frontier checkpoint as the SimHash keeper)
+    val edgeBands = edges
+      .select($"a".as("doc_id"), lit(0).as("band"), xxhash64($"a", $"b").as("band_key"))
+      .unionByName(edges
+        .select($"b".as("doc_id"), lit(0).as("band"), xxhash64($"a", $"b").as("band_key")))
+      .localCheckpoint()
+    val repKeeper = ccKeepers(edgeBands).select($"doc_id".as("rep"), $"keeper")
+    docToRep.join(repKeeper, Seq("rep"), "left")
+      .select($"doc_id", coalesce($"keeper", $"rep").as("keeper_doc_id"))
+      .filter($"doc_id" =!= $"keeper_doc_id")
+      .orderBy($"doc_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "split_train_holdout" -> (splitTrainHoldout _),
     "dedup_jaccard_prefix"     -> (dedupJaccardPrefix _),
+    "dedup_jaccard_prefix_keeper" -> (dedupJaccardPrefixKeeper _),
     "dedup_minhash_lsh"        -> (dedupMinhashLsh _),
     "dedup_simhash"            -> (dedupSimhash _),
     "dedup_simhash_keeper"     -> (dedupSimhashKeeper _),

@@ -762,6 +762,30 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("jaccard prefix keeper twin: clusters == connected components of the pair form") {
+    // reference clustering: union-find over the exact pair form's
+    // verified jaccard >= 0.9 edges, root = component-min id
+    val pairs = ops.LlmQueries.dedupNgramJaccard(spark, sf)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val root = find(p); parent(x) = root; root }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .map(d => d -> find(d)).filter { case (d, k) => d != k }.toMap
+
+    val got = ops.ScaleDedup.dedupJaccardPrefixKeeper(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("keeper_doc_id")).toMap
+    assert(expected.nonEmpty)
+    assert(got == expected,
+      s"missing=${(expected.toSet -- got.toSet).take(5)} extra=${(got.toSet -- expected.toSet).take(5)}")
+  }
+
   test("simhash keeper twin: clusters == connected components of the pair form") {
     // reference clustering: union-find over the pair form's verified
     // hamming<=7 edges, root = component-min id
