@@ -90,18 +90,58 @@ object ExtraQueries {
       |GROUP BY ROLLUP(y, m)
       |ORDER BY year, month_num, g_year, g_month""".stripMargin
 
-  /** Exact median per group via explicit window arithmetic (row_number +
-    * middle-pair average) — deterministic and portable, unlike native
-    * median()/percentile() whose interpolation differs across engines.
+  /** Exact median per group by two-level bucketed selection — the
+    * scale-safe replacement for the classic row_number-over-group window
+    * (whose parallelism collapses to #groups: one task sorts a whole
+    * group's rows). Same contract as before: median = average of the
+    * values at ranks (n+1)/2 and (n+2)/2 under ORDER BY (value, event_id).
+    *
+    * Selection plan (all stages fully parallel; no task ever sorts more
+    * than ~n/B rows of one group):
+    *   1. per-group count/min/max (partial-agg groupBy) → target ranks;
+    *   2. bucket every row by a monotone value→[0,B) map (broadcast join
+    *      of the tiny stats table; equal values always share a bucket, so
+    *      the event_id tie-break never crosses buckets);
+    *   3. per-(group, bucket) occupancy histogram (≤ #groups·B rows) and
+    *      its exclusive running sum — the cumulative-offset window runs
+    *      over the AGGREGATED histogram, never over event rows;
+    *   4. broadcast the ≤2 target buckets per group back and probe: only
+    *      rows landing in a target bucket (~n/B of the group) are ranked,
+    *      by a window partitioned by (group, bucket) whose global rank is
+    *      within-bucket row_number + broadcast offset.
+    * Degenerate single-value groups (min = max) collapse to bucket 0, but
+    * then every row IS the median so the probe sort is over equal keys.
+    * Costs 3 scans of the fact table instead of one full per-group sort
+    * exchange — the trade that survives a 100× scale-up. B rides
+    * #partitions so probe-task size shrinks as the cluster grows.
     */
   def aggMedianExact(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    val B = math.max(256, spark.sparkContext.defaultParallelism * 8)
     val ev = Tables.events(spark, dir)
       .select($"event_type", $"value", $"event_id")
-    val w = Window.partitionBy($"event_type").orderBy($"value", $"event_id")
-    ev.withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy($"event_type")))
-      .filter($"rn" === (($"n" + 1) / 2).cast("long") || $"rn" === (($"n" + 2) / 2).cast("long"))
+    val stats = ev.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), min($"value").as("mn"), max($"value").as("mx"))
+      .withColumn("r1", (($"n" + 1) / 2).cast("long"))
+      .withColumn("r2", (($"n" + 2) / 2).cast("long"))
+    val evb = ev.join(broadcast(stats), Seq("event_type"))
+      .withColumn("b",
+        when($"mx" === $"mn", lit(0))
+          .otherwise(least(floor(($"value" - $"mn") / ($"mx" - $"mn") * B), lit(B - 1)))
+          .cast("int"))
+    val hist = evb.groupBy($"event_type", $"b").agg(count(lit(1)).as("cnt"))
+    val wb = Window.partitionBy($"event_type").orderBy($"b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val targetBuckets = hist
+      .withColumn("cum_before", coalesce(sum($"cnt").over(wb), lit(0L)))
+      .join(stats.select($"event_type", $"r1", $"r2"), Seq("event_type"))
+      .filter(($"r1" > $"cum_before" && $"r1" <= $"cum_before" + $"cnt") ||
+              ($"r2" > $"cum_before" && $"r2" <= $"cum_before" + $"cnt"))
+      .select($"event_type", $"b", $"cum_before")
+    val probe = evb.join(broadcast(targetBuckets), Seq("event_type", "b"))
+    val wp = Window.partitionBy($"event_type", $"b").orderBy($"value", $"event_id")
+    probe.withColumn("rank", row_number().over(wp).cast("long") + $"cum_before")
+      .filter($"rank" === $"r1" || $"rank" === $"r2")
       .groupBy($"event_type")
       .agg((sum($"value") / count(lit(1))).as("median_value"),
         max($"n").as("n_events"))

@@ -868,6 +868,30 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("exact median: no window ever sorts a whole group's event rows in one task") {
+    // the scale-killer this guards against: row_number over
+    // Window.partitionBy(event_type) directly on the scan — parallelism
+    // = #event-types, one task sorts a whole group. The bucketed
+    // selection may only window (a) the per-(group,bucket) HISTOGRAM
+    // (input is an aggregate, ≤ #groups·B rows) or (b) the probe rows,
+    // partitioned by (group, bucket) so each task holds ~n/B rows.
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = core.ExtraQueries.aggMedianExact(spark, sf)
+    df.collect() // executes → AQE final plan
+    val windows = tools.PlanWalk.collectAll(df.queryExecution.executedPlan) {
+      case w: WindowExec => w
+    }
+    assert(windows.nonEmpty, "selection should still use (bounded) windows")
+    windows.foreach { w =>
+      val overAggregate = tools.PlanWalk.flatten(w.child).exists {
+        case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => true
+        case _ => false
+      }
+      assert(w.partitionSpec.size >= 2 || overAggregate,
+        s"window partitioned by ${w.partitionSpec} runs over raw event rows:\n$w")
+    }
+  }
+
   test("range join pairs via a bucket equi-join, never a nested loop") {
     // the raw BETWEEN predicate would plan BroadcastNestedLoopJoin —
     // O(probes × intervals) compares. The bucketed form must plan a hash
