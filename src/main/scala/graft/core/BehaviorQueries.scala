@@ -42,6 +42,20 @@ object BehaviorQueries {
       Seq("view", "click", "purchase"))
   }
 
+  /** The 4-step §2 entry: signup → view → click → purchase through the
+    * SAME generalized fold — the N-step chain is driver-oracle-gated
+    * beyond the reference's 3 steps, not just ScalaTest-pinned. One
+    * more step adds one more user_id-keyed join (no new shuffle key)
+    * and one more output row.
+    */
+  def eventsFunnel4(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    eventsFunnelOn(
+      Tables.events(spark, dir)
+        .select($"user_id", $"event_type", unix_timestamp($"ts").as("ts_sec")),
+      Seq("signup", "view", "click", "purchase"))
+  }
+
   /** The general N-step funnel: `steps` is any ordered Seq of event
     * types; step k's timestamp folds out of step k-1's exactly like the
     * fixed 3-step chain (earliest qualifying event strictly after the
@@ -72,12 +86,19 @@ object BehaviorQueries {
     val counts = joined.agg(
       count($"t1").as("n1"),
       (2 to steps.size).map(i => count(col(s"t$i")).as(s"n$i")): _*)
-    val stackArgs = names.zipWithIndex.map { case (name, i) =>
-      s"${i + 1}, '$name', n${i + 1}, CAST(n${i + 1} AS DOUBLE) / n1"
-    }.mkString(",\n")
+    // typed-Column unpivot (not a selectExpr stack with interpolated step
+    // names: lit() carries any step string — quotes included — as data,
+    // never as SQL text)
+    val stepRows = names.zipWithIndex.map { case (name, i) =>
+      struct(
+        lit(i + 1).as("step"),
+        lit(name).as("step_name"),
+        col(s"n${i + 1}").as("n_users"),
+        (col(s"n${i + 1}").cast("double") / col("n1")).as("pct_of_first"))
+    }
     counts
-      .selectExpr(
-        s"stack(${steps.size},\n$stackArgs\n) AS (step, step_name, n_users, pct_of_first)")
+      .select(explode(array(stepRows: _*)).as("r"))
+      .select($"r.step", $"r.step_name", $"r.n_users", $"r.pct_of_first")
       .orderBy($"step")
   }
 
@@ -112,6 +133,48 @@ object BehaviorQueries {
       |SELECT 2, 'click_after_view', n2, CAST(n2 AS DOUBLE) / n1 FROM c
       |UNION ALL
       |SELECT 3, 'purchase_after_click', n3, CAST(n3 AS DOUBLE) / n1 FROM c
+      |ORDER BY step""".stripMargin
+
+  val eventsFunnel4Sql: String =
+    s"""WITH ev AS (
+      |  SELECT user_id, event_type,
+      |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ts_sec
+      |  FROM events
+      |), s1 AS (
+      |  SELECT user_id, MIN(ts_sec) AS t1 FROM ev
+      |  WHERE event_type = 'signup' GROUP BY user_id
+      |), s2 AS (
+      |  SELECT e.user_id, MIN(e.ts_sec) AS t2
+      |  FROM ev e JOIN s1 USING (user_id)
+      |  WHERE e.event_type = 'view' AND e.ts_sec > s1.t1
+      |    AND e.ts_sec <= s1.t1 + $funnelWindowSec
+      |  GROUP BY e.user_id
+      |), s3 AS (
+      |  SELECT e.user_id, MIN(e.ts_sec) AS t3
+      |  FROM ev e JOIN s2 USING (user_id)
+      |  WHERE e.event_type = 'click' AND e.ts_sec > s2.t2
+      |    AND e.ts_sec <= s2.t2 + $funnelWindowSec
+      |  GROUP BY e.user_id
+      |), s4 AS (
+      |  SELECT e.user_id, MIN(e.ts_sec) AS t4
+      |  FROM ev e JOIN s3 USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.ts_sec > s3.t3
+      |    AND e.ts_sec <= s3.t3 + $funnelWindowSec
+      |  GROUP BY e.user_id
+      |), c AS (
+      |  SELECT (SELECT COUNT(*) FROM s1) AS n1,
+      |         (SELECT COUNT(*) FROM s2) AS n2,
+      |         (SELECT COUNT(*) FROM s3) AS n3,
+      |         (SELECT COUNT(*) FROM s4) AS n4
+      |)
+      |SELECT 1 AS step, 'signup' AS step_name, n1 AS n_users,
+      |  CAST(n1 AS DOUBLE) / n1 AS pct_of_first FROM c
+      |UNION ALL
+      |SELECT 2, 'view_after_signup', n2, CAST(n2 AS DOUBLE) / n1 FROM c
+      |UNION ALL
+      |SELECT 3, 'click_after_view', n3, CAST(n3 AS DOUBLE) / n1 FROM c
+      |UNION ALL
+      |SELECT 4, 'purchase_after_click', n4, CAST(n4 AS DOUBLE) / n1 FROM c
       |ORDER BY step""".stripMargin
 
   /** Cohort retention: users grouped by first-activity day, counted on
@@ -340,6 +403,7 @@ object BehaviorQueries {
     "events_dau_wau"        -> (eventsDauWau _),
     "events_anomaly"        -> (eventsAnomaly _),
     "events_funnel"         -> (eventsFunnel _),
+    "events_funnel4"        -> (eventsFunnel4 _),
     "user_retention_cohort" -> (userRetentionCohort _),
     "dm_listening_streaks"  -> (listeningStreaks _)
   )
@@ -348,6 +412,7 @@ object BehaviorQueries {
     "events_dau_wau"        -> eventsDauWauSql,
     "events_anomaly"        -> eventsAnomalySql,
     "events_funnel"         -> eventsFunnelSql,
+    "events_funnel4"        -> eventsFunnel4Sql,
     "user_retention_cohort" -> userRetentionCohortSql,
     "dm_listening_streaks"  -> listeningStreaksSql
   )

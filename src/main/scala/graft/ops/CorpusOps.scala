@@ -382,19 +382,26 @@ object CorpusOps {
   /** Sort-free scrub core — shared verbatim with the streaming screen
     * ([[graft.streaming.CorpusStream.piiScrubStream]]), so a doc is
     * scrubbed identically in a backfill and on the stream.
+    *
+    * Each count runs over the text AS THE PREVIOUS STAGE LEFT IT —
+    * emails on the raw text, IPs after emails were replaced, phones after
+    * IPs were replaced — so n_* is exactly the number of placeholders of
+    * that type in `scrubbed`. Counting everything on the raw text would
+    * double-count overlaps (a digit run of 8+ inside
+    * user12345678@x.co is an email AND phone-shaped; only <EMAIL> is
+    * emitted). The placeholders themselves contain no digits, so a later
+    * pattern can never match inside an earlier replacement.
     */
   private[graft] def textPiiScrubCore(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     docs
+      .withColumn("after_email", regexp_replace($"text", emailRe, "<EMAIL>"))
+      .withColumn("after_ip", regexp_replace($"after_email", ipRe, "<IP>"))
       .select($"doc_id",
         size(regexp_extract_all($"text", lit(emailRe), lit(0))).cast("long").as("n_emails"),
-        size(regexp_extract_all($"text", lit(ipRe), lit(0))).cast("long").as("n_ips"),
-        size(regexp_extract_all($"text", lit(phoneRe), lit(0))).cast("long").as("n_phones"),
-        regexp_replace(
-          regexp_replace(
-            regexp_replace($"text", emailRe, "<EMAIL>"),
-            ipRe, "<IP>"),
-          phoneRe, "<PHONE>").as("scrubbed"))
+        size(regexp_extract_all($"after_email", lit(ipRe), lit(0))).cast("long").as("n_ips"),
+        size(regexp_extract_all($"after_ip", lit(phoneRe), lit(0))).cast("long").as("n_phones"),
+        regexp_replace($"after_ip", phoneRe, "<PHONE>").as("scrubbed"))
   }
 
   private[graft] def textPiiScrubOn(docs: DataFrame): DataFrame = {
@@ -403,16 +410,21 @@ object CorpusOps {
   }
 
   val textPiiScrubSql: String =
-    """SELECT doc_id,
+    """WITH staged AS (
+      |  SELECT doc_id, text,
+      |    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS after_email
+      |  FROM documents
+      |), staged2 AS (
+      |  SELECT doc_id, text, after_email,
+      |    regexp_replace(after_email, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS after_ip
+      |  FROM staged
+      |)
+      |SELECT doc_id,
       |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
-      |  len(regexp_extract_all(text, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS n_ips,
-      |  len(regexp_extract_all(text, '\+?[0-9][0-9() -]{6,}[0-9]')) AS n_phones,
-      |  regexp_replace(
-      |    regexp_replace(
-      |      regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-      |      '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
-      |    '\+?[0-9][0-9() -]{6,}[0-9]', '<PHONE>', 'g') AS scrubbed
-      |FROM documents
+      |  len(regexp_extract_all(after_email, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS n_ips,
+      |  len(regexp_extract_all(after_ip, '\+?[0-9][0-9() -]{6,}[0-9]')) AS n_phones,
+      |  regexp_replace(after_ip, '\+?[0-9][0-9() -]{6,}[0-9]', '<PHONE>', 'g') AS scrubbed
+      |FROM staged2
       |ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

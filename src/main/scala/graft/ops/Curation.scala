@@ -316,8 +316,11 @@ object Curation {
     * with key u^(1/w); the top-k keys per stratum are exactly a weighted
     * sample without replacement. Here w = n_chars (longer docs
     * proportionally likelier — the usual byte-budget sampling), u is the
-    * portable multiplicative hash of doc_id (so the sample is a pure
-    * function of the corpus — reproducible across runs and engines).
+    * portable multiplicative hash of (doc_id, crc32(source)) — a pure
+    * function of the corpus, reproducible across runs and engines. The
+    * stratum salt matters for composition: an unsalted u(doc_id) would
+    * give the same doc the same race draw in every stratum it appears
+    * in, correlating per-stratum samples that should be independent.
     *
     * Scale shape: u and the key are map-side; the per-stratum top-k runs
     * through the bounded-heap [[graft.functions.PartialTopK]] aggregate,
@@ -334,7 +337,8 @@ object Curation {
     Tables.documents(spark, dir)
       .select($"source", $"doc_id", $"n_chars")
       .withColumn("u",
-        ((($"doc_id" * 2654435761L) % 4294967296L) + 1L).cast("double") / 4294967297.0)
+        ((($"doc_id" * 2654435761L + crc32($"source".cast("binary"))) % 4294967296L) + 1L)
+          .cast("double") / 4294967297.0)
       .withColumn("es_key", pow($"u", lit(1.0) / $"n_chars".cast("double")))
       .groupBy($"source")
       .agg(partial_topk(

@@ -221,11 +221,14 @@ object ScaleDedup {
     // materialized first: ccKeepers joins its input twice per round, and
     // an unmaterialized lineage would re-run the candidate join + verify
     // 2× per round (the O(E) frontier checkpoint every iterative graph
-    // algorithm makes — same device as ccKeepers' own label checkpoint)
+    // algorithm makes — same device as ccKeepers' own label checkpoint).
+    // The synthetic bucket key is struct(a,b) — exact, ccKeepers only ever
+    // equi-groups on it, so unlike a hashed key there is no 2^-64 chance
+    // of two distinct edges merging unrelated components
     val edgeBands = edges
-      .select($"a".as("doc_id"), lit(0).as("band"), xxhash64($"a", $"b").as("band_key"))
+      .select($"a".as("doc_id"), lit(0).as("band"), struct($"a", $"b").as("band_key"))
       .unionByName(edges
-        .select($"b".as("doc_id"), lit(0).as("band"), xxhash64($"a", $"b").as("band_key")))
+        .select($"b".as("doc_id"), lit(0).as("band"), struct($"a", $"b").as("band_key")))
       .localCheckpoint()
     val repKeeper = ccKeepers(edgeBands).select($"doc_id".as("rep"), $"keeper")
     docToRep.join(repKeeper, Seq("rep"), "left")
@@ -358,7 +361,9 @@ object ScaleDedup {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
 
   /** The §2 entry for the persisted path: index the corpus ONCE per
-    * (session, dir) — first-save under a lock, pid-scoped path, exactly
+    * (session, dir) — first-save under a lock, pid- AND session-scoped
+    * path (two SparkSessions in one JVM each save to their own dir
+    * rather than racing overwrite-vs-read on a shared one), exactly
     * the [[VectorAgg.annTopkIvfPqPersisted]] contract — then dedup the
     * incoming batch against the loaded tables end-to-end.
     */
@@ -367,7 +372,8 @@ object ScaleDedup {
       savedBandIndexes.getOrElseUpdate((spark, dir), {
         val p = s"${System.getProperty("java.io.tmpdir")}/graft_band_index_" +
           java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL) +
-          "_" + ProcessHandle.current().pid()
+          "_" + ProcessHandle.current().pid() +
+          "_" + Integer.toHexString(System.identityHashCode(spark))
         saveBandIndex(spark, dir, p)
         p
       })
@@ -762,11 +768,12 @@ object ScaleDedup {
       .select($"a", $"b")
     // step 3: true CC over the verified edge graph (edge table
     // materialized first — ccKeepers joins it twice per round; same O(E)
-    // frontier checkpoint as the SimHash keeper)
+    // frontier checkpoint as the SimHash keeper). struct(a,b) bucket key:
+    // exact — no hash-collision component merge (see dedupSimhashKeeperOn)
     val edgeBands = edges
-      .select($"a".as("doc_id"), lit(0).as("band"), xxhash64($"a", $"b").as("band_key"))
+      .select($"a".as("doc_id"), lit(0).as("band"), struct($"a", $"b").as("band_key"))
       .unionByName(edges
-        .select($"b".as("doc_id"), lit(0).as("band"), xxhash64($"a", $"b").as("band_key")))
+        .select($"b".as("doc_id"), lit(0).as("band"), struct($"a", $"b").as("band_key")))
       .localCheckpoint()
     val repKeeper = ccKeepers(edgeBands).select($"doc_id".as("rep"), $"keeper")
     docToRep.join(repKeeper, Seq("rep"), "left")

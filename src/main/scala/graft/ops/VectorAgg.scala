@@ -556,10 +556,12 @@ object VectorAgg {
     * (session, dir) — the save guard mirrors the indexCache contract the
     * scaladoc promises — then serve the query from the loaded tables,
     * end-to-end through the driver gate. The path is keyed by the dir
-    * hash AND this process's pid, so concurrent driver/bench processes
-    * on one machine never race save-vs-read on a shared path. The
-    * first-save is under a lock (TrieMap.getOrElseUpdate may evaluate a
-    * thunk twice under concurrent first calls, and this thunk WRITES the
+    * hash, this process's pid, AND the session's identity hash, so
+    * neither concurrent driver/bench processes on one machine nor two
+    * SparkSessions inside one JVM ever race save-vs-read on a shared
+    * path (the cache key is already per-session; the path must be too).
+    * The first-save is under a lock (TrieMap.getOrElseUpdate may evaluate
+    * a thunk twice under concurrent first calls, and this thunk WRITES the
     * index — two in-flight saves could race overwrite-vs-read in-process).
     */
   def annTopkIvfPqPersisted(spark: SparkSession, dir: String): DataFrame = {
@@ -567,7 +569,8 @@ object VectorAgg {
       savedIndexes.getOrElseUpdate((spark, dir), {
         val p = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_index_" +
           java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL) +
-          "_" + ProcessHandle.current().pid()
+          "_" + ProcessHandle.current().pid() +
+          "_" + Integer.toHexString(System.identityHashCode(spark))
         saveIvfPqIndex(spark, dir, p)
         p
       })

@@ -91,14 +91,26 @@ object CorpusStream {
     * stream-static broadcast equi-join on `source` plus a map-side filter,
     * exactly like [[decontaminateStream]]'s screen shape.
     *
+    * Unknown-source policy: on a live stream, sources can appear AFTER
+    * the thresholds were computed. The join is LEFT so such docs are a
+    * visible decision, not a silent inner-join drop: they are KEPT
+    * (threshold defaults to the keep-everything 1.0) — a brand-new
+    * domain has no over-representation to rebalance away, and dropping
+    * it would silently blind the mixture to new domains until the next
+    * threshold refresh. Callers wanting drop-unknown semantics pass
+    * `keepUnknown = false` (threshold defaults to 0). Thresholds are in
+    * bucket units (buckets span [0, 1e6)), so keep-everything is 1e6.
+    *
     * `docs` must be a streaming DataFrame with (doc_id, source, n_chars).
     */
-  def sampleDomainMixStream(docs: DataFrame, thresholds: DataFrame): DataFrame = {
+  def sampleDomainMixStream(docs: DataFrame, thresholds: DataFrame,
+      keepUnknown: Boolean = true): DataFrame = {
     import docs.sparkSession.implicits._
+    val default = if (keepUnknown) 1000000L else 0L
     docs
       .withColumn("bucket", graft.ops.CorpusOps.domainMixBucket($"doc_id"))
-      .join(broadcast(thresholds.select($"source", $"threshold")), Seq("source"))
-      .filter($"bucket" < $"threshold")
+      .join(broadcast(thresholds.select($"source", $"threshold")), Seq("source"), "left")
+      .filter($"bucket" < coalesce($"threshold", lit(default)))
       .select($"doc_id", $"source", $"n_chars")
   }
 

@@ -44,6 +44,17 @@ class BehaviorSpec extends SparkSuite {
     val fixed = core.BehaviorQueries.eventsFunnel(spark, sf).collect()
     assert(fixed.map(_.getAs[String]("step_name")).toSeq ==
       Seq("view", "click_after_view", "purchase_after_click"))
+    // step names are DATA, not SQL text: a quoted/injected name flows
+    // through the typed-Column unpivot verbatim (the old selectExpr stack
+    // interpolation threw a parse error here)
+    val quoted = core.BehaviorQueries.eventsFunnelOn(
+      ev.withColumn("event_type",
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("it's "), $"event_type")),
+      Seq("it's a", "it's b")).collect()
+    assert(quoted.map(_.getAs[String]("step_name")).toSeq ==
+      Seq("it's a", "it's b_after_it's a"))
+    assert(quoted.head.getAs[Long]("n_users") == 4L)
   }
 
   test("cohort retention: offset 0 retains the full cohort, counts bounded") {

@@ -596,7 +596,12 @@ class OpsSpec extends SparkSuite {
       (2L, "server at 192.168.0.1 and 10.0.0.255 responded"),
       (3L, "call +1 415 555 0199 today"),
       (4L, "mixed: eve@corp.io from 127.0.0.1 dialed 020-7946-0958"),
-      (5L, "no pii here just words")
+      (5L, "no pii here just words"),
+      // overlap case: the 8+ digit run inside the email is email-shaped
+      // AND phone-shaped; only <EMAIL> is emitted, so the audit counts
+      // (computed on progressively scrubbed text) must say 1 email, 0
+      // phones — raw-text counting would report a phantom phone
+      (6L, "reach user12345678@x.co for details")
     ).toDF("doc_id", "text")
     val out = ops.CorpusOps.textPiiScrubOn(docs).collect().map(r =>
       r.getAs[Long]("doc_id") ->
@@ -607,6 +612,7 @@ class OpsSpec extends SparkSuite {
     assert(out(3L) == ((0L, 0L, 1L, "call <PHONE> today")))
     assert(out(4L) == ((1L, 1L, 1L, "mixed: <EMAIL> from <IP> dialed <PHONE>")))
     assert(out(5L) == ((0L, 0L, 0L, "no pii here just words")))
+    assert(out(6L) == ((1L, 0L, 0L, "reach <EMAIL> for details")))
   }
 
   test("weighted sample: equals the single-threaded Efraimidis-Spirakis reference race, k per stratum") {
@@ -619,8 +625,13 @@ class OpsSpec extends SparkSuite {
       .select($"source", $"doc_id", $"n_chars").collect()
       .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"), r.getAs[Long]("n_chars")))
     val expected = docs.groupBy(_._1).toSeq.flatMap { case (src, rows) =>
+      val crc = {
+        val c = new java.util.zip.CRC32()
+        c.update(src.getBytes("UTF-8"))
+        c.getValue
+      }
       rows.map { case (_, id, w) =>
-        val u = (((id * 2654435761L) % 4294967296L) + 1L).toDouble / 4294967297.0
+        val u = (((id * 2654435761L + crc) % 4294967296L) + 1L).toDouble / 4294967297.0
         (math.pow(u, 1.0 / w.toDouble), id, w)
       }.sortBy { case (key, id, _) => (-key, id) }.take(20)
         .zipWithIndex.map { case ((_, id, _), i) => (src, i + 1, id) }

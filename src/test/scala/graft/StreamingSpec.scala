@@ -688,6 +688,35 @@ class StreamingSpec extends SparkSuite {
         s"skewed corpus must create real drop-off, kept ${skewExpected.size}")
       assert(got == skewExpected)
     } finally q2.stop()
+
+    // unknown-source policy: a source absent from the threshold table
+    // (appeared after thresholds were computed) must be KEPT by default
+    // and DROPPED under keepUnknown = false — never silently inner-joined
+    // away
+    val mixed = Seq((1L, "web", 10L), (2L, "brand_new_source", 10L))
+    val keepStream = MemoryStream[(Long, String, Long)]
+    val q3 = graft.streaming.CorpusStream.sampleDomainMixStream(
+        keepStream.toDF().toDF("doc_id", "source", "n_chars"), skewThr)
+      .writeStream.outputMode("append").format("memory").queryName("mix_unknown_keep").start()
+    try {
+      keepStream.addData(mixed)
+      q3.processAllAvailable()
+      val got = spark.table("mix_unknown_keep").select($"doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(got.contains(2L), s"unknown source must default to keep, got $got")
+    } finally q3.stop()
+    val dropStream = MemoryStream[(Long, String, Long)]
+    val q4 = graft.streaming.CorpusStream.sampleDomainMixStream(
+        dropStream.toDF().toDF("doc_id", "source", "n_chars"), skewThr,
+        keepUnknown = false)
+      .writeStream.outputMode("append").format("memory").queryName("mix_unknown_drop").start()
+    try {
+      dropStream.addData(mixed)
+      q4.processAllAvailable()
+      val got = spark.table("mix_unknown_drop").select($"doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(!got.contains(2L), s"keepUnknown=false must drop unknown sources, got $got")
+    } finally q4.stop()
   }
 
   test("streaming pii screen == batch scrub on every doc (replayed batches)") {
