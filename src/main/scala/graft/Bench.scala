@@ -49,7 +49,8 @@ object Bench {
     "dedup_incremental_banded_persisted", "dedup_simhash_keeper",
     "ann_topk_agg", "dedup_jaccard_prefix", "embedding_pca",
     "corpus_shard", "ann_topk_pca", "sample_weighted", "text_pii_scrub",
-    "mine_hard_negatives", "dedup_jaccard_prefix_keeper")
+    "mine_hard_negatives", "dedup_jaccard_prefix_keeper",
+    "events_funnel4", "mine_hard_negatives_ivf", "ann_topk_pca_persisted")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -96,6 +97,7 @@ object Bench {
     // in-session twin) was exactly that build+cold cost landing in rep 1.
     runOnce("dedup_incremental_banded_persisted")
     runOnce("ann_topk_ivfpq_persisted")
+    runOnce("ann_topk_pca_persisted")
 
     val results = headline.map(n => n -> run(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

@@ -17,7 +17,20 @@ object ExtraQueries {
     * COALESCE(fk, 0) default-member semantics. Here: users without a
     * supplier-dim row get artist_fk 0.
     */
-  def factBuildPodcast(spark: SparkSession, dir: String): DataFrame = {
+  def factBuildPodcast(spark: SparkSession, dir: String): DataFrame =
+    // ORACLE GATE ONLY: the global orderBy exists to pin row order for the
+    // driver's hash compare (unverified whether its hash canonicalizes row
+    // order, so the sort stays). Production is factBuildPodcastCore — a
+    // fact build ends at the join/project; a total order over every fact
+    // row is a full range-exchange nothing downstream wants at 100 TB.
+    factBuildPodcastCore(spark, dir).orderBy(col("event_id"))
+
+  /** Production shape: broadcast left join + project, NO global sort —
+    * the plan ends where a fact-landing job ends (write-partitioned by
+    * date_fk downstream, never total-ordered). See [[factBuildPodcast]]
+    * for the gate-only sorted wrapper.
+    */
+  def factBuildPodcastCore(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ev = Tables.events(spark, dir)
       .select($"event_id", $"user_id", $"event_type",
@@ -34,7 +47,6 @@ object ExtraQueries {
         coalesce($"s_suppkey", lit(0L)).as("artist_fk"),
         coalesce($"s_name", lit("<unknown>")).as("artist_name"),
         $"event_type".as("reason_type"))
-      .orderBy($"event_id")
   }
 
   val factBuildPodcastSql: String =

@@ -442,7 +442,18 @@ object EtlQueries {
     * enriched with the metadata dim for percent_played, timezone-shifted
     * like the reference's UTC→MSK (fixed +3h here: no tzdata dependency).
     */
-  def factBuild(spark: SparkSession, dir: String): DataFrame = {
+  def factBuild(spark: SparkSession, dir: String): DataFrame =
+    // ORACLE GATE ONLY: the trailing global orderBy pins row order for the
+    // driver's hash compare. Production is factBuildCore (ends at the
+    // joins/project) — a corpus-sized total order is a full range
+    // exchange no fact-landing job wants; see SURVEY §4 / PLANS.md.
+    factBuildCore(spark, dir).orderBy(col("event_id"))
+
+  /** Production shape of the full fact build: broadcast dim joins +
+    * project, NO global sort. [[factBuild]] wraps it with the gate-only
+    * ORDER BY.
+    */
+  def factBuildCore(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ev = Tables.events(spark, dir)
       .select($"event_id", $"user_id", $"event_type", $"value".as("sec_played"),
@@ -460,7 +471,6 @@ object EtlQueries {
         (floor($"sec_played" / nullif($"duration_sec", lit(0)).cast("double") * 100.0 * 10.0 + 0.5) / 10.0)
           .as("percent_played"),
         $"day_name", $"is_weekend", $"part_of_day")
-      .orderBy($"event_id")
   }
 
   val factBuildSql: String =

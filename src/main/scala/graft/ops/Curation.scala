@@ -293,15 +293,32 @@ object Curation {
     * ([[writeShards]]). No per-shard row_number is materialized — with
     * thousands of shards at real scale that would be one sequential pass
     * per shard; a doc's position is implicit in the sorted file order.
+    *
+    * The entry's trailing global ORDER BY is ORACLE GATE ONLY (pinned row
+    * order for the driver's hash). The production path never runs it:
+    * [[writeShards]] exchanges on shard and sorts WITHIN partitions —
+    * the global sort here exists because the gate returns the manifest
+    * as one DataFrame.
     */
   def corpusShard(spark: SparkSession, dir: String, shards: Int = 16): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
-      .select($"doc_id", $"lang", $"n_chars")
-      .withColumn("order_key", ($"doc_id" * 2654435761L) % 4294967296L)
-      .withColumn("shard", ((($"doc_id" * 2246822519L) % 4294967296L) % shards).cast("long"))
+    withShardKeys(Tables.documents(spark, dir).select($"doc_id", $"lang", $"n_chars"), shards)
       .select($"shard", $"order_key", $"doc_id", $"lang", $"n_chars")
       .orderBy($"shard", $"order_key", $"doc_id")
+  }
+
+  /** The ONE definition of the shard assignment + within-shard order keys,
+    * shared by the manifest ([[corpusShard]]), the batch writer
+    * ([[writeShards]]), and the streaming writer
+    * ([[graft.streaming.CorpusStream.shardSink]]) — a doc lands in the
+    * same shard at the same position whether it arrives in a backfill or
+    * on the stream.
+    */
+  private[graft] def withShardKeys(docs: DataFrame, shards: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .withColumn("order_key", ($"doc_id" * 2654435761L) % 4294967296L)
+      .withColumn("shard", ((($"doc_id" * 2246822519L) % 4294967296L) % shards).cast("long"))
   }
 
   val corpusShardSql: String =
@@ -360,10 +377,7 @@ object Curation {
     */
   def writeShards(docs: DataFrame, path: String, shards: Int = 16): Unit = {
     import docs.sparkSession.implicits._
-    docs
-      .select($"doc_id", $"lang", $"text")
-      .withColumn("order_key", ($"doc_id" * 2654435761L) % 4294967296L)
-      .withColumn("shard", ((($"doc_id" * 2246822519L) % 4294967296L) % shards).cast("long"))
+    withShardKeys(docs.select($"doc_id", $"lang", $"text"), shards)
       .repartition(shards, $"shard")
       .sortWithinPartitions($"shard", $"order_key", $"doc_id")
       .write.mode("overwrite").partitionBy("shard").parquet(path)

@@ -218,17 +218,30 @@ object EmbeddingPca {
     */
   def annTopkPca(spark: SparkSession, dir: String, kDims: Int = 32, shortlist: Int = 50): DataFrame = {
     import spark.implicits._
-    import graft.functions.PartialTopK.partial_topk
     val (_, _, cov) = moments(spark, dir)
     val (_, w) = topComponents(cov, kDims)
-
     val base = withProjection(
       Tables.embeddings(spark, dir)
         .select($"vec_id", $"embedding".cast("array<double>").as("x")),
       w)
-    val qs = base.filter($"vec_id" % 10 === 0)
+      .select($"vec_id", $"p")
+    pcaShortlistRerank(spark, dir, base, shortlist)
+  }
+
+  /** Shared serve tail: reduced-space shortlist over a (vec_id, p)
+    * projection table (in-session or loaded from the persisted index),
+    * then the exact integer re-rank on shortlist pairs only. The
+    * shortlist stage goes through the bounded-heap PartialTopK aggregate
+    * (exchange = queries×shortlist rows); the re-rank joins only
+    * shortlist pairs back to the full-width quantized vectors.
+    */
+  private def pcaShortlistRerank(spark: SparkSession, dir: String,
+      proj: DataFrame, shortlist: Int): DataFrame = {
+    import spark.implicits._
+    import graft.functions.PartialTopK.partial_topk
+    val qs = proj.filter($"vec_id" % 10 === 0)
       .select($"vec_id".as("query_id"), $"p".as("pa"))
-    val cs = base.select($"vec_id".as("neighbor_id"), $"p".as("pb"))
+    val cs = proj.select($"vec_id".as("neighbor_id"), $"p".as("pb"))
 
     val short = qs.join(cs, $"query_id" =!= $"neighbor_id")
       .withColumn("rdot",
@@ -252,6 +265,68 @@ object EmbeddingPca {
       .select($"query_id", ($"pos" + 1).cast("int").as("rank"),
         $"s.neighbor_id".as("neighbor_id"), $"s.dot".as("dot"))
       .orderBy($"query_id", $"rank")
+  }
+
+  /** Persist the PCA model + the projected corpus as the two parquet
+    * tables of a serving index — [[ScaleDedup.saveBandIndex]]'s
+    * train/serve split applied to the compression axis:
+    *
+    *  - `components/` (component, eigenvalue, w): the top-k basis —
+    *    k·d doubles of bounded model state, written once;
+    *  - `projected/`  (vec_id, p): the corpus in reduced space — the
+    *    4×-smaller table shortlist queries scan instead of the corpus.
+    *
+    * At 100 TB this is the point of PCA: the moments pass and the
+    * projection run ONCE at landing; every later ANN query reads only
+    * the compressed table (plus full-width vectors for the shortlisted
+    * re-rank pairs). New corpus batches append their projections using
+    * the saved basis — no retrain (the spectrum drifts slowly; re-run
+    * the landing job to refresh, like the band index).
+    */
+  def savePcaIndex(spark: SparkSession, dir: String, indexPath: String, kDims: Int = 32): Unit = {
+    import spark.implicits._
+    val (_, _, cov) = moments(spark, dir)
+    val (evals, w) = topComponents(cov, kDims)
+    w.indices.map(j => (j + 1, evals(j), w(j).toSeq))
+      .toDF("component", "eigenvalue", "w")
+      .write.mode("overwrite").parquet(s"$indexPath/components")
+    withProjection(
+      Tables.embeddings(spark, dir)
+        .select($"vec_id", $"embedding".cast("array<double>").as("x")),
+      w)
+      .select($"vec_id", $"p")
+      .write.mode("overwrite").parquet(s"$indexPath/projected")
+  }
+
+  /** ANN served from the LOADED projection table — no moments pass, no
+    * projection at query time. Same shortlist + exact re-rank tail as
+    * the in-session twin (OpsSpec pins row parity).
+    */
+  def annTopkPcaFromIndex(spark: SparkSession, dir: String, indexPath: String,
+      shortlist: Int = 50): DataFrame =
+    pcaShortlistRerank(spark, dir,
+      spark.read.parquet(s"$indexPath/projected"), shortlist)
+
+  private val savedPcaIndexes =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  /** The §2 entry for the persisted path: project ONCE per (session, dir)
+    * — first-save under a lock, pid- and session-scoped path, the
+    * [[VectorAgg.annTopkIvfPqPersisted]] contract — then serve the query
+    * from the loaded table end-to-end.
+    */
+  def annTopkPcaPersisted(spark: SparkSession, dir: String): DataFrame = {
+    val indexPath = savedPcaIndexes.synchronized {
+      savedPcaIndexes.getOrElseUpdate((spark, dir), {
+        val p = s"${System.getProperty("java.io.tmpdir")}/graft_pca_index_" +
+          java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL) +
+          "_" + ProcessHandle.current().pid() +
+          "_" + Integer.toHexString(System.identityHashCode(spark))
+        savePcaIndex(spark, dir, p)
+        p
+      })
+    }
+    annTopkPcaFromIndex(spark, dir, indexPath)
   }
 
   /** Hard-negative mining for contrastive embedding training: for every
@@ -288,6 +363,47 @@ object EmbeddingPca {
       .orderBy($"anchor_id", $"rank")
   }
 
+  /** The IVF-composed form of [[mineHardNegatives]] — the scale path the
+    * exact twin's scaladoc promises: candidates come from the anchor's
+    * `probeCells` nearest k-means cells (the same trained centroids and
+    * map-side broadcast argmin as [[VectorAgg.annTopkKmeans]]), so
+    * candidate work per anchor is probed-cell occupancy, never the
+    * corpus. Scoring, label screen, and the bounded-heap top-3 rank are
+    * IDENTICAL to the exact twin — recall (pinned by AnnSpec against the
+    * exact form), not precision, is the approximation: every emitted
+    * negative really is a cross-label vector with its exact integer dot.
+    *
+    * (anchor, candidate) pairs are unique by construction — a candidate
+    * lives in exactly one cell and an anchor's probed cells are distinct
+    * — so there is no dedup shuffle.
+    */
+  def mineHardNegativesIvf(spark: SparkSession, dir: String, probeCells: Int = 3): DataFrame = {
+    import spark.implicits._
+    import graft.functions.PartialTopK.partial_topk
+    import graft.functions.LongVectorDot.vector_dot
+    val q = LlmQueries.quantized(spark, dir)
+      .select($"vec_id", $"label", $"v")
+    val cells = VectorAgg.kmeansCells(spark, dir, k = 16, iters = 2)
+    val ranked = VectorAgg.withCellRank(q, cells)
+    val cands = ranked.select($"vec_id".as("negative_id"), $"label".as("negative_label"),
+      $"v".as("vb"), element_at($"cellRank", 1).getField("cell").as("cell"))
+    val anchors = ranked.filter($"vec_id" % 10 === 0)
+      .select($"vec_id".as("anchor_id"), $"label".as("anchor_label"), $"v".as("va"),
+        explode(transform(slice($"cellRank", 1, probeCells), s => s.getField("cell"))).as("cell"))
+    anchors.join(cands, Seq("cell"))
+      .filter($"anchor_label" =!= $"negative_label")
+      .withColumn("dot", vector_dot($"va", $"vb"))
+      .groupBy($"anchor_id", $"anchor_label")
+      .agg(partial_topk(
+        struct((-$"dot").as("neg_dot"), $"negative_id".as("negative_id"),
+          $"negative_label".as("negative_label"), $"dot".as("dot")), 3).as("topk"))
+      .select($"anchor_id", $"anchor_label", posexplode($"topk").as(Seq("pos", "s")))
+      .select($"anchor_id", $"anchor_label", ($"pos" + 1).cast("int").as("rank"),
+        $"s.negative_id".as("negative_id"), $"s.negative_label".as("negative_label"),
+        $"s.dot".as("dot"))
+      .orderBy($"anchor_id", $"rank")
+  }
+
   val mineHardNegativesSql: String =
     s"""${LlmQueries.quantizedCte}, scored AS (
        |  SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
@@ -304,9 +420,11 @@ object EmbeddingPca {
        |ORDER BY anchor_id, rank""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "embedding_pca"       -> ((s, d) => embeddingPca(s, d)),
-    "ann_topk_pca"        -> ((s, d) => annTopkPca(s, d)),
-    "mine_hard_negatives" -> (mineHardNegatives _)
+    "embedding_pca"           -> ((s, d) => embeddingPca(s, d)),
+    "ann_topk_pca"            -> ((s, d) => annTopkPca(s, d)),
+    "mine_hard_negatives"     -> (mineHardNegatives _),
+    "mine_hard_negatives_ivf" -> ((s, d) => mineHardNegativesIvf(s, d)),
+    "ann_topk_pca_persisted"  -> (annTopkPcaPersisted _)
   )
 
   val oracleSql: Map[String, String] = Map(

@@ -173,4 +173,41 @@ object CorpusStream {
       .filter($"jaccard" >= 0.9)
       .select($"doc_id", $"corpus_doc_id", $"jaccard")
   }
+
+  /** Streaming training-shard writer — the continuous-ingestion twin of
+    * [[graft.ops.Curation.writeShards]]: each micro-batch of curated
+    * documents lands in the SAME deterministic shard layout
+    * (`shard=<id>/` dirs, [[graft.ops.Curation.withShardKeys]] keys), so
+    * a trainer reads one layout whether the corpus arrived as a backfill
+    * or on the stream.
+    *
+    * Idempotent under redelivery, the [[EventsPipeline.upsertWarehouseSink]]
+    * discipline verbatim: the batch is deduped on doc_id and anti-joined
+    * (Bloom-prefiltered) against the doc_ids already landed, so a
+    * foreachBatch retry or at-least-once upstream appends nothing twice
+    * (StreamingSpec replays a batch and pins parity with writeShards).
+    *
+    * Appends cost O(batch) — one file per (batch, shard), the
+    * appendBucketedSink trade. Within-shard global order is recovered by
+    * sorting on the persisted order_key at read time (or by a
+    * compactBuckets-style rewrite); a streaming writer cannot keep a
+    * total order inside a file set it only appends to — the keys, not
+    * file order, are the contract (the manifest [[graft.ops.Curation.corpusShard]]
+    * is identical either way).
+    *
+    * `docs` must be a streaming DataFrame with (doc_id, lang, text).
+    */
+  def shardSink(docs: DataFrame, path: String,
+      shards: Int = 16): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val fresh = EventsPipeline.freshRows(
+          batch.select(col("doc_id"), col("lang"), col("text")), path, "doc_id")
+        graft.ops.Curation.withShardKeys(fresh, shards)
+          .repartition(col("shard"))
+          .sortWithinPartitions(col("shard"), col("order_key"), col("doc_id"))
+          .write.mode("append").partitionBy("shard").parquet(path)
+        ()
+      }
 }

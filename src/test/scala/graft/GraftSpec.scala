@@ -225,6 +225,49 @@ class AnnSpec extends SparkSuite {
     assert(recall >= 0.2, s"recall@5 = $recall") // multiprobe 6-bit buckets
   }
 
+  test("IVF hard negatives: recall@3 vs exact twin; every emitted pair cross-label with exact dot") {
+    val exactRows = ops.EmbeddingPca.mineHardNegatives(spark, sf)
+      .select("anchor_id", "negative_id", "dot").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val ivfRows = ops.EmbeddingPca.mineHardNegativesIvf(spark, sf)
+      .select("anchor_id", "negative_id", "dot").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(exactRows.nonEmpty && ivfRows.nonEmpty)
+    val recall = (exactRows.keySet & ivfRows.keySet).size.toDouble / exactRows.size
+    assert(recall >= 0.5, s"ivf hard-negative recall@3 = $recall") // 3-of-16-cell probe
+    // precision side: every emitted dot is the exact integer dot (shared
+    // scoring), so overlapping pairs agree exactly
+    (exactRows.keySet & ivfRows.keySet).foreach { k =>
+      assert(exactRows(k) == ivfRows(k), s"dot mismatch on $k")
+    }
+    // and the label screen held: no anchor is its own negative
+    ops.EmbeddingPca.mineHardNegativesIvf(spark, sf).collect().foreach { r =>
+      assert(r.get(r.fieldIndex("anchor_label")) != r.get(r.fieldIndex("negative_label")))
+    }
+  }
+
+  test("persisted PCA index: serve-from-disk rows == in-session twin; model table well-formed") {
+    val inSession = ops.EmbeddingPca.annTopkPca(spark, sf).collect().map(_.toSeq).toSeq
+    val persisted = ops.EmbeddingPca.annTopkPcaPersisted(spark, sf).collect().map(_.toSeq).toSeq
+    assert(inSession.nonEmpty)
+    assert(persisted == inSession)
+    // the saved model itself: k components, eigenvalues strictly ordered
+    // descending, each basis vector full-width (re-save to a fresh path
+    // so the check does not depend on the cached entry's tmpdir layout)
+    val p = java.nio.file.Files.createTempDirectory("graft_pca_spec").toString
+    ops.EmbeddingPca.savePcaIndex(spark, sf, p)
+    val comps = spark.read.parquet(s"$p/components")
+      .collect().map(r => (r.getAs[Int]("component"), r.getAs[Double]("eigenvalue"),
+        r.getAs[scala.collection.Seq[Double]]("w")))
+      .sortBy(_._1)
+    assert(comps.length == 32)
+    assert(comps.sliding(2).forall { case Array(a, b) => a._2 >= b._2 })
+    comps.foreach { case (_, _, w) => assert(w.length == 64) }
+    val proj = spark.read.parquet(s"$p/projected")
+    assert(proj.count() == Tables.embeddings(spark, sf).count())
+    assert(proj.select(org.apache.spark.sql.functions.size(proj("p"))).first().getInt(0) == 32)
+  }
+
   test("pca ANN recall@5 vs brute force; emitted dots exact-twin-correct") {
     val exactRows = ops.LlmQueries.annTopkExact(spark, sf)
       .select("query_id", "neighbor_id", "dot").collect()
