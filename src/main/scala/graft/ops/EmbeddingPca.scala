@@ -298,6 +298,32 @@ object EmbeddingPca {
       .write.mode("overwrite").parquet(s"$indexPath/projected")
   }
 
+  /** Append a batch of NEW vectors to an existing PCA index — the
+    * maintenance half of the continuous-ingestion loop, exactly
+    * [[ScaleDedup.appendToBandIndex]]'s contract: project the batch with
+    * the SAVED basis (read from `components/` — no retrain, no moments
+    * pass) and append only the batch's rows to `projected/`. Serve-side
+    * plans are unchanged; the basis drifts only as much as the spectrum
+    * does, and a landing-job re-run refreshes it (AnnSpec pins that
+    * save → append equals projecting the union corpus in-session with
+    * the same basis).
+    *
+    * `vecs` must have (vec_id, embedding array<float|double>).
+    */
+  def appendToPcaIndex(vecs: DataFrame, indexPath: String): Unit = {
+    import vecs.sparkSession.implicits._
+    val spark = vecs.sparkSession
+    val comps = spark.read.parquet(s"$indexPath/components")
+      .select($"component", $"w").collect()
+      .sortBy(_.getAs[Int]("component"))
+      .map(_.getAs[scala.collection.Seq[Double]]("w").toArray) // k·d doubles — bounded model state
+    withProjection(
+      vecs.select($"vec_id", $"embedding".cast("array<double>").as("x")),
+      comps)
+      .select($"vec_id", $"p")
+      .write.mode("append").parquet(s"$indexPath/projected")
+  }
+
   /** ANN served from the LOADED projection table — no moments pass, no
     * projection at query time. Same shortlist + exact re-rank tail as
     * the in-session twin (OpsSpec pins row parity).

@@ -266,6 +266,27 @@ class AnnSpec extends SparkSuite {
     val proj = spark.read.parquet(s"$p/projected")
     assert(proj.count() == Tables.embeddings(spark, sf).count())
     assert(proj.select(org.apache.spark.sql.functions.size(proj("p"))).first().getInt(0) == 32)
+
+    // append path: re-projecting a batch through the SAVED basis equals
+    // the in-session projection of the same rows — continuous ingestion
+    // never retrains or drifts from the landed index
+    import org.apache.spark.sql.functions.col
+    val batch = Tables.embeddings(spark, sf).filter(col("vec_id") % 7 === 0)
+      .select(col("vec_id") + 1000000L as "vec_id", col("embedding"))
+    ops.EmbeddingPca.appendToPcaIndex(batch, p)
+    val appended = spark.read.parquet(s"$p/projected")
+    assert(appended.count() == proj.count() + batch.count())
+    val projPairs = {
+      val m = spark.read.parquet(s"$p/projected").filter(col("vec_id") < 1000000L)
+      // spot-equality through the original rows: same vec projected twice
+      spark.read.parquet(s"$p/projected").filter(col("vec_id") >= 1000000L)
+        .select((col("vec_id") - 1000000L).as("vec_id"), col("p").as("p2"))
+        .join(m, "vec_id")
+        .collect().map(r => (r.getAs[scala.collection.Seq[Double]]("p2"),
+          r.getAs[scala.collection.Seq[Double]]("p")))
+    }
+    assert(projPairs.nonEmpty)
+    projPairs.foreach { case (a, b) => assert(a == b, "saved-basis projection must be bit-identical") }
   }
 
   test("pca ANN recall@5 vs brute force; emitted dots exact-twin-correct") {
