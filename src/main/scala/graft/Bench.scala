@@ -50,7 +50,8 @@ object Bench {
     "ann_topk_agg", "dedup_jaccard_prefix", "embedding_pca",
     "corpus_shard", "ann_topk_pca", "sample_weighted", "text_pii_scrub",
     "mine_hard_negatives", "dedup_jaccard_prefix_keeper",
-    "events_funnel4", "mine_hard_negatives_ivf", "ann_topk_pca_persisted")
+    "events_funnel4", "mine_hard_negatives_ivf", "ann_topk_pca_persisted",
+    "multimodal_av_align", "multimodal_shard_pack")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

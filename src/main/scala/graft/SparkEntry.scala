@@ -29,5 +29,5 @@ object SparkEntry {
       etl.EtlQueries.oracleSql ++ ops.LlmQueries.oracleSql ++ ops.ScaleDedup.oracleSql ++
       ops.AsofJoin.oracleSql ++
       ops.VectorAgg.oracleSql ++ ops.Curation.oracleSql ++ ops.RangeJoin.oracleSql ++
-      ops.CorpusOps.oracleSql ++ ops.EmbeddingPca.oracleSql
+      ops.CorpusOps.oracleSql ++ ops.EmbeddingPca.oracleSql ++ ops.Multimodal.oracleSql
 }

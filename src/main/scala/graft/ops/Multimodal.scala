@@ -116,8 +116,154 @@ object Multimodal {
       .orderBy($"format")
   }
 
+  /** Audio–video temporal alignment — the cross-modal pairing step an AV
+    * training pipeline runs before contrastive training: every video
+    * frame is matched to the audio chunk whose interval contains its
+    * timestamp. Frames tick at a fixed 25 fps; audio chunks have
+    * VARIABLE deterministic durations (a hash of (media, chunk) — the
+    * stand-in for real VAD segment boundaries), so the match is a genuine
+    * interval-containment join, not a divisible-key lookup.
+    *
+    * Scale shape: the alignment runs through
+    * [[RangeJoin.rangeJoinNumericKeyed]] — a hash equi-join on
+    * (media_id, ms-bucket) with the exact BETWEEN as a post-filter,
+    * never a nested loop (PlanSpec-guarded like range_join_intervals);
+    * chunk-boundary running sums are per-media windows over ≤ 4 rows.
+    * Timelines derive deterministically from the documents table, so the
+    * DuckDB oracle generates the identical frames/chunks and the plain
+    * BETWEEN join gates the bucketed plan hash-exactly.
+    */
+  def multimodalAvAlign(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val media = Tables.documents(spark, dir).select(
+      $"doc_id".as("media_id"),
+      concat(lit("fmt_"), pmod($"doc_id", lit(3))).as("format"),
+      (lit(1) + pmod($"doc_id", lit(30))).cast("int").as("n_frames"))
+    val frames = media
+      .select($"media_id", $"format", explode(sequence(lit(1), $"n_frames")).as("frame_idx"))
+      .withColumn("frame_ts_ms", (($"frame_idx" - 1) * 40).cast("long"))
+    // 4 chunks cover the longest span (29 frames · 40 ms = 1160 ms < 4·300);
+    // trailing chunks with no frames drop out of the inner join identically
+    // in both engines
+    val wc = Window.partitionBy($"media_id").orderBy($"chunk_idx")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chunks = media
+      .select($"media_id", explode(sequence(lit(1), lit(4))).as("chunk_idx"))
+      .withColumn("dur_ms",
+        (lit(300) + pmod($"media_id" * 31 + $"chunk_idx" * 17, lit(700))).cast("long"))
+      .withColumn("start_ms", coalesce(sum($"dur_ms").over(wc), lit(0L)))
+      .withColumn("end_ms", $"start_ms" + $"dur_ms" - 1)
+      .select($"media_id", $"chunk_idx", $"start_ms", $"end_ms")
+    RangeJoin.rangeJoinNumericKeyed(frames, "frame_ts_ms", chunks,
+        "start_ms", "end_ms", bucketWidth = 1000L, keys = Seq("media_id"))
+      .groupBy($"media_id", $"format", $"chunk_idx", $"start_ms", $"end_ms")
+      .agg(
+        count(lit(1)).as("n_frames_aligned"),
+        min($"frame_idx").as("first_frame"),
+        max($"frame_idx").as("last_frame"))
+      .orderBy($"media_id", $"chunk_idx")
+  }
+
+  val multimodalAvAlignSql: String =
+    """WITH media AS (
+      |  SELECT doc_id AS media_id,
+      |    'fmt_' || CAST(doc_id % 3 AS VARCHAR) AS format,
+      |    1 + doc_id % 30 AS n_frames
+      |  FROM documents
+      |), frames AS (
+      |  SELECT media_id, format, CAST(u AS BIGINT) AS frame_idx,
+      |    CAST((u - 1) * 40 AS BIGINT) AS frame_ts_ms
+      |  FROM media, UNNEST(range(1, n_frames + 1)) AS r(u)
+      |), cr AS (
+      |  SELECT media_id, CAST(u AS BIGINT) AS chunk_idx,
+      |    CAST(300 + (media_id * 31 + u * 17) % 700 AS BIGINT) AS dur_ms
+      |  FROM media, UNNEST(range(1, 5)) AS r(u)
+      |), chunks AS (
+      |  SELECT media_id, chunk_idx, dur_ms,
+      |    CAST(COALESCE(SUM(dur_ms) OVER (PARTITION BY media_id ORDER BY chunk_idx
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_ms
+      |  FROM cr
+      |)
+      |SELECT f.media_id, f.format, c.chunk_idx, c.start_ms,
+      |  c.start_ms + c.dur_ms - 1 AS end_ms,
+      |  COUNT(*) AS n_frames_aligned,
+      |  MIN(f.frame_idx) AS first_frame,
+      |  MAX(f.frame_idx) AS last_frame
+      |FROM frames f JOIN chunks c
+      |  ON f.media_id = c.media_id
+      |  AND f.frame_ts_ms BETWEEN c.start_ms AND c.start_ms + c.dur_ms - 1
+      |GROUP BY f.media_id, f.format, c.chunk_idx, c.start_ms, c.dur_ms
+      |ORDER BY f.media_id, c.chunk_idx""".stripMargin
+
+  /** Byte-budget shard packing for media — the webdataset step a vision
+    * pipeline runs at landing: media files in deterministic (media_id)
+    * order are packed into ~64 KB shards PER FORMAT by a running byte
+    * total, so trainer workers stream fixed-size archives of one
+    * modality. Same contract as text_packing's token bins, over bytes
+    * with a per-format timeline.
+    *
+    * The per-format running sum is the SAME two-level sharded scan as
+    * [[Curation.textPackingSharded]] (never a single-partition window):
+    * coarse order-preserving shards of media_id, per-(format, shard)
+    * totals, exclusive offsets over the tiny totals table (window over
+    * #formats·#shards rows), broadcast back, running sum per (format,
+    * shard) partition. No task scans more than one coarse shard of one
+    * format.
+    */
+  def multimodalShardPack(spark: SparkSession, dir: String,
+      budgetBytes: Long = 65536L, shardDocs: Long = 128L): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val media = Tables.documents(spark, dir).select(
+      $"doc_id".as("media_id"),
+      concat(lit("fmt_"), pmod($"doc_id", lit(3))).as("format"),
+      $"n_chars".cast("long").as("byte_size"))
+      .withColumn("shard", ($"media_id" / shardDocs).cast("long"))
+    val oneGroupPerFormat = Window.partitionBy($"format").orderBy($"shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = media.groupBy($"format", $"shard")
+      .agg(sum($"byte_size").as("shard_bytes"))
+      .withColumn("shard_offset", coalesce(sum($"shard_bytes").over(oneGroupPerFormat), lit(0L)))
+      .select($"format", $"shard", $"shard_offset")
+    val perShard = Window.partitionBy($"format", $"shard").orderBy($"media_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    media.join(broadcast(offsets), Seq("format", "shard"))
+      .withColumn("running_bytes", $"shard_offset" + sum($"byte_size").over(perShard))
+      .withColumn("pack_shard", (($"running_bytes" - $"byte_size") / budgetBytes).cast("long"))
+      .withColumn("offset_in_shard", $"running_bytes" - $"byte_size" - $"pack_shard" * budgetBytes)
+      .select($"media_id", $"format", $"byte_size", $"running_bytes",
+        $"pack_shard", $"offset_in_shard")
+      .orderBy($"media_id")
+  }
+
+  val multimodalShardPackSql: String =
+    """WITH media AS (
+      |  SELECT doc_id AS media_id,
+      |    'fmt_' || CAST(doc_id % 3 AS VARCHAR) AS format,
+      |    CAST(n_chars AS BIGINT) AS byte_size
+      |  FROM documents
+      |), r AS (
+      |  SELECT media_id, format, byte_size,
+      |    CAST(SUM(byte_size) OVER (PARTITION BY format ORDER BY media_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_bytes
+      |  FROM media
+      |)
+      |SELECT media_id, format, byte_size, running_bytes,
+      |  (running_bytes - byte_size) // 65536 AS pack_shard,
+      |  running_bytes - byte_size - ((running_bytes - byte_size) // 65536) * 65536 AS offset_in_shard
+      |FROM r
+      |ORDER BY media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_pipeline"    -> (multimodalPipeline _),
-    "multimodal_framesample" -> (multimodalFrameSample _)
+    "multimodal_framesample" -> (multimodalFrameSample _),
+    "multimodal_av_align"    -> (multimodalAvAlign _),
+    "multimodal_shard_pack"  -> ((s, d) => multimodalShardPack(s, d))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "multimodal_av_align"   -> multimodalAvAlignSql,
+    "multimodal_shard_pack" -> multimodalShardPackSql
   )
 }

@@ -55,6 +55,29 @@ object RangeJoin {
       .drop("_bucket")
   }
 
+  /** The same bucketed composition over an INTEGER domain with extra
+    * equi-keys — the general core behind media-timeline alignment
+    * ([[Multimodal.multimodalAvAlign]]): probes join intervals that
+    * contain them AND share `keys` (e.g. the same media_id). Bucket key =
+    * (keys, floor(value / bucketWidth)); `bucketWidth` must be ≥ the
+    * longest interval so each interval replicates to ≤ 2 buckets. Each
+    * probe sits in exactly one bucket → every qualifying pair emitted
+    * exactly once, no dedup; the exact predicate drops same-bucket
+    * near-misses; the plan is a hash equi-join, never a nested loop.
+    */
+  def rangeJoinNumericKeyed(probes: DataFrame, probeCol: String,
+      intervals: DataFrame, startCol: String, endCol: String,
+      bucketWidth: Long, keys: Seq[String]): DataFrame = {
+    val iBuck = intervals.withColumn("_bucket",
+      explode(sequence(
+        floor(col(startCol) / bucketWidth),
+        floor(col(endCol) / bucketWidth))))
+    val pBuck = probes.withColumn("_bucket", floor(col(probeCol) / bucketWidth))
+    pBuck.join(iBuck, keys :+ "_bucket")
+      .filter(col(probeCol) >= col(startCol) && col(probeCol) <= col(endCol))
+      .drop("_bucket")
+  }
+
   /** Per-interval order count and revenue: every 97th order opens a
     * [o_orderdate, o_orderdate + (key div 97) mod 30 + 1 days] window;
     * all orders whose date falls inside are attributed to it.

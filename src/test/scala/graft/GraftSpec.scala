@@ -956,6 +956,16 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("AV alignment pairs via the keyed bucket equi-join, never a nested loop") {
+    // same contract as range_join_intervals: a raw BETWEEN predicate would
+    // plan BroadcastNestedLoopJoin; the (media_id, ms-bucket) composition
+    // must plan a hash/sort-merge equi-join
+    val p = plan(ops.Multimodal.multimodalAvAlign(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p)
+  }
+
   test("range join pairs via a bucket equi-join, never a nested loop") {
     // the raw BETWEEN predicate would plan BroadcastNestedLoopJoin —
     // O(probes × intervals) compares. The bucketed form must plan a hash
