@@ -51,7 +51,9 @@ object Bench {
     "corpus_shard", "ann_topk_pca", "sample_weighted", "text_pii_scrub",
     "mine_hard_negatives", "dedup_jaccard_prefix_keeper",
     "events_funnel4", "mine_hard_negatives_ivf", "ann_topk_pca_persisted",
-    "multimodal_av_align", "multimodal_shard_pack")
+    "multimodal_av_align", "multimodal_shard_pack",
+    "multimodal_clip_filter", "dedup_semantic",
+    "multimodal_dedup_phash", "text_perplexity")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

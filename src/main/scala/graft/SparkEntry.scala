@@ -17,7 +17,7 @@ object SparkEntry {
       etl.EtlQueries.queries ++ ops.LlmQueries.queries ++ ops.ScaleDedup.queries ++
       ops.AnnLsh.queries ++ ops.Multimodal.queries ++ ops.AsofJoin.queries ++ ops.VectorAgg.queries ++
       ops.Curation.queries ++ ops.RangeJoin.queries ++ ops.CorpusOps.queries ++
-      ops.BpeTrain.queries ++ ops.EmbeddingPca.queries
+      ops.BpeTrain.queries ++ ops.EmbeddingPca.queries ++ ops.SemanticDedup.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.

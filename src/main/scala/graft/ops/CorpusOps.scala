@@ -427,10 +427,71 @@ object CorpusOps {
       |FROM staged2
       |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------- bigram-LM perplexity
+
+  /** True perplexity filtering (the CCNet/KenLM-style quality screen):
+    * a bigram LM with add-½ smoothing is trained on the corpus itself —
+    * P(w₂|w₁) = (c(w₁w₂) + ½) / (c(w₁) + ½·V) — and every document is
+    * scored by the mean negative log-probability of its bigrams;
+    * ppl = exp(−mean log P). High perplexity = text the corpus LM finds
+    * surprising (gibberish, boilerplate soup, wrong-language) — the
+    * CCNet head/middle/tail criterion with the corpus as its own LM.
+    *
+    * [[textLmQuality]] is the integer-exact oracle-gated twin (raw
+    * frequency stand-in); this entry reports the real transcendental
+    * scores, so it is rows-only by design (log/exp are not
+    * bit-reproducible across engines and float sums are order-sensitive
+    * across partitionings) and OpsSpec pins it against a driver-side
+    * reference implementation of the same formula to 1e-9 relative.
+    *
+    * Scale shape: bigram extraction map-side (adjacent zip, no UDF);
+    * counts are partial-agg groupBys shuffling distinct bigrams/words
+    * only; scoring joins the bigram stream to the two count tables on
+    * their own keys (AQE splits stop-word skew); V is a 1-row broadcast;
+    * per-doc rollup collapses map-side. The count tables ARE the LM —
+    * production persists them once and scores every shard against them.
+    */
+  def textPerplexity(spark: SparkSession, dir: String): DataFrame =
+    textPerplexityOn(Tables.documents(spark, dir))
+
+  private[graft] def textPerplexityOn(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val toks = docs.select($"doc_id", split(lower(trim($"text")), "\\s+").as("w"))
+    val bi = toks
+      .select($"doc_id", explode(when(size($"w") >= 2,
+          expr("transform(sequence(0, size(w) - 2), i -> struct(w[i] AS w1, w[i + 1] AS w2))"))
+        .otherwise(array())).as("b"))
+      .select($"doc_id", $"b.w1", $"b.w2")
+    val uniCounts = toks.select(explode($"w").as("w1"))
+      .groupBy($"w1").agg(count(lit(1)).as("c1"))
+    val biCounts = bi.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+    val vocab = uniCounts.agg(count(lit(1)).as("v"))
+    val scored = bi
+      .join(biCounts, Seq("w1", "w2"))
+      .join(uniCounts, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("logp",
+        log(($"c12" + lit(0.5)) / ($"c1" + lit(0.5) * $"v")))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum($"logp").as("sum_logp"))
+      .withColumn("avg_logp", $"sum_logp" / $"n_bigrams")
+      .withColumn("ppl", exp(-$"avg_logp"))
+    docs.select($"doc_id")
+      .join(scored, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_bigrams", lit(0L)).as("n_bigrams"),
+        $"avg_logp", $"ppl",
+        when($"ppl".isNull, "too_short")
+          .when($"ppl" > 32.0, "flag_high_ppl")
+          .otherwise("keep").as("verdict"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_pii_scrub"        -> (textPiiScrub _),
     "decontaminate_ngram"   -> (decontaminateNgram _),
     "text_lm_quality"       -> (textLmQuality _),
+    "text_perplexity"       -> (textPerplexity _),
     "sample_domain_mix"     -> (sampleDomainMix _),
     "dedup_substring_spans" -> (dedupSubstringSpans _),
     "dedup_substring_spans_hashed" -> (dedupSubstringSpansHashed _)

@@ -255,15 +255,150 @@ object Multimodal {
       |FROM r
       |ORDER BY media_id""".stripMargin
 
+  /** Average-hash (aHash) perceptual fingerprint: 64 equal blocks of the
+    * decoded plane, bit k = 1 ⇔ block k's mean exceeds the global mean.
+    * This is the classic perceptual-hash construction verbatim; payload
+    * bytes stand in for the decoded grayscale pixels (the container has
+    * no codecs — a real build decodes first at the same [[decodeStub]]
+    * plug point, the hash arithmetic is unchanged). Small local edits
+    * move a few block means → few bits flip, which is exactly the
+    * near-dup-tolerance a byte-exact checksum lacks.
+    */
+  def phashStub(payload: Array[Byte]): Long = {
+    val n = payload.length
+    if (n == 0) return 0L
+    var global = 0L
+    var i = 0
+    while (i < n) { global += (payload(i) & 0xff); i += 1 }
+    var h = 0L
+    var b = 0
+    while (b < 64) {
+      val lo = (b.toLong * n / 64).toInt
+      val hi = ((b + 1).toLong * n / 64).toInt
+      if (hi > lo) {
+        var s = 0L
+        var j = lo
+        while (j < hi) { s += (payload(j) & 0xff); j += 1 }
+        // block mean > global mean, in exact integer cross-multiplied form
+        if (s * n > global * (hi - lo)) h |= (1L << b)
+      }
+      b += 1
+    }
+    h
+  }
+
+  /** Perceptual-hash near-duplicate detection over media — the image-dedup
+    * step of a vision-data pipeline (byte-exact checksums miss re-encoded
+    * / lightly-edited copies; pHash hamming distance catches them). Same
+    * scale machinery as [[ScaleDedup.dedupSimhash]], pigeonhole-blocked
+    * one level finer: the 64-bit fingerprint splits into 16 4-bit nibble
+    * chunks, pigeonhole-COMPLETE for hamming ≤ 15 (a qualifying pair
+    * cannot differ in all 16 nibbles — the radius matching this corpus's
+    * proxy payloads, where an in-place pixel edit moves a handful of
+    * block means). Candidates meet in a (format, chunk) hash equi-join,
+    * the hamming verify is a register-op `bit_count(xor)` BEFORE the
+    * dedup exchange, and only id pairs ever shuffle. Pairs are
+    * within-format only (an image cannot near-dup an audio clip).
+    * Rows-only: OpsSpec pins exact equality with brute force on a
+    * planted-edit corpus and on the real corpus.
+    */
+  private[graft] def multimodalDedupPhashOn(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    val nibbles = array((0 until 16).map { k =>
+      struct(lit(k).as("chunk_idx"),
+        shiftrightunsigned($"phash", k * 4).bitwiseAND(lit(15L)).as("chunk_val"))
+    }: _*)
+    val hashed = media
+      .mapPartitions(_.map(r => (r.media_id, r.format, phashStub(r.payload))))
+      .toDF("media_id", "format", "phash")
+    val exploded = hashed.select($"media_id", $"format", $"phash",
+      posexplode(nibbles).as(Seq("pos", "c")))
+      .select($"media_id", $"format", $"c.chunk_idx", $"c.chunk_val", $"phash")
+    val l = exploded.select($"format", $"chunk_idx", $"chunk_val",
+      $"media_id".as("a"), $"phash".as("ph_a"))
+    val r = exploded.select($"format", $"chunk_idx", $"chunk_val",
+      $"media_id".as("b"), $"phash".as("ph_b"))
+    l.join(r, Seq("format", "chunk_idx", "chunk_val"))
+      .filter($"a" < $"b")
+      .withColumn("hamming", bit_count($"ph_a".bitwiseXOR($"ph_b")))
+      .filter($"hamming" <= 15)
+      .select($"format", $"a", $"b", $"hamming")
+      .dropDuplicates("format", "a", "b")
+      .orderBy($"format", $"a", $"b")
+  }
+
+  def multimodalDedupPhash(spark: SparkSession, dir: String): DataFrame =
+    multimodalDedupPhashOn(mediaTable(spark, dir))
+
+  /** CLIP-score pair screening — the LAION-style caption–image filter: a
+    * crawled (caption, image) pair survives only if the two modality
+    * embeddings agree (cosine ≥ 0.28, the published LAION-400M cut).
+    * Embeddings arrive as one table with interleaved ids (even = caption
+    * tower, odd = image tower of the same crawl item, pair_id = id div 2)
+    * — the shape a dual-encoder scorer emits.
+    *
+    * The screen itself is exact integer arithmetic on the shared ×1000
+    * quantization ([[LlmQueries.quantized]]): keep ⇔ dot ≥ 0 ∧
+    * dot²·10⁴ ≥ na·nb·784 (784 = 0.28²·10⁴) — no float compare in the
+    * verdict, so Spark and the oracle cannot disagree on boundary pairs;
+    * the reported cosine is two correctly-rounded IEEE ops (÷, √) over
+    * exact integers, bit-identical cross-engine.
+    *
+    * Scale shape: one scan, the pair assembly is an equi-join on pair_id
+    * (both sides shuffle once on the same key; in production the two
+    * towers land pre-joined in one row and even this join disappears);
+    * scoring is the codegen'd LongVectorDot map-side. Nothing all-pairs —
+    * candidate volume is exactly n/2 crawl items.
+    */
+  def multimodalClipFilter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val q = LlmQueries.quantized(spark, dir)
+    val captions = q.filter($"vec_id" % 2 === 0)
+      .select(($"vec_id" / 2).cast("long").as("pair_id"),
+        $"vec_id".as("caption_id"), $"v".as("va"), $"nrm".as("na"))
+    val images = q.filter($"vec_id" % 2 === 1)
+      .select((($"vec_id" - 1) / 2).cast("long").as("pair_id"),
+        $"vec_id".as("image_id"), $"v".as("vb"), $"nrm".as("nb"))
+    captions.join(images, Seq("pair_id"))
+      .withColumn("dot", graft.functions.LongVectorDot.vector_dot($"va", $"vb"))
+      .withColumn("cosine",
+        $"dot".cast("double") / sqrt(($"na" * $"nb").cast("double")))
+      .withColumn("verdict",
+        when($"dot" >= 0 && $"dot" * $"dot" * lit(10000L) >= $"na" * $"nb" * lit(784L),
+          "keep").otherwise("drop"))
+      .select($"pair_id", $"caption_id", $"image_id", $"dot", $"na", $"nb",
+        $"cosine", $"verdict")
+      .orderBy($"pair_id")
+  }
+
+  val multimodalClipFilterSql: String =
+    LlmQueries.quantizedCte +
+      """, p AS (
+        |  SELECT a.vec_id // 2 AS pair_id, a.vec_id AS caption_id, b.vec_id AS image_id,
+        |    CAST(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) AS BIGINT) AS dot,
+        |    a.nrm AS na, b.nrm AS nb
+        |  FROM n a JOIN n b ON b.vec_id = a.vec_id + 1
+        |  WHERE a.vec_id % 2 = 0
+        |)
+        |SELECT pair_id, caption_id, image_id, dot, na, nb,
+        |  CAST(dot AS DOUBLE) / sqrt(CAST(na * nb AS DOUBLE)) AS cosine,
+        |  CASE WHEN dot >= 0 AND dot * dot * 10000 >= na * nb * 784
+        |       THEN 'keep' ELSE 'drop' END AS verdict
+        |FROM p
+        |ORDER BY pair_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_pipeline"    -> (multimodalPipeline _),
     "multimodal_framesample" -> (multimodalFrameSample _),
     "multimodal_av_align"    -> (multimodalAvAlign _),
-    "multimodal_shard_pack"  -> ((s, d) => multimodalShardPack(s, d))
+    "multimodal_shard_pack"  -> ((s, d) => multimodalShardPack(s, d)),
+    "multimodal_clip_filter" -> (multimodalClipFilter _),
+    "multimodal_dedup_phash" -> (multimodalDedupPhash _)
   )
 
   val oracleSql: Map[String, String] = Map(
-    "multimodal_av_align"   -> multimodalAvAlignSql,
-    "multimodal_shard_pack" -> multimodalShardPackSql
+    "multimodal_av_align"    -> multimodalAvAlignSql,
+    "multimodal_shard_pack"  -> multimodalShardPackSql,
+    "multimodal_clip_filter" -> multimodalClipFilterSql
   )
 }

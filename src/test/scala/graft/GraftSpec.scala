@@ -468,6 +468,40 @@ class AnnSpec extends SparkSuite {
       assert(rs.map(_.getAs[Int]("rank")).sorted.sameElements(1 to rs.length))
     }
   }
+
+  test("semantic dedup: within-cell edges exact vs brute force; keepers never dropped") {
+    // reference: same cells, brute-force within-cell pairs with the same
+    // integer cosine test — the edge generator must be EXACT within a cell
+    // (the only approximation SemDeDup allows is cross-cell misses)
+    val assigned = ops.SemanticDedup.assignedCells(spark, sf)
+      .collect().map { r =>
+        (r.getAs[Long]("vec_id"), r.getAs[Seq[Long]]("v").toArray,
+          r.getAs[Long]("nrm"), r.getAs[Long]("cell"))
+      }
+    val ref = (for {
+      (a, va, na, ca) <- assigned
+      (b, vb, nb, cb) <- assigned
+      if a < b && ca == cb
+      dot = va.zip(vb).map { case (x, y) => x * y }.sum
+      if dot >= 0 && dot * dot * 10000L >= na * nb * 1600L
+    } yield (a, b)).toSet
+    val got = ops.SemanticDedup.semanticEdges(ops.SemanticDedup.assignedCells(spark, sf))
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    assert(ref.nonEmpty, "spec corpus produced no semantic edges — threshold dead")
+    assert(got == ref, s"missing=${(ref -- got).take(5)} extra=${(got -- ref).take(5)}")
+    // component consistency: no keeper is itself dropped, keeper < dropped,
+    // and every dropped vec touches at least one verified edge
+    val dropped = ops.SemanticDedup.dedupSemantic(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("keeper_vec_id")))
+    assert(dropped.nonEmpty)
+    val droppedSet = dropped.map(_._1).toSet
+    val inEdges = ref.flatMap { case (a, b) => Seq(a, b) }
+    dropped.foreach { case (v, k) =>
+      assert(k < v, s"keeper $k !< dropped $v")
+      assert(!droppedSet.contains(k), s"keeper $k is itself dropped")
+      assert(inEdges.contains(v), s"dropped $v has no verified edge")
+    }
+  }
 }
 
 class SketchSpec extends SparkSuite {

@@ -820,4 +820,82 @@ class OpsSpec extends SparkSuite {
     assert(got == expected,
       s"missing=${(expected.toSet -- got.toSet).take(5)} extra=${(got.toSet -- expected.toSet).take(5)}")
   }
+
+  test("perplexity: matches a driver-side reference of the same bigram LM to 1e-9") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val tokenized = docs.map { case (id, t) =>
+      (id, t.trim.toLowerCase.split("\\s+").toSeq) }
+    val uni = tokenized.flatMap(_._2).groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+    val v = uni.size.toLong
+    val biAll = tokenized.flatMap { case (_, w) =>
+      w.sliding(2).filter(_.size == 2).map(p => (p(0), p(1))) }
+    val biC = biAll.groupBy(identity).map { case (b, xs) => b -> xs.size.toLong }
+    val expected = tokenized.map { case (id, w) =>
+      val bs = w.sliding(2).filter(_.size == 2).map(p => (p(0), p(1))).toSeq
+      val avg =
+        if (bs.isEmpty) None
+        else Some(bs.map { case (a, b) =>
+          math.log((biC((a, b)) + 0.5) / (uni(a) + 0.5 * v)) }.sum / bs.size)
+      id -> (bs.size.toLong, avg.map(a => math.exp(-a)))
+    }.toMap
+    val got = ops.CorpusOps.textPerplexity(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (nRef, pplRef) = expected(id)
+      assert(r.getAs[Long]("n_bigrams") == nRef, s"doc $id n_bigrams")
+      (pplRef, Option(r.getAs[java.lang.Double]("ppl"))) match {
+        case (Some(want), Some(gotP)) =>
+          assert(math.abs(gotP - want) <= 1e-9 * math.max(1.0, want.abs),
+            s"doc $id ppl $gotP vs $want")
+        case (None, None) => // both too-short
+        case (a, b) => fail(s"doc $id ppl presence mismatch: ref=$a got=$b")
+      }
+    }
+    // the screen must actually separate: both verdict branches non-vacuous
+    val verdicts = got.map(_.getAs[String]("verdict")).toSet
+    assert(verdicts.contains("keep") && verdicts.contains("flag_high_ppl"), verdicts.toString)
+  }
+
+  test("phash dedup: exactly the brute-force within-format hamming<=15 pairs; planted edit found") {
+    import spark.implicits._
+    // planted corpus: base payloads + one lightly-edited copy (few bytes
+    // changed → few aHash block means move → small hamming) + one
+    // unrelated payload per format
+    val rng = new scala.util.Random(7)
+    val base = Array.tabulate(512)(i => ((i * 31 + 7) & 0xff).toByte)
+    val edited = base.clone(); edited(40) = 0; edited(41) = 0; edited(42) = 0
+    val noise = Array.tabulate(512)(_ => (rng.nextInt(256) - 128).toByte)
+    val media = Seq(
+      ops.Multimodal.MediaRecord(1L, "fmt_0", 512L, base),
+      ops.Multimodal.MediaRecord(2L, "fmt_0", 512L, edited),
+      ops.Multimodal.MediaRecord(3L, "fmt_0", 512L, noise),
+      ops.Multimodal.MediaRecord(4L, "fmt_1", 512L, base) // other modality: never pairs with fmt_0
+    ).toDS()
+    val got = ops.Multimodal.multimodalDedupPhashOn(media).collect()
+      .map(r => (r.getAs[String]("format"), r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Int]("hamming")))
+    // brute-force reference (pigeonhole blocking must be recall-1)
+    val hs = media.collect().map(m => (m.media_id, m.format, ops.Multimodal.phashStub(m.payload)))
+    val ref = (for {
+      (a, fa, ha) <- hs; (b, fb, hb) <- hs
+      if a < b && fa == fb
+      d = java.lang.Long.bitCount(ha ^ hb)
+      if d <= 15
+    } yield (fa, a, b, d)).toSet
+    assert(got.toSet == ref, s"got=${got.toSet} ref=$ref")
+    assert(got.exists(p => p._2 == 1L && p._3 == 2L), "planted edited copy not paired")
+    assert(!got.exists(p => p._2 == 3L || p._3 == 3L), "unrelated payload falsely paired")
+    // and on the real corpus: recall-1 vs brute force there too
+    val corpus = ops.Multimodal.mediaTable(spark, sf)
+    val gotC = ops.Multimodal.multimodalDedupPhashOn(corpus).collect()
+      .map(r => (r.getAs[String]("format"), r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    val hsC = corpus.collect().map(m => (m.media_id, m.format, ops.Multimodal.phashStub(m.payload)))
+    val refC = (for {
+      (a, fa, ha) <- hsC; (b, fb, hb) <- hsC
+      if a < b && fa == fb && java.lang.Long.bitCount(ha ^ hb) <= 15
+    } yield (fa, a, b)).toSet
+    assert(refC.nonEmpty, "corpus check vacuous — no within-radius pair at all")
+    assert(gotC == refC)
+  }
 }
