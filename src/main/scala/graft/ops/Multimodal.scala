@@ -350,7 +350,29 @@ object Multimodal {
     * scoring is the codegen'd LongVectorDot map-side. Nothing all-pairs —
     * candidate volume is exactly n/2 crawl items.
     */
-  def multimodalClipFilter(spark: SparkSession, dir: String): DataFrame = {
+  /** The scoring/verdict core over assembled (pair_id, caption_id,
+    * image_id, va, na, vb, nb) rows — stateless and map-side, shared
+    * verbatim by the batch entry below and the streaming ingest screen
+    * [[graft.streaming.CorpusStream.clipFilterStream]] so a pair gets
+    * the identical verdict in a backfill and on the stream.
+    */
+  private[graft] def clipScreenOn(pairs: DataFrame): DataFrame = {
+    import pairs.sparkSession.implicits._
+    pairs
+      .withColumn("dot", graft.functions.LongVectorDot.vector_dot($"va", $"vb"))
+      .withColumn("cosine",
+        $"dot".cast("double") / sqrt(($"na" * $"nb").cast("double")))
+      .withColumn("verdict",
+        when($"dot" >= 0 && $"dot" * $"dot" * lit(10000L) >= $"na" * $"nb" * lit(784L),
+          "keep").otherwise("drop"))
+      .select($"pair_id", $"caption_id", $"image_id", $"dot", $"na", $"nb",
+        $"cosine", $"verdict")
+  }
+
+  /** The assembled caption–image pair table (both tower embeddings in one
+    * row — the shape a dual-encoder scorer emits, and the stream's input).
+    */
+  private[graft] def pairedEmbeddings(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val q = LlmQueries.quantized(spark, dir)
     val captions = q.filter($"vec_id" % 2 === 0)
@@ -360,15 +382,11 @@ object Multimodal {
       .select((($"vec_id" - 1) / 2).cast("long").as("pair_id"),
         $"vec_id".as("image_id"), $"v".as("vb"), $"nrm".as("nb"))
     captions.join(images, Seq("pair_id"))
-      .withColumn("dot", graft.functions.LongVectorDot.vector_dot($"va", $"vb"))
-      .withColumn("cosine",
-        $"dot".cast("double") / sqrt(($"na" * $"nb").cast("double")))
-      .withColumn("verdict",
-        when($"dot" >= 0 && $"dot" * $"dot" * lit(10000L) >= $"na" * $"nb" * lit(784L),
-          "keep").otherwise("drop"))
-      .select($"pair_id", $"caption_id", $"image_id", $"dot", $"na", $"nb",
-        $"cosine", $"verdict")
-      .orderBy($"pair_id")
+  }
+
+  def multimodalClipFilter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    clipScreenOn(pairedEmbeddings(spark, dir)).orderBy($"pair_id")
   }
 
   val multimodalClipFilterSql: String =

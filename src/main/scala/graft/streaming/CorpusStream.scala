@@ -210,4 +210,20 @@ object CorpusStream {
           .write.mode("append").partitionBy("shard").parquet(path)
         ()
       }
+
+  /** Streaming CLIP-score screen: crawled caption–image pairs scored at
+    * ingest time — like [[classifyStream]] a stateless map-side pass per
+    * micro-batch (dual-encoder agreement has no state, no watermark, no
+    * shuffle: both tower embeddings arrive in one row). The scoring core
+    * is shared verbatim with the batch
+    * [[graft.ops.Multimodal.multimodalClipFilter]], so a pair keeps or
+    * drops identically in a backfill and on the stream (StreamingSpec
+    * pins the parity on replayed batches).
+    *
+    * `pairs` must be a streaming DataFrame with
+    * (pair_id, caption_id, image_id, va, na, vb, nb) — quantized tower
+    * vectors and their squared norms.
+    */
+  def clipFilterStream(pairs: DataFrame): DataFrame =
+    graft.ops.Multimodal.clipScreenOn(pairs)
 }

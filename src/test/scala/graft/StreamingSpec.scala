@@ -625,6 +625,32 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming clip screen == batch clip filter on every pair") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val pairs = ops.Multimodal.pairedEmbeddings(spark, sf)
+      .collect().map(r => (r.getAs[Long]("pair_id"), r.getAs[Long]("caption_id"),
+        r.getAs[Long]("image_id"), r.getAs[Seq[Long]]("va").toList, r.getAs[Long]("na"),
+        r.getAs[Seq[Long]]("vb").toList, r.getAs[Long]("nb"))).toSeq
+    val stream = MemoryStream[(Long, Long, Long, Seq[Long], Long, Seq[Long], Long)]
+    val q = graft.streaming.CorpusStream.clipFilterStream(
+        stream.toDF().toDF("pair_id", "caption_id", "image_id", "va", "na", "vb", "nb"))
+      .writeStream.outputMode("append").format("memory").queryName("clip_out").start()
+    try {
+      val (a, b) = pairs.splitAt(pairs.size / 2)
+      stream.addData(a); q.processAllAvailable()
+      stream.addData(b); q.processAllAvailable()
+      val streamed = spark.table("clip_out")
+        .select($"pair_id", $"dot", $"cosine", $"verdict")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3))).toSet
+      val batch = ops.Multimodal.multimodalClipFilter(spark, sf)
+        .select($"pair_id", $"dot", $"cosine", $"verdict")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3))).toSet
+      assert(batch.nonEmpty && streamed == batch)
+      assert(batch.exists(_._4 == "keep") && batch.exists(_._4 == "drop"))
+    } finally q.stop()
+  }
+
   test("domain mix stream: keep set == batch resample's keep set on replayed batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
