@@ -53,7 +53,8 @@ object Bench {
     "events_funnel4", "mine_hard_negatives_ivf", "ann_topk_pca_persisted",
     "multimodal_av_align", "multimodal_shard_pack",
     "multimodal_clip_filter", "dedup_semantic",
-    "multimodal_dedup_phash", "text_perplexity")
+    "multimodal_dedup_phash", "text_perplexity",
+    "embedding_quantize_int8", "ann_topk_sq8")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

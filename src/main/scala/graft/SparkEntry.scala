@@ -17,7 +17,8 @@ object SparkEntry {
       etl.EtlQueries.queries ++ ops.LlmQueries.queries ++ ops.ScaleDedup.queries ++
       ops.AnnLsh.queries ++ ops.Multimodal.queries ++ ops.AsofJoin.queries ++ ops.VectorAgg.queries ++
       ops.Curation.queries ++ ops.RangeJoin.queries ++ ops.CorpusOps.queries ++
-      ops.BpeTrain.queries ++ ops.EmbeddingPca.queries ++ ops.SemanticDedup.queries
+      ops.BpeTrain.queries ++ ops.EmbeddingPca.queries ++ ops.SemanticDedup.queries ++
+      ops.EmbeddingSq.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -29,5 +30,6 @@ object SparkEntry {
       etl.EtlQueries.oracleSql ++ ops.LlmQueries.oracleSql ++ ops.ScaleDedup.oracleSql ++
       ops.AsofJoin.oracleSql ++
       ops.VectorAgg.oracleSql ++ ops.Curation.oracleSql ++ ops.RangeJoin.oracleSql ++
-      ops.CorpusOps.oracleSql ++ ops.EmbeddingPca.oracleSql ++ ops.Multimodal.oracleSql
+      ops.CorpusOps.oracleSql ++ ops.EmbeddingPca.oracleSql ++ ops.Multimodal.oracleSql ++
+      ops.EmbeddingSq.oracleSql
 }

@@ -1,0 +1,153 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scalar (int8-style) embedding quantization — the third member of the
+  * index-compression family beside PQ ([[VectorAgg.annTopkPq]], vector
+  * quantization) and PCA ([[EmbeddingPca]], dimensionality reduction):
+  * each DIMENSION is affinely mapped onto an 8-bit code grid from its
+  * corpus [min, max] — the FAISS `SQ8` / Milvus `SQ8` layout that cuts
+  * index memory 8× (float64 lanes → one byte per dim) while keeping
+  * every dimension, trading only grid-rounding error.
+  *
+  * Everything is EXACT integer arithmetic on the shared ×1000
+  * quantization ([[LlmQueries.quantized]]): code = (x − mn)·254 div
+  * (mx − mn), residual = (x − mn)·254 mod (mx − mn) — so the codes, the
+  * per-vector code checksums, and the scaled reconstruction-error
+  * numerator Σ residual² are cross-engine reproducible and the entry is
+  * oracle hash-exact (per-vector SCALAR rollups are emitted, not code
+  * arrays — array cells don't survive the driver's value hash).
+  *
+  * Scale shape: the stats pass is one posexplode + partial-agg groupBy
+  * on dim (shuffle carries d rows per partition at most); the d-row
+  * (mn, mx) table broadcasts back and encoding is pure map-side — one
+  * corpus pass to train, one to encode, exactly the production SQ
+  * train/encode split. The coded table is what an index would persist.
+  */
+object EmbeddingSq {
+
+  /** Per-dim (mn, mx) over the quantized corpus as one broadcastable
+    * sorted-array row — the "trained" scalar quantizer.
+    */
+  private[graft] def sqStats(q: DataFrame): DataFrame = {
+    import q.sparkSession.implicits._
+    q.select(posexplode($"v").as(Seq("dim0", "x")))
+      .groupBy($"dim0").agg(min($"x").as("mn"), max($"x").as("mx"))
+      .agg(array_sort(collect_list(struct($"dim0", $"mn", $"mx"))).as("st"))
+  }
+
+  /** Corpus with per-vector `codes` (0..254) and exact integer `resid`
+    * arrays attached — map-side against the broadcast stats row.
+    */
+  private[graft] def coded(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val q = LlmQueries.quantized(spark, dir)
+    q.crossJoin(broadcast(sqStats(q)))
+      .withColumn("codes", expr(
+        """transform(sequence(0, size(v) - 1), i ->
+          |  CASE WHEN st[i].mx > st[i].mn
+          |    THEN ((v[i] - st[i].mn) * 254L) DIV (st[i].mx - st[i].mn)
+          |    ELSE 0L END)""".stripMargin))
+      .withColumn("resid", expr(
+        """transform(sequence(0, size(v) - 1), i ->
+          |  CASE WHEN st[i].mx > st[i].mn
+          |    THEN ((v[i] - st[i].mn) * 254L) % (st[i].mx - st[i].mn)
+          |    ELSE 0L END)""".stripMargin))
+  }
+
+  /** §2 entry: per-vector scalar rollups of the SQ8 encoding (see object
+    * doc for why scalars, not arrays).
+    */
+  def embeddingQuantizeInt8(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    coded(spark, dir)
+      .select($"vec_id",
+        size($"v").cast("long").as("n_dims"),
+        expr("aggregate(codes, 0L, (a, x) -> a + x)").as("code_sum"),
+        expr("aggregate(codes, 0L, (a, x) -> a + x * x)").as("code_l2"),
+        expr("aggregate(resid, 0L, (a, x) -> a + x * x)").as("err_num"),
+        expr("size(filter(resid, x -> x = 0))").cast("long").as("n_exact"))
+      .orderBy($"vec_id")
+  }
+
+  val embeddingQuantizeInt8Sql: String =
+    LlmQueries.quantizedCte +
+      """, dims AS (
+        |  SELECT u AS dim0, MIN(v[u]) AS mn, MAX(v[u]) AS mx
+        |  FROM n, UNNEST(range(1, len(v) + 1)) AS r(u)
+        |  GROUP BY u
+        |), st0 AS (
+        |  SELECT list(struct_pack(mn := mn, mx := mx) ORDER BY dim0) AS st FROM dims
+        |), coded AS (
+        |  SELECT vec_id, len(v) AS n_dims,
+        |    list_transform(range(1, len(v) + 1), i -> CASE WHEN st[i].mx > st[i].mn
+        |      THEN ((v[i] - st[i].mn) * 254) // (st[i].mx - st[i].mn) ELSE 0 END) AS codes,
+        |    list_transform(range(1, len(v) + 1), i -> CASE WHEN st[i].mx > st[i].mn
+        |      THEN ((v[i] - st[i].mn) * 254) % (st[i].mx - st[i].mn) ELSE 0 END) AS resid
+        |  FROM n, st0
+        |)
+        |SELECT vec_id, CAST(n_dims AS BIGINT) AS n_dims,
+        |  CAST(list_sum(codes) AS BIGINT) AS code_sum,
+        |  CAST(list_sum(list_transform(codes, x -> x * x)) AS BIGINT) AS code_l2,
+        |  CAST(list_sum(list_transform(resid, x -> x * x)) AS BIGINT) AS err_num,
+        |  CAST(len(list_filter(resid, x -> x = 0)) AS BIGINT) AS n_exact
+        |FROM coded
+        |ORDER BY vec_id""".stripMargin
+
+  /** ANN over the SQ8-compressed index: candidates are scored by the dot
+    * product of RECONSTRUCTED vectors — x̂·254 = 254·mn + code·(mx − mn),
+    * kept in exact scaled-integer form so scoring is deterministic — the
+    * raw corpus is touched only to re-rank the top-15 shortlist per query
+    * with the exact integer dot (the [[VectorAgg.annTopkPqRefine]]
+    * two-stage discipline on the SQ axis). Shortlist flows through the
+    * bounded-heap [[graft.functions.PartialTopK]] aggregate: ≤ 15 rows
+    * per (query, partition) reach the exchange, never the corpus.
+    * Rows-only; AnnSpec pins recall@5 vs the exact twin.
+    */
+  def annTopkSq8(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.LongVectorDot.vector_dot
+    val recon = coded(spark, dir)
+      .withColumn("rv", expr(
+        """transform(sequence(0, size(v) - 1), i ->
+          |  254L * st[i].mn + codes[i] * (st[i].mx - st[i].mn))""".stripMargin))
+      .select($"vec_id", $"v", $"rv")
+      // the SQ index table: persisted once at production scale; cached so
+      // the shortlist and re-rank stages share one encode pass
+      .localCheckpoint()
+    val queries = recon.filter($"vec_id" % 10 === 0)
+      .select($"vec_id".as("query_id"), $"rv".as("qrv"), $"v".as("qv"))
+    val shortlist = queries
+      .join(recon.select($"vec_id".as("neighbor_id"), $"rv"),
+        $"query_id" =!= $"neighbor_id")
+      .withColumn("approx_dot", vector_dot($"qrv", $"rv"))
+      .groupBy($"query_id")
+      .agg(graft.functions.PartialTopK.partial_topk(
+        struct((-$"approx_dot").as("neg_dot"), $"neighbor_id".as("neighbor_id")),
+        15).as("topk"))
+      .select($"query_id", explode($"topk.neighbor_id").as("neighbor_id"))
+    val reranked = shortlist
+      .join(queries.select($"query_id", $"qv"), Seq("query_id"))
+      .join(recon.select($"vec_id".as("neighbor_id"), $"v".as("nv")), Seq("neighbor_id"))
+      .withColumn("dot", vector_dot($"qv", $"nv"))
+    reranked
+      .groupBy($"query_id")
+      .agg(graft.functions.PartialTopK.partial_topk(
+        struct((-$"dot").as("neg_dot"), $"neighbor_id".as("neighbor_id"), $"dot".as("dot")),
+        5).as("topk"))
+      .select($"query_id", posexplode($"topk").as(Seq("pos", "s")))
+      .select($"query_id", ($"pos" + 1).cast("int").as("rank"),
+        $"s.neighbor_id".as("neighbor_id"), $"s.dot".as("dot"))
+      .orderBy($"query_id", $"rank")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embedding_quantize_int8" -> (embeddingQuantizeInt8 _),
+    "ann_topk_sq8"            -> (annTopkSq8 _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "embedding_quantize_int8" -> embeddingQuantizeInt8Sql
+  )
+}

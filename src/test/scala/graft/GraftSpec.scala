@@ -469,6 +469,27 @@ class AnnSpec extends SparkSuite {
     }
   }
 
+  test("sq8 ANN: recall@5 vs exact twin; overlapping pairs dot-identical; codes in range") {
+    val exact = ops.LlmQueries.annTopkExact(spark, sf)
+      .select("query_id", "neighbor_id", "dot").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val sq = ops.EmbeddingSq.annTopkSq8(spark, sf)
+      .select("query_id", "neighbor_id", "dot").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(exact.nonEmpty && sq.nonEmpty)
+    val recall = (exact.keySet & sq.keySet).size.toDouble / exact.size
+    assert(recall >= 0.8, s"sq8 recall@5 = $recall") // 15-candidate shortlist + exact re-rank
+    (exact.keySet & sq.keySet).foreach { k =>
+      assert(exact(k) == sq(k), s"re-ranked dot differs on $k") // shared exact scoring
+    }
+    // the encoding itself: every code on the 0..254 grid, residuals bounded
+    ops.EmbeddingSq.embeddingQuantizeInt8(spark, sf).collect().foreach { r =>
+      val n = r.getAs[Long]("n_dims")
+      assert(r.getAs[Long]("code_l2") <= n * 254L * 254L)
+      assert(r.getAs[Long]("n_exact") >= 0 && r.getAs[Long]("n_exact") <= n)
+    }
+  }
+
   test("semantic dedup: within-cell edges exact vs brute force; keepers never dropped") {
     // reference: same cells, brute-force within-cell pairs with the same
     // integer cosine test — the edge generator must be EXACT within a cell
