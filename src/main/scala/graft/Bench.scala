@@ -54,7 +54,8 @@ object Bench {
     "multimodal_av_align", "multimodal_shard_pack",
     "multimodal_clip_filter", "dedup_semantic",
     "multimodal_dedup_phash", "text_perplexity",
-    "embedding_quantize_int8", "ann_topk_sq8")
+    "embedding_quantize_int8", "ann_topk_sq8",
+    "sample_curriculum", "decontaminate_fuzzy")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

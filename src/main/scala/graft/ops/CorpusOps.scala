@@ -427,6 +427,57 @@ object CorpusOps {
       |FROM staged2
       |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------- fuzzy decontamination
+
+  /** Near-duplicate test-set decontamination — the fuzzy companion to
+    * [[decontaminateNgram]]: verbatim-8-gram screens miss benchmark items
+    * that reached the training set lightly paraphrased or reformatted,
+    * so production decontamination (GPT-3 appendix C's fuzzy pass, and
+    * its descendants) ALSO flags training docs whose token-set Jaccard
+    * against any benchmark item clears a looser bar (0.8 here vs the
+    * dedup pipeline's 0.9).
+    *
+    * Same machinery as the dedup lifecycle, pointed across corpora:
+    * both sides run through the fused MinHash banding
+    * ([[ScaleDedup.bandRows]]), candidates meet in a (band, band_key)
+    * equi-join — candidate work is bucket occupancy, benchmark side is
+    * tiny — and every candidate is verified with the EXACT integer
+    * Jaccard test (inter·10 ≥ union·8) before anything is flagged.
+    * Output is the verified audit log (train doc × benchmark item with
+    * exact overlap counts), the decontaminate_ngram contract. Rows-only
+    * (banding is probabilistic below ~0.9 similarity); OpsSpec pins
+    * precision exactly (every emitted pair's Jaccard re-derived
+    * driver-side) and recall 1 on identical word sets, plus a planted
+    * paraphrase through the shared core.
+    */
+  def decontaminateFuzzy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
+    decontaminateFuzzyOn(
+      docs.filter($"doc_id" % 37 =!= 0),
+      docs.filter($"doc_id" % 37 === 0))
+  }
+
+  private[graft] def decontaminateFuzzyOn(train: DataFrame, bench: DataFrame): DataFrame = {
+    import train.sparkSession.implicits._
+    val tb = ScaleDedup.bandRows(train)
+    val bb = ScaleDedup.bandRows(bench)
+      .select($"doc_id".as("bench_id"), $"band", $"band_key")
+    val cands = tb.join(bb, Seq("band", "band_key"))
+      .select($"doc_id", $"bench_id").distinct()
+    val tw = train.select($"doc_id", ScaleDedup.wordSet($"text").as("tset"))
+    val bw = bench.select($"doc_id".as("bench_id"), ScaleDedup.wordSet($"text").as("bset"))
+    cands.join(tw, Seq("doc_id")).join(bw, Seq("bench_id"))
+      .withColumn("inter", size(array_intersect($"tset", $"bset")).cast("long"))
+      .withColumn("uni",
+        (size($"tset") + size($"bset")).cast("long") - $"inter")
+      // exact integer test — no float compare on the 0.8 boundary
+      .filter($"inter" * 10 >= $"uni" * 8)
+      .withColumn("jaccard", $"inter".cast("double") / $"uni".cast("double"))
+      .select($"doc_id", $"bench_id", $"inter", $"uni", $"jaccard")
+      .orderBy($"doc_id", $"bench_id")
+  }
+
   // --------------------------------------------- bigram-LM perplexity
 
   /** True perplexity filtering (the CCNet/KenLM-style quality screen):
@@ -490,6 +541,7 @@ object CorpusOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_pii_scrub"        -> (textPiiScrub _),
     "decontaminate_ngram"   -> (decontaminateNgram _),
+    "decontaminate_fuzzy"   -> (decontaminateFuzzy _),
     "text_lm_quality"       -> (textLmQuality _),
     "text_perplexity"       -> (textPerplexity _),
     "sample_domain_mix"     -> (sampleDomainMix _),

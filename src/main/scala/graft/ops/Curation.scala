@@ -383,7 +383,62 @@ object Curation {
       .write.mode("overwrite").partitionBy("shard").parquet(path)
   }
 
+  /** Length-based curriculum phases — the "short sequences first"
+    * training schedule: every document gets its GLOBAL rank under
+    * (score = n_chars, doc_id) and an NTILE(4) epoch assignment, without
+    * ever planning a global single-task sort of the corpus.
+    *
+    * The global rank is the two-level bucketed selection the repo uses
+    * for agg_median_exact / text_packing: docs land in one of 32
+    * order-preserving doc_id range-shards; per-(score, shard) counts
+    * aggregate (bounded: distinct-scores × 32 rows); the exclusive
+    * running offset runs over that AGGREGATED table (the accepted
+    * window-over-aggregate shape); offsets broadcast back and the
+    * within-(score, shard) row_number closes the rank. No task ranks
+    * more than one shard of one score group. The NTILE epoch is then
+    * pure arithmetic on the rank (⌈n/T⌉-sized leading tiles — the
+    * standard SQL semantics, matched exactly by the oracle's NTILE), so
+    * the whole assignment is integer-exact and oracle hash-exact.
+    */
+  def sampleCurriculum(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tiles = 4; val shards = 32
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"n_chars".cast("long").as("score"))
+    val bounds = docs.agg(max($"doc_id").as("max_id"), count(lit(1)).as("n"))
+    val sharded = docs.crossJoin(broadcast(bounds))
+      .withColumn("shard", ($"doc_id" * shards / ($"max_id" + 1)).cast("long"))
+    val cnt = sharded.groupBy($"score", $"shard").agg(count(lit(1)).as("c"))
+    // exclusive prefix over the AGGREGATED (score, shard) table — bounded
+    // rows; partition key pmod(shard, 1) is constant but non-foldable so
+    // the spec survives the optimizer (the textPackingSharded device)
+    val wOff = Window.partitionBy(pmod($"shard", lit(1))).orderBy($"score", $"shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = cnt.withColumn("off", coalesce(sum($"c").over(wOff), lit(0L)))
+      .select($"score", $"shard", $"off")
+    val wr = Window.partitionBy($"score", $"shard").orderBy($"doc_id")
+    sharded.join(broadcast(off), Seq("score", "shard"))
+      .withColumn("global_rank", ($"off" + row_number().over(wr)).cast("long"))
+      .withColumn("k", expr(s"n DIV $tiles"))
+      .withColumn("m", $"n" % tiles)
+      .withColumn("epoch",
+        when($"k" === 0, $"global_rank")
+          .when($"global_rank" <= ($"k" + 1) * $"m",
+            expr("(global_rank - 1) DIV (k + 1) + 1"))
+          .otherwise(expr("m + (global_rank - 1 - (k + 1) * m) DIV k + 1")))
+      .select($"doc_id", $"score", $"global_rank", $"epoch".cast("long").as("epoch"))
+      .orderBy($"doc_id")
+  }
+
+  val sampleCurriculumSql: String =
+    """SELECT doc_id, CAST(n_chars AS BIGINT) AS score,
+      |  CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS global_rank,
+      |  CAST(NTILE(4) OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS epoch
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_curriculum" -> (sampleCurriculum _),
     "corpus_shard"      -> ((s, d) => corpusShard(s, d)),
     "sample_weighted"   -> ((s, d) => sampleWeighted(s, d)),
     "text_chunking"     -> (textChunking _),
@@ -395,6 +450,7 @@ object Curation {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "sample_curriculum" -> sampleCurriculumSql,
     "corpus_shard"      -> corpusShardSql,
     "text_chunking"     -> textChunkingSql,
     "text_packing"      -> textPackingSql,

@@ -821,6 +821,43 @@ class OpsSpec extends SparkSuite {
       s"missing=${(expected.toSet -- got.toSet).take(5)} extra=${(got.toSet -- expected.toSet).take(5)}")
   }
 
+  test("fuzzy decontamination: emitted pairs exactly verified, identical sets always flagged, planted paraphrase caught") {
+    import spark.implicits._
+    // precision on the real corpus: every emitted (train, bench) pair's
+    // overlap re-derived driver-side must match and clear the 0.8 bar
+    def wset(t: String): Set[String] =
+      t.trim.toLowerCase.split(" +").toSet // same " +" split as ScaleDedup.words
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = ops.CorpusOps.decontaminateFuzzy(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (d, b) = (r.getAs[Long]("doc_id"), r.getAs[Long]("bench_id"))
+      val (ts, bs) = (wset(texts(d)), wset(texts(b)))
+      val inter = (ts & bs).size
+      val uni = (ts | bs).size
+      assert(r.getAs[Long]("inter") == inter && r.getAs[Long]("uni") == uni,
+        s"overlap mismatch on ($d,$b)")
+      assert(inter * 10 >= uni * 8, s"sub-threshold pair ($d,$b) emitted")
+    }
+    // planted corpus through the shared core: identical word set must be
+    // flagged (same signature -> every band shared); a near-paraphrase is
+    // caught; a disjoint doc is not
+    val benchText = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    val para = benchText.split(" ").dropRight(1).mkString(" ") // 11/12 words
+    val bench = Seq((100L, benchText)).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, benchText),                                       // identical set
+      (2L, para),                                            // jaccard 11/12
+      (3L, "zulu yankee xray whiskey victor uniform tango")  // disjoint
+    ).toDF("doc_id", "text")
+    val flagged = ops.CorpusOps.decontaminateFuzzyOn(train, bench)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(flagged.contains(1L), "identical word set not flagged")
+    assert(flagged.contains(2L), "planted paraphrase not flagged")
+    assert(!flagged.contains(3L), "disjoint doc falsely flagged")
+  }
+
   test("perplexity: matches a driver-side reference of the same bigram LM to 1e-9") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1)))
