@@ -73,12 +73,21 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // a failed query is -1.0 AND its cause lands in bench.json's "errors"
+    // map — round 7 proved stderr-only messages vanish (22 silent -1.0s)
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     def runOnce(name: String): Double = {
       System.err.println(s"[bench] start $name")
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); return -1.0 }
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: $e")
+          errors(name) = (e.getClass.getSimpleName + ": " +
+            Option(e.getMessage).getOrElse("").takeWhile(_ != '\n').take(200))
+          return -1.0
+      }
       (System.nanoTime() - t0) / 1e9
     }
 
@@ -106,8 +115,11 @@ object Bench {
 
     val results = headline.map(n => n -> run(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val errsJson = errors.map { case (k, v) =>
+      "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errsJson,"sf":"$sfDir"}"""
     // the JSON must survive sbt/log noise on stdout: also write it to a
     // file, and print it last after stopping Spark (whose shutdown logs
     // would otherwise trail it)

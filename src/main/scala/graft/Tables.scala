@@ -19,21 +19,35 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame       = table(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read it as raw nanos (legacy long mode) and floor-divide
-    * to a microsecond timestamp — the same truncation DuckDB applies when
-    * casting TIMESTAMP_NS to TIMESTAMP, so oracle comparisons agree.
-    * Integer arithmetic only: nanos (~1.7e18) overflow double precision.
-    * `spark.sql.legacy.parquet.nanosAsLong` is set once at session build
-    * (GraftSession/Bench/Verify/test suites) — reads must not mutate shared
-    * session state.
+  /** Schema-adaptive loader for `events.ts` — the testdata has shipped this
+    * column both as parquet TIMESTAMP(NANOS) and TIMESTAMP(MICROS), so the
+    * loader branches on the dtype Spark infers rather than assuming either:
+    *
+    *  - `LongType`: TIMESTAMP(NANOS) read as raw nanos under
+    *    `spark.sql.legacy.parquet.nanosAsLong` (the vectorized reader rejects
+    *    nanos otherwise). Floor-divide to micros — the truncation DuckDB
+    *    applies casting TIMESTAMP_NS → TIMESTAMP — using integer arithmetic
+    *    only (nanos ~1.7e18 overflow double precision).
+    *  - `TimestampNTZType`: TIMESTAMP(MICROS) with isAdjustedToUTC=false.
+    *    Cast to session-TZ TimestampType; the session TZ is pinned to UTC
+    *    (GraftSession), so the instants are unchanged and downstream code and
+    *    the DuckDB oracle (naive timestamps) agree.
+    *  - `TimestampType`: pass through.
+    *
+    * Anything else fails loudly here (one named error) instead of as an
+    * AnalysisException inside every downstream query.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "set spark.sql.legacy.parquet.nanosAsLong=true at session build (see GraftSession)")
-    table(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => raw
+      case other => throw new IllegalStateException(
+        s"events.ts loaded as $other; expected raw-nanos LongType, TIMESTAMP_NTZ, or TIMESTAMP")
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
