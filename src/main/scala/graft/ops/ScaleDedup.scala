@@ -360,6 +360,12 @@ object ScaleDedup {
   private val savedBandIndexes =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
 
+  /** Test hook mirroring [[VectorAgg.persistedIvfPqIndexPath]]: the cached
+    * band-index path for (session, dir), if already saved this session.
+    */
+  private[graft] def persistedBandIndexPath(spark: SparkSession, dir: String): Option[String] =
+    savedBandIndexes.get((spark, dir))
+
   /** The §2 entry for the persisted path: index the corpus ONCE per
     * (session, dir) — first-save under a lock, pid- AND session-scoped
     * path (two SparkSessions in one JVM each save to their own dir

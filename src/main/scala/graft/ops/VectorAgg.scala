@@ -552,6 +552,14 @@ object VectorAgg {
   private val savedIndexes =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
 
+  /** Test hook: the cached index path for (session, dir), if the persisted
+    * entry has already trained+saved in this session. PersistedIndexSpec
+    * uses it to prove the serve path never re-saves (mtime-stable) and the
+    * cache hits across repeated calls.
+    */
+  private[graft] def persistedIvfPqIndexPath(spark: SparkSession, dir: String): Option[String] =
+    savedIndexes.get((spark, dir))
+
   /** The §2 entry for the persisted-index path: train+save ONCE per
     * (session, dir) — the save guard mirrors the indexCache contract the
     * scaladoc promises — then serve the query from the loaded tables,

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.execution.{FileSourceScanExec, RDDScanExec}
+
+/** Pins the persisted-index entries' whole claim: train+save happens ONCE
+  * per (session, dir); every later call is a pure serve against the loaded
+  * tables — no Lloyd rounds, no re-save, no corpus-wide re-encode.
+  *
+  * Round 7's driver bench regressed `ann_topk_ivfpq_persisted` 5.7× and the
+  * suspicion was the session-scoped cache silently missing between calls
+  * (re-training per rep). BenchOne exonerated it (warm serve ~1.0 s), and
+  * this spec makes the contract a standing assertion instead of a per-round
+  * forensic: cache key stable, index files mtime-stable across calls, and
+  * the serve plan free of train/save stages.
+  */
+class PersistedIndexSpec extends SparkSuite {
+
+  /** name → lastModified for every data file under a saved index dir. */
+  private def mtimes(root: String): Map[String, Long] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    walk(new java.io.File(root))
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getPath -> f.lastModified()).toMap
+  }
+
+  test("ivf-pq persisted: cache hits across calls, no re-save, serve plan train-free") {
+    val first = ops.VectorAgg.annTopkIvfPqPersisted(spark, sf)
+    val rows1 = first.collect().map(_.toSeq).toSeq
+    assert(rows1.nonEmpty)
+    val path = ops.VectorAgg.persistedIvfPqIndexPath(spark, sf)
+      .getOrElse(fail("first call did not populate the index cache"))
+    val saved = mtimes(path)
+    assert(saved.nonEmpty, s"no parquet files under $path")
+
+    val second = ops.VectorAgg.annTopkIvfPqPersisted(spark, sf)
+    assert(second.collect().map(_.toSeq).toSeq == rows1)
+    assert(ops.VectorAgg.persistedIvfPqIndexPath(spark, sf).contains(path),
+      "cache key did not hit on the second call")
+    assert(mtimes(path) == saved, "serve pass re-wrote index files")
+
+    // the serve plan: no RDD-scan leaf (Lloyd's localCheckpoint signature —
+    // training would surface as one), and the only file scans are the index
+    // tables plus ONE corpus scan for the query slice
+    val nodes = tools.PlanWalk.flatten(second.queryExecution.executedPlan)
+    assert(!nodes.exists(_.isInstanceOf[RDDScanExec]),
+      "serve plan contains a checkpointed (trained) RDD leaf")
+    val scans = nodes.collect { case f: FileSourceScanExec => f.toString }
+    assert(scans.exists(_.contains(path)), s"index tables not scanned:\n${scans.mkString("\n")}")
+    val corpusScans = scans.filter(s => s.contains("embeddings") && !s.contains(path))
+    assert(corpusScans.size == 1,
+      s"expected exactly the query-slice corpus scan, got ${corpusScans.size}")
+  }
+
+  test("banded dedup persisted: cache hits across calls, no re-save, serve plan write-free") {
+    val first = ops.ScaleDedup.dedupIncrementalBandedPersisted(spark, sf)
+    val rows1 = first.collect().map(_.toSeq).toSeq
+    val path = ops.ScaleDedup.persistedBandIndexPath(spark, sf)
+      .getOrElse(fail("first call did not populate the band-index cache"))
+    val saved = mtimes(path)
+    assert(saved.nonEmpty, s"no parquet files under $path")
+
+    val second = ops.ScaleDedup.dedupIncrementalBandedPersisted(spark, sf)
+    assert(second.collect().map(_.toSeq).toSeq == rows1)
+    assert(ops.ScaleDedup.persistedBandIndexPath(spark, sf).contains(path),
+      "cache key did not hit on the second call")
+    assert(mtimes(path) == saved, "serve pass re-wrote band-index files")
+
+    val nodes = tools.PlanWalk.flatten(second.queryExecution.executedPlan)
+    assert(!nodes.exists(_.isInstanceOf[RDDScanExec]))
+    val scans = nodes.collect { case f: FileSourceScanExec => f.toString }
+    assert(scans.exists(_.contains(path)), s"band index not scanned:\n${scans.mkString("\n")}")
+  }
+}
