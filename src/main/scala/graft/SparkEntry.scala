@@ -18,7 +18,7 @@ object SparkEntry {
       ops.AnnLsh.queries ++ ops.Multimodal.queries ++ ops.AsofJoin.queries ++ ops.VectorAgg.queries ++
       ops.Curation.queries ++ ops.RangeJoin.queries ++ ops.CorpusOps.queries ++
       ops.BpeTrain.queries ++ ops.EmbeddingPca.queries ++ ops.SemanticDedup.queries ++
-      ops.EmbeddingSq.queries
+      ops.EmbeddingSq.queries ++ ops.QualityTrain.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.

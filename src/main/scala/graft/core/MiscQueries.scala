@@ -173,13 +173,58 @@ object MiscQueries {
       .orderBy($"exact_n".desc, $"token")
   }
 
+  /** Sketch set-algebra: distinct-user INTERSECTION per event-type pair by
+    * inclusion–exclusion over mergeable DataSketches HLL sketches —
+    * |A∩B| ≈ est(A) + est(B) − est(A∪B), with the union estimated from
+    * `hll_union` of the two types' sketches, never from re-scanning rows.
+    *
+    * This is the sketch family's missing set operation: [[sketchDistinct]]
+    * answers "how many distinct users per type"; this answers "how many do
+    * BOTH X and Y" — the audience-overlap question — without the
+    * self-join-on-user the exact form needs.
+    *
+    * Scale shape: ONE corpus scan building T partial-merged sketches
+    * (shuffle = T × 16 KiB sketch blobs at lgK=14, regardless of row
+    * count); the T² pairing is a broadcast cross of T rows. The exact_*
+    * columns are the verification twin (the distinct self-join they need
+    * is the cost the sketch path avoids) — at 100 TB they'd be dropped and
+    * SketchSpec's error pin is the contract: ±3σ HLL error compounds
+    * through inclusion–exclusion to ~2.4% of the UNION size at lgK=14.
+    */
+  def sketchDistinctIntersect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perType = Tables.events(spark, dir)
+      .groupBy($"event_type")
+      .agg(hll_sketch_agg($"user_id", lit(14)).as("sk"),
+        countDistinct($"user_id").as("exact_n"))
+    val a = perType.select($"event_type".as("type_a"), $"sk".as("sk_a"), $"exact_n".as("exact_a"))
+    val b = perType.select($"event_type".as("type_b"), $"sk".as("sk_b"), $"exact_n".as("exact_b"))
+    val est = a.crossJoin(broadcast(b)).filter($"type_a" < $"type_b")
+      .withColumn("approx_a", hll_sketch_estimate($"sk_a"))
+      .withColumn("approx_b", hll_sketch_estimate($"sk_b"))
+      .withColumn("approx_union", hll_sketch_estimate(hll_union($"sk_a", $"sk_b")))
+      .withColumn("approx_both",
+        greatest($"approx_a" + $"approx_b" - $"approx_union", lit(0L)))
+    val tu = Tables.events(spark, dir).select($"event_type", $"user_id").distinct()
+    val exactBoth = tu.as("x").join(tu.as("y"), Seq("user_id"))
+      .filter($"x.event_type" < $"y.event_type")
+      .groupBy($"x.event_type".as("type_a"), $"y.event_type".as("type_b"))
+      .agg(countDistinct($"user_id").as("exact_both"))
+    est.join(exactBoth, Seq("type_a", "type_b"), "left")
+      .na.fill(0L, Seq("exact_both"))
+      .select($"type_a", $"type_b", $"exact_a", $"exact_b", $"exact_both",
+        $"approx_a", $"approx_b", $"approx_both")
+      .orderBy($"type_a", $"type_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "set_ops_suite"         -> (setOpsSuite _),
     "dm_pivot_event_types"  -> (pivotEventTypes _),
     "agg_weighted_mean"     -> (aggWeightedMean _),
     "sketch_distinct_hll"   -> (sketchDistinct _),
     "sketch_percentile_kll" -> (sketchPercentile _),
-    "sketch_heavy_hitters"  -> (sketchHeavyHitters _)
+    "sketch_heavy_hitters"  -> (sketchHeavyHitters _),
+    "sketch_distinct_intersect" -> (sketchDistinctIntersect _)
   )
 
   val oracleSql: Map[String, String] = Map(

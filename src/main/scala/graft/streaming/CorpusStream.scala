@@ -66,6 +66,17 @@ object CorpusStream {
   def classifyStream(docs: DataFrame): DataFrame =
     graft.ops.LlmQueries.qualityClassifierOn(docs)
 
+  /** Trained-model streaming quality screen: the LR classifier fit by
+    * [[graft.ops.QualityTrain]] applied to an unbounded document stream.
+    * Train on the landed corpus (batch, once), serve on the stream —
+    * weights are plan literals, the projection is stateless, and the
+    * inference core is the batch entry's own [[graft.ops.QualityTrain
+    * .scoreLrOn]], so a replayed batch can never score differently
+    * (StreamingCorpusSpec pins exact parity).
+    */
+  def classifyLrStream(docs: DataFrame, w: Array[Double]): DataFrame =
+    graft.ops.QualityTrain.scoreLrOn(docs, w)
+
   /** The per-source keep-threshold table for a testdata dir — the STATIC
     * side of the domain-mix screen, computed once from the corpus's
     * source counts by the shared [[graft.ops.CorpusOps.domainMixThresholds]]

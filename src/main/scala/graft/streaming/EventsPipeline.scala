@@ -597,6 +597,118 @@ object EventsPipeline {
           }
         }
 
+  /** Streaming rate-anomaly screen — the streaming twin of
+    * [[graft.core.BehaviorQueries.eventsAnomaly]], with honest no-lookahead
+    * semantics: each (event_type, day) count is scored against the TRAILING
+    * baseline (mean/std of the days already closed) instead of the batch
+    * twin's global stats. A day closes when any strictly later day appears
+    * in the stream (a global event-time high-watermark); the final day
+    * stays open, exactly as an unbounded stream leaves "today" unscored.
+    *
+    * State per type is three numbers (n, Σ, Σ²) plus the open-day counts —
+    * bounded by #types × (open days + 1), never by history; the per-batch
+    * heavy work (counting events into (type, day)) is a distributed
+    * partial-agg groupBy, and only that bounded state is pulled to the
+    * driver (the [[kmeansFold]] contract). Retry-idempotent via the same
+    * (run_tag, last_batch_id) guard; verdicts land in a batch-scoped
+    * overwrite dir so a retried fold rewrites rather than duplicates.
+    */
+  def streamingAnomaly(events: DataFrame, statePath: String, runTag: String = "default"): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        anomalyFold(batch, statePath, batchId, runTag)
+      }
+
+  /** The per-batch body of [[streamingAnomaly]], factored out for direct
+    * testing (replayed batches, retry guard, spike detection).
+    */
+  private[graft] def anomalyFold(batch: DataFrame, statePath: String, batchId: Long, runTag: String = "default"): Unit =
+    if (!batch.isEmpty) {
+      val spark = batch.sparkSession
+      import spark.implicits._
+      // distributed: this batch's (type, day) counts — the only pass that
+      // touches event rows
+      val batchCounts = batch
+        .select($"event_type", to_date($"ts").as("d"))
+        .groupBy($"event_type", $"d")
+        .agg(count(lit(1)).as("n_events"))
+        .select($"event_type", date_format($"d", "yyyy-MM-dd").as("day"), $"n_events")
+        .as[(String, String, Long)].collect().toSeq
+
+      // ONE state table (kind = 'meta' | 'stats' | 'open') so the guard,
+      // the baseline, and the open-day counts commit in a single overwrite
+      // — split tables could leave the marker behind the data on a crash,
+      // and a retry would then double-count the batch into open counts
+      val statePq = s"$statePath/state"
+      val prevState: Seq[(String, String, String, Long, Double, Double, Long, String)] =
+        readWarehouse(spark, statePq) match {
+          case None => Seq.empty
+          case Some(st) => st
+            .select($"kind", $"event_type", $"day", $"n", $"s", $"q",
+              $"last_batch_id", $"run_tag")
+            .as[(String, String, String, Long, Double, Double, Long, String)]
+            .collect().toSeq
+        }
+      val prevMeta = prevState.find(_._1 == "meta").map(m => (m._7, m._8))
+      val prevStats = prevState.filter(_._1 == "stats").map(r => (r._2, r._4, r._5, r._6))
+      if (prevMeta.exists(m => m._2 == runTag && m._1 == batchId)) {
+        // retry re-delivery of the last committed batch — already folded
+      } else if (prevMeta.exists(m => m._2 != runTag || m._1 > batchId)) {
+        throw new IllegalStateException(
+          s"streamingAnomaly state at $statePath was last written by run '${prevMeta.get._2}' " +
+            s"batch ${prevMeta.get._1} but received batch $batchId from run '$runTag' — " +
+            "clear the state path or restore the checkpoint")
+      } else {
+        val prevOpen: Seq[(String, String, Long)] =
+          prevState.filter(_._1 == "open").map(r => (r._2, r._3, r._4))
+        val merged = (prevOpen ++ batchCounts)
+          .groupBy(r => (r._1, r._2))
+          .map { case ((t, d), rs) => (t, d, rs.map(_._3).sum) }.toSeq
+        val maxDay = merged.map(_._2).max
+        val (toClose, stillOpen) = merged.partition(_._2 < maxDay)
+
+        val stats = scala.collection.mutable.Map[String, (Long, Double, Double)]() ++
+          prevStats.map(p => p._1 -> ((p._2, p._3, p._4)))
+        // close in day order so a multi-day batch folds each day into the
+        // baseline before the next is scored
+        val verdicts = toClose.sortBy(r => (r._2, r._1)).map { case (t, d, n) =>
+          val (cn, cs, cq) = stats.getOrElse(t, (0L, 0.0, 0.0))
+          val z =
+            if (cn == 0) 0.0
+            else {
+              val mean = cs / cn
+              val variance = cq / cn - mean * mean
+              if (variance <= 0.0) 0.0 else (n - mean) / math.sqrt(variance)
+            }
+          stats(t) = (cn + 1, cs + n, cq + n.toDouble * n)
+          // warm-up floor: a 1–2 day baseline has no meaningful variance —
+          // flagging against it is noise (a 2-point σ can make any third
+          // day a 3σ event), so a type only starts flagging once 3 closed
+          // days back its baseline
+          (t, d, n, z, if (math.abs(z) > 2.0 && cn >= 3) "anomaly" else "normal")
+        }
+
+        // verdicts first, into a batch-scoped overwrite dir: a retried fold
+        // rewrites the same dir, never appends duplicates
+        if (verdicts.nonEmpty)
+          verdicts.toDF("event_type", "day", "n_events", "z_score", "verdict")
+            .coalesce(1)
+            .write.mode("overwrite").parquet(s"$statePath/verdicts/batch_id=$batchId")
+        // then the whole state (marker included) in one overwrite: a crash
+        // before this commit makes the entire fold redo idempotently
+        val nextState =
+          Seq(("meta", null: String, null: String, 0L, 0.0, 0.0, batchId, runTag)) ++
+          stats.toSeq.map { case (t, (n, s, q)) =>
+            ("stats", t, null: String, n, s, q, batchId, runTag) } ++
+          stillOpen.map { case (t, d, n) =>
+            ("open", t, d, n, 0.0, 0.0, batchId, runTag) }
+        nextState
+          .toDF("kind", "event_type", "day", "n", "s", "q", "last_batch_id", "run_tag")
+          .coalesce(1).write.mode("overwrite").parquet(statePq)
+      }
+    }
+
   /** File-source incremental ingest — the streaming form of the reference's
     * delta load (extractor.py re-runs over a directory; here new files are
     * picked up per micro-batch, exactly-once).

@@ -549,6 +549,26 @@ class SketchSpec extends SparkSuite {
     }
   }
 
+  test("HLL intersection estimates track exact overlap within compound sketch error") {
+    val rows = core.MiscQueries.sketchDistinctIntersect(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exactUnion = r.getAs[Long]("exact_a") + r.getAs[Long]("exact_b") -
+        r.getAs[Long]("exact_both")
+      // per-type estimates: lgK=14 HLL rse ≈ 0.8%, pin at 3σ
+      assert(math.abs(r.getAs[Long]("approx_a") - r.getAs[Long]("exact_a")).toDouble
+        <= math.max(0.025 * r.getAs[Long]("exact_a"), 4.0))
+      // inclusion–exclusion compounds three estimates; error scales with
+      // the UNION, not the intersection — pin at 5% of union + slack
+      val err = math.abs(r.getAs[Long]("approx_both") - r.getAs[Long]("exact_both")).toDouble
+      assert(err <= math.max(0.05 * exactUnion, 16.0),
+        s"${r.getAs[String]("type_a")}∩${r.getAs[String]("type_b")}: " +
+          s"approx ${r.getAs[Long]("approx_both")} vs exact ${r.getAs[Long]("exact_both")} (union $exactUnion)")
+    }
+    // the corpus genuinely overlaps (the estimate is estimating something)
+    assert(rows.map(_.getAs[Long]("exact_both")).max > 0)
+  }
+
   test("CMS heavy-hitter estimates obey the one-sided error bound") {
     import org.apache.spark.sql.functions._
     val rows = core.MiscQueries.sketchHeavyHitters(spark, sf).collect()

@@ -1,0 +1,60 @@
+package graft
+
+/** Convergence and serving contracts for the trained quality classifier. */
+class QualityTrainSpec extends SparkSuite {
+
+  test("Newton loss is monotone non-increasing; trajectory well-formed") {
+    val traj = ops.QualityTrain.qualityTrainLr(spark, sf).collect()
+    assert(traj.length == ops.QualityTrain.defaultIters)
+    val byIter = traj.sortBy(_.getAs[Int]("iter"))
+    val losses = byIter.map(_.getAs[Double]("loss"))
+    losses.sliding(2).foreach { case Array(a, b) =>
+      assert(b <= a + 1e-9, s"loss rose: $a -> $b")
+    }
+    assert(math.abs(losses.head - math.log(2.0)) < 1e-9,
+      s"zero-weight start must score ln 2, got ${losses.head}")
+    assert(byIter.head.getAs[scala.collection.Seq[Double]]("final_w").length ==
+      ops.QualityTrain.dim)
+  }
+
+  test("trained model recovers the linearly-separable teacher on an extreme corpus") {
+    import spark.implicits._
+    // teacher margin/n = 70·(distinct rate) + 30·(stopword rate) − 45 is
+    // linear in the feature space, so LR must fit extremes essentially
+    // perfectly given enough epochs
+    val docs = Seq(
+      (1L, "aa aa aa aa aa aa aa aa"),
+      (2L, "bb bb bb bb bb bb"),
+      (3L, "cc cc cc cc cc cc cc cc cc cc"),
+      (4L, "the quick brown fox jumps over a lazy dog of note"),
+      (5L, "every distinct word and a few stopwords to keep the screen happy"),
+      (6L, "wide vocabulary text with many unique tokens and no repeats at all")
+    ).toDF("doc_id", "text")
+    val feats = ops.QualityTrain.featurized(docs)
+    val teacher = feats.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("y")).toMap
+    assert(teacher.values.toSet == Set(0.0, 1.0), "toy corpus must contain both classes")
+    val (w, traj) = ops.QualityTrain.train(feats, iters = 8)
+    val scored = ops.QualityTrain.scoreLrOn(docs, w).collect()
+    scored.foreach { r =>
+      val want = if (teacher(r.getAs[Long]("doc_id")) == 1.0) "hq" else "lq"
+      assert(r.getAs[String]("label") == want, s"doc ${r.getAs[Long]("doc_id")}")
+    }
+    assert(traj.last._2 < traj.head._2 / 2, "loss should at least halve on separable data")
+  }
+
+  test("corpus inference: final teacher agreement high; cache serves repeated calls") {
+    val first = ops.QualityTrain.qualityClassifierLr(spark, sf).collect()
+    assert(first.nonEmpty)
+    val agree = first.map(_.getAs[Long]("agrees_teacher")).sum.toDouble / first.length
+    assert(agree >= 0.95, s"teacher agreement $agree")
+    // the model cache must hit: same weights, bit-identical output
+    val second = ops.QualityTrain.qualityClassifierLr(spark, sf).collect()
+    assert(second.map(_.toSeq).toSeq == first.map(_.toSeq).toSeq)
+    assert(ops.QualityTrain.trainedWeights(spark, sf).length == ops.QualityTrain.dim)
+    // probabilities are calibrated probabilities, not raw margins
+    first.foreach { r =>
+      val p = r.getAs[Double]("prob_hq")
+      assert(p >= 0.0 && p <= 1.0)
+    }
+  }
+}

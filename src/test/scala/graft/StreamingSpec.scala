@@ -879,4 +879,98 @@ class StreamingSpec extends SparkSuite {
         s"missed=${(batch -- streamed).take(5)} extra=${(streamed -- batch).take(5)}")
     } finally q.stop()
   }
+
+  test("streaming LR quality screen == batch trained classifier on replayed batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val w = ops.QualityTrain.trainedWeights(spark, sf)
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.streaming.CorpusStream.classifyLrStream(
+        stream.toDF().toDF("doc_id", "text"), w)
+      .writeStream.outputMode("append").format("memory").queryName("clf_lr_out").start()
+    try {
+      val (a, b) = docs.splitAt(docs.size / 2)
+      stream.addData(a); q.processAllAvailable()
+      stream.addData(b); q.processAllAvailable()
+      val streamed = spark.table("clf_lr_out")
+        .select($"doc_id", $"prob_hq", $"label")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+      val batch = ops.QualityTrain.qualityClassifierLr(spark, sf)
+        .select($"doc_id", $"prob_hq", $"label")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+      assert(batch.nonEmpty && streamed == batch)
+    } finally q.stop()
+  }
+}
+
+/** streamingAnomaly: trailing-baseline z-scores over closing days, bounded
+  * state, retry idempotence — driven through the factored fold body.
+  */
+class StreamingAnomalySpec extends SparkSuite {
+  import graft.streaming.EventsPipeline
+
+  private def mkBatch(rows: Seq[(String, String, Int)]) = {
+    import spark.implicits._
+    // rows: (event_type, day, count) exploded into that many events
+    rows.flatMap { case (t, d, n) =>
+      (1 to n).map(i => (t, java.sql.Timestamp.valueOf(s"$d 12:00:00"), i.toLong))
+    }.toDF("event_type", "ts", "user_id")
+  }
+
+  test("spike day flagged against the trailing baseline; last day stays open") {
+    import spark.implicits._
+    val statePath = java.nio.file.Files.createTempDirectory("graft_anom").toString
+    // jittered-constant rate (variance > 0), one 5× spike on day 08
+    val days = Seq(
+      ("2024-01-01", 100), ("2024-01-02", 98), ("2024-01-03", 103),
+      ("2024-01-04", 101), ("2024-01-05", 97), ("2024-01-06", 102),
+      ("2024-01-07", 99), ("2024-01-08", 500), ("2024-01-09", 100),
+      ("2024-01-10", 101))
+    val batches = days.grouped(4).toSeq // 3 micro-batches, multi-day each
+    batches.zipWithIndex.foreach { case (b, i) =>
+      EventsPipeline.anomalyFold(mkBatch(b.map { case (d, n) => ("play", d, n) }),
+        statePath, i.toLong, "run-a")
+    }
+    val verdicts = spark.read.parquet(s"$statePath/verdicts")
+      .collect().map(r => r.getAs[String]("day") ->
+        (r.getAs[Long]("n_events"), r.getAs[Double]("z_score"), r.getAs[String]("verdict"))).toMap
+    // every day but the still-open last one is scored exactly once
+    assert(verdicts.keySet == days.map(_._1).init.toSet)
+    assert(verdicts("2024-01-08")._3 == "anomaly", verdicts("2024-01-08").toString)
+    (days.init.map(_._1).toSet - "2024-01-08").foreach { d =>
+      assert(verdicts(d)._3 == "normal", s"$d: ${verdicts(d)}")
+    }
+    // day 1 scored with an empty baseline → z defined as 0
+    assert(verdicts("2024-01-01")._2 == 0.0)
+    // trailing semantics: the spike is NOT in the baseline of the days
+    // before it, and IS in the stats afterwards
+    val st = spark.read.parquet(s"$statePath/state")
+      .filter($"kind" === "stats").collect()
+    assert(st.length == 1)
+    val closed = days.init.map(_._2.toDouble)
+    assert(st.head.getAs[Long]("n") == closed.length)
+    assert(math.abs(st.head.getAs[Double]("s") - closed.sum) < 1e-9)
+    // state is bounded: stats rows = #types, open rows = #types × open days
+    val open = spark.read.parquet(s"$statePath/state").filter($"kind" === "open").collect()
+    assert(open.length == 1 && open.head.getAs[String]("day") == "2024-01-10")
+  }
+
+  test("retry of the last committed batch is a no-op; stale-state restart fails loudly") {
+    import spark.implicits._
+    val statePath = java.nio.file.Files.createTempDirectory("graft_anom_retry").toString
+    val b0 = mkBatch(Seq(("play", "2024-02-01", 10), ("play", "2024-02-02", 12)))
+    EventsPipeline.anomalyFold(b0, statePath, 0L, "run-a")
+    val state1 = spark.read.parquet(s"$statePath/state").collect().map(_.toSeq).toSet
+    // foreachBatch retry: same batch id, same run — must not double-count
+    EventsPipeline.anomalyFold(b0, statePath, 0L, "run-a")
+    assert(spark.read.parquet(s"$statePath/state").collect().map(_.toSeq).toSet == state1)
+    // a fresh run against existing state is ambiguous — loud failure
+    intercept[IllegalStateException] {
+      EventsPipeline.anomalyFold(b0, statePath, 0L, "run-b")
+    }
+  }
 }
