@@ -18,7 +18,8 @@ object SparkEntry {
       ops.AnnLsh.queries ++ ops.Multimodal.queries ++ ops.AsofJoin.queries ++ ops.VectorAgg.queries ++
       ops.Curation.queries ++ ops.RangeJoin.queries ++ ops.CorpusOps.queries ++
       ops.BpeTrain.queries ++ ops.EmbeddingPca.queries ++ ops.SemanticDedup.queries ++
-      ops.EmbeddingSq.queries ++ ops.QualityTrain.queries
+      ops.EmbeddingSq.queries ++ ops.QualityTrain.queries ++ ops.ZorderLayout.queries ++
+      ops.BloomDedup.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -31,5 +32,5 @@ object SparkEntry {
       ops.AsofJoin.oracleSql ++
       ops.VectorAgg.oracleSql ++ ops.Curation.oracleSql ++ ops.RangeJoin.oracleSql ++
       ops.CorpusOps.oracleSql ++ ops.EmbeddingPca.oracleSql ++ ops.Multimodal.oracleSql ++
-      ops.EmbeddingSq.oracleSql
+      ops.EmbeddingSq.oracleSql ++ ops.ZorderLayout.oracleSql ++ ops.BloomDedup.oracleSql
 }
