@@ -30,38 +30,48 @@ object BloomDedup {
 
   private def normText(c: Column): Column = lower(trim(c))
 
-  /** Session-lifetime persisted-bloom registry, the savedIndexes pattern:
-    * build+save once per (session, dir), serve every later batch.
+  /** Session-lifetime persisted-bloom registry (blob PATHS, not blobs —
+    * serving re-reads the file), the savedIndexes pattern: build+save once
+    * per (session, dir), serve every later batch from disk.
     */
   private val savedBlooms =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Array[Byte]]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
 
   /** Fold the corpus side's fingerprints into a Bloom blob and persist it
-    * (tmpdir, pid- and session-scoped like the other persisted indexes).
-    * The build is `DataFrameStatFunctions.bloomFilter` — a distributed
-    * partial aggregate; only the finished blob reaches the driver.
+    * to `path`. The build is `DataFrameStatFunctions.bloomFilter` — a
+    * distributed partial aggregate; only the finished blob reaches the
+    * driver. Items are the xxhash64 LONGS (stat.bloomFilter putLong),
+    * matching the probe's might_contain(blob, <long fp>) exactly.
     */
-  private[graft] def corpusBloom(spark: SparkSession, dir: String, watermarkId: Long): Array[Byte] =
-    savedBlooms.synchronized {
+  private[graft] def saveBloomIndex(spark: SparkSession, dir: String,
+      watermarkId: Long, path: String): Unit = {
+    val corpus = Tables.documents(spark, dir).filter(col("doc_id") <= watermarkId)
+    val bf = corpus.stat.bloomFilter(xxhash64(normText(col("text"))), 1000000L, 0.01)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), bos.toByteArray)
+  }
+
+  /** Build+save once per (session, dir) — then every call (including the
+    * first) SERVES the blob from the persisted file, so the load path is
+    * exercised end-to-end, not just the in-memory shortcut. Path is pid-
+    * and session-scoped like the other persisted indexes (no cross-process
+    * save-vs-read races).
+    */
+  private[graft] def corpusBloom(spark: SparkSession, dir: String, watermarkId: Long): Array[Byte] = {
+    val path = savedBlooms.synchronized {
       savedBlooms.getOrElseUpdate((spark, dir), {
-        val corpus = Tables.documents(spark, dir)
-          .filter(col("doc_id") <= watermarkId)
-        // items are the xxhash64 LONGS (stat.bloomFilter putLong), matching
-        // the probe's might_contain(blob, <long fp>) exactly
-        val bf = corpus.stat.bloomFilter(
-          xxhash64(normText(col("text"))), 1000000L, 0.01)
-        val bos = new java.io.ByteArrayOutputStream()
-        bf.writeTo(bos)
-        val bytes = bos.toByteArray
         val p = java.nio.file.Paths.get(
           System.getProperty("java.io.tmpdir"),
           "graft_bloom_" + java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL) +
             "_" + ProcessHandle.current().pid() +
-            "_" + Integer.toHexString(System.identityHashCode(spark)))
-        java.nio.file.Files.write(p, bytes)
-        bytes
+            "_" + Integer.toHexString(System.identityHashCode(spark))).toString
+        saveBloomIndex(spark, dir, watermarkId, p)
+        p
       })
     }
+    java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+  }
 
   /** The map-side probe: `might_contain(<blob literal>, fp)` over the
     * already-computed long fingerprint, codegen'd into the batch scan's

@@ -85,6 +85,50 @@ object ZorderLayout {
       .write.mode("overwrite").partitionBy("cell").parquet(outPath)
   }
 
+  /** Equi-depth variant over any two long columns — the skew-robust
+    * normalization [[layoutZorder]]'s equi-width grid lacks: under a
+    * heavy-tailed dim (a Zipf user, a bursty time axis) equi-width packs
+    * most rows into a few cells and the layout stops pruning. Here each
+    * dim maps through its own 15 approx-quantile edges (one
+    * percentile_approx pass, mergeable KLL-style sketch, plan-side
+    * broadcast row — no collect) to a 4-bit RANK coordinate, so each
+    * dim's marginal is ~n/16 per bin by construction; z interleaves the two
+    * 4-bit ranks into a 16×16 grid of ~equal-count cells. ZorderSpec
+    * pins the balance claim on a quadratically-skewed corpus where the
+    * equi-width twin concentrates 4× worse.
+    */
+  private[graft] def equidepthCells(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    import df.sparkSession.implicits._
+    val qs = array((1 to 15).map(i => lit(i / 16.0)): _*)
+    val edges = df.agg(
+      percentile_approx(col(aCol).cast("double"), qs, lit(10000)).as("ae"),
+      percentile_approx(col(bCol).cast("double"), qs, lit(10000)).as("be"))
+    def rank4(x: Column, e: Column): Column =
+      size(filter(e, b => b < x.cast("double"))).cast("long")
+    df.crossJoin(broadcast(edges))
+      .withColumn("a4", rank4(col(aCol), $"ae"))
+      .withColumn("b4", rank4(col(bCol), $"be"))
+      .withColumn("cell", morton16($"a4", $"b4"))
+      .drop("ae", "be")
+  }
+
+  /** §2 entry `layout_zorder_equidepth`: the per-cell stats table of the
+    * rank-normalized layout over events (user_id × time). Rows-only — the
+    * quantile sketch's edge placement is engine-specific; the spec pins
+    * balance, marginal uniformity, and row conservation instead.
+    */
+  def layoutZorderEquidepth(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"event_id", $"user_id", $"ts".cast("long").as("sec"))
+    equidepthCells(ev, "user_id", "sec")
+      .groupBy($"cell")
+      .agg(count(lit(1)).as("n_rows"),
+        min($"user_id").as("min_user"), max($"user_id").as("max_user"),
+        min($"sec").as("min_sec"), max($"sec").as("max_sec"))
+      .orderBy($"cell")
+  }
+
   /** The DuckDB twin of [[morton16]]/[[layoutZorder]], generated from the
     * same loop so the two engines cannot drift.
     */
@@ -113,7 +157,8 @@ object ZorderLayout {
        |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "layout_zorder" -> (layoutZorder _)
+    "layout_zorder"           -> (layoutZorder _),
+    "layout_zorder_equidepth" -> (layoutZorderEquidepth _)
   )
 
   val oracleSql: Map[String, String] = Map(

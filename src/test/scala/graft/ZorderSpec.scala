@@ -42,6 +42,39 @@ class ZorderSpec extends SparkSuite {
     assert(sSpan.forall(_ <= sGlobal / 2), s"sec spans: ${sSpan.sorted.reverse.take(3).mkString(",")} vs $sGlobal")
   }
 
+  test("equi-depth cells stay balanced under quadratic skew where equi-width concentrates") {
+    import spark.implicits._
+    val n = 20000
+    // two decorrelated heavy-tailed dims: density ~1/√v — equi-width's
+    // first bins swallow most rows
+    val df = spark.range(1, n + 1)
+      .select($"id".as("event_id"),
+        expr(s"id * id div $n").as("a"),
+        expr(s"((id * 7919) % $n) * ((id * 7919) % $n) div $n").as("b"))
+    val cells = ops.ZorderLayout.equidepthCells(df, "a", "b")
+      .groupBy($"cell").agg(count(lit(1)).as("n_rows")).collect()
+    assert(cells.map(_.getAs[Long]("n_rows")).sum == n)
+    val counts = cells.map(_.getAs[Long]("n_rows"))
+    val mean = n.toDouble / 256
+    // balance: no equi-depth cell far above its fair share
+    assert(counts.max <= 4 * mean, s"max cell ${counts.max} vs fair $mean")
+    // the equi-width twin on the same data: 16×16 value-grid occupancy
+    val st = df.agg(min($"a"), max($"a"), min($"b"), max($"b")).head()
+    val (amn, amx, bmn, bmx) = (st.getLong(0), st.getLong(1), st.getLong(2), st.getLong(3))
+    val ew = df
+      .withColumn("ca", expr(s"((a - ${amn}L) * 15) div greatest(${amx}L - ${amn}L, 1)"))
+      .withColumn("cb", expr(s"((b - ${bmn}L) * 15) div greatest(${bmx}L - ${bmn}L, 1)"))
+      .groupBy($"ca", $"cb").agg(count(lit(1)).as("n_rows")).collect()
+      .map(_.getAs[Long]("n_rows"))
+    // equi-width concentrates ≥ 2× worse than equi-depth on this corpus
+    assert(ew.max >= 2 * counts.max,
+      s"equi-width max ${ew.max} vs equi-depth max ${counts.max}")
+    // marginal uniformity of the rank coordinates (each dim ~n/16 per bin)
+    val margA = ops.ZorderLayout.equidepthCells(df, "a", "b")
+      .groupBy($"a4").agg(count(lit(1)).as("c")).collect().map(_.getAs[Long]("c"))
+    assert(margA.max <= 2 * n / 16, s"marginal bin ${margA.max} vs fair ${n / 16}")
+  }
+
   test("written layout prunes range scans on BOTH dims; linear layout only on one") {
     import spark.implicits._
     val zPath = java.nio.file.Files.createTempDirectory("graft_zorder").toString
