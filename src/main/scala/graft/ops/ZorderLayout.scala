@@ -76,13 +76,46 @@ object ZorderLayout {
   /** The write side: one file per z-cell, rows z-ordered within each —
     * exchange on cell + in-partition sort, then ZorderSpec reads the files
     * back and measures two-dimensional pruning against a time-linear twin.
+    * The normalization stats land beside the data (`_stats`), so appended
+    * batches keep the SAME grid — the appendToPcaIndex contract: continuous
+    * ingestion never re-normalizes and never reshuffles landed cells.
     */
   def writeZorderLayout(spark: SparkSession, dir: String, outPath: String): Unit = {
     import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"event_id", $"user_id", $"ts".cast("long").as("sec"))
     zMapped(spark, dir)
       .repartition($"cell")
       .sortWithinPartitions($"cell", $"z", $"event_id")
       .write.mode("overwrite").partitionBy("cell").parquet(outPath)
+    // stats AFTER the data: overwriting the parent dir above would wipe
+    // a previously-written _stats subdir
+    ev.agg(min($"user_id").as("umn"), max($"user_id").as("umx"),
+        min($"sec").as("smn"), max($"sec").as("smx"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$outPath/_stats")
+  }
+
+  /** Append a batch of (event_id, user_id, sec) rows through the SAVED
+    * normalization grid: values beyond the landed [min,max] clamp to the
+    * edge cells (their stats boxes widen; a periodic re-layout reclaims
+    * them — the standard OPTIMIZE cadence), in-range rows land in exactly
+    * the cell a full rebuild would give them. Per-batch I/O is O(batch):
+    * an exchange on cell + appended files in only the touched cell dirs.
+    */
+  def appendToZorderLayout(batch: DataFrame, outPath: String): Unit = {
+    import batch.sparkSession.implicits._
+    val stats = batch.sparkSession.read.parquet(s"$outPath/_stats")
+    batch.crossJoin(broadcast(stats))
+      .withColumn("uc", least(greatest($"user_id", $"umn"), $"umx"))
+      .withColumn("sc", least(greatest($"sec", $"smn"), $"smx"))
+      .withColumn("u16", expr("((uc - umn) * 65535) div greatest(umx - umn, 1)"))
+      .withColumn("s16", expr("((sc - smn) * 65535) div greatest(smx - smn, 1)"))
+      .withColumn("z", morton16($"u16", $"s16"))
+      .withColumn("cell", shiftright($"z", 24))
+      .select($"event_id", $"user_id", $"sec", $"z", $"cell")
+      .repartition($"cell")
+      .sortWithinPartitions($"cell", $"z", $"event_id")
+      .write.mode("append").partitionBy("cell").parquet(outPath)
   }
 
   /** Equi-depth variant over any two long columns — the skew-robust
