@@ -31,6 +31,44 @@ class TablesSpec extends SparkSuite {
     assert(ev.select(min("ts"), max("ts")).first().getTimestamp(0) != null)
   }
 
+  test("live table schemas match the contract every query compiles against") {
+    // name -> (column, loaded Spark dtype). A driver-side regeneration that
+    // drifts ANY column (the round-7 events µs/ns incident) turns into this
+    // one named failure instead of dozens of downstream AnalysisExceptions.
+    // Timestamps may load as timestamp OR timestamp_ntz (writer-dependent);
+    // both normalize fine downstream, so either spelling passes.
+    val expected: Map[String, Seq[(String, String)]] = Map(
+      "region" -> Seq("r_regionkey" -> "int", "r_name" -> "string"),
+      "nation" -> Seq("n_nationkey" -> "int", "n_name" -> "string", "n_regionkey" -> "int"),
+      "customer" -> Seq("c_custkey" -> "bigint", "c_name" -> "string",
+        "c_nationkey" -> "int", "c_acctbal" -> "double", "c_mktsegment" -> "string"),
+      "supplier" -> Seq("s_suppkey" -> "bigint", "s_name" -> "string",
+        "s_nationkey" -> "int", "s_acctbal" -> "double"),
+      "part" -> Seq("p_partkey" -> "bigint", "p_name" -> "string", "p_brand" -> "string",
+        "p_type" -> "string", "p_size" -> "int", "p_retailprice" -> "double"),
+      "orders" -> Seq("o_orderkey" -> "bigint", "o_custkey" -> "bigint",
+        "o_orderstatus" -> "string", "o_totalprice" -> "double",
+        "o_orderdate" -> "timestamp", "o_orderpriority" -> "string"),
+      "lineitem" -> Seq("l_orderkey" -> "bigint", "l_partkey" -> "bigint",
+        "l_suppkey" -> "bigint", "l_linenumber" -> "int", "l_quantity" -> "double",
+        "l_extendedprice" -> "double", "l_discount" -> "double", "l_tax" -> "double",
+        "l_returnflag" -> "string", "l_linestatus" -> "string", "l_shipdate" -> "timestamp"),
+      "events" -> Seq("event_id" -> "bigint", "ts" -> "timestamp", "user_id" -> "bigint",
+        "event_type" -> "string", "value" -> "double", "props" -> "string"),
+      "documents" -> Seq("doc_id" -> "bigint", "text" -> "string", "lang" -> "string",
+        "source" -> "string", "n_chars" -> "bigint"),
+      "embeddings" -> Seq("vec_id" -> "bigint", "embedding" -> "array<float>",
+        "label" -> "int"))
+    expected.foreach { case (name, cols) =>
+      val got = Tables.table(spark, sf, name).schema
+        .map(f => f.name -> f.dataType.simpleString)
+      val normalized = got.map { case (n, t) =>
+        n -> (if (t == "timestamp_ntz") "timestamp" else t)
+      }
+      assert(normalized == cols, s"$name schema drift:\n  got  $got\n  want $cols")
+    }
+  }
+
   test("events loader: raw-nanos LongType fixture floor-divides to micros") {
     import spark.implicits._
     val dir = fixtureDir()
