@@ -519,6 +519,32 @@ object VectorAgg {
     lists.write.mode("overwrite").parquet(s"$indexPath/lists")
   }
 
+  /** Append a batch of (vec_id, embedding) rows to a SAVED IVF-PQ index:
+    * cell assignment against the LOADED centroids (map-side broadcast
+    * argmin, as always) and codes from the LOADED codebook — no Lloyd
+    * round, no codebook retrain, no existing list row touched; appended
+    * I/O is O(batch). This is the appendToBandIndex/appendToPcaIndex
+    * contract on the IVF-PQ axis — continuous ingestion grows the index
+    * the serve path queries without ever re-encoding the landed corpus.
+    * (Quantization drift under a shifting distribution is the operator's
+    * documented retrain-cadence concern, exactly as for FAISS add().)
+    */
+  def appendToIvfPqIndex(vecs: DataFrame, indexPath: String): Unit = {
+    import vecs.sparkSession.implicits._
+    val spark = vecs.sparkSession
+    val M = 16; val sub = 4
+    val cells = spark.read.parquet(s"$indexPath/cells")
+    val cbArr = pqCollapse(spark.read.parquet(s"$indexPath/codebook"))
+    val q = vecs.select($"vec_id",
+      transform($"embedding", x => floor(x.cast("double") * 1000.0 + 0.5).cast("long")).as("v"))
+    withCellRank(q, cells).crossJoin(broadcast(cbArr))
+      .withColumn("svs", pqSvs($"v", M, sub))
+      .select($"vec_id".as("neighbor_id"),
+        element_at($"cellRank", 1).getField("cell").as("cell"),
+        pqCode($"svs", $"cbs").as("code"))
+      .write.mode("append").parquet(s"$indexPath/lists")
+  }
+
   /** IVF-PQ ANN served ENTIRELY from the persisted index tables: the
     * query side ranks cells against the loaded centroids and builds its
     * ADC table from the loaded codebook (both tiny → broadcast as the

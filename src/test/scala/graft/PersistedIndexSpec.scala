@@ -52,6 +52,39 @@ class PersistedIndexSpec extends SparkSuite {
       s"expected exactly the query-slice corpus scan, got ${corpusScans.size}")
   }
 
+  test("ivf-pq append: new vectors encode through the SAVED model, landed rows untouched") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfpq_app").toString
+    ops.VectorAgg.saveIvfPqIndex(spark, sf, path)
+    val before = spark.read.parquet(s"$path/lists").collect()
+      .map(r => (r.getAs[Long]("neighbor_id"),
+        (r.getAs[Long]("cell"), r.getAs[scala.collection.Seq[Any]]("code")))).toMap
+    val savedFiles = mtimes(s"$path/lists")
+
+    // append a copy of every 7th corpus vector under fresh ids: its saved-
+    // model encoding must equal the original row's (same vector, same
+    // centroids, same codebook — cell and code are functions of the vector)
+    val batch = Tables.embeddings(spark, sf).filter($"vec_id" % 7 === 0)
+      .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding")
+    val batchCount = batch.count()
+    ops.VectorAgg.appendToIvfPqIndex(batch, path)
+
+    val after = spark.read.parquet(s"$path/lists").collect()
+      .map(r => (r.getAs[Long]("neighbor_id"),
+        (r.getAs[Long]("cell"), r.getAs[scala.collection.Seq[Any]]("code")))).toMap
+    assert(after.size == before.size + batchCount)
+    // existing rows and files untouched
+    before.foreach { case (id, enc) => assert(after(id) == enc, s"landed row $id changed") }
+    savedFiles.foreach { case (f, m) =>
+      assert(new java.io.File(f).lastModified() == m, s"landed file rewritten: $f")
+    }
+    // appended encodings equal the original rows'
+    after.filter(_._1 >= 1000000L).foreach { case (id, enc) =>
+      assert(enc == before(id - 1000000L), s"appended $id drifted from saved-model encoding")
+    }
+  }
+
   test("banded dedup persisted: cache hits across calls, no re-save, serve plan write-free") {
     val first = ops.ScaleDedup.dedupIncrementalBandedPersisted(spark, sf)
     val rows1 = first.collect().map(_.toSeq).toSeq
