@@ -597,6 +597,31 @@ object EventsPipeline {
           }
         }
 
+  /** Streaming Z-order ingest — continuous-ingestion twin of
+    * [[graft.ops.ZorderLayout.writeZorderLayout]]: each micro-batch routes
+    * through the SAVED normalization grid (appendToZorderLayout — no
+    * re-stats, landed cells never reshuffle) after the shardSink
+    * idempotence discipline: in-batch dedup on event_id, then the
+    * Bloom-prefiltered anti-join against landed ids, so a re-delivered or
+    * partially-appended batch adds nothing twice. Appended I/O per batch
+    * is O(batch): files land only in touched cell dirs.
+    */
+  def zorderSink(events: DataFrame, layoutPath: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) => zorderFold(batch, layoutPath) }
+
+  /** The per-batch body of [[zorderSink]], factored out for direct tests. */
+  private[graft] def zorderFold(batch: DataFrame, layoutPath: String): Unit =
+    if (!batch.isEmpty) {
+      import batch.sparkSession.implicits._
+      val b = batch
+        .select($"event_id", $"user_id", $"ts".cast("long").as("sec"))
+        .dropDuplicates("event_id")
+      val fresh = antiJoinFresh(b, layoutPath, "event_id")
+      if (!fresh.isEmpty) graft.ops.ZorderLayout.appendToZorderLayout(fresh, layoutPath)
+    }
+
   /** Streaming rate-anomaly screen — the streaming twin of
     * [[graft.core.BehaviorQueries.eventsAnomaly]], with honest no-lookahead
     * semantics: each (event_type, day) count is scored against the TRAILING

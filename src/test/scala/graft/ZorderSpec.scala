@@ -119,6 +119,34 @@ class ZorderSpec extends SparkSuite {
     }
   }
 
+  test("streaming zorderSink fold: appends through the saved grid, replay adds nothing") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_zorder_sink").toString
+    ops.ZorderLayout.writeZorderLayout(spark, sf, path)
+    val base = spark.read.parquet(path).count()
+
+    val batch = Tables.events(spark, sf)
+      .select(($"event_id" + 30000000L).as("event_id"), $"user_id", $"ts")
+      .limit(40)
+    graft.streaming.EventsPipeline.zorderFold(batch, path)
+    assert(spark.read.parquet(path).count() == base + 40)
+
+    // re-delivered batch (the foreachBatch retry): anti-join screens it out
+    graft.streaming.EventsPipeline.zorderFold(batch, path)
+    assert(spark.read.parquet(path).count() == base + 40)
+
+    // a mixed batch: half replayed, half genuinely new — only the new land
+    val mixed = Tables.events(spark, sf)
+      .select(($"event_id" + 30000000L).as("event_id"), $"user_id", $"ts")
+      .limit(60)
+    graft.streaming.EventsPipeline.zorderFold(mixed, path)
+    assert(spark.read.parquet(path).count() == base + 60)
+
+    // appended rows carry the same cell the batch append path assigns
+    val landed = spark.read.parquet(path).filter($"event_id" >= 30000000L)
+    assert(landed.select($"cell").distinct().count() >= 1)
+  }
+
   test("written layout prunes range scans on BOTH dims; linear layout only on one") {
     import spark.implicits._
     val zPath = java.nio.file.Files.createTempDirectory("graft_zorder").toString
