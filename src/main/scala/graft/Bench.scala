@@ -57,7 +57,8 @@ object Bench {
     "embedding_quantize_int8", "ann_topk_sq8",
     "sample_curriculum", "decontaminate_fuzzy",
     "quality_train_lr", "quality_classifier_lr", "sketch_distinct_intersect",
-    "layout_zorder", "dedup_incremental_bloom", "layout_zorder_equidepth")
+    "layout_zorder", "dedup_incremental_bloom", "layout_zorder_equidepth",
+    "sample_kcenter")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

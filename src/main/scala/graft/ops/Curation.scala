@@ -437,7 +437,58 @@ object Curation {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** k-center (farthest-point-first) diverse sampling — facility-location
+    * curation: pick k corpus vectors so every vector is close to some pick
+    * (the classic 2-approximation to the k-center optimum, and the
+    * standard diverse-seed / coreset selector for embedding-space data
+    * pruning). Greedy: seed with the min vec_id, then k−1 rounds of "take
+    * the vector farthest from everything picked so far" (max min-distance,
+    * min-id tie-break — fully deterministic, no RNG).
+    *
+    * Distributed shape: the picked set lives on the driver (≤ k·d longs —
+    * the k-means bounded-model-pull contract) and enters each round as
+    * plan literals; a round is ONE map-side pass computing every vector's
+    * min distance to the picks (k fused integer dot products via
+    * LongVectorDot) + a (dist, vec_id) max-aggregate — no shuffle of
+    * corpus rows, ever; k rounds total, like Lloyd. At 100 TB you run it
+    * on the IVF-cell centroid table or a uniform pre-sample rather than
+    * raw rows — composition, not a new operator.
+    *
+    * Output: (rank, vec_id, d2_at_pick) — d2_at_pick is the squared
+    * distance to the nearest EARLIER pick (the coverage radius sequence;
+    * non-increasing is the greedy invariant KcenterSpec re-derives
+    * driver-side). Rows-only: the greedy trace is not SQL-expressible.
+    */
+  def sampleKcenter(spark: SparkSession, dir: String, k: Int = 12): DataFrame = {
+    import spark.implicits._
+    import graft.functions.LongVectorDot.vector_dot
+    val q = VectorAgg.quantized(spark, dir)
+      .withColumn("nrm", vector_dot($"v", $"v"))
+      .localCheckpoint() // quantize once, not once per round
+    val first = q.orderBy($"vec_id").select($"vec_id", $"v").head()
+    var picks = Vector[(Long, Array[Long], Long)](
+      (first.getLong(0), first.getSeq[Long](1).toArray, 0L))
+    (2 to k).foreach { _ =>
+      // min distance to the current picks: k literal-array dots, map-side
+      val minD = picks.map { case (_, pv, _) =>
+        val pl = typedLit(pv.toSeq)
+        $"nrm" + lit(pv.map(x => x * x).sum) - lit(2L) * vector_dot($"v", pl)
+      }.reduce((a, b) => least(a, b))
+      val next = q
+        .select($"vec_id", $"v", minD.as("d2"))
+        .filter(!$"vec_id".isInCollection(picks.map(_._1)))
+        .orderBy($"d2".desc, $"vec_id".asc)
+        .head()
+      picks = picks :+ ((next.getLong(0), next.getSeq[Long](1).toArray, next.getLong(2)))
+    }
+    picks.zipWithIndex
+      .map { case ((id, _, d2), i) => (i + 1, id, d2) }
+      .toDF("rank", "vec_id", "d2_at_pick")
+      .orderBy($"rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_kcenter"    -> ((s, d) => sampleKcenter(s, d)),
     "sample_curriculum" -> (sampleCurriculum _),
     "corpus_shard"      -> ((s, d) => corpusShard(s, d)),
     "sample_weighted"   -> ((s, d) => sampleWeighted(s, d)),

@@ -162,6 +162,41 @@ object ZorderLayout {
       .orderBy($"cell")
   }
 
+  /** OPTIMIZE cadence for the streamed layout: cells whose file count grew
+    * past `maxFiles` (continuous [[appendToZorderLayout]] ingestion lands
+    * one file per touched cell per batch) are rewritten as ONE z-sorted
+    * file each — the [[graft.streaming.EventsPipeline.compactBuckets]]
+    * discipline on the cell axis. Census is listing metadata only; I/O is
+    * O(oversized cells); untouched cells keep their files byte-identical
+    * (dynamic partition overwrite); idempotent — a second call finds
+    * nothing oversized. Returns the compacted cell ids.
+    */
+  def compactCells(spark: SparkSession, path: String, maxFiles: Int = 4): Seq[Int] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    val oversized = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+      .filter(d => fs.listStatus(d.getPath)
+        .count(_.getPath.getName.endsWith(".parquet")) > maxFiles)
+      .map(_.getPath.getName.stripPrefix("cell=").toInt)
+      .sorted
+    if (oversized.nonEmpty) {
+      spark.read.parquet(path)
+        .filter(col("cell").isin(oversized: _*)) // partition-pruned scan
+        .repartition(oversized.length, col("cell"))
+        .sortWithinPartitions(col("cell"), col("z"), col("event_id"))
+        // materialize before overwriting the same cells being read
+        .localCheckpoint()
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell")
+        .parquet(path)
+    }
+    oversized
+  }
+
   /** The DuckDB twin of [[morton16]]/[[layoutZorder]], generated from the
     * same loop so the two engines cannot drift.
     */

@@ -147,6 +147,38 @@ class ZorderSpec extends SparkSuite {
     assert(landed.select($"cell").distinct().count() >= 1)
   }
 
+  test("compactCells: oversized cells fold to one file, cold cells byte-untouched, idempotent") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_zorder_cmp").toString
+    ops.ZorderLayout.writeZorderLayout(spark, sf, path)
+    // 6 appended batches hammer the SAME rows' cells → their dirs exceed
+    // the ceiling; cells those rows never touch stay cold
+    val batch = Tables.events(spark, sf)
+      .select(($"event_id" + 40000000L).as("event_id"), $"user_id", $"ts".cast("long").as("sec"))
+      .limit(30)
+    (1 to 6).foreach { i =>
+      ops.ZorderLayout.appendToZorderLayout(
+        batch.select(($"event_id" + i * 1000000L).as("event_id"), $"user_id", $"sec"), path)
+    }
+    val before = spark.read.parquet(path).count()
+    def files(cell: Int) = new java.io.File(s"$path/cell=$cell").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    val hot = spark.read.parquet(path).filter($"event_id" >= 40000000L)
+      .select($"cell".cast("int")).distinct().collect().map(_.getInt(0)).toSet
+    assert(hot.exists(c => files(c).length > 4), "fixture failed to exceed the ceiling")
+    val coldCell = spark.read.parquet(path).select($"cell".cast("int")).distinct()
+      .collect().map(_.getInt(0)).find(c => !hot.contains(c)).get
+    val coldMtimes = files(coldCell).map(f => f.getPath -> f.lastModified()).toMap
+
+    val compacted = ops.ZorderLayout.compactCells(spark, path, maxFiles = 4)
+    assert(compacted.nonEmpty)
+    compacted.foreach(c => assert(files(c).length == 1, s"cell $c still ${files(c).length} files"))
+    assert(spark.read.parquet(path).count() == before, "compaction lost rows")
+    assert(files(coldCell).map(f => f.getPath -> f.lastModified()).toMap == coldMtimes,
+      "cold cell rewritten")
+    assert(ops.ZorderLayout.compactCells(spark, path, maxFiles = 4).isEmpty, "not idempotent")
+  }
+
   test("written layout prunes range scans on BOTH dims; linear layout only on one") {
     import spark.implicits._
     val zPath = java.nio.file.Files.createTempDirectory("graft_zorder").toString
