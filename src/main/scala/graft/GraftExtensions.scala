@@ -62,6 +62,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         WordNgrams(exprs.head, n)
       }))
     ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      info("nfc_normalize", "nfc_normalize(str) - Unicode NFC normalization (ASCII fast path)"),
+      (exprs: Seq[Expression]) => graft.functions.NfcNormalize(exprs.head)))
+    ext.injectFunction((
       FunctionIdentifier("simhash_fingerprint"),
       info("simhash_fingerprint",
         "simhash_fingerprint(hashes) - packed 64-bit SimHash of an array<bigint> of token hashes (majority vote per bit)"),

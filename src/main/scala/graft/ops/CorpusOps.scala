@@ -538,7 +538,51 @@ object CorpusOps {
       .orderBy($"doc_id")
   }
 
+  /** Corpus text normalization — the pass that runs BEFORE any hashing /
+    * dedup / tokenization so byte-different spellings of the same visible
+    * string (decomposed accents, stray control chars, whitespace runs)
+    * can't split what should collapse: Unicode NFC (the native
+    * [[graft.functions.NfcNormalize]] expression, ASCII fast path), C0/DEL
+    * control-character strip, whitespace-run collapse, trim. Entirely
+    * map-side — no shuffle before the output sort. Oracle hash-exact:
+    * DuckDB's `nfc_normalize` implements the same Unicode algorithm and
+    * the regex classes are engine-portable (the textPiiScrub discipline).
+    */
+  def textNormalize(spark: SparkSession, dir: String): DataFrame =
+    textNormalizeOn(Tables.documents(spark, dir))
+
+  private[graft] def textNormalizeOn(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    import graft.functions.NfcNormalize.nfc_normalize
+    docs
+      .withColumn("nfc", nfc_normalize($"text"))
+      .withColumn("norm_text",
+        trim(regexp_replace(
+          regexp_replace($"nfc", "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""),
+          "\\s+", " ")))
+      .select($"doc_id", $"norm_text",
+        when($"norm_text" === $"text", 0L).otherwise(1L).as("changed"),
+        length($"text").as("n_chars_before"),
+        length($"norm_text").as("n_chars_after"))
+      .orderBy($"doc_id")
+  }
+
+  val textNormalizeSql: String =
+    """WITH n AS (
+      |  SELECT doc_id, text,
+      |    trim(regexp_replace(regexp_replace(nfc_normalize(text),
+      |      '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'), '\s+', ' ', 'g')) AS norm_text
+      |  FROM documents
+      |)
+      |SELECT doc_id, norm_text,
+      |  CAST(CASE WHEN norm_text = text THEN 0 ELSE 1 END AS BIGINT) AS changed,
+      |  CAST(length(text) AS BIGINT) AS n_chars_before,
+      |  CAST(length(norm_text) AS BIGINT) AS n_chars_after
+      |FROM n
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_normalize"        -> (textNormalize _),
     "text_pii_scrub"        -> (textPiiScrub _),
     "decontaminate_ngram"   -> (decontaminateNgram _),
     "decontaminate_fuzzy"   -> (decontaminateFuzzy _),
@@ -550,6 +594,7 @@ object CorpusOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "text_normalize"        -> textNormalizeSql,
     "text_pii_scrub"        -> textPiiScrubSql,
     "decontaminate_ngram"   -> decontaminateNgramSql,
     "text_lm_quality"       -> textLmQualitySql,
