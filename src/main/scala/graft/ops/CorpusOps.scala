@@ -548,9 +548,15 @@ object CorpusOps {
     * DuckDB's `nfc_normalize` implements the same Unicode algorithm and
     * the regex classes are engine-portable (the textPiiScrub discipline).
     */
-  def textNormalize(spark: SparkSession, dir: String): DataFrame =
-    textNormalizeOn(Tables.documents(spark, dir))
+  def textNormalize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    textNormalizeOn(Tables.documents(spark, dir)).orderBy($"doc_id")
+  }
 
+  /** The normalization core, shared with the streaming screen
+    * ([[graft.streaming.CorpusStream.normalizeStream]]) — sort-free so it
+    * works on unbounded frames; the batch entry adds the oracle ORDER BY.
+    */
   private[graft] def textNormalizeOn(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     import graft.functions.NfcNormalize.nfc_normalize
@@ -564,7 +570,6 @@ object CorpusOps {
         when($"norm_text" === $"text", 0L).otherwise(1L).as("changed"),
         length($"text").as("n_chars_before"),
         length($"norm_text").as("n_chars_after"))
-      .orderBy($"doc_id")
   }
 
   val textNormalizeSql: String =

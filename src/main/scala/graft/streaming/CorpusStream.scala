@@ -66,6 +66,16 @@ object CorpusStream {
   def classifyStream(docs: DataFrame): DataFrame =
     graft.ops.LlmQueries.qualityClassifierOn(docs)
 
+  /** Ingest-time text normalization: the NFC/control/whitespace cleaning
+    * pass on the document stream — stateless map-side projection per
+    * micro-batch, core SHARED verbatim with batch text_normalize so a doc
+    * normalizes identically in backfill and stream (parity spec-pinned).
+    * Running it AT INGEST is the production shape: everything downstream
+    * (fingerprints, band indexes, tokenizers) sees only normalized bytes.
+    */
+  def normalizeStream(docs: DataFrame): DataFrame =
+    graft.ops.CorpusOps.textNormalizeOn(docs)
+
   /** Trained-model streaming quality screen: the LR classifier fit by
     * [[graft.ops.QualityTrain]] applied to an unbounded document stream.
     * Train on the landed corpus (batch, once), serve on the stream —
