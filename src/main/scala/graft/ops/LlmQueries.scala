@@ -763,6 +763,58 @@ object LlmQueries {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  /** Unicode-script character profile — the multilingual-routing signal
+    * next to [[textLangid]]'s marker-word heuristic: langid needs WORDS it
+    * recognizes, the script histogram works on any text (and catches
+    * mixed-script spam / mojibake that wordlists can't). Per-script counts
+    * via length-difference under a codepoint-range strip — one map-side
+    * pass, no tokenization, no shuffle before the output sort. Explicit
+    * `\x{...}` ranges (not `\p{...}` script classes) because Java regex
+    * and DuckDB's RE2 agree on the former verbatim — that's what makes the
+    * entry oracle hash-exact.
+    */
+  def textScriptProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    textScriptProfileOn(Tables.documents(spark, dir)).orderBy($"doc_id")
+  }
+
+  /** The profiling core over any (doc_id, text) frame — injectable for the
+    * planted-script spec; sort-free (streamable).
+    */
+  private[graft] def textScriptProfileOn(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val scripts = TextScripts.ranges
+    def count(cls: String): Column =
+      (length($"text") - length(regexp_replace($"text", cls, ""))).cast("long")
+    val counted = docs
+      .select($"doc_id" +: length($"text").cast("long").as("n_chars") +:
+        scripts.map { case (name, cls) => count(cls).as(s"n_$name") }: _*)
+    val best = greatest(scripts.map { case (n, _) => col(s"n_$n") }: _*)
+    counted
+      .withColumn("dominant_script",
+        scripts.foldRight(lit("none")) { case ((n, _), acc) =>
+          when(col(s"n_$n") === best && best > 0, lit(n)).otherwise(acc)
+        })
+  }
+
+  val textScriptProfileSql: String = {
+    val counts = TextScripts.ranges.map { case (name, cls) =>
+      s"CAST(length(text) - length(regexp_replace(text, '$cls', '', 'g')) AS BIGINT) AS n_$name"
+    }.mkString(",\n      |    ")
+    val greatestExpr = TextScripts.ranges.map { case (n, _) => s"n_$n" }.mkString("greatest(", ", ", ")")
+    val dominant = TextScripts.ranges.foldRight("'none'") { case ((n, _), acc) =>
+      s"CASE WHEN n_$n = $greatestExpr AND $greatestExpr > 0 THEN '$n' ELSE $acc END"
+    }
+    s"""WITH c AS (
+       |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+       |    $counts
+       |  FROM documents
+       |)
+       |SELECT c.*, $dominant AS dominant_script
+       |FROM c
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curation_quality_prune" -> (curationQualityPrune _),
     "quality_classifier"  -> (qualityClassifier _),
@@ -776,6 +828,7 @@ object LlmQueries {
     "ann_topk_exact"      -> (annTopkExact _),
     "ann_topk_agg"        -> (annTopkAgg _),
     "text_langid"         -> (textLangid _),
+    "text_script_profile" -> (textScriptProfile _),
     "text_quality"        -> (textQuality _),
     "curation_filter"     -> (curationFilter _),
     "text_tokens"         -> (textTokens _),
@@ -796,9 +849,25 @@ object LlmQueries {
     // the aggregate form is exact, so it is held to the SAME oracle
     "ann_topk_agg"        -> annTopkExactSql,
     "text_langid"         -> textLangidSql,
+    "text_script_profile" -> textScriptProfileSql,
     "text_quality"        -> textQualitySql,
     "curation_filter"     -> curationFilterSql,
     "text_tokens"         -> textTokensSql,
     "text_fingerprint"    -> textFingerprintSql
   )
+}
+
+/** The script → codepoint-range classes shared by the Spark expression and
+  * the generated DuckDB oracle SQL (ONE definition, zero drift). Explicit
+  * `\x{...}` ranges — the syntax Java regex and RE2 parse identically.
+  * Order matters: it is the deterministic dominant-script tie-break.
+  */
+private[graft] object TextScripts {
+  val ranges: Seq[(String, String)] = Seq(
+    "latin"    -> "[A-Za-z\\x{00C0}-\\x{024F}]",
+    "cyrillic" -> "[\\x{0400}-\\x{04FF}]",
+    "greek"    -> "[\\x{0370}-\\x{03FF}]",
+    "arabic"   -> "[\\x{0600}-\\x{06FF}]",
+    "cjk"      -> "[\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{30FF}\\x{AC00}-\\x{D7AF}]",
+    "digit"    -> "[0-9]")
 }

@@ -61,6 +61,33 @@ class NfcSpec extends SparkSuite {
     assert(got(5L) == (("padded", 1L, 10L, 6L)))
   }
 
+  test("script profile: planted scripts counted and dominant-ranked correctly") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "hello world 123"),                    // latin + digits
+      (2L, "привет мир"),                         // cyrillic
+      (3L, "你好世界 と カタカナ 한글"),            // han + kana + hangul = cjk
+      (4L, "مرحبا بالعالم"),                      // arabic
+      (5L, "αβγ δε"),                             // greek
+      (6L, "   .,;!?"),                           // nothing scriptful
+      (7L, "mixed привет with more latin words")  // latin dominant over cyrillic
+    ).toDF("doc_id", "text")
+    val got = ops.LlmQueries.textScriptProfileOn(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(1L).getAs[String]("dominant_script") == "latin")
+    assert(got(1L).getAs[Long]("n_latin") == 10L)
+    assert(got(1L).getAs[Long]("n_digit") == 3L)
+    assert(got(2L).getAs[String]("dominant_script") == "cyrillic")
+    assert(got(2L).getAs[Long]("n_cyrillic") == 9L)
+    assert(got(3L).getAs[String]("dominant_script") == "cjk")
+    assert(got(3L).getAs[Long]("n_cjk") == 11L)
+    assert(got(4L).getAs[String]("dominant_script") == "arabic")
+    assert(got(5L).getAs[String]("dominant_script") == "greek")
+    assert(got(6L).getAs[String]("dominant_script") == "none")
+    assert(got(7L).getAs[String]("dominant_script") == "latin")
+    assert(got(7L).getAs[Long]("n_cyrillic") == 6L)
+  }
+
   test("registered via GraftExtensions SQL surface") {
     graft.functions.NfcNormalize.register(spark)
     val r = spark.sql(s"SELECT nfc_normalize('$decomposedCafe') AS n").collect().head
