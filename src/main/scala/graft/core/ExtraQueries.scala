@@ -86,6 +86,44 @@ object ExtraQueries {
       .orderBy($"year", $"month_num", $"g_year", $"g_month")
   }
 
+  /** CUBE over (year, month-of-year): the other grouping-set shape next to
+    * [[rollupAgg]]'s hierarchy — CUBE also emits the month-across-years
+    * marginal (GROUPING(y)=1, GROUPING(m)=0) a seasonality dashboard reads,
+    * which ROLLUP's prefix lattice never produces. Same partial-agg shape:
+    * Expand multiplies each input row by the 4 grouping sets map-side and
+    * one hash aggregate collapses them — no extra shuffle vs plain groupBy.
+    */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.mart.MartQueries.listeningFacts(spark, dir)
+      .select($"ts_year".as("y"), $"ts_month".as("m"), $"sec_played")
+      .cube($"y", $"m")
+      .agg(
+        count(lit(1)).as("n_streams"),
+        sum($"sec_played").cast("double").as("total_sec"),
+        grouping($"y").cast("long").as("g_year"),
+        grouping($"m").cast("long").as("g_month"))
+      .select(coalesce($"y", lit(-1L)).as("year"), coalesce($"m", lit(-1L)).as("month_num"),
+        $"n_streams", $"total_sec", $"g_year", $"g_month")
+      .orderBy($"year", $"month_num", $"g_year", $"g_month")
+  }
+
+  val cubeAggSql: String =
+    """WITH fh AS (
+      |  SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+      |    CAST(month(o_orderdate) AS BIGINT) AS m,
+      |    CAST(l_extendedprice AS DECIMAL(12,2)) AS sec_played
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |)
+      |SELECT coalesce(y, -1) AS year, coalesce(m, -1) AS month_num,
+      |  COUNT(*) AS n_streams,
+      |  CAST(SUM(sec_played) AS DOUBLE) AS total_sec,
+      |  CAST(GROUPING(y) AS BIGINT) AS g_year,
+      |  CAST(GROUPING(m) AS BIGINT) AS g_month
+      |FROM fh
+      |GROUP BY CUBE(y, m)
+      |ORDER BY year, month_num, g_year, g_month""".stripMargin
+
   val rollupAggSql: String =
     """WITH fh AS (
       |  SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
@@ -258,6 +296,7 @@ object ExtraQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "etl_fact_build_podcast"  -> (factBuildPodcast _),
     "dm_rollup_agg"           -> (rollupAgg _),
+    "dm_cube_agg"             -> (cubeAgg _),
     "agg_median_exact"        -> (aggMedianExact _),
     "dm_top_tracks_per_album" -> (topTracksPerAlbum _),
     "dm_version_suggestions"  -> (versionSuggestions _)
@@ -266,6 +305,7 @@ object ExtraQueries {
   val oracleSql: Map[String, String] = Map(
     "etl_fact_build_podcast"  -> factBuildPodcastSql,
     "dm_rollup_agg"           -> rollupAggSql,
+    "dm_cube_agg"             -> cubeAggSql,
     "agg_median_exact"        -> aggMedianExactSql,
     "dm_top_tracks_per_album" -> topTracksPerAlbumSql,
     "dm_version_suggestions"  -> versionSuggestionsSql
