@@ -141,8 +141,42 @@ object WindowQueries {
       |GROUP BY part_of_day, is_weekend
       |ORDER BY part_of_day, is_weekend""".stripMargin
 
+  /** Time-RANGE frames — the rolling-feature shape [[windowSuite]]'s ROWS
+    * frames and rank family don't cover: per-user trailing-1-hour event
+    * count and value sum at every event (rate-limit counters, rolling ML
+    * features). RANGE BETWEEN 3599 PRECEDING over the epoch-second key —
+    * value-based frames include peers identically in both engines, and the
+    * DECIMAL value sum keeps the window total order-independent. Window
+    * partitioned by user_id (state per task bounded by one user's horizon;
+    * the repo-wide no-unpartitioned-window guard applies).
+    */
+  def windowTimeRange(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"sec").rangeBetween(-3599, 0)
+    Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"ts".cast("long").as("sec"),
+        $"value".cast("decimal(12,2)").as("v"))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("sum_1h", sum($"v").over(w).cast("double"))
+      .select($"user_id", $"event_id", $"sec", $"n_1h", $"sum_1h")
+      .orderBy($"user_id", $"sec", $"event_id")
+  }
+
+  val windowTimeRangeSql: String =
+    """SELECT user_id, event_id, sec, n_1h, sum_1h FROM (
+      |  SELECT user_id, event_id,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+      |    COUNT(*) OVER w AS n_1h,
+      |    CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS sum_1h
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+      |    RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+      |)
+      |ORDER BY user_id, sec, event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "window_suite"        -> (windowSuite _),
+    "window_time_range"   -> (windowTimeRange _),
     "q6_forecast"         -> (q6Forecast _),
     "dedup_edit_distance" -> (dedupEditDistance _),
     "dm_part_of_day_agg"  -> (partOfDayAgg _)
@@ -150,6 +184,7 @@ object WindowQueries {
 
   val oracleSql: Map[String, String] = Map(
     "window_suite"        -> windowSuiteSql,
+    "window_time_range"   -> windowTimeRangeSql,
     "q6_forecast"         -> q6Sql,
     "dedup_edit_distance" -> dedupEditDistanceSql,
     "dm_part_of_day_agg"  -> partOfDayAggSql
