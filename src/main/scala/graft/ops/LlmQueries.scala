@@ -815,6 +815,68 @@ object LlmQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Keyword retrieval over the corpus — the inverted-index search shape
+    * (the missing READ side of the text family: tf-idf profiles documents,
+    * decontamination probes grams; this ANSWERS A QUERY). Fixed query
+    * terms → per-(doc, term) tf from one explode+groupBy (the posting
+    * lists, partial-agged), df per term over the matched docs' table, rank
+    * by Σ (tf·N·2²⁰ div df) — idf-weighted tf in PURE INTEGER arithmetic
+    * (scaled integer division, order-independent under any partitioning
+    * and bit-identical across engines; a float Σ tf·N/df would drift with
+    * partial-agg summation order, and log-idf BM25 is the production
+    * upgrade avoided per §5's no-transcendentals oracle policy),
+    * deterministic (score desc, doc_id) tie-break.
+    *
+    * Scale shape: query terms are an isin filter pushed into the
+    * token stream (only matching postings survive the explode), the df/N
+    * sides are broadcast one-row/`q`-row tables, ranking is a TakeOrdered
+    * top-20 — no corpus-wide shuffle beyond the posting groupBy. At 100 TB
+    * the posting lists are the PERSISTED index (the band-index lifecycle)
+    * and queries touch only their terms' lists.
+    */
+  def textSearch(spark: SparkSession, dir: String,
+      terms: Seq[String] = Seq("data", "model", "training", "quality")): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val n = docs.agg(count(lit(1)).as("n_docs")) // 1-row broadcast
+    val postings = docs
+      .select($"doc_id", explode(words($"text")).as("term"))
+      .filter($"term".isInCollection(terms))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val df = postings.groupBy($"term").agg(count(lit(1)).as("df")) // ≤ |terms| rows
+    postings.join(broadcast(df), Seq("term")).crossJoin(broadcast(n))
+      .withColumn("w", expr("tf * n_docs * 1048576 div df"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_terms_hit"),
+        sum($"tf").as("total_tf"),
+        sum($"w").as("score_scaled"))
+      .orderBy($"score_scaled".desc, $"doc_id")
+      .limit(20)
+      .select($"doc_id", $"n_terms_hit", $"total_tf", $"score_scaled")
+  }
+
+  val textSearchSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS term
+      |  FROM documents
+      |), p AS (
+      |  SELECT doc_id, term, COUNT(*) AS tf FROM toks
+      |  WHERE term IN ('data', 'model', 'training', 'quality')
+      |  GROUP BY doc_id, term
+      |), d AS (
+      |  SELECT term, COUNT(*) AS df FROM p GROUP BY term
+      |), n AS (
+      |  SELECT COUNT(*) AS n_docs FROM documents
+      |)
+      |SELECT doc_id,
+      |  COUNT(*) AS n_terms_hit,
+      |  CAST(SUM(tf) AS BIGINT) AS total_tf,
+      |  CAST(SUM(tf * n_docs * 1048576 // df) AS BIGINT) AS score_scaled
+      |FROM p JOIN d USING (term) CROSS JOIN n
+      |GROUP BY doc_id
+      |ORDER BY score_scaled DESC, doc_id
+      |LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curation_quality_prune" -> (curationQualityPrune _),
     "quality_classifier"  -> (qualityClassifier _),
@@ -829,6 +891,7 @@ object LlmQueries {
     "ann_topk_agg"        -> (annTopkAgg _),
     "text_langid"         -> (textLangid _),
     "text_script_profile" -> (textScriptProfile _),
+    "text_search"         -> ((s, d) => textSearch(s, d)),
     "text_quality"        -> (textQuality _),
     "curation_filter"     -> (curationFilter _),
     "text_tokens"         -> (textTokens _),
@@ -850,6 +913,7 @@ object LlmQueries {
     "ann_topk_agg"        -> annTopkExactSql,
     "text_langid"         -> textLangidSql,
     "text_script_profile" -> textScriptProfileSql,
+    "text_search"         -> textSearchSql,
     "text_quality"        -> textQualitySql,
     "curation_filter"     -> curationFilterSql,
     "text_tokens"         -> textTokensSql,
