@@ -855,6 +855,74 @@ object LlmQueries {
       .select($"doc_id", $"n_terms_hit", $"total_tf", $"score_scaled")
   }
 
+  /** Persist the FULL inverted index (every term's posting list + the
+    * 1-row corpus meta): the write-once artifact [[textSearchFromIndex]]
+    * serves from. One corpus pass; postings are partial-agged on
+    * (doc, term) then laid out clustered by term, which is what lets a
+    * query read only its terms' row groups.
+    */
+  def savePostingIndex(spark: SparkSession, dir: String, indexPath: String): Unit = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    docs.select($"doc_id", explode(words($"text")).as("term"))
+      .groupBy($"term", $"doc_id").agg(count(lit(1)).as("tf"))
+      .repartition($"term")
+      .sortWithinPartitions($"term", $"doc_id")
+      .write.mode("overwrite").parquet(s"$indexPath/postings")
+    docs.agg(count(lit(1)).as("n_docs"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/meta")
+  }
+
+  /** Serve a query from the LOADED posting lists — the corpus text is
+    * never read, tokenized, or counted at query time; identical scoring to
+    * [[textSearch]], so the persisted entry shares its DuckDB oracle
+    * verbatim.
+    */
+  def textSearchFromIndex(spark: SparkSession, indexPath: String,
+      terms: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val postings = spark.read.parquet(s"$indexPath/postings")
+      .filter($"term".isInCollection(terms))
+    val n = spark.read.parquet(s"$indexPath/meta")
+    val df = postings.groupBy($"term").agg(count(lit(1)).as("df"))
+    postings.join(broadcast(df), Seq("term")).crossJoin(broadcast(n))
+      .withColumn("w", expr("tf * n_docs * 1048576 div df"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_terms_hit"),
+        sum($"tf").as("total_tf"),
+        sum($"w").as("score_scaled"))
+      .orderBy($"score_scaled".desc, $"doc_id")
+      .limit(20)
+      .select($"doc_id", $"n_terms_hit", $"total_tf", $"score_scaled")
+  }
+
+  private val savedPostingIndexes =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  /** Test hook mirroring the other persisted-index families. */
+  private[graft] def persistedPostingIndexPath(spark: SparkSession, dir: String): Option[String] =
+    savedPostingIndexes.get((spark, dir))
+
+  /** §2 entry `text_search_persisted`: build+save the inverted index once
+    * per (session, dir) — the savedIndexes lifecycle — then answer the
+    * fixed query from the loaded lists. Shares [[textSearchSql]]'s oracle
+    * (same terms, same integer scoring, corpus-equivalent postings).
+    */
+  def textSearchPersisted(spark: SparkSession, dir: String,
+      terms: Seq[String] = Seq("data", "model", "training", "quality")): DataFrame = {
+    val indexPath = savedPostingIndexes.synchronized {
+      savedPostingIndexes.getOrElseUpdate((spark, dir), {
+        val p = s"${System.getProperty("java.io.tmpdir")}/graft_posting_index_" +
+          java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL) +
+          "_" + ProcessHandle.current().pid() +
+          "_" + Integer.toHexString(System.identityHashCode(spark))
+        savePostingIndex(spark, dir, p)
+        p
+      })
+    }
+    textSearchFromIndex(spark, indexPath, terms)
+  }
+
   val textSearchSql: String =
     """WITH toks AS (
       |  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS term
@@ -892,6 +960,7 @@ object LlmQueries {
     "text_langid"         -> (textLangid _),
     "text_script_profile" -> (textScriptProfile _),
     "text_search"         -> ((s, d) => textSearch(s, d)),
+    "text_search_persisted" -> ((s, d) => textSearchPersisted(s, d)),
     "text_quality"        -> (textQuality _),
     "curation_filter"     -> (curationFilter _),
     "text_tokens"         -> (textTokens _),
@@ -914,6 +983,7 @@ object LlmQueries {
     "text_langid"         -> textLangidSql,
     "text_script_profile" -> textScriptProfileSql,
     "text_search"         -> textSearchSql,
+    "text_search_persisted" -> textSearchSql,
     "text_quality"        -> textQualitySql,
     "curation_filter"     -> curationFilterSql,
     "text_tokens"         -> textTokensSql,

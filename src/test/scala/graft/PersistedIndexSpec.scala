@@ -85,6 +85,35 @@ class PersistedIndexSpec extends SparkSuite {
     }
   }
 
+  test("posting index persisted: serve == in-session search, cache hits, corpus text unread") {
+    val inSession = ops.LlmQueries.textSearch(spark, sf).collect().map(_.toSeq).toSeq
+    val first = ops.LlmQueries.textSearchPersisted(spark, sf)
+    val rows1 = first.collect().map(_.toSeq).toSeq
+    assert(rows1.nonEmpty && rows1 == inSession)
+    val path = ops.LlmQueries.persistedPostingIndexPath(spark, sf)
+      .getOrElse(fail("first call did not populate the posting-index cache"))
+    val saved = mtimes(path)
+    assert(saved.nonEmpty)
+    // the saved index is the FULL vocabulary, not just the fixed query terms
+    import org.apache.spark.sql.functions.{explode, lower, split, trim, col}
+    val corpusVocab = Tables.documents(spark, sf)
+      .select(explode(split(lower(trim(col("text"))), " +")).as("t"))
+      .distinct().count()
+    val terms = spark.read.parquet(s"$path/postings")
+      .select("term").distinct().count()
+    assert(terms == corpusVocab, s"index holds $terms terms, corpus has $corpusVocab")
+
+    val second = ops.LlmQueries.textSearchPersisted(spark, sf)
+    assert(second.collect().map(_.toSeq).toSeq == rows1)
+    assert(ops.LlmQueries.persistedPostingIndexPath(spark, sf).contains(path))
+    assert(mtimes(path) == saved, "serve pass re-wrote the posting index")
+    // serve plan never scans the documents parquet — only the index tables
+    val scans = tools.PlanWalk.flatten(second.queryExecution.executedPlan)
+      .collect { case f: FileSourceScanExec => f.toString }
+    assert(scans.nonEmpty && scans.forall(_.contains(path)),
+      s"serve plan reads outside the index:\n${scans.mkString("\n")}")
+  }
+
   test("banded dedup persisted: cache hits across calls, no re-save, serve plan write-free") {
     val first = ops.ScaleDedup.dedupIncrementalBandedPersisted(spark, sf)
     val rows1 = first.collect().map(_.toSeq).toSeq
