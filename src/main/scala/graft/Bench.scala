@@ -59,7 +59,8 @@ object Bench {
     "quality_train_lr", "quality_classifier_lr", "sketch_distinct_intersect",
     "layout_zorder", "dedup_incremental_bloom", "layout_zorder_equidepth",
     "sample_kcenter", "text_normalize", "text_script_profile", "dm_cube_agg",
-    "window_time_range", "text_search", "text_search_persisted")
+    "window_time_range", "text_search", "text_search_persisted",
+    "hybrid_search_rrf")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

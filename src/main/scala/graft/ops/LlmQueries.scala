@@ -896,6 +896,101 @@ object LlmQueries {
       .select($"doc_id", $"n_terms_hit", $"total_tf", $"score_scaled")
   }
 
+  /** Hybrid retrieval by Reciprocal Rank Fusion — the modern RAG-stack
+    * shape: the keyword ranking ([[textSearch]]'s integer scoring) and an
+    * exact-dot vector ranking against a query embedding are fused by
+    * rrf = Σ 1/(60+rank) — RANK-based fusion, so the two scores'
+    * incomparable units never meet (the reason RRF is the default hybrid
+    * everywhere). Both ranks come from the vocab-top pattern: TakeOrdered
+    * top-100 survivors, then row_number over a constant non-foldable
+    * partition key — no global window (repo guard applies). The RRF sum is
+    * two exact-input IEEE divisions added in fixed expression order —
+    * deterministic, so the entry is oracle hash-exact (DuckDB casts to
+    * DOUBLE explicitly; its bare 1.0 literal is DECIMAL).
+    */
+  def hybridSearchRrf(spark: SparkSession, dir: String,
+      terms: Seq[String] = Seq("data", "model", "training", "quality")): DataFrame = {
+    import spark.implicits._
+    import graft.functions.LongVectorDot.vector_dot
+    val docs = Tables.documents(spark, dir)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val postings = docs.select($"doc_id", explode(words($"text")).as("term"))
+      .filter($"term".isInCollection(terms))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val dfT = postings.groupBy($"term").agg(count(lit(1)).as("df"))
+    val kwTop = postings.join(broadcast(dfT), Seq("term")).crossJoin(broadcast(nDocs))
+      .withColumn("w", expr("tf * n_docs * 1048576 div df"))
+      .groupBy($"doc_id").agg(sum($"w").as("s"))
+      .orderBy($"s".desc, $"doc_id").limit(100)
+    val wk = Window.partitionBy(pmod($"s", lit(1))).orderBy($"s".desc, $"doc_id")
+    val kwRank = kwTop.withColumn("rank_kw", row_number().over(wk).cast("long"))
+      .select($"doc_id", $"rank_kw")
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id",
+        transform($"embedding", x => floor(x.cast("double") * 1000.0 + 0.5).cast("long")).as("v"))
+    val qv = emb.filter($"vec_id" === 0L).select($"v".as("qvec"))
+    val vecTop = emb.filter($"vec_id" =!= 0L).crossJoin(broadcast(qv))
+      .withColumn("dot", vector_dot($"v", $"qvec"))
+      .orderBy($"dot".desc, $"vec_id").limit(100)
+    val wv = Window.partitionBy(pmod($"dot", lit(1))).orderBy($"dot".desc, $"vec_id")
+    val vecRank = vecTop.withColumn("rank_vec", row_number().over(wv).cast("long"))
+      .select($"vec_id".as("doc_id"), $"rank_vec")
+    kwRank.join(vecRank, Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60.0) + $"rank_kw"), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60.0) + $"rank_vec"), lit(0.0)))
+      .orderBy($"rrf".desc, $"doc_id").limit(20)
+      .select($"doc_id",
+        coalesce($"rank_kw", lit(-1L)).as("rank_kw"),
+        coalesce($"rank_vec", lit(-1L)).as("rank_vec"), $"rrf")
+  }
+
+  val hybridSearchRrfSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS term
+      |  FROM documents
+      |), p AS (
+      |  SELECT doc_id, term, COUNT(*) AS tf FROM toks
+      |  WHERE term IN ('data', 'model', 'training', 'quality')
+      |  GROUP BY doc_id, term
+      |), d AS (
+      |  SELECT term, COUNT(*) AS df FROM p GROUP BY term
+      |), nn AS (
+      |  SELECT COUNT(*) AS n_docs FROM documents
+      |), kw AS (
+      |  SELECT doc_id, SUM(tf * n_docs * 1048576 // df) AS s
+      |  FROM p JOIN d USING (term) CROSS JOIN nn GROUP BY doc_id
+      |), kwtop AS (
+      |  SELECT doc_id, s FROM kw ORDER BY s DESC, doc_id LIMIT 100
+      |), kwr AS (
+      |  SELECT doc_id,
+      |    CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank_kw
+      |  FROM kwtop
+      |), q AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)) AS v
+      |  FROM embeddings
+      |), qv AS (
+      |  SELECT v AS qvec FROM q WHERE vec_id = 0
+      |), vs AS (
+      |  SELECT q.vec_id,
+      |    CAST(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * qv.qvec[i])) AS BIGINT) AS dot
+      |  FROM q CROSS JOIN qv WHERE q.vec_id <> 0
+      |), vtop AS (
+      |  SELECT vec_id, dot FROM vs ORDER BY dot DESC, vec_id LIMIT 100
+      |), vr AS (
+      |  SELECT vec_id AS doc_id,
+      |    CAST(row_number() OVER (ORDER BY dot DESC, vec_id) AS BIGINT) AS rank_vec
+      |  FROM vtop
+      |)
+      |SELECT doc_id,
+      |  coalesce(rank_kw, -1) AS rank_kw,
+      |  coalesce(rank_vec, -1) AS rank_vec,
+      |  coalesce(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + rank_kw), CAST(0 AS DOUBLE))
+      |    + coalesce(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + rank_vec), CAST(0 AS DOUBLE)) AS rrf
+      |FROM kwr FULL OUTER JOIN vr USING (doc_id)
+      |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
+
   private val savedPostingIndexes =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
 
@@ -961,6 +1056,7 @@ object LlmQueries {
     "text_script_profile" -> (textScriptProfile _),
     "text_search"         -> ((s, d) => textSearch(s, d)),
     "text_search_persisted" -> ((s, d) => textSearchPersisted(s, d)),
+    "hybrid_search_rrf"   -> ((s, d) => hybridSearchRrf(s, d)),
     "text_quality"        -> (textQuality _),
     "curation_filter"     -> (curationFilter _),
     "text_tokens"         -> (textTokens _),
@@ -984,6 +1080,7 @@ object LlmQueries {
     "text_script_profile" -> textScriptProfileSql,
     "text_search"         -> textSearchSql,
     "text_search_persisted" -> textSearchSql,
+    "hybrid_search_rrf"   -> hybridSearchRrfSql,
     "text_quality"        -> textQualitySql,
     "curation_filter"     -> curationFilterSql,
     "text_tokens"         -> textTokensSql,
