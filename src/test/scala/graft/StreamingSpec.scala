@@ -981,6 +981,35 @@ class StreamingAnomalySpec extends SparkSuite {
     assert(open.length == 1 && open.head.getAs[String]("day") == "2024-01-10")
   }
 
+  test("per-type baselines are independent: one type's spike never flags the other") {
+    import spark.implicits._
+    val statePath = java.nio.file.Files.createTempDirectory("graft_anom_types").toString
+    // 'play' holds a jittered 100/day; 'skip' runs at a jittered 10/day —
+    // a tenth of play's volume, which a SHARED baseline would call anomalous
+    // every single day. Day 06 spikes 'play' only.
+    val days = Seq("2024-03-01" -> (100, 11), "2024-03-02" -> (98, 10),
+      "2024-03-03" -> (103, 9), "2024-03-04" -> (101, 10), "2024-03-05" -> (97, 11),
+      "2024-03-06" -> (500, 10), "2024-03-07" -> (99, 9), "2024-03-08" -> (100, 10))
+    days.grouped(3).zipWithIndex.foreach { case (b, i) =>
+      EventsPipeline.anomalyFold(
+        mkBatch(b.flatMap { case (d, (p, s)) => Seq(("play", d, p), ("skip", d, s)) }),
+        statePath, i.toLong, "run-a")
+    }
+    val v = spark.read.parquet(s"$statePath/verdicts")
+      .collect().map(r => (r.getAs[String]("event_type"), r.getAs[String]("day")) ->
+        r.getAs[String]("verdict")).toMap
+    assert(v(("play", "2024-03-06")) == "anomaly")
+    // every skip day is normal — a shared baseline would flag them all
+    v.keys.filter(_._1 == "skip").foreach { k => assert(v(k) == "normal", k.toString) }
+    // play's non-spike days normal too
+    (days.map(_._1).init.toSet - "2024-03-06").foreach { d =>
+      assert(v(("play", d)) == "normal", d)
+    }
+    // state: one stats row per type
+    val st = spark.read.parquet(s"$statePath/state").filter($"kind" === "stats").collect()
+    assert(st.map(_.getAs[String]("event_type")).sorted.toSeq == Seq("play", "skip"))
+  }
+
   test("retry of the last committed batch is a no-op; stale-state restart fails loudly") {
     import spark.implicits._
     val statePath = java.nio.file.Files.createTempDirectory("graft_anom_retry").toString
