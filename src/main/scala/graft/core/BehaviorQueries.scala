@@ -399,7 +399,80 @@ object BehaviorQueries {
       |FROM dau JOIN wau ON dau.day = wau.day
       |ORDER BY day""".stripMargin
 
+  /** Trailing-baseline anomaly screen — the BATCH twin of
+    * [[graft.streaming.EventsPipeline.streamingAnomaly]]'s no-lookahead
+    * semantics (where [[eventsAnomaly]] scores against GLOBAL stats, this
+    * scores each day against only the days BEFORE it — what a live screen
+    * could actually have known): exact BIGINT prefix sums (n, Σ, Σ²) via a
+    * type-partitioned window over the AGGREGATED daily table (≤ types×days
+    * rows — the agg-median window discipline, never raw events), the
+    * identical double expression tree in both engines, a 3-closed-day
+    * warm-up floor, and the corpus's final day excluded (the stream leaves
+    * it open). StreamingSpec pins verdict-for-verdict parity with the
+    * streaming fold on replayed batches.
+    */
+  def eventsAnomalyTrailing(spark: SparkSession, dir: String): DataFrame =
+    eventsAnomalyTrailingOn(Tables.events(spark, dir))
+
+  private[graft] def eventsAnomalyTrailingOn(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .groupBy($"event_type", to_date($"ts").as("d"))
+      .agg(count(lit(1)).as("n_events"))
+    val maxDay = daily.agg(max($"d").as("max_d")) // 1-row broadcast
+    val w = Window.partitionBy($"event_type").orderBy($"d")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val scored = daily
+      .withColumn("pn", count(lit(1)).over(w))
+      .withColumn("ps", sum($"n_events").over(w))
+      .withColumn("pq", sum($"n_events" * $"n_events").over(w))
+    val mean = $"ps".cast("double") / $"pn"
+    val variance = $"pq".cast("double") / $"pn" - mean * mean
+    scored.crossJoin(broadcast(maxDay))
+      .filter($"d" < $"max_d") // the stream's open final day
+      .withColumn("z_score",
+        when($"pn" === 0 || variance <= 0.0, lit(0.0))
+          .otherwise(($"n_events".cast("double") - mean) / sqrt(variance)))
+      .select($"event_type", date_format($"d", "yyyy-MM-dd").as("day"),
+        $"n_events", coalesce($"pn", lit(0L)).as("n_baseline"), $"z_score",
+        when(abs($"z_score") > 2.0 && $"pn" >= 3, "anomaly").otherwise("normal").as("verdict"))
+      .orderBy($"event_type", $"day")
+  }
+
+  val eventsAnomalyTrailingSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n_events
+      |  FROM events GROUP BY 1, 2
+      |), scored AS (
+      |  SELECT event_type, d, n_events,
+      |    CAST(COUNT(*) OVER w AS BIGINT) AS pn,
+      |    CAST(SUM(n_events) OVER w AS BIGINT) AS ps,
+      |    CAST(SUM(n_events * n_events) OVER w AS BIGINT) AS pq
+      |  FROM daily
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY d
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |), mx AS (
+      |  SELECT max(d) AS max_d FROM daily
+      |), z AS (
+      |  SELECT event_type, d, n_events, coalesce(pn, 0) AS n_baseline,
+      |    CASE WHEN pn IS NULL OR pn = 0
+      |        OR (CAST(pq AS DOUBLE) / pn - (CAST(ps AS DOUBLE) / pn) * (CAST(ps AS DOUBLE) / pn)) <= 0.0
+      |      THEN 0.0
+      |      ELSE (CAST(n_events AS DOUBLE) - CAST(ps AS DOUBLE) / pn)
+      |        / sqrt(CAST(pq AS DOUBLE) / pn - (CAST(ps AS DOUBLE) / pn) * (CAST(ps AS DOUBLE) / pn))
+      |    END AS z_score,
+      |    pn
+      |  FROM scored CROSS JOIN mx
+      |  WHERE d < max_d
+      |)
+      |SELECT event_type, strftime(d, '%Y-%m-%d') AS day, n_events, n_baseline, z_score,
+      |  CASE WHEN abs(z_score) > 2.0 AND pn >= 3 THEN 'anomaly' ELSE 'normal' END AS verdict
+      |FROM z
+      |ORDER BY event_type, day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_anomaly_trailing" -> (eventsAnomalyTrailing _),
     "events_dau_wau"        -> (eventsDauWau _),
     "events_anomaly"        -> (eventsAnomaly _),
     "events_funnel"         -> (eventsFunnel _),
@@ -409,6 +482,7 @@ object BehaviorQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "events_anomaly_trailing" -> eventsAnomalyTrailingSql,
     "events_dau_wau"        -> eventsDauWauSql,
     "events_anomaly"        -> eventsAnomalySql,
     "events_funnel"         -> eventsFunnelSql,

@@ -1010,6 +1010,34 @@ class StreamingAnomalySpec extends SparkSuite {
     assert(st.map(_.getAs[String]("event_type")).sorted.toSeq == Seq("play", "skip"))
   }
 
+  test("batch trailing twin == streaming fold, verdict for verdict") {
+    import spark.implicits._
+    val statePath = java.nio.file.Files.createTempDirectory("graft_anom_parity").toString
+    val days = Seq("2024-04-01" -> (100, 11), "2024-04-02" -> (98, 10),
+      "2024-04-03" -> (103, 9), "2024-04-04" -> (101, 10), "2024-04-05" -> (97, 11),
+      "2024-04-06" -> (500, 10), "2024-04-07" -> (99, 9), "2024-04-08" -> (100, 10))
+    def rows(b: Seq[(String, (Int, Int))]) =
+      b.flatMap { case (d, (p, s)) => Seq(("play", d, p), ("skip", d, s)) }
+    days.grouped(3).zipWithIndex.foreach { case (b, i) =>
+      EventsPipeline.anomalyFold(mkBatch(rows(b)), statePath, i.toLong, "run-a")
+    }
+    val streamed = spark.read.parquet(s"$statePath/verdicts")
+      .collect().map(r => (r.getAs[String]("event_type"), r.getAs[String]("day")) ->
+        ((r.getAs[Long]("n_events"), r.getAs[Double]("z_score"), r.getAs[String]("verdict"))))
+      .toMap
+    val batch = core.BehaviorQueries.eventsAnomalyTrailingOn(mkBatch(rows(days)))
+      .collect().map(r => (r.getAs[String]("event_type"), r.getAs[String]("day")) ->
+        ((r.getAs[Long]("n_events"), r.getAs[Double]("z_score"), r.getAs[String]("verdict"))))
+      .toMap
+    assert(batch.keySet == streamed.keySet,
+      s"day sets differ: ${batch.keySet.diff(streamed.keySet)} / ${streamed.keySet.diff(batch.keySet)}")
+    batch.foreach { case (k, (n, z, v)) =>
+      val (sn, sz, sv) = streamed(k)
+      assert(n == sn && v == sv, s"$k: batch ($n,$v) vs streamed ($sn,$sv)")
+      assert(math.abs(z - sz) < 1e-9, s"$k: z $z vs $sz")
+    }
+  }
+
   test("retry of the last committed batch is a no-op; stale-state restart fails loudly") {
     import spark.implicits._
     val statePath = java.nio.file.Files.createTempDirectory("graft_anom_retry").toString
