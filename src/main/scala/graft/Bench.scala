@@ -60,7 +60,7 @@ object Bench {
     "layout_zorder", "dedup_incremental_bloom", "layout_zorder_equidepth",
     "sample_kcenter", "text_normalize", "text_script_profile", "dm_cube_agg",
     "window_time_range", "text_search", "text_search_persisted",
-    "hybrid_search_rrf", "events_anomaly_trailing")
+    "hybrid_search_rrf", "events_anomaly_trailing", "asof_join_forward")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -38,6 +38,67 @@ object AsofJoin {
     filled.filter($"_is_right" === 0).drop("_is_right").drop(payload: _*)
   }
 
+  /** FORWARD as-of: for each left row, the EARLIEST right row with
+    * right.ts ≥ left.ts in the same key — the time-to-next-event
+    * direction ([[asof]] looks back; this looks ahead). Same one-shuffle
+    * union+window machinery with the sort reversed: descending ts with
+    * right rows first at ties, so the running last-right any left row
+    * sees is the nearest right at-or-after it.
+    */
+  def asofForward(left: DataFrame, right: DataFrame, key: String, ts: String,
+      payload: Seq[String]): DataFrame = {
+    val spark = left.sparkSession
+    import spark.implicits._
+    val l = left.withColumn("_is_right", lit(0))
+    val r = right.withColumn("_is_right", lit(1))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    // descending: the frame holds every row with ts ≥ current (right rows
+    // first at equal ts, so "at or after" includes the tie)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts).desc, $"_is_right".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = payload.foldLeft(unioned) { (df, c) =>
+      df.withColumn(s"asof_$c", last(when($"_is_right" === 1, col(c)), ignoreNulls = true).over(w))
+    }
+    filled.filter($"_is_right" === 0).drop("_is_right").drop(payload: _*)
+  }
+
+  /** For each signup, the user's NEXT purchase at or after it
+    * (convert_sec = time to first conversion; null = never converted).
+    */
+  def asofJoinForward(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"event_id", $"user_id", unix_timestamp($"ts").as("ts_sec"), $"event_type")
+    val signups = ev.filter($"event_type" === "signup")
+      .select($"event_id", $"user_id", $"ts_sec")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts_sec", $"ts_sec".as("purchase_ts_sec"))
+    asofForward(signups, purchases, "user_id", "ts_sec", Seq("purchase_ts_sec"))
+      .select($"event_id", $"user_id", $"ts_sec".as("signup_ts_sec"),
+        $"asof_purchase_ts_sec".as("purchase_ts_sec"),
+        ($"asof_purchase_ts_sec" - $"ts_sec").as("convert_sec"))
+      .orderBy($"event_id")
+  }
+
+  val asofJoinForwardSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, event_type,
+      |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ts_sec
+      |  FROM events
+      |), signups AS (
+      |  SELECT event_id, user_id, ts_sec FROM ev WHERE event_type = 'signup'
+      |), purchases AS (
+      |  SELECT user_id, ts_sec AS purchase_ts_sec FROM ev WHERE event_type = 'purchase'
+      |)
+      |SELECT s.event_id, s.user_id, s.ts_sec AS signup_ts_sec,
+      |  p.purchase_ts_sec,
+      |  p.purchase_ts_sec - s.ts_sec AS convert_sec
+      |FROM signups s
+      |ASOF LEFT JOIN purchases p
+      |  ON s.user_id = p.user_id AND s.ts_sec <= p.purchase_ts_sec
+      |ORDER BY s.event_id""".stripMargin
+
   /** For each purchase event, the user's most recent signup at or before it
     * (wait_sec = time since signup; null = organic purchase, no signup yet).
     */
@@ -97,9 +158,11 @@ object AsofJoin {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "asof_join_events" -> (asofJoinEvents _),
+    "asof_join_forward" -> (asofJoinForward _),
     "asof_join_native" -> (asofJoinNative _))
 
   val oracleSql: Map[String, String] = Map(
     "asof_join_events" -> asofJoinEventsSql,
+    "asof_join_forward" -> asofJoinForwardSql,
     "asof_join_native" -> asofJoinEventsSql)
 }
