@@ -121,7 +121,10 @@ object Bench {
     val results = headline.map(n => n -> run(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val errsJson = errors.map { case (k, v) =>
-      "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      // escape backslash/quote AND drop control chars (<0x20): a \t or \r
+      // in an exception message must not produce invalid JSON
+      val clean = v.filter(_ >= ' ').replace("\\", "\\\\").replace("\"", "\\\"")
+      "\"" + k + "\":\"" + clean + "\""
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errsJson,"sf":"$sfDir"}"""

@@ -43,7 +43,15 @@ object Tables {
     val raw = table(spark, dir, "events")
     raw.schema("ts").dataType match {
       case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampNTZType =>
+        // the NTZ→TZ cast reinterprets wall-clock time in the SESSION time
+        // zone; instant-preserving only under UTC — assert it loudly (the
+        // same guard the old nanos path had) instead of silently shifting
+        // every ts and drifting all oracle comparisons
+        require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+          s"events.ts is TIMESTAMP_NTZ; casting to TimestampType requires session TZ UTC, " +
+            s"got ${spark.conf.get("spark.sql.session.timeZone")}")
+        raw.withColumn("ts", col("ts").cast(TimestampType))
       case TimestampType    => raw
       case other => throw new IllegalStateException(
         s"events.ts loaded as $other; expected raw-nanos LongType, TIMESTAMP_NTZ, or TIMESTAMP")

@@ -28,14 +28,29 @@ import graft.Tables
   */
 object BloomDedup {
 
-  private def normText(c: Column): Column = lower(trim(c))
+  /** The canonical form duplicates are defined on: the sorted DISTINCT
+    * word set of the lowercased text, re-joined to one string. Raw
+    * lower(trim(text)) equality is vacuous on the gate corpus (zero
+    * exact duplicates at sf0.01 — bag-of-words synthesis never repeats a
+    * string verbatim), so "exact" here means exact equality of the
+    * canonical bag-of-words form — the same wordSet axis the near-dup
+    * family blocks on, collapsed to a single comparable key. The planted
+    * truths (case/whitespace twins) are unchanged; the gate corpus now
+    * produces real cross-watermark survivors.
+    */
+  private[graft] def canonText(c: Column): Column =
+    array_join(array_sort(array_distinct(split(lower(trim(c)), " "))), " ")
 
   /** Session-lifetime persisted-bloom registry (blob PATHS, not blobs —
     * serving re-reads the file), the savedIndexes pattern: build+save once
-    * per (session, dir), serve every later batch from disk.
+    * per (session, dir, watermark), serve every later batch from disk.
+    * watermarkId is IN the key (and the file name): a later call with a
+    * higher watermark must not serve a blob missing the gap docs'
+    * fingerprints — a Bloom false negative would silently drop true
+    * duplicates, breaking the lossless-pre-screen invariant.
     */
   private val savedBlooms =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Long), String]
 
   /** Fold the corpus side's fingerprints into a Bloom blob and persist it
     * to `path`. The build is `DataFrameStatFunctions.bloomFilter` — a
@@ -46,7 +61,7 @@ object BloomDedup {
   private[graft] def saveBloomIndex(spark: SparkSession, dir: String,
       watermarkId: Long, path: String): Unit = {
     val corpus = Tables.documents(spark, dir).filter(col("doc_id") <= watermarkId)
-    val bf = corpus.stat.bloomFilter(xxhash64(normText(col("text"))), 1000000L, 0.01)
+    val bf = corpus.stat.bloomFilter(xxhash64(canonText(col("text"))), 1000000L, 0.01)
     val bos = new java.io.ByteArrayOutputStream()
     bf.writeTo(bos)
     java.nio.file.Files.write(java.nio.file.Paths.get(path), bos.toByteArray)
@@ -60,10 +75,11 @@ object BloomDedup {
     */
   private[graft] def corpusBloom(spark: SparkSession, dir: String, watermarkId: Long): Array[Byte] = {
     val path = savedBlooms.synchronized {
-      savedBlooms.getOrElseUpdate((spark, dir), {
+      savedBlooms.getOrElseUpdate((spark, dir, watermarkId), {
         val p = java.nio.file.Paths.get(
           System.getProperty("java.io.tmpdir"),
           "graft_bloom_" + java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL) +
+            "_w" + watermarkId +
             "_" + ProcessHandle.current().pid() +
             "_" + Integer.toHexString(System.identityHashCode(spark))).toString
         saveBloomIndex(spark, dir, watermarkId, p)
@@ -90,7 +106,7 @@ object BloomDedup {
   private[graft] def dedupIncrementalBloomOn(docs: DataFrame, watermarkId: Long,
       blob: Option[Array[Byte]]): DataFrame = {
     import docs.sparkSession.implicits._
-    val t = docs.select($"doc_id", normText($"text").as("txt"))
+    val t = docs.select($"doc_id", canonText($"text").as("txt"))
       .withColumn("fp", xxhash64($"txt"))
     val corpus = t.filter($"doc_id" <= watermarkId)
       .select($"fp", $"doc_id".as("corpus_doc_id"), $"txt".as("corpus_txt"))
@@ -117,7 +133,9 @@ object BloomDedup {
 
   val dedupIncrementalBloomSql: String =
     """WITH t AS (
-      |  SELECT doc_id, lower(trim(text)) AS txt FROM documents
+      |  SELECT doc_id,
+      |    array_to_string(list_sort(list_distinct(string_split(lower(trim(text)), ' '))), ' ') AS txt
+      |  FROM documents
       |), c AS (
       |  SELECT doc_id AS corpus_doc_id, txt FROM t WHERE doc_id <= 250
       |), i AS (

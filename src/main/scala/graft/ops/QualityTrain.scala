@@ -144,17 +144,20 @@ object QualityTrain {
     }
 
   /** §2 entry `quality_train_lr`: the training trajectory — one row per
-    * epoch (loss, accuracy-vs-teacher) plus the running weight vector.
-    * Rows-only by design (transcendental log/exp scores); QualityTrainSpec
-    * pins monotone loss and final teacher agreement.
+    * epoch (loss, accuracy-vs-teacher) plus the final weight vector as
+    * five SCALAR double columns w0..w4 (the driver's rows-only check
+    * pandas-sorts every column, so nested types are banned from entry
+    * outputs — see SchemaContractSpec). Rows-only by design
+    * (transcendental log/exp scores); QualityTrainSpec pins monotone loss
+    * and final teacher agreement.
     */
   def qualityTrainLr(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val (w, traj) = train(featurized(Tables.documents(spark, dir)), defaultIters)
     modelCache.synchronized { modelCache.put((spark, dir, defaultIters), w) }
-    traj.map { case (i, loss, acc) => (i, loss, acc) }
+    val base = traj.map { case (i, loss, acc) => (i, loss, acc) }
       .toDF("iter", "loss", "teacher_agreement")
-      .withColumn("final_w", typedLit(w.toSeq))
+    (0 until dim).foldLeft(base)((df, j) => df.withColumn(s"w$j", lit(w(j))))
       .orderBy($"iter")
   }
 

@@ -27,7 +27,7 @@ class BloomDedupSpec extends SparkSuite {
     import spark.implicits._
     val docs = plantedCorpus()
     val corpusFp = docs.filter($"doc_id" <= 250L)
-      .select(xxhash64(lower(trim($"text"))).as("fp"))
+      .select(xxhash64(ops.BloomDedup.canonText($"text")).as("fp"))
     val bf = corpusFp.stat.bloomFilter($"fp", 1000L, 0.01)
     val bos = new java.io.ByteArrayOutputStream(); bf.writeTo(bos)
     val screened = ops.BloomDedup.dedupIncrementalBloomOn(docs, 250L, Some(bos.toByteArray))
@@ -40,12 +40,26 @@ class BloomDedupSpec extends SparkSuite {
     assert(screened == Seq((251L, 10L, 2L), (252L, 20L, 1L)))
   }
 
-  test("real corpus: screened entry == unscreened twin (lossless at sf)") {
+  test("real corpus: screened entry == unscreened twin (lossless at sf) and NON-VACUOUS") {
     val screened = ops.BloomDedup.dedupIncrementalBloom(spark, sf)
       .collect().map(_.toSeq).toSeq
     val unscreened = ops.BloomDedup.dedupIncrementalBloomOn(
       Tables.documents(spark, sf), 250L, None).collect().map(_.toSeq).toSeq
     assert(screened == unscreened)
+    // the driver gate must check real survivor rows, not two empty frames
+    assert(screened.nonEmpty, "gate corpus produced no cross-watermark duplicates")
+  }
+
+  test("blob cache is watermark-keyed: a later higher watermark never serves a stale blob") {
+    // call at the default watermark first (populates the cache), then at a
+    // higher one — a (session, dir)-only cache key would serve the w=250
+    // blob, whose missing gap fingerprints cause Bloom FALSE NEGATIVES
+    ops.BloomDedup.dedupIncrementalBloom(spark, sf).collect()
+    val hi = ops.BloomDedup.dedupIncrementalBloom(spark, sf, watermarkId = 400L)
+      .collect().map(_.toSeq).toSeq
+    val truth = ops.BloomDedup.dedupIncrementalBloomOn(
+      Tables.documents(spark, sf), 400L, None).collect().map(_.toSeq).toSeq
+    assert(hi == truth, "stale blob served for a different watermark")
   }
 
   test("probe screens map-side: survivors bounded, might_contain below the join") {
@@ -53,13 +67,13 @@ class BloomDedupSpec extends SparkSuite {
     val docs = plantedCorpus()
     val blob = {
       val bf = docs.filter($"doc_id" <= 250L)
-        .select(xxhash64(lower(trim($"text"))).as("fp"))
+        .select(xxhash64(ops.BloomDedup.canonText($"text")).as("fp"))
         .stat.bloomFilter($"fp", 1000L, 0.01)
       val bos = new java.io.ByteArrayOutputStream(); bf.writeTo(bos); bos.toByteArray
     }
     // survivors of the probe alone: the 2 true dups (+ tolerated fp slack)
     val survivors = docs.filter($"doc_id" > 250L)
-      .select($"doc_id", xxhash64(lower(trim($"text"))).as("fp"))
+      .select($"doc_id", xxhash64(ops.BloomDedup.canonText($"text")).as("fp"))
       .filter(ops.BloomDedup.bloomProbe(blob, $"fp"))
       .collect().map(_.getLong(0)).toSet
     assert(Set(251L, 252L).subsetOf(survivors), s"false negative! $survivors")

@@ -13,8 +13,12 @@ class QualityTrainSpec extends SparkSuite {
     }
     assert(math.abs(losses.head - math.log(2.0)) < 1e-9,
       s"zero-weight start must score ln 2, got ${losses.head}")
-    assert(byIter.head.getAs[scala.collection.Seq[Double]]("final_w").length ==
-      ops.QualityTrain.dim)
+    // weights surface as scalar columns (driver contract: no nested types)
+    val wCols = (0 until ops.QualityTrain.dim).map(j => s"w$j")
+    wCols.foreach { c =>
+      assert(byIter.head.schema.fieldNames.contains(c), s"missing weight col $c")
+      assert(byIter.head.getAs[Double](c).isFinite)
+    }
   }
 
   test("trained model recovers the linearly-separable teacher on an extreme corpus") {
