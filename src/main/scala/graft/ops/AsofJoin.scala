@@ -156,13 +156,37 @@ object AsofJoin {
       .orderBy($"event_id")
   }
 
+  /** FORWARD as-of through the native operator — the direction flag on
+    * [[graft.plans.AsofJoinNative.AsofJoinExec]]'s streaming merge
+    * (reversed time scan, inclusive-tie consume). Same query shape and
+    * DuckDB forward-ASOF oracle as the union+window [[asofJoinForward]],
+    * so both formulations are held to the identical bit-exact gate.
+    */
+  def asofJoinForwardNative(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"event_id", $"user_id", unix_timestamp($"ts").as("ts_sec"), $"event_type")
+    val signups = ev.filter($"event_type" === "signup")
+      .select($"event_id", $"user_id", $"ts_sec")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts_sec", $"ts_sec".as("purchase_ts_sec"))
+    graft.plans.AsofJoinNative.asof(signups, purchases, "user_id", "ts_sec",
+        Seq("purchase_ts_sec"), forward = true)
+      .select($"event_id", $"user_id", $"ts_sec".as("signup_ts_sec"),
+        $"asof_purchase_ts_sec".as("purchase_ts_sec"),
+        ($"asof_purchase_ts_sec" - $"ts_sec").as("convert_sec"))
+      .orderBy($"event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "asof_join_events" -> (asofJoinEvents _),
     "asof_join_forward" -> (asofJoinForward _),
+    "asof_join_forward_native" -> (asofJoinForwardNative _),
     "asof_join_native" -> (asofJoinNative _))
 
   val oracleSql: Map[String, String] = Map(
     "asof_join_events" -> asofJoinEventsSql,
     "asof_join_forward" -> asofJoinForwardSql,
+    "asof_join_forward_native" -> asofJoinForwardSql,
     "asof_join_native" -> asofJoinEventsSql)
 }

@@ -861,9 +861,16 @@ object LlmQueries {
     * (doc, term) then laid out clustered by term, which is what lets a
     * query read only its terms' row groups.
     */
-  def savePostingIndex(spark: SparkSession, dir: String, indexPath: String): Unit = {
-    import spark.implicits._
-    val docs = Tables.documents(spark, dir)
+  def savePostingIndex(spark: SparkSession, dir: String, indexPath: String): Unit =
+    savePostingIndexOf(Tables.documents(spark, dir), indexPath)
+
+  /** Frame-based core of [[savePostingIndex]] (injectable for the
+    * append-equals-rebuild parity spec). Meta is an APPENDABLE ledger —
+    * one `n_docs` row per landed batch; the serve path sums it, so
+    * [[appendToPostingIndex]] never read-modify-writes shared state.
+    */
+  private[graft] def savePostingIndexOf(docs: DataFrame, indexPath: String): Unit = {
+    import docs.sparkSession.implicits._
     docs.select($"doc_id", explode(words($"text")).as("term"))
       .groupBy($"term", $"doc_id").agg(count(lit(1)).as("tf"))
       .repartition($"term")
@@ -871,6 +878,29 @@ object LlmQueries {
       .write.mode("overwrite").parquet(s"$indexPath/postings")
     docs.agg(count(lit(1)).as("n_docs"))
       .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/meta")
+  }
+
+  /** Grow the persisted inverted index with a LANDED batch — the
+    * [[ScaleDedup.appendToBandIndex]] contract, closing the posting
+    * index's save/serve/append lifecycle: only the batch is tokenized and
+    * partial-agged (I/O and compute O(batch), the corpus is never
+    * re-scanned), its term postings land as appended term-clustered files
+    * (the FAISS add() model — per-batch clustering; compaction is the
+    * streaming sink family's job), and the corpus meta ledger gains one
+    * batch-count row. Batch doc_ids must be new to the index (the
+    * append-only discipline every persisted family shares); the idempotent
+    * ingest guard for replayed batches is the streaming sinks' Bloom
+    * anti-join, not this primitive.
+    */
+  def appendToPostingIndex(batch: DataFrame, indexPath: String): Unit = {
+    import batch.sparkSession.implicits._
+    batch.select($"doc_id", explode(words($"text")).as("term"))
+      .groupBy($"term", $"doc_id").agg(count(lit(1)).as("tf"))
+      .repartition($"term")
+      .sortWithinPartitions($"term", $"doc_id")
+      .write.mode("append").parquet(s"$indexPath/postings")
+    batch.agg(count(lit(1)).as("n_docs"))
+      .coalesce(1).write.mode("append").parquet(s"$indexPath/meta")
   }
 
   /** Serve a query from the LOADED posting lists — the corpus text is
@@ -883,7 +913,9 @@ object LlmQueries {
     import spark.implicits._
     val postings = spark.read.parquet(s"$indexPath/postings")
       .filter($"term".isInCollection(terms))
+    // meta is a per-batch ledger (one row per save/append): total = sum
     val n = spark.read.parquet(s"$indexPath/meta")
+      .agg(sum($"n_docs").cast("long").as("n_docs"))
     val df = postings.groupBy($"term").agg(count(lit(1)).as("df"))
     postings.join(broadcast(df), Seq("term")).crossJoin(broadcast(n))
       .withColumn("w", expr("tf * n_docs * 1048576 div df"))

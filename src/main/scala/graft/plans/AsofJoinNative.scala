@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Descending, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.catalyst.util.TypeUtils
@@ -17,7 +17,11 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * Semantics (identical to [[graft.ops.AsofJoin.asof]] and DuckDB's
   * `ASOF LEFT JOIN`): for every left row, attach the payload of the LAST
   * right row with the same key and right.time ≤ left.time, or nulls if no
-  * such row exists.
+  * such row exists. With `forward = true` the direction flips (DuckDB's
+  * forward ASOF, [[graft.ops.AsofJoin.asofForward]]): the FIRST right row
+  * with right.time ≥ left.time — implemented as the same merge pass over
+  * a time-DESCENDING sort (reversed scan; the inclusive comparison makes
+  * equal-time right rows visible, the "right-first tie" rule).
   *
   * Scale shape: `requiredChildDistribution` clusters both sides on the key
   * and `requiredChildOrdering` sorts by (key, time) — EnsureRequirements
@@ -34,7 +38,8 @@ case class AsofJoinPlan(
     rightKey: Expression,
     leftTime: Expression,
     rightTime: Expression,
-    payload: Seq[Attribute]) extends BinaryNode {
+    payload: Seq[Attribute],
+    forward: Boolean = false) extends BinaryNode {
 
   /** Left columns plus the (nullable) as-of payload columns. */
   override def output: Seq[Attribute] =
@@ -46,8 +51,8 @@ case class AsofJoinPlan(
 
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoinPlan(l, r, lk, rk, lt, rt, payload) =>
-      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, payload) :: Nil
+    case AsofJoinPlan(l, r, lk, rk, lt, rt, payload, fwd) =>
+      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, payload, fwd) :: Nil
     case _ => Nil
   }
 }
@@ -59,7 +64,8 @@ case class AsofJoinExec(
     rightKey: Expression,
     leftTime: Expression,
     rightTime: Expression,
-    payload: Seq[Attribute]) extends BinaryExecNode {
+    payload: Seq[Attribute],
+    forward: Boolean = false) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ payload.map(_.withNullability(true))
@@ -68,15 +74,18 @@ case class AsofJoinExec(
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
 
-  // merge pass needs (key, time) order within each partition
+  // merge pass needs (key, time) order within each partition; forward
+  // reverses the time scan so "next at-or-after" is the same one-pass merge
+  private def timeDir = if (forward) Descending else Ascending
+
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
-    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
-    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, timeDir)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, timeDir)))
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
 
   override def outputOrdering: Seq[SortOrder] =
-    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, timeDir))
 
   override protected def doExecute(): RDD[InternalRow] = {
     val keyOrd  = TypeUtils.getInterpretedOrdering(leftKey.dataType)
@@ -123,16 +132,19 @@ case class AsofJoinExec(
               } else if (cmp == 0) {
                 val rt = rTimeEval.eval(head)
                 if (rt == null) {
-                  // null right times match nothing, and nulls sort FIRST
-                  // under the required Ascending ordering — consume the row,
-                  // or it would sit at the head of its key group forever and
-                  // block every later valid same-key right row
+                  // null right times match nothing — consume the row (it
+                  // sorts FIRST under Ascending / LAST under Descending;
+                  // either way it must never block a valid same-key row)
                   rBuf.next()
-                } else if (timeOrd.compare(rt, lt) <= 0) {
+                } else if (if (forward) timeOrd.compare(rt, lt) >= 0
+                           else timeOrd.compare(rt, lt) <= 0) {
+                  // backward: last right with rt ≤ lt (ascending scan);
+                  // forward: first right with rt ≥ lt (descending scan —
+                  // the last row consumed is the SMALLEST rt ≥ lt)
                   candidate = payloadProj.apply(rBuf.next()).copy()
                   candidateKey = lk
                 } else {
-                  advance = false // same key but future time: keep for next left rows
+                  advance = false // same key, wrong side of lt: keep for next left rows
                 }
               } else {
                 advance = false // later key: keep for next left rows
@@ -154,12 +166,13 @@ case class AsofJoinExec(
 
 object AsofJoinNative {
 
-  /** As-of join `left` with `right` on equal `key`, right.`ts` ≤ left.`ts`;
-    * `payload` columns from the right are attached as `asof_<name>`.
-    * Self-registers the planner strategy on the session.
+  /** As-of join `left` with `right` on equal `key`, right.`ts` ≤ left.`ts`
+    * (or ≥ with `forward = true`); `payload` columns from the right are
+    * attached as `asof_<name>`. Self-registers the planner strategy on the
+    * session.
     */
   def asof(left: DataFrame, right: DataFrame, key: String, ts: String,
-      payload: Seq[String]): DataFrame = {
+      payload: Seq[String], forward: Boolean = false): DataFrame = {
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsofJoinStrategy)) {
       spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ AsofJoinStrategy
@@ -179,7 +192,7 @@ object AsofJoinNative {
         throw new IllegalArgumentException(s"column $name not in ${p.output.map(_.name)}"))
     val payloadAttrs = payload.map(c => attr(rPlan, c).withName(s"asof_$c"))
     val node = AsofJoinPlan(lPlan, rPlan,
-      attr(lPlan, key), attr(rPlan, key), attr(lPlan, ts), attr(rPlan, ts), payloadAttrs)
+      attr(lPlan, key), attr(rPlan, key), attr(lPlan, ts), attr(rPlan, ts), payloadAttrs, forward)
     org.apache.spark.sql.graftshim.ofRows(spark, node)
   }
 }

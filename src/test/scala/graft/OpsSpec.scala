@@ -104,6 +104,43 @@ class OpsSpec extends SparkSuite {
     assert(a.length == b.length && a.sameElements(b))
   }
 
+  test("native FORWARD as-of join matches the edge cases (reversed-scan merge)") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, 10L), (2L, 100L, 45L), (3L, 100L, 70L), (4L, 200L, 50L))
+      .toDF("event_id", "user_id", "ts_sec")
+    val right = Seq((100L, 10L), (100L, 40L), (100L, 60L), (200L, 20L))
+      .toDF("user_id", "ts_sec")
+      .withColumn("purchase_ts_sec", $"ts_sec")
+    val df = graft.plans.AsofJoinNative.asof(left, right, "user_id", "ts_sec",
+      Seq("purchase_ts_sec"), forward = true)
+    assert(df.queryExecution.executedPlan.toString.contains("AsofJoin"))
+    val got = df.select($"event_id", $"asof_purchase_ts_sec")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got(1L).contains(10L)) // equal ts counts as matched (tie inclusive)
+    assert(got(2L).contains(60L)) // EARLIEST right ≥ ts, not a later one
+    assert(got(3L).isEmpty)       // after every right row → null
+    assert(got(4L).isEmpty)       // only past right rows → null
+  }
+
+  test("native forward as-of == union+window forward as-of on the full event stream; one exchange per side") {
+    val a = ops.AsofJoin.asofJoinForward(spark, sf).collect().map(_.toString).sorted
+    val df = ops.AsofJoin.asofJoinForwardNative(spark, sf)
+    val b = df.collect().map(_.toString).sorted
+    assert(a.length == b.length && a.sameElements(b))
+    // exactly one shuffle feeds each merge input (the co-partitioning
+    // EnsureRequirements inserts), plus the final orderBy's range exchange
+    val plan = df.queryExecution.executedPlan
+    val exec = tools.PlanWalk.flatten(plan)
+      .collectFirst { case e: graft.plans.AsofJoinExec => e }
+      .getOrElse(fail(s"no AsofJoinExec in plan:\n$plan"))
+    assert(exec.forward)
+    Seq(exec.left, exec.right).foreach { side =>
+      val exchanges = tools.PlanWalk.flatten(side)
+        .count(_.getClass.getSimpleName.contains("ShuffleExchange"))
+      assert(exchanges == 1, s"expected exactly one exchange below the merge, got $exchanges:\n$side")
+    }
+  }
+
   test("tfidf: per-doc ranks dense, ordered by (tf desc, df asc)") {
     val rows = ops.LlmQueries.textTfidf(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -114,6 +114,34 @@ class PersistedIndexSpec extends SparkSuite {
       s"serve plan reads outside the index:\n${scans.mkString("\n")}")
   }
 
+  test("posting index append: append == rebuild, only the batch tokenized") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf)
+    val terms = Seq("data", "model", "training", "quality")
+    val base = s"/tmp/graft_test_posting_append_${System.nanoTime()}"
+    // rebuild path: full corpus indexed at once
+    ops.LlmQueries.savePostingIndexOf(docs, s"$base/full")
+    val full = ops.LlmQueries.textSearchFromIndex(spark, s"$base/full", terms)
+      .collect().map(_.toSeq).toSeq
+    // append path: index the landed half, then append the new batch
+    ops.LlmQueries.savePostingIndexOf(docs.filter(col("doc_id") <= 250L), s"$base/inc")
+    val preAppend = mtimes(s"$base/inc")
+    ops.LlmQueries.appendToPostingIndex(docs.filter(col("doc_id") > 250L), s"$base/inc")
+    val inc = ops.LlmQueries.textSearchFromIndex(spark, s"$base/inc", terms)
+      .collect().map(_.toSeq).toSeq
+    assert(inc == full, "appended index diverges from a full rebuild")
+    // append never rewrote the landed files — strictly additive
+    val postAppend = mtimes(s"$base/inc")
+    preAppend.foreach { case (f, t) =>
+      assert(postAppend.get(f).contains(t), s"append rewrote landed file $f")
+    }
+    assert(postAppend.size > preAppend.size, "append added no files")
+    // meta ledger: one row per landed batch, serve sums them
+    assert(spark.read.parquet(s"$base/inc/meta").count() == 2L)
+    // and the appended index still matches the in-session search exactly
+    assert(inc == ops.LlmQueries.textSearch(spark, sf).collect().map(_.toSeq).toSeq)
+  }
+
   test("banded dedup persisted: cache hits across calls, no re-save, serve plan write-free") {
     val first = ops.ScaleDedup.dedupIncrementalBandedPersisted(spark, sf)
     val rows1 = first.collect().map(_.toSeq).toSeq
