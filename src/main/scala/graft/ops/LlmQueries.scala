@@ -864,6 +864,16 @@ object LlmQueries {
   def savePostingIndex(spark: SparkSession, dir: String, indexPath: String): Unit =
     savePostingIndexOf(Tables.documents(spark, dir), indexPath)
 
+  /** The posting layout's directory axis: terms hash into `postingBuckets`
+    * `tb=<n>` partition dirs, so (a) a query's file listing prunes to its
+    * terms' buckets — at 100 TB the index is huge but a 4-term query
+    * lists 4/64ths of it — and (b) compaction after streamed appends
+    * rewrites oversized buckets independently ([[compactPostingBuckets]]).
+    */
+  private[graft] val postingBuckets = 64
+  private[graft] def termBucket(term: Column): Column =
+    pmod(xxhash64(term), lit(postingBuckets.toLong))
+
   /** Frame-based core of [[savePostingIndex]] (injectable for the
     * append-equals-rebuild parity spec). Meta is an APPENDABLE ledger —
     * one `n_docs` row per landed batch; the serve path sums it, so
@@ -871,36 +881,77 @@ object LlmQueries {
     */
   private[graft] def savePostingIndexOf(docs: DataFrame, indexPath: String): Unit = {
     import docs.sparkSession.implicits._
-    docs.select($"doc_id", explode(words($"text")).as("term"))
-      .groupBy($"term", $"doc_id").agg(count(lit(1)).as("tf"))
-      .repartition($"term")
-      .sortWithinPartitions($"term", $"doc_id")
-      .write.mode("overwrite").parquet(s"$indexPath/postings")
+    postingRows(docs)
+      .write.mode("overwrite").partitionBy("tb").parquet(s"$indexPath/postings")
     docs.agg(count(lit(1)).as("n_docs"))
       .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/meta")
+  }
+
+  /** (doc_id, term, tf, tb) posting rows of a corpus slice, clustered for
+    * the bucketed layout: exchange on the bucket, (term, doc_id)-sorted
+    * within, so each bucket file's row groups stay term-contiguous.
+    */
+  private def postingRows(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select($"doc_id", explode(words($"text")).as("term"))
+      .groupBy($"term", $"doc_id").agg(count(lit(1)).as("tf"))
+      .withColumn("tb", termBucket($"term"))
+      .repartition($"tb")
+      .sortWithinPartitions($"tb", $"term", $"doc_id")
   }
 
   /** Grow the persisted inverted index with a LANDED batch — the
     * [[ScaleDedup.appendToBandIndex]] contract, closing the posting
     * index's save/serve/append lifecycle: only the batch is tokenized and
     * partial-agged (I/O and compute O(batch), the corpus is never
-    * re-scanned), its term postings land as appended term-clustered files
-    * (the FAISS add() model — per-batch clustering; compaction is the
-    * streaming sink family's job), and the corpus meta ledger gains one
-    * batch-count row. Batch doc_ids must be new to the index (the
-    * append-only discipline every persisted family shares); the idempotent
-    * ingest guard for replayed batches is the streaming sinks' Bloom
-    * anti-join, not this primitive.
+    * re-scanned), its term postings land as appended files in only the
+    * touched term-bucket dirs (the FAISS add() model; oversized buckets
+    * fold back via [[compactPostingBuckets]]), and the corpus meta ledger
+    * gains one batch-count row. Batch doc_ids must be new to the index
+    * (the append-only discipline every persisted family shares); the
+    * idempotent ingest guard for replayed batches is the streaming sinks'
+    * Bloom anti-join ([[graft.streaming.CorpusStream.postingIndexSink]]).
     */
   def appendToPostingIndex(batch: DataFrame, indexPath: String): Unit = {
     import batch.sparkSession.implicits._
-    batch.select($"doc_id", explode(words($"text")).as("term"))
-      .groupBy($"term", $"doc_id").agg(count(lit(1)).as("tf"))
-      .repartition($"term")
-      .sortWithinPartitions($"term", $"doc_id")
-      .write.mode("append").parquet(s"$indexPath/postings")
+    postingRows(batch)
+      .write.mode("append").partitionBy("tb").parquet(s"$indexPath/postings")
     batch.agg(count(lit(1)).as("n_docs"))
       .coalesce(1).write.mode("append").parquet(s"$indexPath/meta")
+  }
+
+  /** OPTIMIZE cadence for the streamed posting index — the
+    * [[ZorderLayout.compactCells]] discipline on the term-bucket axis:
+    * buckets whose file count grew past `maxFiles` (each appended batch
+    * lands one file per touched bucket) are rewritten as ONE
+    * (term, doc_id)-sorted file each; census is listing metadata only,
+    * I/O is O(oversized buckets), untouched buckets keep their files
+    * byte-identical (dynamic partition overwrite), idempotent. Returns the
+    * compacted bucket ids.
+    */
+  def compactPostingBuckets(spark: SparkSession, indexPath: String, maxFiles: Int = 4): Seq[Int] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(s"$indexPath/postings")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    val oversized = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("tb="))
+      .filter(d => fs.listStatus(d.getPath)
+        .count(_.getPath.getName.endsWith(".parquet")) > maxFiles)
+      .map(_.getPath.getName.stripPrefix("tb=").toInt)
+      .sorted
+    if (oversized.nonEmpty) {
+      spark.read.parquet(s"$indexPath/postings")
+        .filter(col("tb").isin(oversized: _*)) // partition-pruned scan
+        .repartition(oversized.length, col("tb"))
+        .sortWithinPartitions(col("tb"), col("term"), col("doc_id"))
+        .localCheckpoint() // materialize before overwriting the cells being read
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("tb")
+        .parquet(s"$indexPath/postings")
+    }
+    oversized
   }
 
   /** Serve a query from the LOADED posting lists — the corpus text is
@@ -911,7 +962,15 @@ object LlmQueries {
   def textSearchFromIndex(spark: SparkSession, indexPath: String,
       terms: Seq[String]): DataFrame = {
     import spark.implicits._
+    // the query terms' bucket ids, computed with the SAME hash the layout
+    // used (one tiny local-relation job, |terms| rows) — a literal isin on
+    // the tb partition column, so the file listing itself prunes to the
+    // matching bucket dirs before any row is read
+    val tbs = spark.createDataset(terms).toDF("term")
+      .select(termBucket($"term").as("tb"))
+      .distinct().collect().map(_.getLong(0))
     val postings = spark.read.parquet(s"$indexPath/postings")
+      .filter($"tb".isin(tbs: _*))
       .filter($"term".isInCollection(terms))
     // meta is a per-batch ledger (one row per save/append): total = sum
     val n = spark.read.parquet(s"$indexPath/meta")

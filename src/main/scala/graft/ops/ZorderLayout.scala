@@ -80,19 +80,36 @@ object ZorderLayout {
     * batches keep the SAME grid — the appendToPcaIndex contract: continuous
     * ingestion never re-normalizes and never reshuffles landed cells.
     */
+  /** Per-cell bounding boxes of a mapped frame — the prune metadata
+    * [[prunedRangeScan]] consults (≤256 rows by construction: cell is the
+    * top 8 z bits).
+    */
+  private def cellBoxes(mapped: DataFrame): DataFrame = {
+    import mapped.sparkSession.implicits._
+    mapped.groupBy($"cell")
+      .agg(count(lit(1)).as("n_rows"),
+        min($"user_id").as("min_user"), max($"user_id").as("max_user"),
+        min($"sec").as("min_sec"), max($"sec").as("max_sec"))
+  }
+
   def writeZorderLayout(spark: SparkSession, dir: String, outPath: String): Unit = {
     import spark.implicits._
     val ev = Tables.events(spark, dir)
       .select($"event_id", $"user_id", $"ts".cast("long").as("sec"))
-    zMapped(spark, dir)
+    val mapped = zMapped(spark, dir)
+    mapped
       .repartition($"cell")
       .sortWithinPartitions($"cell", $"z", $"event_id")
       .write.mode("overwrite").partitionBy("cell").parquet(outPath)
     // stats AFTER the data: overwriting the parent dir above would wipe
-    // a previously-written _stats subdir
+    // previously-written _stats/_cellstats subdirs
     ev.agg(min($"user_id").as("umn"), max($"user_id").as("umx"),
         min($"sec").as("smn"), max($"sec").as("smx"))
       .coalesce(1).write.mode("overwrite").parquet(s"$outPath/_stats")
+    // the per-cell bounding boxes a pruned scan consults — persisted with
+    // the layout so serving never re-derives them from the data files
+    cellBoxes(mapped).coalesce(1)
+      .write.mode("overwrite").parquet(s"$outPath/_cellstats")
   }
 
   /** Append a batch of (event_id, user_id, sec) rows through the SAVED
@@ -104,8 +121,10 @@ object ZorderLayout {
     */
   def appendToZorderLayout(batch: DataFrame, outPath: String): Unit = {
     import batch.sparkSession.implicits._
-    val stats = batch.sparkSession.read.parquet(s"$outPath/_stats")
-    batch.crossJoin(broadcast(stats))
+    val spark = batch.sparkSession
+    val stats = spark.read.parquet(s"$outPath/_stats")
+    // materialized once: written below AND folded into the box update
+    val mapped = batch.crossJoin(broadcast(stats))
       .withColumn("uc", least(greatest($"user_id", $"umn"), $"umx"))
       .withColumn("sc", least(greatest($"sec", $"smn"), $"smx"))
       .withColumn("u16", expr("((uc - umn) * 65535) div greatest(umx - umn, 1)"))
@@ -113,9 +132,47 @@ object ZorderLayout {
       .withColumn("z", morton16($"u16", $"s16"))
       .withColumn("cell", shiftright($"z", 24))
       .select($"event_id", $"user_id", $"sec", $"z", $"cell")
+      .localCheckpoint()
+    mapped
       .repartition($"cell")
       .sortWithinPartitions($"cell", $"z", $"event_id")
       .write.mode("append").partitionBy("cell").parquet(outPath)
+    // keep the prune boxes SOUND under appends: clamped out-of-range rows
+    // land in edge cells whose true bounds now exceed the grid edge — a
+    // pruned scan consulting stale boxes would silently drop them. Merge
+    // the batch's boxes into the ledger: O(cells + batch), no data re-scan.
+    val merged = spark.read.parquet(s"$outPath/_cellstats")
+      .unionByName(cellBoxes(mapped))
+      .groupBy($"cell")
+      .agg(sum($"n_rows").as("n_rows"),
+        min($"min_user").as("min_user"), max($"max_user").as("max_user"),
+        min($"min_sec").as("min_sec"), max($"max_sec").as("max_sec"))
+      .localCheckpoint() // materialize before overwriting what it reads
+    merged.coalesce(1).write.mode("overwrite").parquet(s"$outPath/_cellstats")
+  }
+
+  /** The READ side the layout exists for: a 2-D range query served through
+    * the persisted per-cell bounding boxes. The boxes (≤256 rows — grid
+    * metadata, the bounded-model contract) select the cells whose box
+    * intersects the query rectangle; the scan reads ONLY those cell
+    * directories (partition-pruned), and the exact predicate re-applies on
+    * the survivors — so pruning is LOSSLESS by construction (box
+    * intersection over-approximates membership; the residual filter makes
+    * the result identical to a full scan) and the entry shares the plain
+    * events-table oracle. At 100 TB this is the difference between reading
+    * ~the query rectangle's cells and reading everything.
+    */
+  def prunedRangeScan(spark: SparkSession, path: String,
+      uLo: Long, uHi: Long, sLo: Long, sHi: Long): DataFrame = {
+    import spark.implicits._
+    val cells = spark.read.parquet(s"$path/_cellstats")
+      .filter($"max_user" >= uLo && $"min_user" <= uHi &&
+        $"max_sec" >= sLo && $"min_sec" <= sHi)
+      .select($"cell").collect().map(_.getLong(0))
+    spark.read.parquet(path)
+      .filter($"cell".isin(cells: _*)) // partition-pruned: only matching cell dirs
+      .filter($"user_id".between(uLo, uHi) && $"sec".between(sLo, sHi))
+      .select($"event_id", $"user_id", $"sec")
   }
 
   /** Equi-depth variant over any two long columns — the skew-robust
@@ -161,6 +218,48 @@ object ZorderLayout {
         min($"sec").as("min_sec"), max($"sec").as("max_sec"))
       .orderBy($"cell")
   }
+
+  private val savedLayouts =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  /** Test hook mirroring the other persisted families. */
+  private[graft] def persistedZorderLayoutPath(spark: SparkSession, dir: String): Option[String] =
+    savedLayouts.get((spark, dir))
+
+  // the fixed 2-D query rectangle the §2 entry serves: a 5-user band over
+  // ~one week of the corpus month (a slice at every SF)
+  private[graft] val (qULo, qUHi, qSLo, qSHi) =
+    (3L, 7L, 1704500000L, 1705100000L)
+
+  /** §2 entry `layout_zorder_pruned`: write the layout once per
+    * (session, dir) — the savedIndexes lifecycle — then serve the fixed
+    * 2-D range query through [[prunedRangeScan]]. Lossless pruning →
+    * shares the plain full-scan oracle over the events table
+    * (the dedup_jaccard_prefix discipline: the fast path is held to the
+    * slow path's exact answer).
+    */
+  def layoutZorderPruned(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val path = savedLayouts.synchronized {
+      savedLayouts.getOrElseUpdate((spark, dir), {
+        val p = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_layout_" +
+          java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL) +
+          "_" + ProcessHandle.current().pid() +
+          "_" + Integer.toHexString(System.identityHashCode(spark))
+        writeZorderLayout(spark, dir, p)
+        p
+      })
+    }
+    prunedRangeScan(spark, path, qULo, qUHi, qSLo, qSHi)
+      .orderBy($"event_id")
+  }
+
+  val layoutZorderPrunedSql: String =
+    s"""SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+       |FROM events
+       |WHERE user_id BETWEEN $qULo AND $qUHi
+       |  AND CAST(floor(epoch(ts)) AS BIGINT) BETWEEN $qSLo AND $qSHi
+       |ORDER BY event_id""".stripMargin
 
   /** OPTIMIZE cadence for the streamed layout: cells whose file count grew
     * past `maxFiles` (continuous [[appendToZorderLayout]] ingestion lands
@@ -226,10 +325,12 @@ object ZorderLayout {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "layout_zorder"           -> (layoutZorder _),
-    "layout_zorder_equidepth" -> (layoutZorderEquidepth _)
+    "layout_zorder_equidepth" -> (layoutZorderEquidepth _),
+    "layout_zorder_pruned"    -> (layoutZorderPruned _)
   )
 
   val oracleSql: Map[String, String] = Map(
-    "layout_zorder" -> layoutZorderSql
+    "layout_zorder" -> layoutZorderSql,
+    "layout_zorder_pruned" -> layoutZorderPrunedSql
   )
 }

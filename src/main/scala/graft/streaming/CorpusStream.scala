@@ -232,6 +232,39 @@ object CorpusStream {
         ()
       }
 
+  /** Streaming maintenance of the persisted inverted index — the
+    * continuous-ingestion twin of
+    * [[graft.ops.LlmQueries.appendToPostingIndex]]: each micro-batch of
+    * landed documents is tokenized and appended to the bucketed posting
+    * layout, so [[graft.ops.LlmQueries.textSearchFromIndex]] serves one
+    * index whether the corpus arrived as a backfill or on the stream.
+    *
+    * Idempotent under redelivery, the [[EventsPipeline]] sink discipline:
+    * the batch is deduped on doc_id and Bloom-anti-joined against the
+    * doc_ids already in the posting table (a doc_id-column-pruned probe
+    * scan, the zorderSink contract), so a foreachBatch retry or
+    * at-least-once upstream appends no posting twice and the meta ledger
+    * gains no phantom batch row. Appends cost O(batch) — one file per
+    * (batch, touched bucket); oversized buckets fold back via
+    * [[graft.ops.LlmQueries.compactPostingBuckets]].
+    *
+    * `docs` must be a streaming DataFrame with (doc_id, text).
+    */
+  def postingIndexSink(docs: DataFrame, indexPath: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) => postingFold(batch, indexPath) }
+
+  /** The per-batch body of [[postingIndexSink]], factored out for direct
+    * tests.
+    */
+  private[graft] def postingFold(batch: DataFrame, indexPath: String): Unit =
+    if (!batch.isEmpty) {
+      val fresh = EventsPipeline.freshRows(
+        batch.select(col("doc_id"), col("text")), s"$indexPath/postings", "doc_id")
+      if (!fresh.isEmpty) graft.ops.LlmQueries.appendToPostingIndex(fresh, indexPath)
+    }
+
   /** Streaming CLIP-score screen: crawled caption–image pairs scored at
     * ingest time — like [[classifyStream]] a stateless map-side pass per
     * micro-batch (dual-encoder agreement has no state, no watermark, no

@@ -142,6 +142,61 @@ class PersistedIndexSpec extends SparkSuite {
     assert(inc == ops.LlmQueries.textSearch(spark, sf).collect().map(_.toSeq).toSeq)
   }
 
+  test("posting sink fold: streamed batches == rebuild, replay appends nothing, serve prunes buckets") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf)
+    val terms = Seq("data", "model", "training", "quality")
+    val base = s"/tmp/graft_test_posting_sink_${System.nanoTime()}"
+    ops.LlmQueries.savePostingIndexOf(docs.filter(col("doc_id") <= 200L), base)
+    streaming.CorpusStream.postingFold(
+      docs.filter(col("doc_id") > 200L && col("doc_id") <= 350L), base)
+    streaming.CorpusStream.postingFold(docs.filter(col("doc_id") > 350L), base)
+    val served = ops.LlmQueries.textSearchFromIndex(spark, base, terms)
+      .collect().map(_.toSeq).toSeq
+    assert(served == ops.LlmQueries.textSearch(spark, sf).collect().map(_.toSeq).toSeq,
+      "streamed index diverges from the in-session search")
+    // redelivered batch: the Bloom anti-join screens every doc, and neither
+    // the postings nor the meta ledger changes a byte
+    val before = mtimes(base)
+    streaming.CorpusStream.postingFold(docs.filter(col("doc_id") > 350L), base)
+    assert(mtimes(base) == before, "replayed batch mutated the index")
+    // serve prunes the bucket dirs: the scan touches only the query terms'
+    // tb= partitions, not the whole posting table
+    val q = ops.LlmQueries.textSearchFromIndex(spark, base, terms)
+    q.collect()
+    val touched = tools.PlanWalk.flatten(q.queryExecution.executedPlan)
+      .collect { case f: FileSourceScanExec if f.toString.contains("postings") =>
+        f.metrics("numFiles").value }.sum
+    val all = spark.read.parquet(s"$base/postings").inputFiles.length.toLong
+    assert(touched < all, s"bucket pruning inert: scan touched $touched of $all posting files")
+  }
+
+  test("posting compaction: oversized buckets fold to one file, cold untouched, serve identical") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf)
+    val terms = Seq("data", "model", "training", "quality")
+    val base = s"/tmp/graft_test_posting_cmp_${System.nanoTime()}"
+    ops.LlmQueries.savePostingIndexOf(docs, base)
+    // 5 appended batches of fresh doc_ids hammer every bucket their terms hash to
+    val batch = docs.filter(col("doc_id") <= 60L).select(col("doc_id"), col("text"))
+    (1 to 5).foreach { i =>
+      ops.LlmQueries.appendToPostingIndex(
+        batch.select((col("doc_id") + i * 1000000L).as("doc_id"), col("text")), base)
+    }
+    val servedBefore = ops.LlmQueries.textSearchFromIndex(spark, base, terms)
+      .collect().map(_.toSeq).toSeq
+    val rowsBefore = spark.read.parquet(s"$base/postings").count()
+    def files(tb: Int) = new java.io.File(s"$base/postings/tb=$tb").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    val compacted = ops.LlmQueries.compactPostingBuckets(spark, base, maxFiles = 4)
+    assert(compacted.nonEmpty, "fixture failed to exceed the file ceiling")
+    compacted.foreach(tb => assert(files(tb).length == 1, s"bucket $tb still ${files(tb).length} files"))
+    assert(spark.read.parquet(s"$base/postings").count() == rowsBefore, "compaction lost postings")
+    assert(ops.LlmQueries.textSearchFromIndex(spark, base, terms)
+      .collect().map(_.toSeq).toSeq == servedBefore, "compaction changed the served answer")
+    assert(ops.LlmQueries.compactPostingBuckets(spark, base, maxFiles = 4).isEmpty, "not idempotent")
+  }
+
   test("banded dedup persisted: cache hits across calls, no re-save, serve plan write-free") {
     val first = ops.ScaleDedup.dedupIncrementalBandedPersisted(spark, sf)
     val rows1 = first.collect().map(_.toSeq).toSeq

@@ -179,6 +179,47 @@ class ZorderSpec extends SparkSuite {
     assert(ops.ZorderLayout.compactCells(spark, path, maxFiles = 4).isEmpty, "not idempotent")
   }
 
+  test("prunedRangeScan: lossless vs full scan, touches fewer files, boxes stay sound under appends") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_zorder_prune").toString
+    ops.ZorderLayout.writeZorderLayout(spark, sf, path)
+    val (uLo, uHi, sLo, sHi) =
+      (ops.ZorderLayout.qULo, ops.ZorderLayout.qUHi, ops.ZorderLayout.qSLo, ops.ZorderLayout.qSHi)
+
+    def sortRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(identity)
+    val pruned = ops.ZorderLayout.prunedRangeScan(spark, path, uLo, uHi, sLo, sHi)
+    val full = spark.read.parquet(path)
+      .filter($"user_id".between(uLo, uHi) && $"sec".between(sLo, sHi))
+      .select($"event_id", $"user_id", $"sec")
+    assert(sortRows(pruned).nonEmpty, "fixture rectangle matched nothing")
+    assert(sortRows(pruned).sameElements(sortRows(full)), "pruning lost or fabricated rows")
+    // the scan really prunes: strictly fewer data files than the layout
+    // holds (inputFiles ignores partition pruning — read the executed
+    // scan's numFiles metric, which reflects the pruned partition listing)
+    def touchedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      tools.PlanWalk.flatten(df.queryExecution.executedPlan)
+        .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numFiles").value }.sum
+    }
+    val allFiles = spark.read.parquet(path).inputFiles.length.toLong
+    val prunedFiles = touchedFiles(ops.ZorderLayout.prunedRangeScan(spark, path, uLo, uHi, sLo, sHi))
+    assert(prunedFiles < allFiles, s"pruned scan touched $prunedFiles of $allFiles files")
+
+    // soundness under appends: a row whose TRUE user_id exceeds the grid
+    // edge lands clamped in an edge cell — the merged boxes must widen so
+    // a rectangle over the out-of-range region still finds it
+    val st = spark.read.parquet(s"$path/_stats").head()
+    val (umx, smn, smx) = (st.getAs[Long]("umx"), st.getAs[Long]("smn"), st.getAs[Long]("smx"))
+    val outlier = Seq((50000001L, umx + 100L, smn + (smx - smn) / 2))
+      .toDF("event_id", "user_id", "sec")
+    ops.ZorderLayout.appendToZorderLayout(outlier, path)
+    val edge = ops.ZorderLayout.prunedRangeScan(spark, path, umx + 1, umx + 200, smn, smx)
+    assert(sortRows(edge).toSeq == Seq((50000001L, umx + 100L, smn + (smx - smn) / 2)),
+      "stale boxes dropped the clamped outlier")
+  }
+
   test("written layout prunes range scans on BOTH dims; linear layout only on one") {
     import spark.implicits._
     val zPath = java.nio.file.Files.createTempDirectory("graft_zorder").toString
