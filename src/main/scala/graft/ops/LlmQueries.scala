@@ -1002,12 +1002,24 @@ object LlmQueries {
   def hybridSearchRrf(spark: SparkSession, dir: String,
       terms: Seq[String] = Seq("data", "model", "training", "quality")): DataFrame = {
     import spark.implicits._
-    import graft.functions.LongVectorDot.vector_dot
     val docs = Tables.documents(spark, dir)
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val postings = docs.select($"doc_id", explode(words($"text")).as("term"))
       .filter($"term".isInCollection(terms))
       .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    hybridSearchRrfOn(spark, dir, postings, nDocs)
+  }
+
+  /** Fusion core shared by the in-session and persisted-index hybrid
+    * entries: `postings` is the matched (doc_id, term, tf) set and
+    * `nDocs` the 1-row corpus size — from a corpus scan or from the
+    * loaded index, the scoring is identical, so both entries share
+    * [[hybridSearchRrfSql]]'s oracle verbatim.
+    */
+  private def hybridSearchRrfOn(spark: SparkSession, dir: String,
+      postings: DataFrame, nDocs: DataFrame): DataFrame = {
+    import spark.implicits._
+    import graft.functions.LongVectorDot.vector_dot
     val dfT = postings.groupBy($"term").agg(count(lit(1)).as("df"))
     val kwTop = postings.join(broadcast(dfT), Seq("term")).crossJoin(broadcast(nDocs))
       .withColumn("w", expr("tf * n_docs * 1048576 div df"))
@@ -1034,6 +1046,30 @@ object LlmQueries {
       .select($"doc_id",
         coalesce($"rank_kw", lit(-1L)).as("rank_kw"),
         coalesce($"rank_vec", lit(-1L)).as("rank_vec"), $"rrf")
+  }
+
+  /** §2 entry `hybrid_search_rrf_persisted`: the hybrid entry with its
+    * keyword leg SERVED from the persisted posting index (bucket-pruned
+    * listing, corpus text never read — the [[textSearchPersisted]]
+    * lifecycle; first call per (session, dir) saves) and n_docs from the
+    * index's meta ledger; the vector leg reads the embeddings table it
+    * always read (the embedding store IS that leg's index). Identical
+    * scoring both legs → shares [[hybridSearchRrfSql]]'s oracle.
+    */
+  def hybridSearchRrfPersisted(spark: SparkSession, dir: String,
+      terms: Seq[String] = Seq("data", "model", "training", "quality")): DataFrame = {
+    import spark.implicits._
+    val indexPath = postingIndexPathFor(spark, dir)
+    val tbs = spark.createDataset(terms).toDF("term")
+      .select(termBucket($"term").as("tb"))
+      .distinct().collect().map(_.getLong(0))
+    val postings = spark.read.parquet(s"$indexPath/postings")
+      .filter($"tb".isin(tbs: _*))
+      .filter($"term".isInCollection(terms))
+      .select($"doc_id", $"term", $"tf")
+    val nDocs = spark.read.parquet(s"$indexPath/meta")
+      .agg(sum($"n_docs").cast("long").as("n_docs"))
+    hybridSearchRrfOn(spark, dir, postings, nDocs)
   }
 
   val hybridSearchRrfSql: String =
@@ -1095,8 +1131,15 @@ object LlmQueries {
     * (same terms, same integer scoring, corpus-equivalent postings).
     */
   def textSearchPersisted(spark: SparkSession, dir: String,
-      terms: Seq[String] = Seq("data", "model", "training", "quality")): DataFrame = {
-    val indexPath = savedPostingIndexes.synchronized {
+      terms: Seq[String] = Seq("data", "model", "training", "quality")): DataFrame =
+    textSearchFromIndex(spark, postingIndexPathFor(spark, dir), terms)
+
+  /** Save-once lifecycle shared by every entry that serves the posting
+    * index: first call per (session, dir) builds+saves under a lock,
+    * every later call returns the path.
+    */
+  private def postingIndexPathFor(spark: SparkSession, dir: String): String =
+    savedPostingIndexes.synchronized {
       savedPostingIndexes.getOrElseUpdate((spark, dir), {
         val p = s"${System.getProperty("java.io.tmpdir")}/graft_posting_index_" +
           java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL) +
@@ -1106,8 +1149,6 @@ object LlmQueries {
         p
       })
     }
-    textSearchFromIndex(spark, indexPath, terms)
-  }
 
   val textSearchSql: String =
     """WITH toks AS (
@@ -1148,6 +1189,7 @@ object LlmQueries {
     "text_search"         -> ((s, d) => textSearch(s, d)),
     "text_search_persisted" -> ((s, d) => textSearchPersisted(s, d)),
     "hybrid_search_rrf"   -> ((s, d) => hybridSearchRrf(s, d)),
+    "hybrid_search_rrf_persisted" -> ((s, d) => hybridSearchRrfPersisted(s, d)),
     "text_quality"        -> (textQuality _),
     "curation_filter"     -> (curationFilter _),
     "text_tokens"         -> (textTokens _),
@@ -1172,6 +1214,7 @@ object LlmQueries {
     "text_search"         -> textSearchSql,
     "text_search_persisted" -> textSearchSql,
     "hybrid_search_rrf"   -> hybridSearchRrfSql,
+    "hybrid_search_rrf_persisted" -> hybridSearchRrfSql,
     "text_quality"        -> textQualitySql,
     "curation_filter"     -> curationFilterSql,
     "text_tokens"         -> textTokensSql,

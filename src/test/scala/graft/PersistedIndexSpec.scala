@@ -171,6 +171,18 @@ class PersistedIndexSpec extends SparkSuite {
     assert(touched < all, s"bucket pruning inert: scan touched $touched of $all posting files")
   }
 
+  test("hybrid persisted: fusion identical to in-session; keyword leg never reads corpus text") {
+    val a = ops.LlmQueries.hybridSearchRrf(spark, sf).collect().map(_.toSeq).toSeq
+    val df = ops.LlmQueries.hybridSearchRrfPersisted(spark, sf)
+    val b = df.collect().map(_.toSeq).toSeq
+    assert(a.nonEmpty && a == b, "persisted hybrid diverges from the in-session fusion")
+    val scans = tools.PlanWalk.flatten(df.queryExecution.executedPlan)
+      .collect { case f: FileSourceScanExec => f.toString }
+    assert(scans.exists(_.contains("embeddings")), "vector leg must scan the embedding store")
+    assert(!scans.exists(_.contains("documents")),
+      s"keyword leg read the corpus:\n${scans.mkString("\n")}")
+  }
+
   test("posting compaction: oversized buckets fold to one file, cold untouched, serve identical") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, sf)
