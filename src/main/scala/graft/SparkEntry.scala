@@ -13,7 +13,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     core.CoreQueries.queries ++ core.ExtraQueries.queries ++ core.WindowQueries.queries ++
       core.BehaviorQueries.queries ++
-      core.MiscQueries.queries ++ mart.MartQueries.queries ++
+      core.MiscQueries.queries ++ mart.MartQueries.queries ++ mart.IncrementalMart.queries ++
       etl.EtlQueries.queries ++ ops.LlmQueries.queries ++ ops.ScaleDedup.queries ++
       ops.AnnLsh.queries ++ ops.Multimodal.queries ++ ops.AsofJoin.queries ++ ops.VectorAgg.queries ++
       ops.Curation.queries ++ ops.RangeJoin.queries ++ ops.CorpusOps.queries ++
@@ -27,7 +27,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     core.CoreQueries.oracleSql ++ core.ExtraQueries.oracleSql ++ core.WindowQueries.oracleSql ++
       core.BehaviorQueries.oracleSql ++
-      core.MiscQueries.oracleSql ++ mart.MartQueries.oracleSql ++
+      core.MiscQueries.oracleSql ++ mart.MartQueries.oracleSql ++ mart.IncrementalMart.oracleSql ++
       etl.EtlQueries.oracleSql ++ ops.LlmQueries.oracleSql ++ ops.ScaleDedup.oracleSql ++
       ops.AsofJoin.oracleSql ++
       ops.VectorAgg.oracleSql ++ ops.Curation.oracleSql ++ ops.RangeJoin.oracleSql ++

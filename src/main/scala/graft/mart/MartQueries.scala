@@ -29,8 +29,8 @@ object MartQueries {
     * double arithmetic in Spark and DuckDB, unlike round(double, n) whose
     * half-way behavior is engine-specific.
     */
-  private def r1(c: Column): Column = floor(c * lit(10.0) + lit(0.5)) / lit(10.0)
-  private def r0(c: Column): Column = floor(c + lit(0.5)).cast("double")
+  private[graft] def r1(c: Column): Column = floor(c * lit(10.0) + lit(0.5)) / lit(10.0)
+  private[graft] def r0(c: Column): Column = floor(c + lit(0.5)).cast("double")
 
   /** lineitem ⋈ orders with listening-history column roles. */
   def listeningFacts(spark: SparkSession, dir: String): DataFrame = {
