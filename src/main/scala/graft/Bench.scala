@@ -62,7 +62,8 @@ object Bench {
     "window_time_range", "text_search", "text_search_persisted",
     "hybrid_search_rrf", "events_anomaly_trailing", "asof_join_forward",
     "asof_join_forward_native", "layout_zorder_pruned",
-    "hybrid_search_rrf_persisted", "dm_yearly_agg_incremental")
+    "hybrid_search_rrf_persisted", "dm_yearly_agg_incremental",
+    "dq_profile", "dq_constraints")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -14,7 +14,7 @@ object SparkEntry {
     core.CoreQueries.queries ++ core.ExtraQueries.queries ++ core.WindowQueries.queries ++
       core.BehaviorQueries.queries ++
       core.MiscQueries.queries ++ mart.MartQueries.queries ++ mart.IncrementalMart.queries ++
-      etl.EtlQueries.queries ++ ops.LlmQueries.queries ++ ops.ScaleDedup.queries ++
+      etl.EtlQueries.queries ++ etl.DataQuality.queries ++ ops.LlmQueries.queries ++ ops.ScaleDedup.queries ++
       ops.AnnLsh.queries ++ ops.Multimodal.queries ++ ops.AsofJoin.queries ++ ops.VectorAgg.queries ++
       ops.Curation.queries ++ ops.RangeJoin.queries ++ ops.CorpusOps.queries ++
       ops.BpeTrain.queries ++ ops.EmbeddingPca.queries ++ ops.SemanticDedup.queries ++
@@ -28,7 +28,7 @@ object SparkEntry {
     core.CoreQueries.oracleSql ++ core.ExtraQueries.oracleSql ++ core.WindowQueries.oracleSql ++
       core.BehaviorQueries.oracleSql ++
       core.MiscQueries.oracleSql ++ mart.MartQueries.oracleSql ++ mart.IncrementalMart.oracleSql ++
-      etl.EtlQueries.oracleSql ++ ops.LlmQueries.oracleSql ++ ops.ScaleDedup.oracleSql ++
+      etl.EtlQueries.oracleSql ++ etl.DataQuality.oracleSql ++ ops.LlmQueries.oracleSql ++ ops.ScaleDedup.oracleSql ++
       ops.AsofJoin.oracleSql ++
       ops.VectorAgg.oracleSql ++ ops.Curation.oracleSql ++ ops.RangeJoin.oracleSql ++
       ops.CorpusOps.oracleSql ++ ops.EmbeddingPca.oracleSql ++ ops.Multimodal.oracleSql ++

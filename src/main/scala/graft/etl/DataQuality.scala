@@ -1,0 +1,152 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Data-quality profiling and constraint checking — the Deequ-shaped
+  * validation stage every continuously-loaded warehouse and training-data
+  * pipeline runs before facts land (the reference's transformer cleans and
+  * validates row-by-row in pandas, scripts/transform_scripts/
+  * transformer.py:1; this is that gate as distributed aggregates).
+  *
+  * Both entries are ONE scan each: the profile computes every column's
+  * metrics in a single multi-aggregate pass and unpivots the MATERIALIZED
+  * 1-row result to one row per column (a union of selects over a
+  * checkpointed single row — no second corpus scan); the constraint
+  * suite folds every check into the same
+  * single-pass shape (violation counts as conditional sums, the
+  * uniqueness check as count − countDistinct). Exact longs and strings
+  * only → both entries are DuckDB oracle hash-exact, with the SQL
+  * generated from the same column/check lists as the Spark side so the
+  * two engines cannot drift.
+  *
+  * Scale notes: the exact countDistinct per column plans as one expand ×
+  * |columns| over the scan — the profile costs |columns| partial aggs of
+  * one pass's I/O; at 100 TB the drop-in relaxation is the HLL sketch
+  * column ([[graft.core.MiscQueries]]'s sketch_distinct_hll machinery) —
+  * same output shape, mergeable state. Constraint checks are pure
+  * conditional sums: map-side combine, one row out.
+  */
+object DataQuality {
+
+  /** (name, column) pairs profiled: the integral keys and the low-card
+    * string dims — min/max computed NUMERICALLY first, then cast to
+    * string for the uniform output shape (casting before min would
+    * compare lexicographically: "10" < "9").
+    */
+  private val profileCols: Seq[String] =
+    Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_returnflag", "l_linestatus")
+
+  /** §2 entry `dq_profile`: per-column null counts, exact distinct
+    * counts, min/max over lineitem — one corpus scan.
+    */
+  def dqProfile(spark: SparkSession, dir: String): DataFrame =
+    dqProfileOn(Tables.lineitem(spark, dir))
+
+  /** Core over any lineitem-shaped frame (injectable for the planted-
+    * violation spec). */
+  private[graft] def dqProfileOn(li: DataFrame): DataFrame = {
+    import li.sparkSession.implicits._
+    val aggs: Seq[Column] =
+      Seq(count(lit(1)).as("n_rows")) ++ profileCols.flatMap { c =>
+        Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__n_null"),
+          countDistinct(col(c)).as(s"${c}__n_distinct"),
+          min(col(c)).cast("string").as(s"${c}__min"),
+          max(col(c)).cast("string").as(s"${c}__max"))
+      }
+    // materialize the single aggregate row, then unpivot by unioning one
+    // select per column over it — the corpus is scanned exactly once
+    val one = li.agg(aggs.head, aggs.tail: _*).localCheckpoint()
+    profileCols.map { c =>
+      one.select(lit(c).as("col_name"), $"n_rows",
+        col(s"${c}__n_null").as("n_null"),
+        col(s"${c}__n_distinct").as("n_distinct"),
+        col(s"${c}__min").as("min_val"),
+        col(s"${c}__max").as("max_val"))
+    }.reduce(_ unionByName _)
+      .orderBy($"col_name")
+  }
+
+  val dqProfileSql: String = {
+    val branches = profileCols.map { c =>
+      s"""SELECT '$c' AS col_name, (SELECT COUNT(*) FROM lineitem) AS n_rows,
+         |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         |  COUNT(DISTINCT $c) AS n_distinct,
+         |  CAST(min($c) AS VARCHAR) AS min_val,
+         |  CAST(max($c) AS VARCHAR) AS max_val
+         |FROM lineitem""".stripMargin
+    }
+    branches.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
+  /** The constraint suite, shared between the Spark and SQL sides as
+    * (name, violation-predicate SQL): a row violates when the predicate
+    * is TRUE. The uniqueness check is separate (not row-local).
+    */
+  private val rowChecks: Seq[(String, String)] = Seq(
+    "l_orderkey_not_null"    -> "l_orderkey IS NULL",
+    "l_linenumber_positive"  -> "NOT (l_linenumber >= 1) OR l_linenumber IS NULL",
+    "l_quantity_in_1_50"     -> "NOT (l_quantity >= 1 AND l_quantity <= 50) OR l_quantity IS NULL",
+    "l_returnflag_in_domain" -> "l_returnflag NOT IN ('A', 'N', 'R') OR l_returnflag IS NULL",
+    "l_linestatus_in_domain" -> "l_linestatus NOT IN ('O', 'F') OR l_linestatus IS NULL")
+
+  /** §2 entry `dq_constraints`: the whole check suite in one scan — each
+    * row-local check a conditional sum, the composite-key uniqueness
+    * check as count − countDistinct(orderkey, linenumber); one row per
+    * constraint with its violation count and verdict.
+    */
+  def dqConstraints(spark: SparkSession, dir: String): DataFrame =
+    dqConstraintsOn(Tables.lineitem(spark, dir))
+
+  /** Core over any lineitem-shaped frame (injectable for the planted-
+    * violation spec). */
+  private[graft] def dqConstraintsOn(li: DataFrame): DataFrame = {
+    import li.sparkSession.implicits._
+    val aggs: Seq[Column] =
+      rowChecks.map { case (name, pred) =>
+        sum(when(expr(pred), 1L).otherwise(0L)).as(name)
+      } :+ (count(lit(1)) - countDistinct(struct($"l_orderkey", $"l_linenumber")))
+        // struct, not the varargs form: countDistinct(a, b) silently drops
+        // rows where EITHER key is null, while DuckDB's (a, b) row keeps
+        // them — a null-keyed duplicate must still count as a violation
+        .as("pk_unique_orderkey_linenumber")
+    val one = li.agg(aggs.head, aggs.tail: _*).localCheckpoint()
+    val names = rowChecks.map(_._1) :+ "pk_unique_orderkey_linenumber"
+    names.map { n =>
+      one.select(lit(n).as("constraint_name"), col(n).cast("long").as("n_violations"))
+    }.reduce(_ unionByName _)
+      .select($"constraint_name", $"n_violations",
+        ($"n_violations" === 0L).as("ok"))
+      .orderBy($"constraint_name")
+  }
+
+  val dqConstraintsSql: String = {
+    val branches = rowChecks.map { case (name, pred) =>
+      s"""SELECT '$name' AS constraint_name,
+         |  CAST(SUM(CASE WHEN $pred THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+         |FROM lineitem""".stripMargin
+    } :+
+      s"""SELECT 'pk_unique_orderkey_linenumber' AS constraint_name,
+         |  CAST(COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) AS n_violations
+         |FROM lineitem""".stripMargin
+    s"""WITH checks AS (
+       |${branches.mkString("", "\nUNION ALL\n", "")}
+       |)
+       |SELECT constraint_name, n_violations, n_violations = 0 AS ok
+       |FROM checks ORDER BY constraint_name""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_profile"     -> (dqProfile _),
+    "dq_constraints" -> (dqConstraints _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "dq_profile"     -> dqProfileSql,
+    "dq_constraints" -> dqConstraintsSql
+  )
+}

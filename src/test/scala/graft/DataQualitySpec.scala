@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+/** The data-quality gate: planted violations are counted exactly, a clean
+  * corpus passes everything, and each entry scans the fact table once.
+  */
+class DataQualitySpec extends SparkSuite {
+
+  private def planted() = {
+    import spark.implicits._
+    // (orderkey, partkey, suppkey, linenumber, quantity, flag, status)
+    Seq(
+      (Some(1L), 10L, 100L, 1, 5.0, "A", "O"),   // clean
+      (Some(1L), 11L, 101L, 1, 5.0, "N", "F"),   // duplicate (orderkey, linenumber)
+      (None: Option[Long], 12L, 102L, 2, 5.0, "R", "O"), // null orderkey
+      (Some(2L), 13L, 103L, 0, 99.0, "X", "Z"),  // bad linenumber + quantity + both domains
+      (Some(3L), 14L, 104L, 3, 50.0, "A", "F")   // boundary quantity: clean
+    ).toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_returnflag", "l_linestatus")
+  }
+
+  test("constraints: planted violations counted exactly; gate corpus verdicts independently recounted") {
+    val got = etl.DataQuality.dqConstraintsOn(planted()).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      "l_orderkey_not_null" -> 1L,
+      "l_linenumber_positive" -> 1L,
+      "l_quantity_in_1_50" -> 1L,
+      "l_returnflag_in_domain" -> 1L,
+      "l_linestatus_in_domain" -> 1L,
+      "pk_unique_orderkey_linenumber" -> 1L), got.toString)
+    // the gate corpus: clean on every row-local check; the PK check
+    // honestly REPORTS the generator's duplicate (orderkey, linenumber)
+    // pairs — verified against an independent recount
+    val real = etl.DataQuality.dqConstraints(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(real.size == 6)
+    rowLocal.foreach { n => assert(real(n) == ((0L, true)), s"$n not clean on gate corpus") }
+    val li = Tables.lineitem(spark, sf)
+    val expectedDups = li.count() -
+      li.select(struct(col("l_orderkey"), col("l_linenumber"))).distinct().count()
+    assert(real("pk_unique_orderkey_linenumber") == ((expectedDups, expectedDups == 0L)))
+  }
+
+  private val rowLocal = Seq("l_orderkey_not_null", "l_linenumber_positive",
+    "l_quantity_in_1_50", "l_returnflag_in_domain", "l_linestatus_in_domain")
+
+  test("profile: null/distinct/min/max on the planted frame; one corpus scan per entry") {
+    val p = etl.DataQuality.dqProfileOn(planted()).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))).toMap
+    assert(p("l_orderkey") == ((1L, 3L, "1", "3")))       // one null, distinct {1,2,3}
+    assert(p("l_returnflag") == ((0L, 4L, "A", "X")))
+    assert(p("l_linenumber") == ((0L, 4L, "0", "3")))     // numeric min, not lexicographic
+    // each entry's executed plan scans the lineitem parquet exactly once
+    Seq(etl.DataQuality.dqProfile(spark, sf), etl.DataQuality.dqConstraints(spark, sf))
+      .foreach { df =>
+        df.collect()
+        val scans = tools.PlanWalk.flatten(df.queryExecution.executedPlan)
+          .collect { case f: FileSourceScanExec if f.toString.contains("lineitem") => f }
+        assert(scans.length <= 1, s"lineitem scanned ${scans.length} times")
+      }
+  }
+}
