@@ -487,7 +487,33 @@ object Curation {
       .orderBy($"rank")
   }
 
+  /** §2 entry `sample_reservoir`: uniform k-row sampling WITHOUT a full
+    * sort or a sequential reservoir — bottom-k by hash priority (each row
+    * gets priority xxhash64(doc_id, seed); the sample is the k smallest),
+    * the distributed equivalent of reservoir sampling: TakeOrdered keeps
+    * k rows per partition map-side, the exchange carries ≤ k·partitions
+    * rows, and the result is (a) uniform over the hash's permutation of
+    * rows, (b) DETERMINISTIC given (corpus, seed, k) under any
+    * partitioning — a re-run or a speculative retry draws the identical
+    * sample, which `rand()`-based sampling cannot promise — and
+    * (c) MERGEABLE: bottomK(A ∪ B) = bottomK(bottomK(A) ∪ bottomK(B)),
+    * so per-shard samples compose (spec-pinned). Rows-only (no xxhash64
+    * in DuckDB); OpsSpec pins size, determinism, seed-sensitivity, and
+    * the merge law.
+    */
+  def sampleReservoir(spark: SparkSession, dir: String, k: Int = 100, seed: Long = 42L): DataFrame =
+    sampleReservoirOn(Tables.documents(spark, dir), k, seed)
+
+  private[graft] def sampleReservoirOn(docs: DataFrame, k: Int, seed: Long): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select($"doc_id", $"lang",
+        xxhash64($"doc_id", lit(seed)).as("priority"))
+      .orderBy($"priority", $"doc_id")
+      .limit(k)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_reservoir"  -> ((s, d) => sampleReservoir(s, d)),
     "sample_kcenter"    -> ((s, d) => sampleKcenter(s, d)),
     "sample_curriculum" -> (sampleCurriculum _),
     "corpus_shard"      -> ((s, d) => corpusShard(s, d)),

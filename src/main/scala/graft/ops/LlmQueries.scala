@@ -1150,6 +1150,86 @@ object LlmQueries {
       })
     }
 
+  /** The fixed query batch for [[textSearchMulti]]: (query_id, term) rows
+    * — queries are DATA, not plan constants, which is the whole point.
+    */
+  private val multiQueryTerms: Seq[(Long, String)] = Seq(
+    1L -> "data", 1L -> "spark",
+    2L -> "batch", 2L -> "window",
+    3L -> "stream", 3L -> "data")
+
+  /** §2 entry `text_search_multi`: BATCH retrieval — a TABLE of queries
+    * ranked in one pass, the production serving shape ([[textSearch]]
+    * answers one query with its terms baked into the plan; a retrieval
+    * tier answers thousands per batch, and looping the single-query plan
+    * would re-scan the postings per query). The query table broadcast-
+    * joins the token stream once (the isin filter generalized to a join —
+    * matched postings carry their query_id), term df is computed ONCE per
+    * term (not per query — shared across queries that reuse a term, as
+    * "data" here does), scoring is the same integer arithmetic, and
+    * per-query top-5 ranking is a query_id-PARTITIONED window (bounded
+    * groups, never global). At 100 TB: one postings pass serves the whole
+    * query batch; with the persisted index the join prunes to the batch's
+    * term buckets. Oracle hash-exact — df/scores/tie-breaks identical.
+    */
+  def textSearchMulti(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val queries = multiQueryTerms.toDF("query_id", "term")
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    // per-(doc, term) tf over only the terms ANY query uses — one pass
+    val termSet = multiQueryTerms.map(_._2).distinct
+    val postings = docs.select($"doc_id", explode(words($"text")).as("term"))
+      .filter($"term".isInCollection(termSet))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val dfT = postings.groupBy($"term").agg(count(lit(1)).as("df"))
+    val scored = postings
+      .join(broadcast(queries), Seq("term"))
+      .join(broadcast(dfT), Seq("term")).crossJoin(broadcast(nDocs))
+      .withColumn("w", expr("tf * n_docs * 1048576 div df"))
+      .groupBy($"query_id", $"doc_id")
+      .agg(count(lit(1)).as("n_terms_hit"),
+        sum($"tf").as("total_tf"),
+        sum($"w").as("score_scaled"))
+    val wq = Window.partitionBy($"query_id").orderBy($"score_scaled".desc, $"doc_id")
+    scored.withColumn("rank", row_number().over(wq).cast("long"))
+      .filter($"rank" <= 5)
+      .select($"query_id", $"rank", $"doc_id", $"n_terms_hit", $"total_tf", $"score_scaled")
+      .orderBy($"query_id", $"rank")
+  }
+
+  val textSearchMultiSql: String = {
+    val values = multiQueryTerms.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+    s"""WITH q(query_id, term) AS (VALUES $values),
+       |toks AS (
+       |  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS term
+       |  FROM documents
+       |), p AS (
+       |  SELECT doc_id, term, COUNT(*) AS tf FROM toks
+       |  WHERE term IN (SELECT DISTINCT term FROM q)
+       |  GROUP BY doc_id, term
+       |), d AS (
+       |  SELECT term, COUNT(*) AS df FROM p GROUP BY term
+       |), nn AS (
+       |  SELECT COUNT(*) AS n_docs FROM documents
+       |), s AS (
+       |  SELECT q.query_id, p.doc_id,
+       |    COUNT(*) AS n_terms_hit,
+       |    CAST(SUM(tf) AS BIGINT) AS total_tf,
+       |    CAST(SUM(tf * n_docs * 1048576 // df) AS BIGINT) AS score_scaled
+       |  FROM p JOIN q USING (term) JOIN d USING (term) CROSS JOIN nn
+       |  GROUP BY q.query_id, p.doc_id
+       |), r AS (
+       |  SELECT query_id, doc_id, n_terms_hit, total_tf, score_scaled,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score_scaled DESC, doc_id) AS BIGINT) AS rank
+       |  FROM s
+       |)
+       |SELECT query_id, rank, doc_id, n_terms_hit, total_tf, score_scaled
+       |FROM r WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   val textSearchSql: String =
     """WITH toks AS (
       |  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS term
@@ -1190,6 +1270,7 @@ object LlmQueries {
     "text_search_persisted" -> ((s, d) => textSearchPersisted(s, d)),
     "hybrid_search_rrf"   -> ((s, d) => hybridSearchRrf(s, d)),
     "hybrid_search_rrf_persisted" -> ((s, d) => hybridSearchRrfPersisted(s, d)),
+    "text_search_multi"   -> (textSearchMulti _),
     "text_quality"        -> (textQuality _),
     "curation_filter"     -> (curationFilter _),
     "text_tokens"         -> (textTokens _),
@@ -1215,6 +1296,7 @@ object LlmQueries {
     "text_search_persisted" -> textSearchSql,
     "hybrid_search_rrf"   -> hybridSearchRrfSql,
     "hybrid_search_rrf_persisted" -> hybridSearchRrfSql,
+    "text_search_multi"   -> textSearchMultiSql,
     "text_quality"        -> textQualitySql,
     "curation_filter"     -> curationFilterSql,
     "text_tokens"         -> textTokensSql,

@@ -141,6 +141,29 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("reservoir sample: exact-k, deterministic, seed-sensitive, mergeable") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val a = ops.Curation.sampleReservoir(spark, sf, k = 50).collect().map(_.getLong(0)).toSeq
+    assert(a.length == 50 && a.distinct.length == 50)
+    // deterministic under re-execution and under a different partitioning
+    val b = ops.Curation.sampleReservoir(spark, sf, k = 50).collect().map(_.getLong(0)).toSeq
+    assert(a == b)
+    val c = ops.Curation.sampleReservoirOn(docs.repartition(13), 50, 42L)
+      .collect().map(_.getLong(0)).toSeq
+    assert(a == c, "sample depends on partitioning")
+    // a different seed draws a genuinely different sample
+    val d = ops.Curation.sampleReservoirOn(docs, 50, 43L).collect().map(_.getLong(0)).toSeq
+    assert(d.length == 50 && d != a)
+    // merge law: bottomK over shard-wise bottomKs == bottomK of the whole
+    val half1 = ops.Curation.sampleReservoirOn(docs.filter($"doc_id" % 2 === 0), 50, 42L)
+    val half2 = ops.Curation.sampleReservoirOn(docs.filter($"doc_id" % 2 === 1), 50, 42L)
+    val merged = ops.Curation.sampleReservoirOn(
+      half1.unionByName(half2).select($"doc_id", $"lang"), 50, 42L)
+      .collect().map(_.getLong(0)).toSeq
+    assert(merged == a, "bottom-k not mergeable across shards")
+  }
+
   test("tfidf: per-doc ranks dense, ordered by (tf desc, df asc)") {
     val rows = ops.LlmQueries.textTfidf(spark, sf).collect()
     assert(rows.nonEmpty)
