@@ -63,7 +63,10 @@ object Bench {
     "hybrid_search_rrf", "events_anomaly_trailing", "asof_join_forward",
     "asof_join_forward_native", "layout_zorder_pruned",
     "hybrid_search_rrf_persisted", "dm_yearly_agg_incremental",
-    "dq_profile", "dq_constraints", "text_search_multi", "sample_reservoir")
+    "dq_profile", "dq_constraints", "text_search_multi", "sample_reservoir",
+    "knn_graph_ivf", "knn_graph_clusters", "text_search_bm25",
+    "etl_cdc_apply", "events_markov_transitions", "user_rfm_segments",
+    "dq_drift_chi2")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

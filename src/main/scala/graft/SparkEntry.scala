@@ -19,7 +19,8 @@ object SparkEntry {
       ops.Curation.queries ++ ops.RangeJoin.queries ++ ops.CorpusOps.queries ++
       ops.BpeTrain.queries ++ ops.EmbeddingPca.queries ++ ops.SemanticDedup.queries ++
       ops.EmbeddingSq.queries ++ ops.QualityTrain.queries ++ ops.ZorderLayout.queries ++
-      ops.BloomDedup.queries
+      ops.BloomDedup.queries ++ ops.KnnGraph.queries ++ ops.Bm25.queries ++
+      etl.CdcApply.queries ++ core.EngagementQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -32,5 +33,7 @@ object SparkEntry {
       ops.AsofJoin.oracleSql ++
       ops.VectorAgg.oracleSql ++ ops.Curation.oracleSql ++ ops.RangeJoin.oracleSql ++
       ops.CorpusOps.oracleSql ++ ops.EmbeddingPca.oracleSql ++ ops.Multimodal.oracleSql ++
-      ops.EmbeddingSq.oracleSql ++ ops.ZorderLayout.oracleSql ++ ops.BloomDedup.oracleSql
+      ops.EmbeddingSq.oracleSql ++ ops.ZorderLayout.oracleSql ++ ops.BloomDedup.oracleSql ++
+      ops.KnnGraph.oracleSql ++ ops.Bm25.oracleSql ++ etl.CdcApply.oracleSql ++
+      core.EngagementQueries.oracleSql
 }

@@ -140,13 +140,86 @@ object DataQuality {
        |FROM checks ORDER BY constraint_name""".stripMargin
   }
 
+  /** Distribution-DRIFT detection between two corpus windows — the
+    * monitoring gate a continuously-fed pipeline runs beside the static
+    * constraint checks: has the event-type mix shifted since the reference
+    * window? The log splits at the 50% LSN watermark (event_id is the
+    * ingest sequence); per event type the CURRENT window's observed count
+    * is held against the count EXPECTED under the reference window's mix,
+    * and the chi-squared contribution (o−e)²/e decides the per-type flag
+    * (3.84 = χ²₁ at 95%).
+    *
+    * Exactness discipline (§5): expected and contribution are each ONE
+    * IEEE division of exact BIGINT products —
+    *   e = (cur_total·ref_n) / ref_total,
+    *   contribution = (o·ref_total − cur_total·ref_n)² / (ref_n·ref_total)
+    * — no float accumulates across rows, so both doubles (and the flag
+    * comparisons on them) hash-match DuckDB bit-for-bit. The integer
+    * products bound: counts ≤ 2³¹ keep the squared numerator under 2⁶³;
+    * beyond that the counts downscale by a common factor first (the
+    * fraction is scale-invariant). Scale: two bounded groupBys (≤ #types
+    * rows each) joined broadcast — one corpus scan, map-side split.
+    */
+  def dqDriftChi2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir).select($"event_id", $"event_type")
+    val maxId = ev.agg(max($"event_id").as("max_id"))
+    val tagged = ev.crossJoin(broadcast(maxId))
+      .withColumn("is_ref", $"event_id" * 2 <= $"max_id")
+    val ref = tagged.filter($"is_ref")
+      .groupBy($"event_type").agg(count(lit(1)).as("ref_n"))
+    val cur = tagged.filter(!$"is_ref")
+      .groupBy($"event_type").agg(count(lit(1)).as("cur_n"))
+    val refTot = ref.agg(sum($"ref_n").as("ref_total"))
+    val curTot = cur.agg(sum($"cur_n").as("cur_total"))
+    ref.join(cur, Seq("event_type"), "full")
+      .na.fill(0L, Seq("ref_n", "cur_n"))
+      .crossJoin(broadcast(refTot)).crossJoin(broadcast(curTot))
+      .withColumn("expected",
+        ($"cur_total" * $"ref_n").cast("double") / $"ref_total".cast("double"))
+      .withColumn("contribution",
+        (($"cur_n" * $"ref_total" - $"cur_total" * $"ref_n")
+          * ($"cur_n" * $"ref_total" - $"cur_total" * $"ref_n")).cast("double")
+          / ($"ref_n" * $"ref_total").cast("double"))
+      .withColumn("drifted", $"contribution" >= 3.84)
+      .select($"event_type", $"ref_n", $"cur_n", $"expected", $"contribution", $"drifted")
+      .orderBy($"event_type")
+  }
+
+  val dqDriftChi2Sql: String =
+    """WITH m AS (
+      |  SELECT MAX(event_id) AS max_id FROM events
+      |), ref AS (
+      |  SELECT event_type, COUNT(*) AS ref_n FROM events, m
+      |  WHERE event_id * 2 <= max_id GROUP BY event_type
+      |), cur AS (
+      |  SELECT event_type, COUNT(*) AS cur_n FROM events, m
+      |  WHERE event_id * 2 > max_id GROUP BY event_type
+      |), rt AS (SELECT CAST(SUM(ref_n) AS BIGINT) AS ref_total FROM ref),
+      |ct AS (SELECT CAST(SUM(cur_n) AS BIGINT) AS cur_total FROM cur)
+      |SELECT COALESCE(ref.event_type, cur.event_type) AS event_type,
+      |  CAST(COALESCE(ref_n, 0) AS BIGINT) AS ref_n,
+      |  CAST(COALESCE(cur_n, 0) AS BIGINT) AS cur_n,
+      |  CAST(cur_total * COALESCE(ref_n, 0) AS DOUBLE) / CAST(ref_total AS DOUBLE) AS expected,
+      |  CAST((COALESCE(cur_n, 0) * ref_total - cur_total * COALESCE(ref_n, 0))
+      |      * (COALESCE(cur_n, 0) * ref_total - cur_total * COALESCE(ref_n, 0)) AS DOUBLE)
+      |    / CAST(COALESCE(ref_n, 0) * ref_total AS DOUBLE) AS contribution,
+      |  CAST((COALESCE(cur_n, 0) * ref_total - cur_total * COALESCE(ref_n, 0))
+      |      * (COALESCE(cur_n, 0) * ref_total - cur_total * COALESCE(ref_n, 0)) AS DOUBLE)
+      |    / CAST(COALESCE(ref_n, 0) * ref_total AS DOUBLE) >= 3.84 AS drifted
+      |FROM ref FULL OUTER JOIN cur USING (event_type)
+      |CROSS JOIN rt CROSS JOIN ct
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_profile"     -> (dqProfile _),
-    "dq_constraints" -> (dqConstraints _)
+    "dq_constraints" -> (dqConstraints _),
+    "dq_drift_chi2"  -> (dqDriftChi2 _)
   )
 
   val oracleSql: Map[String, String] = Map(
     "dq_profile"     -> dqProfileSql,
-    "dq_constraints" -> dqConstraintsSql
+    "dq_constraints" -> dqConstraintsSql,
+    "dq_drift_chi2"  -> dqDriftChi2Sql
   )
 }

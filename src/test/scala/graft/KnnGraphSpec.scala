@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** kNN-graph family: IVF recall vs the exact twin, mutual-flag truth, and
+  * cluster validity against a driver-side union-find reference.
+  */
+class KnnGraphSpec extends SparkSuite {
+
+  private def edgeSet(rows: Seq[(Long, Long)]): Set[(Long, Long)] = rows.toSet
+
+  test("knn_graph_ivf recall@4 vs the exact graph ≥ 0.6; overlapping edges dot-identical") {
+    import spark.implicits._
+    val exact = ops.KnnGraph.knnGraphExact(spark, sf)
+      .select($"vec_id", $"neighbor_id", $"dot").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val ivf = ops.KnnGraph.knnGraphIvf(spark, sf)
+      .select($"vec_id", $"neighbor_id", $"dot").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val hit = ivf.keySet.intersect(exact.keySet)
+    val recall = hit.size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall@4 = $recall")
+    // any edge both graphs emit carries the SAME exact integer dot
+    hit.foreach { e => assert(ivf(e) == exact(e), s"dot mismatch on $e") }
+  }
+
+  test("mutual flag is exactly reverse-edge membership") {
+    import spark.implicits._
+    val g = ops.KnnGraph.knnGraphExact(spark, sf)
+      .select($"vec_id", $"neighbor_id", $"mutual").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getBoolean(2)))
+    val edges = edgeSet(g.map(_._1).toSeq)
+    g.foreach { case ((a, b), m) =>
+      assert(m == edges.contains((b, a)), s"mutual($a,$b)")
+    }
+    assert(g.exists(_._2) && g.exists(!_._2), "both flag values must occur")
+  }
+
+  test("clusters = union-find over the IVF graph's mutual edges; keeper is the component min") {
+    import spark.implicits._
+    val knn = ops.KnnGraph.knnGraphIvf(spark, sf)
+      .filter($"mutual" && $"vec_id" < $"neighbor_id")
+      .select($"vec_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val all = ops.VectorAgg.quantized(spark, sf)
+      .select($"vec_id").collect().map(_.getLong(0)).toSeq
+    // driver-side union-find reference
+    val parent = scala.collection.mutable.Map(all.map(v => v -> v): _*)
+    def find(x: Long): Long = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+    knn.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = all.map(v => v -> {
+      val root = find(v)
+      all.filter(u => find(u) == root).min
+    }).toMap
+    val got = ops.KnnGraph.knnGraphClusters(spark, sf)
+      .select($"vec_id", $"cluster", $"cluster_size").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).toSeq.sorted == all.sorted, "every vector labeled once")
+    got.foreach { case (v, c, _) => assert(c == want(v), s"cluster($v)") }
+    // sizes: per-keeper counts of the reference partition
+    val sizes = want.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    got.foreach { case (_, c, s) => assert(s == sizes(c)) }
+    assert(got.exists(_._3 > 1L), "at least one non-singleton cluster (non-vacuous)")
+  }
+}
