@@ -66,7 +66,7 @@ object Bench {
     "dq_profile", "dq_constraints", "text_search_multi", "sample_reservoir",
     "knn_graph_ivf", "knn_graph_clusters", "text_search_bm25",
     "etl_cdc_apply", "events_markov_transitions", "user_rfm_segments",
-    "dq_drift_chi2")
+    "dq_drift_chi2", "text_search_bm25_persisted", "knn_graph_pagerank")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -161,15 +161,30 @@ object DataQuality {
     * rows each) joined broadcast — one corpus scan, map-side split.
     */
   def dqDriftChi2(spark: SparkSession, dir: String): DataFrame = {
+    val (ref, cur) = refCurCounts(spark, dir)
+    chi2On(ref, cur)
+  }
+
+  /** The two windows' per-type count tables (50% LSN watermark split) —
+    * also the fixture the streaming screen's parity spec replays.
+    */
+  private[graft] def refCurCounts(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import spark.implicits._
     val ev = Tables.events(spark, dir).select($"event_id", $"event_type")
     val maxId = ev.agg(max($"event_id").as("max_id"))
     val tagged = ev.crossJoin(broadcast(maxId))
       .withColumn("is_ref", $"event_id" * 2 <= $"max_id")
-    val ref = tagged.filter($"is_ref")
-      .groupBy($"event_type").agg(count(lit(1)).as("ref_n"))
-    val cur = tagged.filter(!$"is_ref")
-      .groupBy($"event_type").agg(count(lit(1)).as("cur_n"))
+    (tagged.filter($"is_ref").groupBy($"event_type").agg(count(lit(1)).as("ref_n")),
+      tagged.filter(!$"is_ref").groupBy($"event_type").agg(count(lit(1)).as("cur_n")))
+  }
+
+  /** Scoring core over (event_type, ref_n) × (event_type, cur_n) count
+    * tables — SHARED verbatim with the streaming screen
+    * ([[graft.streaming.DriftStream]]), so a backfilled and a streamed
+    * corpus can never disagree on a verdict.
+    */
+  private[graft] def chi2On(ref: DataFrame, cur: DataFrame): DataFrame = {
+    import ref.sparkSession.implicits._
     val refTot = ref.agg(sum($"ref_n").as("ref_total"))
     val curTot = cur.agg(sum($"cur_n").as("cur_total"))
     ref.join(cur, Seq("event_type"), "full")

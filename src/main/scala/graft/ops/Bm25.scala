@@ -38,32 +38,30 @@ import graft.Tables
   * TakeOrdered top-20. Document length (dl) rides the same single corpus
   * pass as the postings (computed before the explode, grouped with
   * doc_id); the corpus-wide (N, total_len) pair is one map-side
-  * aggregation — with the persisted posting index this is one more column
-  * in the meta ledger. Reference anchor: the reference has no retrieval
-  * surface (dashboard_queries.py ranks by exact aggregates); this extends
-  * the engine's LLM-pipeline READ side.
+  * aggregation. The PERSISTED twin serves the identical scoring from the
+  * bucketed posting index + its Lucene-style `norms/` doc-length ledger
+  * and `meta/` (n_docs, total_len) ledger — the corpus text is never
+  * read at query time — and shares this entry's oracle verbatim.
+  * Reference anchor: the reference has no retrieval surface
+  * (dashboard_queries.py ranks by exact aggregates); this extends the
+  * engine's LLM-pipeline READ side.
   */
 object Bm25 {
 
   /** Single-space split, matching the oracle's string_split exactly —
     * dl counts empty tokens from runs of spaces identically both sides.
     */
-  private def toks(c: Column): Column = split(lower(trim(c)), " ")
+  private[graft] def toks(c: Column): Column = split(lower(trim(c)), " ")
 
-  def textSearchBm25(spark: SparkSession, dir: String,
-      terms: Seq[String] = Seq("data", "model", "training", "quality")): DataFrame = {
-    import spark.implicits._
-    val docs = Tables.documents(spark, dir)
-    // 1-row corpus stats (broadcast): N and total token length
-    val stats = docs.agg(
-      count(lit(1)).as("n_docs"),
-      sum(size(toks($"text")).cast("long")).as("total_len"))
-    // one corpus pass: dl computed before the explode rides each posting
-    val postings = docs
-      .select($"doc_id", size(toks($"text")).cast("long").as("dl"),
-        explode(toks($"text")).as("term"))
-      .filter($"term".isInCollection(terms))
-      .groupBy($"doc_id", $"dl", $"term").agg(count(lit(1)).as("tf"))
+  private[graft] val defaultTerms = Seq("data", "model", "training", "quality")
+
+  /** Shared ranking core: postings must carry (doc_id, dl, term, tf);
+    * stats is the 1-row (n_docs, total_len) corpus aggregate. Both serve
+    * paths rank through this, so in-session and persisted results cannot
+    * diverge.
+    */
+  private def bm25Rank(postings: DataFrame, stats: DataFrame): DataFrame = {
+    import postings.sparkSession.implicits._
     val df = postings.groupBy($"term").agg(count(lit(1)).as("df"))
     postings.join(broadcast(df), Seq("term")).crossJoin(broadcast(stats))
       .withColumn("idf_scaled", expr("(2 * n_docs + 2) * 1048576 div (2 * df + 1)"))
@@ -78,6 +76,59 @@ object Bm25 {
       .limit(20)
       .select($"doc_id", $"n_terms_hit", $"total_tf", $"score_scaled")
   }
+
+  def textSearchBm25(spark: SparkSession, dir: String,
+      terms: Seq[String] = defaultTerms): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val stats = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(toks($"text")).cast("long")).as("total_len"))
+    // one corpus pass: dl computed before the explode rides each posting
+    val postings = docs
+      .select($"doc_id", size(toks($"text")).cast("long").as("dl"),
+        explode(toks($"text")).as("term"))
+      .filter($"term".isInCollection(terms))
+      .groupBy($"doc_id", $"dl", $"term").agg(count(lit(1)).as("tf"))
+    bm25Rank(postings, stats)
+  }
+
+  /** BM25 served from the PERSISTED index: postings pruned to the query
+    * terms' `tb=` bucket dirs ([[LlmQueries.textSearchFromIndex]]'s
+    * listing-level pruning), dl joined from the `norms/` ledger (the
+    * norms side is corpus-metadata-sized; the matched-postings side is
+    * tiny, so the join broadcasts it), (N, total_len) summed from the
+    * `meta/` batch ledger. The corpus text is never read, tokenized, or
+    * counted at query time. NOTE: the index tokenizes postings with the
+    * multi-space-collapsing split; the single-space dl ledger counts
+    * empty tokens — both match their oracle sides exactly, and on this
+    * corpus (no double spaces) the two splits agree.
+    */
+  def textSearchBm25FromIndex(spark: SparkSession, indexPath: String,
+      terms: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val tbs = spark.createDataset(terms).toDF("term")
+      .select(LlmQueries.termBucket($"term").as("tb"))
+      .distinct().collect().map(_.getLong(0))
+    val postings = spark.read.parquet(s"$indexPath/postings")
+      .filter($"tb".isin(tbs: _*))
+      .filter($"term".isInCollection(terms))
+      .select($"doc_id", $"term", $"tf")
+    val norms = spark.read.parquet(s"$indexPath/norms")
+    val stats = spark.read.parquet(s"$indexPath/meta")
+      .agg(sum($"n_docs").cast("long").as("n_docs"),
+        sum($"total_len").cast("long").as("total_len"))
+    bm25Rank(postings.join(norms, Seq("doc_id")), stats)
+  }
+
+  /** §2 entry `text_search_bm25_persisted`: the save-once lifecycle
+    * ([[LlmQueries.postingIndexPathFor]] — shared with the keyword and
+    * hybrid persisted entries, ONE index serves all three), then BM25
+    * from the loaded tables. Shares [[textSearchBm25Sql]]'s oracle.
+    */
+  def textSearchBm25Persisted(spark: SparkSession, dir: String,
+      terms: Seq[String] = defaultTerms): DataFrame =
+    textSearchBm25FromIndex(spark, LlmQueries.postingIndexPathFor(spark, dir), terms)
 
   val textSearchBm25Sql: String =
     """WITH lens AS (
@@ -108,10 +159,12 @@ object Bm25 {
       |LIMIT 20""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "text_search_bm25" -> ((s: SparkSession, d: String) => textSearchBm25(s, d))
+    "text_search_bm25" -> ((s: SparkSession, d: String) => textSearchBm25(s, d)),
+    "text_search_bm25_persisted" -> ((s: SparkSession, d: String) => textSearchBm25Persisted(s, d))
   )
 
   val oracleSql: Map[String, String] = Map(
-    "text_search_bm25" -> textSearchBm25Sql
+    "text_search_bm25" -> textSearchBm25Sql,
+    "text_search_bm25_persisted" -> textSearchBm25Sql
   )
 }

@@ -158,10 +158,65 @@ object KnnGraph {
       .orderBy($"vec_id")
   }
 
+  /** Total rank mass, as a scaled integer. The whole PageRank runs in
+    * EXACT integer arithmetic (shares and the damping factor by floor
+    * division), so every iteration is deterministic under any partitioning
+    * — a float PageRank would drift with partial-agg summation order and
+    * could never be pinned exactly against a reference.
+    */
+  private val PrScale = 1000000000000L // 10¹², headroom: 17·Σshares < 2⁶³
+  private val PrIters = 8
+
+  /** PageRank over the IVF kNN graph — graph centrality as an engine
+    * shape (the representativeness signal diversity-aware sampling and
+    * corpus curation rank clusters by). Damping 17/20; per iteration
+    *   share(u) = r(u) div out(u),
+    *   r'(v)    = base + (17 · Σ_{u→v} share(u)) div 20,
+    * with base = (3·PrScale div 20) div N the teleport mass. Every node
+    * has k out-edges (a kNN graph has no dangling nodes), floor division
+    * leaks O(1) mass per (node, iteration) — the documented one-sided
+    * trade, same family as the hashed-gram 2⁻⁶⁴ caveat.
+    *
+    * Scale shape: the static (src, dst, out) edge table is built once
+    * (out-degree from one bounded groupBy); each of the k iterations is
+    * ONE equi-join of the n-row rank table to the edge table on src plus
+    * ONE partial-agg groupBy on dst — the canonical distributed PageRank;
+    * at 100 TB the edge table pre-partitions by src so the join is
+    * co-located and only the n-row rank vector moves. Rank tables
+    * localCheckpoint per round (the Lloyd discipline: plan depth O(1) per
+    * iteration). KnnGraphSpec pins rank-for-rank equality with a
+    * single-threaded reference of the same integer recurrence, plus the
+    * mass-conservation bound.
+    */
+  def knnGraphPagerank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val edges = ivfEdges(spark, dir).select($"vec_id".as("src"), $"neighbor_id".as("dst"))
+    val outDeg = edges.groupBy($"src").agg(count(lit(1)).as("out"))
+    val edgesDeg = edges.join(outDeg, Seq("src")).localCheckpoint()
+    val nodes = VectorAgg.quantized(spark, dir).select($"vec_id").localCheckpoint()
+    val n = nodes.count() // bounded driver pull: one long, the Lloyd contract
+    val r0 = PrScale / n
+    val base = (3L * PrScale / 20L) / n
+    var ranks = nodes.select($"vec_id", lit(r0).as("r")).localCheckpoint()
+    for (_ <- 1 to PrIters) {
+      val incoming = edgesDeg
+        .join(ranks.withColumnRenamed("vec_id", "src"), Seq("src"))
+        .select($"dst", expr("r div out").as("share")) // integer floor; r, out > 0
+        .groupBy($"dst").agg(sum($"share").as("in_mass"))
+      ranks = nodes
+        .join(incoming.withColumnRenamed("dst", "vec_id"), Seq("vec_id"), "left")
+        .select($"vec_id",
+          expr(s"$base + 17 * coalesce(in_mass, CAST(0 AS BIGINT)) div 20").as("r"))
+        .localCheckpoint()
+    }
+    ranks.select($"vec_id", $"r".as("rank_scaled")).orderBy($"vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_graph_exact"    -> (knnGraphExact _),
     "knn_graph_ivf"      -> (knnGraphIvf _),
-    "knn_graph_clusters" -> (knnGraphClusters _)
+    "knn_graph_clusters" -> (knnGraphClusters _),
+    "knn_graph_pagerank" -> (knnGraphPagerank _)
   )
 
   val oracleSql: Map[String, String] = Map(

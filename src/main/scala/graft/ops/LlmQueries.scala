@@ -883,8 +883,32 @@ object LlmQueries {
     import docs.sparkSession.implicits._
     postingRows(docs)
       .write.mode("overwrite").partitionBy("tb").parquet(s"$indexPath/postings")
-    docs.agg(count(lit(1)).as("n_docs"))
+    normRows(docs)
+      .write.mode("overwrite").parquet(s"$indexPath/norms")
+    metaRow(docs)
       .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/meta")
+  }
+
+  /** Lucene-style norms ledger: one (doc_id, dl) row per doc, where dl is
+    * the single-space token length [[Bm25.toks]] — the per-doc constant
+    * BM25's length normalization needs at serve time without touching the
+    * corpus text. Written beside the postings at save AND append (same
+    * batch granularity); at 100 TB this table is corpus-METADATA-sized
+    * (16 bytes/doc) and would bucket by doc_id for a co-located join.
+    */
+  private def normRows(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select($"doc_id", size(Bm25.toks($"text")).cast("long").as("dl"))
+  }
+
+  /** Meta ledger row for one landed batch: doc count + total token length
+    * (the BM25 avgdl numerator) — serve sums the ledger, appends never
+    * read-modify-write.
+    */
+  private def metaRow(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.agg(count(lit(1)).as("n_docs"),
+      sum(size(Bm25.toks($"text")).cast("long")).as("total_len"))
   }
 
   /** (doc_id, term, tf, tb) posting rows of a corpus slice, clustered for
@@ -913,10 +937,11 @@ object LlmQueries {
     * Bloom anti-join ([[graft.streaming.CorpusStream.postingIndexSink]]).
     */
   def appendToPostingIndex(batch: DataFrame, indexPath: String): Unit = {
-    import batch.sparkSession.implicits._
     postingRows(batch)
       .write.mode("append").partitionBy("tb").parquet(s"$indexPath/postings")
-    batch.agg(count(lit(1)).as("n_docs"))
+    normRows(batch)
+      .write.mode("append").parquet(s"$indexPath/norms")
+    metaRow(batch)
       .coalesce(1).write.mode("append").parquet(s"$indexPath/meta")
   }
 
@@ -1138,7 +1163,7 @@ object LlmQueries {
     * index: first call per (session, dir) builds+saves under a lock,
     * every later call returns the path.
     */
-  private def postingIndexPathFor(spark: SparkSession, dir: String): String =
+  private[graft] def postingIndexPathFor(spark: SparkSession, dir: String): String =
     savedPostingIndexes.synchronized {
       savedPostingIndexes.getOrElseUpdate((spark, dir), {
         val p = s"${System.getProperty("java.io.tmpdir")}/graft_posting_index_" +

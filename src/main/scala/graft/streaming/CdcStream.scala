@@ -94,4 +94,41 @@ object CdcStream {
     import spark.implicits._
     spark.read.parquet(path).filter($"op" =!= "D").drop("_bucket")
   }
+
+  /** Tombstone retention (the Kafka-compaction cadence): delete markers at
+    * or below `horizonLsn` have outlived the redelivery window — no
+    * in-flight batch can still carry an op older than them — so they stop
+    * paying storage and merge-read cost. Only buckets actually holding an
+    * expirable tombstone are read and rewritten (dynamic partition
+    * overwrite; census is one column-pruned scan); cold buckets stay
+    * byte-identical. Returns the rewritten bucket ids. The horizon is the
+    * operator's contract: choosing one INSIDE the redelivery window
+    * re-opens the resurrection race [[cdcMergeBatch]]'s tombstones exist
+    * to close — CdcSpec pins both sides of that boundary.
+    */
+  def vacuumTombstones(spark: SparkSession, path: String, horizonLsn: Long): Seq[Int] = {
+    import spark.implicits._
+    val wh = spark.read.parquet(path)
+    val affected = wh
+      .filter($"op" === "D" && $"lsn" <= horizonLsn)
+      .select($"_bucket").distinct().collect().map(_.getInt(0)).toSeq.sorted
+    if (affected.nonEmpty) {
+      val remaining = wh.filter($"_bucket".isin(affected: _*))
+        .filter(!($"op" === "D" && $"lsn" <= horizonLsn))
+        .localCheckpoint() // materialize before overwriting the buckets being read
+      remaining.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_bucket")
+        .parquet(path)
+      // a bucket whose every row expired writes no partition above —
+      // dynamic overwrite can't replace with nothing, so drop its dir
+      val kept = remaining.select($"_bucket").distinct().collect().map(_.getInt(0)).toSet
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      affected.filterNot(kept).foreach { b =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/_bucket=$b"), true); ()
+      }
+    }
+    affected
+  }
 }

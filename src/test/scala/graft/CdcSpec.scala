@@ -63,6 +63,45 @@ class CdcSpec extends SparkSuite {
     assert(v == 5.0, "update payload survives the replay")
   }
 
+  test("tombstone vacuum: old markers drop, young markers survive, cold buckets untouched") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_cdc_vac").toString
+    val path = s"$dir/wh"
+    // key 10: deleted long ago (lsn 3). key 20: deleted recently (lsn 9).
+    // key 30: live. keys spread across buckets; bucket of 30 stays cold.
+    val ops = Seq(
+      (1L, 10L, "I", "view", 1.0), (3L, 10L, "D", "view", 0.0),
+      (2L, 20L, "I", "click", 2.0), (9L, 20L, "D", "click", 0.0),
+      (5L, 30L, "I", "play", 3.0))
+      .toDF("lsn", "key", "op", "event_type", "value")
+    streaming.CdcStream.cdcMergeBatch(ops, path, buckets = 8)
+    def raw() = spark.read.parquet(path)
+      .select($"key", $"lsn", $"op").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(raw() == Set((10L, 3L, "D"), (20L, 9L, "D"), (30L, 5L, "I")))
+    val mt = new java.io.File(path).listFiles().filter(_.getName.startsWith("_bucket="))
+      .map(d => d.getName -> d.listFiles().map(_.lastModified()).max).toMap
+
+    val rewritten = streaming.CdcStream.vacuumTombstones(spark, path, horizonLsn = 5L)
+    assert(raw() == Set((20L, 9L, "D"), (30L, 5L, "I")),
+      "only the sub-horizon tombstone may drop")
+    // cold buckets (no expirable tombstone) keep their files byte-stable
+    val mtAfter = new java.io.File(path).listFiles().filter(_.getName.startsWith("_bucket="))
+      .map(d => d.getName -> d.listFiles().map(_.lastModified()).max).toMap
+    val touched = rewritten.map(b => s"_bucket=$b").toSet
+    mt.foreach { case (b, t) =>
+      if (!touched.contains(b)) assert(mtAfter.get(b).contains(t), s"cold bucket $b rewritten")
+    }
+    // the young tombstone still blocks resurrection
+    streaming.CdcStream.cdcMergeBatch(
+      Seq((2L, 20L, "I", "click", 2.0)).toDF("lsn", "key", "op", "event_type", "value"),
+      path, buckets = 8)
+    assert(!streaming.CdcStream.serveSnapshot(spark, path)
+      .filter($"key" === 20L).collect().nonEmpty, "young tombstone failed to block")
+    // idempotent: nothing left to vacuum at the same horizon
+    assert(streaming.CdcStream.vacuumTombstones(spark, path, horizonLsn = 5L).isEmpty)
+  }
+
   test("gate entry: watermark-merge == one-shot apply (the oracle's claim, in-process)") {
     import spark.implicits._
     val merged = etl.CdcApply.etlCdcApply(spark, sf)

@@ -36,6 +36,36 @@ class KnnGraphSpec extends SparkSuite {
     assert(g.exists(_._2) && g.exists(!_._2), "both flag values must occur")
   }
 
+  test("pagerank equals the single-threaded integer reference rank-for-rank; mass bounded") {
+    import spark.implicits._
+    val edges = ops.KnnGraph.knnGraphIvf(spark, sf)
+      .select($"vec_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val nodes = ops.VectorAgg.quantized(spark, sf)
+      .select($"vec_id").collect().map(_.getLong(0)).toSeq.sorted
+    // reference: same integer recurrence, sequential
+    val scale = 1000000000000L
+    val n = nodes.size
+    val base = (3L * scale / 20L) / n
+    val out = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var r = nodes.map(v => v -> scale / n).toMap
+    for (_ <- 1 to 8) {
+      val in = scala.collection.mutable.Map(nodes.map(v => v -> 0L): _*)
+      edges.foreach { case (u, v) => in(v) += r(u) / out(u) }
+      r = nodes.map(v => v -> (base + 17L * in(v) / 20L)).toMap
+    }
+    val got = ops.KnnGraph.knnGraphPagerank(spark, sf)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(got.keySet == r.keySet)
+    nodes.foreach(v => assert(got(v) == r(v), s"rank($v): ${got(v)} != ${r(v)}"))
+    // floor division only LEAKS mass: total stays under the scale, and
+    // above the pure-teleport floor
+    val mass = got.values.sum
+    assert(mass <= scale && mass >= base * n, s"mass $mass out of bounds")
+    // centrality is non-degenerate: ranks differ across nodes
+    assert(got.values.toSet.size > 1)
+  }
+
   test("clusters = union-find over the IVF graph's mutual edges; keeper is the component min") {
     import spark.implicits._
     val knn = ops.KnnGraph.knnGraphIvf(spark, sf)

@@ -209,6 +209,36 @@ class PersistedIndexSpec extends SparkSuite {
     assert(ops.LlmQueries.compactPostingBuckets(spark, base, maxFiles = 4).isEmpty, "not idempotent")
   }
 
+  test("bm25 persisted: serve == in-session; norms/meta append == rebuild; corpus text unread") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf)
+    val terms = ops.Bm25.defaultTerms
+    val inSession = ops.Bm25.textSearchBm25(spark, sf).collect().map(_.toSeq).toSeq
+    assert(inSession.nonEmpty)
+
+    // the shared (session, dir) index serves BM25 identically
+    val served = ops.Bm25.textSearchBm25Persisted(spark, sf)
+    assert(served.collect().map(_.toSeq).toSeq == inSession,
+      "persisted BM25 diverges from the in-session ranking")
+    // serve plan reads only index tables (norms + postings + meta)
+    val scans = tools.PlanWalk.flatten(served.queryExecution.executedPlan)
+      .collect { case f: FileSourceScanExec => f.toString }
+    assert(!scans.exists(_.contains("documents")),
+      s"BM25 serve read the corpus:\n${scans.mkString("\n")}")
+
+    // append path: landed half + appended batch == full rebuild, including
+    // the norms and meta ledgers the BM25 scoring depends on
+    val base = s"/tmp/graft_test_bm25_append_${System.nanoTime()}"
+    ops.LlmQueries.savePostingIndexOf(docs.filter(col("doc_id") <= 250L), base)
+    ops.LlmQueries.appendToPostingIndex(docs.filter(col("doc_id") > 250L), base)
+    val inc = ops.Bm25.textSearchBm25FromIndex(spark, base, terms)
+      .collect().map(_.toSeq).toSeq
+    assert(inc == inSession, "appended norms/meta ledgers diverge from rebuild")
+    // ledgers are batch-granular: 2 meta rows, norms row per doc
+    assert(spark.read.parquet(s"$base/meta").count() == 2L)
+    assert(spark.read.parquet(s"$base/norms").count() == docs.count())
+  }
+
   test("banded dedup persisted: cache hits across calls, no re-save, serve plan write-free") {
     val first = ops.ScaleDedup.dedupIncrementalBandedPersisted(spark, sf)
     val rows1 = first.collect().map(_.toSeq).toSeq
