@@ -217,10 +217,140 @@ object MiscQueries {
       .orderBy($"type_a", $"type_b")
   }
 
+  /** Exact per-group MODE (most frequent value) — the aggregate DuckDB
+    * ships natively and Spark lacks: each user's dominant event type.
+    * Two partial-agg stages, no per-row window: (user, type) counts, then
+    * `max(struct(cnt, type))` per user — both map-side-combining groupBys,
+    * so the exchange carries one row per (group, partition) twice and the
+    * plan survives any corpus size. Tie-break: the LARGEST type
+    * lexicographically (what the struct max yields — deterministic, and
+    * mirrored in the oracle's ORDER BY cnt DESC, type DESC rank).
+    */
+  def aggModeExact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"user_id", $"event_type").agg(count(lit(1)).as("cnt"))
+      .groupBy($"user_id")
+      .agg(max(struct($"cnt", $"event_type")).as("_m"),
+        sum($"cnt").as("n_events"))
+      .select($"user_id", $"_m.event_type".as("mode_event_type"),
+        $"_m.cnt".as("mode_count"), $"n_events")
+      .orderBy($"user_id")
+  }
+
+  val aggModeExactSql: String =
+    """WITH c AS (
+      |  SELECT user_id, event_type, COUNT(*) AS cnt
+      |  FROM events GROUP BY user_id, event_type
+      |), r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY cnt DESC, event_type DESC) AS rn,
+      |    CAST(SUM(cnt) OVER (PARTITION BY user_id) AS BIGINT) AS n_events
+      |  FROM c
+      |)
+      |SELECT user_id, event_type AS mode_event_type, CAST(cnt AS BIGINT) AS mode_count, n_events
+      |FROM r WHERE rn = 1
+      |ORDER BY user_id""".stripMargin
+
+  /** Manually SALTED skewed join, result-identical to the plain join —
+    * the hot-key treatment for a fact⋈dim join where one dim key owns a
+    * disproportionate share of fact rows (AQE's skew-join splits
+    * post-shuffle partitions; salting splits the KEY itself, the form
+    * that also works mid-pipeline and under bucketing): the fact side
+    * salts each row into one of 8 sub-keys by a hash of its row id, the
+    * dim side replicates ×8 (dims are the small side by definition), and
+    * the equi-join runs on (key, salt) — a hot customer's rows now spread
+    * over 8 reducer partitions. The aggregate AFTER the join re-merges
+    * the salt split; the oracle is the UNSALTED join+agg, so
+    * result-identity is hash-checked, the skew_salted_topk discipline on
+    * the join axis.
+    */
+  def skewSaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val salts = 8
+    val fact = Tables.orders(spark, dir)
+      .select($"o_custkey", $"o_totalprice",
+        pmod(xxhash64($"o_orderkey"), lit(salts.toLong)).as("_salt"))
+    val dim = Tables.customer(spark, dir)
+      .select($"c_custkey", $"c_nationkey")
+      .withColumn("_salt", explode(array((0 until salts).map(s => lit(s.toLong)): _*)))
+    fact.join(dim, fact("o_custkey") === dim("c_custkey") && fact("_salt") === dim("_salt"))
+      .groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("n_orders"),
+        sum($"o_totalprice".cast("decimal(18,2)")).cast("double").as("revenue"))
+      .orderBy($"c_nationkey")
+  }
+
+  val skewSaltedJoinSql: String =
+    """SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_nationkey
+      |ORDER BY c_nationkey""".stripMargin
+
+  /** Wrapped-style per-user annual summary — the composite dashboard row
+    * the reference's yearly views feed (dm_ddl.sql yearly_agg +
+    * top-functions, composed per user): lifetime totals, dominant event
+    * type (the mode machinery), active-day count, and event span. One
+    * pass builds the (user, type) counts; everything else is partial-agg
+    * rollups of it or of the (user, day) collapse — no per-event window.
+    */
+  def dmWrappedSummary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val byType = ev.groupBy($"user_id", $"event_type").agg(
+      count(lit(1)).as("cnt"),
+      sum($"value".cast("decimal(18,2)")).as("val"))
+    val core = byType.groupBy($"user_id").agg(
+      max(struct($"cnt", $"event_type")).as("_m"),
+      sum($"cnt").as("n_events"),
+      sum($"val").cast("double").as("total_value"))
+    val days = ev.select($"user_id", to_date($"ts").as("d")).distinct()
+      .groupBy($"user_id").agg(count(lit(1)).as("n_active_days"),
+        min($"d").cast("timestamp").as("first_day"),
+        max($"d").cast("timestamp").as("last_day"))
+    core.join(days, Seq("user_id"))
+      .select($"user_id", $"n_events", $"total_value",
+        $"_m.event_type".as("top_event_type"), $"_m.cnt".as("top_event_count"),
+        $"n_active_days", $"first_day", $"last_day",
+        datediff($"last_day", $"first_day").cast("long").as("span_days"))
+      .orderBy($"user_id")
+  }
+
+  val dmWrappedSummarySql: String =
+    """WITH bt AS (
+      |  SELECT user_id, event_type, COUNT(*) AS cnt,
+      |    SUM(CAST(value AS DECIMAL(18,2))) AS val
+      |  FROM events GROUP BY user_id, event_type
+      |), r AS (
+      |  SELECT user_id, event_type, cnt,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY cnt DESC, event_type DESC) AS rn
+      |  FROM bt
+      |), core AS (
+      |  SELECT user_id, CAST(SUM(cnt) AS BIGINT) AS n_events,
+      |    CAST(SUM(val) AS DOUBLE) AS total_value
+      |  FROM bt GROUP BY user_id
+      |), days AS (
+      |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_active_days,
+      |    CAST(MIN(d) AS TIMESTAMP) AS first_day, CAST(MAX(d) AS TIMESTAMP) AS last_day
+      |  FROM (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+      |  GROUP BY user_id
+      |)
+      |SELECT c.user_id, c.n_events, c.total_value,
+      |  r.event_type AS top_event_type, CAST(r.cnt AS BIGINT) AS top_event_count,
+      |  d.n_active_days, d.first_day, d.last_day,
+      |  CAST(date_diff('day', CAST(d.first_day AS DATE), CAST(d.last_day AS DATE)) AS BIGINT) AS span_days
+      |FROM core c
+      |JOIN r ON r.user_id = c.user_id AND r.rn = 1
+      |JOIN days d ON d.user_id = c.user_id
+      |ORDER BY c.user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "set_ops_suite"         -> (setOpsSuite _),
     "dm_pivot_event_types"  -> (pivotEventTypes _),
     "agg_weighted_mean"     -> (aggWeightedMean _),
+    "agg_mode_exact"        -> (aggModeExact _),
+    "skew_salted_join"      -> (skewSaltedJoin _),
+    "dm_wrapped_summary"    -> (dmWrappedSummary _),
     "sketch_distinct_hll"   -> (sketchDistinct _),
     "sketch_percentile_kll" -> (sketchPercentile _),
     "sketch_heavy_hitters"  -> (sketchHeavyHitters _),
@@ -230,6 +360,9 @@ object MiscQueries {
   val oracleSql: Map[String, String] = Map(
     "set_ops_suite"        -> setOpsSuiteSql,
     "dm_pivot_event_types" -> pivotEventTypesSql,
-    "agg_weighted_mean"    -> aggWeightedMeanSql
+    "agg_weighted_mean"    -> aggWeightedMeanSql,
+    "agg_mode_exact"       -> aggModeExactSql,
+    "skew_salted_join"     -> skewSaltedJoinSql,
+    "dm_wrapped_summary"   -> dmWrappedSummarySql
   )
 }

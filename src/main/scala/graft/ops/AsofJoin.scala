@@ -178,15 +178,63 @@ object AsofJoin {
       .orderBy($"event_id")
   }
 
+  /** TOLERANCE-bounded as-of (pandas merge_asof's `tolerance`): the
+    * backward match only counts if the gap fits within `TolSec` — else the
+    * left row keeps NULLs. The distinguishing production case: attributing
+    * a purchase to a signup only if it happened within the attribution
+    * window; an unbounded as-of silently attributes years-stale matches.
+    * Same one-shuffle union+window plan as [[asofJoinEvents]]; the bound
+    * is a pure map-side post-projection (nulling, not filtering — row
+    * count stays the left side's, exactly merge_asof semantics). Oracle:
+    * the same DuckDB ASOF LEFT JOIN with the gap CASE'd to NULL.
+    */
+  private val TolSec = 86400L // 24 h attribution window
+
+  def asofJoinTolerance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"event_id", $"user_id", unix_timestamp($"ts").as("ts_sec"), $"event_type")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts_sec")
+    val signups = ev.filter($"event_type" === "signup")
+      .select($"user_id", $"ts_sec", $"ts_sec".as("signup_ts_sec"))
+    val within = $"ts_sec" - $"asof_signup_ts_sec" <= TolSec
+    asof(purchases, signups, "user_id", "ts_sec", Seq("signup_ts_sec"))
+      .select($"event_id", $"user_id", $"ts_sec".as("purchase_ts_sec"),
+        when(within, $"asof_signup_ts_sec").as("signup_ts_sec"),
+        when(within, $"ts_sec" - $"asof_signup_ts_sec").as("wait_sec"))
+      .orderBy($"event_id")
+  }
+
+  val asofJoinToleranceSql: String =
+    s"""WITH ev AS (
+       |  SELECT event_id, user_id, event_type,
+       |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ts_sec
+       |  FROM events
+       |), purchases AS (
+       |  SELECT event_id, user_id, ts_sec FROM ev WHERE event_type = 'purchase'
+       |), signups AS (
+       |  SELECT user_id, ts_sec AS signup_ts_sec FROM ev WHERE event_type = 'signup'
+       |)
+       |SELECT p.event_id, p.user_id, p.ts_sec AS purchase_ts_sec,
+       |  CASE WHEN p.ts_sec - s.signup_ts_sec <= $TolSec THEN s.signup_ts_sec END AS signup_ts_sec,
+       |  CASE WHEN p.ts_sec - s.signup_ts_sec <= $TolSec THEN p.ts_sec - s.signup_ts_sec END AS wait_sec
+       |FROM purchases p
+       |ASOF LEFT JOIN signups s
+       |  ON p.user_id = s.user_id AND p.ts_sec >= s.signup_ts_sec
+       |ORDER BY p.event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "asof_join_events" -> (asofJoinEvents _),
     "asof_join_forward" -> (asofJoinForward _),
     "asof_join_forward_native" -> (asofJoinForwardNative _),
+    "asof_join_tolerance" -> (asofJoinTolerance _),
     "asof_join_native" -> (asofJoinNative _))
 
   val oracleSql: Map[String, String] = Map(
     "asof_join_events" -> asofJoinEventsSql,
     "asof_join_forward" -> asofJoinForwardSql,
     "asof_join_forward_native" -> asofJoinForwardSql,
+    "asof_join_tolerance" -> asofJoinToleranceSql,
     "asof_join_native" -> asofJoinEventsSql)
 }

@@ -144,8 +144,13 @@ object KnnGraph {
   def knnGraphClusters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val knn = withMutual(ivfEdges(spark, dir))
+    // materialize the edge table BEFORE label propagation: ccKeepers
+    // re-reads its input every round, and without this each CC round
+    // would recompute the whole kNN-graph build (scored join + top-k +
+    // mutual join) — measured 32 s vs ~2 s at sf0.1
     val edges = knn.filter($"mutual" && $"vec_id" < $"neighbor_id")
       .select($"vec_id".as("a"), $"neighbor_id".as("b"))
+      .localCheckpoint()
     val bands = edges.select($"a".as("doc_id"), lit(0L).as("band"), struct($"a", $"b").as("band_key"))
       .union(edges.select($"b".as("doc_id"), lit(0L).as("band"), struct($"a", $"b").as("band_key")))
     val keepers = ScaleDedup.ccKeepers(bands)
