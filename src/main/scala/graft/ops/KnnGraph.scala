@@ -217,11 +217,89 @@ object KnnGraph {
     ranks.select($"vec_id", $"r".as("rank_scaled")).orderBy($"vec_id")
   }
 
+  private val BeamWidth = 8
+  private val BeamRounds = 3
+
+  /** GRAPH-based ANN — HNSW-style best-first search re-expressed as
+    * BOUNDED iterative joins (the third ANN paradigm beside IVF's
+    * partitioning and PQ/PCA/SQ's compression: navigate a neighbor graph
+    * instead of scanning cells): per round, every query's beam expands
+    * through the undirected kNN adjacency, candidates score by the fused
+    * integer dot, and the bounded-heap PartialTopK keeps the best
+    * `BeamWidth` per query. A sequential HNSW descends one hop at a time
+    * per query; the distributed form advances ALL queries one hop per
+    * round — 3 rounds × (one equi-join on the node key + one partial-agg
+    * top-B), beam state = queries×B rows, per-round candidate work ≤
+    * queries×B×degree — INDEPENDENT of corpus size, the property that
+    * makes graph ANN the serving-tier default.
+    *
+    * Mutual-kNN graphs disconnect into semantic clusters (that is what
+    * [[knnGraphClusters]] exploits), so a single entry point would trap
+    * the walk in the entry's component — HNSW solves this with upper
+    * layers; the distributed analog here SEEDS every beam with each
+    * k-means cell's min-id member (16 bounded seed rows, the coarse
+    * layer the session's Lloyd index already provides). Self-matches are
+    * screened at scoring. Rows-only; KnnGraphSpec pins recall@5 vs the
+    * exact twin and dot-exactness on overlapping pairs.
+    */
+  def annTopkGraph(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val q = VectorAgg.quantized(spark, dir)
+    val directed = ivfEdges(spark, dir).select($"vec_id".as("src"), $"neighbor_id".as("dst"))
+    val adj = directed
+      .union(directed.select($"dst".as("src"), $"src".as("dst")))
+      .distinct().localCheckpoint()
+    val corpusVec = q.select($"vec_id".as("node"), $"v".as("nv"))
+    val queries = q.filter($"vec_id" % 10 === 0)
+      .select($"vec_id".as("query_id"), $"v".as("qv"))
+    val cells = VectorAgg.kmeansCells(spark, dir, k = 16, iters = 2)
+    val seeds = VectorAgg.withCellRank(q, cells)
+      .select($"vec_id", element_at($"cellRank", 1).getField("cell").as("cell"))
+      .groupBy($"cell").agg(min($"vec_id").as("node"))
+      .select($"node") // ≤ k rows — the coarse entry layer
+    def topB(scored: DataFrame, b: Int): DataFrame =
+      scored.groupBy($"query_id")
+        .agg(partial_topk(
+          struct((-$"dot").as("neg_dot"), $"node".as("node"), $"dot".as("dot")), b).as("topk"),
+          first($"qv").as("qv")) // constant per group — carried, not recomputed
+        .select($"query_id", $"qv", posexplode($"topk").as(Seq("pos", "s")))
+        .select($"query_id", $"qv", ($"pos" + 1).cast("int").as("rank"),
+          $"s.node".as("node"), $"s.dot".as("dot"))
+    def score(cand: DataFrame): DataFrame =
+      cand.join(corpusVec, Seq("node"))
+        .filter($"node" =!= $"query_id")
+        .withColumn("dot", vector_dot($"qv", $"nv")).drop("nv")
+    // round-0 candidates: the cell seeds PLUS the query's own adjacency —
+    // known-item seeding (a corpus member enters the graph at itself, the
+    // HNSW layer-0 position it already owns); its direct kNN edges are by
+    // construction the strongest possible starting beam
+    val init = queries.select($"query_id", $"qv", $"query_id".as("node"))
+      .join(adj, col("node") === col("src"))
+      .select($"query_id", $"qv", $"dst".as("node"))
+      .unionByName(queries.crossJoin(broadcast(seeds)))
+      .dropDuplicates("query_id", "node")
+    var beam = topB(score(init), BeamWidth).localCheckpoint()
+    for (_ <- 1 to BeamRounds) {
+      val expanded = beam.select($"query_id", $"qv", $"node", $"dot")
+        .unionByName(
+          score(beam.select($"query_id", $"qv", $"node")
+            .join(adj, col("node") === col("src"))
+            .select($"query_id", $"qv", $"dst".as("node"))
+            .dropDuplicates("query_id", "node")))
+        .dropDuplicates("query_id", "node")
+      beam = topB(expanded, BeamWidth).localCheckpoint()
+    }
+    beam.filter($"rank" <= 5)
+      .select($"query_id", $"rank", $"node".as("neighbor_id"), $"dot")
+      .orderBy($"query_id", $"rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_graph_exact"    -> (knnGraphExact _),
     "knn_graph_ivf"      -> (knnGraphIvf _),
     "knn_graph_clusters" -> (knnGraphClusters _),
-    "knn_graph_pagerank" -> (knnGraphPagerank _)
+    "knn_graph_pagerank" -> (knnGraphPagerank _),
+    "ann_topk_graph"     -> (annTopkGraph _)
   )
 
   val oracleSql: Map[String, String] = Map(

@@ -36,6 +36,23 @@ class KnnGraphSpec extends SparkSuite {
     assert(g.exists(_._2) && g.exists(!_._2), "both flag values must occur")
   }
 
+  test("graph ANN: recall@5 vs exact ≥ 0.6, overlapping dots exact, k rows per query") {
+    import spark.implicits._
+    val exact = ops.LlmQueries.annTopkExact(spark, sf)
+      .select($"query_id", $"neighbor_id", $"dot").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val graph = ops.KnnGraph.annTopkGraph(spark, sf)
+      .select($"query_id", $"neighbor_id", $"dot").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val hit = graph.keySet.intersect(exact.keySet)
+    val recall = hit.size.toDouble / exact.size
+    assert(recall >= 0.6, s"graph-ANN recall@5 = $recall")
+    hit.foreach(e => assert(graph(e) == exact(e), s"dot mismatch on $e"))
+    // exactly 5 ranked rows per query (beam ≥ 5 after the self-screen)
+    val perQuery = graph.keySet.groupBy(_._1).view.mapValues(_.size)
+    perQuery.foreach { case (q, n) => assert(n == 5, s"query $q emitted $n rows") }
+  }
+
   test("pagerank equals the single-threaded integer reference rank-for-rank; mass bounded") {
     import spark.implicits._
     val edges = ops.KnnGraph.knnGraphIvf(spark, sf)
