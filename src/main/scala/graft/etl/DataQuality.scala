@@ -11,23 +11,22 @@ import graft.Tables
   * validates row-by-row in pandas, scripts/transform_scripts/
   * transformer.py:1; this is that gate as distributed aggregates).
   *
-  * Both entries are ONE scan each: the profile computes every column's
-  * metrics in a single multi-aggregate pass and unpivots the MATERIALIZED
-  * 1-row result to one row per column (a union of selects over a
-  * checkpointed single row — no second corpus scan); the constraint
-  * suite folds every check into the same
-  * single-pass shape (violation counts as conditional sums, the
-  * uniqueness check as count − countDistinct). Exact longs and strings
-  * only → both entries are DuckDB oracle hash-exact, with the SQL
-  * generated from the same column/check lists as the Spark side so the
-  * two engines cannot drift.
+  * Both entries are ONE scan each: the profile stacks the profiled
+  * columns map-side and runs two chained partial-agg hash aggregates
+  * (see [[dqProfileOn]] — the naive per-column countDistinct EXPAND plan
+  * was measured ~10 s warm at sf0.1 and removed); the constraint suite
+  * folds every check into a single multi-aggregate pass (violation
+  * counts as conditional sums, the uniqueness check as count −
+  * countDistinct). Exact longs and strings only → both entries are
+  * DuckDB oracle hash-exact, with the SQL generated from the same
+  * column/check lists as the Spark side so the two engines cannot drift.
   *
-  * Scale notes: the exact countDistinct per column plans as one expand ×
-  * |columns| over the scan — the profile costs |columns| partial aggs of
-  * one pass's I/O; at 100 TB the drop-in relaxation is the HLL sketch
-  * column ([[graft.core.MiscQueries]]'s sketch_distinct_hll machinery) —
-  * same output shape, mergeable state. Constraint checks are pure
-  * conditional sums: map-side combine, one row out.
+  * Scale notes: the profile's shuffle is bounded by distinct values per
+  * column (map-side combine collapses repeats); for near-unique columns
+  * at 100 TB the drop-in relaxation is the HLL sketch column
+  * ([[graft.core.MiscQueries]]'s sketch_distinct_hll machinery) — same
+  * output shape, mergeable state. Constraint checks are pure conditional
+  * sums: map-side combine, one row out.
   */
 object DataQuality {
 
@@ -46,28 +45,50 @@ object DataQuality {
   def dqProfile(spark: SparkSession, dir: String): DataFrame =
     dqProfileOn(Tables.lineitem(spark, dir))
 
+  /** The string-typed members of [[profileCols]]; the rest are integral
+    * (profiled through a long channel so min/max stay numeric and the
+    * string cast of the result matches the direct cast of the int min).
+    */
+  private val stringProfileCols = Set("l_returnflag", "l_linestatus")
+
   /** Core over any lineitem-shaped frame (injectable for the planted-
-    * violation spec). */
+    * violation spec).
+    *
+    * Plan shape (round-9 rewrite): the obvious `countDistinct per column
+    * in one aggregate` plans as an EXPAND — every input row multiplies
+    * ×|columns| through a single hash aggregate, measured ~10 s warm at
+    * sf0.1 and ruinous at 100 TB. Instead the columns STACK map-side into
+    * (col_name, vlong, vstr) rows and flow through TWO chained partial-agg
+    * hash aggregates: groupBy (col, value) → per-value counts (map-side
+    * combine collapses duplicates before the exchange, so the shuffle is
+    * bounded by DISTINCT values, not rows), then groupBy (col) where the
+    * null-group's count IS the null count, the non-null group count IS the
+    * distinct count, and min/max over distinct values equal min/max over
+    * all. Same single corpus scan (spec-asserted), same exact output. For
+    * a near-unique column at extreme scale the (col, value) shuffle is
+    * corpus-sized — there the HLL sketch column (sketch_distinct_hll
+    * machinery) is the drop-in relaxation, same output shape.
+    */
   private[graft] def dqProfileOn(li: DataFrame): DataFrame = {
     import li.sparkSession.implicits._
-    val aggs: Seq[Column] =
-      Seq(count(lit(1)).as("n_rows")) ++ profileCols.flatMap { c =>
-        Seq(
-          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__n_null"),
-          countDistinct(col(c)).as(s"${c}__n_distinct"),
-          min(col(c)).cast("string").as(s"${c}__min"),
-          max(col(c)).cast("string").as(s"${c}__max"))
-      }
-    // materialize the single aggregate row, then unpivot by unioning one
-    // select per column over it — the corpus is scanned exactly once
-    val one = li.agg(aggs.head, aggs.tail: _*).localCheckpoint()
-    profileCols.map { c =>
-      one.select(lit(c).as("col_name"), $"n_rows",
-        col(s"${c}__n_null").as("n_null"),
-        col(s"${c}__n_distinct").as("n_distinct"),
-        col(s"${c}__min").as("min_val"),
-        col(s"${c}__max").as("max_val"))
-    }.reduce(_ unionByName _)
+    val stacked = li.select(explode(array(profileCols.map { c =>
+      if (stringProfileCols(c))
+        struct(lit(c).as("col_name"), lit(null).cast("long").as("vlong"),
+          col(c).cast("string").as("vstr"))
+      else
+        struct(lit(c).as("col_name"), col(c).cast("long").as("vlong"),
+          lit(null).cast("string").as("vstr"))
+    }: _*)).as("s")).select($"s.col_name", $"s.vlong", $"s.vstr")
+    stacked
+      .groupBy($"col_name", $"vlong", $"vstr").agg(count(lit(1)).as("cnt"))
+      .groupBy($"col_name")
+      .agg(
+        sum($"cnt").as("n_rows"),
+        sum(when($"vlong".isNull && $"vstr".isNull, $"cnt").otherwise(0L)).as("n_null"),
+        sum(when($"vlong".isNotNull || $"vstr".isNotNull, 1L).otherwise(0L)).as("n_distinct"),
+        coalesce(min($"vlong").cast("string"), min($"vstr")).as("min_val"),
+        coalesce(max($"vlong").cast("string"), max($"vstr")).as("max_val"))
+      .select($"col_name", $"n_rows", $"n_null", $"n_distinct", $"min_val", $"max_val")
       .orderBy($"col_name")
   }
 
