@@ -68,7 +68,7 @@ object Bench {
     "etl_cdc_apply", "events_markov_transitions", "user_rfm_segments",
     "dq_drift_chi2", "text_search_bm25_persisted", "knn_graph_pagerank",
     "asof_join_tolerance", "agg_mode_exact", "skew_salted_join",
-    "dm_wrapped_summary", "ann_topk_graph")
+    "dm_wrapped_summary", "ann_topk_graph", "ann_topk_graph_persisted")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -35,8 +35,18 @@ object EngagementQueries {
       .withColumn("next_type", lead($"event_type", 1).over(w))
       .filter($"next_type".isNotNull)
       .select($"event_type".as("prev_type"), $"next_type")
-    val counts = pairs.groupBy($"prev_type", $"next_type")
-      .agg(count(lit(1)).as("n_transitions"))
+    transitionProbs(pairs.groupBy($"prev_type", $"next_type")
+      .agg(count(lit(1)).as("n_transitions")))
+  }
+
+  /** Probability projection over a (prev_type, next_type, n_transitions)
+    * count table — SHARED verbatim with the streaming fold
+    * ([[graft.streaming.MarkovStream]]), so streamed and backfilled
+    * matrices cannot diverge: per-prev totals broadcast back, p = ONE
+    * IEEE division of two exact BIGINTs per row.
+    */
+  private[graft] def transitionProbs(counts: DataFrame): DataFrame = {
+    import counts.sparkSession.implicits._
     val totals = counts.groupBy($"prev_type").agg(sum($"n_transitions").as("total"))
     counts.join(broadcast(totals), Seq("prev_type"))
       .withColumn("p", $"n_transitions".cast("double") / $"total".cast("double"))

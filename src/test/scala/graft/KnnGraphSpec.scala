@@ -53,6 +53,58 @@ class KnnGraphSpec extends SparkSuite {
     perQuery.foreach { case (q, n) => assert(n == 5, s"query $q emitted $n rows") }
   }
 
+  test("persisted graph: serve == in-session; append links new nodes navigably") {
+    import spark.implicits._
+    // save-once entry serves the identical result (same graph, same walk)
+    val inSession = ops.KnnGraph.annTopkGraph(spark, sf).collect().map(_.toSeq).toSeq
+    val served = ops.KnnGraph.annTopkGraphPersisted(spark, sf).collect().map(_.toSeq).toSeq
+    assert(served == inSession, "persisted graph serve diverges from in-session")
+
+    // incremental insertion: graph built on the landed 450, the last 50
+    // appended through beam-search linking
+    val base = s"/tmp/graft_test_knn_graph_${System.nanoTime()}"
+    val q = ops.VectorAgg.quantized(spark, sf)
+    val landed = q.filter($"vec_id" < 450L)
+    val batch = q.filter($"vec_id" >= 450L)
+    ops.KnnGraph.saveKnnGraphOf(spark, sf, landed, base)
+    val adjBefore = spark.read.parquet(s"$base/adj").count()
+    val filesBefore = new java.io.File(s"$base/adj").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified()).toMap
+    ops.KnnGraph.appendToKnnGraph(spark, sf, batch, base)
+    // strictly additive: landed adjacency files untouched, edges grew
+    val filesAfter = new java.io.File(s"$base/adj").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified()).toMap
+    filesBefore.foreach { case (f, t) =>
+      assert(filesAfter.get(f).contains(t), s"append rewrote landed adj file $f")
+    }
+    assert(spark.read.parquet(s"$base/adj").count() > adjBefore)
+    // every appended node is navigable: linked bidirectionally into the graph
+    val adj = spark.read.parquet(s"$base/adj")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (450L until 500L).foreach { v =>
+      val out = adj.filter(_._1 == v)
+      assert(out.nonEmpty, s"appended node $v has no out-edges")
+      out.foreach { case (a, b) => assert(adj.contains((b, a)), s"edge ($a,$b) not bidirectional") }
+      assert(out.forall(_._2 < 450L), s"appended node $v linked to a batch node")
+    }
+    // the incrementally-built graph still answers queries: recall vs the
+    // exact twin within 0.15 of the full-rebuild graph's recall
+    val exact = ops.LlmQueries.annTopkExact(spark, sf)
+      .select($"query_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(rows: Seq[org.apache.spark.sql.Row]): Double = {
+      val got = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+      got.intersect(exact).size.toDouble / exact.size
+    }
+    val incServe = ops.KnnGraph.annTopkGraphFromIndex(spark, sf, base)
+      .select($"query_id", $"rank", $"neighbor_id").collect().toSeq
+    val fullRecall = recallOf(ops.KnnGraph.annTopkGraph(spark, sf)
+      .select($"query_id", $"rank", $"neighbor_id").collect().toSeq)
+    val incRecall = recallOf(incServe)
+    assert(incRecall >= fullRecall - 0.15,
+      s"incremental graph recall $incRecall vs rebuild $fullRecall")
+  }
+
   test("pagerank equals the single-threaded integer reference rank-for-rank; mass bounded") {
     import spark.implicits._
     val edges = ops.KnnGraph.knnGraphIvf(spark, sf)
