@@ -69,6 +69,11 @@ object Bench {
     "dq_drift_chi2", "text_search_bm25_persisted", "knn_graph_pagerank",
     "asof_join_tolerance", "agg_mode_exact", "skew_salted_join",
     "dm_wrapped_summary", "ann_topk_graph", "ann_topk_graph_persisted")
+  // dedup_containment joins the excluded quadratic-output family
+  // (dedup_ngram_jaccard etc.): the sf0.1 corpus holds 2.1M TRUE
+  // containment pairs (near-dup clusters make every member contained in
+  // every other), so the pair-output contract — not the pruned join —
+  // dominates its runtime (~70 s of mostly result materialization)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -788,7 +788,96 @@ object ScaleDedup {
       .orderBy($"doc_id")
   }
 
+  /** Asymmetric CONTAINMENT dedup — |A∩B| / |A| ≥ 0.9 with |A| ≥ 5:
+    * doc A living (almost) entirely inside doc B, the quote / boilerplate
+    * / superset-page relation the SYMMETRIC Jaccard family structurally
+    * misses (a 30-word abstract inside a 3000-word article has Jaccard
+    * ≈ 0.01 but containment 1.0). Directional output: (a, b) means a ⊂ b;
+    * a near-identical pair appears in both directions.
+    *
+    * Scale shape — the prefix filter, adapted to the asymmetric bound:
+    * only the CONTAINED side needs a prefix (B may hold A's tokens
+    * anywhere), so A's |A|−⌈0.9|A|⌉+1 RAREST tokens join the full
+    * (lang, token → doc) posting table — candidate volume is
+    * Σ_{t ∈ prefix(A)} df(t), kept small by rare-first ordering, never
+    * |A|×|B|. Losslessness: a true pair shares ≥ ⌈0.9|A|⌉ of A's tokens,
+    * so A's prefix (pigeonhole on the rare end) must hit at least one.
+    * The 10·|B| ≥ 9·|A| length prune is implied by |B| ≥ |A∩B| ≥ 0.9|A|.
+    * Exact verify on candidates only; the DuckDB oracle is the quadratic
+    * containment join, so pruning is hash-checked lossless (the
+    * dedup_jaccard_prefix discipline). The |A| ≥ 5 floor keeps the
+    * vacuous tiny-set containments (an empty set is "contained" in
+    * everything) out of both engines identically.
+    */
+  def dedupContainment(spark: SparkSession, dir: String): DataFrame =
+    dedupContainmentOn(Tables.documents(spark, dir))
+
+  private[graft] def dedupContainmentOn(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val t = docs.select($"doc_id", $"lang", wordSet($"text").as("w"))
+      .filter(size($"w") >= 5)
+
+    val df = t.select($"lang", explode($"w").as("tok"))
+      .groupBy($"lang", $"tok").agg(count(lit(1)).as("df"))
+    val ordered = t.select($"doc_id", $"lang", explode($"w").as("tok"))
+      .join(df, Seq("lang", "tok"))
+      .groupBy($"doc_id", $"lang")
+      .agg(array_sort(collect_list(struct($"df", $"tok"))).as("o"))
+      .select($"doc_id", $"lang",
+        transform($"o", s => s.getField("tok")).as("toks"),
+        size($"o").as("sz"))
+    // contained-side prefix: |A| − ⌈0.9|A|⌉ + 1 rarest tokens, with
+    // 0-based positions for the positional filter below
+    val aPrefix = ordered
+      .withColumn("plen", ($"sz" - floor(($"sz" * 9 + 9) / 10) + 1).cast("int"))
+      .select($"lang", $"doc_id".as("a"), $"sz".as("sza"),
+        posexplode(slice($"toks", lit(1), $"plen")).as(Seq("pa", "tok")))
+      .localCheckpoint() // the posting join below must not re-run the df chain
+    val postings = ordered
+      .select($"lang", $"doc_id".as("b"), $"sz".as("szb"),
+        posexplode($"toks").as(Seq("pb", "tok")))
+    // positional filter (PPJoin, asymmetric bound): both token sequences
+    // share the global (df, tok) order, so a pair's overlap after a shared
+    // token at (pa, pb) is ≤ 1 + min remaining suffix — which must reach
+    // ⌈0.9·|A|⌉. A true pair's FIRST shared token sits inside A's prefix
+    // and passes (all its common tokens are at-or-after it in both), so
+    // the pruning is lossless; the oracle hash is the proof.
+    val cands = aPrefix.join(postings, Seq("lang", "tok"))
+      .filter($"a" =!= $"b" && $"szb" * 10 >= $"sza" * 9 &&
+        lit(1) + least($"sza" - $"pa" - 1, $"szb" - $"pb" - 1) >=
+          floor(($"sza" * 9 + 9) / 10))
+      .select($"lang", $"a", $"b").distinct()
+
+    cands
+      .join(t.select($"lang", $"doc_id".as("a"), $"w".as("wa")), Seq("lang", "a"))
+      .join(t.select($"lang", $"doc_id".as("b"), $"w".as("wb")), Seq("lang", "b"))
+      .withColumn("inter", size(array_intersect($"wa", $"wb")).cast("long"))
+      .filter($"inter" * 10 >= size($"wa") * 9)
+      .select($"lang", $"a", $"b", $"inter",
+        size($"wa").cast("long").as("sza"), size($"wb").cast("long").as("szb"),
+        ($"inter".cast("double") / size($"wa").cast("double")).as("containment"))
+      .orderBy($"lang", $"a", $"b")
+  }
+
+  val dedupContainmentSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang,
+      |    list_sort(list_distinct(string_split(lower(trim(text)), ' '))) AS w
+      |  FROM documents
+      |  WHERE len(list_distinct(string_split(lower(trim(text)), ' '))) >= 5
+      |)
+      |SELECT a.lang, a.doc_id AS a, b.doc_id AS b,
+      |  CAST(len(list_intersect(a.w, b.w)) AS BIGINT) AS inter,
+      |  CAST(len(a.w) AS BIGINT) AS sza,
+      |  CAST(len(b.w) AS BIGINT) AS szb,
+      |  CAST(len(list_intersect(a.w, b.w)) AS DOUBLE) / CAST(len(a.w) AS DOUBLE) AS containment
+      |FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id <> b.doc_id
+      |WHERE len(list_intersect(a.w, b.w)) * 10 >= len(a.w) * 9
+      |ORDER BY 1, 2, 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_containment" -> (dedupContainment _),
     "split_train_holdout" -> (splitTrainHoldout _),
     "dedup_jaccard_prefix"     -> (dedupJaccardPrefix _),
     "dedup_jaccard_prefix_keeper" -> (dedupJaccardPrefixKeeper _),
@@ -804,6 +893,8 @@ object ScaleDedup {
     "dedup_embedding_lsh" -> dedupEmbeddingLshSql,
     // deliberately the quadratic twin's oracle: prefix filtering must be
     // lossless, so the pruned join answers the identical question
-    "dedup_jaccard_prefix" -> LlmQueries.dedupNgramJaccardSql
+    "dedup_jaccard_prefix" -> LlmQueries.dedupNgramJaccardSql,
+    // the quadratic containment join: same lossless-pruning discipline
+    "dedup_containment" -> dedupContainmentSql
   )
 }
