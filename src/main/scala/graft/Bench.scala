@@ -68,7 +68,9 @@ object Bench {
     "etl_cdc_apply", "events_markov_transitions", "user_rfm_segments",
     "dq_drift_chi2", "text_search_bm25_persisted", "knn_graph_pagerank",
     "asof_join_tolerance", "agg_mode_exact", "skew_salted_join",
-    "dm_wrapped_summary", "ann_topk_graph", "ann_topk_graph_persisted")
+    "dm_wrapped_summary", "ann_topk_graph", "ann_topk_graph_persisted",
+    "q4_order_priority", "q13_customer_distribution",
+    "q21_waiting_supplier", "q22_global_sales")
   // dedup_containment joins the excluded quadratic-output family
   // (dedup_ngram_jaccard etc.): the sf0.1 corpus holds 2.1M TRUE
   // containment pairs (near-dup clusters make every member contained in

@@ -271,7 +271,162 @@ object CoreQueries {
       |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
       |  AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'""".stripMargin
 
+  /** TPC-H Q4 shape — the EXISTS SEMI-JOIN aggregate: orders in a date
+    * window counted per priority when at least one of their lineitems
+    * shipped after the order date (the testdata's stand-in for
+    * commit-date lateness; the schema carries no l_commitdate). The
+    * correlated EXISTS plans as ONE LeftSemi hash join — the probe side
+    * never duplicates (an order with 5 qualifying lineitems counts once,
+    * with no post-join distinct), which is the whole point of the shape.
+    */
+  def q4OrderPriority(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ords = Tables.orders(spark, dir)
+      .filter($"o_orderdate" >= "1996-01-01" && $"o_orderdate" < "1997-01-01")
+    val li = Tables.lineitem(spark, dir).select($"l_orderkey", $"l_shipdate")
+    ords.join(li,
+        ords("o_orderkey") === li("l_orderkey") && li("l_shipdate") > ords("o_orderdate"),
+        "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val q4Sql: String =
+    """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+      |FROM orders o
+      |WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem l
+      |    WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q13 shape — the OUTER-JOIN count distribution: how many
+    * customers placed 0, 1, 2, … orders (urgent orders excluded, the
+    * comment-filter stand-in). The zero bucket only exists because the
+    * join is LEFT OUTER — count(o_orderkey) ignores the null from a
+    * customer with no match; then the bounded second aggregate groups
+    * customers by their count. Two partial-agg groupBys, no window.
+    */
+  def q13CustomerDistribution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.customer(spark, dir).select($"c_custkey")
+    val ords = Tables.orders(spark, dir)
+      .filter($"o_orderpriority" =!= "1-URGENT")
+      .select($"o_custkey", $"o_orderkey")
+    cust.join(ords, cust("c_custkey") === ords("o_custkey"), "left")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("c_count"))
+      .groupBy($"c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy($"custdist".desc, $"c_count".desc)
+  }
+
+  val q13Sql: String =
+    """SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+      |FROM (
+      |  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |  GROUP BY c_custkey
+      |)
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** TPC-H Q21 shape — the SEMI + ANTI join chain: suppliers whose
+    * lineitem was the LAST to ship in a MULTI-supplier order (the
+    * kept-everyone-waiting supplier; wait semantics adapted to the
+    * schema's ship dates). Three relations of the same lineitem table:
+    * mine, someone-else's (EXISTS → LeftSemi), someone-else's-shipped-
+    * after-mine (NOT EXISTS → LeftAnti) — each a hash join on
+    * l_orderkey, the classic exists/not-exists pair as physical join
+    * types rather than subquery re-execution.
+    */
+  def q21WaitingSupplier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_suppkey", $"l_shipdate")
+    val mine = li.select($"l_orderkey", $"l_suppkey", $"l_shipdate")
+    val others = li.select($"l_orderkey".as("o2_orderkey"), $"l_suppkey".as("o2_suppkey"),
+      $"l_shipdate".as("o2_shipdate"))
+    val multi = mine.join(others,
+      $"l_orderkey" === $"o2_orderkey" && $"l_suppkey" =!= $"o2_suppkey", "left_semi")
+    val last = multi.join(others,
+      $"l_orderkey" === $"o2_orderkey" && $"l_suppkey" =!= $"o2_suppkey" &&
+        $"o2_shipdate" > $"l_shipdate", "left_anti")
+    val sup = Tables.supplier(spark, dir).select($"s_suppkey", $"s_name", $"s_nationkey")
+    val nat = Tables.nation(spark, dir).select($"n_nationkey", $"n_name")
+    last.join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
+      .groupBy($"n_name", $"s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy($"numwait".desc, $"n_name", $"s_name")
+  }
+
+  val q21Sql: String =
+    """SELECT n_name, s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+      |FROM lineitem l1
+      |JOIN supplier ON l1.l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE EXISTS (
+      |    SELECT 1 FROM lineitem l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM lineitem l3
+      |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      |      AND l3.l_shipdate > l1.l_shipdate)
+      |GROUP BY n_name, s_name
+      |ORDER BY numwait DESC, n_name, s_name""".stripMargin
+
+  /** TPC-H Q22 shape — ANTI join + scalar subquery: customers with an
+    * account balance above the positive-balance average (the scalar
+    * aggregate enters the plan as a broadcast 1-row cross, never a
+    * per-row re-execution) who have placed NO orders (LeftAnti), rolled
+    * up per nation (the schema's stand-in for the phone country code).
+    * The no-orders set is empty in this testdata (every customer
+    * ordered), so the anti-join side is the URGENT slice — same LeftAnti
+    * plan, non-vacuous gate (the r8 bloom-dedup lesson).
+    */
+  def q22GlobalSales(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.customer(spark, dir)
+      .select($"c_custkey", $"c_nationkey", $"c_acctbal")
+    // threshold = exact decimal sum → ONE IEEE division (§5: AVG(DECIMAL)
+    // carries engine-specific result scales; this form is bit-identical)
+    val avgBal = cust.filter($"c_acctbal" > 0.0)
+      .agg((sum($"c_acctbal".cast("decimal(18,2)")).cast("double") /
+        count(lit(1)).cast("double")).as("avg_bal"))
+    val ords = Tables.orders(spark, dir)
+      .filter($"o_orderpriority" === "1-URGENT").select($"o_custkey")
+    cust.crossJoin(broadcast(avgBal))
+      .filter($"c_acctbal" > $"avg_bal")
+      .join(ords, cust("c_custkey") === ords("o_custkey"), "left_anti")
+      .groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("numcust"),
+        sum($"c_acctbal".cast("decimal(18,2)")).cast("double").as("totacctbal"))
+      .orderBy($"c_nationkey")
+  }
+
+  val q22Sql: String =
+    """WITH a AS (
+      |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS avg_bal
+      |  FROM customer WHERE c_acctbal > 0.0
+      |)
+      |SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+      |FROM customer CROSS JOIN a
+      |WHERE c_acctbal > avg_bal
+      |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |GROUP BY c_nationkey
+      |ORDER BY c_nationkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q4_order_priority"   -> (q4OrderPriority _),
+    "q13_customer_distribution" -> (q13CustomerDistribution _),
+    "q21_waiting_supplier" -> (q21WaitingSupplier _),
+    "q22_global_sales"    -> (q22GlobalSales _),
     "q1_pricing_summary"  -> (q1PricingSummary _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
     "q5_local_supplier"   -> (q5LocalSupplier _),
@@ -282,6 +437,10 @@ object CoreQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q4_order_priority"   -> q4Sql,
+    "q13_customer_distribution" -> q13Sql,
+    "q21_waiting_supplier" -> q21Sql,
+    "q22_global_sales"    -> q22Sql,
     "q1_pricing_summary"  -> q1Sql,
     "q3_shipping_priority" -> q3Sql,
     "q5_local_supplier"   -> q5Sql,

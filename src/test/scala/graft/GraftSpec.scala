@@ -789,6 +789,18 @@ class PlanSpec extends SparkSuite {
     df.queryExecution.executedPlan.toString
   }
 
+  test("exists/not-exists entries plan as LeftSemi/LeftAnti hash joins, never nested loops") {
+    val q4 = plan(core.CoreQueries.q4OrderPriority(spark, sf))
+    assert(q4.contains("LeftSemi"), q4)
+    val q21 = plan(core.CoreQueries.q21WaitingSupplier(spark, sf))
+    assert(q21.contains("LeftSemi") && q21.contains("LeftAnti"), q21)
+    val q22 = plan(core.CoreQueries.q22GlobalSales(spark, sf))
+    assert(q22.contains("LeftAnti"), q22)
+    Seq(q4, q21, q22).foreach(p =>
+      assert(!p.contains("NestedLoop") || p.contains("BroadcastNestedLoopJoin BuildRight, Cross"),
+        s"nested-loop in exists plan:\n$p"))
+  }
+
   test("runtime bloom-filter pruning fires on selective shuffle joins") {
     import spark.implicits._
     // inert at test scale only because of size thresholds — force them to 0
