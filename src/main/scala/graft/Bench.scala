@@ -70,7 +70,8 @@ object Bench {
     "asof_join_tolerance", "agg_mode_exact", "skew_salted_join",
     "dm_wrapped_summary", "ann_topk_graph", "ann_topk_graph_persisted",
     "q4_order_priority", "q13_customer_distribution",
-    "q21_waiting_supplier", "q22_global_sales")
+    "q21_waiting_supplier", "q22_global_sales",
+    "q7_volume_shipping", "q18_large_orders")
   // dedup_containment joins the excluded quadratic-output family
   // (dedup_ngram_jaccard etc.): the sf0.1 corpus holds 2.1M TRUE
   // containment pairs (near-dup clusters make every member contained in

@@ -422,7 +422,99 @@ object CoreQueries {
       |GROUP BY c_nationkey
       |ORDER BY c_nationkey""".stripMargin
 
+  /** TPC-H Q7 shape — the TWO-SIDED dimension alias join: revenue
+    * between nation PAIRS, where the same nation table enters the plan
+    * twice (supplier side and customer side) under different aliases and
+    * the pair predicate keeps both directions of one chosen pair. Both
+    * nation broadcasts are tiny; the fact chain shuffles once on
+    * orderkey — aliasing dims costs nothing but a second broadcast.
+    */
+  def q7VolumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li  = Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1998-01-01").cast("timestamp"))
+    val ord = Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey")
+    val sup = Tables.supplier(spark, dir).select($"s_suppkey", $"s_nationkey")
+    val cus = Tables.customer(spark, dir).select($"c_custkey", $"c_nationkey")
+    val n1 = Tables.nation(spark, dir).select($"n_nationkey".as("n1_key"), $"n_name".as("supp_nation"))
+    val n2 = Tables.nation(spark, dir).select($"n_nationkey".as("n2_key"), $"n_name".as("cust_nation"))
+    val rev = dec($"l_extendedprice") * dec(lit(1.0) - $"l_discount", 4, 2)
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(cus), $"o_custkey" === $"c_custkey")
+      .join(broadcast(n1), $"s_nationkey" === $"n1_key")
+      .join(broadcast(n2), $"c_nationkey" === $"n2_key")
+      .filter(($"supp_nation" === "NATION_3" && $"cust_nation" === "NATION_7") ||
+        ($"supp_nation" === "NATION_7" && $"cust_nation" === "NATION_3"))
+      .withColumn("l_year", year($"l_shipdate").cast("long"))
+      .groupBy($"supp_nation", $"cust_nation", $"l_year")
+      .agg(sum(rev).cast("double").as("revenue"))
+      .orderBy($"supp_nation", $"cust_nation", $"l_year")
+  }
+
+  val q7Sql: String =
+    """SELECT supp_nation, cust_nation, l_year,
+      |  CAST(SUM(volume) AS DOUBLE) AS revenue
+      |FROM (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |    CAST(year(l_shipdate) AS BIGINT) AS l_year,
+      |    CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2)) AS volume
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |  WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+      |      OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+      |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |)
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  /** TPC-H Q18 shape — the HAVING-threshold semi join: orders whose
+    * total lineitem quantity exceeds a threshold, re-joined to the fact
+    * chain for reporting. The qualifying-key set comes from one
+    * partial-agg groupBy + filter (HAVING), then drives a LeftSemi join —
+    * the aggregate never re-computes per probe row.
+    */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+    val big = li.groupBy($"l_orderkey")
+      .agg(sum(dec($"l_quantity")).as("sum_qty"))
+      .filter($"sum_qty" > 150)
+      .select($"l_orderkey".as("big_okey"))
+    val ord = Tables.orders(spark, dir)
+    val cus = Tables.customer(spark, dir).select($"c_custkey", $"c_name")
+    ord.join(big, ord("o_orderkey") === big("big_okey"), "left_semi")
+      .join(li, ord("o_orderkey") === li("l_orderkey"))
+      .join(broadcast(cus), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_name", $"o_orderkey", $"o_orderdate", $"o_totalprice")
+      .agg(sum(dec($"l_quantity")).cast("double").as("total_qty"))
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .limit(100)
+  }
+
+  val q18Sql: String =
+    """SELECT c_name, o_orderkey, o_orderdate, o_totalprice,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+      |FROM orders
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE o_orderkey IN (
+      |  SELECT l_orderkey FROM lineitem
+      |  GROUP BY l_orderkey
+      |  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 150)
+      |GROUP BY c_name, o_orderkey, o_orderdate, o_totalprice
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 100""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q7_volume_shipping"  -> (q7VolumeShipping _),
+    "q18_large_orders"    -> (q18LargeOrders _),
     "q4_order_priority"   -> (q4OrderPriority _),
     "q13_customer_distribution" -> (q13CustomerDistribution _),
     "q21_waiting_supplier" -> (q21WaitingSupplier _),
@@ -437,6 +529,8 @@ object CoreQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q7_volume_shipping"  -> q7Sql,
+    "q18_large_orders"    -> q18Sql,
     "q4_order_priority"   -> q4Sql,
     "q13_customer_distribution" -> q13Sql,
     "q21_waiting_supplier" -> q21Sql,
