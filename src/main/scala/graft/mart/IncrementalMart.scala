@@ -69,8 +69,16 @@ object IncrementalMart {
         "sums", Seq("year", "year_start"), Seq("sum_sec", "n_rows", "n_nonskip", "sum_pct")),
       (b.groupBy($"year", $"l_partkey").agg((count(lit(1)) * s).as("n")),
         "tracks", Seq("year", "l_partkey"), Seq("n")),
-      (b.groupBy($"year", $"l_suppkey").agg((count(lit(1)) * s).as("n")),
-        "artists", Seq("year", "l_suppkey"), Seq("n")))
+      // the artist support rows carry the per-(year, artist) metric sums
+      // beside the distinct-count support n — ONE state tree serves BOTH
+      // the yearly rollup and the ranked top-artists view, and every
+      // column is sign-mergeable so the retraction algebra still holds
+      (b.groupBy($"year", $"l_suppkey").agg(
+          (count(lit(1)) * s).as("n"),
+          (sum($"sec_played") * s).cast("decimal(22,2)").as("sum_sec"),
+          (sum($"percent_played") * s).cast("decimal(15,1)").as("sum_pct"),
+          (count(when($"percent_played" === lit(100.0), lit(1))) * s).as("n_full")),
+        "artists", Seq("year", "l_suppkey"), Seq("n", "sum_sec", "sum_pct", "n_full")))
   }
 
   /** delta ∪ (srcTable if it exists) → re-aggregated, schema-fixpoint
@@ -157,9 +165,15 @@ object IncrementalMart {
     * `dm_yearly_agg`'s oracle SQL verbatim (with its own name), so the
     * driver hash proves incremental ≡ one-shot.
     */
-  def dmYearlyAggIncremental(spark: SparkSession, dir: String): DataFrame = {
+  def dmYearlyAggIncremental(spark: SparkSession, dir: String): DataFrame =
+    serveYearlyAgg(spark, yearlyStatePathFor(spark, dir))
+
+  /** The build-once (session, dir) lifecycle shared by every entry served
+    * from the mart state tree.
+    */
+  private def yearlyStatePathFor(spark: SparkSession, dir: String): String = {
     import spark.implicits._
-    val path = savedStates.synchronized {
+    savedStates.synchronized {
       savedStates.getOrElseUpdate((spark, dir), {
         val p = s"${System.getProperty("java.io.tmpdir")}/graft_mart_state_" +
           java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL) +
@@ -173,14 +187,57 @@ object IncrementalMart {
         p
       })
     }
-    serveYearlyAgg(spark, path)
   }
 
+  /** §2 entry `dm_top_artists_incremental` — ONE STATE, MANY VIEWS: the
+    * ranked 1997 top-artists view served from the SAME state tree as the
+    * yearly rollup (the artist support table's metric sums), never the
+    * fact table. The supplier dim joins at serve time (dims are not
+    * state); the post-join re-aggregation by s_name merges exact decimal
+    * sums, so the result is bit-identical to the one-shot ranking and the
+    * entry carries its own DuckDB oracle (the cover-art column is the one
+    * omission: a MAX is not sign-mergeable, so it does not belong in
+    * retraction-capable state).
+    */
+  def dmTopArtistsIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val path = yearlyStatePathFor(spark, dir)
+    val sup = graft.Tables.supplier(spark, dir).select($"s_suppkey", $"s_name")
+    spark.read.parquet(s"$path/artists")
+      .filter($"year" === 1997L && $"n" > 0)
+      .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+      .groupBy($"s_name".as("artist"))
+      .agg(sum($"sum_sec").as("sum_sec"), sum($"n").as("times_played"),
+        sum($"sum_pct").as("sum_pct"), sum($"n_full").as("full_real_streams"))
+      .select($"artist",
+        MartQueries.r1($"sum_sec".cast("double") / lit(3600.0)).as("hours_played"),
+        $"times_played",
+        MartQueries.r0($"sum_pct".cast("double") / lit(100.0)).as("estimated_full_streams"),
+        $"full_real_streams")
+      .orderBy($"hours_played".desc, $"artist")
+      .limit(10)
+  }
+
+  val dmTopArtistsIncrementalSql: String =
+    s"""${MartQueries.fhCte}
+       |SELECT s_name AS artist,
+       |  floor(CAST(SUM(sec_played) AS DOUBLE) / 3600.0 * 10.0 + 0.5) / 10.0 AS hours_played,
+       |  COUNT(*) AS times_played,
+       |  floor(CAST(SUM(percent_played) AS DOUBLE) / 100.0 + 0.5) AS estimated_full_streams,
+       |  CAST(COUNT(CASE WHEN percent_played = 100.0 THEN 1 END) AS BIGINT) AS full_real_streams
+       |FROM fh JOIN supplier ON l_suppkey = s_suppkey
+       |WHERE year(ts) = 1997
+       |GROUP BY s_name
+       |ORDER BY hours_played DESC, artist
+       |LIMIT 10""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "dm_yearly_agg_incremental" -> (dmYearlyAggIncremental _)
+    "dm_yearly_agg_incremental" -> (dmYearlyAggIncremental _),
+    "dm_top_artists_incremental" -> (dmTopArtistsIncremental _)
   )
 
   val oracleSql: Map[String, String] = Map(
-    "dm_yearly_agg_incremental" -> MartQueries.yearlyAggSql
+    "dm_yearly_agg_incremental" -> MartQueries.yearlyAggSql,
+    "dm_top_artists_incremental" -> dmTopArtistsIncrementalSql
   )
 }

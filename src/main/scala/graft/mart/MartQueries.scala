@@ -58,7 +58,7 @@ object MartQueries {
   }
 
   /** Shared oracle CTE mirroring [[listeningFacts]]. */
-  private val fhCte: String =
+  private[graft] val fhCte: String =
     """WITH fh AS (
       |  SELECT o_orderdate AS ts, l_partkey, l_suppkey, l_quantity,
       |    CAST(l_extendedprice AS DECIMAL(12,2)) AS sec_played,

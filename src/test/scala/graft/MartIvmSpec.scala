@@ -28,6 +28,22 @@ class MartIvmSpec extends SparkSuite {
       .collect().map(_.toSeq).toSeq == inc)
   }
 
+  test("one state, many views: top-artists serves from the same state, facts unread") {
+    val df = mart.IncrementalMart.dmTopArtistsIncremental(spark, sf)
+    val rows = df.collect().map(_.toSeq).toSeq
+    assert(rows.nonEmpty)
+    val statePath = mart.IncrementalMart.persistedYearlyStatePath(spark, sf)
+      .getOrElse(fail("entry did not populate the state cache"))
+    // every scan is the state tree or the supplier DIM (dims are not
+    // state); the fact tables are never read
+    val scans = tools.PlanWalk.flatten(df.queryExecution.executedPlan)
+      .collect { case f: FileSourceScanExec => f.toString }
+    assert(scans.nonEmpty, "no file scans in serve plan")
+    scans.foreach(s => assert(s.contains(statePath) || s.contains("supplier"),
+      s"top-artists serve read outside state+dim:\n$s"))
+    assert(!scans.exists(s => s.contains("lineitem") || s.contains("orders")))
+  }
+
   test("streaming fold: versioned commits == one-shot, retries exact-once, vacuum safe") {
     import spark.implicits._
     val facts = mart.MartQueries.listeningFacts(spark, sf)
