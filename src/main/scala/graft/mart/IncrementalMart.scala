@@ -199,9 +199,15 @@ object IncrementalMart {
     * omission: a MAX is not sign-mergeable, so it does not belong in
     * retraction-capable state).
     */
-  def dmTopArtistsIncremental(spark: SparkSession, dir: String): DataFrame = {
+  def dmTopArtistsIncremental(spark: SparkSession, dir: String): DataFrame =
+    serveTopArtists(spark, yearlyStatePathFor(spark, dir), dir)
+
+  /** Serve core over any state tree — shared with the STREAMED state
+    * ([[graft.streaming.MartStream.serveTopArtists]]), so a backfilled
+    * and a streamed mart cannot rank differently.
+    */
+  private[graft] def serveTopArtists(spark: SparkSession, path: String, dir: String): DataFrame = {
     import spark.implicits._
-    val path = yearlyStatePathFor(spark, dir)
     val sup = graft.Tables.supplier(spark, dir).select($"s_suppkey", $"s_name")
     spark.read.parquet(s"$path/artists")
       .filter($"year" === 1997L && $"n" > 0)

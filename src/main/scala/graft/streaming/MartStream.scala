@@ -55,6 +55,17 @@ object MartStream {
       case None    => spark.emptyDataFrame
     }
 
+  /** The ranked top-artists view from the SAME committed version — the
+    * one-state-many-views property holds for the streamed mart too
+    * (serve core shared with the batch entry; `dir` supplies the
+    * supplier dim, which is not state).
+    */
+  def serveTopArtists(spark: SparkSession, statePath: String, dir: String): DataFrame =
+    currentVersion(statePath) match {
+      case Some(v) => IncrementalMart.serveTopArtists(spark, s"$statePath/v$v", dir)
+      case None    => spark.emptyDataFrame
+    }
+
   /** Drop state versions superseded by the pointer — pure directory
     * removal, I/O proportional to garbage, never touches the served
     * version.

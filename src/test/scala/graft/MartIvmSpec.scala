@@ -73,6 +73,15 @@ class MartIvmSpec extends SparkSuite {
     assert(dropped == Seq(0L, 1L), s"vacuumed $dropped")
     assert(streaming.MartStream.serveYearly(spark, path)
       .collect().map(_.toSeq).toSeq == served)
+    // one state, many views holds for the STREAMED mart too: the same
+    // committed version serves the ranked top-artists view identically
+    // to the batch incremental entry
+    val streamedTop = streaming.MartStream.serveTopArtists(spark, path, sf)
+      .collect().map(_.toSeq).toSeq
+    val batchTop = mart.IncrementalMart.dmTopArtistsIncremental(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(streamedTop.nonEmpty && streamedTop == batchTop,
+      "streamed state ranks top artists differently from the batch state")
   }
 
   test("retraction: append(B) then retract(B) is a no-op, distincts drop with support") {
