@@ -20,7 +20,7 @@ object SparkEntry {
       ops.BpeTrain.queries ++ ops.EmbeddingPca.queries ++ ops.SemanticDedup.queries ++
       ops.EmbeddingSq.queries ++ ops.QualityTrain.queries ++ ops.ZorderLayout.queries ++
       ops.BloomDedup.queries ++ ops.KnnGraph.queries ++ ops.Bm25.queries ++
-      etl.CdcApply.queries ++ core.EngagementQueries.queries
+      etl.CdcApply.queries ++ core.EngagementQueries.queries ++ ops.DedupCascade.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
