@@ -123,13 +123,47 @@ object EngagementQueries {
       |FROM s
       |ORDER BY user_id""".stripMargin
 
+  /** Activity seasonality: the day-of-week × hour-of-day event matrix
+    * with each cell's exact share of total volume — the heatmap behind
+    * every "when do users listen" dashboard panel. One partial-agg
+    * groupBy (≤ 168 cells), total broadcast back, share = ONE IEEE
+    * division of exact BIGINTs. Day-of-week is normalized to DuckDB's
+    * 0=Sunday..6 convention (Spark's dayofweek is 1-based) so the cell
+    * keys match across engines.
+    */
+  def eventsSeasonality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cells = Tables.events(spark, dir)
+      .select((dayofweek($"ts") - 1).cast("long").as("dow"),
+        hour($"ts").cast("long").as("hod"))
+      .groupBy($"dow", $"hod").agg(count(lit(1)).as("n_events"))
+    val total = cells.agg(sum($"n_events").as("total"))
+    cells.crossJoin(broadcast(total))
+      .withColumn("share", $"n_events".cast("double") / $"total".cast("double"))
+      .select($"dow", $"hod", $"n_events", $"share")
+      .orderBy($"dow", $"hod")
+  }
+
+  val eventsSeasonalitySql: String =
+    """WITH c AS (
+      |  SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+      |    CAST(hour(ts) AS BIGINT) AS hod, COUNT(*) AS n_events
+      |  FROM events GROUP BY 1, 2
+      |), t AS (SELECT CAST(SUM(n_events) AS BIGINT) AS total FROM c)
+      |SELECT dow, hod, CAST(n_events AS BIGINT) AS n_events,
+      |  CAST(n_events AS DOUBLE) / CAST(total AS DOUBLE) AS share
+      |FROM c CROSS JOIN t
+      |ORDER BY dow, hod""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_markov_transitions" -> (eventsMarkovTransitions _),
-    "user_rfm_segments"         -> (userRfmSegments _)
+    "user_rfm_segments"         -> (userRfmSegments _),
+    "events_seasonality"        -> (eventsSeasonality _)
   )
 
   val oracleSql: Map[String, String] = Map(
     "events_markov_transitions" -> eventsMarkovTransitionsSql,
-    "user_rfm_segments"         -> userRfmSegmentsSql
+    "user_rfm_segments"         -> userRfmSegmentsSql,
+    "events_seasonality"        -> eventsSeasonalitySql
   )
 }

@@ -217,6 +217,57 @@ object MiscQueries {
       .orderBy($"type_a", $"type_b")
   }
 
+  /** Sketch set-DIFFERENCE — the third set-algebra operation beside the
+    * intersection entry: per ordered type pair, the identities active in
+    * A but not B, |A\B| = |A∪B| − |B| by inclusion–exclusion over the
+    * SAME mergeable HLL sketches (one union, no compounded intersection
+    * error). The identity is the USER-DAY (user active with that type
+    * that day) — "days with views but no purchase", the funnel-diagnosis
+    * subtraction; plain user-grain audiences are fully nested on this
+    * corpus (every user touches every type — a vacuous difference), and
+    * the user-day grain is also the cardinality that actually explodes
+    * at 100 TB, which is what the sketch path exists for. Answered from
+    * T 16 KiB sketch blobs instead of a corpus self-join; exact twin
+    * columns ride along and SketchSpec pins the error bound.
+    */
+  def sketchDistinctDiff(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val userDay = ($"user_id" * 100000L +
+      datediff(to_date($"ts"), lit("1970-01-01").cast("date"))).as("uday")
+    val perType = Tables.events(spark, dir)
+      .select($"event_type", userDay)
+      .groupBy($"event_type")
+      .agg(hll_sketch_agg($"uday", lit(14)).as("sk"),
+        countDistinct($"uday").as("exact_n"))
+    val a = perType.select($"event_type".as("type_a"), $"sk".as("sk_a"), $"exact_n".as("exact_a"))
+    val b = perType.select($"event_type".as("type_b"), $"sk".as("sk_b"), $"exact_n".as("exact_b"))
+    val est = a.crossJoin(broadcast(b)).filter($"type_a" =!= $"type_b")
+      .withColumn("approx_b", hll_sketch_estimate($"sk_b"))
+      .withColumn("approx_union", hll_sketch_estimate(hll_union($"sk_a", $"sk_b")))
+      .withColumn("approx_only_a", greatest($"approx_union" - $"approx_b", lit(0L)))
+    // exact |A\B| per ordered pair: A's user-days anti-joined against
+    // B's over the collapsed (type, uday) table — the corpus-sized twin
+    // the sketch path replaces at 100 TB
+    val tu = Tables.events(spark, dir)
+      .select($"event_type",
+        ($"user_id" * 100000L +
+          datediff(to_date($"ts"), lit("1970-01-01").cast("date"))).as("uday"))
+      .distinct()
+    val pairs = a.select($"type_a").crossJoin(broadcast(b.select($"type_b")))
+      .filter($"type_a" =!= $"type_b")
+    val exactDiff = pairs
+      .join(tu.select($"event_type".as("type_a"), $"uday"), Seq("type_a"))
+      .join(tu.select($"event_type".as("type_b"), $"uday"),
+        Seq("type_b", "uday"), "left_anti")
+      .groupBy($"type_a", $"type_b").agg(count(lit(1)).as("exact_only_a"))
+    est.select($"type_a", $"type_b", $"exact_a", $"exact_b", $"approx_only_a")
+      .join(exactDiff, Seq("type_a", "type_b"), "left")
+      .na.fill(0L, Seq("exact_only_a"))
+      .select($"type_a", $"type_b", $"exact_a", $"exact_b",
+        $"exact_only_a", $"approx_only_a")
+      .orderBy($"type_a", $"type_b")
+  }
+
   /** Exact per-group MODE (most frequent value) — the aggregate DuckDB
     * ships natively and Spark lacks: each user's dominant event type.
     * Two partial-agg stages, no per-row window: (user, type) counts, then
@@ -354,7 +405,8 @@ object MiscQueries {
     "sketch_distinct_hll"   -> (sketchDistinct _),
     "sketch_percentile_kll" -> (sketchPercentile _),
     "sketch_heavy_hitters"  -> (sketchHeavyHitters _),
-    "sketch_distinct_intersect" -> (sketchDistinctIntersect _)
+    "sketch_distinct_intersect" -> (sketchDistinctIntersect _),
+    "sketch_distinct_diff"  -> (sketchDistinctDiff _)
   )
 
   val oracleSql: Map[String, String] = Map(

@@ -569,6 +569,22 @@ class SketchSpec extends SparkSuite {
     assert(rows.map(_.getAs[Long]("exact_both")).max > 0)
   }
 
+  test("HLL set-difference estimates track exact |A\\B| within union-scaled error") {
+    val rows = core.MiscQueries.sketchDistinctDiff(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exactUnion = r.getAs[Long]("exact_a") + r.getAs[Long]("exact_b") -
+        (r.getAs[Long]("exact_a") - r.getAs[Long]("exact_only_a")) // |B| + |A\B| = |A∪B|
+      // |A\B| = |A∪B| − |B|: two estimates compound — pin at 5% of union
+      val err = math.abs(r.getAs[Long]("approx_only_a") - r.getAs[Long]("exact_only_a")).toDouble
+      assert(err <= math.max(0.05 * exactUnion, 16.0),
+        s"${r.getAs[String]("type_a")}\\${r.getAs[String]("type_b")}: " +
+          s"approx ${r.getAs[Long]("approx_only_a")} vs exact ${r.getAs[Long]("exact_only_a")}")
+    }
+    // the difference is non-trivial somewhere (not all audiences nested)
+    assert(rows.map(_.getAs[Long]("exact_only_a")).max > 0)
+  }
+
   test("CMS heavy-hitter estimates obey the one-sided error bound") {
     import org.apache.spark.sql.functions._
     val rows = core.MiscQueries.sketchHeavyHitters(spark, sf).collect()
