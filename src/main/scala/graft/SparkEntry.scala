@@ -20,7 +20,9 @@ object SparkEntry {
       ops.BpeTrain.queries ++ ops.EmbeddingPca.queries ++ ops.SemanticDedup.queries ++
       ops.EmbeddingSq.queries ++ ops.QualityTrain.queries ++ ops.ZorderLayout.queries ++
       ops.BloomDedup.queries ++ ops.KnnGraph.queries ++ ops.Bm25.queries ++
-      etl.CdcApply.queries ++ core.EngagementQueries.queries ++ ops.DedupCascade.queries
+      etl.CdcApply.queries ++ core.EngagementQueries.queries ++ ops.DedupCascade.queries ++
+      core.TpchMore.queries ++ ops.MmrSearch.queries ++ etl.Reconcile.queries ++
+      core.StatsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -35,5 +37,6 @@ object SparkEntry {
       ops.CorpusOps.oracleSql ++ ops.EmbeddingPca.oracleSql ++ ops.Multimodal.oracleSql ++
       ops.EmbeddingSq.oracleSql ++ ops.ZorderLayout.oracleSql ++ ops.BloomDedup.oracleSql ++
       ops.KnnGraph.oracleSql ++ ops.Bm25.oracleSql ++ etl.CdcApply.oracleSql ++
-      core.EngagementQueries.oracleSql
+      core.EngagementQueries.oracleSql ++ core.TpchMore.oracleSql ++ ops.MmrSearch.oracleSql ++
+      etl.Reconcile.oracleSql ++ core.StatsQueries.oracleSql
 }
