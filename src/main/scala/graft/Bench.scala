@@ -72,7 +72,12 @@ object Bench {
     "q4_order_priority", "q13_customer_distribution",
     "q21_waiting_supplier", "q22_global_sales",
     "q7_volume_shipping", "q18_large_orders", "dm_top_artists_incremental",
-    "dedup_cascade", "events_seasonality", "sketch_distinct_diff")
+    "dedup_cascade", "events_seasonality", "sketch_distinct_diff",
+    "q2_argmin_supplier", "q8_market_share", "q9_profit",
+    "q10_returned_items", "q12_late_shipments", "q15_top_supplier",
+    "q16_supplier_cnt", "q19_disjunctive_pred",
+    "ann_topk_filtered", "search_mmr", "etl_reconcile_snapshots",
+    "events_value_corr")
   // dedup_containment joins the excluded quadratic-output family
   // (dedup_ngram_jaccard etc.): the sf0.1 corpus holds 2.1M TRUE
   // containment pairs (near-dup clusters make every member contained in

@@ -22,7 +22,7 @@ object SparkEntry {
       ops.BloomDedup.queries ++ ops.KnnGraph.queries ++ ops.Bm25.queries ++
       etl.CdcApply.queries ++ core.EngagementQueries.queries ++ ops.DedupCascade.queries ++
       core.TpchMore.queries ++ ops.MmrSearch.queries ++ etl.Reconcile.queries ++
-      core.StatsQueries.queries
+      core.StatsQueries.queries ++ ops.AnnEval.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
