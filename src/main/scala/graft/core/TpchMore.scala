@@ -341,6 +341,93 @@ object TpchMore {
       |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
       |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin
 
+  /** TPC-H Q11 shape — group-level HAVING against a GLOBAL scalar: per
+    * part, one nation's inventory value (decimal-exact), kept only when
+    * it exceeds a fraction of the nation's total. The total enters as a
+    * broadcast 1-row cross (computed once, never per group); both sides
+    * of the threshold compare are exact decimal sums cast to double, so
+    * the cut is engine-stable. No partsupp: the (part, supplier)
+    * shipment value from lineitem is the stock-value stand-in.
+    */
+  def q11ImportantStock(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sup = Tables.supplier(spark, dir).filter($"s_nationkey" === 3)
+      .select($"s_suppkey")
+    val ps = Tables.lineitem(spark, dir)
+      .join(broadcast(sup), $"l_suppkey" === $"s_suppkey", "left_semi")
+      .groupBy($"l_partkey")
+      .agg(sum(dec($"l_extendedprice")).as("value_dec"))
+    val total = ps.agg(sum($"value_dec").cast("double").as("total_value"))
+    ps.crossJoin(broadcast(total))
+      .filter($"value_dec".cast("double") > $"total_value" * 0.002)
+      .select($"l_partkey", $"value_dec".cast("double").as("part_value"))
+      .orderBy($"part_value".desc, $"l_partkey")
+  }
+
+  val q11Sql: String =
+    """WITH ps AS (
+      |  SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS value_dec
+      |  FROM lineitem
+      |  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_nationkey = 3)
+      |  GROUP BY l_partkey
+      |), total AS (
+      |  SELECT CAST(SUM(value_dec) AS DOUBLE) AS total_value FROM ps
+      |)
+      |SELECT l_partkey, CAST(value_dec AS DOUBLE) AS part_value
+      |FROM ps CROSS JOIN total
+      |WHERE CAST(value_dec AS DOUBLE) > total_value * 0.002
+      |ORDER BY part_value DESC, l_partkey""".stripMargin
+
+  /** TPC-H Q20 shape — the NESTED SEMI-JOIN chain: suppliers who carry
+    * a dominant share of some part's total shipped quantity (>30% — the
+    * excess/concentration screen; availqty>half-of-sold adapted to the
+    * schema). Two partial aggregates of the same fact table meet on the
+    * part key, the threshold survivors' supplier keys drive a LeftSemi
+    * into the supplier dim — the qualifying set never re-computes per
+    * probe row, and the supplier table is never joined to the fact.
+    */
+  def q20ExcessSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+    val tot = li.groupBy($"l_partkey".as("t_partkey"))
+      .agg(sum(dec($"l_quantity")).as("part_qty"),
+        countDistinct($"l_suppkey").as("n_supp"))
+    val bySupp = li.groupBy($"l_partkey", $"l_suppkey")
+      .agg(sum(dec($"l_quantity")).as("supp_qty"))
+    // relative concentration (share > 2.5x the part's fair share): an
+    // absolute share cut dilutes away as supplier counts grow with the
+    // corpus — this form stays non-vacuous at every SF (the r8
+    // vacuous-gate lesson applied to thresholds, not just predicates)
+    val heavy = bySupp.join(tot, $"l_partkey" === $"t_partkey")
+      .filter($"supp_qty".cast("double") * $"n_supp".cast("double") >
+        $"part_qty".cast("double") * 2.5)
+      .select($"l_suppkey")
+    val nat = Tables.nation(spark, dir).select($"n_nationkey", $"n_name")
+    Tables.supplier(spark, dir)
+      .join(heavy, $"s_suppkey" === heavy("l_suppkey"), "left_semi")
+      .join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"s_name", $"n_name")
+      .orderBy($"s_suppkey")
+  }
+
+  val q20Sql: String =
+    """WITH tot AS (
+      |  SELECT l_partkey AS t_partkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS part_qty,
+      |    CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supp
+      |  FROM lineitem GROUP BY 1
+      |), by_supp AS (
+      |  SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS supp_qty
+      |  FROM lineitem GROUP BY 1, 2
+      |), heavy AS (
+      |  SELECT l_suppkey FROM by_supp JOIN tot ON l_partkey = t_partkey
+      |  WHERE CAST(supp_qty AS DOUBLE) * CAST(n_supp AS DOUBLE) > CAST(part_qty AS DOUBLE) * 2.5
+      |)
+      |SELECT s_suppkey, s_name, n_name
+      |FROM supplier
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE s_suppkey IN (SELECT l_suppkey FROM heavy)
+      |ORDER BY s_suppkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q2_argmin_supplier"   -> (q2ArgminSupplier _),
     "q8_market_share"      -> (q8MarketShare _),
@@ -349,7 +436,9 @@ object TpchMore {
     "q12_late_shipments"   -> (q12LateShipments _),
     "q15_top_supplier"     -> (q15TopSupplier _),
     "q16_supplier_cnt"     -> (q16SupplierCnt _),
-    "q19_disjunctive_pred" -> (q19DisjunctivePred _)
+    "q19_disjunctive_pred" -> (q19DisjunctivePred _),
+    "q11_important_stock"  -> (q11ImportantStock _),
+    "q20_excess_suppliers" -> (q20ExcessSuppliers _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -360,6 +449,8 @@ object TpchMore {
     "q12_late_shipments"   -> q12Sql,
     "q15_top_supplier"     -> q15Sql,
     "q16_supplier_cnt"     -> q16Sql,
-    "q19_disjunctive_pred" -> q19Sql
+    "q19_disjunctive_pred" -> q19Sql,
+    "q11_important_stock"  -> q11Sql,
+    "q20_excess_suppliers" -> q20Sql
   )
 }
