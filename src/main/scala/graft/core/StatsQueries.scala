@@ -8,48 +8,77 @@ import graft.Tables
 /** Exact distributed statistics: Pearson correlation + OLS regression
   * line per group, computed the way a 100 TB engine has to — ONE
   * partial-aggregate pass collecting exact sufficient statistics
-  * (n, Σx, Σx², Σy, Σy², Σxy as longs/decimals: associative, partition-
-  * order-proof), then the closed-form estimators as a fixed tree of IEEE
-  * double ops over those exact sums. Never `corr()`/`covar_samp()`
-  * built-ins: their internal accumulation is float and engine-specific,
-  * so the result would not be oracle-stable (the same reason §5 bans
+  * (n, Σx, Σx², Σy, Σy², Σxy — associative, partition-order-proof),
+  * then the closed-form estimators as a fixed tree of IEEE double ops
+  * over those exact sums. Never `corr()`/`covar_samp()` built-ins:
+  * their internal accumulation is float and engine-specific, so the
+  * result would not be oracle-stable (the same reason §5 bans
   * AVG(DECIMAL)). The final expression tree matches the DuckDB oracle's
   * token for token, so both engines run the identical IEEE sequence.
   *
+  * The y-sums carry as SCALED LONGS (y has scale 2 → Σy in centi-units,
+  * Σy² in 10⁻⁴-units, Σxy in centi-units): exact at every testdata SF,
+  * trivially mergeable by addition — which is what makes the fold the
+  * streaming twin ([[graft.streaming.StatsStream]]) folds bit-exactly.
+  * At a scale where the scaled sums outgrow a long they widen to
+  * decimal sums — same shape, same mergeability.
+  *
   * Semantics: per event type, does the hour of day predict event value?
   * (x = hour 0..23, y = value) — the reference dashboard's part-of-day
-  * listening profile (dm_part_of_day_agg) upgraded from group means to a
-  * trend line + strength-of-association.
+  * listening profile (dm_part_of_day_agg) upgraded from group means to
+  * a trend line + strength-of-association.
   */
 object StatsQueries {
 
-  def eventsValueCorr(spark: SparkSession, dir: String): DataFrame = {
+  /** The one distributed pass: exact per-group sufficient statistics
+    * over (event_type, x, y). SHARED by the batch entry and the
+    * streaming fold — mergeable by plain addition of every column.
+    */
+  private[graft] def suffStatsOn(ev: DataFrame): DataFrame = {
+    import ev.sparkSession.implicits._
+    ev.select($"event_type", $"x", $"y")
+      .groupBy($"event_type").agg(
+        count(lit(1)).as("n"),
+        sum($"x").as("sx"),
+        sum($"x" * $"x").as("sxx"),
+        sum(($"y" * 100).cast("long")).as("sy_c"),     // Σy in 0.01 units
+        sum(($"y" * $"y" * 10000).cast("long")).as("syy_4"), // Σy² in 1e-4 units
+        sum(($"x" * $"y" * 100).cast("long")).as("sxy_c"))   // Σxy in 0.01 units
+  }
+
+  private[graft] def eventsXY(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val ev = Tables.events(spark, dir)
+    Tables.events(spark, dir)
       .select($"event_type", hour($"ts").cast("long").as("x"),
         $"value".cast("decimal(10,2)").as("y"))
-    val stats = ev.groupBy($"event_type").agg(
-      count(lit(1)).as("n"),
-      sum($"x").as("sx"),
-      sum($"x" * $"x").as("sxx"),
-      sum($"y").cast("double").as("sy"),
-      sum($"y" * $"y").cast("double").as("syy"),
-      sum($"x".cast("decimal(4,0)") * $"y").cast("double").as("sxy"))
-    // exact sums → doubles, then one fixed IEEE expression tree (token-
-    // for-token identical to the oracle SQL below)
-    val nD  = $"n".cast("double")
-    val sxD = $"sx".cast("double")
+  }
+
+  /** The closed-form estimators over a sufficient-statistics frame —
+    * SHARED serve core: exact sums → doubles, then one fixed IEEE
+    * expression tree (token-for-token identical to the oracle SQL), so
+    * batch and streamed statistics cannot diverge.
+    */
+  private[graft] def corrFrom(stats: DataFrame): DataFrame = {
+    import stats.sparkSession.implicits._
+    val nD   = $"n".cast("double")
+    val sxD  = $"sx".cast("double")
     val sxxD = $"sxx".cast("double")
-    val covN = nD * $"sxy" - sxD * $"sy"         // n·Σxy − Σx·Σy
-    val varX = nD * sxxD - sxD * sxD             // n·Σx² − (Σx)²
-    val varY = nD * $"syy" - $"sy" * $"sy"       // n·Σy² − (Σy)²
+    val syD  = $"sy_c".cast("double") / 100.0
+    val syyD = $"syy_4".cast("double") / 10000.0
+    val sxyD = $"sxy_c".cast("double") / 100.0
+    val covN = nD * sxyD - sxD * syD         // n·Σxy − Σx·Σy
+    val varX = nD * sxxD - sxD * sxD         // n·Σx² − (Σx)²
+    val varY = nD * syyD - syD * syD         // n·Σy² − (Σy)²
     stats.select(
       $"event_type", $"n",
       (covN / (sqrt(varX) * sqrt(varY))).as("pearson_r"),
       (covN / varX).as("slope"),
-      (($"sy" - (covN / varX) * sxD) / nD).as("intercept"))
+      ((syD - (covN / varX) * sxD) / nD).as("intercept"))
       .orderBy($"event_type")
   }
+
+  def eventsValueCorr(spark: SparkSession, dir: String): DataFrame =
+    corrFrom(suffStatsOn(eventsXY(spark, dir)))
 
   val eventsValueCorrSql: String =
     """WITH ev AS (
@@ -61,21 +90,24 @@ object StatsQueries {
       |    CAST(COUNT(*) AS BIGINT) AS n,
       |    CAST(SUM(x) AS BIGINT) AS sx,
       |    CAST(SUM(x * x) AS BIGINT) AS sxx,
-      |    CAST(SUM(y) AS DOUBLE) AS sy,
-      |    CAST(SUM(y * y) AS DOUBLE) AS syy,
-      |    CAST(SUM(CAST(x AS DECIMAL(4,0)) * y) AS DOUBLE) AS sxy
+      |    CAST(SUM(CAST(y * 100 AS BIGINT)) AS BIGINT) AS sy_c,
+      |    CAST(SUM(CAST(y * y * 10000 AS BIGINT)) AS BIGINT) AS syy_4,
+      |    CAST(SUM(CAST(x * y * 100 AS BIGINT)) AS BIGINT) AS sxy_c
       |  FROM ev GROUP BY event_type
+      |), d AS (
+      |  SELECT event_type, n,
+      |    CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd, CAST(sxx AS DOUBLE) AS sxxd,
+      |    CAST(sy_c AS DOUBLE) / 100.0 AS syd,
+      |    CAST(syy_4 AS DOUBLE) / 10000.0 AS syyd,
+      |    CAST(sxy_c AS DOUBLE) / 100.0 AS sxyd
+      |  FROM stats
       |)
       |SELECT event_type, n,
-      |  (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-      |    / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-      |       * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)) AS pearson_r,
-      |  (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-      |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
-      |  (sy - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-      |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
-      |    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept
-      |FROM stats
+      |  (nd * sxyd - sxd * syd)
+      |    / (sqrt(nd * sxxd - sxd * sxd) * sqrt(nd * syyd - syd * syd)) AS pearson_r,
+      |  (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) AS slope,
+      |  (syd - ((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)) * sxd) / nd AS intercept
+      |FROM d
       |ORDER BY event_type""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
