@@ -22,7 +22,8 @@ object SparkEntry {
       ops.BloomDedup.queries ++ ops.KnnGraph.queries ++ ops.Bm25.queries ++
       etl.CdcApply.queries ++ core.EngagementQueries.queries ++ ops.DedupCascade.queries ++
       core.TpchMore.queries ++ ops.MmrSearch.queries ++ etl.Reconcile.queries ++
-      core.StatsQueries.queries ++ ops.AnnEval.queries
+      core.StatsQueries.queries ++ ops.AnnEval.queries ++ ops.Collocations.queries ++
+      mart.TrendingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -38,5 +39,6 @@ object SparkEntry {
       ops.EmbeddingSq.oracleSql ++ ops.ZorderLayout.oracleSql ++ ops.BloomDedup.oracleSql ++
       ops.KnnGraph.oracleSql ++ ops.Bm25.oracleSql ++ etl.CdcApply.oracleSql ++
       core.EngagementQueries.oracleSql ++ core.TpchMore.oracleSql ++ ops.MmrSearch.oracleSql ++
-      etl.Reconcile.oracleSql ++ core.StatsQueries.oracleSql
+      etl.Reconcile.oracleSql ++ core.StatsQueries.oracleSql ++
+      ops.Collocations.oracleSql ++ mart.TrendingQueries.oracleSql
 }
