@@ -408,7 +408,78 @@ object KnnGraph {
     annTopkGraphFromIndex(spark, dir, path)
   }
 
+  /** Triangle census + local clustering coefficient over the MUTUAL kNN
+    * graph — the corpus-structure diagnostic (a high-coefficient region
+    * is a near-duplicate clique; a zero-coefficient star is a hub
+    * artifact): classic distributed triangle counting on the oriented
+    * edge list — undirected mutual edges kept once as (a < b), wedges
+    * from the (b)-join, closed by the (a, c) equi-join, so every
+    * triangle is found exactly once as a < b < c. The edge table is
+    * n·k rows (bounded by the graph's k, never the corpus²); per-node
+    * counts come from one explode + partial agg; the coefficient
+    * 2T/(d(d−1)) is ONE IEEE division of exact BIGINTs — hash-exact.
+    */
+  def knnGraphTriangles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val und = knnGraphExact(spark, dir)
+      .filter($"mutual" && $"vec_id" < $"neighbor_id")
+      .select($"vec_id".as("a"), $"neighbor_id".as("b"))
+    val e2 = und.select($"a".as("b2"), $"b".as("c"))
+    val e3 = und.select($"a".as("a3"), $"b".as("c3"))
+    val tri = und.join(e2, $"b" === $"b2")
+      .join(e3, $"a" === $"a3" && $"c" === $"c3")
+      .select($"a", $"b", $"c")
+    val perNode = tri.select(explode(array($"a", $"b", $"c")).as("vec_id"))
+      .groupBy($"vec_id").agg(count(lit(1)).as("triangles"))
+    val deg = und.select(explode(array($"a", $"b")).as("vec_id"))
+      .groupBy($"vec_id").agg(count(lit(1)).as("degree"))
+    deg.join(perNode, Seq("vec_id"), "left")
+      .select($"vec_id", $"degree", coalesce($"triangles", lit(0L)).as("triangles"))
+      .withColumn("clustering",
+        when($"degree" >= 2,
+          ($"triangles" * 2L).cast("double") / ($"degree" * ($"degree" - 1L)).cast("double"))
+          .otherwise(lit(0.0)))
+      .orderBy($"vec_id")
+  }
+
+  val knnGraphTrianglesSql: String =
+    s"""${LlmQueries.quantizedCte}, scored AS (
+       |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+       |    CAST(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) AS BIGINT) AS dot
+       |  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+       |), ranked AS (
+       |  SELECT vec_id, neighbor_id, dot,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, neighbor_id) AS rank
+       |  FROM scored
+       |), knn AS (
+       |  SELECT * FROM ranked WHERE rank <= $K
+       |), und AS (
+       |  SELECT k.vec_id AS a, k.neighbor_id AS b
+       |  FROM knn k JOIN knn m
+       |    ON m.vec_id = k.neighbor_id AND m.neighbor_id = k.vec_id
+       |  WHERE k.vec_id < k.neighbor_id
+       |), tri AS (
+       |  SELECT e1.a, e1.b, e2.b AS c
+       |  FROM und e1
+       |  JOIN und e2 ON e1.b = e2.a
+       |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+       |), pernode AS (
+       |  SELECT v AS vec_id, CAST(COUNT(*) AS BIGINT) AS triangles
+       |  FROM (SELECT unnest([a, b, c]) AS v FROM tri) GROUP BY 1
+       |), deg AS (
+       |  SELECT v AS vec_id, CAST(COUNT(*) AS BIGINT) AS degree
+       |  FROM (SELECT unnest([a, b]) AS v FROM und) GROUP BY 1
+       |)
+       |SELECT d.vec_id, d.degree, COALESCE(p.triangles, 0) AS triangles,
+       |  CASE WHEN d.degree >= 2
+       |    THEN CAST(COALESCE(p.triangles, 0) * 2 AS DOUBLE)
+       |      / CAST(d.degree * (d.degree - 1) AS DOUBLE)
+       |    ELSE 0.0 END AS clustering
+       |FROM deg d LEFT JOIN pernode p ON d.vec_id = p.vec_id
+       |ORDER BY d.vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_graph_triangles" -> (knnGraphTriangles _),
     "knn_graph_exact"    -> (knnGraphExact _),
     "knn_graph_ivf"      -> (knnGraphIvf _),
     "knn_graph_clusters" -> (knnGraphClusters _),
@@ -418,6 +489,7 @@ object KnnGraph {
   )
 
   val oracleSql: Map[String, String] = Map(
-    "knn_graph_exact" -> knnGraphExactSql
+    "knn_graph_exact" -> knnGraphExactSql,
+    "knn_graph_triangles" -> knnGraphTrianglesSql
   )
 }
