@@ -110,11 +110,63 @@ object StatsQueries {
       |FROM d
       |ORDER BY event_type""".stripMargin
 
+  /** Next-day volume forecast by exponential smoothing (α = 1/2) over
+    * each type's daily counts — the capacity-planning twin of the
+    * anomaly screens (they look back for outliers; this projects
+    * forward). Same exactness device as dm_trending_artists: α = 1/2
+    * makes every weight a POWER OF TWO, so the smoothed sum is an exact
+    * BIGINT (Σ y·2^(29−age), truncated at a 30-day horizon — the tail
+    * beyond it contributes < 2⁻³⁰ of a count) and the forecast is ONE
+    * final division by 2^30. Arbitrary-α SES is the same operator with
+    * float weights; the dyadic form is what makes it hash-checkable.
+    * The corpus max day enters as a plan-side broadcast scalar (the
+    * delta_load watermark device — no collect).
+    */
+  def eventsForecastSes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, dir)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val mx = daily.agg(max($"day").as("max_day"))
+    daily.crossJoin(broadcast(mx))
+      .withColumn("age", datediff($"max_day", $"day"))
+      .filter($"age" <= 29)
+      .withColumn("w", pow(lit(2.0), (lit(29) - $"age").cast("double")).cast("long"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum($"n" * $"w").as("forecast_scaled"))
+      .withColumn("forecast_next_day", $"forecast_scaled".cast("double") / 1073741824.0)
+      .orderBy($"event_type")
+  }
+
+  val eventsForecastSesSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2
+      |), mx AS (
+      |  SELECT MAX(day) AS max_day FROM daily
+      |), aged AS (
+      |  SELECT event_type, n,
+      |    date_diff('day', day, max_day) AS age
+      |  FROM daily CROSS JOIN mx
+      |  WHERE date_diff('day', day, max_day) <= 29
+      |)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+      |  CAST(SUM(n * CAST(pow(2.0, 29 - age) AS BIGINT)) AS BIGINT) AS forecast_scaled,
+      |  CAST(CAST(SUM(n * CAST(pow(2.0, 29 - age) AS BIGINT)) AS BIGINT) AS DOUBLE)
+      |    / 1073741824.0 AS forecast_next_day
+      |FROM aged
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "events_value_corr" -> (eventsValueCorr _)
+    "events_value_corr" -> (eventsValueCorr _),
+    "events_forecast_ses" -> (eventsForecastSes _)
   )
 
   val oracleSql: Map[String, String] = Map(
-    "events_value_corr" -> eventsValueCorrSql
+    "events_value_corr" -> eventsValueCorrSql,
+    "events_forecast_ses" -> eventsForecastSesSql
   )
 }
