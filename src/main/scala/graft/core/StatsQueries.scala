@@ -160,13 +160,103 @@ object StatsQueries {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** Exact grouped QUARTILES + IQR outlier census — the box-plot /
+    * Tukey-fence profile per event type, by the agg_median_exact
+    * bucketed-selection discipline generalized to three ranks: a 256+
+    * bucket histogram locates each target rank's bucket, only those
+    * buckets' rows are rank-sorted (never a whole group in one task),
+    * and the three selected values pivot into columns by conditional
+    * aggregation. Quantile definition is EXPLICIT rank selection
+    * (rank = ceil(p·n), exact in IEEE for p ∈ {1/4, 1/2, 3/4}) written
+    * identically in both engines — the built-in quantile functions
+    * interpolate differently per engine and would never hash-match.
+    * Outliers are counted map-side against the broadcast fences
+    * (q25/q75 ± 1.5·IQR, one shared expression tree).
+    */
+  def aggQuantilesIqr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val B = math.max(256, spark.sparkContext.defaultParallelism * 8)
+    val ev = Tables.events(spark, dir)
+      .select($"event_type", $"value", $"event_id")
+    val stats = ev.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), min($"value").as("mn"), max($"value").as("mx"))
+      .withColumn("r25", ceil($"n" * 0.25).cast("long"))
+      .withColumn("r50", ceil($"n" * 0.5).cast("long"))
+      .withColumn("r75", ceil($"n" * 0.75).cast("long"))
+    val evb = ev.join(broadcast(stats), Seq("event_type"))
+      .withColumn("b",
+        when($"mx" === $"mn", lit(0))
+          .otherwise(least(floor(($"value" - $"mn") / ($"mx" - $"mn") * B), lit(B - 1)))
+          .cast("int"))
+    val hist = evb.groupBy($"event_type", $"b").agg(count(lit(1)).as("cnt"))
+    val wb = Window.partitionBy($"event_type").orderBy($"b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    def hit(r: org.apache.spark.sql.Column) =
+      r > $"cum_before" && r <= $"cum_before" + $"cnt"
+    val targetBuckets = hist
+      .withColumn("cum_before", coalesce(sum($"cnt").over(wb), lit(0L)))
+      .join(stats.select($"event_type", $"r25", $"r50", $"r75"), Seq("event_type"))
+      .filter(hit($"r25") || hit($"r50") || hit($"r75"))
+      .select($"event_type", $"b", $"cum_before")
+    val probe = evb.join(broadcast(targetBuckets), Seq("event_type", "b"))
+    val wp = Window.partitionBy($"event_type", $"b").orderBy($"value", $"event_id")
+    val quart = probe.withColumn("rank", row_number().over(wp).cast("long") + $"cum_before")
+      .filter($"rank" === $"r25" || $"rank" === $"r50" || $"rank" === $"r75")
+      .groupBy($"event_type")
+      .agg(max(when($"rank" === $"r25", $"value")).as("q25"),
+        max(when($"rank" === $"r50", $"value")).as("q50"),
+        max(when($"rank" === $"r75", $"value")).as("q75"),
+        max($"n").as("n_events"))
+    val fenced = ev.join(broadcast(quart), Seq("event_type"))
+      .groupBy($"event_type")
+      .agg(
+        sum(when($"value" < $"q25" - lit(1.5) * ($"q75" - $"q25"), 1L).otherwise(0L)).as("n_low_outliers"),
+        sum(when($"value" > $"q75" + lit(1.5) * ($"q75" - $"q25"), 1L).otherwise(0L)).as("n_high_outliers"))
+    quart.join(fenced, Seq("event_type"))
+      .select($"event_type", $"n_events", $"q25", $"q50", $"q75",
+        ($"q75" - $"q25").as("iqr"), $"n_low_outliers", $"n_high_outliers")
+      .orderBy($"event_type")
+  }
+
+  val aggQuantilesIqrSql: String =
+    """WITH ranked AS (
+      |  SELECT event_type, value,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events
+      |), quart AS (
+      |  SELECT event_type,
+      |    MAX(CASE WHEN rn = CAST(ceil(n * 0.25) AS BIGINT) THEN value END) AS q25,
+      |    MAX(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN value END) AS q50,
+      |    MAX(CASE WHEN rn = CAST(ceil(n * 0.75) AS BIGINT) THEN value END) AS q75,
+      |    CAST(MAX(n) AS BIGINT) AS n_events
+      |  FROM ranked
+      |  WHERE rn = CAST(ceil(n * 0.25) AS BIGINT)
+      |     OR rn = CAST(ceil(n * 0.5) AS BIGINT)
+      |     OR rn = CAST(ceil(n * 0.75) AS BIGINT)
+      |  GROUP BY event_type
+      |), fenced AS (
+      |  SELECT e.event_type,
+      |    CAST(SUM(CASE WHEN e.value < q.q25 - 1.5 * (q.q75 - q.q25) THEN 1 ELSE 0 END) AS BIGINT) AS n_low_outliers,
+      |    CAST(SUM(CASE WHEN e.value > q.q75 + 1.5 * (q.q75 - q.q25) THEN 1 ELSE 0 END) AS BIGINT) AS n_high_outliers
+      |  FROM events e JOIN quart q ON e.event_type = q.event_type
+      |  GROUP BY e.event_type
+      |)
+      |SELECT q.event_type, n_events, q25, q50, q75, q75 - q25 AS iqr,
+      |  n_low_outliers, n_high_outliers
+      |FROM quart q JOIN fenced f ON q.event_type = f.event_type
+      |ORDER BY q.event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_value_corr" -> (eventsValueCorr _),
-    "events_forecast_ses" -> (eventsForecastSes _)
+    "events_forecast_ses" -> (eventsForecastSes _),
+    "agg_quantiles_iqr" -> (aggQuantilesIqr _)
   )
 
   val oracleSql: Map[String, String] = Map(
     "events_value_corr" -> eventsValueCorrSql,
-    "events_forecast_ses" -> eventsForecastSesSql
+    "events_forecast_ses" -> eventsForecastSesSql,
+    "agg_quantiles_iqr" -> aggQuantilesIqrSql
   )
 }
