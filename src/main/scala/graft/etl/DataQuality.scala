@@ -247,15 +247,69 @@ object DataQuality {
       |CROSS JOIN rt CROSS JOIN ct
       |ORDER BY event_type""".stripMargin
 
+  /** JOIN-KEY SKEW profile — the diagnostic that decides whether a join
+    * needs salting (the skew_salted_join / skew_salted_topk remedies
+    * assume someone measured the disease first): per candidate join key
+    * of the fact table, the top-10 heaviest values with their exact
+    * share of rows and their multiple of the fair share (share ×
+    * distinct-key count — the number AQE's skew threshold and a salt
+    * factor are chosen from). One groupBy per key column, totals as
+    * broadcast 1-row crosses, TakeOrdered top-10 per key; every ratio
+    * is ONE IEEE division of exact BIGINTs.
+    */
+  def dqKeySkew(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val li = graft.Tables.lineitem(spark, dir)
+    val keys = Seq("l_suppkey", "l_partkey", "l_orderkey")
+    val perKey = keys.map { k =>
+      val counts = li.groupBy(col(k).as("key_value")).agg(count(lit(1)).as("cnt"))
+      val tot = counts.agg(sum($"cnt").as("total"), count(lit(1)).as("n_keys"))
+      counts.crossJoin(broadcast(tot))
+        .orderBy($"cnt".desc, $"key_value")
+        .limit(10)
+        .withColumn("key_column", lit(k))
+    }
+    perKey.reduce(_.unionByName(_))
+      .withColumn("share", $"cnt".cast("double") / $"total".cast("double"))
+      .withColumn("x_fair", ($"cnt" * $"n_keys").cast("double") / $"total".cast("double"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"key_column").orderBy($"cnt".desc, $"key_value")))
+      .select($"key_column", $"rank", $"key_value", $"cnt", $"total", $"n_keys",
+        $"share", $"x_fair")
+      .orderBy($"key_column", $"rank")
+  }
+
+  val dqKeySkewSql: String = {
+    def one(k: String): String =
+      s"""SELECT '$k' AS key_column, rank, key_value, cnt, total, n_keys,
+         |  CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+         |  CAST(cnt * n_keys AS DOUBLE) / CAST(total AS DOUBLE) AS x_fair
+         |FROM (
+         |  SELECT key_value, cnt, total, n_keys,
+         |    row_number() OVER (ORDER BY cnt DESC, key_value) AS rank
+         |  FROM (
+         |    SELECT $k AS key_value, CAST(COUNT(*) AS BIGINT) AS cnt FROM lineitem GROUP BY 1
+         |  ) CROSS JOIN (
+         |    SELECT CAST(COUNT(*) AS BIGINT) AS total,
+         |      CAST(COUNT(DISTINCT $k) AS BIGINT) AS n_keys FROM lineitem
+         |  )
+         |) WHERE rank <= 10""".stripMargin
+    Seq("l_suppkey", "l_partkey", "l_orderkey").map(one)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY key_column, rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_profile"     -> (dqProfile _),
     "dq_constraints" -> (dqConstraints _),
-    "dq_drift_chi2"  -> (dqDriftChi2 _)
+    "dq_drift_chi2"  -> (dqDriftChi2 _),
+    "dq_key_skew"    -> (dqKeySkew _)
   )
 
   val oracleSql: Map[String, String] = Map(
     "dq_profile"     -> dqProfileSql,
     "dq_constraints" -> dqConstraintsSql,
-    "dq_drift_chi2"  -> dqDriftChi2Sql
+    "dq_drift_chi2"  -> dqDriftChi2Sql,
+    "dq_key_skew"    -> dqKeySkewSql
   )
 }
