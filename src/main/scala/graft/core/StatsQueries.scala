@@ -248,15 +248,87 @@ object StatsQueries {
       |FROM quart q JOIN fenced f ON q.event_type = f.event_type
       |ORDER BY q.event_type""".stripMargin
 
+  /** CUSUM CHANGEPOINT detection on each type's daily volume — "when
+    * did the level shift?", the complement of the anomaly screens
+    * ("which single days spiked?"). The classic statistic
+    * S_r = Σ_{i≤r}(y_i − ȳ) maximized over split points r, made exact
+    * by scaling with the day count: D·prefix(r) − r·total is a BIGINT
+    * (the mean never materializes as a float), so the argmax and the
+    * tie-break (earliest split) are engine-stable; the normalized
+    * statistic is ONE final division. One bounded window pass over the
+    * ≤ types×days daily aggregate — never over raw events.
+    */
+  def eventsChangepointCusum(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, dir)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("y"))
+    val wOrd = Window.partitionBy($"event_type").orderBy($"day")
+    val wAll = Window.partitionBy($"event_type")
+    val scored = daily
+      .withColumn("r", row_number().over(wOrd).cast("long"))
+      .withColumn("prefix", sum($"y").over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum($"y").over(wAll))
+      .withColumn("d_days", count(lit(1)).over(wAll))
+      .withColumn("min_day", min($"day").over(wAll))
+      .filter($"r" < $"d_days") // S_D = 0 by construction — not a split
+      .withColumn("s_scaled", abs($"d_days" * $"prefix" - $"r" * $"total"))
+      .withColumn("day_offset", datediff($"day", $"min_day").cast("long"))
+    scored.groupBy($"event_type")
+      .agg(max(struct($"s_scaled", (-$"r").as("neg_r"), $"day_offset",
+        $"total", $"d_days")).as("best"))
+      .select($"event_type",
+        $"best.d_days".as("n_days"),
+        $"best.day_offset".as("cp_day_offset"),
+        $"best.s_scaled".as("cusum_scaled"),
+        ($"best.s_scaled".cast("double") /
+          ($"best.d_days" * $"best.total").cast("double")).as("cusum_norm"))
+      .orderBy($"event_type")
+  }
+
+  val eventsChangepointCusumSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2
+      |), scored AS (
+      |  SELECT event_type, day, y,
+      |    CAST(row_number() OVER w AS BIGINT) AS r,
+      |    CAST(SUM(y) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS prefix,
+      |    CAST(SUM(y) OVER wp AS BIGINT) AS total,
+      |    CAST(COUNT(*) OVER wp AS BIGINT) AS d_days,
+      |    MIN(day) OVER wp AS min_day
+      |  FROM daily
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY day),
+      |         wp AS (PARTITION BY event_type)
+      |), s AS (
+      |  SELECT event_type, d_days, total,
+      |    abs(d_days * prefix - r * total) AS s_scaled, r,
+      |    CAST(date_diff('day', min_day, day) AS BIGINT) AS day_offset
+      |  FROM scored WHERE r < d_days
+      |), ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY s_scaled DESC, r) AS pick
+      |  FROM s
+      |)
+      |SELECT event_type, d_days AS n_days, day_offset AS cp_day_offset,
+      |  s_scaled AS cusum_scaled,
+      |  CAST(s_scaled AS DOUBLE) / CAST(d_days * total AS DOUBLE) AS cusum_norm
+      |FROM ranked WHERE pick = 1
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_value_corr" -> (eventsValueCorr _),
     "events_forecast_ses" -> (eventsForecastSes _),
-    "agg_quantiles_iqr" -> (aggQuantilesIqr _)
+    "agg_quantiles_iqr" -> (aggQuantilesIqr _),
+    "events_changepoint_cusum" -> (eventsChangepointCusum _)
   )
 
   val oracleSql: Map[String, String] = Map(
     "events_value_corr" -> eventsValueCorrSql,
     "events_forecast_ses" -> eventsForecastSesSql,
-    "agg_quantiles_iqr" -> aggQuantilesIqrSql
+    "agg_quantiles_iqr" -> aggQuantilesIqrSql,
+    "events_changepoint_cusum" -> eventsChangepointCusumSql
   )
 }
