@@ -23,7 +23,8 @@ object SparkEntry {
       etl.CdcApply.queries ++ core.EngagementQueries.queries ++ ops.DedupCascade.queries ++
       core.TpchMore.queries ++ ops.MmrSearch.queries ++ etl.Reconcile.queries ++
       core.StatsQueries.queries ++ ops.AnnEval.queries ++ ops.Collocations.queries ++
-      mart.TrendingQueries.queries
+      mart.TrendingQueries.queries ++ mart.DiscoveryQueries.queries ++
+      etl.UserPurge.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -40,5 +41,6 @@ object SparkEntry {
       ops.KnnGraph.oracleSql ++ ops.Bm25.oracleSql ++ etl.CdcApply.oracleSql ++
       core.EngagementQueries.oracleSql ++ core.TpchMore.oracleSql ++ ops.MmrSearch.oracleSql ++
       etl.Reconcile.oracleSql ++ core.StatsQueries.oracleSql ++
-      ops.Collocations.oracleSql ++ mart.TrendingQueries.oracleSql
+      ops.Collocations.oracleSql ++ mart.TrendingQueries.oracleSql ++
+      mart.DiscoveryQueries.oracleSql ++ etl.UserPurge.oracleSql
 }
