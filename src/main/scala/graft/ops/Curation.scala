@@ -512,7 +512,85 @@ object Curation {
       .limit(k)
   }
 
+  /** NEYMAN-allocation stratified sampling — the statistically optimal
+    * budget split (n_h ∝ N_h·σ_h: big variable strata get more of the
+    * sample; uniform-rate stratification wastes budget on homogeneous
+    * strata): per-stratum σ from ONE exact sufficient-statistics pass
+    * (the events_value_corr discipline — decimal sums, fixed IEEE
+    * tree), allocations floor(budget·share) from the broadcast totals
+    * row, then the sample itself is the DETERMINISTIC Knuth-hash rank
+    * within each stratum (the sample_stratified device, made exact-n
+    * by a per-stratum rank) — so both engines select the IDENTICAL
+    * rows and the verification sums hash-match. The per-type rank
+    * window composes to the two-level rank at a scale where one
+    * stratum outgrows a task (the user_rfm_segments contract).
+    */
+  def sampleNeyman(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val budget = 1000L
+    val ev = Tables.events(spark, dir)
+      .select($"event_type", $"event_id", $"value".cast("decimal(10,2)").as("y"))
+    val stats = ev.groupBy($"event_type").agg(
+      count(lit(1)).as("n_h"),
+      sum($"y").cast("double").as("sy"),
+      sum($"y" * $"y").cast("double").as("syy"))
+      .withColumn("sigma",
+        sqrt(($"n_h".cast("double") * $"syy" - $"sy" * $"sy") /
+          ($"n_h".cast("double") * ($"n_h".cast("double") - 1.0))))
+      .withColumn("weight", $"n_h".cast("double") * $"sigma")
+    val tot = stats.agg(sum($"weight").as("w_total"))
+    val alloc = stats.crossJoin(broadcast(tot))
+      .withColumn("alloc_n", floor(lit(budget.toDouble) * $"weight" / $"w_total").cast("long"))
+      .select($"event_type", $"n_h", $"sigma", $"alloc_n")
+    val ranked = ev
+      .withColumn("hb", pmod($"event_id" * 2654435761L % 1000000007L, lit(1000000)))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy($"event_type").orderBy($"hb", $"event_id")).cast("long"))
+    ranked.join(broadcast(alloc), Seq("event_type"))
+      .filter($"rnk" <= $"alloc_n")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("sampled_rows"),
+        sum($"y").cast("double").as("sampled_value_sum"))
+      .join(broadcast(alloc), Seq("event_type"))
+      .select($"event_type", $"n_h", $"sigma", $"alloc_n",
+        $"sampled_rows", $"sampled_value_sum")
+      .orderBy($"event_type")
+  }
+
+  val sampleNeymanSql: String =
+    """WITH ev AS (
+      |  SELECT event_type, event_id, CAST(value AS DECIMAL(10,2)) AS y FROM events
+      |), stats AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_h,
+      |    CAST(SUM(y) AS DOUBLE) AS sy, CAST(SUM(y * y) AS DOUBLE) AS syy
+      |  FROM ev GROUP BY event_type
+      |), sig AS (
+      |  SELECT event_type, n_h,
+      |    sqrt((CAST(n_h AS DOUBLE) * syy - sy * sy)
+      |      / (CAST(n_h AS DOUBLE) * (CAST(n_h AS DOUBLE) - 1.0))) AS sigma
+      |  FROM stats
+      |), alloc AS (
+      |  SELECT event_type, n_h, sigma,
+      |    CAST(floor(1000.0 * (CAST(n_h AS DOUBLE) * sigma)
+      |      / (SELECT SUM(CAST(n_h AS DOUBLE) * sigma) FROM sig)) AS BIGINT) AS alloc_n
+      |  FROM sig
+      |), ranked AS (
+      |  SELECT event_type, y,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY ((event_id * 2654435761) % 1000000007 % 1000000 + 1000000) % 1000000, event_id)
+      |      AS rnk
+      |  FROM ev
+      |)
+      |SELECT r.event_type, n_h, sigma, alloc_n,
+      |  CAST(COUNT(*) AS BIGINT) AS sampled_rows,
+      |  CAST(SUM(y) AS DOUBLE) AS sampled_value_sum
+      |FROM ranked r JOIN alloc a ON r.event_type = a.event_type
+      |WHERE rnk <= alloc_n
+      |GROUP BY r.event_type, n_h, sigma, alloc_n
+      |ORDER BY r.event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_neyman" -> (sampleNeyman _),
     "sample_reservoir"  -> ((s, d) => sampleReservoir(s, d)),
     "sample_kcenter"    -> ((s, d) => sampleKcenter(s, d)),
     "sample_curriculum" -> (sampleCurriculum _),
@@ -527,6 +605,7 @@ object Curation {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "sample_neyman"     -> sampleNeymanSql,
     "sample_curriculum" -> sampleCurriculumSql,
     "corpus_shard"      -> corpusShardSql,
     "text_chunking"     -> textChunkingSql,
