@@ -318,17 +318,81 @@ object StatsQueries {
       |FROM ranked WHERE pick = 1
       |ORDER BY event_type""".stripMargin
 
+  /** Behavioral DIVERSITY index per user — how spread a user's activity
+    * is across event types, as the Gini–Simpson index 1 − Σp_i². The
+    * Shannon-entropy twin needs a libm log and would never hash-match;
+    * Gini–Simpson is RATIONAL: (n² − Σn_i²)/n² over exact BIGINT
+    * counts, ONE IEEE division per user — same diversity ordering,
+    * engine-exact. Rolled up to a per-cohort profile (min/mean/max
+    * diversity by activity decile) so the output is bounded and the
+    * mean is itself an exact-sum ratio.
+    */
+  def eventsDiversityGini(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byType = Tables.events(spark, dir)
+      .groupBy($"user_id", $"event_type").agg(count(lit(1)).as("n_i"))
+    val perUser = byType.groupBy($"user_id")
+      .agg(sum($"n_i").as("n"), sum($"n_i" * $"n_i").as("sq"),
+        count(lit(1)).as("n_types"))
+      // scaled to 1e6 and floored: an exact BIGINT per user, so the
+      // cohort SUM below stays exact (a sum of per-user doubles would
+      // re-introduce order dependence)
+      .withColumn("div_ppm",
+        floor((($"n" * $"n" - $"sq") * 1000000L).cast("double") /
+          ($"n" * $"n").cast("double")).cast("long"))
+    perUser
+      .withColumn("decile", least(floor($"n" / 10L), lit(9L)))
+      .groupBy($"decile")
+      .agg(count(lit(1)).as("n_users"),
+        min($"div_ppm").as("min_div_ppm"),
+        max($"div_ppm").as("max_div_ppm"),
+        sum($"div_ppm").as("sum_div_ppm"),
+        max($"n_types").as("max_types"))
+      .withColumn("mean_diversity",
+        $"sum_div_ppm".cast("double") / ($"n_users" * 1000000L).cast("double"))
+      .orderBy($"decile")
+  }
+
+  val eventsDiversityGiniSql: String =
+    """WITH bt AS (
+      |  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n_i
+      |  FROM events GROUP BY 1, 2
+      |), pu AS (
+      |  SELECT user_id, CAST(SUM(n_i) AS BIGINT) AS n,
+      |    CAST(SUM(n_i * n_i) AS BIGINT) AS sq,
+      |    CAST(COUNT(*) AS BIGINT) AS n_types
+      |  FROM bt GROUP BY user_id
+      |), d AS (
+      |  SELECT user_id, n, n_types,
+      |    CAST(floor(CAST((n * n - sq) * 1000000 AS DOUBLE) / CAST(n * n AS DOUBLE)) AS BIGINT)
+      |      AS div_ppm,
+      |    LEAST(CAST(floor(n / 10.0) AS BIGINT), 9) AS decile
+      |  FROM pu
+      |)
+      |SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_users,
+      |  CAST(MIN(div_ppm) AS BIGINT) AS min_div_ppm,
+      |  CAST(MAX(div_ppm) AS BIGINT) AS max_div_ppm,
+      |  CAST(SUM(div_ppm) AS BIGINT) AS sum_div_ppm,
+      |  CAST(MAX(n_types) AS BIGINT) AS max_types,
+      |  CAST(CAST(SUM(div_ppm) AS BIGINT) AS DOUBLE)
+      |    / CAST(COUNT(*) * 1000000 AS DOUBLE) AS mean_diversity
+      |FROM d
+      |GROUP BY decile
+      |ORDER BY decile""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_value_corr" -> (eventsValueCorr _),
     "events_forecast_ses" -> (eventsForecastSes _),
     "agg_quantiles_iqr" -> (aggQuantilesIqr _),
-    "events_changepoint_cusum" -> (eventsChangepointCusum _)
+    "events_changepoint_cusum" -> (eventsChangepointCusum _),
+    "events_diversity_gini" -> (eventsDiversityGini _)
   )
 
   val oracleSql: Map[String, String] = Map(
     "events_value_corr" -> eventsValueCorrSql,
     "events_forecast_ses" -> eventsForecastSesSql,
     "agg_quantiles_iqr" -> aggQuantilesIqrSql,
-    "events_changepoint_cusum" -> eventsChangepointCusumSql
+    "events_changepoint_cusum" -> eventsChangepointCusumSql,
+    "events_diversity_gini" -> eventsDiversityGiniSql
   )
 }
