@@ -81,7 +81,9 @@ object Bench {
     "text_collocation_pmi", "dm_trending_artists", "knn_graph_triangles",
     "events_forecast_ses", "agg_quantiles_iqr", "dq_key_skew",
     "events_changepoint_cusum", "dm_artist_discovery", "etl_user_purge",
-    "sample_neyman", "events_diversity_gini")
+    "sample_neyman", "events_diversity_gini",
+    "rec_item_item_cf", "rec_user_topn", "events_forecast_holt",
+    "events_autocorr", "events_path_topk")
   // dedup_containment joins the excluded quadratic-output family
   // (dedup_ngram_jaccard etc.): the sf0.1 corpus holds 2.1M TRUE
   // containment pairs (near-dup clusters make every member contained in

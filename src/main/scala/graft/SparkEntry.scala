@@ -24,7 +24,7 @@ object SparkEntry {
       core.TpchMore.queries ++ ops.MmrSearch.queries ++ etl.Reconcile.queries ++
       core.StatsQueries.queries ++ ops.AnnEval.queries ++ ops.Collocations.queries ++
       mart.TrendingQueries.queries ++ mart.DiscoveryQueries.queries ++
-      etl.UserPurge.queries
+      etl.UserPurge.queries ++ ops.Recommend.queries ++ core.HoltForecast.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -42,5 +42,6 @@ object SparkEntry {
       core.EngagementQueries.oracleSql ++ core.TpchMore.oracleSql ++ ops.MmrSearch.oracleSql ++
       etl.Reconcile.oracleSql ++ core.StatsQueries.oracleSql ++
       ops.Collocations.oracleSql ++ mart.TrendingQueries.oracleSql ++
-      mart.DiscoveryQueries.oracleSql ++ etl.UserPurge.oracleSql
+      mart.DiscoveryQueries.oracleSql ++ etl.UserPurge.oracleSql ++
+      ops.Recommend.oracleSql ++ core.HoltForecast.oracleSql
 }

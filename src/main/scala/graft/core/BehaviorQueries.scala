@@ -1,6 +1,7 @@
 package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -471,7 +472,81 @@ object BehaviorQueries {
       |FROM z
       |ORDER BY event_type, day""".stripMargin
 
+  /** Top user-journey trigrams: the most common 3-step event-type paths
+    * taken INSIDE a session (the sessionize_events 30-min-gap sessions,
+    * re-derived with the identical window so the two entries can never
+    * disagree on session boundaries). The journey miner behind funnel
+    * design — funnels test paths someone hypothesized; this surfaces the
+    * paths users actually walk. Counts are exact integers; top-20 cut
+    * ordered (count desc, path asc); path emitted as one flat string
+    * ("a>b>c" — SchemaContract-safe). Shape: the session window is
+    * partitioned by (user, session), the trigram count is one partial
+    * agg on a low-cardinality key (|types|³ ≤ a few thousand), and the
+    * final rank runs over the 20-row aggregate — nothing single-
+    * partition ever sees raw events.
+    */
+  def eventsPathTopk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"event_type",
+        unix_timestamp($"ts").as("ts_sec"))
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts_sec", $"event_id")
+    val newSess = when($"ts_sec" - lag($"ts_sec", 1).over(byUser) > lit(1800), lit(1))
+      .otherwise(lit(0))
+    val sess = ev
+      .withColumn("is_new", when(lag($"ts_sec", 1).over(byUser).isNull, lit(1)).otherwise(newSess))
+      .withColumn("session_seq", sum($"is_new").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val inSess = Window.partitionBy($"user_id", $"session_seq").orderBy($"ts_sec", $"event_id")
+    val tri = sess
+      .withColumn("t2", lead($"event_type", 1).over(inSess))
+      .withColumn("t3", lead($"event_type", 2).over(inSess))
+      .filter($"t2".isNotNull && $"t3".isNotNull)
+      .select(concat_ws(">", $"event_type", $"t2", $"t3").as("path"))
+    val top = tri.groupBy($"path").agg(count(lit(1)).as("n_sessions_walked"))
+      .orderBy($"n_sessions_walked".desc, $"path")
+      .limit(20)
+    top.withColumn("rank", row_number().over(
+        Window.partitionBy(pmod(length($"path"), lit(1)))
+          .orderBy($"n_sessions_walked".desc, $"path")).cast("long"))
+      .orderBy($"rank")
+  }
+
+  val eventsPathTopkSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, event_type,
+      |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ts_sec
+      |  FROM events
+      |), flagged AS (
+      |  SELECT *,
+      |    CASE WHEN lag(ts_sec) OVER w IS NULL THEN 1
+      |         WHEN ts_sec - lag(ts_sec) OVER w > 1800 THEN 1
+      |         ELSE 0 END AS is_new
+      |  FROM ev
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)
+      |), sessions AS (
+      |  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      |  FROM flagged
+      |), tri AS (
+      |  SELECT event_type || '>' || lead(event_type, 1) OVER s
+      |      || '>' || lead(event_type, 2) OVER s AS path,
+      |    lead(event_type, 2) OVER s AS t3
+      |  FROM sessions
+      |  WINDOW s AS (PARTITION BY user_id, session_seq ORDER BY ts_sec, event_id)
+      |)
+      |SELECT path, n_sessions_walked,
+      |  row_number() OVER (ORDER BY n_sessions_walked DESC, path) AS rank
+      |FROM (
+      |  SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions_walked
+      |  FROM tri WHERE t3 IS NOT NULL
+      |  GROUP BY path
+      |)
+      |ORDER BY n_sessions_walked DESC, path
+      |LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_path_topk"      -> (eventsPathTopk _),
     "events_anomaly_trailing" -> (eventsAnomalyTrailing _),
     "events_dau_wau"        -> (eventsDauWau _),
     "events_anomaly"        -> (eventsAnomaly _),
@@ -482,6 +557,7 @@ object BehaviorQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "events_path_topk"      -> eventsPathTopkSql,
     "events_anomaly_trailing" -> eventsAnomalyTrailingSql,
     "events_dau_wau"        -> eventsDauWauSql,
     "events_anomaly"        -> eventsAnomalySql,

@@ -380,7 +380,74 @@ object StatsQueries {
       |GROUP BY decile
       |ORDER BY decile""".stripMargin
 
+  /** Autocorrelation of daily volume at lags 1–7 — the periodicity
+    * detector behind the seasonality heatmap (the heatmap SHOWS the
+    * weekly cycle; the ACF MEASURES it: a peak at lag 7 = weekly
+    * rhythm). Pairs are matched on CALENDAR day (a self-join on
+    * day + lag, not a row-offset window), so gap days don't smear lags.
+    * Exactness: daily counts are integers, so all five sufficient sums
+    * per (type, lag) are exact BIGINTs and the Pearson formula is the
+    * [[eventsValueCorr]] correctly-rounded-doubles discipline. The lag
+    * dimension rides an exploded 7-element literal: one join, one
+    * shuffle on (type, day), never 7 passes.
+    */
+  def eventsAutocorr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, dir)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val lagged = daily
+      .withColumn("lag", explode(typedLit((1 to 7).map(_.toLong))))
+      .select($"event_type", expr("date_add(day, int(lag))").as("day"),
+        $"lag", $"n".as("x"))
+    val pairs = lagged.join(daily.select($"event_type", $"day", $"n".as("y")),
+      Seq("event_type", "day"))
+    val stats = pairs.groupBy($"event_type", $"lag")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"),
+        sum($"x" * $"y").as("sxy"))
+    val nD = $"n_pairs".cast("double")
+    val covN = nD * $"sxy".cast("double") - $"sx".cast("double") * $"sy".cast("double")
+    val varX = nD * $"sxx".cast("double") - $"sx".cast("double") * $"sx".cast("double")
+    val varY = nD * $"syy".cast("double") - $"sy".cast("double") * $"sy".cast("double")
+    stats.select($"event_type", $"lag", $"n_pairs",
+      (covN / (sqrt(varX) * sqrt(varY))).as("acf"))
+      .orderBy($"event_type", $"lag")
+  }
+
+  val eventsAutocorrSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2
+      |), lagged AS (
+      |  SELECT event_type, day + CAST(lag AS INTEGER) AS day2,
+      |    CAST(lag AS BIGINT) AS lag, n AS x
+      |  FROM daily, UNNEST(range(1, 8)) AS r(lag)
+      |), pairs AS (
+      |  SELECT l.event_type, l.lag, l.x, d.n AS y
+      |  FROM lagged l JOIN daily d
+      |    ON l.event_type = d.event_type AND l.day2 = d.day
+      |), stats AS (
+      |  SELECT event_type, lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |    CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy,
+      |    CAST(SUM(x * y) AS BIGINT) AS sxy
+      |  FROM pairs GROUP BY 1, 2
+      |)
+      |SELECT event_type, lag, n_pairs,
+      |  (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |  / (sqrt(CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |   * sqrt(CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+      |       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS acf
+      |FROM stats
+      |ORDER BY event_type, lag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_autocorr" -> (eventsAutocorr _),
     "events_value_corr" -> (eventsValueCorr _),
     "events_forecast_ses" -> (eventsForecastSes _),
     "agg_quantiles_iqr" -> (aggQuantilesIqr _),
@@ -389,6 +456,7 @@ object StatsQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "events_autocorr" -> eventsAutocorrSql,
     "events_value_corr" -> eventsValueCorrSql,
     "events_forecast_ses" -> eventsForecastSesSql,
     "agg_quantiles_iqr" -> aggQuantilesIqrSql,

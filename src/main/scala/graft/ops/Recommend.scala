@@ -1,0 +1,187 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Item-item collaborative filtering over the listening history — the
+  * recommendation surface the reference's dashboard stops short of
+  * (reference dashboard/dashboard_queries.py ranks what a user ALREADY
+  * plays; this ranks what similar listeners play that they don't).
+  * Role mapping as in [[graft.mart.MartQueries]]: user = o_custkey,
+  * track = l_partkey, a "listen" = a fact row.
+  *
+  * Exactness: neighbor similarity is cosine over binary user vectors,
+  * cos(a,b) = co / sqrt(n_a·n_b) — co-listener and audience counts are
+  * exact BIGINTs, the product is far under 2^53, and sqrt + one divide
+  * are both IEEE correctly-rounded, so the doubles hash-match across
+  * engines (the [[graft.core.StatsQueries]] Pearson discipline). The
+  * user-level score is a plain BIGINT sum of co-listener counts —
+  * summing the irrational cosines would be float-order-dependent;
+  * co-count-weighted scoring is the standard integer variant and keeps
+  * the whole entry hash-checkable.
+  *
+  * Scale shape: the pair generator is a self-equi-join on user_id —
+  * shuffle on the user key, never a cross join. The power-listener cap
+  * (top [[maxItemsPerUser]] tracks per user by listen count, ties by
+  * track id) bounds any one user's pair fan-out at K²; inert at test
+  * scale (~40 distinct tracks/user), it is what keeps the join linear
+  * in users at 100 TB where a scraper account with 10⁶ tracks would
+  * otherwise emit 10¹² pairs. Audience sizes are a broadcast dim (one
+  * row per track, the Collocations unigram device). Neighbor lists are
+  * cut to k per track BEFORE the user-score join, so recommendation
+  * fan-out is |listens|·k, not |listens|·|tracks|.
+  */
+object Recommend {
+
+  val maxItemsPerUser = 200
+  val topKNeighbors   = 5
+  val topNRecs        = 5
+  val minCoListeners  = 2
+
+  /** Distinct (user, track) listens with per-user listen counts, capped
+    * to the top [[maxItemsPerUser]] tracks per user (deterministic:
+    * count desc, track asc).
+    */
+  private[graft] def cappedListens(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li  = Tables.lineitem(spark, dir).select($"l_orderkey", $"l_partkey")
+    val ord = Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey")
+    val ui = li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_custkey".as("user_id"), $"l_partkey".as("item_id"))
+      .agg(count(lit(1)).as("n_listens"))
+    val wcap = Window.partitionBy($"user_id").orderBy($"n_listens".desc, $"item_id")
+    ui.withColumn("r", row_number().over(wcap))
+      .filter($"r" <= maxItemsPerUser)
+      .select($"user_id", $"item_id")
+  }
+
+  /** Top-k similar tracks per track: co-listener counts from the
+    * user-keyed self-join, cosine over the broadcast audience sizes,
+    * rank per track (cosine desc, neighbor id asc).
+    */
+  private[graft] def neighbors(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val listens = cappedListens(spark, dir)
+    val nu = listens.groupBy($"item_id").agg(count(lit(1)).as("n_users"))
+    val a = listens.select($"user_id", $"item_id".as("a"))
+    val b = listens.select($"user_id", $"item_id".as("b"))
+    val co = a.join(b, Seq("user_id"))
+      .filter($"a" < $"b")
+      .groupBy($"a", $"b").agg(count(lit(1)).as("co_users"))
+      .filter($"co_users" >= minCoListeners)
+    val sym = co.select($"a", $"b", $"co_users")
+      .union(co.select($"b".as("a"), $"a".as("b"), $"co_users"))
+    val scored = sym
+      .join(broadcast(nu.select($"item_id".as("a"), $"n_users".as("n_users_a"))), Seq("a"))
+      .join(broadcast(nu.select($"item_id".as("b"), $"n_users".as("n_users_b"))), Seq("b"))
+      .withColumn("cosine",
+        $"co_users".cast("double") / sqrt(($"n_users_a" * $"n_users_b").cast("double")))
+    val wr = Window.partitionBy($"a").orderBy($"cosine".desc, $"b")
+    scored.withColumn("rank", row_number().over(wr).cast("long"))
+      .filter($"rank" <= topKNeighbors)
+      .select($"a".as("item_id"), $"b".as("rec_item_id"),
+        $"co_users", $"n_users_a", $"n_users_b", $"cosine", $"rank")
+  }
+
+  /** §2 entry `rec_item_item_cf`: the track→track neighbor table. */
+  def recItemItemCf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    neighbors(spark, dir).orderBy($"item_id", $"rank")
+  }
+
+  /** §2 entry `rec_user_topn`: per-user recommendations — each listened
+    * track votes for its k neighbors, votes sum by exact BIGINT
+    * co-listener weight, already-listened tracks anti-joined out, top
+    * [[topNRecs]] per user (score desc, track asc). n_via = how many of
+    * the user's tracks endorse the recommendation.
+    */
+  def recUserTopn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val listens = cappedListens(spark, dir)
+    val nb = neighbors(spark, dir).select($"item_id", $"rec_item_id", $"co_users")
+    val votes = listens.join(nb, Seq("item_id"))
+      .groupBy($"user_id", $"rec_item_id")
+      .agg(sum($"co_users").as("score"), count(lit(1)).as("n_via"))
+    val novel = votes.join(
+      listens.select($"user_id", $"item_id".as("rec_item_id")),
+      Seq("user_id", "rec_item_id"), "left_anti")
+    val wr = Window.partitionBy($"user_id").orderBy($"score".desc, $"rec_item_id")
+    novel.withColumn("rank", row_number().over(wr).cast("long"))
+      .filter($"rank" <= topNRecs)
+      .select($"user_id", $"rec_item_id", $"score", $"n_via", $"rank")
+      .orderBy($"user_id", $"rank")
+  }
+
+  private val cappedCte: String =
+    s"""WITH ui AS (
+       |  SELECT o_custkey AS user_id, l_partkey AS item_id, COUNT(*) AS n_listens
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  GROUP BY 1, 2
+       |), capped AS (
+       |  SELECT user_id, item_id FROM (
+       |    SELECT user_id, item_id,
+       |      row_number() OVER (PARTITION BY user_id ORDER BY n_listens DESC, item_id) AS r
+       |    FROM ui
+       |  ) WHERE r <= $maxItemsPerUser
+       |), nu AS (
+       |  SELECT item_id, CAST(COUNT(*) AS BIGINT) AS n_users FROM capped GROUP BY item_id
+       |), co AS (
+       |  SELECT x.item_id AS a, y.item_id AS b, CAST(COUNT(*) AS BIGINT) AS co_users
+       |  FROM capped x JOIN capped y ON x.user_id = y.user_id AND x.item_id < y.item_id
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $minCoListeners
+       |), sym AS (
+       |  SELECT a, b, co_users FROM co UNION ALL SELECT b AS a, a AS b, co_users FROM co
+       |), nbr AS (
+       |  SELECT * FROM (
+       |    SELECT sym.a AS item_id, sym.b AS rec_item_id, co_users,
+       |      na.n_users AS n_users_a, nb.n_users AS n_users_b,
+       |      CAST(co_users AS DOUBLE) / sqrt(CAST(na.n_users * nb.n_users AS DOUBLE)) AS cosine,
+       |      row_number() OVER (PARTITION BY sym.a
+       |        ORDER BY CAST(co_users AS DOUBLE) / sqrt(CAST(na.n_users * nb.n_users AS DOUBLE)) DESC,
+       |        sym.b) AS rank
+       |    FROM sym
+       |    JOIN nu na ON sym.a = na.item_id
+       |    JOIN nu nb ON sym.b = nb.item_id
+       |  ) WHERE rank <= $topKNeighbors
+       |)""".stripMargin
+
+  val recItemItemCfSql: String =
+    s"""$cappedCte
+       |SELECT item_id, rec_item_id, co_users, n_users_a, n_users_b, cosine,
+       |  CAST(rank AS BIGINT) AS rank
+       |FROM nbr
+       |ORDER BY item_id, rank""".stripMargin
+
+  val recUserTopnSql: String =
+    s"""$cappedCte, votes AS (
+       |  SELECT c.user_id, n.rec_item_id,
+       |    CAST(SUM(n.co_users) AS BIGINT) AS score, CAST(COUNT(*) AS BIGINT) AS n_via
+       |  FROM capped c JOIN nbr n ON c.item_id = n.item_id
+       |  GROUP BY 1, 2
+       |), novel AS (
+       |  SELECT v.* FROM votes v
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM capped c
+       |    WHERE c.user_id = v.user_id AND c.item_id = v.rec_item_id)
+       |)
+       |SELECT user_id, rec_item_id, score, n_via, CAST(rank AS BIGINT) AS rank
+       |FROM (
+       |  SELECT user_id, rec_item_id, score, n_via,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY score DESC, rec_item_id) AS rank
+       |  FROM novel
+       |) WHERE rank <= $topNRecs
+       |ORDER BY user_id, rank""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rec_item_item_cf" -> (recItemItemCf _),
+    "rec_user_topn"    -> (recUserTopn _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "rec_item_item_cf" -> recItemItemCfSql,
+    "rec_user_topn"    -> recUserTopnSql
+  )
+}

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Item-item CF invariants: neighbor symmetry before the top-k cut,
+  * cosine bounds, the power-listener cap's determinism, and that user
+  * recommendations are novel (never already-listened) and correctly
+  * integer-scored. Value-level correctness is the DuckDB gate.
+  */
+class RecommendSpec extends SparkSuite {
+
+  private lazy val nbr  = ops.Recommend.recItemItemCf(spark, sf).cache()
+  private lazy val recs = ops.Recommend.recUserTopn(spark, sf).cache()
+
+  test("neighbor cosine is in (0, 1] and co <= min(audiences)") {
+    val bad = nbr.filter(col("cosine") <= 0 || col("cosine") > 1.0 + 1e-12 ||
+      col("co_users") > least(col("n_users_a"), col("n_users_b")))
+    assert(bad.count() == 0)
+    assert(nbr.count() > 0)
+  }
+
+  test("ranks are 1..k dense per item, ordered by (cosine desc, id)") {
+    import spark.implicits._
+    val perItem = nbr.select($"item_id", $"rank", $"cosine", $"rec_item_id")
+      .collect().groupBy(_.getLong(0))
+    assert(perItem.nonEmpty)
+    perItem.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to sorted.length).toSeq)
+      val pairs = sorted.map(r => (-r.getDouble(2), r.getLong(3))).toSeq
+      assert(pairs == pairs.sorted, "rank order must follow (cosine desc, id asc)")
+    }
+  }
+
+  test("the similarity relation is symmetric before the top-k cut") {
+    // rebuild the uncut scored table via the private core: every (a,b)
+    // must appear as (b,a) with the identical cosine
+    import spark.implicits._
+    val listens = ops.Recommend.cappedListens(spark, sf)
+    val a = listens.select($"user_id", $"item_id".as("a"))
+    val b = listens.select($"user_id", $"item_id".as("b"))
+    val co = a.join(b, Seq("user_id")).filter($"a" < $"b")
+      .groupBy($"a", $"b").agg(count(lit(1)).as("co"))
+      .filter($"co" >= ops.Recommend.minCoListeners)
+    val fwd = co.select($"a", $"b", $"co")
+    val rev = co.select($"b".as("a"), $"a".as("b"), $"co")
+    // the neighbor table is built from fwd UNION rev: check both merged
+    // directions agree with nbr on every surviving (item, rec) pair
+    val got = nbr.select($"item_id".as("a"), $"rec_item_id".as("b"), $"co_users".as("co"))
+    assert(got.join(fwd.union(rev), Seq("a", "b", "co"), "left_anti").count() == 0)
+  }
+
+  test("power-listener cap keeps at most K tracks per user, deterministically") {
+    import spark.implicits._
+    val capped = ops.Recommend.cappedListens(spark, sf)
+    val over = capped.groupBy($"user_id").agg(count(lit(1)).as("n"))
+      .filter($"n" > ops.Recommend.maxItemsPerUser)
+    assert(over.count() == 0)
+    // deterministic under re-evaluation (window ties broken by item id)
+    val c1 = capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val c2 = ops.Recommend.cappedListens(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(c1 == c2)
+  }
+
+  test("user recommendations are novel and integer-scored by co-counts") {
+    import spark.implicits._
+    val listened = ops.Recommend.cappedListens(spark, sf)
+      .select($"user_id", $"item_id".as("rec_item_id"))
+    assert(recs.join(listened, Seq("user_id", "rec_item_id")).count() == 0,
+      "a recommendation must never be an already-listened track")
+    assert(recs.count() > 0)
+    // score = sum of the voting neighbors' co_users: re-derive for one user
+    val u = recs.select($"user_id").head().getLong(0)
+    val nbrV = nbr.select($"item_id", $"rec_item_id", $"co_users")
+    val expect = ops.Recommend.cappedListens(spark, sf).filter($"user_id" === u)
+      .join(nbrV, Seq("item_id"))
+      .groupBy($"rec_item_id").agg(sum($"co_users").as("s"), count(lit(1)).as("v"))
+      .join(listened.filter($"user_id" === u).select($"rec_item_id"), Seq("rec_item_id"), "left_anti")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = recs.filter($"user_id" === u)
+      .select($"rec_item_id", $"score", $"n_via")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.subsetOf(expect), "served scores must equal the re-derived vote sums")
+  }
+}
