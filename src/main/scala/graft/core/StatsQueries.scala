@@ -122,11 +122,13 @@ object StatsQueries {
     * The corpus max day enters as a plan-side broadcast scalar (the
     * delta_load watermark device — no collect).
     */
-  def eventsForecastSes(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val daily = Tables.events(spark, dir)
-      .groupBy($"event_type", to_date($"ts").as("day"))
-      .agg(count(lit(1)).as("n"))
+  /** The SES filter over a (event_type, day, n) daily-count frame —
+    * shared by the batch entry and the streaming serve
+    * ([[graft.streaming.ForecastStream]]), so streamed and backfilled
+    * corpora produce bit-identical forecasts.
+    */
+  private[graft] def sesOn(daily: DataFrame): DataFrame = {
+    import daily.sparkSession.implicits._
     val mx = daily.agg(max($"day").as("max_day"))
     daily.crossJoin(broadcast(mx))
       .withColumn("age", datediff($"max_day", $"day"))
@@ -137,6 +139,13 @@ object StatsQueries {
         sum($"n" * $"w").as("forecast_scaled"))
       .withColumn("forecast_next_day", $"forecast_scaled".cast("double") / 1073741824.0)
       .orderBy($"event_type")
+  }
+
+  def eventsForecastSes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    sesOn(Tables.events(spark, dir)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("n")))
   }
 
   val eventsForecastSesSql: String =
@@ -391,11 +400,11 @@ object StatsQueries {
     * dimension rides an exploded 7-element literal: one join, one
     * shuffle on (type, day), never 7 passes.
     */
-  def eventsAutocorr(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val daily = Tables.events(spark, dir)
-      .groupBy($"event_type", to_date($"ts").as("day"))
-      .agg(count(lit(1)).as("n"))
+  /** The ACF core over a (event_type, day, n) daily-count frame —
+    * shared by the batch entry and the streaming serve.
+    */
+  private[graft] def acfOn(daily: DataFrame): DataFrame = {
+    import daily.sparkSession.implicits._
     val lagged = daily
       .withColumn("lag", explode(typedLit((1 to 7).map(_.toLong))))
       .select($"event_type", expr("date_add(day, int(lag))").as("day"),
@@ -414,6 +423,13 @@ object StatsQueries {
     stats.select($"event_type", $"lag", $"n_pairs",
       (covN / (sqrt(varX) * sqrt(varY))).as("acf"))
       .orderBy($"event_type", $"lag")
+  }
+
+  def eventsAutocorr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    acfOn(Tables.events(spark, dir)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("n")))
   }
 
   val eventsAutocorrSql: String =
