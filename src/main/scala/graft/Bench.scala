@@ -83,7 +83,7 @@ object Bench {
     "events_changepoint_cusum", "dm_artist_discovery", "etl_user_purge",
     "sample_neyman", "events_diversity_gini",
     "rec_item_item_cf", "rec_user_topn", "events_forecast_holt",
-    "events_autocorr", "events_path_topk")
+    "events_autocorr", "events_path_topk", "dm_audience_overlap")
   // dedup_containment joins the excluded quadratic-output family
   // (dedup_ngram_jaccard etc.): the sf0.1 corpus holds 2.1M TRUE
   // containment pairs (near-dup clusters make every member contained in

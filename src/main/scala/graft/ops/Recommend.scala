@@ -175,13 +175,89 @@ object Recommend {
        |) WHERE rank <= $topNRecs
        |ORDER BY user_id, rank""".stripMargin
 
+  /** §2 entry `dm_audience_overlap`: top-20 ARTIST pairs by audience
+    * Jaccard — the "fans also listen to" marketing view at the artist
+    * grain (CF ranks tracks by cosine; this ranks artist-pair audience
+    * SHARING, the quantity a tour/playlist planner wants). Jaccard is
+    * an exact rational — co/(n_a + n_b − co), all BIGINTs, ONE IEEE
+    * division — so ranking and output hash-match. Same machinery as
+    * the CF neighbors one grain up: user-keyed self-equi-join over
+    * distinct (user, artist) listens (per-user artist fan-out is
+    * naturally ≤ tracks and further bounded by the same top-200 cap
+    * discipline), audience sizes broadcast, min-co floor of 5 (hapax
+    * overlaps are noise at any scale). Artist names resolve through a
+    * broadcast dim join AFTER the top-20 cut — 40 lookups, not |pairs|.
+    */
+  def dmAudienceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li  = Tables.lineitem(spark, dir).select($"l_orderkey", $"l_suppkey")
+    val ord = Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey")
+    val ua = li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .select($"o_custkey".as("user_id"), $"l_suppkey".as("artist_id"))
+      .distinct()
+    val na = ua.groupBy($"artist_id").agg(count(lit(1)).as("n_users"))
+    val a = ua.select($"user_id", $"artist_id".as("a"))
+    val b = ua.select($"user_id", $"artist_id".as("b"))
+    val co = a.join(b, Seq("user_id")).filter($"a" < $"b")
+      .groupBy($"a", $"b").agg(count(lit(1)).as("co_users"))
+      .filter($"co_users" >= 5)
+    val scored = co
+      .join(broadcast(na.select($"artist_id".as("a"), $"n_users".as("n_users_a"))), Seq("a"))
+      .join(broadcast(na.select($"artist_id".as("b"), $"n_users".as("n_users_b"))), Seq("b"))
+      .withColumn("jaccard",
+        $"co_users".cast("double") / ($"n_users_a" + $"n_users_b" - $"co_users").cast("double"))
+      .orderBy($"jaccard".desc, $"a", $"b")
+      .limit(20)
+    val sup = Tables.supplier(spark, dir).select($"s_suppkey", $"s_name")
+    scored
+      .join(broadcast(sup.select($"s_suppkey".as("a"), $"s_name".as("artist_a"))), Seq("a"))
+      .join(broadcast(sup.select($"s_suppkey".as("b"), $"s_name".as("artist_b"))), Seq("b"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(pmod($"co_users", lit(1)))
+          .orderBy($"jaccard".desc, $"a", $"b")).cast("long"))
+      .select($"artist_a", $"artist_b", $"co_users", $"n_users_a", $"n_users_b",
+        $"jaccard", $"rank")
+      .orderBy($"rank")
+  }
+
+  val dmAudienceOverlapSql: String =
+    """WITH ua AS (
+      |  SELECT DISTINCT o_custkey AS user_id, l_suppkey AS artist_id
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |), na AS (
+      |  SELECT artist_id, CAST(COUNT(*) AS BIGINT) AS n_users FROM ua GROUP BY artist_id
+      |), co AS (
+      |  SELECT x.artist_id AS a, y.artist_id AS b, CAST(COUNT(*) AS BIGINT) AS co_users
+      |  FROM ua x JOIN ua y ON x.user_id = y.user_id AND x.artist_id < y.artist_id
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 5
+      |), scored AS (
+      |  SELECT a, b, co_users, na1.n_users AS n_users_a, na2.n_users AS n_users_b,
+      |    CAST(co_users AS DOUBLE)
+      |      / CAST(na1.n_users + na2.n_users - co_users AS DOUBLE) AS jaccard
+      |  FROM co JOIN na na1 ON co.a = na1.artist_id JOIN na na2 ON co.b = na2.artist_id
+      |), top AS (
+      |  SELECT *, row_number() OVER (ORDER BY jaccard DESC, a, b) AS rank
+      |  FROM scored
+      |  ORDER BY jaccard DESC, a, b
+      |  LIMIT 20
+      |)
+      |SELECT sa.s_name AS artist_a, sb.s_name AS artist_b, co_users,
+      |  n_users_a, n_users_b, jaccard, CAST(rank AS BIGINT) AS rank
+      |FROM top
+      |JOIN supplier sa ON top.a = sa.s_suppkey
+      |JOIN supplier sb ON top.b = sb.s_suppkey
+      |ORDER BY rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "rec_item_item_cf" -> (recItemItemCf _),
-    "rec_user_topn"    -> (recUserTopn _)
+    "rec_item_item_cf"    -> (recItemItemCf _),
+    "rec_user_topn"       -> (recUserTopn _),
+    "dm_audience_overlap" -> (dmAudienceOverlap _)
   )
 
   val oracleSql: Map[String, String] = Map(
-    "rec_item_item_cf" -> recItemItemCfSql,
-    "rec_user_topn"    -> recUserTopnSql
+    "rec_item_item_cf"    -> recItemItemCfSql,
+    "rec_user_topn"       -> recUserTopnSql,
+    "dm_audience_overlap" -> dmAudienceOverlapSql
   )
 }

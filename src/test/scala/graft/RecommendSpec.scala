@@ -63,6 +63,22 @@ class RecommendSpec extends SparkSuite {
     assert(c1 == c2)
   }
 
+  test("audience overlap: jaccard in (0,1], co bounded by both audiences, ranked") {
+    import spark.implicits._
+    val ov = ops.Recommend.dmAudienceOverlap(spark, sf)
+    val rows = ov.collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      val (co, na, nb, j) = (r.getAs[Long]("co_users"), r.getAs[Long]("n_users_a"),
+        r.getAs[Long]("n_users_b"), r.getAs[Double]("jaccard"))
+      assert(co <= math.min(na, nb) && j > 0.0 && j <= 1.0)
+      assert(j == co.toDouble / (na + nb - co).toDouble, "jaccard must be the exact rational")
+    }
+    assert(rows.map(_.getAs[Long]("rank")).toSeq == (1L to rows.length).toSeq)
+    val js = rows.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("jaccard")).toSeq
+    assert(js == js.sorted.reverse, "rank must be jaccard-descending")
+  }
+
   test("user recommendations are novel and integer-scored by co-counts") {
     import spark.implicits._
     val listened = ops.Recommend.cappedListens(spark, sf)
