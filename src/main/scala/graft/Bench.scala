@@ -83,7 +83,8 @@ object Bench {
     "events_changepoint_cusum", "dm_artist_discovery", "etl_user_purge",
     "sample_neyman", "events_diversity_gini",
     "rec_item_item_cf", "rec_user_topn", "events_forecast_holt",
-    "events_autocorr", "events_path_topk", "dm_audience_overlap")
+    "events_autocorr", "events_path_topk", "dm_audience_overlap",
+    "rec_item_item_cf_persisted")
   // dedup_containment joins the excluded quadratic-output family
   // (dedup_ngram_jaccard etc.): the sf0.1 corpus holds 2.1M TRUE
   // containment pairs (near-dup clusters make every member contained in
@@ -146,6 +147,7 @@ object Bench {
     runOnce("ann_topk_ivfpq_persisted")
     runOnce("ann_topk_pca_persisted")
     runOnce("layout_zorder_pruned") // first call writes the layout
+    runOnce("rec_item_item_cf_persisted") // first call runs save+append
 
     val results = headline.map(n => n -> run(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

@@ -24,7 +24,8 @@ object SparkEntry {
       core.TpchMore.queries ++ ops.MmrSearch.queries ++ etl.Reconcile.queries ++
       core.StatsQueries.queries ++ ops.AnnEval.queries ++ ops.Collocations.queries ++
       mart.TrendingQueries.queries ++ mart.DiscoveryQueries.queries ++
-      etl.UserPurge.queries ++ ops.Recommend.queries ++ core.HoltForecast.queries
+      etl.UserPurge.queries ++ ops.Recommend.queries ++ core.HoltForecast.queries ++
+      ops.CfIndex.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -43,5 +44,6 @@ object SparkEntry {
       etl.Reconcile.oracleSql ++ core.StatsQueries.oracleSql ++
       ops.Collocations.oracleSql ++ mart.TrendingQueries.oracleSql ++
       mart.DiscoveryQueries.oracleSql ++ etl.UserPurge.oracleSql ++
-      ops.Recommend.oracleSql ++ core.HoltForecast.oracleSql
+      ops.Recommend.oracleSql ++ core.HoltForecast.oracleSql ++
+      ops.CfIndex.oracleSql
 }
