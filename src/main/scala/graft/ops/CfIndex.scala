@@ -135,6 +135,76 @@ object CfIndex {
       .orderBy($"item_id", $"rank")
   }
 
+  /** Compact the delta ledgers: each ledger's appended delta files
+    * collapse into their aggregated net form (the compactPostingBuckets
+    * discipline — serve-time aggregation cost is O(appended deltas), so
+    * a long-running ingest loop compacts periodically to keep it
+    * O(net state)). Aggregation-then-overwrite is EXACT: summed deltas
+    * ARE the net counts, so a compacted index serves bit-identically
+    * (spec-pinned); zero-net rows drop. localCheckpoint materializes
+    * the aggregate before the dir being read is overwritten. Returns
+    * per-ledger (files before, files after).
+    */
+  def compactCfIndex(spark: SparkSession, indexPath: String): Map[String, (Int, Int)] = {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    def files(sub: String): Int = {
+      val p = new Path(s"$indexPath/$sub")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet")) else 0
+    }
+    def rewrite(sub: String, agg: DataFrame => DataFrame): (Int, Int) = {
+      val before = files(sub)
+      if (before > 0) {
+        agg(spark.read.parquet(s"$indexPath/$sub"))
+          .coalesce(1).localCheckpoint()
+          .write.mode("overwrite").parquet(s"$indexPath/$sub")
+      }
+      (before, files(sub))
+    }
+    Map(
+      "uic" -> rewrite("uic", df => df.groupBy($"user_id", $"item_id")
+        .agg(sum($"n").as("n")).filter($"n" =!= 0)),
+      "co" -> rewrite("co", df => df.groupBy($"a", $"b")
+        .agg(sum($"d").as("d")).filter($"d" =!= 0)),
+      "nu" -> rewrite("nu", df => df.groupBy($"item_id")
+        .agg(sum($"d").as("d")).filter($"d" =!= 0)))
+  }
+
+  /** Per-user recommendations served from the SAME ledgers — the
+    * one-state-many-views discipline (MartStream.serveTopArtists): the
+    * capped listen sets fall out of the aggregated `uic/` ledger, the
+    * neighbor table out of `co/`+`nu/`, and the voting tail is
+    * [[Recommend.recUserTopn]]'s exactly. No fact scan.
+    */
+  def serveCfUserTopn(spark: SparkSession, indexPath: String): DataFrame = {
+    import spark.implicits._
+    val listens = cappedOf(spark.read.parquet(s"$indexPath/uic")
+      .groupBy($"user_id", $"item_id").agg(sum($"n").as("n")).filter($"n" > 0))
+    val nb = serveCfNeighbors(spark, indexPath)
+      .select($"item_id", $"rec_item_id", $"co_users")
+    val votes = listens.join(nb, Seq("item_id"))
+      .groupBy($"user_id", $"rec_item_id")
+      .agg(sum($"co_users").as("score"), count(lit(1)).as("n_via"))
+    val novel = votes.join(
+      listens.select($"user_id", $"item_id".as("rec_item_id")),
+      Seq("user_id", "rec_item_id"), "left_anti")
+    val wr = Window.partitionBy($"user_id").orderBy($"score".desc, $"rec_item_id")
+    novel.withColumn("rank", row_number().over(wr).cast("long"))
+      .filter($"rank" <= Recommend.topNRecs)
+      .select($"user_id", $"rec_item_id", $"score", $"n_via", $"rank")
+      .orderBy($"user_id", $"rank")
+  }
+
+  /** §2 entry `rec_user_topn_persisted`: user recommendations off the
+    * built-by-append index; shares the in-session entry's full-corpus
+    * oracle (the same append==rebuild proof as the neighbor entry).
+    */
+  def recUserTopnPersisted(spark: SparkSession, dir: String): DataFrame = {
+    recItemItemCfPersisted(spark, dir) // ensures the index exists (cached)
+    serveCfUserTopn(spark, savedCfIndexes((spark, dir)))
+  }
+
   /** Raw (user_id, item_id, o_orderkey) listen rows; the order key rides
     * along for the CDC-style deterministic modulus split.
     */
@@ -175,11 +245,13 @@ object CfIndex {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "rec_item_item_cf_persisted" -> (recItemItemCfPersisted _)
+    "rec_item_item_cf_persisted" -> (recItemItemCfPersisted _),
+    "rec_user_topn_persisted"    -> (recUserTopnPersisted _)
   )
 
-  /** Same oracle as the in-session twin: the full-corpus neighbor table. */
+  /** Same oracles as the in-session twins: the full-corpus results. */
   val oracleSql: Map[String, String] = Map(
-    "rec_item_item_cf_persisted" -> Recommend.recItemItemCfSql
+    "rec_item_item_cf_persisted" -> Recommend.recItemItemCfSql,
+    "rec_user_topn_persisted"    -> Recommend.recUserTopnSql
   )
 }

@@ -71,6 +71,38 @@ class CfIndexSpec extends SparkSuite {
     assert(nu(K.toLong) == 0L, s"displaced item $K must have rolled back to 0")
   }
 
+  test("compaction shrinks the ledgers and serves bit-identically") {
+    import spark.implicits._
+    val all = listensAll()
+    val dir = Files.createTempDirectory("graft_cf_compact").toString
+    ops.CfIndex.saveCfIndex(all.filter($"o_orderkey" % 3 =!= 0).select($"user_id", $"item_id"), dir)
+    ops.CfIndex.appendToCfIndex(all.filter($"o_orderkey" % 3 === 0).select($"user_id", $"item_id"), dir)
+    val before = seqOf(ops.CfIndex.serveCfNeighbors(spark, dir))
+    val report = ops.CfIndex.compactCfIndex(spark, dir)
+    assert(seqOf(ops.CfIndex.serveCfNeighbors(spark, dir)) == before,
+      "compaction changed the served neighbor table")
+    assert(report("co")._2 <= report("co")._1 && report("co")._2 >= 1)
+    assert(report.values.forall(_._2 == 1), "each ledger must compact to one file")
+    // idempotent: a second compaction is a no-op in content
+    ops.CfIndex.compactCfIndex(spark, dir)
+    assert(seqOf(ops.CfIndex.serveCfNeighbors(spark, dir)) == before)
+  }
+
+  test("user top-N served from the ledgers == in-session rec_user_topn") {
+    val served = seqOf(ops.CfIndex.recUserTopnPersisted(spark, sf))
+    val inSess = seqOf(ops.Recommend.recUserTopn(spark, sf))
+    assert(served == inSess)
+    assert(served.nonEmpty)
+  }
+
+  private def listensAll() = {
+    import spark.implicits._
+    val li  = Tables.lineitem(spark, sf).select($"l_orderkey", $"l_partkey")
+    val ord = Tables.orders(spark, sf).select($"o_orderkey", $"o_custkey")
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .select($"o_custkey".as("user_id"), $"l_partkey".as("item_id"), $"o_orderkey")
+  }
+
   test("serve plan reads only the ledgers, never the fact tables") {
     val df = ops.CfIndex.recItemItemCfPersisted(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
