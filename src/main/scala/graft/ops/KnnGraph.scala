@@ -478,7 +478,62 @@ object KnnGraph {
        |FROM deg d LEFT JOIN pernode p ON d.vec_id = p.vec_id
        |ORDER BY d.vec_id""".stripMargin
 
+  /** Synchronous label propagation over an undirected edge list: each
+    * round every node adopts the MODE over its neighbors' labels PLUS
+    * ITS OWN (tie → smallest label), labels initialized to the node id.
+    * The self-vote is the damping that kills synchronous LPA's classic
+    * bipartite oscillation (a bare 2-node pair would swap labels
+    * forever; with the self-vote it converges to the min in one round)
+    * and covers isolated nodes for free. Deterministic by construction
+    * — the argmax is max(struct(count, −label)), a total order, so no
+    * run-to-run or partitioning drift (classic ASYNC LPA is famously
+    * visit-order-dependent; the synchronous+total-order variant trades
+    * a little convergence speed for engine-grade reproducibility).
+    * Each round is ONE equi-join of the n-row label table to the edge
+    * table plus TWO bounded groupBys; labels localCheckpoint per round
+    * (the Lloyd/PageRank plan-depth discipline).
+    */
+  private[graft] def lpCommunities(edges: DataFrame, nodes: DataFrame, rounds: Int): DataFrame = {
+    import edges.sparkSession.implicits._
+    val selfLoops = nodes.select($"vec_id".as("src"), $"vec_id".as("dst"))
+    val voteEdges = edges.select($"src", $"dst").union(selfLoops).localCheckpoint()
+    var labels = nodes.select($"vec_id", $"vec_id".as("label")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      labels = voteEdges
+        .join(labels.select($"vec_id".as("src"), $"label"), Seq("src"))
+        .groupBy($"dst", $"label").agg(count(lit(1)).as("c"))
+        .groupBy($"dst").agg(max(struct($"c", (-$"label").as("nl"))).as("m"))
+        .select($"dst".as("vec_id"), (-$"m.nl").as("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
+  /** §2 entry `knn_graph_communities`: mode-based label-propagation
+    * communities over the MUTUAL IVF kNN graph — the sub-component
+    * structure the connected-components entry can't see (CC merges any
+    * two cliques that share one bridge edge; LP keeps them apart unless
+    * the bridge out-votes a side's internal cohesion). 5 synchronous
+    * rounds; rows-only by §2 design (iterative mode-argmax), pinned by
+    * CommunitySpec: planted-clique convergence, refinement of the CC
+    * clusters, bit-identical re-runs.
+    */
+  def knnGraphCommunities(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val knn = withMutual(ivfEdges(spark, dir))
+    val edges = knn.filter($"mutual")
+      .select($"vec_id".as("src"), $"neighbor_id".as("dst"))
+      .localCheckpoint() // mutual edges carry both directions already
+    val nodes = VectorAgg.quantized(spark, dir).select($"vec_id")
+    val labels = lpCommunities(edges.select($"src", $"dst"), nodes, rounds = 5)
+    val sizes = labels.groupBy($"label").agg(count(lit(1)).as("community_size"))
+    labels.join(sizes, Seq("label"))
+      .select($"vec_id", $"label".as("community"), $"community_size")
+      .orderBy($"vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_graph_communities" -> (knnGraphCommunities _),
     "knn_graph_triangles" -> (knnGraphTriangles _),
     "knn_graph_exact"    -> (knnGraphExact _),
     "knn_graph_ivf"      -> (knnGraphIvf _),
