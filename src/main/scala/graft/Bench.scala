@@ -85,7 +85,7 @@ object Bench {
     "rec_item_item_cf", "rec_user_topn", "events_forecast_holt",
     "events_autocorr", "events_path_topk", "dm_audience_overlap",
     "rec_item_item_cf_persisted", "rec_user_topn_persisted",
-    "knn_graph_communities")
+    "knn_graph_communities", "dm_cohort_ltv")
   // dedup_containment joins the excluded quadratic-output family
   // (dedup_ngram_jaccard etc.): the sf0.1 corpus holds 2.1M TRUE
   // containment pairs (near-dup clusters make every member contained in

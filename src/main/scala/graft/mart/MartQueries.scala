@@ -428,7 +428,79 @@ object MartQueries {
        |ORDER BY hours_played DESC, track, artist
        |LIMIT 25""".stripMargin
 
+  /** Cohort LIFETIME-VALUE matrix — the monetized completion of
+    * user_retention_cohort (retention counts who came back; this sums
+    * what each signup month's class has consumed by age N): cohort =
+    * a listener's first-listen month, age = whole months since, cell =
+    * that cohort's listening value in that month plus the running
+    * cumulative per founding member. Exactness: month age is pure
+    * integer arithmetic ((Δyear)·12 + Δmonth — months_between() rounds
+    * engine-specifically), period sums are DECIMAL-exact, the running
+    * cumulative is a window SUM over decimals (exact in both engines),
+    * and the per-user LTV is ONE final division — so the doubles
+    * hash-match. The cumulative window runs over the cohorts×ages
+    * AGGREGATE (bounded rows), never raw facts.
+    */
+  def cohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li  = Tables.lineitem(spark, dir).select($"l_orderkey", $"l_extendedprice")
+    val ord = Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey", $"o_orderdate")
+    val ev = li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .select($"o_custkey".as("user_id"), $"o_orderdate".as("d"),
+        dec($"l_extendedprice").as("v"))
+    val firsts = ev.groupBy($"user_id").agg(min($"d").as("cd"))
+    val sizes = firsts
+      .groupBy(date_format($"cd", "yyyy-MM").as("cohort_month"))
+      .agg(count(lit(1)).as("cohort_size"))
+    val cells = ev.join(firsts, Seq("user_id"))
+      .groupBy(date_format($"cd", "yyyy-MM").as("cohort_month"),
+        ((year($"d") - year($"cd")) * 12 + (month($"d") - month($"cd")))
+          .cast("long").as("age_months"))
+      .agg(countDistinct($"user_id").as("n_active_users"),
+        sum($"v").as("pv"))
+    val wc = Window.partitionBy($"cohort_month").orderBy($"age_months")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("cum", sum($"pv").over(wc))
+      .join(broadcast(sizes), Seq("cohort_month"))
+      .select($"cohort_month", $"age_months", $"n_active_users", $"cohort_size",
+        $"pv".cast("double").as("period_value"),
+        ($"cum".cast("double") / $"cohort_size").as("ltv_per_user"))
+      .orderBy($"cohort_month", $"age_months")
+  }
+
+  val cohortLtvSql: String =
+    """WITH ev AS (
+      |  SELECT o_custkey AS user_id, o_orderdate AS d,
+      |    CAST(l_extendedprice AS DECIMAL(12,2)) AS v
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |), firsts AS (
+      |  SELECT user_id, MIN(d) AS cd FROM ev GROUP BY user_id
+      |), sizes AS (
+      |  SELECT strftime(cd, '%Y-%m') AS cohort_month,
+      |    CAST(COUNT(*) AS BIGINT) AS cohort_size
+      |  FROM firsts GROUP BY 1
+      |), cells AS (
+      |  SELECT strftime(f.cd, '%Y-%m') AS cohort_month,
+      |    CAST((year(e.d) - year(f.cd)) * 12 + (month(e.d) - month(f.cd)) AS BIGINT)
+      |      AS age_months,
+      |    CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active_users,
+      |    SUM(e.v) AS pv
+      |  FROM ev e JOIN firsts f USING (user_id)
+      |  GROUP BY 1, 2
+      |), cum AS (
+      |  SELECT *, SUM(pv) OVER (PARTITION BY cohort_month ORDER BY age_months
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      |  FROM cells
+      |)
+      |SELECT cohort_month, age_months, n_active_users, s.cohort_size,
+      |  CAST(pv AS DOUBLE) AS period_value,
+      |  CAST(c AS DOUBLE) / s.cohort_size AS ltv_per_user
+      |FROM cum JOIN sizes s USING (cohort_month)
+      |ORDER BY cohort_month, age_months""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dm_cohort_ltv"         -> (cohortLtv _),
     "dm_yearly_agg"         -> (yearlyAgg _),
     "dm_monthly_agg"        -> (monthlyAgg _),
     "dm_all_time_agg"       -> (allTimeAgg _),
@@ -441,6 +513,7 @@ object MartQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "dm_cohort_ltv"        -> cohortLtvSql,
     "dm_yearly_agg"        -> yearlyAggSql,
     "dm_monthly_agg"       -> monthlyAggSql,
     "dm_all_time_agg"      -> allTimeAggSql,
