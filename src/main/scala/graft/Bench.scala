@@ -86,6 +86,9 @@ object Bench {
     "events_autocorr", "events_path_topk", "dm_audience_overlap",
     "rec_item_item_cf_persisted", "rec_user_topn_persisted",
     "knn_graph_communities", "dm_cohort_ltv")
+  // dedup_recall_eval joins ann_recall_eval in the excluded-harness
+  // family: each runs EVERY path in its family back-to-back, so benching
+  // it would double-count operators the suite already times individually
   // dedup_containment joins the excluded quadratic-output family
   // (dedup_ngram_jaccard etc.): the sf0.1 corpus holds 2.1M TRUE
   // containment pairs (near-dup clusters make every member contained in
