@@ -24,8 +24,8 @@ class CommunitySpec extends SparkSuite {
     val c1 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
     val c2 = for (a <- 10L to 13L; b <- (a + 1) to 13L) yield (a, b)
     val got = lp(c1 ++ c2 :+ ((4L, 10L)), (1L to 4L) ++ (10L to 13L), rounds = 5)
-    assert(got.filterKeys(_ <= 4L).values.toSet.size == 1, "clique 1 must converge to one label")
-    assert(got.filterKeys(_ >= 10L).values.toSet.size == 1, "clique 2 must converge to one label")
+    assert(got.filter(_._1 <= 4L).values.toSet.size == 1, "clique 1 must converge to one label")
+    assert(got.filter(_._1 >= 10L).values.toSet.size == 1, "clique 2 must converge to one label")
     assert(got(1L) != got(10L), "the bridge must not merge the cliques")
   }
 
