@@ -462,7 +462,88 @@ object StatsQueries {
       |FROM stats
       |ORDER BY event_type, lag""".stripMargin
 
+  /** Exact higher-moment profile per event type — mean, variance,
+    * SKEWNESS, KURTOSIS (the distribution-shape numbers behind the
+    * anomaly screens' implicit normality assumption: heavy skew or fat
+    * tails say "use the quantile fences, not ±3σ"). Exactness: values
+    * are 2-decimal, so x·100 is an integer ≤ ~10⁴ and the four power
+    * sums are computed as DECIMAL(38,0) — exact integers up to 10³⁸
+    * (x⁴·10⁸ ≈ 10¹⁶ per row would overflow BIGINT corpus-wide; DuckDB
+    * sums the same integers in HUGEINT). Each exact sum casts to double
+    * ONCE (both engines round the same integer to the same IEEE
+    * double), and the central-moment formulas are one shared expression
+    * tree — the corrFrom discipline extended to the 3rd and 4th powers.
+    * One partial-agg groupBy; everything after runs on ≤ #types rows.
+    * Oracle subtlety (now §5 policy): DuckDB's direct HUGEINT→DOUBLE
+    * cast is not correctly rounded above 2⁵³ — the oracle routes it
+    * through VARCHAR, which is.
+    */
+  def aggMomentsExact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // x·100 as a LONG: per-row powers stay exact longs (x⁴ ≤ 10¹⁶ < 2⁶³);
+    // only the corpus-wide SUMS need DECIMAL(38,0) headroom
+    val x = ($"value".cast("decimal(10,2)") * 100).cast("long")
+    val stats = Tables.events(spark, dir)
+      .select($"event_type", x.as("x"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"x".cast("decimal(38,0)")).as("s1"),
+        sum(($"x" * $"x").cast("decimal(38,0)")).as("s2"),
+        sum(($"x" * $"x" * $"x").cast("decimal(38,0)")).as("s3"),
+        sum(($"x" * $"x" * $"x" * $"x").cast("decimal(38,0)")).as("s4"))
+    val nD = $"n".cast("double")
+    val m1 = $"s1".cast("double") / nD / 100.0
+    val m2 = $"s2".cast("double") / nD / 1e4
+    val m3 = $"s3".cast("double") / nD / 1e6
+    val m4 = $"s4".cast("double") / nD / 1e8
+    val variance = m2 - m1 * m1
+    val mu3 = m3 - lit(3.0) * m1 * m2 + lit(2.0) * m1 * m1 * m1
+    val mu4 = m4 - lit(4.0) * m1 * m3 + lit(6.0) * m1 * m1 * m2 -
+      lit(3.0) * m1 * m1 * m1 * m1
+    stats.select($"event_type", $"n",
+      m1.as("mean"),
+      variance.as("variance"),
+      (mu3 / pow(variance, 1.5)).as("skewness"),
+      (mu4 / (variance * variance) - lit(3.0)).as("excess_kurtosis"))
+      .orderBy($"event_type")
+  }
+
+  val aggMomentsExactSql: String =
+    """WITH s AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |    SUM(CAST(CAST(value AS DECIMAL(10,2)) * 100 AS HUGEINT)) AS s1,
+      |    SUM(CAST(CAST(value AS DECIMAL(10,2)) * 100 AS HUGEINT)
+      |      * CAST(CAST(value AS DECIMAL(10,2)) * 100 AS HUGEINT)) AS s2,
+      |    SUM(CAST(CAST(value AS DECIMAL(10,2)) * 100 AS HUGEINT)
+      |      * CAST(CAST(value AS DECIMAL(10,2)) * 100 AS HUGEINT)
+      |      * CAST(CAST(value AS DECIMAL(10,2)) * 100 AS HUGEINT)) AS s3,
+      |    SUM(CAST(CAST(value AS DECIMAL(10,2)) * 100 AS HUGEINT)
+      |      * CAST(CAST(value AS DECIMAL(10,2)) * 100 AS HUGEINT)
+      |      * CAST(CAST(value AS DECIMAL(10,2)) * 100 AS HUGEINT)
+      |      * CAST(CAST(value AS DECIMAL(10,2)) * 100 AS HUGEINT)) AS s4
+      |  FROM events GROUP BY event_type
+      |), m AS (
+      |  -- HUGEINT -> DOUBLE via VARCHAR: DuckDB's direct hugeint cast is
+      |  -- not correctly rounded above 2^53 (s4 ~ 3e19 lands 1 ULP off
+      |  -- Java's BigDecimal.doubleValue); text -> double is
+      |  SELECT event_type, n,
+      |    CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / n / 100.0 AS m1,
+      |    CAST(CAST(s2 AS VARCHAR) AS DOUBLE) / n / 1e4 AS m2,
+      |    CAST(CAST(s3 AS VARCHAR) AS DOUBLE) / n / 1e6 AS m3,
+      |    CAST(CAST(s4 AS VARCHAR) AS DOUBLE) / n / 1e8 AS m4
+      |  FROM s
+      |)
+      |SELECT event_type, n, m1 AS mean,
+      |  m2 - m1 * m1 AS variance,
+      |  (m3 - 3.0 * m1 * m2 + 2.0 * m1 * m1 * m1)
+      |    / pow(m2 - m1 * m1, 1.5) AS skewness,
+      |  (m4 - 4.0 * m1 * m3 + 6.0 * m1 * m1 * m2 - 3.0 * m1 * m1 * m1 * m1)
+      |    / ((m2 - m1 * m1) * (m2 - m1 * m1)) - 3.0 AS excess_kurtosis
+      |FROM m
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_moments_exact" -> (aggMomentsExact _),
     "events_autocorr" -> (eventsAutocorr _),
     "events_value_corr" -> (eventsValueCorr _),
     "events_forecast_ses" -> (eventsForecastSes _),
@@ -472,6 +553,7 @@ object StatsQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "agg_moments_exact" -> aggMomentsExactSql,
     "events_autocorr" -> eventsAutocorrSql,
     "events_value_corr" -> eventsValueCorrSql,
     "events_forecast_ses" -> eventsForecastSesSql,
