@@ -85,7 +85,8 @@ object Bench {
     "rec_item_item_cf", "rec_user_topn", "events_forecast_holt",
     "events_autocorr", "events_path_topk", "dm_audience_overlap",
     "rec_item_item_cf_persisted", "rec_user_topn_persisted",
-    "knn_graph_communities", "dm_cohort_ltv", "agg_moments_exact")
+    "knn_graph_communities", "dm_cohort_ltv", "agg_moments_exact",
+    "text_keyphrases_rake")
   // dedup_recall_eval joins ann_recall_eval in the excluded-harness
   // family: each runs EVERY path in its family back-to-back, so benching
   // it would double-count operators the suite already times individually

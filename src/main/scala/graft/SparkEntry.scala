@@ -25,7 +25,7 @@ object SparkEntry {
       core.StatsQueries.queries ++ ops.AnnEval.queries ++ ops.Collocations.queries ++
       mart.TrendingQueries.queries ++ mart.DiscoveryQueries.queries ++
       etl.UserPurge.queries ++ ops.Recommend.queries ++ core.HoltForecast.queries ++
-      ops.CfIndex.queries ++ ops.DedupEval.queries
+      ops.CfIndex.queries ++ ops.DedupEval.queries ++ ops.Rake.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -45,5 +45,5 @@ object SparkEntry {
       ops.Collocations.oracleSql ++ mart.TrendingQueries.oracleSql ++
       mart.DiscoveryQueries.oracleSql ++ etl.UserPurge.oracleSql ++
       ops.Recommend.oracleSql ++ core.HoltForecast.oracleSql ++
-      ops.CfIndex.oracleSql
+      ops.CfIndex.oracleSql ++ ops.Rake.oracleSql
 }
