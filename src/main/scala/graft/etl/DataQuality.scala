@@ -299,7 +299,82 @@ object DataQuality {
       .mkString("", "\nUNION ALL\n", "\nORDER BY key_column, rank")
   }
 
+  /** FRESHNESS / staleness screen per event type — the SLA check a
+    * continuously-fed pipeline runs beside drift (drift asks "did the
+    * mix change?"; freshness asks "did a feed silently STOP?"): each
+    * type's arrival cadence (median day-gap between active days, exact
+    * rank selection — interpolating quantile functions would never
+    * hash-match) is compared with how far the type lags the corpus
+    * frontier; a type is stale when its silence exceeds 3× its own
+    * typical cadence — a per-type adaptive threshold, so a weekly feed
+    * isn't paged daily and a secondly feed isn't given a week. No wall
+    * clock anywhere: "now" is the corpus max day (the delta_load
+    * watermark device), so the entry is deterministic and oracle-able.
+    * One distinct (type, day) aggregate (≤ types×days rows) feeds a
+    * per-type gap window — bounded by calendar, never corpus size.
+    */
+  def dqFreshness(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, dir)
+      .select($"event_type", to_date($"ts").as("day")).distinct()
+    val mx = daily.agg(max($"day").as("frontier"))
+    val wg = Window.partitionBy($"event_type").orderBy($"day")
+    val gaps = daily
+      .withColumn("gap", datediff($"day", lag($"day", 1).over(wg)))
+      .filter($"gap".isNotNull)
+    val wr = Window.partitionBy($"event_type").orderBy($"gap", $"day")
+    val med = gaps
+      .withColumn("rn", row_number().over(wr))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"event_type")))
+      .filter($"rn" === ceil($"n" * 0.5).cast("int"))
+      .select($"event_type", $"gap".cast("long").as("median_gap_days"))
+    val last = daily.groupBy($"event_type")
+      .agg(max($"day").as("last_day"), count(lit(1)).as("n_active_days"))
+    last.join(med, Seq("event_type"))
+      .crossJoin(broadcast(mx))
+      .select($"event_type",
+        date_format($"last_day", "yyyy-MM-dd").as("last_day"),
+        $"n_active_days",
+        $"median_gap_days",
+        datediff($"frontier", $"last_day").cast("long").as("days_behind"))
+      .withColumn("stale", $"days_behind" > $"median_gap_days" * 3)
+      .orderBy($"event_type")
+  }
+
+  val dqFreshnessSql: String =
+    """WITH daily AS (
+      |  SELECT DISTINCT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+      |  FROM events
+      |), mx AS (
+      |  SELECT MAX(day) AS frontier FROM daily
+      |), gaps AS (
+      |  SELECT event_type, day,
+      |    date_diff('day', lag(day) OVER (PARTITION BY event_type ORDER BY day), day) AS gap
+      |  FROM daily
+      |), g AS (
+      |  SELECT event_type, gap, day,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY gap, day) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM gaps WHERE gap IS NOT NULL
+      |), med AS (
+      |  SELECT event_type, CAST(gap AS BIGINT) AS median_gap_days
+      |  FROM g WHERE rn = CAST(ceil(n * 0.5) AS INTEGER)
+      |), last AS (
+      |  SELECT event_type, MAX(day) AS last_day,
+      |    CAST(COUNT(*) AS BIGINT) AS n_active_days
+      |  FROM daily GROUP BY event_type
+      |)
+      |SELECT l.event_type, strftime(l.last_day, '%Y-%m-%d') AS last_day,
+      |  l.n_active_days, m.median_gap_days,
+      |  CAST(date_diff('day', l.last_day, frontier) AS BIGINT) AS days_behind,
+      |  CAST(date_diff('day', l.last_day, frontier) AS BIGINT)
+      |    > m.median_gap_days * 3 AS stale
+      |FROM last l JOIN med m USING (event_type) CROSS JOIN mx
+      |ORDER BY l.event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_freshness"   -> (dqFreshness _),
     "dq_profile"     -> (dqProfile _),
     "dq_constraints" -> (dqConstraints _),
     "dq_drift_chi2"  -> (dqDriftChi2 _),
@@ -307,6 +382,7 @@ object DataQuality {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "dq_freshness"   -> dqFreshnessSql,
     "dq_profile"     -> dqProfileSql,
     "dq_constraints" -> dqConstraintsSql,
     "dq_drift_chi2"  -> dqDriftChi2Sql,
