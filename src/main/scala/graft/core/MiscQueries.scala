@@ -395,7 +395,74 @@ object MiscQueries {
       |JOIN days d ON d.user_id = c.user_id
       |ORDER BY c.user_id""".stripMargin
 
+  /** Overlapping-interval UNION per user — "how long was the user
+    * actually listening", counting overlapping plays once (the interval
+    * coalescing shape: sessionize groups by GAPS; this merges by
+    * OVERLAP — a user running two streams at once double-counts in
+    * every sum(duration) mart metric, and this is the exact
+    * correction). Each event is an interval [ts, ts+value] (value = the
+    * play duration in whole seconds — floor, mirrored in both engines);
+    * merge is the classic sweep: an interval starts a new island when
+    * its start exceeds the running max end of everything before it
+    * (cummax window, rows unbounded-preceding to -1), island id = a
+    * running sum of the flags, covered time = max(end) − min(start) per
+    * island. All integer arithmetic on epoch seconds — hash-exact.
+    * Windows are user-partitioned; islands never cross users.
+    */
+  def eventsIntervalsUnion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", $"event_id",
+        unix_timestamp($"ts").as("s"),
+        (unix_timestamp($"ts") + floor($"value").cast("long")).as("e"))
+    val wo = Window.partitionBy($"user_id").orderBy($"s", $"e", $"event_id")
+    val prevMaxE = max($"e").over(wo.rowsBetween(Window.unboundedPreceding, -1))
+    val flagged = ev.withColumn("new_island",
+      when(prevMaxE.isNull || $"s" > prevMaxE, 1L).otherwise(0L))
+    val islands = flagged.withColumn("island",
+      sum($"new_island").over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val merged = islands.groupBy($"user_id", $"island")
+      .agg(min($"s").as("is"), max($"e").as("ie"), count(lit(1)).as("n"))
+    merged.groupBy($"user_id")
+      .agg(sum($"n").as("n_events"),
+        count(lit(1)).as("n_merged_intervals"),
+        sum($"ie" - $"is").as("covered_sec"),
+        (max($"ie") - min($"is")).as("span_sec"))
+      .orderBy($"user_id")
+  }
+
+  val eventsIntervalsUnionSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id,
+      |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS s,
+      |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+      |      + CAST(floor(value) AS BIGINT) AS e
+      |  FROM events
+      |), flagged AS (
+      |  SELECT *, CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w
+      |    THEN 1 ELSE 0 END AS new_island
+      |  FROM ev
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY s, e, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |), islands AS (
+      |  SELECT *, SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |  FROM flagged
+      |), merged AS (
+      |  SELECT user_id, island, MIN(s) AS i_s, MAX(e) AS i_e, COUNT(*) AS n
+      |  FROM islands GROUP BY 1, 2
+      |)
+      |SELECT user_id, CAST(SUM(n) AS BIGINT) AS n_events,
+      |  CAST(COUNT(*) AS BIGINT) AS n_merged_intervals,
+      |  CAST(SUM(i_e - i_s) AS BIGINT) AS covered_sec,
+      |  CAST(MAX(i_e) - MIN(i_s) AS BIGINT) AS span_sec
+      |FROM merged
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_intervals_union" -> (eventsIntervalsUnion _),
     "set_ops_suite"         -> (setOpsSuite _),
     "dm_pivot_event_types"  -> (pivotEventTypes _),
     "agg_weighted_mean"     -> (aggWeightedMean _),
@@ -410,6 +477,7 @@ object MiscQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "events_intervals_union" -> eventsIntervalsUnionSql,
     "set_ops_suite"        -> setOpsSuiteSql,
     "dm_pivot_event_types" -> pivotEventTypesSql,
     "agg_weighted_mean"    -> aggWeightedMeanSql,
