@@ -86,7 +86,8 @@ object Bench {
     "events_autocorr", "events_path_topk", "dm_audience_overlap",
     "rec_item_item_cf_persisted", "rec_user_topn_persisted",
     "knn_graph_communities", "dm_cohort_ltv", "agg_moments_exact",
-    "text_keyphrases_rake", "dq_freshness", "events_intervals_union")
+    "text_keyphrases_rake", "dq_freshness", "events_intervals_union",
+    "etl_csv_ingest")
   // dedup_recall_eval joins ann_recall_eval in the excluded-harness
   // family: each runs EVERY path in its family back-to-back, so benching
   // it would double-count operators the suite already times individually

@@ -353,6 +353,80 @@ object EtlQueries {
     jsonNestedCore(spark, dir).orderBy($"p_partkey")
   }
 
+  /** CSV INGEST with malformed-line quarantine — the delimited-text
+    * source path beside the JSON one (the reference consumes JSON APIs;
+    * a warehouse also swallows partner CSV drops, and the failure mode
+    * there is the truncated/ragged line): the stage step renders each
+    * event as a CSV line deterministically (ts formatted, value as the
+    * 2-decimal string both engines print identically), PLANTS truncation
+    * on every 97th event id (the retry-lattice device: corruption is
+    * part of the fixture, not luck), and the ingest step under test is
+    * Spark's REAL `from_csv` in PERMISSIVE mode with an explicit schema
+    * — a ragged line parses to nulls in the missing tail fields and is
+    * quarantined by a required-field check, never dropped silently
+    * (transformer.py's validate-then-route contract on the CSV axis).
+    * The oracle replays the same line logic with string splits: the
+    * parser is what's being checked against it. Output: per-outcome
+    * audit (parsed rows also re-aggregate by type to prove the payload
+    * survived the round-trip, not just the row count). Fully map-side
+    * until the bounded audit groupBy.
+    */
+  def csvIngest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val full = concat_ws(",",
+      $"event_id",
+      date_format($"ts", "yyyy-MM-dd HH:mm:ss"),
+      $"user_id", $"event_type",
+      $"value".cast("decimal(10,2)").cast("string"))
+    val truncated = concat_ws(",",
+      $"event_id", date_format($"ts", "yyyy-MM-dd HH:mm:ss"))
+    val lines = Tables.events(spark, dir)
+      .select(when($"event_id" % 97 === 0, truncated).otherwise(full).as("line"))
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val parsed = lines.select(from_csv($"line",
+      schema, Map("timestampFormat" -> "yyyy-MM-dd HH:mm:ss")).as("r"))
+      .select($"r.*")
+      .withColumn("ok",
+        $"user_id".isNotNull && $"event_type".isNotNull && $"value".isNotNull)
+    parsed
+      .groupBy(when($"ok", $"event_type").otherwise("_quarantined").as("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct($"user_id").as("n_users"),
+        sum($"value".cast("decimal(10,2)")).cast("double").as("sum_value"))
+      .orderBy($"bucket")
+  }
+
+  val csvIngestSql: String =
+    """WITH lines AS (
+      |  SELECT CASE WHEN event_id % 97 = 0
+      |    THEN CAST(event_id AS VARCHAR) || ','
+      |      || strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S')
+      |    ELSE CAST(event_id AS VARCHAR) || ','
+      |      || strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') || ','
+      |      || CAST(user_id AS VARCHAR) || ',' || event_type || ','
+      |      || CAST(CAST(value AS DECIMAL(10,2)) AS VARCHAR)
+      |    END AS line
+      |  FROM events
+      |), parsed AS (
+      |  SELECT string_split(line, ',') AS f FROM lines
+      |), routed AS (
+      |  SELECT
+      |    CASE WHEN len(f) = 5 THEN f[4] ELSE '_quarantined' END AS bucket,
+      |    CASE WHEN len(f) = 5 THEN CAST(f[3] AS BIGINT) END AS user_id,
+      |    CASE WHEN len(f) = 5 THEN CAST(f[5] AS DECIMAL(10,2)) END AS v
+      |  FROM parsed
+      |)
+      |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  CAST(SUM(v) AS DOUBLE) AS sum_value
+      |FROM routed
+      |GROUP BY bucket
+      |ORDER BY bucket""".stripMargin
+
   /** [[jsonNested]] without the presentation sort — the join-side form
     * (MartQueries.topTracks broadcasts the (p_partkey, cover_art_url)
     * projection; a sort below a broadcast build is wasted work).
@@ -618,6 +692,7 @@ object EtlQueries {
     "etl_clean_dates"     -> (cleanDates _),
     "etl_enrich_metadata" -> (enrichMetadata _),
     "etl_failed_uris"     -> (failedUris _),
+    "etl_csv_ingest"      -> (csvIngest _),
     "etl_json_extract"    -> (jsonExtract _),
     "etl_json_nested"     -> (jsonNested _),
     "etl_dedup_staging"   -> (dedupStaging _),
@@ -636,6 +711,7 @@ object EtlQueries {
     "etl_clean_dates"     -> cleanDatesSql,
     "etl_enrich_metadata" -> enrichMetadataSql,
     "etl_failed_uris"     -> failedUrisSql,
+    "etl_csv_ingest"      -> csvIngestSql,
     "etl_json_extract"    -> jsonExtractSql,
     "etl_json_nested"     -> jsonNestedSql,
     "etl_dedup_staging"   -> dedupStagingSql,
