@@ -480,17 +480,19 @@ object StatsQueries {
     */
   def aggMomentsExact(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // x·100 as a LONG: per-row powers stay exact longs (x⁴ ≤ 10¹⁶ < 2⁶³);
-    // only the corpus-wide SUMS need DECIMAL(38,0) headroom
+    // x·100 as a LONG; the SQUARE is still a safe long (x ≤ ~10⁵ at any
+    // SF → x² ≤ 10¹⁰), but x³/x⁴ can pass 2⁶³ (sf0.1's max value 560 →
+    // x⁴ ≈ 9.8·10¹⁸ — found by the bench, not the gate), so the higher
+    // powers multiply as DECIMAL(38,0): exact to 10³⁸ per row and sum
     val x = ($"value".cast("decimal(10,2)") * 100).cast("long")
     val stats = Tables.events(spark, dir)
-      .select($"event_type", x.as("x"))
+      .select($"event_type", x.as("x"), (x * x).as("x2"))
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n"),
         sum($"x".cast("decimal(38,0)")).as("s1"),
-        sum(($"x" * $"x").cast("decimal(38,0)")).as("s2"),
-        sum(($"x" * $"x" * $"x").cast("decimal(38,0)")).as("s3"),
-        sum(($"x" * $"x" * $"x" * $"x").cast("decimal(38,0)")).as("s4"))
+        sum($"x2".cast("decimal(38,0)")).as("s2"),
+        sum($"x2".cast("decimal(38,0)") * $"x".cast("decimal(38,0)")).as("s3"),
+        sum($"x2".cast("decimal(38,0)") * $"x2".cast("decimal(38,0)")).as("s4"))
     val nD = $"n".cast("double")
     val m1 = $"s1".cast("double") / nD / 100.0
     val m2 = $"s2".cast("double") / nD / 1e4
