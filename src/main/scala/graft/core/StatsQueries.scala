@@ -480,19 +480,22 @@ object StatsQueries {
     */
   def aggMomentsExact(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // x·100 as a LONG; the SQUARE is still a safe long (x ≤ ~10⁵ at any
-    // SF → x² ≤ 10¹⁰), but x³/x⁴ can pass 2⁶³ (sf0.1's max value 560 →
-    // x⁴ ≈ 9.8·10¹⁸ — found by the bench, not the gate), so the higher
-    // powers multiply as DECIMAL(38,0): exact to 10³⁸ per row and sum
+    // x·100 as a LONG, but EVERY power multiplies in DECIMAL(38,0) —
+    // exact to 10³⁸ per row and sum. The DECIMAL(10,2) domain admits
+    // x up to ~10¹⁰, where even x² passes 2⁶³ (a LONG×LONG square
+    // would wrap silently under non-ANSI Spark while the DuckDB oracle
+    // multiplies in HUGEINT — a latent gate divergence), and sf0.1's
+    // max value 560 already put x⁴ ≈ 9.8·10¹⁸ past a long.
     val x = ($"value".cast("decimal(10,2)") * 100).cast("long")
+    val xd = $"x".cast("decimal(38,0)")
     val stats = Tables.events(spark, dir)
-      .select($"event_type", x.as("x"), (x * x).as("x2"))
+      .select($"event_type", x.as("x"))
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n"),
-        sum($"x".cast("decimal(38,0)")).as("s1"),
-        sum($"x2".cast("decimal(38,0)")).as("s2"),
-        sum($"x2".cast("decimal(38,0)") * $"x".cast("decimal(38,0)")).as("s3"),
-        sum($"x2".cast("decimal(38,0)") * $"x2".cast("decimal(38,0)")).as("s4"))
+        sum(xd).as("s1"),
+        sum(xd * xd).as("s2"),
+        sum(xd * xd * xd).as("s3"),
+        sum((xd * xd) * (xd * xd)).as("s4"))
     val nD = $"n".cast("double")
     val m1 = $"s1".cast("double") / nD / 100.0
     val m2 = $"s2".cast("double") / nD / 1e4

@@ -312,12 +312,27 @@ object DataQuality {
     * watermark device), so the entry is deterministic and oracle-able.
     * One distinct (type, day) aggregate (≤ types×days rows) feeds a
     * per-type gap window — bounded by calendar, never corpus size.
+    *
+    * The median join is a LEFT join (round-10 fix): a type with a single
+    * active day has NO gap rows, and an inner join would silently drop
+    * it from the report — exactly the "feed appeared once then went
+    * dark" case a staleness screen exists to catch. Such a type is
+    * emitted with `median_gap_days` NULL and judged against the default
+    * daily cadence (stale when more than 3 days behind the frontier).
     */
   def dqFreshness(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    freshnessOn(Tables.events(spark, dir)
+      .select($"event_type", to_date($"ts").as("day")).distinct())
+  }
+
+  /** Core over any distinct (event_type, day) frame (injectable for the
+    * planted single-active-day spec).
+    */
+  private[graft] def freshnessOn(daily: DataFrame): DataFrame = {
+    val spark = daily.sparkSession
+    import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val daily = Tables.events(spark, dir)
-      .select($"event_type", to_date($"ts").as("day")).distinct()
     val mx = daily.agg(max($"day").as("frontier"))
     val wg = Window.partitionBy($"event_type").orderBy($"day")
     val gaps = daily
@@ -331,14 +346,14 @@ object DataQuality {
       .select($"event_type", $"gap".cast("long").as("median_gap_days"))
     val last = daily.groupBy($"event_type")
       .agg(max($"day").as("last_day"), count(lit(1)).as("n_active_days"))
-    last.join(med, Seq("event_type"))
+    last.join(med, Seq("event_type"), "left")
       .crossJoin(broadcast(mx))
       .select($"event_type",
         date_format($"last_day", "yyyy-MM-dd").as("last_day"),
         $"n_active_days",
         $"median_gap_days",
         datediff($"frontier", $"last_day").cast("long").as("days_behind"))
-      .withColumn("stale", $"days_behind" > $"median_gap_days" * 3)
+      .withColumn("stale", $"days_behind" > coalesce($"median_gap_days", lit(1L)) * 3)
       .orderBy($"event_type")
   }
 
@@ -369,8 +384,8 @@ object DataQuality {
       |  l.n_active_days, m.median_gap_days,
       |  CAST(date_diff('day', l.last_day, frontier) AS BIGINT) AS days_behind,
       |  CAST(date_diff('day', l.last_day, frontier) AS BIGINT)
-      |    > m.median_gap_days * 3 AS stale
-      |FROM last l JOIN med m USING (event_type) CROSS JOIN mx
+      |    > COALESCE(m.median_gap_days, 1) * 3 AS stale
+      |FROM last l LEFT JOIN med m USING (event_type) CROSS JOIN mx
       |ORDER BY l.event_type""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

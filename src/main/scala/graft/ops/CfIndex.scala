@@ -179,15 +179,19 @@ object CfIndex {
     */
   def serveCfUserTopn(spark: SparkSession, indexPath: String): DataFrame = {
     import spark.implicits._
-    val listens = cappedOf(spark.read.parquet(s"$indexPath/uic")
-      .groupBy($"user_id", $"item_id").agg(sum($"n").as("n")).filter($"n" > 0))
+    val allListens = spark.read.parquet(s"$indexPath/uic")
+      .groupBy($"user_id", $"item_id").agg(sum($"n").as("n")).filter($"n" > 0)
+    val listens = cappedOf(allListens)
     val nb = serveCfNeighbors(spark, indexPath)
       .select($"item_id", $"rec_item_id", $"co_users")
     val votes = listens.join(nb, Seq("item_id"))
       .groupBy($"user_id", $"rec_item_id")
       .agg(sum($"co_users").as("score"), count(lit(1)).as("n_via"))
+    // novelty against the FULL ledger set, not the capped profile —
+    // [[Recommend.recUserTopn]]'s round-10 fix, mirrored here so
+    // append==rebuild still shares the one oracle
     val novel = votes.join(
-      listens.select($"user_id", $"item_id".as("rec_item_id")),
+      allListens.select($"user_id", $"item_id".as("rec_item_id")),
       Seq("user_id", "rec_item_id"), "left_anti")
     val wr = Window.partitionBy($"user_id").orderBy($"score".desc, $"rec_item_id")
     novel.withColumn("rank", row_number().over(wr).cast("long"))

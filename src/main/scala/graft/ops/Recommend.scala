@@ -41,19 +41,27 @@ object Recommend {
   val topNRecs        = 5
   val minCoListeners  = 2
 
-  /** Distinct (user, track) listens with per-user listen counts, capped
-    * to the top [[maxItemsPerUser]] tracks per user (deterministic:
-    * count desc, track asc).
+  /** Distinct (user, track) pairs with listen counts — the FULL listen
+    * profile (one partial-agg groupBy; also the novelty anti-join side,
+    * which must see every listen, not just the capped top-K).
     */
-  private[graft] def cappedListens(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def listenCounts(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val li  = Tables.lineitem(spark, dir).select($"l_orderkey", $"l_partkey")
     val ord = Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey")
-    val ui = li.join(ord, $"l_orderkey" === $"o_orderkey")
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
       .groupBy($"o_custkey".as("user_id"), $"l_partkey".as("item_id"))
       .agg(count(lit(1)).as("n_listens"))
+  }
+
+  /** Distinct (user, track) listens capped to the top
+    * [[maxItemsPerUser]] tracks per user (deterministic: count desc,
+    * track asc).
+    */
+  private[graft] def cappedListens(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val wcap = Window.partitionBy($"user_id").orderBy($"n_listens".desc, $"item_id")
-    ui.withColumn("r", row_number().over(wcap))
+    listenCounts(spark, dir).withColumn("r", row_number().over(wcap))
       .filter($"r" <= maxItemsPerUser)
       .select($"user_id", $"item_id")
   }
@@ -93,8 +101,11 @@ object Recommend {
   }
 
   /** §2 entry `rec_user_topn`: per-user recommendations — each listened
-    * track votes for its k neighbors, votes sum by exact BIGINT
-    * co-listener weight, already-listened tracks anti-joined out, top
+    * track (capped profile) votes for its k neighbors, votes sum by
+    * exact BIGINT co-listener weight, already-listened tracks
+    * anti-joined out against the FULL listen set (round-10 fix: the
+    * capped set alone would let a >K-track user be recommended a track
+    * they already played, just one outside their top-K), top
     * [[topNRecs]] per user (score desc, track asc). n_via = how many of
     * the user's tracks endorse the recommendation.
     */
@@ -106,7 +117,7 @@ object Recommend {
       .groupBy($"user_id", $"rec_item_id")
       .agg(sum($"co_users").as("score"), count(lit(1)).as("n_via"))
     val novel = votes.join(
-      listens.select($"user_id", $"item_id".as("rec_item_id")),
+      listenCounts(spark, dir).select($"user_id", $"item_id".as("rec_item_id")),
       Seq("user_id", "rec_item_id"), "left_anti")
     val wr = Window.partitionBy($"user_id").orderBy($"score".desc, $"rec_item_id")
     novel.withColumn("rank", row_number().over(wr).cast("long"))
@@ -164,7 +175,7 @@ object Recommend {
        |), novel AS (
        |  SELECT v.* FROM votes v
        |  WHERE NOT EXISTS (
-       |    SELECT 1 FROM capped c
+       |    SELECT 1 FROM ui c
        |    WHERE c.user_id = v.user_id AND c.item_id = v.rec_item_id)
        |)
        |SELECT user_id, rec_item_id, score, n_via, CAST(rank AS BIGINT) AS rank
@@ -182,19 +193,26 @@ object Recommend {
     * an exact rational — co/(n_a + n_b − co), all BIGINTs, ONE IEEE
     * division — so ranking and output hash-match. Same machinery as
     * the CF neighbors one grain up: user-keyed self-equi-join over
-    * distinct (user, artist) listens (per-user artist fan-out is
-    * naturally ≤ tracks and further bounded by the same top-200 cap
-    * discipline), audience sizes broadcast, min-co floor of 5 (hapax
-    * overlaps are noise at any scale). Artist names resolve through a
-    * broadcast dim join AFTER the top-20 cut — 40 lookups, not |pairs|.
+    * distinct (user, artist) listens, with the SAME top-200 cap
+    * applied at the artist grain (round-10: the cap is now actually
+    * enforced, not just claimed — per user, top [[maxItemsPerUser]]
+    * artists by listen count, so a mass-fan account is bounded at K²
+    * pairs instead of O(artists²)); audience sizes broadcast, min-co
+    * floor of 5 (hapax overlaps are noise at any scale). Artist names
+    * resolve through a broadcast dim join AFTER the top-20 cut — 40
+    * lookups, not |pairs|.
     */
   def dmAudienceOverlap(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val li  = Tables.lineitem(spark, dir).select($"l_orderkey", $"l_suppkey")
     val ord = Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey")
-    val ua = li.join(ord, $"l_orderkey" === $"o_orderkey")
-      .select($"o_custkey".as("user_id"), $"l_suppkey".as("artist_id"))
-      .distinct()
+    val uaCounts = li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_custkey".as("user_id"), $"l_suppkey".as("artist_id"))
+      .agg(count(lit(1)).as("n_listens"))
+    val wcap = Window.partitionBy($"user_id").orderBy($"n_listens".desc, $"artist_id")
+    val ua = uaCounts.withColumn("r", row_number().over(wcap))
+      .filter($"r" <= maxItemsPerUser)
+      .select($"user_id", $"artist_id")
     val na = ua.groupBy($"artist_id").agg(count(lit(1)).as("n_users"))
     val a = ua.select($"user_id", $"artist_id".as("a"))
     val b = ua.select($"user_id", $"artist_id".as("b"))
@@ -222,9 +240,16 @@ object Recommend {
   }
 
   val dmAudienceOverlapSql: String =
-    """WITH ua AS (
-      |  SELECT DISTINCT o_custkey AS user_id, l_suppkey AS artist_id
+    s"""WITH uac AS (
+      |  SELECT o_custkey AS user_id, l_suppkey AS artist_id, COUNT(*) AS n_listens
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY 1, 2
+      |), ua AS (
+      |  SELECT user_id, artist_id FROM (
+      |    SELECT user_id, artist_id,
+      |      row_number() OVER (PARTITION BY user_id ORDER BY n_listens DESC, artist_id) AS r
+      |    FROM uac
+      |  ) WHERE r <= $maxItemsPerUser
       |), na AS (
       |  SELECT artist_id, CAST(COUNT(*) AS BIGINT) AS n_users FROM ua GROUP BY artist_id
       |), co AS (

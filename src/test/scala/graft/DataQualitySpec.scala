@@ -62,4 +62,26 @@ class DataQualitySpec extends SparkSuite {
         assert(scans.length <= 1, s"lineitem scanned ${scans.length} times")
       }
   }
+
+  test("freshness: a single-active-day type is reported (NULL median), not dropped") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.to_date
+    // type "a": active days 1/3/5/7 (median gap 2, frontier day);
+    // type "b": appeared ONCE on day 1 then went dark — the exact case
+    // an inner median join silently dropped before round 10
+    val daily = Seq(
+      ("a", "2024-01-01"), ("a", "2024-01-03"), ("a", "2024-01-05"), ("a", "2024-01-07"),
+      ("b", "2024-01-01"))
+      .toDF("event_type", "d").select($"event_type", to_date($"d").as("day"))
+    val got = etl.DataQuality.freshnessOn(daily).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.contains("b"), "the one-day feed must appear in the report")
+    val b = got("b")
+    assert(b.isNullAt(b.fieldIndex("median_gap_days")), "no gap rows -> NULL median")
+    assert(b.getLong(b.fieldIndex("days_behind")) == 6L)
+    assert(b.getBoolean(b.fieldIndex("stale")), "6 days dark > default 3-day threshold")
+    val a = got("a")
+    assert(a.getLong(a.fieldIndex("median_gap_days")) == 2L)
+    assert(!a.getBoolean(a.fieldIndex("stale")), "frontier type is fresh")
+  }
 }

@@ -99,4 +99,29 @@ class RecommendSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got.subsetOf(expect), "served scores must equal the re-derived vote sums")
   }
+
+  test("novelty holds past the power-listener cap (round-10 fix)") {
+    import spark.implicits._
+    // user 1 listens to 205 distinct items — items 201..205 fall OUTSIDE
+    // the top-200 capped profile (count ties broken by item asc). Users
+    // 2..21 co-listen {1, 201}, making 201 the one strong neighbor of 1.
+    // Pre-fix, the capped anti-join would recommend user 1 their own
+    // item 201; the full-listen-set anti-join must not.
+    val dir = java.nio.file.Files.createTempDirectory("graft_rec_cap").toString
+    val orders = (1L to 21L).map(u => (u, u)).toDF("o_orderkey", "o_custkey")
+    val lines = ((1L to 205L).map(i => (1L, i)) ++
+      (2L to 21L).flatMap(u => Seq((u, 1L), (u, 201L)))).toDF("l_orderkey", "l_partkey")
+    orders.write.parquet(s"$dir/orders.parquet")
+    lines.write.parquet(s"$dir/lineitem.parquet")
+    assert(ops.Recommend.cappedListens(spark, dir)
+      .filter($"user_id" === 1L && $"item_id" === 201L).count() == 0,
+      "fixture must place item 201 outside user 1's cap")
+    val r = ops.Recommend.recUserTopn(spark, dir)
+    val full = ops.Recommend.listenCounts(spark, dir)
+      .select($"user_id", $"item_id".as("rec_item_id"))
+    assert(r.join(full, Seq("user_id", "rec_item_id")).count() == 0,
+      "no recommendation may be in the user's FULL listen history")
+    assert(r.filter($"user_id" === 1L && $"rec_item_id" === 201L).count() == 0,
+      "the over-cap listened item must not resurface as a recommendation")
+  }
 }
