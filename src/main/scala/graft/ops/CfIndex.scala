@@ -74,20 +74,29 @@ object CfIndex {
     capped.select($"item_id", lit(sign.toLong).as("d"))
   }
 
-  /** Initialize the index from a listen history (first batch). */
-  def saveCfIndex(listens: DataFrame, indexPath: String): Unit = {
+  /** Initialize the index from a listen history (first batch).
+    * `srcBatch` stamps every delta row (−1 for one-shot batch use): the
+    * provenance column [[rollbackBatch]] needs to undo a half-committed
+    * streaming append (see [[graft.streaming.CfStream]]).
+    */
+  def saveCfIndex(listens: DataFrame, indexPath: String, srcBatch: Long = -1L): Unit = {
+    import listens.sparkSession.implicits._
     val uic = listenCounts(listens)
-    uic.write.mode("append").parquet(s"$indexPath/uic")
+    uic.withColumn("src_batch", lit(srcBatch))
+      .write.mode("append").parquet(s"$indexPath/uic")
     val capped = cappedOf(uic)
-    pairDeltas(capped, +1).write.mode("append").parquet(s"$indexPath/co")
-    itemDeltas(capped, +1).write.mode("append").parquet(s"$indexPath/nu")
+    pairDeltas(capped, +1).withColumn("src_batch", lit(srcBatch))
+      .write.mode("append").parquet(s"$indexPath/co")
+    itemDeltas(capped, +1).withColumn("src_batch", lit(srcBatch))
+      .write.mode("append").parquet(s"$indexPath/nu")
   }
 
   /** Fold a batch of new listen rows into the index: affected users'
     * capped sets roll back (−1) and re-assert (+1); everyone else's
-    * state is untouched bytes.
+    * state is untouched bytes. Delta rows are stamped `srcBatch` (see
+    * [[saveCfIndex]]).
     */
-  def appendToCfIndex(batch: DataFrame, indexPath: String): Unit = {
+  def appendToCfIndex(batch: DataFrame, indexPath: String, srcBatch: Long = -1L): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
     val batchCounts = listenCounts(batch).localCheckpoint()
@@ -97,16 +106,49 @@ object CfIndex {
       .groupBy($"user_id", $"item_id").agg(sum($"n").as("n"))
       .localCheckpoint() // pin BEFORE the ledger grows below
     val oldCapped = cappedOf(oldUicU)
-    batchCounts.write.mode("append").parquet(s"$indexPath/uic")
+    batchCounts.withColumn("src_batch", lit(srcBatch))
+      .write.mode("append").parquet(s"$indexPath/uic")
     val newUicU = oldUicU.union(batchCounts)
       .groupBy($"user_id", $"item_id").agg(sum($"n").as("n"))
     val newCapped = cappedOf(newUicU)
     pairDeltas(newCapped, +1).union(pairDeltas(oldCapped, -1))
       .groupBy($"a", $"b").agg(sum($"d").as("d")).filter($"d" =!= 0)
+      .withColumn("src_batch", lit(srcBatch))
       .write.mode("append").parquet(s"$indexPath/co")
     itemDeltas(newCapped, +1).union(itemDeltas(oldCapped, -1))
       .groupBy($"item_id").agg(sum($"d").as("d")).filter($"d" =!= 0)
+      .withColumn("src_batch", lit(srcBatch))
       .write.mode("append").parquet(s"$indexPath/nu")
+  }
+
+  /** Remove every delta row a given streaming batch stamped into the
+    * ledgers — the recovery path for a crash BETWEEN a stamped append
+    * and its commit marker: the retry rolls the orphaned deltas back,
+    * then re-appends, so at-least-once redelivery can no longer
+    * double-count (the gap the round-9 marker could detect only in
+    * docs). Cost is three column-pruned provenance probes; the rewrite
+    * runs only when orphans exist (the rare crash-retry path). Returns
+    * the ledgers rewritten.
+    */
+  private[graft] def rollbackBatch(spark: SparkSession, indexPath: String,
+      srcBatch: Long): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    Seq("uic", "co", "nu").filter { sub =>
+      val p = new Path(s"$indexPath/$sub")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val dirty = fs.exists(p) && fs.listStatus(p).nonEmpty && {
+        val df = spark.read.parquet(p.toString)
+        !df.filter($"src_batch" === srcBatch).isEmpty
+      }
+      if (dirty) {
+        spark.read.parquet(p.toString)
+          .filter($"src_batch" =!= srcBatch)
+          .localCheckpoint()
+          .write.mode("overwrite").parquet(p.toString)
+      }
+      dirty
+    }
   }
 
   /** The neighbor table served from the ledgers alone — one aggregation
@@ -127,11 +169,7 @@ object CfIndex {
       .join(broadcast(nu.select($"item_id".as("b"), $"n_users".as("n_users_b"))), Seq("b"))
       .withColumn("cosine",
         $"co_users".cast("double") / sqrt(($"n_users_a" * $"n_users_b").cast("double")))
-    val wr = Window.partitionBy($"a").orderBy($"cosine".desc, $"b")
-    scored.withColumn("rank", row_number().over(wr).cast("long"))
-      .filter($"rank" <= topKNeighbors)
-      .select($"a".as("item_id"), $"b".as("rec_item_id"),
-        $"co_users", $"n_users_a", $"n_users_b", $"cosine", $"rank")
+    Recommend.rankNeighbors(scored)
       .orderBy($"item_id", $"rank")
   }
 
@@ -162,13 +200,20 @@ object CfIndex {
       }
       (before, files(sub))
     }
+    // compacted rows re-stamp src_batch = -1 (provenance collapses with
+    // the deltas; compaction must only run with the stream quiescent —
+    // already the rule, since the read-aggregate-overwrite would race a
+    // concurrent append regardless)
     Map(
       "uic" -> rewrite("uic", df => df.groupBy($"user_id", $"item_id")
-        .agg(sum($"n").as("n")).filter($"n" =!= 0)),
+        .agg(sum($"n").as("n")).filter($"n" =!= 0)
+        .withColumn("src_batch", lit(-1L))),
       "co" -> rewrite("co", df => df.groupBy($"a", $"b")
-        .agg(sum($"d").as("d")).filter($"d" =!= 0)),
+        .agg(sum($"d").as("d")).filter($"d" =!= 0)
+        .withColumn("src_batch", lit(-1L))),
       "nu" -> rewrite("nu", df => df.groupBy($"item_id")
-        .agg(sum($"d").as("d")).filter($"d" =!= 0)))
+        .agg(sum($"d").as("d")).filter($"d" =!= 0)
+        .withColumn("src_batch", lit(-1L))))
   }
 
   /** Per-user recommendations served from the SAME ledgers — the

@@ -87,11 +87,35 @@ object Recommend {
       .join(broadcast(nu.select($"item_id".as("b"), $"n_users".as("n_users_b"))), Seq("b"))
       .withColumn("cosine",
         $"co_users".cast("double") / sqrt(($"n_users_a" * $"n_users_b").cast("double")))
-    val wr = Window.partitionBy($"a").orderBy($"cosine".desc, $"b")
-    scored.withColumn("rank", row_number().over(wr).cast("long"))
-      .filter($"rank" <= topKNeighbors)
-      .select($"a".as("item_id"), $"b".as("rec_item_id"),
-        $"co_users", $"n_users_a", $"n_users_b", $"cosine", $"rank")
+    rankNeighbors(scored)
+  }
+
+  /** The shared per-track top-k tail over a scored symmetric pair table
+    * (round 10): a PartialTopK aggregate instead of the rank window —
+    * the window form's exchange carried EVERY surviving pair
+    * (WindowGroupLimit's partial mode didn't reach below it), while the
+    * partial aggregate reduces each map partition to k rows per track
+    * before the shuffle. Ordering `struct(-cosine, b)` reproduces
+    * `ORDER BY cosine DESC, b` with deterministic ties; the count
+    * payload fields ride behind the keys and never affect comparison.
+    * Same DuckDB oracle hash as the window form (the ann_topk_agg
+    * equivalence discipline). Used by both the in-session entry and
+    * [[CfIndex.serveCfNeighbors]].
+    */
+  private[graft] def rankNeighbors(scored: DataFrame): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    import graft.functions.PartialTopK.partial_topk
+    scored.groupBy($"a")
+      .agg(partial_topk(
+        struct((-$"cosine").as("neg_cosine"), $"b".as("b"), $"co_users".as("co_users"),
+          $"n_users_a".as("n_users_a"), $"n_users_b".as("n_users_b")),
+        topKNeighbors).as("s"))
+      .select($"a", posexplode($"s").as(Seq("pos", "r")))
+      .select($"a".as("item_id"), $"r.b".as("rec_item_id"),
+        $"r.co_users".as("co_users"), $"r.n_users_a".as("n_users_a"),
+        $"r.n_users_b".as("n_users_b"), (-$"r.neg_cosine").as("cosine"),
+        ($"pos" + 1).cast("long").as("rank"))
   }
 
   /** §2 entry `rec_item_item_cf`: the track→track neighbor table. */

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
@@ -12,14 +13,16 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   * the CF axis).
   *
   * The fold itself is NOT idempotent (re-folding a batch would
-  * double-count deltas), so delivery is guarded by the anomalyFold
-  * batch-id discipline: a `meta/` marker records (batch id, run tag)
-  * AFTER the append lands; a retry of the recorded batch no-ops; an
-  * older batch id or a different run tag fails loudly. The marker is a
-  * one-row overwrite — the ledgers are append-only, so the recovery
-  * story after a crash BETWEEN append and marker is the stream's
-  * checkpoint replay into a cleared index (documented, spec-pinned
-  * guard paths).
+  * double-count deltas), so delivery is guarded by [[StateFold.guarded]]
+  * AND (round 10) every delta row is STAMPED with its batch id: a crash
+  * BETWEEN the ledger append and the commit marker — the window the
+  * round-9 marker could only document — is now recovered at runtime,
+  * because the retry first rolls back any orphaned rows stamped with
+  * its own batch id ([[graft.ops.CfIndex.rollbackBatch]]) and then
+  * re-appends. At-least-once redelivery therefore lands exactly-once
+  * state in every crash position (CfStreamSpec pins the half-committed
+  * path). The committed state doubles as an append audit ledger:
+  * one (batch_id, n_listen_rows) row per folded batch.
   */
 object CfStream {
 
@@ -38,29 +41,21 @@ object CfStream {
     if (!batch.isEmpty) {
       val spark = batch.sparkSession
       import spark.implicits._
-      val metaPq = s"$indexPath/meta"
-      val p = new org.apache.hadoop.fs.Path(metaPq)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val meta: Option[(Long, String)] =
-        if (fs.exists(p) && fs.listStatus(p).nonEmpty)
-          spark.read.parquet(metaPq)
-            .select($"last_batch_id", $"run_tag")
-            .as[(Long, String)].collect().headOption
-        else None
-      if (meta.exists(m => m._2 == runTag && m._1 == batchId)) {
-        // retry of the committed batch — already folded
-      } else if (meta.exists(m => m._2 != runTag || m._1 > batchId)) {
-        throw new IllegalStateException(
-          s"cfFold index at $indexPath was last written by run '${meta.get._2}' " +
-            s"batch ${meta.get._1} but received batch $batchId from run '$runTag' — " +
-            "clear the index path or restore the checkpoint")
-      } else {
-        val first = meta.isEmpty &&
-          !fs.exists(new org.apache.hadoop.fs.Path(s"$indexPath/uic"))
-        if (first) graft.ops.CfIndex.saveCfIndex(batch.select($"user_id", $"item_id"), indexPath)
-        else graft.ops.CfIndex.appendToCfIndex(batch.select($"user_id", $"item_id"), indexPath)
-        Seq((batchId, runTag)).toDF("last_batch_id", "run_tag")
-          .coalesce(1).write.mode("overwrite").parquet(metaPq)
+      StateFold.guarded(spark, s"$indexPath/meta", batchId, runTag) { prev =>
+        // crash recovery: undo any deltas a half-committed attempt of
+        // THIS batch left in the ledgers, then append cleanly
+        graft.ops.CfIndex.rollbackBatch(spark, indexPath, batchId)
+        val uicPath = new Path(s"$indexPath/uic")
+        val fs = uicPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val listens = batch.select($"user_id", $"item_id")
+        if (!fs.exists(uicPath))
+          graft.ops.CfIndex.saveCfIndex(listens, indexPath, batchId)
+        else
+          graft.ops.CfIndex.appendToCfIndex(listens, indexPath, batchId)
+        val prevRows = prev
+          .map(_.as[(Long, Long)].collect().toSeq).getOrElse(Seq.empty)
+        (prevRows :+ ((batchId, batch.count())))
+          .toDF("batch_id", "n_listen_rows")
       }
     }
 }

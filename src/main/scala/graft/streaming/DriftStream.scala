@@ -12,13 +12,13 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   * ([[graft.etl.DataQuality.chi2On]]), so a streamed and a backfilled
   * current window can never disagree on a verdict.
   *
-  * State discipline is [[EventsPipeline.anomalyFold]]'s: the per-type
-  * cumulative counts AND the (batch id, run tag) guard live in ONE
-  * overwritten table — a retry of the last committed batch no-ops, a
-  * stale-state/run mismatch fails loudly, and the guard can never commit
-  * separately from the counts it guards. State is ≤ #event-types rows +
-  * one meta row; the only distributed pass per batch is the batch's own
-  * groupBy (the bounded-pull contract).
+  * State discipline is [[StateFold.guarded]] (round 10: the shared
+  * helper replaces the hand-rolled guard): per-type cumulative counts
+  * commit atomically under a versioned dir — a retry of the committed
+  * batch no-ops, a stale-state/run mismatch fails loudly, and a crash
+  * mid-commit can no longer lose the previous state. State is
+  * ≤ #event-types rows; the only distributed pass per batch is the
+  * batch's own groupBy (the bounded-pull contract).
   */
 object DriftStream {
 
@@ -37,30 +37,12 @@ object DriftStream {
       val batchCounts = batch
         .groupBy($"event_type").agg(count(lit(1)).as("n"))
         .as[(String, Long)].collect().toSeq // ≤ #types rows — bounded pull
-      val statePq = s"$statePath/state"
-      val p = new org.apache.hadoop.fs.Path(statePq)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val prev: Seq[(String, String, Long, Long, String)] =
-        if (fs.exists(p) && fs.listStatus(p).nonEmpty)
-          spark.read.parquet(statePq)
-            .select($"kind", $"event_type", $"n", $"last_batch_id", $"run_tag")
-            .as[(String, String, Long, Long, String)].collect().toSeq
-        else Seq.empty
-      val meta = prev.find(_._1 == "meta").map(m => (m._4, m._5))
-      if (meta.exists(m => m._2 == runTag && m._1 == batchId)) {
-        // retry of the last committed batch — already folded
-      } else if (meta.exists(m => m._2 != runTag || m._1 > batchId)) {
-        throw new IllegalStateException(
-          s"driftFold state at $statePath was last written by run '${meta.get._2}' " +
-            s"batch ${meta.get._1} but received batch $batchId from run '$runTag' — " +
-            "clear the state path or restore the checkpoint")
-      } else {
-        val merged = (prev.filter(_._1 == "count").map(r => (r._2, r._3)) ++ batchCounts)
-          .groupBy(_._1).map { case (t, rs) => (t, rs.map(_._2).sum) }.toSeq
-        val rows = merged.map { case (t, n) => ("count", t, n, batchId, runTag) } :+
-          (("meta", "", 0L, batchId, runTag))
-        rows.toDF("kind", "event_type", "n", "last_batch_id", "run_tag")
-          .coalesce(1).write.mode("overwrite").parquet(statePq)
+      StateFold.guarded(spark, statePath, batchId, runTag) { prev =>
+        val prevCounts = prev
+          .map(_.as[(String, Long)].collect().toSeq).getOrElse(Seq.empty)
+        (prevCounts ++ batchCounts)
+          .groupBy(_._1).map { case (t, rs) => (t, rs.map(_._2).sum) }
+          .toSeq.toDF("event_type", "n")
       }
     }
 
@@ -69,8 +51,8 @@ object DriftStream {
     */
   def serveDrift(spark: SparkSession, statePath: String, refCounts: DataFrame): DataFrame = {
     import spark.implicits._
-    val cur = spark.read.parquet(s"$statePath/state")
-      .filter($"kind" === "count")
+    val cur = StateFold.readState(spark, statePath)
+      .getOrElse(throw new IllegalStateException(s"no committed drift state at $statePath"))
       .select($"event_type", $"n".as("cur_n"))
     graft.etl.DataQuality.chi2On(refCounts, cur)
   }

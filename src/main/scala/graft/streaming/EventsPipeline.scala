@@ -661,30 +661,17 @@ object EventsPipeline {
         .select($"event_type", date_format($"d", "yyyy-MM-dd").as("day"), $"n_events")
         .as[(String, String, Long)].collect().toSeq
 
-      // ONE state table (kind = 'meta' | 'stats' | 'open') so the guard,
-      // the baseline, and the open-day counts commit in a single overwrite
-      // — split tables could leave the marker behind the data on a crash,
-      // and a retry would then double-count the batch into open counts
-      val statePq = s"$statePath/state"
-      val prevState: Seq[(String, String, String, Long, Double, Double, Long, String)] =
-        readWarehouse(spark, statePq) match {
-          case None => Seq.empty
-          case Some(st) => st
-            .select($"kind", $"event_type", $"day", $"n", $"s", $"q",
-              $"last_batch_id", $"run_tag")
-            .as[(String, String, String, Long, Double, Double, Long, String)]
-            .collect().toSeq
-        }
-      val prevMeta = prevState.find(_._1 == "meta").map(m => (m._7, m._8))
-      val prevStats = prevState.filter(_._1 == "stats").map(r => (r._2, r._4, r._5, r._6))
-      if (prevMeta.exists(m => m._2 == runTag && m._1 == batchId)) {
-        // retry re-delivery of the last committed batch — already folded
-      } else if (prevMeta.exists(m => m._2 != runTag || m._1 > batchId)) {
-        throw new IllegalStateException(
-          s"streamingAnomaly state at $statePath was last written by run '${prevMeta.get._2}' " +
-            s"batch ${prevMeta.get._1} but received batch $batchId from run '$runTag' — " +
-            "clear the state path or restore the checkpoint")
-      } else {
+      // ONE state table (kind = 'stats' | 'open') through the shared
+      // StateFold versioned commit (round 10) — the baseline and the
+      // open-day counts commit atomically with the guard, so a crash can
+      // neither leave the marker behind the data nor (as the old
+      // delete-then-write overwrite could) lose the state wholesale
+      StateFold.guarded(spark, statePath, batchId, runTag) { prev =>
+        val prevState: Seq[(String, String, String, Long, Double, Double)] = prev
+          .map(_.select($"kind", $"event_type", $"day", $"n", $"s", $"q")
+            .as[(String, String, String, Long, Double, Double)].collect().toSeq)
+          .getOrElse(Seq.empty)
+        val prevStats = prevState.filter(_._1 == "stats").map(r => (r._2, r._4, r._5, r._6))
         val prevOpen: Seq[(String, String, Long)] =
           prevState.filter(_._1 == "open").map(r => (r._2, r._3, r._4))
         val merged = (prevOpen ++ batchCounts)
@@ -715,22 +702,18 @@ object EventsPipeline {
         }
 
         // verdicts first, into a batch-scoped overwrite dir: a retried fold
-        // rewrites the same dir, never appends duplicates
+        // rewrites the same dir, never appends duplicates; the StateFold
+        // commit below lands after, so a crash in between redoes the whole
+        // fold idempotently
         if (verdicts.nonEmpty)
           verdicts.toDF("event_type", "day", "n_events", "z_score", "verdict")
             .coalesce(1)
             .write.mode("overwrite").parquet(s"$statePath/verdicts/batch_id=$batchId")
-        // then the whole state (marker included) in one overwrite: a crash
-        // before this commit makes the entire fold redo idempotently
-        val nextState =
-          Seq(("meta", null: String, null: String, 0L, 0.0, 0.0, batchId, runTag)) ++
-          stats.toSeq.map { case (t, (n, s, q)) =>
-            ("stats", t, null: String, n, s, q, batchId, runTag) } ++
+        (stats.toSeq.map { case (t, (n, s, q)) =>
+            ("stats", t, null: String, n, s, q) } ++
           stillOpen.map { case (t, d, n) =>
-            ("open", t, d, n, 0.0, 0.0, batchId, runTag) }
-        nextState
-          .toDF("kind", "event_type", "day", "n", "s", "q", "last_batch_id", "run_tag")
-          .coalesce(1).write.mode("overwrite").parquet(statePq)
+            ("open", t, d, n, 0.0, 0.0) })
+          .toDF("kind", "event_type", "day", "n", "s", "q")
       }
     }
 

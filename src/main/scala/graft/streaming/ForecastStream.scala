@@ -17,15 +17,15 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   * (exact integer state + one shared IEEE tree; ForecastStreamSpec
   * pins all three).
   *
-  * State discipline is [[StatsStream.corrSink]]'s (the anomalyFold
-  * contract): the per-(type, day) counts AND the (batch id, run tag)
-  * guard live in ONE overwritten table — a retry of the committed batch
-  * no-ops, stale state fails loudly, the guard cannot commit separately
-  * from the counts it guards. State is ≤ #types × #days rows — it grows
-  * with CALENDAR TIME, not data volume (a year of a 10-type stream is
-  * 3 650 rows), which is what makes the collect-merge a bounded model
-  * pull at 100 TB; days are stored as ISO strings so the state schema
-  * stays engine-neutral.
+  * State discipline is [[StateFold.guarded]] (round 10: the shared
+  * helper replaces the hand-rolled guard, and its versioned commit
+  * closes the delete-then-write window this sink's in-place overwrite
+  * had — a crash mid-commit previously lost ALL prior daily counts and
+  * a replayed batch then folded as if fresh). State is ≤ #types ×
+  * #days rows — it grows with CALENDAR TIME, not data volume (a year
+  * of a 10-type stream is 3 650 rows), which is what makes the
+  * collect-merge a bounded model pull at 100 TB; days are stored as
+  * ISO strings so the state schema stays engine-neutral.
   */
 object ForecastStream {
 
@@ -49,41 +49,20 @@ object ForecastStream {
         .groupBy($"event_type", date_format(to_date($"ts"), "yyyy-MM-dd").as("day"))
         .agg(count(lit(1)).as("n"))
         .as[(String, String, Long)].collect().toSeq
-      val statePq = s"$statePath/state"
-      val p = new org.apache.hadoop.fs.Path(statePq)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val prev: Seq[(String, String, String, Long, Long, String)] =
-        if (fs.exists(p) && fs.listStatus(p).nonEmpty)
-          spark.read.parquet(statePq)
-            .select($"kind", $"event_type", $"day", $"n", $"last_batch_id", $"run_tag")
-            .as[(String, String, String, Long, Long, String)]
-            .collect().toSeq
-        else Seq.empty
-      val meta = prev.find(_._1 == "meta").map(m => (m._5, m._6))
-      if (meta.exists(m => m._2 == runTag && m._1 == batchId)) {
-        // retry of the last committed batch — already folded
-      } else if (meta.exists(m => m._2 != runTag || m._1 > batchId)) {
-        throw new IllegalStateException(
-          s"dailyFold state at $statePath was last written by run '${meta.get._2}' " +
-            s"batch ${meta.get._1} but received batch $batchId from run '$runTag' — " +
-            "clear the state path or restore the checkpoint")
-      } else {
-        val prevCounts = prev.filter(_._1 == "count").map(r => ((r._2, r._3), r._4))
-        val newCounts = batchDaily.map(r => ((r._1, r._2), r._3))
-        val merged = (prevCounts ++ newCounts).groupBy(_._1)
-          .map { case (k, rs) => (k, rs.map(_._2).sum) }.toSeq
-        val rows = merged.map { case ((t, d), n) =>
-          ("count", t, d, n, batchId, runTag)
-        } :+ (("meta", "", "", 0L, batchId, runTag))
-        rows.toDF("kind", "event_type", "day", "n", "last_batch_id", "run_tag")
-          .coalesce(1).write.mode("overwrite").parquet(statePq)
+      StateFold.guarded(spark, statePath, batchId, runTag) { prev =>
+        val prevCounts = prev
+          .map(_.as[(String, String, Long)].collect().toSeq).getOrElse(Seq.empty)
+        (prevCounts.map(r => ((r._1, r._2), r._3)) ++
+            batchDaily.map(r => ((r._1, r._2), r._3)))
+          .groupBy(_._1).map { case ((t, d), rs) => (t, d, rs.map(_._2).sum) }
+          .toSeq.toDF("event_type", "day", "n")
       }
     }
 
   private def stateDaily(spark: SparkSession, statePath: String): DataFrame = {
     import spark.implicits._
-    spark.read.parquet(s"$statePath/state")
-      .filter($"kind" === "count")
+    StateFold.readState(spark, statePath)
+      .getOrElse(throw new IllegalStateException(s"no committed daily state at $statePath"))
       .select($"event_type", to_date($"day").as("day"), $"n")
   }
 

@@ -53,30 +53,10 @@ object IndexStream {
     if (!batch.isEmpty) {
       val spark = batch.sparkSession
       import spark.implicits._
-      val statePq = s"$statePath/state"
-      val p = new org.apache.hadoop.fs.Path(statePq)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val prev: Seq[(String, Long, Long, Long, Double, Boolean, Long, String)] =
-        if (fs.exists(p) && fs.listStatus(p).nonEmpty)
-          spark.read.parquet(statePq)
-            .select($"kind", $"batch_id", $"n_new", $"max_cell", $"max_share",
-              $"skew_alert", $"last_batch_id", $"run_tag")
-            .as[(String, Long, Long, Long, Double, Boolean, Long, String)]
-            .collect().toSeq
-        else Seq.empty
-      val meta = prev.find(_._1 == "meta").map(m => (m._7, m._8))
-      if (meta.exists(m => m._2 == runTag && m._1 == batchId)) {
-        // retry of the last committed batch — the append below already
-        // ran for it (or was redelivered and anti-joined to nothing);
-        // the monitor row exists. No-op.
-      } else if (meta.exists(m => m._2 != runTag || m._1 > batchId)) {
-        throw new IllegalStateException(
-          s"ingestFold state at $statePath was last written by run '${meta.get._2}' " +
-            s"batch ${meta.get._1} but received batch $batchId from run '$runTag' — " +
-            "clear the state path or restore the checkpoint")
-      } else {
+      StateFold.guarded(spark, statePath, batchId, runTag) { prev =>
         // idempotent append: in-batch dedup + anti-join vs already-indexed
-        // ids (column-pruned lists probe)
+        // ids (column-pruned lists probe) — so the re-run of a
+        // half-committed fold appends only what the crash left out
         val indexed = spark.read.parquet(s"$indexPath/lists")
           .select($"neighbor_id".as("vec_id"))
         val fresh = batch.select($"vec_id", $"embedding")
@@ -100,13 +80,11 @@ object IndexStream {
             val top = counts.maxBy(_._2)
             (top._1, top._2.toDouble / newRows.toDouble)
           }
-        val rows = prev.filter(_._1 == "batch")
-          .map(r => ("batch", r._2, r._3, r._4, r._5, r._6, batchId, runTag)) :+
-          (("batch", batchId, newRows, maxCell, maxShare, maxShare > skewBar, batchId, runTag)) :+
-          (("meta", -1L, 0L, 0L, 0.0, false, batchId, runTag))
-        rows.toDF("kind", "batch_id", "n_new", "max_cell", "max_share",
-          "skew_alert", "last_batch_id", "run_tag")
-          .coalesce(1).write.mode("overwrite").parquet(statePq)
+        val prevRows = prev
+          .map(_.as[(Long, Long, Long, Double, Boolean)].collect().toSeq)
+          .getOrElse(Seq.empty)
+        (prevRows :+ ((batchId, newRows, maxCell, maxShare, maxShare > skewBar)))
+          .toDF("batch_id", "n_new", "max_cell", "max_share", "skew_alert")
       }
     }
 
@@ -116,7 +94,8 @@ object IndexStream {
     */
   def serveIndexHealth(spark: SparkSession, indexPath: String, statePath: String): DataFrame = {
     import spark.implicits._
-    val st = spark.read.parquet(s"$statePath/state").filter($"kind" === "batch")
+    val st = StateFold.readState(spark, statePath)
+      .getOrElse(throw new IllegalStateException(s"no committed monitor state at $statePath"))
     val landed = st.agg(coalesce(sum($"n_new"), lit(0L)).as("landed"))
     val indexed = spark.read.parquet(s"$indexPath/lists")
       .agg(count(lit(1)).as("indexed"))

@@ -1,9 +1,11 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
+import org.apache.spark.sql.types._
 
 /** Streaming Markov transition matrix — continuous form of
   * [[graft.core.EngagementQueries.eventsMarkovTransitions]]: the
@@ -18,16 +20,41 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   * delta-load shape; in-batch order is recovered by the (ts, event_id)
   * window regardless.
   *
-  * State discipline is [[EventsPipeline.anomalyFold]]'s: transition
-  * counts (≤ #types² rows), per-user last-event rows, and the (batch id,
-  * run tag) guard commit in ONE overwritten table — a retry of the
-  * committed batch no-ops, stale state fails loudly. Per batch the only
-  * event-row pass is the batch's own window + groupBy; state I/O is
-  * O(users + types²) (at real scale the per-user rows bucketize like the
-  * SCD2 sink's warehouse). Serving goes through the SHARED
-  * transitionProbs core, so streamed == backfilled bit-for-bit.
+  * Scale design (round 10 — this was the repo's last unbounded driver
+  * pull): the per-user last-event rows grow with the USER POPULATION,
+  * so they live in a key-hash-BUCKETED table (`users/`, the
+  * [[CdcStream.cdcMergeBatch]] layout), never on the driver. Boundary
+  * transitions come from JOINING the batch's per-user first events
+  * against the affected buckets — distributed — and only ≤ #types²
+  * aggregates are ever collected. A batch rewrites only its affected
+  * buckets via dynamic partition overwrite; cold buckets stay
+  * byte-identical (mtime-pinned in MarkovStreamSpec).
+  *
+  * Exactly-once: the ≤ #types² transition counts commit through
+  * [[StateFold.guarded]] (versioned atomic commit; retry no-ops, stale
+  * state fails loudly). The users table is written BEFORE that commit,
+  * so a crash between the two leaves a half-applied batch — each user
+  * row therefore carries (`prev_type`, `last_batch_id`): a retry of
+  * batch B reads a row already stamped B through its `prev_type` (the
+  * value before B applied), reproducing the identical boundary counts
+  * and an idempotent users rewrite (the write-ahead trick that makes
+  * the two-table commit safe without a cross-table transaction).
   */
 object MarkovStream {
+
+  /** Hash buckets for the per-user last-event table; sized by user
+    * population at deploy (16 is plenty at test scale — the layout, not
+    * the constant, is the contract).
+    */
+  val userBuckets = 16
+
+  private def bucketOf(c: Column): Column =
+    pmod(xxhash64(c.cast("string")), lit(userBuckets.toLong)).cast("int")
+
+  private val usersSchema = StructType(Seq(
+    StructField("user_id", LongType), StructField("last_type", StringType),
+    StructField("prev_type", StringType), StructField("last_batch_id", LongType),
+    StructField("_bucket", IntegerType)))
 
   def markovSink(events: DataFrame, statePath: String, runTag: String = "default"): DataStreamWriter[Row] =
     events.writeStream
@@ -41,59 +68,72 @@ object MarkovStream {
     if (!batch.isEmpty) {
       val spark = batch.sparkSession
       import spark.implicits._
-      val statePq = s"$statePath/state"
-      val p = new org.apache.hadoop.fs.Path(statePq)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val prev: Seq[(String, String, String, Long, Long, String, Long, String)] =
-        if (fs.exists(p) && fs.listStatus(p).nonEmpty)
-          spark.read.parquet(statePq)
-            .select($"kind", $"k1", $"k2", $"n", $"uid", $"last_type",
-              $"last_batch_id", $"run_tag")
-            .as[(String, String, String, Long, Long, String, Long, String)]
-            .collect().toSeq
-        else Seq.empty
-      val meta = prev.find(_._1 == "meta").map(m => (m._7, m._8))
-      if (meta.exists(m => m._2 == runTag && m._1 == batchId)) {
-        // retry of the last committed batch — already folded
-      } else if (meta.exists(m => m._2 != runTag || m._1 > batchId)) {
-        throw new IllegalStateException(
-          s"markovFold state at $statePath was last written by run '${meta.get._2}' " +
-            s"batch ${meta.get._1} but received batch $batchId from run '$runTag' — " +
-            "clear the state path or restore the checkpoint")
-      } else {
+      StateFold.guarded(spark, statePath, batchId, runTag) { prev =>
         val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-        // one distributed pass over the batch: ordered pairs + per-user
-        // first/last, then bounded pulls (≤ types² + 2·batch-users rows)
+        // ONE distributed pass shape over the batch: ordered pairs +
+        // per-user first/last; only ≤ types² aggregates are collected
         val seq = batch.select($"user_id", $"ts", $"event_id", $"event_type")
           .withColumn("next_type", lead($"event_type", 1).over(w))
           .withColumn("rn", row_number().over(w))
           .withColumn("rmax", count(lit(1)).over(Window.partitionBy($"user_id")))
-        val inBatch: Seq[((String, String), Long)] = seq
-          .filter($"next_type".isNotNull)
-          .groupBy($"event_type", $"next_type").agg(count(lit(1)).as("n"))
-          .as[(String, String, Long)].collect().map(r => ((r._1, r._2), r._3)).toSeq
-        val firsts: Map[Long, String] = seq.filter($"rn" === 1)
-          .select($"user_id", $"event_type")
-          .as[(Long, String)].collect().toMap
-        val lasts: Map[Long, String] = seq.filter($"rn" === $"rmax")
-          .select($"user_id", $"event_type")
-          .as[(Long, String)].collect().toMap
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val inBatch: Seq[((String, String), Long)] = seq
+            .filter($"next_type".isNotNull)
+            .groupBy($"event_type", $"next_type").agg(count(lit(1)).as("n"))
+            .as[(String, String, Long)].collect().map(r => ((r._1, r._2), r._3)).toSeq
+          val firsts = seq.filter($"rn" === 1)
+            .select($"user_id", $"event_type".as("first_type"))
+          val lasts = seq.filter($"rn" === $"rmax")
+            .select($"user_id", $"event_type".as("last_type"))
+            .withColumn("_bucket", bucketOf($"user_id"))
 
-        val prevLast = prev.filter(_._1 == "user").map(r => r._5 -> r._6).toMap
-        // boundary transitions: carried last event → batch's first event
-        val boundary = firsts.toSeq.flatMap { case (uid, first) =>
-          prevLast.get(uid).map(lt => ((lt, first), 1L))
-        }
-        val mergedCounts = (prev.filter(_._1 == "count")
-            .map(r => ((r._2, r._3), r._4)) ++ inBatch ++ boundary)
-          .groupBy(_._1).map { case (k, rs) => (k, rs.map(_._2).sum) }.toSeq
-        val mergedLast = prevLast ++ lasts
-        val rows =
-          mergedCounts.map { case ((a, b), n) => ("count", a, b, n, 0L, "", batchId, runTag) } ++
-            mergedLast.map { case (uid, t) => ("user", "", "", 0L, uid, t, batchId, runTag) } :+
-            (("meta", "", "", 0L, 0L, "", batchId, runTag))
-        rows.toDF("kind", "k1", "k2", "n", "uid", "last_type", "last_batch_id", "run_tag")
-          .coalesce(1).write.mode("overwrite").parquet(statePq)
+          val usersPath = s"$statePath/users"
+          val up = new Path(usersPath)
+          val fs = up.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          // affected buckets: the batch's users' hash dirs — ≤ userBuckets ids
+          val affected = lasts.select($"_bucket").distinct()
+            .collect().map(_.getInt(0)).toSeq
+          val prevUsers =
+            if (fs.exists(up) && fs.listStatus(up).nonEmpty)
+              spark.read.parquet(usersPath).filter($"_bucket".isin(affected: _*))
+            else spark.createDataFrame(
+              spark.sparkContext.emptyRDD[Row], usersSchema)
+          // carried last event, retry-aware: a row already stamped with
+          // THIS batch id was written by a half-committed attempt — its
+          // pre-batch value is prev_type
+          val carried = prevUsers.select($"user_id",
+            when($"last_batch_id" === batchId, $"prev_type")
+              .otherwise($"last_type").as("carried"))
+          // boundary transitions, DISTRIBUTED: carried last → batch first
+          val boundary: Seq[((String, String), Long)] = firsts
+            .join(carried, Seq("user_id"))
+            .filter($"carried".isNotNull)
+            .groupBy($"carried", $"first_type").agg(count(lit(1)).as("n"))
+            .as[(String, String, Long)].collect().map(r => ((r._1, r._2), r._3)).toSeq
+
+          // users write-ahead: affected buckets = untouched residents ∪
+          // the batch's users (new last event, pre-batch value preserved)
+          val newRows = lasts.join(carried, Seq("user_id"), "left")
+            .select($"user_id", $"last_type", $"carried".as("prev_type"),
+              lit(batchId).as("last_batch_id"), $"_bucket")
+          val keep = prevUsers
+            .join(lasts.select($"user_id"), Seq("user_id"), "left_anti")
+            .select($"user_id", $"last_type", $"prev_type", $"last_batch_id", $"_bucket")
+          keep.unionByName(newRows).localCheckpoint()
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_bucket")
+            .parquet(usersPath)
+
+          val prevCounts: Seq[((String, String), Long)] = prev
+            .map(_.as[(String, String, Long)].collect()
+              .map(r => ((r._1, r._2), r._3)).toSeq)
+            .getOrElse(Seq.empty)
+          (prevCounts ++ inBatch ++ boundary)
+            .groupBy(_._1).map { case ((a, b), n) => (a, b, n.map(_._2).sum) }
+            .toSeq.toDF("prev_type", "next_type", "n_transitions")
+        } finally { seq.unpersist(); () }
       }
     }
 
@@ -103,9 +143,9 @@ object MarkovStream {
     */
   def serveTransitions(spark: SparkSession, statePath: String): DataFrame = {
     import spark.implicits._
-    val counts = spark.read.parquet(s"$statePath/state")
-      .filter($"kind" === "count")
-      .select($"k1".as("prev_type"), $"k2".as("next_type"), $"n".as("n_transitions"))
+    val counts = StateFold.readState(spark, statePath)
+      .getOrElse(throw new IllegalStateException(s"no committed markov state at $statePath"))
+      .select($"prev_type", $"next_type", $"n_transitions")
     graft.core.EngagementQueries.transitionProbs(counts)
   }
 }

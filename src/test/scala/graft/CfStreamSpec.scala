@@ -53,6 +53,30 @@ class CfStreamSpec extends SparkSuite {
     val e = intercept[IllegalStateException] {
       streaming.CfStream.cfFold(b0, dir, 0L)
     }
-    assert(e.getMessage.contains("clear the index path"))
+    assert(e.getMessage.contains("clear the state path"))
+  }
+
+  test("crash between ledger append and commit marker recovers exactly-once") {
+    import spark.implicits._
+    val all = listens()
+    val clean = Files.createTempDirectory("graft_cfstream_clean").toString
+    val crashed = Files.createTempDirectory("graft_cfstream_crash").toString
+    val b0 = all.filter($"o_orderkey" % 2 === 0).select($"user_id", $"item_id")
+    val b1 = all.filter($"o_orderkey" % 2 === 1).select($"user_id", $"item_id")
+    Seq(clean, crashed).foreach { d =>
+      streaming.CfStream.cfFold(b0, d, 0L)
+    }
+    streaming.CfStream.cfFold(b1, clean, 1L)
+    // simulate the crash window: batch 1's deltas land stamped in the
+    // ledgers but the commit marker is never written
+    ops.CfIndex.appendToCfIndex(b1, crashed, srcBatch = 1L)
+    // the checkpoint then redelivers batch 1 — pre-round-10 this
+    // double-counted every delta
+    streaming.CfStream.cfFold(b1, crashed, 1L)
+    assert(seqOf(ops.CfIndex.serveCfNeighbors(spark, crashed)) ==
+      seqOf(ops.CfIndex.serveCfNeighbors(spark, clean)),
+      "orphaned deltas must be rolled back before the re-append")
+    assert(seqOf(ops.CfIndex.serveCfUserTopn(spark, crashed)) ==
+      seqOf(ops.CfIndex.serveCfUserTopn(spark, clean)))
   }
 }

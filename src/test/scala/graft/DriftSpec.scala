@@ -36,10 +36,10 @@ class DriftSpec extends SparkSuite {
     val b1 = ev.filter($"event_id" % 2 === 1)
     streaming.DriftStream.driftFold(b0, dir, 0L)
     streaming.DriftStream.driftFold(b1, dir, 1L)
-    val state = spark.read.parquet(s"$dir/state")
+    val state = streaming.StateFold.readState(spark, dir).get
       .collect().map(_.toSeq).toSet
     streaming.DriftStream.driftFold(b1, dir, 1L) // retry — already folded
-    assert(spark.read.parquet(s"$dir/state").collect().map(_.toSeq).toSet == state,
+    assert(streaming.StateFold.readState(spark, dir).get.collect().map(_.toSeq).toSet == state,
       "retry mutated the folded counts")
     // an out-of-order OLD batch id means the checkpoint and state diverged
     val e = intercept[IllegalStateException] {

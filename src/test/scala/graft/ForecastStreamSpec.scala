@@ -39,9 +39,9 @@ class ForecastStreamSpec extends SparkSuite {
     val b1 = ev.filter($"event_id" % 2 === 1)
     streaming.ForecastStream.dailyFold(b0, dir, 0L)
     streaming.ForecastStream.dailyFold(b1, dir, 1L)
-    val state = spark.read.parquet(s"$dir/state").collect().map(_.toSeq).toSet
+    val state = streaming.StateFold.readState(spark, dir).get.collect().map(_.toSeq).toSet
     streaming.ForecastStream.dailyFold(b1, dir, 1L) // retry — already folded
-    assert(spark.read.parquet(s"$dir/state").collect().map(_.toSeq).toSet == state,
+    assert(streaming.StateFold.readState(spark, dir).get.collect().map(_.toSeq).toSet == state,
       "retry mutated the folded counts")
     val e = intercept[IllegalStateException] {
       streaming.ForecastStream.dailyFold(b0, dir, 0L)

@@ -71,9 +71,9 @@ class IndexStreamSpec extends SparkSuite {
     val b1 = emb().filter($"vec_id" % 5 === 2).select(($"vec_id" + 20000).as("vec_id"), $"embedding")
     streaming.IndexStream.ingestFold(b0, ix, st, 0L)
     streaming.IndexStream.ingestFold(b1, ix, st, 1L)
-    val state = spark.read.parquet(s"$st/state").collect().map(_.toSeq).toSet
+    val state = streaming.StateFold.readState(spark, st).get.collect().map(_.toSeq).toSet
     streaming.IndexStream.ingestFold(b1, ix, st, 1L) // retry
-    assert(spark.read.parquet(s"$st/state").collect().map(_.toSeq).toSet == state)
+    assert(streaming.StateFold.readState(spark, st).get.collect().map(_.toSeq).toSet == state)
     val e = intercept[IllegalStateException] {
       streaming.IndexStream.ingestFold(b0, ix, st, 0L)
     }

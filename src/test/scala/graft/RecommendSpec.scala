@@ -100,6 +100,31 @@ class RecommendSpec extends SparkSuite {
     assert(got.subsetOf(expect), "served scores must equal the re-derived vote sums")
   }
 
+  test("neighbor ranking: partial top-k heap runs BELOW the exchange (round-10)") {
+    import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{Final, Partial}
+    // the uncached core: this suite caches recItemItemCf, and cache
+    // substitution would swap the whole subtree for an InMemoryRelation,
+    // hiding the aggregate from the plan walk
+    val df = ops.Recommend.neighbors(spark, sf)
+    df.collect() // finalize AQE
+    val nodes = tools.PlanWalk.flatten(df.queryExecution.executedPlan)
+    val aggs = nodes.collect { case a: ObjectHashAggregateExec => a }
+    def withTopK(mode: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateMode) =
+      aggs.filter(_.aggregateExpressions.exists(ae =>
+        ae.mode == mode && ae.aggregateFunction.isInstanceOf[graft.functions.PartialTopK]))
+    val partials = withTopK(Partial)
+    assert(partials.nonEmpty, "no partial-mode partial_topk planned:\n" +
+      df.queryExecution.executedPlan.toString)
+    assert(withTopK(Final).nonEmpty, "no final-mode partial_topk planned")
+    val exchanges = nodes.collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.exists(e =>
+      tools.PlanWalk.flatten(e).exists(p => partials.exists(_ eq p))),
+      "partial_topk partial mode not below any shuffle exchange:\n" +
+        df.queryExecution.executedPlan.toString)
+  }
+
   test("novelty holds past the power-listener cap (round-10 fix)") {
     import spark.implicits._
     // user 1 listens to 205 distinct items — items 201..205 fall OUTSIDE

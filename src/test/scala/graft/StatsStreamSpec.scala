@@ -38,9 +38,9 @@ class StatsStreamSpec extends SparkSuite {
     val b1 = ev.filter($"event_id" % 2 === 1)
     streaming.StatsStream.corrFold(b0, dir, 0L)
     streaming.StatsStream.corrFold(b1, dir, 1L)
-    val state = spark.read.parquet(s"$dir/state").collect().map(_.toSeq).toSet
+    val state = streaming.StateFold.readState(spark, dir).get.collect().map(_.toSeq).toSet
     streaming.StatsStream.corrFold(b1, dir, 1L) // retry — already folded
-    assert(spark.read.parquet(s"$dir/state").collect().map(_.toSeq).toSet == state,
+    assert(streaming.StateFold.readState(spark, dir).get.collect().map(_.toSeq).toSet == state,
       "retry mutated the folded sums")
     val e = intercept[IllegalStateException] {
       streaming.StatsStream.corrFold(b0, dir, 0L)

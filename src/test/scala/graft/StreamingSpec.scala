@@ -970,14 +970,14 @@ class StreamingAnomalySpec extends SparkSuite {
     assert(verdicts("2024-01-01")._2 == 0.0)
     // trailing semantics: the spike is NOT in the baseline of the days
     // before it, and IS in the stats afterwards
-    val st = spark.read.parquet(s"$statePath/state")
+    val st = streaming.StateFold.readState(spark, statePath).get
       .filter($"kind" === "stats").collect()
     assert(st.length == 1)
     val closed = days.init.map(_._2.toDouble)
     assert(st.head.getAs[Long]("n") == closed.length)
     assert(math.abs(st.head.getAs[Double]("s") - closed.sum) < 1e-9)
     // state is bounded: stats rows = #types, open rows = #types × open days
-    val open = spark.read.parquet(s"$statePath/state").filter($"kind" === "open").collect()
+    val open = streaming.StateFold.readState(spark, statePath).get.filter($"kind" === "open").collect()
     assert(open.length == 1 && open.head.getAs[String]("day") == "2024-01-10")
   }
 
@@ -1006,7 +1006,7 @@ class StreamingAnomalySpec extends SparkSuite {
       assert(v(("play", d)) == "normal", d)
     }
     // state: one stats row per type
-    val st = spark.read.parquet(s"$statePath/state").filter($"kind" === "stats").collect()
+    val st = streaming.StateFold.readState(spark, statePath).get.filter($"kind" === "stats").collect()
     assert(st.map(_.getAs[String]("event_type")).sorted.toSeq == Seq("play", "skip"))
   }
 
@@ -1043,10 +1043,10 @@ class StreamingAnomalySpec extends SparkSuite {
     val statePath = java.nio.file.Files.createTempDirectory("graft_anom_retry").toString
     val b0 = mkBatch(Seq(("play", "2024-02-01", 10), ("play", "2024-02-02", 12)))
     EventsPipeline.anomalyFold(b0, statePath, 0L, "run-a")
-    val state1 = spark.read.parquet(s"$statePath/state").collect().map(_.toSeq).toSet
+    val state1 = streaming.StateFold.readState(spark, statePath).get.collect().map(_.toSeq).toSet
     // foreachBatch retry: same batch id, same run — must not double-count
     EventsPipeline.anomalyFold(b0, statePath, 0L, "run-a")
-    assert(spark.read.parquet(s"$statePath/state").collect().map(_.toSeq).toSet == state1)
+    assert(streaming.StateFold.readState(spark, statePath).get.collect().map(_.toSeq).toSet == state1)
     // a fresh run against existing state is ambiguous — loud failure
     intercept[IllegalStateException] {
       EventsPipeline.anomalyFold(b0, statePath, 0L, "run-b")
