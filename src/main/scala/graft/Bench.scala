@@ -87,7 +87,7 @@ object Bench {
     "rec_item_item_cf_persisted", "rec_user_topn_persisted",
     "knn_graph_communities", "dm_cohort_ltv", "agg_moments_exact",
     "text_keyphrases_rake", "dq_freshness", "events_intervals_union",
-    "etl_csv_ingest")
+    "etl_csv_ingest", "dedup_containment_keeper", "curation_pipeline")
   // dedup_recall_eval joins ann_recall_eval in the excluded-harness
   // family: each runs EVERY path in its family back-to-back, so benching
   // it would double-count operators the suite already times individually
@@ -95,7 +95,9 @@ object Bench {
   // (dedup_ngram_jaccard etc.): the sf0.1 corpus holds 2.1M TRUE
   // containment pairs (near-dup clusters make every member contained in
   // every other), so the pair-output contract — not the pruned join —
-  // dominates its runtime (~70 s of mostly result materialization)
+  // dominates its runtime (~70 s of mostly result materialization);
+  // dedup_containment_keeper IS benched — the bounded best-container
+  // form is the family's 100 TB shape
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

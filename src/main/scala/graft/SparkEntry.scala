@@ -25,7 +25,8 @@ object SparkEntry {
       core.StatsQueries.queries ++ ops.AnnEval.queries ++ ops.Collocations.queries ++
       mart.TrendingQueries.queries ++ mart.DiscoveryQueries.queries ++
       etl.UserPurge.queries ++ ops.Recommend.queries ++ core.HoltForecast.queries ++
-      ops.CfIndex.queries ++ ops.DedupEval.queries ++ ops.Rake.queries
+      ops.CfIndex.queries ++ ops.DedupEval.queries ++ ops.Rake.queries ++
+      ops.CurationPipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.

@@ -16,9 +16,9 @@ import graft.Tables
   *   1. EXACT — min-id keeper on the canonical bag-of-words form
   *      ([[LlmQueries.dedupExactKeeperOn]] over [[BloomDedup.canonText]],
   *      the incremental-Bloom entry's duplicate definition): O(n).
-  *   2. NEAR-DUP — MinHash-LSH band buckets + keeper fixpoint over the
-  *      stage-1 survivors ([[ScaleDedup.bandRows]] + keeperFixpoint):
-  *      candidate work = bucket occupancy.
+  *   2. NEAR-DUP — MinHash-LSH band buckets + true-CC keeper labels over
+  *      the stage-1 survivors ([[ScaleDedup.bandRows]] + ccKeepers, the
+  *      round-10 resolution): candidate work = bucket occupancy.
   *   3. SEMANTIC — SemDeDup cell-blocked embedding cosine over the
   *      stage-2 survivors ([[SemanticDedup.semanticEdges]] filtered to
   *      pairs with BOTH endpoints alive, then the shared ccKeepers
@@ -65,13 +65,9 @@ object DedupCascade {
     val surv1 = docs.join(s1.select($"doc_id"), Seq("doc_id"), "left_anti")
 
     // stage 2: MinHash-LSH keeper over survivors (the standalone entry's
-    // bucket-min + pointer-doubling fixpoint, on the thinned corpus)
-    val bands = ScaleDedup.bandRows(surv1)
-    val bucketMin = bands.groupBy($"band", $"band_key")
-      .agg(min($"doc_id").as("bucket_min"))
-    val k1 = bands.join(bucketMin, Seq("band", "band_key"))
-      .groupBy($"doc_id").agg(min($"bucket_min").as("keeper_doc_id"))
-    val s2 = ScaleDedup.keeperFixpoint(k1, hops = 3)
+    // round-10 LSH→verify→CC resolution, on the thinned corpus)
+    val bands = ScaleDedup.bandRows(surv1).localCheckpoint()
+    val s2 = ScaleDedup.minhashVerifiedKeepers(surv1, bands)
       .filter($"doc_id" =!= $"keeper_doc_id")
       .select($"doc_id", $"keeper_doc_id", lit(2L).as("stage"))
       .localCheckpoint()

@@ -20,11 +20,12 @@ import graft.Tables
   *
   * Self-check: `jaccard_prefix_keeper` clusters are the connected
   * components OVER the truth pairs themselves, so its recall is 1.0 by
-  * construction — DedupEvalSpec pins that, a floor for MinHash-LSH
-  * (whose banding trades recall deterministically), and reports SimHash
-  * (a DIFFERENT similarity — hamming on fingerprints — so its recall
-  * against the Jaccard truth is the cross-metric honesty number, not a
-  * defect).
+  * construction — DedupEvalSpec pins that, the ≥ 0.85 floor for
+  * MinHash-LSH (measured 1.0 after the round-10 LSH→verify→CC rebuild;
+  * this harness is what caught the old keeper chase at 0.73), and
+  * reports SimHash (a DIFFERENT similarity — hamming on fingerprints —
+  * so its recall against the Jaccard truth is the cross-metric honesty
+  * number, not a defect).
   *
   * Shape: truth pairs localCheckpoint once (three label joins probe
   * them); each path contributes two broadcast-label joins + one partial

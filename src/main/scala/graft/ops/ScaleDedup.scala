@@ -58,11 +58,25 @@ object ScaleDedup {
     *  1. signature per doc (no shuffle),
     *  2. explode into 16 (band, band_key) bucket rows — signatures are NOT
     *     carried through the shuffle, only ids,
-    *  3. min doc_id per bucket, then min over each doc's 16 buckets,
-    *  4. one extra keeper-of-keeper hop to collapse chains.
-    * Docs with identical signatures (jaccard ≈ 1) share every bucket and
-    * provably land on the same keeper; lower-similarity links may need
-    * more hops (full connected components is an iterated form of step 4).
+    *  3. candidate pairs = same-bucket pairs (distinct across bands),
+    *     EXACT-VERIFIED at Jaccard ≥ 0.9 on the word sets — the same
+    *     verify discipline the banded incremental entry and the
+    *     streaming near-dedup screen always had,
+    *  4. TRUE connected-component labels over the VERIFIED edges
+    *     ([[ccKeepers]]).
+    *
+    * Round 10 rebuilt step 3–4 from the measured failure of both cheap
+    * alternatives: the bounded keeper-pointer chase stranded component
+    * branches at local minima (0.73 pair recall at τ = 0.9 vs ~1
+    * candidate recall — per-band collision 0.9⁴ ≈ 0.66, miss-all-16 ≈
+    * 4·10⁻⁸), while raw bucket-graph CC without verify chains weak
+    * collisions transitively (this corpus's bucket graph is ONE global
+    * component — it dropped 498/500 docs against 197 truly near-dup).
+    * Verify+CC makes pair recall ≈ candidate recall ≈ 1 AND precision
+    * exact. Candidate expansion is quadratic per bucket — bucket sizes,
+    * not corpus size, bound it; at 100 TB the standard guard is a
+    * bucket-size ceiling (oversized buckets are boilerplate families
+    * whose pairs other bands re-find), inert at test scale.
     */
   /** (doc_id, band, band_key) LSH bucket rows for a (doc_id, text, …)
     * corpus — the persisted band INDEX at scale. Token hashes in one
@@ -99,21 +113,51 @@ object ScaleDedup {
 
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val bands = bandRows(Tables.documents(spark, dir))
-
-    val bucketMin = bands.groupBy($"band", $"band_key")
-      .agg(min($"doc_id").as("bucket_min"), count(lit(1)).as("bucket_size"))
-    val k1 = bands.join(bucketMin, Seq("band", "band_key"))
+    val docs = Tables.documents(spark, dir)
+    val bands = bandRows(docs).localCheckpoint()
+    val bucketSize = bands.groupBy($"band", $"band_key")
+      .agg(count(lit(1)).as("bucket_size"))
+    val maxBucket = bands.join(bucketSize, Seq("band", "band_key"))
       .groupBy($"doc_id")
-      .agg(min($"bucket_min").as("k1"), max($"bucket_size").as("max_bucket"))
-    // collapse keeper chains to a bounded fixpoint (pointer doubling:
-    // 3 hops resolve chains up to 2³ links — cross-band similarity chains)
-    val resolved = keeperFixpoint(
-      k1.select($"doc_id", $"k1".as("keeper_doc_id")), hops = 3)
-    resolved.join(k1.select($"doc_id", $"max_bucket"), Seq("doc_id"))
+      .agg(max($"bucket_size").as("max_bucket"))
+    minhashVerifiedKeepers(docs, bands)
+      .join(maxBucket, Seq("doc_id"))
       .filter($"doc_id" =!= $"keeper_doc_id")
       .select($"doc_id", $"keeper_doc_id", $"max_bucket")
       .orderBy($"doc_id")
+  }
+
+  /** LSH candidates → exact Jaccard ≥ 0.9 verify → CC keepers over the
+    * verified edges — the step 3–4 core shared by the standalone entry
+    * and [[DedupCascade]] stage 2 (see [[dedupMinhashLsh]]'s doc for the
+    * measured rationale). Returns every doc's (doc_id, keeper_doc_id)
+    * with keeper = self for docs in no verified pair.
+    */
+  private[graft] def minhashVerifiedKeepers(docs: DataFrame, bands: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val t = docs.select($"doc_id", $"lang", wordSet($"text").as("w"))
+    val l = bands.select($"band", $"band_key", $"doc_id".as("a"))
+    val r = bands.select($"band", $"band_key", $"doc_id".as("b"))
+    val cands = l.join(r, Seq("band", "band_key"))
+      .filter($"a" < $"b")
+      .select($"a", $"b").distinct()
+    // verify carries the family's lang block (the truth pairs are
+    // same-lang by definition) and the exact-integer threshold
+    val verified = cands
+      .join(t.select($"doc_id".as("a"), $"lang".as("la"), $"w".as("wa")), Seq("a"))
+      .join(t.select($"doc_id".as("b"), $"lang".as("lb"), $"w".as("wb")), Seq("b"))
+      .filter($"la" === $"lb")
+      .withColumn("inter", size(array_intersect($"wa", $"wb")).cast("long"))
+      .filter($"inter" * 10 >= (size($"wa") + size($"wb") - $"inter") * 9)
+      .select($"a", $"b")
+    val edgeBands = verified
+      .select($"a".as("doc_id"), lit(0L).as("band"), struct($"a", $"b").as("band_key"))
+      .unionByName(verified
+        .select($"b".as("doc_id"), lit(0L).as("band"), struct($"a", $"b").as("band_key")))
+      .localCheckpoint() // ccKeepers re-reads its input every round
+    docs.select($"doc_id")
+      .join(ccKeepers(edgeBands), Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"keeper", $"doc_id").as("keeper_doc_id"))
   }
 
   /** Packed 64-bit SimHash fingerprint of a token column: token hashes in
@@ -502,11 +546,15 @@ object ScaleDedup {
        |ORDER BY 1, 2, 3""".stripMargin
   }
 
-  /** Iterate keeper-of-keeper joins to a (bounded) fixpoint — full
-    * connected components over the LSH bucket graph for corpora where
-    * similarity chains span buckets. Each hop is one self-join of the O(n)
-    * mapping; hops needed = graph diameter in keeper links (tiny in
-    * practice — identical-signature clusters converge in 1).
+  /** Iterate keeper-of-keeper joins to a BOUNDED fixpoint (pointer
+    * doubling: `hops` rounds resolve chains up to 2^hops links). NOTE
+    * (round 10): this collapses chains within one pointer FOREST — it is
+    * NOT connected components over the bucket graph, because each doc
+    * keeps only its min pointer and distinct branches of a component can
+    * strand at different local minima (the measured 0.73-pair-recall
+    * cause in the pre-r10 dedup_minhash_lsh). Use [[ccKeepers]] when
+    * co-labeling every bucket-sharing pair is the contract; this stays
+    * for single-pointer chain collapsing (and its property tests).
     */
   def keeperFixpoint(mapping: DataFrame, hops: Int = 3): DataFrame = {
     import org.apache.spark.sql.functions.{coalesce => co, col}
@@ -813,6 +861,48 @@ object ScaleDedup {
     dedupContainmentOn(Tables.documents(spark, dir))
 
   private[graft] def dedupContainmentOn(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    containmentPairsOn(docs).orderBy($"lang", $"a", $"b")
+  }
+
+  /** §2 entry `dedup_containment_keeper` (round 10): the BOUNDED-OUTPUT
+    * form of the containment family — the pair entry's output is
+    * quadratic in cluster size (sf0.1 already holds 2.1M true pairs,
+    * which is why the pair form is bench-excluded), while this emits ONE
+    * row per CONTAINED doc: its best container by (containment desc,
+    * szb desc, b asc) — "absorb each near-subset into its tightest
+    * superset", the dedup_simhash_keeper discipline on the containment
+    * axis. Same lossless prefix-filtered candidate generation and exact
+    * verify as the pair entry; the per-doc argmax runs through the
+    * PartialTopK physical aggregate (k = 1), so each map partition
+    * forwards at most one candidate row per contained doc to the
+    * exchange — the verified-pair table is never materialized, sorted,
+    * or shuffled whole. Rows-only by design (the pair entry carries the
+    * family's oracle); ContainmentSpec pins keeper == argmax over the
+    * oracle-held pair table.
+    */
+  def dedupContainmentKeeper(spark: SparkSession, dir: String): DataFrame =
+    dedupContainmentKeeperOn(Tables.documents(spark, dir))
+
+  private[graft] def dedupContainmentKeeperOn(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    import graft.functions.PartialTopK.partial_topk
+    containmentPairsOn(docs)
+      .groupBy($"lang", $"a")
+      .agg(partial_topk(
+        struct((-$"containment").as("neg_c"), (-$"szb").as("neg_szb"),
+          $"b".as("b"), $"inter".as("inter"), $"sza".as("sza")), 1).as("s"))
+      .select($"lang", $"a", explode($"s").as("r"))
+      .select($"lang", $"a".as("doc_id"), $"r.b".as("keeper_doc_id"),
+        $"r.inter".as("inter"), $"r.sza".as("sza"),
+        (-$"r.neg_szb").as("szb"), (-$"r.neg_c").as("containment"))
+      .orderBy($"lang", $"doc_id")
+  }
+
+  /** The shared verified containment pair table (unordered) — see
+    * [[dedupContainment]] for the pruning proof.
+    */
+  private def containmentPairsOn(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val t = docs.select($"doc_id", $"lang", wordSet($"text").as("w"))
@@ -857,7 +947,6 @@ object ScaleDedup {
       .select($"lang", $"a", $"b", $"inter",
         size($"wa").cast("long").as("sza"), size($"wb").cast("long").as("szb"),
         ($"inter".cast("double") / size($"wa").cast("double")).as("containment"))
-      .orderBy($"lang", $"a", $"b")
   }
 
   val dedupContainmentSql: String =
@@ -878,6 +967,7 @@ object ScaleDedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_containment" -> (dedupContainment _),
+    "dedup_containment_keeper" -> (dedupContainmentKeeper _),
     "split_train_holdout" -> (splitTrainHoldout _),
     "dedup_jaccard_prefix"     -> (dedupJaccardPrefix _),
     "dedup_jaccard_prefix_keeper" -> (dedupJaccardPrefixKeeper _),

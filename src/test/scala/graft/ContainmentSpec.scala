@@ -34,4 +34,26 @@ class ContainmentSpec extends SparkSuite {
     assert(ops.ScaleDedup.dedupContainment(spark, sf).count() > 0,
       "gate corpus exercises no containment pair")
   }
+
+  test("keeper == per-doc argmax over the oracle-held pair table (round-10 bounded form)") {
+    import spark.implicits._
+    val pairs = ops.ScaleDedup.dedupContainment(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getDouble(6), r.getLong(5), r.getLong(2), r.getLong(3), r.getLong(4))))
+    assert(pairs.nonEmpty)
+    // best container per contained doc: containment desc, szb desc, b asc
+    val want = pairs.groupBy(_._1).map { case ((lang, a), rs) =>
+      val (c, szb, b, inter, sza) =
+        rs.map(_._2).minBy { case (c, szb, b, _, _) => (-c, -szb, b) }
+      (lang, a, b, inter, sza, szb, c)
+    }.toSet
+    val got = ops.ScaleDedup.dedupContainmentKeeper(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6))).toSet
+    assert(got == want, "keeper must be the deterministic argmax of the pair entry")
+    // bounded: exactly one row per contained doc
+    assert(got.size == pairs.groupBy(_._1).size)
+  }
 }

@@ -21,15 +21,25 @@ class DedupEvalSpec extends SparkSuite {
     assert(r == 1.0, s"self-check recall must be exactly 1.0, got $r")
   }
 
-  test("MinHash-LSH holds a recall floor and the harness separates lossy from exact") {
-    // measured point on this corpus: ~0.73 — the banding's collision
-    // probability for pairs barely over the τ = 0.9 truth threshold is
-    // well under 1, and surfacing that number is the harness's job. The
-    // floor is a regression tripwire (a broken signature or banding
-    // would crater it), not a quality target.
+  test("MinHash-LSH holds the round-10 recall floor") {
+    // round-10 rebuild (LSH candidates → exact verify → CC over verified
+    // edges) lifted the measured point from 0.73 to 1.0 on this corpus:
+    // banding at 16×4 / τ = 0.9 has ~1 candidate recall (miss-all-16
+    // probability ≈ 4·10⁻⁸ per truth pair), and verify+CC loses nothing
+    // the candidates found. The floor is 0.85 per the round-9 verdict
+    // target; probabilistic banding on another corpus may sit between
+    // 0.85 and 1.0, so exact 1.0 is not asserted.
     val (_, _, r) = rows("minhash_lsh")
-    assert(r >= 0.5, s"minhash recall fell below the regression floor: $r")
-    assert(r < 1.0, "the lossy path must be distinguishable from the exact self-check")
+    assert(r >= 0.85, s"minhash recall fell below the round-10 floor: $r")
+  }
+
+  test("SimHash cross-metric row is the honesty number, not near-exact") {
+    // hamming-on-fingerprints is a DIFFERENT similarity than the Jaccard
+    // truth — its sub-1 recall is expected and surfacing it is the
+    // harness's job; distinguishability of a cross-metric path from the
+    // exact self-check keeps the harness honest
+    val (_, _, r) = rows("simhash_keeper")
+    assert(r > 0.0 && r < 1.0)
   }
 
   test("recalls are probabilities and hits never exceed truth") {
