@@ -566,23 +566,30 @@ object ScaleDedup {
   }
 
   /** Leakage-safe train/holdout split: the split key is the near-dup
-    * CLUSTER label — true connected components over the LSH bucket graph
-    * ([[ccKeepers]]) — so every near-duplicate group lands entirely on
-    * one side and the holdout can never contain a near-copy of a
-    * training document (the contamination a naive per-doc hash split
-    * silently creates; GPT-3's appendix names exactly this failure).
-    * Full CC matters here: a bounded keeper-pointer chase can split a
-    * CHAIN cluster (A~C, B~C, A≁B) across sides, which would still
-    * leak. Singleton docs are their own label. Selection is a
-    * deterministic hash of the cluster label: train ⇔
+    * CLUSTER label — connected components over the VERIFIED near-dup
+    * edges (round 10: the [[minhashVerifiedKeepers]] LSH→verify→CC
+    * core) — so every near-duplicate group lands entirely on one side
+    * and the holdout can never contain a ≥ τ near-copy of a training
+    * document (the contamination a naive per-doc hash split silently
+    * creates; GPT-3's appendix names exactly this failure). Full CC
+    * matters: a bounded keeper-pointer chase can split a CHAIN cluster
+    * (A~C, B~C, A≁B) across sides, which still leaks. The r10 verify
+    * stage matters equally in the OTHER direction: raw bucket-graph CC
+    * chained weak hash collisions until the gate corpus was ONE
+    * component and the "split" put 499/500 docs on a single side —
+    * maximal safety, zero utility. Verified clusters state the precise
+    * guarantee (no J ≥ 0.9 pair crosses sides, chains atomic) and keep
+    * the split usable. Singleton docs are their own label. Selection is
+    * a deterministic hash of the cluster label: train ⇔
     * xxhash64(keeper) mod 10 < 8 (overflow-safe at any id scale).
     *
-    * Scale shape: banding is the dedup_minhash_lsh pipeline (ids-only
-    * shuffles); label propagation is diameter-bounded rounds of two
-    * partial-agg shuffles; the split decision is map-side on the label;
-    * the rollup groups on (source, split) — bounded. Rows-only (LSH
-    * clustering has no SQL oracle); the spec pins chain-cluster
-    * atomicity, planted co-placement, and a sane train fraction.
+    * Scale shape: banding + verify is the dedup_minhash_lsh pipeline
+    * (ids-only band shuffles, bucket-bounded verify); label propagation
+    * is diameter-bounded rounds of two partial-agg shuffles; the split
+    * decision is map-side on the label; the rollup groups on
+    * (source, split) — bounded. Rows-only (LSH clustering has no SQL
+    * oracle); the spec pins chain-cluster atomicity, planted
+    * co-placement, and a sane train fraction.
     */
   def splitTrainHoldout(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -659,12 +666,16 @@ object ScaleDedup {
 
   private[graft] def splitAssignments(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    // materialize the band table before iterating: ccKeepers joins it
-    // twice per round, and re-running the MinHash banding lineage each
-    // round would re-sign the corpus diameter×2 times (ids-only rows —
+    // materialize the band table before the verify+CC core: it is joined
+    // repeatedly, and re-running the MinHash banding lineage each round
+    // would re-sign the corpus diameter×2 times (ids-only rows —
     // 3 longs per band entry — so the checkpoint is small)
+    val withLang =
+      if (docs.columns.contains("lang")) docs
+      else docs.withColumn("lang", lit("und"))
     docs.select($"doc_id", $"source")
-      .join(ccKeepers(bandRows(docs).localCheckpoint()), Seq("doc_id"), "left")
+      .join(minhashVerifiedKeepers(withLang, bandRows(withLang).localCheckpoint())
+        .select($"doc_id", $"keeper_doc_id".as("keeper")), Seq("doc_id"), "left")
       .select($"doc_id", $"source",
         coalesce($"keeper", $"doc_id").as("keeper"))
       // xxhash64 split key: unlike the Knuth multiplicative form (which

@@ -527,13 +527,20 @@ class OpsSpec extends SparkSuite {
 
   test("leakage-safe split: clusters are atomic, planted near-dups co-placed") {
     import spark.implicits._
-    // real corpus: no keeper may ever appear on both sides (the testdata
-    // word-salad corpus is deliberately one big near-dup soup — 496/500
-    // docs cluster — so fraction checks belong on the synthetic corpus)
+    // real corpus: no keeper may ever appear on both sides, and with the
+    // r10 VERIFIED clusters (the old raw bucket-CC chained the whole
+    // corpus into one component and put 499/500 docs on a single side)
+    // the split is actually usable — both sides populated
     val a = ops.ScaleDedup.splitAssignments(Tables.documents(spark, sf))
     val spanning = a.groupBy($"keeper")
       .agg(countDistinct($"split").as("ns")).filter($"ns" > 1)
     assert(spanning.isEmpty, spanning.take(3).mkString)
+    val sides = a.groupBy($"split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sides.keySet == Set("train", "holdout"), sides.toString)
+    val trainFrac = sides("train").toDouble / sides.values.sum
+    assert(trainFrac > 0.4 && trainFrac < 0.95,
+      s"real-corpus train fraction degenerate: $trainFrac")
     // synthetic corpus: 40 singleton docs with disjoint vocab + one
     // planted near-identical pair on far-apart doc ids
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
