@@ -87,7 +87,9 @@ object Bench {
     "rec_item_item_cf_persisted", "rec_user_topn_persisted",
     "knn_graph_communities", "dm_cohort_ltv", "agg_moments_exact",
     "text_keyphrases_rake", "dq_freshness", "events_intervals_union",
-    "etl_csv_ingest", "dedup_containment_keeper", "curation_pipeline")
+    "etl_csv_ingest", "dedup_containment_keeper", "curation_pipeline",
+    "events_forecast_ses_served", "events_forecast_holt_served",
+    "events_autocorr_served")
   // dedup_recall_eval joins ann_recall_eval in the excluded-harness
   // family: each runs EVERY path in its family back-to-back, so benching
   // it would double-count operators the suite already times individually
@@ -156,6 +158,7 @@ object Bench {
     runOnce("ann_topk_pca_persisted")
     runOnce("layout_zorder_pruned") // first call writes the layout
     runOnce("rec_item_item_cf_persisted") // first call runs save+append
+    runOnce("events_forecast_ses_served") // first call folds the state
 
     val results = headline.map(n => n -> run(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

@@ -26,7 +26,7 @@ object SparkEntry {
       mart.TrendingQueries.queries ++ mart.DiscoveryQueries.queries ++
       etl.UserPurge.queries ++ ops.Recommend.queries ++ core.HoltForecast.queries ++
       ops.CfIndex.queries ++ ops.DedupEval.queries ++ ops.Rake.queries ++
-      ops.CurationPipeline.queries
+      ops.CurationPipeline.queries ++ streaming.ForecastServe.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -46,5 +46,6 @@ object SparkEntry {
       ops.Collocations.oracleSql ++ mart.TrendingQueries.oracleSql ++
       mart.DiscoveryQueries.oracleSql ++ etl.UserPurge.oracleSql ++
       ops.Recommend.oracleSql ++ core.HoltForecast.oracleSql ++
-      ops.CfIndex.oracleSql ++ ops.Rake.oracleSql
+      ops.CfIndex.oracleSql ++ ops.Rake.oracleSql ++
+      streaming.ForecastServe.oracleSql
 }

@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** §2 entries `events_forecast_ses_served` / `events_forecast_holt_served`
+  * / `events_autocorr_served` — the forecast/periodicity trio SERVED FROM
+  * STREAMED STATE, as driver-gated entries (round 10): the state cheaper
+  * than rescan claim, measured the way the CF/mart persisted twins are
+  * instead of only spec-asserted.
+  *
+  * Lifecycle mirrors the persisted-index entries: the first call per
+  * (session, dir) folds the events through
+  * [[ForecastStream.dailyFold]] in three event-id-split batches (the
+  * ingest job — pre-built outside the bench's timed region, like every
+  * persisted twin's save); every later call serves from the committed
+  * state through the SHARED batch cores, touching ≤ types×days state
+  * rows and never the event corpus. Because streamed == backfilled is
+  * bit-exact (ForecastStreamSpec), all three entries are held to the
+  * SAME DuckDB oracles as their batch twins — the driver gate itself
+  * proves serve-from-state == rescan.
+  */
+object ForecastServe {
+
+  private val builtStates =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  private def statePathFor(spark: SparkSession, dir: String): String =
+    builtStates.synchronized {
+      builtStates.getOrElseUpdate((spark, dir), {
+        import spark.implicits._
+        val p = s"${System.getProperty("java.io.tmpdir")}/graft_forecast_state_" +
+          java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL) +
+          "_" + ProcessHandle.current().pid() +
+          "_" + Integer.toHexString(System.identityHashCode(spark))
+        val ev = Tables.events(spark, dir)
+        val maxId = ev.agg(max($"event_id")).head().getLong(0)
+        val cuts = Seq(maxId / 3, 2 * maxId / 3, maxId)
+        cuts.zip(-1L +: cuts.dropRight(1)).zipWithIndex.foreach { case ((hi, lo), i) =>
+          ForecastStream.dailyFold(
+            ev.filter($"event_id" > lo && $"event_id" <= hi), p, i.toLong)
+        }
+        p
+      })
+    }
+
+  def sesServed(spark: SparkSession, dir: String): DataFrame =
+    ForecastStream.serveSes(spark, statePathFor(spark, dir))
+
+  def holtServed(spark: SparkSession, dir: String): DataFrame =
+    ForecastStream.serveHolt(spark, statePathFor(spark, dir))
+
+  def acfServed(spark: SparkSession, dir: String): DataFrame =
+    ForecastStream.serveAcf(spark, statePathFor(spark, dir))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_forecast_ses_served"  -> (sesServed _),
+    "events_forecast_holt_served" -> (holtServed _),
+    "events_autocorr_served"      -> (acfServed _)
+  )
+
+  /** The batch twins' oracles verbatim — serve-from-state is bit-equal. */
+  val oracleSql: Map[String, String] = Map(
+    "events_forecast_ses_served"  -> graft.core.StatsQueries.eventsForecastSesSql,
+    "events_forecast_holt_served" -> graft.core.HoltForecast.eventsForecastHoltSql,
+    "events_autocorr_served"      -> graft.core.StatsQueries.eventsAutocorrSql
+  )
+}

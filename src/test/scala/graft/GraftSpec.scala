@@ -80,10 +80,17 @@ class QueriesSpec extends SparkSuite {
 class ScaleDedupSpec extends SparkSuite {
 
   test("minhash-LSH keepers: identical word-set docs share the min keeper") {
-    // ground truth: docs with the same word fingerprint are jaccard-1 dups
+    import org.apache.spark.sql.functions.col
+    // ground truth: SAME-LANG docs with the same word fingerprint are
+    // jaccard-1 dups (the family's truth is lang-blocked — the r10
+    // verify stage enforces it, so cross-lang identical word sets are
+    // deliberately NOT co-clustered)
+    val langOf = Tables.documents(spark, sf).select(col("doc_id"), col("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     val groups = ops.LlmQueries.textFingerprint(spark, sf)
       .collect().map(r => (r.getAs[String]("word_fingerprint"), r.getAs[Long]("doc_id")))
-      .groupBy(_._1).values.map(_.map(_._2).sorted).filter(_.length > 1).toSeq
+      .groupBy { case (fp, d) => (fp, langOf(d)) }
+      .values.map(_.map(_._2).sorted).filter(_.length > 1).toSeq
     assert(groups.nonEmpty)
     val keeper = ops.ScaleDedup.dedupMinhashLsh(spark, sf)
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("keeper_doc_id")).toMap
