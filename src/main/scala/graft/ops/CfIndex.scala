@@ -238,11 +238,7 @@ object CfIndex {
     val novel = votes.join(
       allListens.select($"user_id", $"item_id".as("rec_item_id")),
       Seq("user_id", "rec_item_id"), "left_anti")
-    val wr = Window.partitionBy($"user_id").orderBy($"score".desc, $"rec_item_id")
-    novel.withColumn("rank", row_number().over(wr).cast("long"))
-      .filter($"rank" <= Recommend.topNRecs)
-      .select($"user_id", $"rec_item_id", $"score", $"n_via", $"rank")
-      .orderBy($"user_id", $"rank")
+    Recommend.rankUserVotes(novel).orderBy($"user_id", $"rank")
   }
 
   /** §2 entry `rec_user_topn_persisted`: user recommendations off the

@@ -143,11 +143,28 @@ object Recommend {
     val novel = votes.join(
       listenCounts(spark, dir).select($"user_id", $"item_id".as("rec_item_id")),
       Seq("user_id", "rec_item_id"), "left_anti")
-    val wr = Window.partitionBy($"user_id").orderBy($"score".desc, $"rec_item_id")
-    novel.withColumn("rank", row_number().over(wr).cast("long"))
-      .filter($"rank" <= topNRecs)
-      .select($"user_id", $"rec_item_id", $"score", $"n_via", $"rank")
-      .orderBy($"user_id", $"rank")
+    rankUserVotes(novel).orderBy($"user_id", $"rank")
+  }
+
+  /** The shared per-user top-N tail over the novel-votes table (round
+    * 10): PartialTopK instead of the rank window, so each map partition
+    * forwards at most N vote rows per user to the exchange — the
+    * [[rankNeighbors]] discipline one grain up. `struct(-score,
+    * rec_item_id)` reproduces `ORDER BY score DESC, rec_item_id`.
+    * Shared with [[CfIndex.serveCfUserTopn]]; same oracle hash.
+    */
+  private[graft] def rankUserVotes(novel: DataFrame): DataFrame = {
+    val spark = novel.sparkSession
+    import spark.implicits._
+    import graft.functions.PartialTopK.partial_topk
+    novel.groupBy($"user_id")
+      .agg(partial_topk(
+        struct((-$"score").as("neg_score"), $"rec_item_id".as("rec_item_id"),
+          $"n_via".as("n_via")), topNRecs).as("s"))
+      .select($"user_id", posexplode($"s").as(Seq("pos", "r")))
+      .select($"user_id", $"r.rec_item_id".as("rec_item_id"),
+        (-$"r.neg_score").as("score"), $"r.n_via".as("n_via"),
+        ($"pos" + 1).cast("long").as("rank"))
   }
 
   private val cappedCte: String =
