@@ -89,7 +89,8 @@ object Bench {
     "text_keyphrases_rake", "dq_freshness", "events_intervals_union",
     "etl_csv_ingest", "dedup_containment_keeper", "curation_pipeline",
     "events_forecast_ses_served", "events_forecast_holt_served",
-    "events_autocorr_served")
+    "events_autocorr_served", "events_markov_transitions_served",
+    "events_value_corr_served", "dq_drift_chi2_served")
   // dedup_recall_eval joins ann_recall_eval in the excluded-harness
   // family: each runs EVERY path in its family back-to-back, so benching
   // it would double-count operators the suite already times individually
@@ -159,6 +160,9 @@ object Bench {
     runOnce("layout_zorder_pruned") // first call writes the layout
     runOnce("rec_item_item_cf_persisted") // first call runs save+append
     runOnce("events_forecast_ses_served") // first call folds the state
+    runOnce("events_markov_transitions_served")
+    runOnce("events_value_corr_served")
+    runOnce("dq_drift_chi2_served")
 
     val results = headline.map(n => n -> run(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

@@ -26,7 +26,8 @@ object SparkEntry {
       mart.TrendingQueries.queries ++ mart.DiscoveryQueries.queries ++
       etl.UserPurge.queries ++ ops.Recommend.queries ++ core.HoltForecast.queries ++
       ops.CfIndex.queries ++ ops.DedupEval.queries ++ ops.Rake.queries ++
-      ops.CurationPipeline.queries ++ streaming.ForecastServe.queries
+      ops.CurationPipeline.queries ++ streaming.ForecastServe.queries ++
+      streaming.StreamServe.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -47,5 +48,5 @@ object SparkEntry {
       mart.DiscoveryQueries.oracleSql ++ etl.UserPurge.oracleSql ++
       ops.Recommend.oracleSql ++ core.HoltForecast.oracleSql ++
       ops.CfIndex.oracleSql ++ ops.Rake.oracleSql ++
-      streaming.ForecastServe.oracleSql
+      streaming.ForecastServe.oracleSql ++ streaming.StreamServe.oracleSql
 }

@@ -1,0 +1,101 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** §2 entries `events_markov_transitions_served` /
+  * `events_value_corr_served` / `dq_drift_chi2_served` — the remaining
+  * streamed-state analytics promoted to driver-gated entries (round 10,
+  * completing the [[ForecastServe]] pattern): each folds its events
+  * through the real streaming fold in event-id-split batches (the
+  * ingest job — first call per (session, dir), pre-built outside the
+  * bench's timed region) and then SERVES from the committed StateFold
+  * state through the shared batch cores. Because streamed == backfilled
+  * is bit-exact for all three (MarkovStreamSpec / StatsStreamSpec /
+  * DriftSpec), each entry is held to its batch twin's DuckDB oracle
+  * VERBATIM — the driver gate itself proves serve-from-state == rescan
+  * for the whole streamed-analytics surface, not just the forecast
+  * trio.
+  */
+object StreamServe {
+
+  private val built =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), String]
+
+  private def statePathFor(spark: SparkSession, dir: String, kind: String)
+      (fold: (SparkSession, String, String) => Unit): String =
+    built.synchronized {
+      built.getOrElseUpdate((spark, dir, kind), {
+        val p = s"${System.getProperty("java.io.tmpdir")}/graft_${kind}_state_" +
+          java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL) +
+          "_" + ProcessHandle.current().pid() +
+          "_" + Integer.toHexString(System.identityHashCode(spark))
+        fold(spark, dir, p)
+        p
+      })
+    }
+
+  /** Three event-id-ordered batches — the MarkovStreamSpec split (the
+    * markov fold's delivery contract is event-time order per user
+    * across batches, which event-id order satisfies on this data).
+    */
+  private def foldInThirds(spark: SparkSession, dir: String,
+      fold: (DataFrame, Long) => Unit): Unit = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val maxId = ev.agg(max($"event_id")).head().getLong(0)
+    val cuts = Seq(maxId / 3, 2 * maxId / 3, maxId)
+    cuts.zip(-1L +: cuts.dropRight(1)).zipWithIndex.foreach { case ((hi, lo), i) =>
+      fold(ev.filter($"event_id" > lo && $"event_id" <= hi), i.toLong)
+    }
+  }
+
+  def markovServed(spark: SparkSession, dir: String): DataFrame =
+    MarkovStream.serveTransitions(spark,
+      statePathFor(spark, dir, "markov") { (s, d, p) =>
+        foldInThirds(s, d, (b, i) => MarkovStream.markovFold(b, p, i))
+      })
+
+  def corrServed(spark: SparkSession, dir: String): DataFrame =
+    StatsStream.serveCorr(spark,
+      statePathFor(spark, dir, "corr") { (s, d, p) =>
+        foldInThirds(s, d, (b, i) => StatsStream.corrFold(b, p, i))
+      })
+
+  /** The drift screen's CURRENT window (post-50%-LSN events) folded
+    * through the stream; the static reference window comes from the
+    * shared batch split, exactly as the batch entry computes it.
+    */
+  def driftServed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val path = statePathFor(spark, dir, "drift") { (s, d, p) =>
+      val ev = Tables.events(s, d)
+      val maxId = ev.agg(max($"event_id")).head().getLong(0)
+      // two batches over the current window (LSN > 50%)
+      val mid = maxId / 2
+      val q3 = mid + (maxId - mid) / 2
+      Seq((mid, q3, 0L), (q3, maxId, 1L)).foreach { case (lo, hi, i) =>
+        DriftStream.driftFold(
+          ev.filter($"event_id" * 2 > maxId && $"event_id" > lo && $"event_id" <= hi),
+          p, i)
+      }
+    }
+    val (ref, _) = graft.etl.DataQuality.refCurCounts(spark, dir)
+    DriftStream.serveDrift(spark, path, ref)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_markov_transitions_served" -> (markovServed _),
+    "events_value_corr_served"         -> (corrServed _),
+    "dq_drift_chi2_served"             -> (driftServed _)
+  )
+
+  /** The batch twins' oracles verbatim — serve-from-state is bit-equal. */
+  val oracleSql: Map[String, String] = Map(
+    "events_markov_transitions_served" -> graft.core.EngagementQueries.eventsMarkovTransitionsSql,
+    "events_value_corr_served"         -> graft.core.StatsQueries.eventsValueCorrSql,
+    "dq_drift_chi2_served"             -> graft.etl.DataQuality.dqDriftChi2Sql
+  )
+}
