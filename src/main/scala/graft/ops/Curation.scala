@@ -589,7 +589,77 @@ object Curation {
       |GROUP BY r.event_type, n_h, sigma, alloc_n
       |ORDER BY r.event_type""".stripMargin
 
+  /** §2 entry `sample_token_budget` (round 10): TOKEN-BUDGET mixture
+    * sampling — "take up to B tokens per source", the practical knob in
+    * LLM data mixing (domain-mix rebalances DOC counts by a temperature;
+    * training budgets are set in TOKENS). Per source, docs are ordered
+    * by the deterministic Knuth hash (then doc_id — no RNG, reproducible
+    * across engines and runs) and kept while the INCLUSIVE running token
+    * total stays ≤ B — a greedy prefix cap, not a knapsack (a doc that
+    * would cross the budget ends the source's intake; documented, not
+    * hidden).
+    *
+    * Scale shape — the [[textPacking]] two-level prefix-sum discipline,
+    * per source: the hash order is decomposed into contiguous hash-range
+    * shards, per-(source, shard) token totals (≤ sources×shards rows)
+    * take an exclusive prefix on the bounded offsets table, and the
+    * within-shard running sum windows over (source, shard) partitions —
+    * bounded by the shard width, never the corpus. The budget then
+    * PRUNES: any shard whose offset already meets B cannot contribute a
+    * kept row (cum ≥ offset + 1), so the corpus-wide window work
+    * collapses to the shards that can still fit — O(budget) rows at any
+    * corpus size, after one map-side totals pass.
+    */
+  def sampleTokenBudget(spark: SparkSession, dir: String): DataFrame =
+    sampleTokenBudgetOn(Tables.documents(spark, dir), budget = 1000L)
+
+  private[graft] def sampleTokenBudgetOn(docs: DataFrame, budget: Long,
+      hashShardWidth: Long = 1L << 23): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val t = docs
+      .select($"source", $"doc_id",
+        size(split(lower(trim($"text")), " +")).cast("long").as("n_tokens"))
+      .withColumn("h", $"doc_id" * 2654435761L % 1000000007L)
+      .withColumn("hshard", ($"h" / hashShardWidth).cast("long"))
+    // exclusive prefix over per-(source, shard) totals — bounded rows;
+    // pmod keeps the per-source spec non-foldable (the textPacking trick)
+    val oneGroup = Window.partitionBy($"source", pmod($"hshard", lit(1)))
+      .orderBy($"hshard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = t.groupBy($"source", $"hshard")
+      .agg(sum($"n_tokens").as("shard_tokens"))
+      .withColumn("shard_offset", coalesce(sum($"shard_tokens").over(oneGroup), lit(0L)))
+      .select($"source", $"hshard", $"shard_offset")
+    val perShard = Window.partitionBy($"source", $"hshard")
+      .orderBy($"h", $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.join(broadcast(offsets), Seq("source", "hshard"))
+      .filter($"shard_offset" < budget) // budget prune: cum ≥ offset + 1 past here
+      .withColumn("cum_tokens", $"shard_offset" + sum($"n_tokens").over(perShard))
+      .filter($"cum_tokens" <= budget)
+      .select($"source", $"doc_id", $"n_tokens", $"cum_tokens")
+      .orderBy($"source", $"cum_tokens")
+  }
+
+  val sampleTokenBudgetSql: String =
+    """WITH t AS (
+      |  SELECT source, doc_id,
+      |    CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS n_tokens,
+      |    (doc_id * 2654435761) % 1000000007 AS h
+      |  FROM documents
+      |), r AS (
+      |  SELECT source, doc_id, n_tokens,
+      |    CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+      |  FROM t
+      |)
+      |SELECT source, doc_id, n_tokens, cum_tokens
+      |FROM r WHERE cum_tokens <= 1000
+      |ORDER BY source, cum_tokens""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_token_budget" -> (sampleTokenBudget _),
     "sample_neyman" -> (sampleNeyman _),
     "sample_reservoir"  -> ((s, d) => sampleReservoir(s, d)),
     "sample_kcenter"    -> ((s, d) => sampleKcenter(s, d)),
@@ -605,6 +675,7 @@ object Curation {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "sample_token_budget" -> sampleTokenBudgetSql,
     "sample_neyman"     -> sampleNeymanSql,
     "sample_curriculum" -> sampleCurriculumSql,
     "corpus_shard"      -> corpusShardSql,

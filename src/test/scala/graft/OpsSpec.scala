@@ -1002,4 +1002,31 @@ class OpsSpec extends SparkSuite {
     assert(refC.nonEmpty, "corpus check vacuous — no within-radius pair at all")
     assert(gotC == refC)
   }
+  test("token-budget sample: sharded prefix == single-window reference, greedy prefix, budget binds") {
+    import spark.implicits._
+    val budget = 1000L
+    val docs = Tables.documents(spark, sf)
+    // driver-side single-window reference of the same race
+    val ref = docs.select($"source", $"doc_id",
+        size(split(lower(trim($"text")), " +")).cast("long").as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).iterator.flatMap { case (src, rows) =>
+        var cum = 0L
+        rows.sortBy { case (_, d, _) => (d * 2654435761L % 1000000007L, d) }
+          .flatMap { case (_, d, n) =>
+            cum += n
+            if (cum <= budget) Some((src, d, n, cum)) else None
+          }
+      }.toSet
+    val got = ops.Curation.sampleTokenBudget(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == ref, "sharded two-level prefix sum must equal the single-window race")
+    // budget binds on the gate corpus and is respected inclusively
+    assert(got.nonEmpty && got.size < docs.count())
+    assert(got.forall(_._4 <= budget))
+    // shard decomposition is exercised (multiple hash shards per source)
+    val shards = docs.select((($"doc_id" * 2654435761L % 1000000007L) / (1L << 23)).cast("long"))
+      .distinct().count()
+    assert(shards > 1, "fixture must span several hash shards")
+  }
 }
