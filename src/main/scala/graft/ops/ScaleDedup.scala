@@ -956,6 +956,8 @@ object ScaleDedup {
       .select($"doc_id", $"lang",
         transform($"o", s => s.getField("tok")).as("toks"),
         size($"o").as("sz"))
+      .localCheckpoint() // aPrefix AND postings both read it: pin the
+                         // df-chain lineage so it runs once, not twice
     // contained-side prefix: |A| − ⌈0.9|A|⌉ + 1 rarest tokens, with
     // 0-based positions for the positional filter below
     val aPrefix = ordered
