@@ -90,7 +90,9 @@ object Bench {
     "etl_csv_ingest", "dedup_containment_keeper", "curation_pipeline",
     "events_forecast_ses_served", "events_forecast_holt_served",
     "events_autocorr_served", "events_markov_transitions_served",
-    "events_value_corr_served", "dq_drift_chi2_served", "sample_token_budget")
+    "events_value_corr_served", "dq_drift_chi2_served", "sample_token_budget",
+    "events_attribution", "events_attribution_channel", "dq_benford",
+    "rec_basket_lift", "knn_graph_link_predict", "sample_importance")
   // dedup_recall_eval joins ann_recall_eval in the excluded-harness
   // family: each runs EVERY path in its family back-to-back, so benching
   // it would double-count operators the suite already times individually

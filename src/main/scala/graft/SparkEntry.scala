@@ -27,7 +27,7 @@ object SparkEntry {
       etl.UserPurge.queries ++ ops.Recommend.queries ++ core.HoltForecast.queries ++
       ops.CfIndex.queries ++ ops.DedupEval.queries ++ ops.Rake.queries ++
       ops.CurationPipeline.queries ++ streaming.ForecastServe.queries ++
-      streaming.StreamServe.queries
+      streaming.StreamServe.queries ++ core.AttributionQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -48,5 +48,6 @@ object SparkEntry {
       mart.DiscoveryQueries.oracleSql ++ etl.UserPurge.oracleSql ++
       ops.Recommend.oracleSql ++ core.HoltForecast.oracleSql ++
       ops.CfIndex.oracleSql ++ ops.Rake.oracleSql ++
-      streaming.ForecastServe.oracleSql ++ streaming.StreamServe.oracleSql
+      streaming.ForecastServe.oracleSql ++ streaming.StreamServe.oracleSql ++
+      core.AttributionQueries.oracleSql
 }

@@ -388,12 +388,82 @@ object DataQuality {
       |FROM last l LEFT JOIN med m USING (event_type) CROSS JOIN mx
       |ORDER BY l.event_type""".stripMargin
 
+  /** Benford first-significant-digit literals, log10(1 + 1/d) for
+    * d = 1..9, fixed to 15 significant digits. Shared as LITERALS with
+    * the oracle SQL (both engines parse the identical decimal literal to
+    * the identical double) — computing log10 at runtime would tie the
+    * gate to two libms agreeing on a transcendental.
+    */
+  private[graft] val benfordP: Seq[(Int, Double)] = Seq(
+    1 -> 0.301029995663981, 2 -> 0.176091259055681, 3 -> 0.124938736608300,
+    4 -> 0.096910013008056, 5 -> 0.079181246047625, 6 -> 0.066946789630613,
+    7 -> 0.057991946977687, 8 -> 0.051152522447381, 9 -> 0.045757490560675)
+
+  /** §2 `dq_benford`: Benford's-law first-digit screen over order totals
+    * — the classic fabricated-data / unit-mixup tripwire for a
+    * continuously-loaded fact table (a feed that switches currency units
+    * or starts emitting synthetic fill shifts this histogram long before
+    * range checks fire).
+    *
+    * Digit extraction is engine-agnostic INTEGER string formatting:
+    * `substr(CAST(cents AS STRING), 1, 1)` of the exact cents BIGINT
+    * (decimal→string of a whole number formats identically in Spark and
+    * DuckDB; double→string would not). Expected shares are the
+    * [[benfordP]] literals; `expected_n` and the χ² contribution are a
+    * fixed IEEE tree over (exact count, literal) — deterministic across
+    * engines, the Neyman-sigma discipline. One scan, 9-row output via
+    * the broadcast digit dim (digits with zero observations survive the
+    * left join): map-side combine collapses the scan to ≤9 partial rows
+    * per partition, so the shuffle is O(partitions), corpus-size-free.
+    */
+  def dqBenford(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val digits = benfordP.toDF("digit", "benford_p")
+    val obs = Tables.orders(spark, dir)
+      .select(($"o_totalprice".cast("decimal(12,2)") * 100).cast("long").as("cents"))
+      .filter($"cents" > 0)
+      .withColumn("digit", substring($"cents".cast("string"), 1, 1).cast("int"))
+      .groupBy($"digit").agg(count(lit(1)).as("n_obs"))
+    val tot = obs.agg(sum($"n_obs").as("n_total"))
+    broadcast(digits).join(obs, Seq("digit"), "left")
+      .na.fill(0L, Seq("n_obs"))
+      .crossJoin(broadcast(tot))
+      .withColumn("expected_n", $"n_total".cast("double") * $"benford_p")
+      .withColumn("contribution",
+        ($"n_obs".cast("double") - $"expected_n") *
+          ($"n_obs".cast("double") - $"expected_n") / $"expected_n")
+      .select($"digit", $"n_obs", $"benford_p", $"expected_n", $"contribution")
+      .orderBy($"digit")
+  }
+
+  val dqBenfordSql: String = {
+    val dim = benfordP.map { case (d, p) => s"($d, $p)" }.mkString(", ")
+    s"""WITH dim(digit, benford_p) AS (VALUES $dim),
+      |obs AS (
+      |  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+      |    COUNT(*) AS n_obs
+      |  FROM (
+      |    SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |    FROM orders
+      |  ) WHERE cents > 0
+      |  GROUP BY 1
+      |), tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n_total FROM obs)
+      |SELECT dim.digit, CAST(COALESCE(n_obs, 0) AS BIGINT) AS n_obs, benford_p,
+      |  CAST(n_total AS DOUBLE) * benford_p AS expected_n,
+      |  (CAST(COALESCE(n_obs, 0) AS DOUBLE) - CAST(n_total AS DOUBLE) * benford_p)
+      |    * (CAST(COALESCE(n_obs, 0) AS DOUBLE) - CAST(n_total AS DOUBLE) * benford_p)
+      |    / (CAST(n_total AS DOUBLE) * benford_p) AS contribution
+      |FROM dim LEFT JOIN obs ON dim.digit = obs.digit CROSS JOIN tot
+      |ORDER BY dim.digit""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_freshness"   -> (dqFreshness _),
     "dq_profile"     -> (dqProfile _),
     "dq_constraints" -> (dqConstraints _),
     "dq_drift_chi2"  -> (dqDriftChi2 _),
-    "dq_key_skew"    -> (dqKeySkew _)
+    "dq_key_skew"    -> (dqKeySkew _),
+    "dq_benford"     -> (dqBenford _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -401,6 +471,7 @@ object DataQuality {
     "dq_profile"     -> dqProfileSql,
     "dq_constraints" -> dqConstraintsSql,
     "dq_drift_chi2"  -> dqDriftChi2Sql,
-    "dq_key_skew"    -> dqKeySkewSql
+    "dq_key_skew"    -> dqKeySkewSql,
+    "dq_benford"     -> dqBenfordSql
   )
 }

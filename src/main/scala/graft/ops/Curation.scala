@@ -658,7 +658,94 @@ object Curation {
       |FROM r WHERE cum_tokens <= 1000
       |ORDER BY source, cum_tokens""".stripMargin
 
+  /** §2 `sample_importance`: DSIR-shaped importance selection (Xie et
+    * al. 2023, "Data Selection for Language Models via Importance
+    * Resampling") — pick from the raw pool the documents whose
+    * hashed-feature distribution looks most like a TARGET domain. Target
+    * here: the `en` slice; features: unigram document frequencies (the
+    * paper's hashed n-grams, with the corpus vocabulary standing in for
+    * the hash buckets at test scale — at web scale the token join key
+    * becomes `xxhash64(token) % 2^20` with no other change).
+    *
+    * The paper's per-feature weight is log((tgt_f+1)/(raw_f+1)); exact
+    * cross-engine logs don't exist, so the documented surrogate is the
+    * INTEGER-SCALED ratio `(tgt_df+1)·10⁶ div (raw_df+1)` — order-
+    * equivalent to the likelihood ratio feature-wise, summed exactly as
+    * BIGINTs (never a float sum). A doc's score is the ratio sum over
+    * its token OCCURRENCES, length-normalized by integer division into
+    * `avg_ratio` so long documents don't win by volume alone. Top-100 by
+    * (avg_ratio desc, doc_id) — orderBy+limit TakeOrdered, rank window
+    * over the survivors only.
+    *
+    * Scale shape: two groupBys on token (map-side combine; vocab-bounded
+    * shuffle), one token-keyed join of the exploded stream against the
+    * ratio dim (the tf-idf join shape), one per-doc aggregate. No
+    * windows over the corpus, no driver pulls.
+    */
+  def sampleImportance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select($"doc_id", $"lang",
+      explode(split(lower(trim($"text")), " +")).as("token"))
+    val rawDf = toks.groupBy($"token").agg(countDistinct($"doc_id").as("raw_df"))
+    val tgtDf = toks.filter($"lang" === "en")
+      .groupBy($"token").agg(countDistinct($"doc_id").as("tgt_df"))
+    val ratio = rawDf.join(tgtDf, Seq("token"), "left")
+      .na.fill(0L, Seq("tgt_df"))
+      .withColumn("ratio_scaled", expr("((tgt_df + 1) * 1000000) div (raw_df + 1)"))
+      .select($"token", $"ratio_scaled")
+    val scored = toks.join(ratio, Seq("token"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum($"ratio_scaled").as("sum_ratio"))
+      .withColumn("avg_ratio", expr("sum_ratio div n_tokens"))
+    val top = scored
+      .join(docs.select($"doc_id", $"lang", $"source"), Seq("doc_id"))
+      .orderBy($"avg_ratio".desc, $"doc_id")
+      .limit(100)
+    top.withColumn("rank", row_number().over(
+        Window.partitionBy(pmod($"n_tokens", lit(1)))
+          .orderBy($"avg_ratio".desc, $"doc_id")).cast("long"))
+      .select($"doc_id", $"lang", $"source", $"n_tokens", $"sum_ratio",
+        $"avg_ratio", $"rank")
+      .orderBy($"rank")
+  }
+
+  val sampleImportanceSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, u AS token
+      |  FROM (SELECT doc_id, lang, string_split(lower(trim(text)), ' ') AS w FROM documents),
+      |    UNNEST(w) AS r(u)
+      |), raw_df AS (
+      |  SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS raw_df FROM toks GROUP BY token
+      |), tgt_df AS (
+      |  SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS tgt_df
+      |  FROM toks WHERE lang = 'en' GROUP BY token
+      |), ratio AS (
+      |  SELECT r.token,
+      |    ((COALESCE(tgt_df, 0) + 1) * 1000000) // (raw_df + 1) AS ratio_scaled
+      |  FROM raw_df r LEFT JOIN tgt_df t ON r.token = t.token
+      |), scored AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |    CAST(SUM(ratio_scaled) AS BIGINT) AS sum_ratio
+      |  FROM toks JOIN ratio ON toks.token = ratio.token
+      |  GROUP BY doc_id
+      |), avg_scored AS (
+      |  SELECT doc_id, n_tokens, sum_ratio,
+      |    CAST(sum_ratio // n_tokens AS BIGINT) AS avg_ratio
+      |  FROM scored
+      |), top AS (
+      |  SELECT s.doc_id, d.lang, d.source, s.n_tokens, s.sum_ratio, s.avg_ratio,
+      |    row_number() OVER (ORDER BY s.avg_ratio DESC, s.doc_id) AS rank
+      |  FROM avg_scored s JOIN documents d ON s.doc_id = d.doc_id
+      |  ORDER BY s.avg_ratio DESC, s.doc_id
+      |  LIMIT 100
+      |)
+      |SELECT doc_id, lang, source, n_tokens, sum_ratio, avg_ratio,
+      |  CAST(rank AS BIGINT) AS rank
+      |FROM top ORDER BY rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_importance" -> (sampleImportance _),
     "sample_token_budget" -> (sampleTokenBudget _),
     "sample_neyman" -> (sampleNeyman _),
     "sample_reservoir"  -> ((s, d) => sampleReservoir(s, d)),
@@ -675,6 +762,7 @@ object Curation {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "sample_importance" -> sampleImportanceSql,
     "sample_token_budget" -> sampleTokenBudgetSql,
     "sample_neyman"     -> sampleNeymanSql,
     "sample_curriculum" -> sampleCurriculumSql,

@@ -532,7 +532,99 @@ object KnnGraph {
       .orderBy($"vec_id")
   }
 
+  /** Common-neighbor core over a DIRECTED mutual-edge table (each
+    * undirected edge present in both directions): candidate pairs are the
+    * 2-hop wedges `u−z−w, u<w`, scored by common-neighbor count and
+    * neighborhood Jaccard, with EXISTING edges anti-joined out — what
+    * survives is exactly the "should probably be linked" set. Spec-fed
+    * with synthetic graphs; the §2 entry instantiates it on the exact
+    * mutual kNN graph.
+    */
+  private[graft] def linkPredictOn(mutualE: DataFrame): DataFrame = {
+    import mutualE.sparkSession.implicits._
+    val deg = mutualE.groupBy($"a").agg(count(lit(1)).as("deg"))
+    val fwd = mutualE.select($"a".as("u"), $"b".as("z"))
+    val bwd = mutualE.select($"a".as("z"), $"b".as("w"))
+    val cand = fwd.join(bwd, Seq("z"))
+      .filter($"u" < $"w")
+      .groupBy($"u", $"w").agg(count(lit(1)).as("cn"))
+    val nonEdge = cand.join(mutualE,
+      cand("u") === mutualE("a") && cand("w") === mutualE("b"), "left_anti")
+    nonEdge
+      .join(deg.select($"a".as("u"), $"deg".as("deg_a")), Seq("u"))
+      .join(deg.select($"a".as("w"), $"deg".as("deg_b")), Seq("w"))
+      .withColumn("jaccard",
+        $"cn".cast("double") / ($"deg_a" + $"deg_b" - $"cn").cast("double"))
+      .select($"u".as("a"), $"w".as("b"), $"cn", $"deg_a", $"deg_b", $"jaccard")
+  }
+
+  /** §2 `knn_graph_link_predict`: link prediction on the exact mutual
+    * kNN graph — rank the non-adjacent vector pairs most likely to be
+    * true neighbors by shared-neighborhood evidence (common-neighbor
+    * count, then neighborhood Jaccard). The graph-repair primitive: at
+    * index-maintenance time these are precisely the candidate edges an
+    * HNSW-style re-link pass would test first.
+    *
+    * Exactness: cn and degrees are exact BIGINTs (degree ≤ k), Jaccard is
+    * ONE IEEE divide (the cosine discipline). Scale shape: the wedge join
+    * fans out ≤ deg² ≤ k² per node — linear in corpus size on the n·k
+    * edge table, never touching the vectors; the global top-50 cut is
+    * orderBy+limit (per-partition TakeOrdered), and the rank window runs
+    * over the 50 survivors only (the dm_audience_overlap device).
+    */
+  def knnGraphLinkPredict(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val mutualE = knnGraphExact(spark, dir).filter($"mutual")
+      .select($"vec_id".as("a"), $"neighbor_id".as("b"))
+    linkPredictOn(mutualE)
+      .orderBy($"cn".desc, $"jaccard".desc, $"a", $"b")
+      .limit(50)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(pmod($"cn", lit(1)))
+          .orderBy($"cn".desc, $"jaccard".desc, $"a", $"b")).cast("long"))
+      .orderBy($"rank")
+  }
+
+  val knnGraphLinkPredictSql: String =
+    s"""${LlmQueries.quantizedCte}, scored AS (
+       |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+       |    CAST(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) AS BIGINT) AS dot
+       |  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+       |), ranked AS (
+       |  SELECT vec_id, neighbor_id, dot,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, neighbor_id) AS rank
+       |  FROM scored
+       |), knn AS (
+       |  SELECT * FROM ranked WHERE rank <= $K
+       |), mutual AS (
+       |  SELECT k.vec_id AS a, k.neighbor_id AS b
+       |  FROM knn k JOIN knn m ON m.vec_id = k.neighbor_id AND m.neighbor_id = k.vec_id
+       |), deg AS (
+       |  SELECT a, CAST(COUNT(*) AS BIGINT) AS deg FROM mutual GROUP BY a
+       |), cand AS (
+       |  SELECT x.a AS u, y.b AS w, CAST(COUNT(*) AS BIGINT) AS cn
+       |  FROM mutual x JOIN mutual y ON x.b = y.a AND x.a < y.b
+       |  GROUP BY 1, 2
+       |), nonedge AS (
+       |  SELECT c.u, c.w, c.cn FROM cand c
+       |  LEFT JOIN mutual e ON e.a = c.u AND e.b = c.w
+       |  WHERE e.a IS NULL
+       |), ne_scored AS (
+       |  SELECT u AS a, w AS b, cn, da.deg AS deg_a, db.deg AS deg_b,
+       |    CAST(cn AS DOUBLE) / CAST(da.deg + db.deg - cn AS DOUBLE) AS jaccard
+       |  FROM nonedge JOIN deg da ON nonedge.u = da.a JOIN deg db ON nonedge.w = db.a
+       |), top AS (
+       |  SELECT *, row_number() OVER (ORDER BY cn DESC, jaccard DESC, a, b) AS rank
+       |  FROM ne_scored
+       |  ORDER BY cn DESC, jaccard DESC, a, b
+       |  LIMIT 50
+       |)
+       |SELECT a, b, cn, deg_a, deg_b, jaccard, CAST(rank AS BIGINT) AS rank
+       |FROM top ORDER BY rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_graph_link_predict" -> (knnGraphLinkPredict _),
     "knn_graph_communities" -> (knnGraphCommunities _),
     "knn_graph_triangles" -> (knnGraphTriangles _),
     "knn_graph_exact"    -> (knnGraphExact _),
@@ -545,6 +637,7 @@ object KnnGraph {
 
   val oracleSql: Map[String, String] = Map(
     "knn_graph_exact" -> knnGraphExactSql,
-    "knn_graph_triangles" -> knnGraphTrianglesSql
+    "knn_graph_triangles" -> knnGraphTrianglesSql,
+    "knn_graph_link_predict" -> knnGraphLinkPredictSql
   )
 }

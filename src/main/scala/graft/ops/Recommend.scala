@@ -315,15 +315,112 @@ object Recommend {
       |JOIN supplier sb ON top.b = sb.s_suppkey
       |ORDER BY rank""".stripMargin
 
+  /** §2 `rec_basket_lift`: market-basket association rules over the
+    * capped listen profiles — "listeners of X also listen to Y" with the
+    * three classic measures (support, confidence, lift), the
+    * co-occurrence semantics the CF cosine deliberately does not expose
+    * (confidence is DIRECTIONAL — conf(a→b) ≠ conf(b→a) — and lift
+    * normalizes by both audiences, so a rule against a ubiquitous track
+    * scores ~1 however high its raw co-count).
+    *
+    * Exactness: `co·N`, `n_ant·n_cons` are exact BIGINT products far
+    * under 2^53; confidence and lift are each ONE IEEE divide of exact
+    * integers (the cosine discipline), never summed. Scale shape is the
+    * [[neighbors]] pair generator verbatim — user-keyed self-equi-join
+    * under the top-[[maxItemsPerUser]] cap (K² fan-out bound), audience
+    * sizes a broadcast dim; the global top-50 cut runs rank-free as
+    * orderBy+limit (TakeOrderedAndProject — per-partition top-50, never
+    * a global sort), and the rank column is a window over the 50
+    * SURVIVORS only (the dm_audience_overlap bounded-window device).
+    */
+  def recBasketLift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val listens = cappedListens(spark, dir)
+    val nTotal = listens.select($"user_id").distinct()
+      .agg(count(lit(1)).as("n_users_total"))
+    val nu = listens.groupBy($"item_id").agg(count(lit(1)).as("n_users"))
+    val a = listens.select($"user_id", $"item_id".as("a"))
+    val b = listens.select($"user_id", $"item_id".as("b"))
+    val co = a.join(b, Seq("user_id"))
+      .filter($"a" < $"b")
+      .groupBy($"a", $"b").agg(count(lit(1)).as("co_users"))
+      .filter($"co_users" >= minCoListeners)
+    val directional = co.select($"a".as("antecedent"), $"b".as("consequent"), $"co_users")
+      .union(co.select($"b".as("antecedent"), $"a".as("consequent"), $"co_users"))
+    val scored = directional
+      .join(broadcast(nu.select($"item_id".as("antecedent"), $"n_users".as("n_ant"))), Seq("antecedent"))
+      .join(broadcast(nu.select($"item_id".as("consequent"), $"n_users".as("n_cons"))), Seq("consequent"))
+      .crossJoin(broadcast(nTotal))
+      .withColumn("confidence", $"co_users".cast("double") / $"n_ant".cast("double"))
+      .withColumn("lift",
+        ($"co_users" * $"n_users_total").cast("double") / ($"n_ant" * $"n_cons").cast("double"))
+      .orderBy($"lift".desc, $"confidence".desc, $"antecedent", $"consequent")
+      .limit(50)
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(pmod($"co_users", lit(1)))
+          .orderBy($"lift".desc, $"confidence".desc, $"antecedent", $"consequent")).cast("long"))
+      .select($"antecedent", $"consequent", $"co_users", $"n_ant", $"n_cons",
+        $"n_users_total", $"confidence", $"lift", $"rank")
+      .orderBy($"rank")
+  }
+
+  val recBasketLiftSql: String =
+    s"""WITH lc AS (
+      |  SELECT o_custkey AS user_id, l_partkey AS item_id, COUNT(*) AS n_listens
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY 1, 2
+      |), capped AS (
+      |  SELECT user_id, item_id FROM (
+      |    SELECT user_id, item_id,
+      |      row_number() OVER (PARTITION BY user_id ORDER BY n_listens DESC, item_id) AS r
+      |    FROM lc
+      |  ) WHERE r <= $maxItemsPerUser
+      |), nt AS (
+      |  SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_total FROM capped
+      |), nu AS (
+      |  SELECT item_id, CAST(COUNT(*) AS BIGINT) AS n_users FROM capped GROUP BY item_id
+      |), co AS (
+      |  SELECT x.item_id AS a, y.item_id AS b, CAST(COUNT(*) AS BIGINT) AS co_users
+      |  FROM capped x JOIN capped y ON x.user_id = y.user_id AND x.item_id < y.item_id
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= $minCoListeners
+      |), directional AS (
+      |  SELECT a AS antecedent, b AS consequent, co_users FROM co
+      |  UNION ALL
+      |  SELECT b AS antecedent, a AS consequent, co_users FROM co
+      |), scored AS (
+      |  SELECT antecedent, consequent, co_users,
+      |    na.n_users AS n_ant, nc.n_users AS n_cons, n_users_total,
+      |    CAST(co_users AS DOUBLE) / CAST(na.n_users AS DOUBLE) AS confidence,
+      |    CAST(co_users * n_users_total AS DOUBLE)
+      |      / CAST(na.n_users * nc.n_users AS DOUBLE) AS lift
+      |  FROM directional
+      |  JOIN nu na ON directional.antecedent = na.item_id
+      |  JOIN nu nc ON directional.consequent = nc.item_id
+      |  CROSS JOIN nt
+      |), top AS (
+      |  SELECT *, row_number() OVER (
+      |    ORDER BY lift DESC, confidence DESC, antecedent, consequent) AS rank
+      |  FROM scored
+      |  ORDER BY lift DESC, confidence DESC, antecedent, consequent
+      |  LIMIT 50
+      |)
+      |SELECT antecedent, consequent, co_users, n_ant, n_cons, n_users_total,
+      |  confidence, lift, CAST(rank AS BIGINT) AS rank
+      |FROM top
+      |ORDER BY rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rec_item_item_cf"    -> (recItemItemCf _),
     "rec_user_topn"       -> (recUserTopn _),
-    "dm_audience_overlap" -> (dmAudienceOverlap _)
+    "dm_audience_overlap" -> (dmAudienceOverlap _),
+    "rec_basket_lift"     -> (recBasketLift _)
   )
 
   val oracleSql: Map[String, String] = Map(
     "rec_item_item_cf"    -> recItemItemCfSql,
     "rec_user_topn"       -> recUserTopnSql,
-    "dm_audience_overlap" -> dmAudienceOverlapSql
+    "dm_audience_overlap" -> dmAudienceOverlapSql,
+    "rec_basket_lift"     -> recBasketLiftSql
   )
 }

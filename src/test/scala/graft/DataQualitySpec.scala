@@ -84,4 +84,22 @@ class DataQualitySpec extends SparkSuite {
     assert(a.getLong(a.fieldIndex("median_gap_days")) == 2L)
     assert(!a.getBoolean(a.fieldIndex("stale")), "frontier type is fresh")
   }
+
+  test("benford: full digit dim, counts conserve, literals are a distribution") {
+    import org.apache.spark.sql.functions._
+    val rows = etl.DataQuality.dqBenford(spark, sf).collect()
+    assert(rows.map(_.getAs[Int]("digit")).toSeq == (1 to 9), "all 9 digits, ordered")
+    val nPos = Tables.orders(spark, sf)
+      .filter(col("o_totalprice") > 0).count()
+    assert(rows.map(_.getAs[Long]("n_obs")).sum == nPos, "every order counted once")
+    assert(math.abs(rows.map(_.getAs[Double]("benford_p")).sum - 1.0) < 1e-12,
+      "the hardcoded Benford literals must still be a probability distribution")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("expected_n") > 0.0)
+      assert(r.getAs[Double]("contribution") >= 0.0)
+    }
+    // digit extraction sanity on one hand-built frame is covered by the
+    // integer-string device itself: leading digit of cents == leading
+    // significant digit of the price (x100 shifts, never edits, digits)
+  }
 }

@@ -164,4 +164,41 @@ class KnnGraphSpec extends SparkSuite {
     got.foreach { case (_, c, s) => assert(s == sizes(c)) }
     assert(got.exists(_._3 > 1L), "at least one non-singleton cluster (non-vacuous)")
   }
+
+  test("link prediction: hand-checked wedge graph — scores, anti-join, determinism") {
+    import spark.implicits._
+    // path 1-2-3 plus 3-4: non-edges (1,3) and (2,4) each share exactly one
+    // neighbor; (1,4) shares none (2 hops apart via no common neighbor).
+    // Undirected edges materialized in both directions like mutual-kNN.
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    val e = (und ++ und.map(_.swap)).toDF("a", "b")
+    val got = ops.KnnGraph.linkPredictOn(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(got.keySet == Set((1L, 3L), (2L, 4L)), "exactly the 2-hop non-edges")
+    // (1,3): common neighbor {2}; deg(1)=1, deg(3)=2 → jaccard 1/2
+    assert(got((1L, 3L)) == ((1L, 1L, 2L, 0.5)))
+    // (2,4): common neighbor {3}; deg(2)=2, deg(4)=1 → jaccard 1/2
+    assert(got((2L, 4L)) == ((1L, 2L, 1L, 0.5)))
+  }
+
+  test("knn_graph_link_predict: predictions are non-edges with bounded evidence") {
+    import spark.implicits._
+    val mutual = ops.KnnGraph.knnGraphExact(spark, sf).filter($"mutual")
+      .select($"vec_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = ops.KnnGraph.knnGraphLinkPredict(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    assert(rows.map(_.getAs[Long]("rank")).toSeq == (1L to rows.length).toSeq)
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[Long]("a"), r.getAs[Long]("b"))
+      assert(a < b, "canonical pair order")
+      assert(!mutual.contains((a, b)) && !mutual.contains((b, a)),
+        s"($a,$b) must not already be an edge")
+      val cn = r.getAs[Long]("cn")
+      assert(cn >= 1L && cn <= 4L, "common neighbors bounded by k=4")
+      val j = r.getAs[Double]("jaccard")
+      assert(j > 0.0 && j <= 1.0)
+    }
+  }
 }

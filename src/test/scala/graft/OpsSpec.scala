@@ -1029,4 +1029,22 @@ class OpsSpec extends SparkSuite {
       .distinct().count()
     assert(shards > 1, "fixture must span several hash shards")
   }
+
+  test("importance sample: selection enriches the target domain; scores exact") {
+    import spark.implicits._
+    val rows = ops.Curation.sampleImportance(spark, sf).collect()
+    assert(rows.length == 100)
+    assert(rows.map(_.getAs[Long]("rank")).toSeq == (1L to 100L).toSeq)
+    val avgs = rows.map(_.getAs[Long]("avg_ratio")).toSeq
+    assert(avgs == avgs.sorted.reverse, "ordered by importance")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("avg_ratio") == r.getAs[Long]("sum_ratio") / r.getAs[Long]("n_tokens"))
+    }
+    // the whole point: the selected pool is MORE target-like than the corpus
+    val docs = Tables.documents(spark, sf)
+    val corpusEn = docs.filter($"lang" === "en").count().toDouble / docs.count()
+    val pickedEn = rows.count(_.getAs[String]("lang") == "en") / 100.0
+    assert(pickedEn > corpusEn,
+      s"top-100 en share $pickedEn must exceed corpus share $corpusEn")
+  }
 }

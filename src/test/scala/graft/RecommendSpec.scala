@@ -149,4 +149,21 @@ class RecommendSpec extends SparkSuite {
     assert(r.filter($"user_id" === 1L && $"rec_item_id" === 201L).count() == 0,
       "the over-cap listened item must not resurface as a recommendation")
   }
+
+  test("basket lift: measures recompute from their own counts; ranks dense") {
+    val rows = ops.Recommend.recBasketLift(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    assert(rows.map(_.getAs[Long]("rank")).toSeq == (1L to rows.length).toSeq)
+    rows.foreach { r =>
+      val (co, na, nc, nt) = (r.getAs[Long]("co_users"), r.getAs[Long]("n_ant"),
+        r.getAs[Long]("n_cons"), r.getAs[Long]("n_users_total"))
+      assert(r.getAs[Long]("antecedent") != r.getAs[Long]("consequent"))
+      assert(co >= ops.Recommend.minCoListeners && co <= math.min(na, nc))
+      assert(r.getAs[Double]("confidence") == co.toDouble / na.toDouble)
+      assert(r.getAs[Double]("lift") == (co * nt).toDouble / (na * nc).toDouble)
+    }
+    // lift ordering is the output ordering
+    val lifts = rows.map(_.getAs[Double]("lift")).toSeq
+    assert(lifts == lifts.sorted.reverse)
+  }
 }
