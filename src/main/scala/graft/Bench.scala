@@ -92,7 +92,8 @@ object Bench {
     "events_autocorr_served", "events_markov_transitions_served",
     "events_value_corr_served", "dq_drift_chi2_served", "sample_token_budget",
     "events_attribution", "events_attribution_channel", "dq_benford",
-    "rec_basket_lift", "knn_graph_link_predict", "sample_importance")
+    "rec_basket_lift", "knn_graph_link_predict", "sample_importance",
+    "text_search_phrase", "text_search_phrase_persisted")
   // dedup_recall_eval joins ann_recall_eval in the excluded-harness
   // family: each runs EVERY path in its family back-to-back, so benching
   // it would double-count operators the suite already times individually
@@ -161,6 +162,7 @@ object Bench {
     runOnce("ann_topk_pca_persisted")
     runOnce("layout_zorder_pruned") // first call writes the layout
     runOnce("rec_item_item_cf_persisted") // first call runs save+append
+    runOnce("text_search_phrase_persisted") // first call writes the positional index
     runOnce("events_forecast_ses_served") // first call folds the state
     runOnce("events_markov_transitions_served")
     runOnce("events_value_corr_served")

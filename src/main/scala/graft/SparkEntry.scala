@@ -27,7 +27,8 @@ object SparkEntry {
       etl.UserPurge.queries ++ ops.Recommend.queries ++ core.HoltForecast.queries ++
       ops.CfIndex.queries ++ ops.DedupEval.queries ++ ops.Rake.queries ++
       ops.CurationPipeline.queries ++ streaming.ForecastServe.queries ++
-      streaming.StreamServe.queries ++ core.AttributionQueries.queries
+      streaming.StreamServe.queries ++ core.AttributionQueries.queries ++
+      ops.PhraseSearch.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -49,5 +50,5 @@ object SparkEntry {
       ops.Recommend.oracleSql ++ core.HoltForecast.oracleSql ++
       ops.CfIndex.oracleSql ++ ops.Rake.oracleSql ++
       streaming.ForecastServe.oracleSql ++ streaming.StreamServe.oracleSql ++
-      core.AttributionQueries.oracleSql
+      core.AttributionQueries.oracleSql ++ ops.PhraseSearch.oracleSql
 }
