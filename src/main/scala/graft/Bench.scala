@@ -93,7 +93,8 @@ object Bench {
     "events_value_corr_served", "dq_drift_chi2_served", "sample_token_budget",
     "events_attribution", "events_attribution_channel", "dq_benford",
     "rec_basket_lift", "knn_graph_link_predict", "sample_importance",
-    "text_search_phrase", "text_search_phrase_persisted")
+    "text_search_phrase", "text_search_phrase_persisted",
+    "knn_graph_cc_star", "events_ab_welch", "etl_schema_evolution")
   // dedup_recall_eval joins ann_recall_eval in the excluded-harness
   // family: each runs EVERY path in its family back-to-back, so benching
   // it would double-count operators the suite already times individually

@@ -547,7 +547,98 @@ object StatsQueries {
       |FROM m
       |ORDER BY event_type""".stripMargin
 
+  /** §2 `events_ab_welch`: two-sample A/B comparison per event type —
+    * Welch's unequal-variance t-test between a deterministic user-parity
+    * split (arm a = even user ids, b = odd; the assignment an experiment
+    * platform would hash), the experiment-analysis readout every
+    * event-capture pipeline eventually serves.
+    *
+    * Exactness is the [[corrFrom]] discipline end-to-end: per (type, arm)
+    * sufficient statistics as exact integer cents (n, Σy·100, Σy²·10⁴)
+    * via CONDITIONAL sums in ONE grouped pass (no arm shuffle, no pivot);
+    * then one fixed IEEE tree — sample variance, the two standard-error
+    * terms `ra = var_a/n_a`, `rb`, `t = (m_a−m_b)/√(ra+rb)` and the
+    * Welch–Satterthwaite dof `(ra+rb)²/(ra²/(n_a−1)+rb²/(n_b−1))` —
+    * token-for-token identical in the oracle SQL, so even the doubles
+    * hash-match. The `significant` flag compares the shared t against the
+    * 1.96 literal. Map-side combine collapses the scan to ≤|types|
+    * partials; the output is ≤|types| rows.
+    */
+  def eventsAbWelch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"event_type", pmod($"user_id", lit(2)).as("arm"),
+        $"value".cast("decimal(10,2)").as("y"))
+      .withColumn("y_c", ($"y" * 100).cast("long"))
+      .withColumn("yy_4", ($"y" * $"y" * 10000).cast("long"))
+    val stats = ev.groupBy($"event_type").agg(
+      sum(when($"arm" === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when($"arm" === 0, $"y_c").otherwise(0L)).as("sy_a"),
+      sum(when($"arm" === 0, $"yy_4").otherwise(0L)).as("syy_a"),
+      sum(when($"arm" === 1, 1L).otherwise(0L)).as("n_b"),
+      sum(when($"arm" === 1, $"y_c").otherwise(0L)).as("sy_b"),
+      sum(when($"arm" === 1, $"yy_4").otherwise(0L)).as("syy_b"))
+    val naD  = $"n_a".cast("double")
+    val nbD  = $"n_b".cast("double")
+    val syaD = $"sy_a".cast("double") / 100.0
+    val sybD = $"sy_b".cast("double") / 100.0
+    val syyaD = $"syy_a".cast("double") / 10000.0
+    val syybD = $"syy_b".cast("double") / 10000.0
+    stats
+      .withColumn("mean_a", syaD / naD)
+      .withColumn("mean_b", sybD / nbD)
+      .withColumn("var_a", (naD * syyaD - syaD * syaD) / (naD * (naD - 1.0)))
+      .withColumn("var_b", (nbD * syybD - sybD * sybD) / (nbD * (nbD - 1.0)))
+      .withColumn("ra", $"var_a" / naD)
+      .withColumn("rb", $"var_b" / nbD)
+      .withColumn("t_stat", ($"mean_a" - $"mean_b") / sqrt($"ra" + $"rb"))
+      .withColumn("dof", (($"ra" + $"rb") * ($"ra" + $"rb"))
+        / ($"ra" * $"ra" / (naD - 1.0) + $"rb" * $"rb" / (nbD - 1.0)))
+      .withColumn("significant", abs($"t_stat") > 1.96)
+      .select($"event_type", $"n_a", $"n_b", $"mean_a", $"mean_b",
+        $"var_a", $"var_b", $"t_stat", $"dof", $"significant")
+      .orderBy($"event_type")
+  }
+
+  val eventsAbWelchSql: String =
+    """WITH ev AS (
+      |  SELECT event_type, user_id % 2 AS arm,
+      |    CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT) AS y_c,
+      |    CAST(CAST(value AS DECIMAL(10,2)) * CAST(value AS DECIMAL(10,2)) * 10000 AS BIGINT) AS yy_4
+      |  FROM events
+      |), stats AS (
+      |  SELECT event_type,
+      |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(SUM(CASE WHEN arm = 0 THEN y_c ELSE 0 END) AS BIGINT) AS sy_a,
+      |    CAST(SUM(CASE WHEN arm = 0 THEN yy_4 ELSE 0 END) AS BIGINT) AS syy_a,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN y_c ELSE 0 END) AS BIGINT) AS sy_b,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN yy_4 ELSE 0 END) AS BIGINT) AS syy_b
+      |  FROM ev GROUP BY event_type
+      |), d AS (
+      |  SELECT event_type, n_a, n_b,
+      |    CAST(n_a AS DOUBLE) AS nad, CAST(n_b AS DOUBLE) AS nbd,
+      |    CAST(sy_a AS DOUBLE) / 100.0 AS syad, CAST(sy_b AS DOUBLE) / 100.0 AS sybd,
+      |    CAST(syy_a AS DOUBLE) / 10000.0 AS syyad, CAST(syy_b AS DOUBLE) / 10000.0 AS syybd
+      |  FROM stats
+      |), m AS (
+      |  SELECT event_type, n_a, n_b, nad, nbd,
+      |    syad / nad AS mean_a, sybd / nbd AS mean_b,
+      |    (nad * syyad - syad * syad) / (nad * (nad - 1.0)) AS var_a,
+      |    (nbd * syybd - sybd * sybd) / (nbd * (nbd - 1.0)) AS var_b
+      |  FROM d
+      |), r AS (
+      |  SELECT *, var_a / nad AS ra, var_b / nbd AS rb FROM m
+      |)
+      |SELECT event_type, n_a, n_b, mean_a, mean_b, var_a, var_b,
+      |  (mean_a - mean_b) / sqrt(ra + rb) AS t_stat,
+      |  ((ra + rb) * (ra + rb)) / (ra * ra / (nad - 1.0) + rb * rb / (nbd - 1.0)) AS dof,
+      |  abs((mean_a - mean_b) / sqrt(ra + rb)) > 1.96 AS significant
+      |FROM r
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_ab_welch" -> (eventsAbWelch _),
     "agg_moments_exact" -> (aggMomentsExact _),
     "events_autocorr" -> (eventsAutocorr _),
     "events_value_corr" -> (eventsValueCorr _),
@@ -558,6 +649,7 @@ object StatsQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "events_ab_welch" -> eventsAbWelchSql,
     "agg_moments_exact" -> aggMomentsExactSql,
     "events_autocorr" -> eventsAutocorrSql,
     "events_value_corr" -> eventsValueCorrSql,

@@ -680,7 +680,76 @@ object EtlQueries {
       |FROM items i LEFT JOIN ok USING (item_id)
       |ORDER BY item_id""".stripMargin
 
+  /** §2 `etl_schema_evolution`: SCHEMA-DRIFT-tolerant ingest — the
+    * "upstream added a column mid-stream" case every long-lived staging
+    * area hits (the reference hardcodes its staging DDL, so a drifted
+    * extract would crash the load; this entry is the declarative
+    * handling). Two landed batches are derived from orders at the 70%
+    * order-key watermark (the delta_load device, broadcast scalar — no
+    * collect): the OLD batch lacks `o_orderpriority` entirely, the NEW
+    * batch carries an ADDED `load_channel` column. Both land as real
+    * parquet files with genuinely different schemas; the read is
+    * `mergeSchema=true` over both dirs — Spark's schema-union contract,
+    * exercised for real, not simulated — followed by explicit backfill
+    * (`o_orderpriority → 'UNKNOWN'`, `load_channel → 'legacy'`: absent
+    * column ≠ NULL-in-schema, the report makes the default visible).
+    * Output is the unified (priority, channel) census, hash-held to an
+    * oracle that recomputes the same split/backfill from the source
+    * table directly — so the parquet round-trip, the schema union, and
+    * the defaulting must all be lossless for the gate to pass. Scale:
+    * one scan per batch write, one merged scan, one bounded groupBy;
+    * mergeSchema's footer-union cost is per-FILE metadata, not data.
+    */
+  def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ord = Tables.orders(spark, dir)
+    val wm = ord.agg(max($"o_orderkey").as("max_key"))
+    val tagged = ord.crossJoin(broadcast(wm))
+      .withColumn("is_old", $"o_orderkey" * 10 <= $"max_key" * 7)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_schema_evo_" +
+      ProcessHandle.current().pid() + "_" +
+      java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+    tagged.filter($"is_old")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderstatus")
+      .write.mode("overwrite").parquet(s"$base/b1")
+    tagged.filter(!$"is_old")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderstatus",
+        $"o_orderpriority",
+        when($"o_orderkey" % 2 === 0, "api").otherwise("batch").as("load_channel"))
+      .write.mode("overwrite").parquet(s"$base/b2")
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(s"$base/b1", s"$base/b2")
+    merged
+      .withColumn("priority", coalesce($"o_orderpriority", lit("UNKNOWN")))
+      .withColumn("channel", coalesce($"load_channel", lit("legacy")))
+      .groupBy($"priority", $"channel")
+      .agg(count(lit(1)).as("n_orders"),
+        sum($"o_totalprice".cast("decimal(12,2)")).cast("double").as("sum_total"),
+        min($"o_orderkey").as("min_key"),
+        max($"o_orderkey").as("max_key"))
+      .orderBy($"priority", $"channel")
+  }
+
+  val schemaEvolutionSql: String =
+    """WITH m AS (
+      |  SELECT MAX(o_orderkey) AS max_key FROM orders
+      |), unified AS (
+      |  SELECT o_orderkey, o_totalprice,
+      |    CASE WHEN o_orderkey * 10 <= max_key * 7 THEN 'UNKNOWN'
+      |         ELSE o_orderpriority END AS priority,
+      |    CASE WHEN o_orderkey * 10 <= max_key * 7 THEN 'legacy'
+      |         WHEN o_orderkey % 2 = 0 THEN 'api' ELSE 'batch' END AS channel
+      |  FROM orders, m
+      |)
+      |SELECT priority, channel, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_total,
+      |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+      |FROM unified
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_schema_evolution" -> (schemaEvolution _),
     "etl_retry_quarantine" -> (retryQuarantine _),
     "etl_scd2_history"    -> (scd2History _),
     "etl_extract_history" -> (extractHistory _),
@@ -700,6 +769,7 @@ object EtlQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "etl_schema_evolution" -> schemaEvolutionSql,
     "etl_retry_quarantine" -> retryQuarantineSql,
     "etl_scd2_history"    -> scd2HistorySql,
     "etl_extract_history" -> extractHistorySql,

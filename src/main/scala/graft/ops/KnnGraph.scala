@@ -532,6 +532,83 @@ object KnnGraph {
       .orderBy($"vec_id")
   }
 
+  /** Alternating large-star / small-star connected components (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond", SoCC'14) —
+    * the O(log² n)-round CC that converges on ROUND COUNT INDEPENDENT OF
+    * COMPONENT DIAMETER, which is what you want at 100 TB where a
+    * path-shaped component makes diameter-bounded label propagation
+    * (ScaleDedup.ccKeepers' min-label + pointer-jumping) pay a round per
+    * hop it can't jump. Per round, two star operations rewrite the edge
+    * set toward stars rooted at component minima:
+    *   large-star(u): every neighbor v > u re-links to
+    *                  m(u) = min(Γ(u) ∪ u);
+    *   small-star(u): every neighbor v ≤ u, and u itself, link to m(u).
+    * Both are ONE bounded groupBy (per-node min — no neighbor list is
+    * ever collected) + an edge-table join; edges stay canonical (a<b,
+    * distinct), so each round is a fixed set of shuffles on a table that
+    * only shrinks-or-stars. Convergence = full-round edge-set fixpoint
+    * (checked both directions), result read off as each node's star
+    * center. Spec: property-tested against a driver union-find on random
+    * graphs AND pinned label-for-label to knnGraphClusters on the corpus
+    * (two different algorithms, one answer).
+    */
+  private[graft] def ccStarLabels(edges0: DataFrame, maxRounds: Int = 64): DataFrame = {
+    import edges0.sparkSession.implicits._
+    def canon(df: DataFrame) =
+      df.select(least($"a", $"b").as("a"), greatest($"a", $"b").as("b"))
+        .filter($"a" =!= $"b").distinct()
+    def adj(e: DataFrame) =
+      e.select($"a".as("u"), $"b".as("v")).union(e.select($"b".as("u"), $"a".as("v")))
+    def mins(a: DataFrame) =
+      a.groupBy($"u").agg(min($"v").as("mn"))
+        .select($"u", least($"mn", $"u").as("m"))
+    var edges = canon(edges0).localCheckpoint()
+    var round = 0
+    var converged = false
+    while (!converged) {
+      if (round >= maxRounds)
+        throw new IllegalStateException(
+          s"ccStarLabels: not converged after $maxRounds rounds — " +
+            "large/small-star converges in O(log² n); refusing partial labels")
+      val a1 = adj(edges)
+      val e1 = canon(
+        a1.join(mins(a1), Seq("u")).filter($"v" > $"u")
+          .select($"v".as("a"), $"m".as("b"))).localCheckpoint()
+      val a2 = adj(e1)
+      val m2 = mins(a2)
+      val e2 = canon(
+        a2.join(m2, Seq("u")).filter($"v" < $"u")
+          .select($"v".as("a"), $"m".as("b"))
+          .union(m2.select($"u".as("a"), $"m".as("b")))).localCheckpoint()
+      converged = e2.exceptAll(edges).isEmpty && edges.exceptAll(e2).isEmpty
+      edges = e2
+      round += 1
+    }
+    adj(edges).groupBy($"u").agg(min($"v").as("mn"))
+      .select($"u".as("node"), least($"mn", $"u").as("label"))
+  }
+
+  /** §2 `knn_graph_cc_star`: mutual-kNN connected components via the
+    * large/small-star rewriting — the diameter-independent twin of
+    * `knn_graph_clusters` (same edge set, same output shape, same
+    * labels; the spec pins the two algorithms label-for-label).
+    */
+  def knnGraphCcStar(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val knn = withMutual(ivfEdges(spark, dir))
+    val edges = knn.filter($"mutual" && $"vec_id" < $"neighbor_id")
+      .select($"vec_id".as("a"), $"neighbor_id".as("b"))
+      .localCheckpoint()
+    val labels = ccStarLabels(edges)
+    val all = VectorAgg.quantized(spark, dir).select($"vec_id")
+    val labeled = all.join(labels.withColumnRenamed("node", "vec_id"), Seq("vec_id"), "left")
+      .select($"vec_id", coalesce($"label", $"vec_id").as("cluster"))
+    val sizes = labeled.groupBy($"cluster").agg(count(lit(1)).as("cluster_size"))
+    labeled.join(sizes, Seq("cluster"))
+      .select($"vec_id", $"cluster", $"cluster_size")
+      .orderBy($"vec_id")
+  }
+
   /** Common-neighbor core over a DIRECTED mutual-edge table (each
     * undirected edge present in both directions): candidate pairs are the
     * 2-hop wedges `u−z−w, u<w`, scored by common-neighbor count and
@@ -625,6 +702,7 @@ object KnnGraph {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_graph_link_predict" -> (knnGraphLinkPredict _),
+    "knn_graph_cc_star" -> (knnGraphCcStar _),
     "knn_graph_communities" -> (knnGraphCommunities _),
     "knn_graph_triangles" -> (knnGraphTriangles _),
     "knn_graph_exact"    -> (knnGraphExact _),

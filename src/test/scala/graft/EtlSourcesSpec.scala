@@ -102,4 +102,26 @@ class EtlSourcesSpec extends SparkSuite {
       assert(p.contains("Bucketed: true"), p)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
+
+  test("schema evolution: merged read backfills exactly the absent-column rows") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rows = etl.EtlQueries.schemaEvolution(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_orders")).sum ==
+      Tables.orders(spark, sf).count(), "every order lands exactly once")
+    // the old batch (no priority column) must surface ONLY as (UNKNOWN, legacy)
+    rows.foreach { r =>
+      val (p, c) = (r.getAs[String]("priority"), r.getAs[String]("channel"))
+      if (p == "UNKNOWN") assert(c == "legacy", "absent columns travel together")
+      else assert(c == "api" || c == "batch")
+    }
+    assert(rows.exists(_.getAs[String]("priority") == "UNKNOWN"), "old batch non-vacuous")
+    assert(rows.map(_.getAs[String]("channel")).toSet.contains("api"))
+    // watermark split is a real split: UNKNOWN keys all below every new-batch key
+    val unknownMax = rows.filter(_.getAs[String]("priority") == "UNKNOWN")
+      .map(_.getAs[Long]("max_key")).max
+    val newMin = rows.filter(_.getAs[String]("priority") != "UNKNOWN")
+      .map(_.getAs[Long]("min_key")).min
+    assert(unknownMax < newMin)
+  }
 }

@@ -165,6 +165,46 @@ class KnnGraphSpec extends SparkSuite {
     assert(got.exists(_._3 > 1L), "at least one non-singleton cluster (non-vacuous)")
   }
 
+  test("large/small-star CC property: equals driver union-find on 20 random graphs") {
+    import spark.implicits._
+    val rng = new scala.util.Random(4242)
+    (1 to 20).foreach { trial =>
+      val n = 2 + rng.nextInt(40)
+      val nEdges = rng.nextInt(60)
+      val edges = (1 to nEdges)
+        .map(_ => (rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // driver union-find reference over the same node universe
+      val parent = scala.collection.mutable.Map((0L until n).map(v => v -> v): _*)
+      def find(x: Long): Long = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = (0L until n).map(v => v -> {
+        val r = find(v)
+        (0L until n).filter(u => find(u) == r).min
+      }).toMap
+      if (edges.nonEmpty) {
+        val got = ops.KnnGraph.ccStarLabels(edges.toDF("a", "b")).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // ccStarLabels only labels nodes with at least one edge
+        got.foreach { case (v, l) => assert(l == want(v), s"trial $trial node $v") }
+        val touched = edges.flatMap(e => Seq(e._1, e._2)).toSet
+        assert(got.keySet == touched, s"trial $trial label coverage")
+      }
+    }
+  }
+
+  test("knn_graph_cc_star == knn_graph_clusters label-for-label on the corpus") {
+    val a = ops.KnnGraph.knnGraphCcStar(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val b = ops.KnnGraph.knnGraphClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(a.toSeq == b.toSeq,
+      "two CC algorithms over the same mutual-kNN edges must agree exactly")
+  }
+
   test("link prediction: hand-checked wedge graph — scores, anti-join, determinism") {
     import spark.implicits._
     // path 1-2-3 plus 3-4: non-edges (1,3) and (2,4) each share exactly one

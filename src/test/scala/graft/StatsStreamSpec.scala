@@ -47,4 +47,35 @@ class StatsStreamSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("clear the state path"))
   }
+
+  test("welch a/b: arms partition every event; t matches a driver reference to 1e-12") {
+    import spark.implicits._
+    val rows = core.StatsQueries.eventsAbWelch(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val totals = Tables.events(spark, sf).groupBy($"event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      assert(r.getAs[Long]("n_a") + r.getAs[Long]("n_b") == totals(t),
+        s"$t: arms must partition the events")
+    }
+    // driver-side Welch reference from raw values
+    val raw = Tables.events(spark, sf)
+      .select($"event_type", pmod($"user_id", org.apache.spark.sql.functions.lit(2)),
+        $"value".cast("decimal(10,2)").cast("double"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val a = raw.collect { case (`t`, 0L, v) => v }
+      val b = raw.collect { case (`t`, 1L, v) => v }
+      def meanVar(x: Array[Double]) = {
+        val m = x.sum / x.length
+        (m, x.map(v => (v - m) * (v - m)).sum / (x.length - 1))
+      }
+      val ((ma, va), (mb, vb)) = (meanVar(a), meanVar(b))
+      val tRef = (ma - mb) / math.sqrt(va / a.length + vb / b.length)
+      assert(math.abs(r.getAs[Double]("t_stat") - tRef) < 1e-9, s"$t t-stat")
+      assert(r.getAs[Boolean]("significant") == (math.abs(tRef) > 1.96), s"$t flag")
+    }
+  }
 }
