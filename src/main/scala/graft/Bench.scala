@@ -94,7 +94,8 @@ object Bench {
     "events_attribution", "events_attribution_channel", "dq_benford",
     "rec_basket_lift", "knn_graph_link_predict", "sample_importance",
     "text_search_phrase", "text_search_phrase_persisted",
-    "knn_graph_cc_star", "events_ab_welch", "etl_schema_evolution")
+    "knn_graph_cc_star", "events_ab_welch", "etl_schema_evolution",
+    "dq_benford_served")
   // dedup_recall_eval joins ann_recall_eval in the excluded-harness
   // family: each runs EVERY path in its family back-to-back, so benching
   // it would double-count operators the suite already times individually
@@ -168,6 +169,7 @@ object Bench {
     runOnce("events_markov_transitions_served")
     runOnce("events_value_corr_served")
     runOnce("dq_drift_chi2_served")
+    runOnce("dq_benford_served")
 
     val results = headline.map(n => n -> run(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

@@ -416,14 +416,31 @@ object DataQuality {
     * left join): map-side combine collapses the scan to ≤9 partial rows
     * per partition, so the shuffle is O(partitions), corpus-size-free.
     */
-  def dqBenford(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val digits = benfordP.toDF("digit", "benford_p")
-    val obs = Tables.orders(spark, dir)
+  def dqBenford(spark: SparkSession, dir: String): DataFrame =
+    benfordOn(orderDigitCountsOf(Tables.orders(spark, dir)))
+
+  /** First-digit counts of a slice of the orders feed — counts are
+    * mergeable by addition, which is what lets the streaming screen
+    * ([[graft.streaming.DriftStream.benfordFold]]) fold per-batch counts
+    * into cumulative state and serve through [[benfordOn]] bit-equal to
+    * the batch entry.
+    */
+  private[graft] def orderDigitCountsOf(orders: DataFrame): DataFrame = {
+    import orders.sparkSession.implicits._
+    orders
       .select(($"o_totalprice".cast("decimal(12,2)") * 100).cast("long").as("cents"))
       .filter($"cents" > 0)
       .withColumn("digit", substring($"cents".cast("string"), 1, 1).cast("int"))
       .groupBy($"digit").agg(count(lit(1)).as("n_obs"))
+  }
+
+  /** Scoring core over a (digit, n_obs) count table — SHARED by the
+    * batch entry and the streaming serve, so a streamed and a backfilled
+    * feed can never disagree on the screen's verdicts.
+    */
+  private[graft] def benfordOn(obs: DataFrame): DataFrame = {
+    import obs.sparkSession.implicits._
+    val digits = benfordP.toDF("digit", "benford_p")
     val tot = obs.agg(sum($"n_obs").as("n_total"))
     broadcast(digits).join(obs, Seq("digit"), "left")
       .na.fill(0L, Seq("n_obs"))

@@ -56,4 +56,45 @@ object DriftStream {
       .select($"event_type", $"n".as("cur_n"))
     graft.etl.DataQuality.chi2On(refCounts, cur)
   }
+
+  // ---- Benford screen (the dq_benford twin on a streamed order feed) ----
+
+  /** Streaming Benford first-digit screen — the continuous form of
+    * [[graft.etl.DataQuality.dqBenford]]: each order micro-batch's digit
+    * counts (≤ 9 rows, the bounded pull) fold additively into
+    * [[StateFold.guarded]] state; the χ² table is recomputed on demand
+    * from that state through the SHARED [[graft.etl.DataQuality.benfordOn]]
+    * core, so a streamed and a backfilled feed can never disagree.
+    */
+  def benfordSink(orders: DataFrame, statePath: String, runTag: String = "default"): DataStreamWriter[Row] =
+    orders.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        benfordFold(batch, statePath, batchId, runTag)
+      }
+
+  /** The per-batch body, factored out for direct testing. */
+  private[graft] def benfordFold(batch: DataFrame, statePath: String, batchId: Long, runTag: String = "default"): Unit =
+    if (!batch.isEmpty) {
+      val spark = batch.sparkSession
+      import spark.implicits._
+      val batchCounts = graft.etl.DataQuality.orderDigitCountsOf(batch)
+        .as[(Int, Long)].collect().toSeq // ≤ 9 rows — bounded pull
+      StateFold.guarded(spark, statePath, batchId, runTag) { prev =>
+        val prevCounts = prev
+          .map(_.as[(Int, Long)].collect().toSeq).getOrElse(Seq.empty)
+        (prevCounts ++ batchCounts)
+          .groupBy(_._1).map { case (d, rs) => (d, rs.map(_._2).sum) }
+          .toSeq.toDF("digit", "n_obs")
+      }
+    }
+
+  /** Current screen table from the folded digit counts, shared core. */
+  def serveBenford(spark: SparkSession, statePath: String): DataFrame = {
+    import spark.implicits._
+    val obs = StateFold.readState(spark, statePath)
+      .getOrElse(throw new IllegalStateException(s"no committed benford state at $statePath"))
+      .select($"digit", $"n_obs")
+    graft.etl.DataQuality.benfordOn(obs)
+  }
 }

@@ -86,16 +86,35 @@ object StreamServe {
     DriftStream.serveDrift(spark, path, ref)
   }
 
+  /** The Benford screen folded from a two-batch order feed (split at the
+    * half order-key watermark) and served from state — bit-equal to the
+    * batch entry because counts merge additively through the shared
+    * [[graft.etl.DataQuality.benfordOn]] core.
+    */
+  def benfordServed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val path = statePathFor(spark, dir, "benford") { (s, d, p) =>
+      val ord = Tables.orders(s, d)
+      val maxId = ord.agg(max($"o_orderkey")).head().getLong(0)
+      val mid = maxId / 2
+      DriftStream.benfordFold(ord.filter($"o_orderkey" <= mid), p, 0L)
+      DriftStream.benfordFold(ord.filter($"o_orderkey" > mid), p, 1L)
+    }
+    DriftStream.serveBenford(spark, path)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_markov_transitions_served" -> (markovServed _),
     "events_value_corr_served"         -> (corrServed _),
-    "dq_drift_chi2_served"             -> (driftServed _)
+    "dq_drift_chi2_served"             -> (driftServed _),
+    "dq_benford_served"                -> (benfordServed _)
   )
 
   /** The batch twins' oracles verbatim — serve-from-state is bit-equal. */
   val oracleSql: Map[String, String] = Map(
     "events_markov_transitions_served" -> graft.core.EngagementQueries.eventsMarkovTransitionsSql,
     "events_value_corr_served"         -> graft.core.StatsQueries.eventsValueCorrSql,
-    "dq_drift_chi2_served"             -> graft.etl.DataQuality.dqDriftChi2Sql
+    "dq_drift_chi2_served"             -> graft.etl.DataQuality.dqDriftChi2Sql,
+    "dq_benford_served"                -> graft.etl.DataQuality.dqBenfordSql
   )
 }

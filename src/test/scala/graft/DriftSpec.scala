@@ -47,4 +47,24 @@ class DriftSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("clear the state path"))
   }
+
+  test("benford: streamed fold over 2 batches == batch screen bit-for-bit; retry no-ops") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_benford").toString
+    val ord = Tables.orders(spark, sf)
+    val maxId = ord.agg(max($"o_orderkey")).head().getLong(0)
+    val b0 = ord.filter($"o_orderkey" * 2 <= maxId)
+    val b1 = ord.filter($"o_orderkey" * 2 > maxId)
+    streaming.DriftStream.benfordFold(b0, dir, 0L)
+    streaming.DriftStream.benfordFold(b1, dir, 1L)
+    val streamed = streaming.DriftStream.serveBenford(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val batch = etl.DataQuality.dqBenford(spark, sf).collect().map(_.toSeq).toSeq
+    assert(streamed == batch, "streamed benford diverges from the batch screen")
+    assert(batch.length == 9)
+    val state = streaming.StateFold.readState(spark, dir).get.collect().map(_.toSeq).toSet
+    streaming.DriftStream.benfordFold(b1, dir, 1L) // redelivery
+    assert(streaming.StateFold.readState(spark, dir).get.collect().map(_.toSeq).toSet == state,
+      "retry mutated the digit counts")
+  }
 }
