@@ -224,7 +224,74 @@ object AsofJoin {
        |  ON p.user_id = s.user_id AND p.ts_sec >= s.signup_ts_sec
        |ORDER BY p.event_id""".stripMargin
 
+  /** §2 `asof_join_nearest`: the fourth standard as-of direction (pandas
+    * merge_asof `direction='nearest'`), completing backward / forward /
+    * tolerance: for each purchase, the signup MINIMIZING |Δt| in either
+    * direction, ties broken toward the backward match (the
+    * point-in-time-correct side — at equal distance the match that was
+    * already knowable wins). Composed as the backward fill chained into
+    * the forward fill — two key-partitioned window passes over the same
+    * union shape (same shuffle key both times, so the second pass
+    * reuses the partitioning layout AQE established) — then a pure
+    * row-local argmin; `dt_sec` is SIGNED (positive = signup before
+    * purchase) so the pick is auditable per row. The DuckDB oracle is
+    * two chained ASOF LEFT JOINs with the identical tie rule.
+    */
+  def asofJoinNearest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"event_id", $"user_id", unix_timestamp($"ts").as("ts_sec"), $"event_type")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts_sec")
+    val signups = ev.filter($"event_type" === "signup")
+      .select($"user_id", $"ts_sec", $"ts_sec".as("signup_ts_sec"))
+    val back = asof(purchases, signups, "user_id", "ts_sec", Seq("signup_ts_sec"))
+      .withColumnRenamed("asof_signup_ts_sec", "back_ts")
+    val both = asofForward(back, signups, "user_id", "ts_sec", Seq("signup_ts_sec"))
+      .withColumnRenamed("asof_signup_ts_sec", "fwd_ts")
+    val pickBack = $"back_ts".isNotNull &&
+      ($"fwd_ts".isNull || ($"ts_sec" - $"back_ts") <= ($"fwd_ts" - $"ts_sec"))
+    both
+      .withColumn("signup_ts_sec", when(pickBack, $"back_ts").otherwise($"fwd_ts"))
+      .withColumn("dt_sec", $"ts_sec" - $"signup_ts_sec")
+      .withColumn("direction",
+        when($"signup_ts_sec".isNull, lit(null).cast("string"))
+          .when(pickBack, lit("backward")).otherwise(lit("forward")))
+      .select($"event_id", $"user_id", $"ts_sec".as("purchase_ts_sec"),
+        $"signup_ts_sec", $"dt_sec", $"direction")
+      .orderBy($"event_id")
+  }
+
+  val asofJoinNearestSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, event_type,
+      |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ts_sec
+      |  FROM events
+      |), purchases AS (
+      |  SELECT event_id, user_id, ts_sec FROM ev WHERE event_type = 'purchase'
+      |), signups AS (
+      |  SELECT user_id, ts_sec AS signup_ts_sec FROM ev WHERE event_type = 'signup'
+      |), picked AS (
+      |  SELECT p.event_id, p.user_id, p.ts_sec,
+      |    sb.signup_ts_sec AS back_ts, sf.signup_ts_sec AS fwd_ts,
+      |    (sb.signup_ts_sec IS NOT NULL AND (sf.signup_ts_sec IS NULL
+      |      OR p.ts_sec - sb.signup_ts_sec <= sf.signup_ts_sec - p.ts_sec)) AS pick_back
+      |  FROM purchases p
+      |  ASOF LEFT JOIN signups sb
+      |    ON p.user_id = sb.user_id AND p.ts_sec >= sb.signup_ts_sec
+      |  ASOF LEFT JOIN signups sf
+      |    ON p.user_id = sf.user_id AND p.ts_sec <= sf.signup_ts_sec
+      |)
+      |SELECT event_id, user_id, ts_sec AS purchase_ts_sec,
+      |  CASE WHEN pick_back THEN back_ts ELSE fwd_ts END AS signup_ts_sec,
+      |  ts_sec - CASE WHEN pick_back THEN back_ts ELSE fwd_ts END AS dt_sec,
+      |  CASE WHEN CASE WHEN pick_back THEN back_ts ELSE fwd_ts END IS NULL THEN NULL
+      |       WHEN pick_back THEN 'backward' ELSE 'forward' END AS direction
+      |FROM picked
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "asof_join_nearest" -> (asofJoinNearest _),
     "asof_join_events" -> (asofJoinEvents _),
     "asof_join_forward" -> (asofJoinForward _),
     "asof_join_forward_native" -> (asofJoinForwardNative _),
@@ -232,6 +299,7 @@ object AsofJoin {
     "asof_join_native" -> (asofJoinNative _))
 
   val oracleSql: Map[String, String] = Map(
+    "asof_join_nearest" -> asofJoinNearestSql,
     "asof_join_events" -> asofJoinEventsSql,
     "asof_join_forward" -> asofJoinForwardSql,
     "asof_join_forward_native" -> asofJoinForwardSql,

@@ -658,6 +658,80 @@ object Curation {
       |FROM r WHERE cum_tokens <= 1000
       |ORDER BY source, cum_tokens""".stripMargin
 
+  /** §2 `sample_temperature`: temperature-scaled mixture sampling — the
+    * T5/mT5 mixing rule p_s ∝ n_s^α with α = 1/2: big sources are
+    * downweighted toward the root of their size, so a 100× larger
+    * source gets only 10× the budget (uniform mixing starves small
+    * domains; proportional mixing drowns them — α ∈ (0,1) is the dial,
+    * and 1/2 is the published default). Completes the mixing-family
+    * triptych: domain-mix (inverse-size thresholds), Neyman
+    * (σ-allocation), temperature (power law).
+    *
+    * Exactness: n_s^(1/2) is ONE IEEE sqrt per source, immediately
+    * floored to an integer at 10⁶ scale — so the weight SUM is an exact
+    * BIGINT (summing raw sqrt doubles would be float-order-dependent
+    * across engines), and each allocation is `budget·w_s div W` integer
+    * division. Selection inside each source is the deterministic
+    * Knuth-hash rank (the sample_stratified device) cut at the
+    * allocation, so both engines pick the IDENTICAL documents and the
+    * verification sums hash-match. One groupBy for counts (broadcast
+    * dim), one per-source rank window (composes to the two-level rank at
+    * a scale where one source outgrows a task — the user_rfm contract).
+    */
+  def sampleTemperature(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val budget = 1000L
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"source", $"n_chars")
+    val counts = docs.groupBy($"source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("weight_scaled",
+        floor(sqrt($"n_docs".cast("double")) * 1000000.0).cast("long"))
+    val tot = counts.agg(sum($"weight_scaled").as("w_total"))
+    val alloc = counts.crossJoin(broadcast(tot))
+      .withColumn("alloc_n", expr(s"($budget * weight_scaled) div w_total"))
+      .select($"source", $"n_docs", $"weight_scaled", $"alloc_n")
+    val ranked = docs
+      .withColumn("h", $"doc_id" * 2654435761L % 1000000007L)
+      .withColumn("r", row_number().over(
+        Window.partitionBy($"source").orderBy($"h", $"doc_id")))
+    val sampled = ranked.join(broadcast(alloc.select($"source", $"alloc_n")), Seq("source"))
+      .filter($"r" <= $"alloc_n")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("sampled_docs"), sum($"n_chars").as("sampled_chars"))
+    alloc.join(sampled, Seq("source"), "left")
+      .na.fill(0L, Seq("sampled_docs", "sampled_chars"))
+      .select($"source", $"n_docs", $"weight_scaled", $"alloc_n",
+        $"sampled_docs", $"sampled_chars")
+      .orderBy($"source")
+  }
+
+  val sampleTemperatureSql: String =
+    """WITH counts AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1000000.0) AS BIGINT) AS weight_scaled
+      |  FROM documents GROUP BY source
+      |), tot AS (SELECT CAST(SUM(weight_scaled) AS BIGINT) AS w_total FROM counts),
+      |alloc AS (
+      |  SELECT source, n_docs, weight_scaled,
+      |    (1000 * weight_scaled) // w_total AS alloc_n
+      |  FROM counts CROSS JOIN tot
+      |), ranked AS (
+      |  SELECT source, doc_id, n_chars,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS r
+      |  FROM documents
+      |), sampled AS (
+      |  SELECT ranked.source, CAST(COUNT(*) AS BIGINT) AS sampled_docs,
+      |    CAST(SUM(n_chars) AS BIGINT) AS sampled_chars
+      |  FROM ranked JOIN alloc ON ranked.source = alloc.source
+      |  WHERE r <= alloc_n
+      |  GROUP BY ranked.source
+      |)
+      |SELECT alloc.source, n_docs, weight_scaled, CAST(alloc_n AS BIGINT) AS alloc_n,
+      |  COALESCE(sampled_docs, 0) AS sampled_docs,
+      |  COALESCE(sampled_chars, 0) AS sampled_chars
+      |FROM alloc LEFT JOIN sampled ON alloc.source = sampled.source
+      |ORDER BY alloc.source""".stripMargin
+
   /** §2 `sample_importance`: DSIR-shaped importance selection (Xie et
     * al. 2023, "Data Selection for Language Models via Importance
     * Resampling") — pick from the raw pool the documents whose
@@ -745,6 +819,7 @@ object Curation {
       |FROM top ORDER BY rank""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_temperature" -> (sampleTemperature _),
     "sample_importance" -> (sampleImportance _),
     "sample_token_budget" -> (sampleTokenBudget _),
     "sample_neyman" -> (sampleNeyman _),
@@ -762,6 +837,7 @@ object Curation {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "sample_temperature" -> sampleTemperatureSql,
     "sample_importance" -> sampleImportanceSql,
     "sample_token_budget" -> sampleTokenBudgetSql,
     "sample_neyman"     -> sampleNeymanSql,

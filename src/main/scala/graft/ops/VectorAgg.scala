@@ -733,7 +733,69 @@ object VectorAgg {
       |ORDER BY total_value DESC, user_id
       |LIMIT 10""".stripMargin
 
+  /** §2 `embedding_outliers`: per-label embedding-space OUTLIER screen —
+    * the vectors least aligned with their own label's aggregate
+    * direction (bottom-5 by exact dot with the label's SUM vector),
+    * i.e. the mislabeled / degenerate-embedding candidates a labeled
+    * embedding store audits for before training on it. Using the
+    * UN-normalized sum vector instead of the mean keeps every score an
+    * exact BIGINT (same argsort as the mean — positive scalar scaling) —
+    * dot(v, S_l) with |v_i| ≤ 10³, |S_i| ≤ n·10³: « 2⁶³.
+    *
+    * Scale shape: one posexplode + (label, dim) groupBy builds the
+    * labels×d sum table (map-side combine), arrays rebuilt label-side
+    * (bounded rows) and BROADCAST to the corpus join — the corpus
+    * streams through map tasks once; the per-label bottom-5 runs through
+    * the PartialTopK physical aggregate, so each map partition forwards
+    * at most 5 rows per label to the exchange.
+    */
+  def embeddingOutliers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.LongVectorDot.vector_dot
+    import graft.functions.PartialTopK.partial_topk
+    val q = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"label",
+        transform($"embedding", x => floor(x.cast("double") * 1000.0 + 0.5).cast("long")).as("v"))
+    val sums = q.select($"label", posexplode($"v").as(Seq("dim0", "x")))
+      .groupBy($"label", $"dim0").agg(sum($"x").as("s"))
+    val cents = sums.groupBy($"label")
+      .agg(array_sort(collect_list(struct($"dim0", $"s"))).as("ds"))
+      .select($"label", transform($"ds", d => d.getField("s")).as("sv"))
+    q.join(broadcast(cents), Seq("label"))
+      .withColumn("dot_sum", vector_dot($"v", $"sv"))
+      .groupBy($"label")
+      .agg(partial_topk(struct($"dot_sum", $"vec_id"), 5).as("bottom"))
+      .select($"label", posexplode($"bottom").as(Seq("pos", "b")))
+      .select($"label", $"b.vec_id".as("vec_id"), $"b.dot_sum".as("dot_sum"),
+        ($"pos" + 1).cast("long").as("rank"))
+      .orderBy($"label", $"rank")
+  }
+
+  val embeddingOutliersSql: String =
+    """WITH q AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)) AS v
+      |  FROM embeddings
+      |), sums AS (
+      |  SELECT label, u.i AS dim, CAST(SUM(u.x) AS BIGINT) AS s
+      |  FROM q, UNNEST(list_transform(range(1, len(v)+1), i -> struct_pack(i := i, x := v[i]))) AS r(u)
+      |  GROUP BY label, u.i
+      |), cents AS (
+      |  SELECT label, list(s ORDER BY dim) AS sv FROM sums GROUP BY label
+      |), scored AS (
+      |  SELECT q.label, q.vec_id,
+      |    CAST(list_sum(list_transform(range(1, len(q.v)+1), i -> q.v[i] * sv[i])) AS BIGINT) AS dot_sum
+      |  FROM q JOIN cents ON q.label = cents.label
+      |), ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY label ORDER BY dot_sum, vec_id) AS rank
+      |  FROM scored
+      |)
+      |SELECT label, vec_id, dot_sum, CAST(rank AS BIGINT) AS rank
+      |FROM ranked WHERE rank <= 5
+      |ORDER BY label, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embedding_outliers"  -> (embeddingOutliers _),
     "embedding_centroids" -> (embeddingCentroids _),
     "ann_topk_ivf"        -> (annTopkIvf _),
     "ann_kmeans_train"    -> (annKmeansTrain _),
@@ -748,6 +810,7 @@ object VectorAgg {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "embedding_outliers"  -> embeddingOutliersSql,
     "embedding_centroids" -> embeddingCentroidsSql,
     "ann_range_search"    -> annRangeSearchSql,
     // the cell-bounded form is provably recall-1 and scores exactly, so it

@@ -1030,6 +1030,72 @@ class OpsSpec extends SparkSuite {
     assert(shards > 1, "fixture must span several hash shards")
   }
 
+  test("asof nearest: per-row argmin of the backward/forward entries, tie → backward") {
+    import spark.implicits._
+    val back = ops.AsofJoin.asofJoinEvents(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap // signup_ts_sec
+    val nearest = ops.AsofJoin.asofJoinNearest(spark, sf).collect()
+    assert(nearest.nonEmpty)
+    var sawForward = false
+    nearest.foreach { r =>
+      val id = r.getLong(0)
+      val pts = r.getAs[Long]("purchase_ts_sec")
+      val picked = if (r.isNullAt(r.fieldIndex("signup_ts_sec"))) None
+        else Some(r.getAs[Long]("signup_ts_sec"))
+      val b = back(id)
+      picked match {
+        case None => assert(b.isEmpty, s"$id: nearest null but backward matched")
+        case Some(s) =>
+          assert(r.getAs[Long]("dt_sec") == pts - s)
+          val dir = r.getAs[String]("direction")
+          if (dir == "forward") { sawForward = true; assert(s > pts) }
+          else assert(s <= pts && b.contains(s), s"$id: backward pick must be the backward match")
+          // the pick is at least as close as the backward candidate
+          b.foreach(bs => assert(math.abs(pts - s) <= pts - bs, s"$id: not the argmin"))
+      }
+    }
+    assert(sawForward, "forward direction non-vacuous on the corpus")
+  }
+
+  test("temperature sample: sqrt-law allocation, budget bound, deterministic pick") {
+    val rows = ops.Curation.sampleTemperature(spark, sf).collect()
+    assert(rows.length == 20, "one row per source")
+    var wTot = 0L
+    rows.foreach { r =>
+      val (n, w) = (r.getAs[Long]("n_docs"), r.getAs[Long]("weight_scaled"))
+      assert(w == math.floor(math.sqrt(n.toDouble) * 1e6).toLong)
+      wTot += w
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("alloc_n") ==
+        1000L * r.getAs[Long]("weight_scaled") / wTot, "integer sqrt-law share")
+      assert(r.getAs[Long]("sampled_docs") ==
+        math.min(r.getAs[Long]("alloc_n"), r.getAs[Long]("n_docs")))
+    }
+    assert(rows.map(_.getAs[Long]("alloc_n")).sum <= 1000L, "floor never overshoots")
+  }
+
+  test("embedding outliers: bottom-5 per label equals a driver argsort of exact dots") {
+    import spark.implicits._
+    val vecs = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"label",
+        org.apache.spark.sql.functions.transform($"embedding",
+          x => org.apache.spark.sql.functions.floor(x.cast("double") * 1000.0 + 0.5).cast("long")).as("v"))
+      .collect().map(r => (r.getLong(0),
+        r.getAs[Number](1).longValue, r.getSeq[Long](2).toArray))
+    val byLabel = vecs.groupBy(_._2)
+    val want = byLabel.toSeq.flatMap { case (lbl, rs) =>
+      val s = rs.map(_._3).transpose.map(_.sum)
+      rs.map { case (id, _, v) => (lbl, id, v.zip(s).map { case (a, b) => a * b }.sum) }
+        .sortBy { case (_, id, d) => (d, id) }.take(5).zipWithIndex
+        .map { case ((l, id, d), i) => (l, id, d, i + 1L) }
+    }.toSet
+    val got = ops.VectorAgg.embeddingOutliers(spark, sf).collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want)
+  }
+
   test("importance sample: selection enriches the target domain; scores exact") {
     import spark.implicits._
     val rows = ops.Curation.sampleImportance(spark, sf).collect()
