@@ -96,7 +96,7 @@ object Bench {
     "text_search_phrase", "text_search_phrase_persisted",
     "knn_graph_cc_star", "events_ab_welch", "etl_schema_evolution",
     "dq_benford_served", "asof_join_nearest", "sample_temperature",
-    "embedding_outliers")
+    "embedding_outliers", "dm_grouping_sets")
   // dedup_recall_eval joins ann_recall_eval in the excluded-harness
   // family: each runs EVERY path in its family back-to-back, so benching
   // it would double-count operators the suite already times individually

@@ -108,6 +108,45 @@ object ExtraQueries {
       .orderBy($"year", $"month_num", $"g_year", $"g_month")
   }
 
+  /** §2 `dm_grouping_sets`: EXPLICIT GROUPING SETS — the general lattice
+    * form rollup/cube can't express: exactly {(y, m), (m), ()} — the
+    * detail grid, the month-across-years seasonality marginal, and the
+    * grand total, WITHOUT the per-year subtotals a rollup would force or
+    * the full 4-set lattice a cube would (on a wide dashboard the skipped
+    * sets are real scan output). Uses Spark 4's Dataset.groupingSets API;
+    * same Expand+one-hash-aggregate plan shape as rollup/cube — each
+    * input row multiplies by exactly the 3 requested sets map-side, no
+    * extra shuffle vs plain groupBy.
+    */
+  def groupingSetsAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.mart.MartQueries.listeningFacts(spark, dir)
+      .select($"ts_year".as("y"), $"ts_month".as("m"), $"sec_played")
+      .groupingSets(Seq(Seq($"y", $"m"), Seq($"m"), Seq.empty), $"y", $"m")
+      .agg(
+        count(lit(1)).as("n_streams"),
+        sum($"sec_played").cast("double").as("total_sec"),
+        (grouping($"y") * 2 + grouping($"m")).cast("long").as("gid"))
+      .select(coalesce($"y", lit(-1L)).as("year"), coalesce($"m", lit(-1L)).as("month_num"),
+        $"n_streams", $"total_sec", $"gid")
+      .orderBy($"gid", $"year", $"month_num")
+  }
+
+  val groupingSetsAggSql: String =
+    """WITH fh AS (
+      |  SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+      |    CAST(month(o_orderdate) AS BIGINT) AS m,
+      |    CAST(l_extendedprice AS DECIMAL(12,2)) AS sec_played
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |)
+      |SELECT coalesce(y, -1) AS year, coalesce(m, -1) AS month_num,
+      |  COUNT(*) AS n_streams,
+      |  CAST(SUM(sec_played) AS DOUBLE) AS total_sec,
+      |  CAST(GROUPING(y) * 2 + GROUPING(m) AS BIGINT) AS gid
+      |FROM fh
+      |GROUP BY GROUPING SETS ((y, m), (m), ())
+      |ORDER BY gid, year, month_num""".stripMargin
+
   val cubeAggSql: String =
     """WITH fh AS (
       |  SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
@@ -296,6 +335,7 @@ object ExtraQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "etl_fact_build_podcast"  -> (factBuildPodcast _),
     "dm_rollup_agg"           -> (rollupAgg _),
+    "dm_grouping_sets"        -> (groupingSetsAgg _),
     "dm_cube_agg"             -> (cubeAgg _),
     "agg_median_exact"        -> (aggMedianExact _),
     "dm_top_tracks_per_album" -> (topTracksPerAlbum _),
@@ -305,6 +345,7 @@ object ExtraQueries {
   val oracleSql: Map[String, String] = Map(
     "etl_fact_build_podcast"  -> factBuildPodcastSql,
     "dm_rollup_agg"           -> rollupAggSql,
+    "dm_grouping_sets"        -> groupingSetsAggSql,
     "dm_cube_agg"             -> cubeAggSql,
     "agg_median_exact"        -> aggMedianExactSql,
     "dm_top_tracks_per_album" -> topTracksPerAlbumSql,
