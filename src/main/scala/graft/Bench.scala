@@ -96,7 +96,11 @@ object Bench {
     "text_search_phrase", "text_search_phrase_persisted",
     "knn_graph_cc_star", "events_ab_welch", "etl_schema_evolution",
     "dq_benford_served", "asof_join_nearest", "sample_temperature",
-    "embedding_outliers", "dm_grouping_sets")
+    "embedding_outliers", "dm_grouping_sets",
+    "churn_train_lr", "churn_score_lr")
+  // ann_matryoshka_eval joins ann_recall_eval / dedup_recall_eval in the
+  // excluded-harness family: it runs the brute-force ranking once per
+  // prefix length back-to-back — a measurement harness, not a serving path
   // dedup_recall_eval joins ann_recall_eval in the excluded-harness
   // family: each runs EVERY path in its family back-to-back, so benching
   // it would double-count operators the suite already times individually

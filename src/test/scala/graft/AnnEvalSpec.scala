@@ -40,4 +40,21 @@ class AnnEvalSpec extends SparkSuite {
     assert(total == nq * 5)
     assert(table.values.forall { case (n, _, t, _) => n == nq && t == total })
   }
+
+  test("matryoshka: full-dim prefix is the exact self-check; short prefixes still retrieve") {
+    val rows = ops.AnnEval.annMatryoshkaEval(spark, sf).collect()
+      .map(r => r.getAs[Long]("prefix_dim") ->
+        (r.getAs[Long]("hits"), r.getAs[Long]("exact_total"), r.getAs[Double]("recall_at_5")))
+      .toMap
+    assert(rows.nonEmpty)
+    val fullDim = rows.keys.max
+    val (h, t, rec) = rows(fullDim)
+    assert(h == t && rec == 1.0, "full-prefix ranking must reproduce the exact top-5")
+    rows.foreach { case (d, (hits, total, r)) =>
+      assert(hits >= 0 && hits <= total)
+      assert(r >= 0.0 && r <= 1.0, s"prefix $d")
+    }
+    assert(rows.filter(_._1 < fullDim).values.exists(_._3 > 0.0),
+      "truncated prefixes non-vacuous")
+  }
 }
