@@ -97,10 +97,13 @@ object Bench {
     "knn_graph_cc_star", "events_ab_welch", "etl_schema_evolution",
     "dq_benford_served", "asof_join_nearest", "sample_temperature",
     "embedding_outliers", "dm_grouping_sets",
-    "churn_train_lr", "churn_score_lr")
+    "churn_train_lr", "churn_score_lr", "dm_top_movers")
   // ann_matryoshka_eval joins ann_recall_eval / dedup_recall_eval in the
   // excluded-harness family: it runs the brute-force ranking once per
   // prefix length back-to-back — a measurement harness, not a serving path
+  // dedup_soft_weights is excluded for the same no-double-counting reason:
+  // it re-runs the verified-MinHash clustering dedup_minhash_lsh already
+  // times, and its own tail is one map-side divide
   // dedup_recall_eval joins ann_recall_eval in the excluded-harness
   // family: each runs EVERY path in its family back-to-back, so benching
   // it would double-count operators the suite already times individually

@@ -57,11 +57,93 @@ object TrendingQueries {
       |ORDER BY score_scaled DESC, artist
       |LIMIT 10""".stripMargin
 
+  /** §2 `dm_top_movers`: month-over-month RANK MOVERS — the "risers and
+    * fallers" dashboard view next to the level-based top lists
+    * (dm_top_artists ranks volume, dm_trending_artists decayed volume;
+    * this ranks the CHANGE in competitive position): artists ranked by
+    * listens within each of the two most recent observed months, joined
+    * on artist, top-10 by absolute rank delta. `delta = rank_prev −
+    * rank_cur` is positive for risers — exact integers end-to-end, no
+    * float enters the entry at all.
+    *
+    * Shape: one fact scan → (month, artist) partial-agg counts; the
+    * two-month dim is a TakeOrdered 2-row broadcast; the per-month rank
+    * window partitions on the month tag (group size = #artists — the
+    * dm_top_artists class; two-level sharded rank is the drop-in at a
+    * scale where one month's artist census outgrows a task); movers cut
+    * by TakeOrdered-10 with the rank window over survivors only.
+    */
+  def dmTopMovers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val monthly = MartQueries.listeningFacts(spark, dir)
+      .select(($"ts_year" * 100 + $"ts_month").as("mk"), $"l_suppkey".as("artist_id"))
+      .groupBy($"mk", $"artist_id").agg(count(lit(1)).as("n_listens"))
+    val mk2 = monthly.select($"mk").distinct()
+      .orderBy($"mk".desc).limit(2)
+      .withColumn("which", row_number().over(
+        Window.partitionBy(pmod($"mk", lit(1))).orderBy($"mk".desc)))
+    val ranked = monthly.join(broadcast(mk2), Seq("mk"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy($"which").orderBy($"n_listens".desc, $"artist_id")))
+    val cur = ranked.filter($"which" === 1)
+      .select($"artist_id", $"n_listens".as("n_cur"), $"rnk".as("rank_cur"))
+    val prev = ranked.filter($"which" === 2)
+      .select($"artist_id", $"n_listens".as("n_prev"), $"rnk".as("rank_prev"))
+    val sup = Tables.supplier(spark, dir).select($"s_suppkey".as("artist_id"), $"s_name".as("artist"))
+    cur.join(prev, Seq("artist_id"))
+      .withColumn("delta", $"rank_prev" - $"rank_cur")
+      .orderBy(abs($"delta").desc, $"artist_id")
+      .limit(10)
+      .join(broadcast(sup), Seq("artist_id"))
+      .withColumn("mover_rank", row_number().over(
+        Window.partitionBy(pmod($"rank_cur", lit(1)))
+          .orderBy(abs($"delta").desc, $"artist_id")).cast("long"))
+      .select($"artist_id", $"artist", $"n_prev", $"n_cur",
+        $"rank_prev", $"rank_cur", $"delta", $"mover_rank")
+      .orderBy($"mover_rank")
+  }
+
+  val dmTopMoversSql: String =
+    """WITH fh AS (
+      |  SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS mk,
+      |    l_suppkey AS artist_id
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |), monthly AS (
+      |  SELECT mk, artist_id, COUNT(*) AS n_listens FROM fh GROUP BY 1, 2
+      |), mk2 AS (
+      |  SELECT mk, row_number() OVER (ORDER BY mk DESC) AS which
+      |  FROM (SELECT DISTINCT mk FROM monthly) ORDER BY mk DESC LIMIT 2
+      |), ranked AS (
+      |  SELECT m.artist_id, m.n_listens, k.which,
+      |    row_number() OVER (PARTITION BY k.which ORDER BY m.n_listens DESC, m.artist_id) AS rnk
+      |  FROM monthly m JOIN mk2 k ON m.mk = k.mk
+      |), cur AS (
+      |  SELECT artist_id, n_listens AS n_cur, rnk AS rank_cur FROM ranked WHERE which = 1
+      |), prev AS (
+      |  SELECT artist_id, n_listens AS n_prev, rnk AS rank_prev FROM ranked WHERE which = 2
+      |), j AS (
+      |  SELECT cur.artist_id, n_prev, n_cur, rank_prev, rank_cur,
+      |    rank_prev - rank_cur AS delta
+      |  FROM cur JOIN prev ON cur.artist_id = prev.artist_id
+      |), top AS (
+      |  SELECT *, CAST(row_number() OVER (ORDER BY abs(delta) DESC, artist_id) AS BIGINT) AS mover_rank
+      |  FROM j ORDER BY abs(delta) DESC, artist_id LIMIT 10
+      |)
+      |SELECT artist_id, s_name AS artist, CAST(n_prev AS BIGINT) AS n_prev,
+      |  CAST(n_cur AS BIGINT) AS n_cur,
+      |  CAST(rank_prev AS BIGINT) AS rank_prev, CAST(rank_cur AS BIGINT) AS rank_cur,
+      |  CAST(delta AS BIGINT) AS delta, mover_rank
+      |FROM top JOIN supplier ON artist_id = s_suppkey
+      |ORDER BY mover_rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "dm_trending_artists" -> (trendingArtists _)
+    "dm_trending_artists" -> (trendingArtists _),
+    "dm_top_movers" -> (dmTopMovers _)
   )
 
   val oracleSql: Map[String, String] = Map(
-    "dm_trending_artists" -> trendingArtistsSql
+    "dm_trending_artists" -> trendingArtistsSql,
+    "dm_top_movers" -> dmTopMoversSql
   )
 }

@@ -188,6 +188,31 @@ object ScaleDedup {
       .select($"doc_id", coalesce($"keeper", $"doc_id").as("keeper_doc_id"))
   }
 
+  /** §2 `dedup_soft_weights`: SOFT deduplication — instead of dropping
+    * near-duplicates, every document gets sampling weight 1/|cluster| so
+    * a training run sees each CONTENT once in expectation however many
+    * copies the crawl holds (the "keep with downweight" alternative to
+    * hard dedup: hard dropping loses the natural-distribution signal of
+    * which content is popular, and upweighting the single survivor is a
+    * judgment call — soft weights defer it to the sampler). Clusters are
+    * the SAME verified MinHash-LSH components as the keeper entry
+    * ([[minhashVerifiedKeepers]] — LSH candidates, exact-Jaccard verify,
+    * CC), so hard and soft dedup can never disagree about what is a
+    * duplicate; the weight is ONE IEEE divide per row. Rows-only (the
+    * clustering is rows-only by §2 design); spec pins the mass
+    * conservation Σ weights == #clusters and weight == 1/size per row.
+    */
+  def dedupSoftWeights(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val keepers = minhashVerifiedKeepers(docs, bandRows(docs).localCheckpoint())
+    val sizes = keepers.groupBy($"keeper_doc_id").agg(count(lit(1)).as("cluster_size"))
+    keepers.join(sizes, Seq("keeper_doc_id"))
+      .withColumn("weight", lit(1.0) / $"cluster_size".cast("double"))
+      .select($"doc_id", $"keeper_doc_id".as("cluster"), $"cluster_size", $"weight")
+      .orderBy($"doc_id")
+  }
+
   /** Packed 64-bit SimHash fingerprint of a token column: token hashes in
     * one pass, then all 64 majority votes in one fused codegen loop
     * ([[graft.functions.SimHashFingerprint]] — the declarative 64-lane
@@ -1013,6 +1038,7 @@ object ScaleDedup {
     "dedup_jaccard_prefix"     -> (dedupJaccardPrefix _),
     "dedup_jaccard_prefix_keeper" -> (dedupJaccardPrefixKeeper _),
     "dedup_minhash_lsh"        -> (dedupMinhashLsh _),
+    "dedup_soft_weights"       -> (dedupSoftWeights _),
     "dedup_simhash"            -> (dedupSimhash _),
     "dedup_simhash_keeper"     -> (dedupSimhashKeeper _),
     "dedup_incremental_banded" -> ((s, d) => dedupIncrementalBanded(s, d)),

@@ -1096,6 +1096,26 @@ class OpsSpec extends SparkSuite {
     assert(got == want)
   }
 
+  test("soft dedup weights: mass conservation, per-row 1/size, clusters match keepers") {
+    import spark.implicits._
+    val rows = ops.ScaleDedup.dedupSoftWeights(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.length == nDocs, "every doc weighted exactly once")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("weight") == 1.0 / r.getAs[Long]("cluster_size"))
+    }
+    val nClusters = rows.map(_.getAs[Long]("cluster")).distinct.length
+    val mass = rows.map(_.getAs[Double]("weight")).sum
+    assert(math.abs(mass - nClusters) < 1e-9,
+      "each cluster contributes total weight 1 in expectation")
+    assert(rows.exists(_.getAs[Long]("cluster_size") > 1L), "near-dup clusters non-vacuous")
+    // sizes are consistent: every member of a cluster reports the same size
+    rows.groupBy(_.getAs[Long]("cluster")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("cluster_size")).distinct.length == 1)
+      assert(rs.head.getAs[Long]("cluster_size") == rs.length)
+    }
+  }
+
   test("importance sample: selection enriches the target domain; scores exact") {
     import spark.implicits._
     val rows = ops.Curation.sampleImportance(spark, sf).collect()
