@@ -81,7 +81,16 @@ object DumpPlans {
       "dedup_containment_keeper", "curation_pipeline",
       "events_forecast_ses_served", "events_forecast_holt_served",
       "events_autocorr_served", "events_markov_transitions_served",
-      "events_value_corr_served", "dq_drift_chi2_served")
+      "events_value_corr_served", "dq_drift_chi2_served",
+      "sample_token_budget",
+      "events_attribution", "events_attribution_channel", "dq_benford",
+      "rec_basket_lift", "knn_graph_link_predict", "sample_importance",
+      "text_search_phrase", "text_search_phrase_persisted",
+      "knn_graph_cc_star", "events_ab_welch", "etl_schema_evolution",
+      "dq_benford_served", "asof_join_nearest", "sample_temperature",
+      "embedding_outliers", "dm_grouping_sets",
+      "churn_train_lr", "churn_score_lr", "ann_matryoshka_eval",
+      "dm_top_movers", "dedup_soft_weights")
 
     val sb = new StringBuilder
     sb.append("# Executed plans (generated by graft.tools.DumpPlans at " + sfDir + ")\n\n")
