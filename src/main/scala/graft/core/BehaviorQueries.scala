@@ -545,7 +545,68 @@ object BehaviorQueries {
       |ORDER BY n_sessions_walked DESC, path
       |LIMIT 20""".stripMargin
 
+  /** §2 `events_survival_km`: Kaplan–Meier time-to-conversion — the
+    * censoring-correct answer to "how long until a signup converts"
+    * (the funnel's 24 h window counts conversions; the naive mean of
+    * observed waits is biased LOW because slow converters are still
+    * unobserved — KM is the standard estimator that uses censored
+    * subjects correctly). Subjects: each user's FIRST signup; event:
+    * their first purchase strictly after it; censoring: the corpus
+    * frontier (the delta_load watermark device, broadcast scalar).
+    * S(t) steps down by (1 − d_t/n_t) at each observed conversion time.
+    *
+    * Scale shape: subjects are ONE per-user aggregate; the risk table
+    * is ≤ #subjects rows, so the cumulative windows (at-risk counts,
+    * the Π(1−d/n) as exp·Σln on the BOUNDED sorted table) never see the
+    * corpus. Rows-only (the product is transcendental via exp/ln);
+    * SurvivalSpec pins the whole curve against a driver-side KM
+    * reference to 1e-9 and the monotone-step shape.
+    */
+  def eventsSurvivalKm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", unix_timestamp($"ts").as("ts_sec"), $"event_type")
+    val signup = ev.filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"ts_sec").as("s_ts"))
+    val firstPurch = ev.filter($"event_type" === "purchase")
+      .join(signup, Seq("user_id"))
+      .filter($"ts_sec" > $"s_ts")
+      .groupBy($"user_id").agg(min($"ts_sec").as("p_ts"))
+    val mx = ev.agg(max($"ts_sec").as("max_ts"))
+    val subj = signup.join(firstPurch, Seq("user_id"), "left")
+      .crossJoin(broadcast(mx))
+      .withColumn("duration", coalesce($"p_ts" - $"s_ts", $"max_ts" - $"s_ts"))
+      .withColumn("converted", $"p_ts".isNotNull)
+    val nTotal = subj.agg(count(lit(1)).as("n_total"))
+    val durCounts = subj.groupBy($"duration").agg(count(lit(1)).as("c"))
+    val wBefore = Window.partitionBy(pmod($"duration", lit(1)))
+      .orderBy($"duration").rowsBetween(Window.unboundedPreceding, -1)
+    val cum = durCounts
+      .withColumn("cum_before", coalesce(sum($"c").over(wBefore), lit(0L)))
+      .select($"duration", $"cum_before")
+    val deaths = subj.filter($"converted")
+      .groupBy($"duration".as("t_sec")).agg(count(lit(1)).as("d"))
+    val risk = deaths.join(cum, deaths("t_sec") === cum("duration"))
+      .crossJoin(broadcast(nTotal))
+      .select($"t_sec", $"d", ($"n_total" - $"cum_before").as("n_at_risk"))
+    val wKm = Window.partitionBy(pmod($"t_sec", lit(1)))
+      .orderBy($"t_sec").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    risk
+      .withColumn("factor", lit(1.0) - $"d".cast("double") / $"n_at_risk".cast("double"))
+      // Spark's log() returns NULL at 0 and the window sum would silently
+      // skip it — the terminal d==n step must drive S to exactly 0, so
+      // zero factors are counted explicitly instead of logged
+      .withColumn("n_zero_factors",
+        sum(when($"factor" <= 0.0, 1L).otherwise(0L)).over(wKm))
+      .withColumn("survival",
+        when($"n_zero_factors" > 0, lit(0.0))
+          .otherwise(exp(sum(when($"factor" > 0.0, log($"factor"))).over(wKm))))
+      .select($"t_sec", $"n_at_risk", $"d".as("n_converted"), $"survival")
+      .orderBy($"t_sec")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_survival_km"    -> (eventsSurvivalKm _),
     "events_path_topk"      -> (eventsPathTopk _),
     "events_anomaly_trailing" -> (eventsAnomalyTrailing _),
     "events_dau_wau"        -> (eventsDauWau _),

@@ -182,7 +182,13 @@ object StatsQueries {
     * Outliers are counted map-side against the broadcast fences
     * (q25/q75 ± 1.5·IQR, one shared expression tree).
     */
-  def aggQuantilesIqr(spark: SparkSession, dir: String): DataFrame = {
+  /** The exact per-type quartile table (event_type, q25, q50, q75,
+    * n_events) — the two-phase bucket-histogram order-statistic device,
+    * extracted so [[aggWinsorizedMean]] shares the identical quartile
+    * definition (rank ceil(n·p) over (value, event_id)) with the IQR
+    * entry.
+    */
+  private[graft] def tukeyQuartiles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     val B = math.max(256, spark.sparkContext.defaultParallelism * 8)
@@ -217,6 +223,14 @@ object StatsQueries {
         max(when($"rank" === $"r50", $"value")).as("q50"),
         max(when($"rank" === $"r75", $"value")).as("q75"),
         max($"n").as("n_events"))
+    quart
+  }
+
+  def aggQuantilesIqr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"event_type", $"value", $"event_id")
+    val quart = tukeyQuartiles(spark, dir)
     val fenced = ev.join(broadcast(quart), Seq("event_type"))
       .groupBy($"event_type")
       .agg(
@@ -637,7 +651,88 @@ object StatsQueries {
       |FROM r
       |ORDER BY event_type""".stripMargin
 
+  /** §2 `agg_winsorized_mean`: ROBUST mean per event type — values
+    * clamped to the Tukey fences [q25−1.5·IQR, q75+1.5·IQR] before
+    * averaging (winsorization: the robust-statistics companion to
+    * agg_quantiles_iqr's outlier CENSUS — that entry counts the tail,
+    * this reports the level with the tail's leverage removed; a plain
+    * mean moves arbitrarily far under one corrupt feed value, the
+    * winsorized mean moves at most by the fence). Quartiles come from
+    * the SHARED [[tukeyQuartiles]] device verbatim, so the two entries
+    * can never disagree about where the fences sit.
+    *
+    * Exactness: everything happens in integer HALF-CENTS — v2 = 2·cents,
+    * lo2 = 2·q25_c − 3·iqr_c, hi2 = 2·q75_c + 3·iqr_c (the 1.5 factor
+    * becomes the integer 3 at double scale, so the fence is EXACT where
+    * a double 1.5·iqr could land on a .xx5 rounding boundary and split
+    * the engines); clamped sums are exact BIGINTs and each mean is ONE
+    * IEEE divide. One scan + the quartile device's bounded passes.
+    */
+  def aggWinsorizedMean(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val quart = tukeyQuartiles(spark, dir)
+      .withColumn("q25_c", ($"q25".cast("decimal(10,2)") * 100).cast("long"))
+      .withColumn("q75_c", ($"q75".cast("decimal(10,2)") * 100).cast("long"))
+      .withColumn("lo2", $"q25_c" * 2 - ($"q75_c" - $"q25_c") * 3)
+      .withColumn("hi2", $"q75_c" * 2 + ($"q75_c" - $"q25_c") * 3)
+      .select($"event_type", $"n_events", $"lo2", $"hi2")
+    Tables.events(spark, dir)
+      .select($"event_type", ($"value".cast("decimal(10,2)") * 200).cast("long").as("v2"))
+      .join(broadcast(quart), Seq("event_type"))
+      .withColumn("w2", least(greatest($"v2", $"lo2"), $"hi2"))
+      .groupBy($"event_type")
+      .agg(max($"n_events").as("n_events"),
+        sum(when($"v2" < $"lo2", 1L).otherwise(0L)).as("n_clamped_low"),
+        sum(when($"v2" > $"hi2", 1L).otherwise(0L)).as("n_clamped_high"),
+        sum($"v2").as("sum_v2"), sum($"w2").as("sum_w2"))
+      .withColumn("mean_raw", $"sum_v2".cast("double") / ($"n_events" * 200).cast("double"))
+      .withColumn("mean_winsorized", $"sum_w2".cast("double") / ($"n_events" * 200).cast("double"))
+      .select($"event_type", $"n_events", $"n_clamped_low", $"n_clamped_high",
+        $"mean_raw", $"mean_winsorized")
+      .orderBy($"event_type")
+  }
+
+  val aggWinsorizedMeanSql: String =
+    """WITH ranked AS (
+      |  SELECT event_type, value,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events
+      |), quart AS (
+      |  SELECT event_type,
+      |    MAX(CASE WHEN rn = CAST(ceil(n * 0.25) AS BIGINT) THEN value END) AS q25,
+      |    MAX(CASE WHEN rn = CAST(ceil(n * 0.75) AS BIGINT) THEN value END) AS q75,
+      |    CAST(MAX(n) AS BIGINT) AS n_events
+      |  FROM ranked
+      |  WHERE rn = CAST(ceil(n * 0.25) AS BIGINT)
+      |     OR rn = CAST(ceil(n * 0.75) AS BIGINT)
+      |  GROUP BY event_type
+      |), fences AS (
+      |  SELECT event_type, n_events,
+      |    CAST(CAST(q25 AS DECIMAL(10,2)) * 100 AS BIGINT) * 2
+      |      - (CAST(CAST(q75 AS DECIMAL(10,2)) * 100 AS BIGINT)
+      |         - CAST(CAST(q25 AS DECIMAL(10,2)) * 100 AS BIGINT)) * 3 AS lo2,
+      |    CAST(CAST(q75 AS DECIMAL(10,2)) * 100 AS BIGINT) * 2
+      |      + (CAST(CAST(q75 AS DECIMAL(10,2)) * 100 AS BIGINT)
+      |         - CAST(CAST(q25 AS DECIMAL(10,2)) * 100 AS BIGINT)) * 3 AS hi2
+      |  FROM quart
+      |), v AS (
+      |  SELECT e.event_type, f.n_events, f.lo2, f.hi2,
+      |    CAST(CAST(e.value AS DECIMAL(10,2)) * 200 AS BIGINT) AS v2
+      |  FROM events e JOIN fences f ON e.event_type = f.event_type
+      |)
+      |SELECT event_type, n_events,
+      |  CAST(SUM(CASE WHEN v2 < lo2 THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_low,
+      |  CAST(SUM(CASE WHEN v2 > hi2 THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_high,
+      |  CAST(SUM(v2) AS DOUBLE) / CAST(n_events * 200 AS DOUBLE) AS mean_raw,
+      |  CAST(SUM(least(greatest(v2, lo2), hi2)) AS DOUBLE)
+      |    / CAST(n_events * 200 AS DOUBLE) AS mean_winsorized
+      |FROM v
+      |GROUP BY event_type, n_events
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_winsorized_mean" -> (aggWinsorizedMean _),
     "events_ab_welch" -> (eventsAbWelch _),
     "agg_moments_exact" -> (aggMomentsExact _),
     "events_autocorr" -> (eventsAutocorr _),
@@ -649,6 +744,7 @@ object StatsQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "agg_winsorized_mean" -> aggWinsorizedMeanSql,
     "events_ab_welch" -> eventsAbWelchSql,
     "agg_moments_exact" -> aggMomentsExactSql,
     "events_autocorr" -> eventsAutocorrSql,

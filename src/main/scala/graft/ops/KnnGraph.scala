@@ -609,6 +609,52 @@ object KnnGraph {
       .orderBy($"vec_id")
   }
 
+  /** Iterative k-core peeling over a DIRECTED mutual-edge table: delete
+    * every node of degree < k, re-count, repeat to fixpoint — each round
+    * ONE bounded degree groupBy + two semi-joins on an edge table that
+    * only shrinks; rounds ≤ peeling depth (tiny on a kNN graph whose
+    * max degree is k_nn). Returns surviving nodes with their in-core
+    * degree.
+    */
+  private[graft] def kcoreOn(edges0: DataFrame, k: Int, maxRounds: Int = 64): DataFrame = {
+    import edges0.sparkSession.implicits._
+    var e = edges0.localCheckpoint()
+    var n = e.count()
+    var converged = false
+    var round = 0
+    while (!converged) {
+      if (round >= maxRounds)
+        throw new IllegalStateException(s"kcoreOn: not converged after $maxRounds rounds")
+      val keep = e.groupBy($"a").agg(count(lit(1)).as("deg"))
+        .filter($"deg" >= k).select($"a")
+      val e2 = e.join(keep, Seq("a"), "left_semi")
+        .join(keep.select($"a".as("b")), Seq("b"), "left_semi")
+        .localCheckpoint()
+      val n2 = e2.count()
+      converged = n2 == n
+      e = e2; n = n2
+      round += 1
+    }
+    e.groupBy($"a".as("vec_id")).agg(count(lit(1)).as("core_degree"))
+  }
+
+  /** §2 `knn_graph_kcore`: the 2-CORE of the mutual kNN graph — the
+    * subgraph every node of which has ≥ 2 in-core mutual neighbors, the
+    * standard graph-cleaning pass before community/cluster analysis
+    * (degree-1 tendrils and isolated pairs inflate component counts and
+    * drag label propagation; the core is where the real neighborhood
+    * structure lives). Rows-only; spec pins the result against a
+    * driver-side peeling reference and the ≥ k in-core degree invariant.
+    */
+  def knnGraphKcore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val knn = withMutual(ivfEdges(spark, dir))
+    val edges = knn.filter($"mutual")
+      .select($"vec_id".as("a"), $"neighbor_id".as("b"))
+      .localCheckpoint() // mutual edges carry both directions already
+    kcoreOn(edges, k = 2).orderBy($"vec_id")
+  }
+
   /** Common-neighbor core over a DIRECTED mutual-edge table (each
     * undirected edge present in both directions): candidate pairs are the
     * 2-hop wedges `u−z−w, u<w`, scored by common-neighbor count and
@@ -703,6 +749,7 @@ object KnnGraph {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_graph_link_predict" -> (knnGraphLinkPredict _),
     "knn_graph_cc_star" -> (knnGraphCcStar _),
+    "knn_graph_kcore" -> (knnGraphKcore _),
     "knn_graph_communities" -> (knnGraphCommunities _),
     "knn_graph_triangles" -> (knnGraphTriangles _),
     "knn_graph_exact"    -> (knnGraphExact _),

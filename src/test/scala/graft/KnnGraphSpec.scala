@@ -205,6 +205,30 @@ class KnnGraphSpec extends SparkSuite {
       "two CC algorithms over the same mutual-kNN edges must agree exactly")
   }
 
+  test("k-core: equals a driver peeling reference; every core degree >= 2") {
+    import spark.implicits._
+    val edges = ops.KnnGraph.knnGraphIvf(spark, sf).filter($"mutual")
+      .select($"vec_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // driver peeling of the same directed mutual edge set
+    var e = edges
+    var stable = false
+    while (!stable) {
+      val deg = e.groupBy(_._1).view.mapValues(_.size).toMap
+      val keep = deg.filter(_._2 >= 2).keySet
+      val e2 = e.filter { case (a, b) => keep(a) && keep(b) }
+      stable = e2.length == e.length
+      e = e2
+    }
+    val want = e.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val got = ops.KnnGraph.knnGraphKcore(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, "distributed peeling must equal the driver reference")
+    assert(got.nonEmpty && got.values.forall(_ >= 2L))
+    assert(got.size < edges.map(_._1).distinct.length,
+      "peeling must actually remove something on this corpus")
+  }
+
   test("link prediction: hand-checked wedge graph — scores, anti-join, determinism") {
     import spark.implicits._
     // path 1-2-3 plus 3-4: non-edges (1,3) and (2,4) each share exactly one
