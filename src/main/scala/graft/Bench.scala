@@ -98,7 +98,8 @@ object Bench {
     "dq_benford_served", "asof_join_nearest", "sample_temperature",
     "embedding_outliers", "dm_grouping_sets",
     "churn_train_lr", "churn_score_lr", "dm_top_movers",
-    "agg_winsorized_mean", "events_survival_km", "knn_graph_kcore")
+    "agg_winsorized_mean", "events_survival_km", "knn_graph_kcore",
+    "ann_topk_binary", "dm_abc_analysis")
   // ann_matryoshka_eval joins ann_recall_eval / dedup_recall_eval in the
   // excluded-harness family: it runs the brute-force ranking once per
   // prefix length back-to-back — a measurement harness, not a serving path

@@ -64,11 +64,80 @@ object DiscoveryQueries {
       |FROM active a LEFT JOIN firsts f ON a.year = f.year AND a.month = f.month
       |ORDER BY a.year, a.month""".stripMargin
 
+  /** §2 `dm_abc_analysis`: ABC / Pareto classification of the track
+    * catalogue by cumulative revenue share — class A = the head tracks
+    * covering the first 80% of revenue, B = the next 15%, C = the long
+    * tail (the catalogue-management census behind "what fraction of the
+    * library carries the business"; the Gini entry reports ONE
+    * concentration number — this materializes the actionable partition).
+    *
+    * Exactness: classification by INTEGER CROSS-MULTIPLICATION —
+    * `cum·100 ≤ total·80` over exact cents BIGINTs, so the class
+    * boundary can never ride a float rounding (`cum/total ≤ 0.8` would);
+    * the reported shares are ONE IEEE divide per class row. The
+    * cumulative window runs over the per-track AGGREGATE (catalogue-
+    * sized, the dm_top_artists class — never raw facts; a catalogue too
+    * big for one task shards the rank two-level like user_rfm).
+    */
+  def dmAbcAnalysis(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rev = Tables.lineitem(spark, dir)
+      .select($"l_partkey".as("track_id"),
+        ($"l_extendedprice".cast("decimal(12,2)") * 100).cast("long").as("cents"))
+      .groupBy($"track_id").agg(sum($"cents").as("revenue_cents"))
+    val tot = rev.agg(sum($"revenue_cents").as("total_cents"))
+    val w = Window.partitionBy(pmod($"track_id", lit(1)))
+      .orderBy($"revenue_cents".desc, $"track_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rev.crossJoin(broadcast(tot))
+      .withColumn("cum_cents", sum($"revenue_cents").over(w))
+      .withColumn("abc_class",
+        when($"cum_cents" * 100 <= $"total_cents" * 80, "A")
+          .when($"cum_cents" * 100 <= $"total_cents" * 95, "B")
+          .otherwise("C"))
+      .groupBy($"abc_class")
+      .agg(count(lit(1)).as("n_tracks"),
+        sum($"revenue_cents").as("revenue_cents"),
+        max($"total_cents").as("total_cents"))
+      .withColumn("revenue_share",
+        $"revenue_cents".cast("double") / $"total_cents".cast("double"))
+      .select($"abc_class", $"n_tracks", $"revenue_cents", $"revenue_share")
+      .orderBy($"abc_class")
+  }
+
+  val dmAbcAnalysisSql: String =
+    """WITH rev AS (
+      |  SELECT l_partkey AS track_id,
+      |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS revenue_cents
+      |  FROM lineitem GROUP BY 1
+      |), tot AS (SELECT CAST(SUM(revenue_cents) AS BIGINT) AS total_cents FROM rev),
+      |cum AS (
+      |  SELECT track_id, revenue_cents, total_cents,
+      |    CAST(SUM(revenue_cents) OVER (ORDER BY revenue_cents DESC, track_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
+      |  FROM rev CROSS JOIN tot
+      |), classed AS (
+      |  SELECT *,
+      |    CASE WHEN cum_cents * 100 <= total_cents * 80 THEN 'A'
+      |         WHEN cum_cents * 100 <= total_cents * 95 THEN 'B'
+      |         ELSE 'C' END AS abc_class
+      |  FROM cum
+      |)
+      |SELECT abc_class, COUNT(*) AS n_tracks,
+      |  CAST(SUM(revenue_cents) AS BIGINT) AS revenue_cents,
+      |  CAST(SUM(revenue_cents) AS DOUBLE) / CAST(MAX(total_cents) AS DOUBLE) AS revenue_share
+      |FROM classed
+      |GROUP BY abc_class
+      |ORDER BY abc_class""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "dm_artist_discovery" -> (artistDiscovery _)
+    "dm_artist_discovery" -> (artistDiscovery _),
+    "dm_abc_analysis" -> (dmAbcAnalysis _)
   )
 
   val oracleSql: Map[String, String] = Map(
-    "dm_artist_discovery" -> artistDiscoverySql
+    "dm_artist_discovery" -> artistDiscoverySql,
+    "dm_abc_analysis" -> dmAbcAnalysisSql
   )
 }

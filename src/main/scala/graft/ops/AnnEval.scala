@@ -29,7 +29,8 @@ object AnnEval {
     "pq"     -> VectorAgg.annTopkPq(spark, dir),
     "ivfpq"  -> VectorAgg.annTopkIvfPq(spark, dir),
     "pca"    -> EmbeddingPca.annTopkPca(spark, dir),
-    "sq8"    -> EmbeddingSq.annTopkSq8(spark, dir)
+    "sq8"    -> EmbeddingSq.annTopkSq8(spark, dir),
+    "binary" -> EmbeddingSq.annTopkBinary(spark, dir)
   )
 
   def annRecallEval(spark: SparkSession, dir: String): DataFrame = {

@@ -142,9 +142,44 @@ object EmbeddingSq {
       .orderBy($"query_id", $"rank")
   }
 
+  /** §2 `ann_topk_binary`: BINARY-quantized search — the extreme point
+    * of the compression family (SQ8 keeps 8 bits/dim; this keeps ONE:
+    * the sign bit, 32 dims packed into a single BIGINT, a 32× smaller
+    * index than float and 8× smaller than SQ8), ranked by Hamming
+    * distance = `bit_count(xor)` — one ALU op per candidate, the
+    * cheapest possible first-stage scan and the standard binary-prefilter
+    * leg of a two-stage 100 TB serving stack (its measured recall is a
+    * row in the ann_recall_eval harness, beside the paths it would
+    * shortlist for). Signature packing is one fold over the quantized
+    * vector (sign of the shared ×1000 grid — so the binarization point
+    * is identical to every other path's); ranking is exact integers with
+    * deterministic (hamming, neighbor_id) ties through PartialTopK.
+    */
+  def annTopkBinary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.PartialTopK.partial_topk
+    val sig = VectorAgg.quantized(spark, dir)
+      .withColumn("sig", expr(
+        "aggregate(zip_with(v, sequence(0, size(v) - 1), " +
+          "(x, i) -> IF(x >= 0L, shiftleft(1L, i), 0L)), 0L, (a, b) -> a + b)"))
+      .select($"vec_id", $"sig")
+    val queriesDf = sig.filter($"vec_id" % 10 === 0)
+      .select($"vec_id".as("query_id"), $"sig".as("qs"))
+    val cands = sig.select($"vec_id".as("neighbor_id"), $"sig".as("cs"))
+    queriesDf.join(cands, $"query_id" =!= $"neighbor_id")
+      .withColumn("hamming", bit_count($"qs".bitwiseXOR($"cs")).cast("long"))
+      .groupBy($"query_id")
+      .agg(partial_topk(struct($"hamming", $"neighbor_id"), 5).as("s"))
+      .select($"query_id", posexplode($"s").as(Seq("pos", "r")))
+      .select($"query_id", ($"pos" + 1).cast("int").as("rank"),
+        $"r.neighbor_id".as("neighbor_id"), $"r.hamming".as("hamming"))
+      .orderBy($"query_id", $"rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embedding_quantize_int8" -> (embeddingQuantizeInt8 _),
-    "ann_topk_sq8"            -> (annTopkSq8 _)
+    "ann_topk_sq8"            -> (annTopkSq8 _),
+    "ann_topk_binary"         -> (annTopkBinary _)
   )
 
   val oracleSql: Map[String, String] = Map(

@@ -31,7 +31,8 @@ class AnnEvalSpec extends SparkSuite {
     // asserts they are far better than chance without overclaiming
     Seq("ivf", "kmeans").foreach { p =>
       assert(table(p)._4 >= 0.25, s"$p recall ${table(p)._4}") }
-    Seq("pq", "ivfpq", "lsh").foreach { p =>
+    // binary keeps ONE bit/dim — the honest floor is the pq/lsh class
+    Seq("pq", "ivfpq", "lsh", "binary").foreach { p =>
       assert(table(p)._4 >= 0.10, s"$p recall ${table(p)._4}") }
   }
 
