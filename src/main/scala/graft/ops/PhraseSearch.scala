@@ -89,6 +89,18 @@ object PhraseSearch {
     positionalRows(Tables.documents(spark, dir))
       .write.mode("overwrite").partitionBy("tb").parquet(s"$indexPath/positions")
 
+  /** Grow the positional index with a LANDED batch — the shared
+    * persisted-family append contract (O(batch) tokenize, appended files
+    * land only in the touched `tb=` dirs, corpus never re-scanned; batch
+    * doc_ids must be new to the index). Positional rows are pure facts
+    * keyed by (doc, term, pos), so append == rebuild holds trivially by
+    * set union — PhraseSearchSpec pins it on a 70/30 split through the
+    * phrase-match core.
+    */
+  private[graft] def appendToPositionalIndex(batch: DataFrame, indexPath: String): Unit =
+    positionalRows(batch)
+      .write.mode("append").partitionBy("tb").parquet(s"$indexPath/positions")
+
   private val savedIndexes =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
 

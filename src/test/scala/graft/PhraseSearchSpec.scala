@@ -47,4 +47,21 @@ class PhraseSearchSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(served == inSession, "index serve == in-session, row for row")
   }
+
+  test("positional index append: save 70% + append 30% == full rebuild, row for row") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val path = java.nio.file.Files.createTempDirectory("graft_posidx").toString
+    val landed = docs.filter($"doc_id" % 10 < 7)
+    val batch = docs.filter($"doc_id" % 10 >= 7)
+    // save the landed corpus, then append the batch (O(batch) work)
+    ops.PhraseSearch.positionalRows(landed)
+      .write.mode("overwrite").partitionBy("tb").parquet(s"$path/positions")
+    ops.PhraseSearch.appendToPositionalIndex(batch, path)
+    val appended = ops.PhraseSearch.phraseFromIndex(spark, path, ops.PhraseSearch.phrase)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val rebuilt = ops.PhraseSearch.textSearchPhrase(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(appended == rebuilt, "append == rebuild through the phrase core")
+  }
 }
