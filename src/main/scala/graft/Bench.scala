@@ -99,7 +99,8 @@ object Bench {
     "embedding_outliers", "dm_grouping_sets",
     "churn_train_lr", "churn_score_lr", "dm_top_movers",
     "agg_winsorized_mean", "events_survival_km", "knn_graph_kcore",
-    "ann_topk_binary", "dm_abc_analysis")
+    "ann_topk_binary", "dm_abc_analysis",
+    "etl_pit_join", "events_peak_concurrency")
   // ann_matryoshka_eval joins ann_recall_eval / dedup_recall_eval in the
   // excluded-harness family: it runs the brute-force ranking once per
   // prefix length back-to-back — a measurement harness, not a serving path

@@ -605,7 +605,90 @@ object BehaviorQueries {
       .orderBy($"t_sec")
   }
 
+  /** §2 `events_peak_concurrency`: per-day PEAK concurrent sessions —
+    * the capacity number next to events_intervals_union's coverage
+    * total (union answers "how much time was covered"; this answers
+    * "how many at once at the worst moment", which is what a serving
+    * fleet is actually sized for). Sessions come from the
+    * sessionize_events core VERBATIM (same 30-min gap rule, so the two
+    * entries cannot disagree on session bounds); each session explodes
+    * over the epoch-days it overlaps (bounded by session length), and
+    * within each day a classic sweep line (+1 at clamped start, −1 at
+    * clamped end+1, ties resolved −1-first so touching sessions never
+    * inflate the peak) runs as a day-partitioned window over ≤
+    * 2·sessions-per-day boundary points — never the raw events.
+    * Day arithmetic is pure epoch integer division (no DATE types near
+    * the gate). Exact integers end-to-end.
+    */
+  def eventsPeakConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sessions = CoreQueries.sessionizeEvents(spark, dir)
+      .select($"user_id", $"session_seq", $"session_start_sec", $"session_end_sec")
+      .withColumn("d0", expr("session_start_sec div 86400"))
+      .withColumn("d1", expr("session_end_sec div 86400"))
+    val perDay = sessions
+      .withColumn("day_num", explode(sequence($"d0", $"d1")))
+      .withColumn("lo", greatest($"session_start_sec", $"day_num" * 86400))
+      .withColumn("hi", least($"session_end_sec", $"day_num" * 86400 + 86399))
+    val pts = perDay.select($"day_num", $"lo".as("t"), lit(1L).as("delta"))
+      .unionByName(perDay.select($"day_num", ($"hi" + 1).as("t"), lit(-1L).as("delta")))
+    val wSweep = Window.partitionBy($"day_num").orderBy($"t", $"delta")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val swept = pts.withColumn("active", sum($"delta").over(wSweep))
+    val peaks = swept.groupBy($"day_num").agg(max($"active").as("peak_concurrency"))
+    val counts = perDay.groupBy($"day_num").agg(count(lit(1)).as("n_sessions"))
+    counts.join(peaks, Seq("day_num"))
+      .select($"day_num", $"n_sessions", $"peak_concurrency")
+      .orderBy($"day_num")
+  }
+
+  val eventsPeakConcurrencySql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id,
+      |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ts_sec
+      |  FROM events
+      |), flagged AS (
+      |  SELECT *,
+      |    CASE WHEN lag(ts_sec) OVER w IS NULL THEN 1
+      |         WHEN ts_sec - lag(ts_sec) OVER w > 1800 THEN 1
+      |         ELSE 0 END AS is_new
+      |  FROM ev
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)
+      |), sess AS (
+      |  SELECT user_id,
+      |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq,
+      |    ts_sec
+      |  FROM flagged
+      |), bounds AS (
+      |  SELECT user_id, session_seq,
+      |    MIN(ts_sec) AS s0, MAX(ts_sec) AS s1
+      |  FROM sess GROUP BY user_id, session_seq
+      |), per_day AS (
+      |  SELECT user_id, session_seq, s0, s1, CAST(u AS BIGINT) AS day_num,
+      |    greatest(s0, CAST(u AS BIGINT) * 86400) AS lo,
+      |    least(s1, CAST(u AS BIGINT) * 86400 + 86399) AS hi
+      |  FROM bounds, UNNEST(range(s0 // 86400, s1 // 86400 + 1)) AS r(u)
+      |), pts AS (
+      |  SELECT day_num, lo AS t, CAST(1 AS BIGINT) AS delta FROM per_day
+      |  UNION ALL
+      |  SELECT day_num, hi + 1 AS t, CAST(-1 AS BIGINT) AS delta FROM per_day
+      |), swept AS (
+      |  SELECT day_num,
+      |    CAST(SUM(delta) OVER (PARTITION BY day_num ORDER BY t, delta
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS active
+      |  FROM pts
+      |), peaks AS (
+      |  SELECT day_num, MAX(active) AS peak_concurrency FROM swept GROUP BY day_num
+      |), counts AS (
+      |  SELECT day_num, COUNT(*) AS n_sessions FROM per_day GROUP BY day_num
+      |)
+      |SELECT counts.day_num, n_sessions, peak_concurrency
+      |FROM counts JOIN peaks ON counts.day_num = peaks.day_num
+      |ORDER BY counts.day_num""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_peak_concurrency" -> (eventsPeakConcurrency _),
     "events_survival_km"    -> (eventsSurvivalKm _),
     "events_path_topk"      -> (eventsPathTopk _),
     "events_anomaly_trailing" -> (eventsAnomalyTrailing _),
@@ -618,6 +701,7 @@ object BehaviorQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "events_peak_concurrency" -> eventsPeakConcurrencySql,
     "events_path_topk"      -> eventsPathTopkSql,
     "events_anomaly_trailing" -> eventsAnomalyTrailingSql,
     "events_dau_wau"        -> eventsDauWauSql,

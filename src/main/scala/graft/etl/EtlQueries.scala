@@ -748,7 +748,62 @@ object EtlQueries {
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
+  /** §2 `etl_pit_join`: POINT-IN-TIME join against the SCD2 dimension —
+    * the reason SCD2 history exists at all: each purchase is joined to
+    * the dim VERSION that was valid at its event time (state-at-event,
+    * never today's state — joining facts to a current-only dim silently
+    * rewrites history). Implemented as the AS-OF join it mathematically
+    * is: versions tile each user's timeline, so "the version whose
+    * [valid_from, valid_to) contains ts" ≡ "the last version with
+    * valid_from ≤ ts" — ONE shuffle via the shared
+    * [[graft.ops.AsofJoin.asof]] union+window core instead of an
+    * interval-predicate join that would multiply rows before filtering.
+    * Boundary semantics: ts == valid_from matches the NEW version
+    * (inclusive-from, exclusive-to), identical in the DuckDB ASOF
+    * oracle. Dim rows come from [[scd2History]]'s logic verbatim so the
+    * two entries can never disagree on version boundaries.
+    */
+  def pitJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"event_id", $"user_id", unix_timestamp($"ts").as("ts_sec"), $"event_type")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts_sec")
+    val dim = scd2History(spark, dir)
+      .select($"user_id", $"valid_from_sec".as("ts_sec"),
+        $"version", $"event_type".as("state"))
+    graft.ops.AsofJoin.asof(purchases, dim, "user_id", "ts_sec", Seq("version", "state"))
+      .select($"event_id", $"user_id", $"ts_sec".as("purchase_ts_sec"),
+        $"asof_version".as("version"), $"asof_state".as("state"))
+      .orderBy($"event_id")
+  }
+
+  val pitJoinSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, event_type,
+      |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ts_sec
+      |  FROM events
+      |), ch AS (
+      |  SELECT user_id, event_id, event_type, ts_sec,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) AS prev_type
+      |  FROM ev
+      |), dim AS (
+      |  SELECT user_id,
+      |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) AS BIGINT) AS version,
+      |    event_type AS state, ts_sec AS valid_from_sec
+      |  FROM ch WHERE prev_type IS NULL OR prev_type <> event_type
+      |), purchases AS (
+      |  SELECT event_id, user_id, ts_sec FROM ev WHERE event_type = 'purchase'
+      |)
+      |SELECT p.event_id, p.user_id, p.ts_sec AS purchase_ts_sec,
+      |  d.version, d.state
+      |FROM purchases p
+      |ASOF LEFT JOIN dim d
+      |  ON p.user_id = d.user_id AND p.ts_sec >= d.valid_from_sec
+      |ORDER BY p.event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_pit_join" -> (pitJoin _),
     "etl_schema_evolution" -> (schemaEvolution _),
     "etl_retry_quarantine" -> (retryQuarantine _),
     "etl_scd2_history"    -> (scd2History _),
@@ -769,6 +824,7 @@ object EtlQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "etl_pit_join" -> pitJoinSql,
     "etl_schema_evolution" -> schemaEvolutionSql,
     "etl_retry_quarantine" -> retryQuarantineSql,
     "etl_scd2_history"    -> scd2HistorySql,

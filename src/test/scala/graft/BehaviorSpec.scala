@@ -57,6 +57,30 @@ class BehaviorSpec extends SparkSuite {
     assert(quoted.head.getAs[Long]("n_users") == 4L)
   }
 
+  test("peak concurrency: equals a driver sweep of the same session bounds") {
+    import spark.implicits._
+    val sessions = core.CoreQueries.sessionizeEvents(spark, sf)
+      .select($"session_start_sec", $"session_end_sec").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // driver reference: per epoch-day sweep over clamped boundaries
+    val perDay = sessions.flatMap { case (s0, s1) =>
+      (s0 / 86400 to s1 / 86400).map(d =>
+        (d, math.max(s0, d * 86400), math.min(s1, d * 86400 + 86399)))
+    }
+    val want = perDay.groupBy(_._1).map { case (d, ss) =>
+      val pts = ss.flatMap { case (_, lo, hi) => Seq((lo, 1L), (hi + 1, -1L)) }
+        .sortBy { case (t, delta) => (t, delta) }
+      var cur = 0L; var peak = 0L
+      pts.foreach { case (_, delta) => cur += delta; peak = math.max(peak, cur) }
+      d -> (ss.length.toLong, peak)
+    }
+    val got = core.BehaviorQueries.eventsPeakConcurrency(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == want, "distributed sweep must equal the driver reference")
+    assert(got.values.exists(_._2 > 1L), "overlapping sessions non-vacuous")
+    got.values.foreach { case (n, p) => assert(p >= 1L && p <= n) }
+  }
+
   test("cohort retention: offset 0 retains the full cohort, counts bounded") {
     val rows = core.BehaviorQueries.userRetentionCohort(spark, sf).collect()
     assert(rows.nonEmpty)

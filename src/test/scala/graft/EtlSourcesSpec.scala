@@ -124,4 +124,28 @@ class EtlSourcesSpec extends SparkSuite {
       .map(_.getAs[Long]("min_key")).min
     assert(unknownMax < newMin)
   }
+
+  test("pit join: every purchase resolves to the scd2 interval containing it") {
+    import spark.implicits._
+    val dim = etl.EtlQueries.scd2History(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        if (r.isNullAt(4)) Long.MaxValue else r.getLong(4)))
+    val byUser = dim.groupBy(_._1)
+    val got = etl.EtlQueries.pitJoin(spark, sf).collect()
+    val nPurchases = Tables.events(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("event_type") === "purchase").count()
+    assert(got.length == nPurchases, "left join keeps every purchase")
+    got.foreach { r =>
+      val (u, ts) = (r.getLong(1), r.getLong(2))
+      val hit = byUser.get(u).flatMap(_.find { case (_, _, _, from, to) =>
+        from <= ts && ts < to })
+      hit match {
+        case Some((_, v, st, _, _)) =>
+          assert(r.getLong(3) == v && r.getString(4) == st,
+            s"purchase ${r.getLong(0)}: version/state must match the containing interval")
+        case None =>
+          assert(r.isNullAt(3), s"purchase ${r.getLong(0)}: no interval → null version")
+      }
+    }
+  }
 }
