@@ -474,7 +474,62 @@ object DataQuality {
       |ORDER BY dim.digit""".stripMargin
   }
 
+  /** §2 `dq_duplicate_payments`: duplicate-charge screen — order pairs
+    * from the SAME customer for the EXACT same amount within a 7-day
+    * window (the classic double-submit / retry-double-charge audit every
+    * payment ledger runs; exact-amount equality plus time proximity is
+    * the standard first-pass signature). Pair generation is an
+    * equi-join on (customer, amount-cents) — never amount-range — so
+    * the shuffle key is maximally selective and fan-out is bounded by
+    * per-(customer, amount) multiplicity; the day-window predicate and
+    * canonical a<b ordering are post-join filters. Output one row per
+    * suspect pair with both order keys, the shared cents, and the gap
+    * in days — exact integers end-to-end.
+    */
+  def dqDuplicatePayments(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_custkey",
+        ($"o_totalprice".cast("decimal(12,2)") * 100).cast("long").as("cents"),
+        datediff(to_date($"o_orderdate"), lit("1992-01-01").cast("date")).cast("long").as("day_num"))
+    duplicatePaymentsOn(o)
+  }
+
+  /** Detector core over any (o_orderkey, o_custkey, cents, day_num)
+    * frame — spec-proven on planted double-charges (the clean synthetic
+    * ledger legitimately yields an EMPTY report: ~1 order per customer
+    * per 8 months at 2-decimal amounts makes an exact-amount 7-day
+    * coincidence vanishingly unlikely, and the gate hash-checks the
+    * empty answer like dedup_exact's).
+    */
+  private[graft] def duplicatePaymentsOn(o: DataFrame): DataFrame = {
+    import o.sparkSession.implicits._
+    val a = o.select($"o_custkey", $"cents", $"o_orderkey".as("key_a"), $"day_num".as("day_a"))
+    val b = o.select($"o_custkey", $"cents", $"o_orderkey".as("key_b"), $"day_num".as("day_b"))
+    a.join(b, Seq("o_custkey", "cents"))
+      .filter($"key_a" < $"key_b" && abs($"day_a" - $"day_b") <= 7)
+      .select($"o_custkey".as("cust_id"), $"key_a", $"key_b", $"cents",
+        abs($"day_a" - $"day_b").as("gap_days"))
+      .orderBy($"cust_id", $"key_a", $"key_b")
+  }
+
+  val dqDuplicatePaymentsSql: String =
+    """WITH o AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+      |    CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day_num
+      |  FROM orders
+      |)
+      |SELECT a.o_custkey AS cust_id, a.o_orderkey AS key_a, b.o_orderkey AS key_b,
+      |  a.cents, abs(a.day_num - b.day_num) AS gap_days
+      |FROM o a JOIN o b
+      |  ON a.o_custkey = b.o_custkey AND a.cents = b.cents
+      | AND a.o_orderkey < b.o_orderkey
+      | AND abs(a.day_num - b.day_num) <= 7
+      |ORDER BY cust_id, key_a, key_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_duplicate_payments" -> (dqDuplicatePayments _),
     "dq_freshness"   -> (dqFreshness _),
     "dq_profile"     -> (dqProfile _),
     "dq_constraints" -> (dqConstraints _),
@@ -484,6 +539,7 @@ object DataQuality {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "dq_duplicate_payments" -> dqDuplicatePaymentsSql,
     "dq_freshness"   -> dqFreshnessSql,
     "dq_profile"     -> dqProfileSql,
     "dq_constraints" -> dqConstraintsSql,

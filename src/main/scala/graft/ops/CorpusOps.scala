@@ -586,7 +586,55 @@ object CorpusOps {
       |FROM n
       |ORDER BY doc_id""".stripMargin
 
+  /** §2 `text_novelty`: per-document MARGINAL NOVELTY — the fraction of
+    * a doc's 3-gram shingles first seen in IT (first-seen = minimum
+    * doc_id over the corpus's landing order), the redundancy-growth
+    * curve a crawl pipeline watches to decide when more of a source
+    * stops adding information (dedup asks "is this a copy of ONE other
+    * doc"; novelty asks "how much of this doc is new against EVERYTHING
+    * landed before it" — a doc can be 0.2-novel without any single
+    * near-duplicate). Occurrence-weighted: each gram occurrence counts,
+    * novel iff its gram's first-seen doc is this doc — so a doc that
+    * repeats its own novel gram still scores it, matching token-level
+    * training value. One gram→min(doc) aggregate (map-side combine,
+    * vocab-bounded shuffle) + one gram-keyed join back (the tf-idf
+    * shape) + one per-doc aggregate; ratio is ONE IEEE divide.
+    */
+  def textNovelty(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.WordNgrams.word_ngrams
+    val grams = Tables.documents(spark, dir)
+      .select($"doc_id", explode(word_ngrams(lower(trim($"text")), 3)).as("ng"))
+    val firstSeen = grams.groupBy($"ng").agg(min($"doc_id").as("first_doc"))
+    grams.join(firstSeen, Seq("ng"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when($"first_doc" === $"doc_id", 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty", $"n_novel".cast("double") / $"n_grams".cast("double"))
+      .select($"doc_id", $"n_grams", $"n_novel", $"novelty")
+      .orderBy($"doc_id")
+  }
+
+  val textNoveltySql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents
+      |), g AS (
+      |  SELECT doc_id, array_to_string(list_slice(w, u, u + 2), ' ') AS ng
+      |  FROM t, UNNEST(range(1, len(w) - 2 + 1)) AS r(u)
+      |  WHERE len(w) >= 3
+      |), fs AS (
+      |  SELECT ng, MIN(doc_id) AS first_doc FROM g GROUP BY ng
+      |)
+      |SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+      |  CAST(SUM(CASE WHEN fs.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+      |  CAST(SUM(CASE WHEN fs.first_doc = g.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS novelty
+      |FROM g JOIN fs ON g.ng = fs.ng
+      |GROUP BY g.doc_id
+      |ORDER BY g.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_novelty"          -> (textNovelty _),
     "text_normalize"        -> (textNormalize _),
     "text_pii_scrub"        -> (textPiiScrub _),
     "decontaminate_ngram"   -> (decontaminateNgram _),
@@ -599,6 +647,7 @@ object CorpusOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "text_novelty"          -> textNoveltySql,
     "text_normalize"        -> textNormalizeSql,
     "text_pii_scrub"        -> textPiiScrubSql,
     "decontaminate_ngram"   -> decontaminateNgramSql,

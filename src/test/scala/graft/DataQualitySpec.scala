@@ -85,6 +85,25 @@ class DataQualitySpec extends SparkSuite {
     assert(!a.getBoolean(a.fieldIndex("stale")), "frontier type is fresh")
   }
 
+  test("duplicate payments: planted double-charges found exactly; clean ledger empty") {
+    import spark.implicits._
+    // c1: exact double-submit 2 days apart (HIT, gap 2); same amount 9 days
+    // apart (no — outside window); c2: same day different amounts (no);
+    // c3: triple-charge same day → all 3 pairs
+    val o = Seq(
+      (1L, 1L, 9999L, 10L), (2L, 1L, 9999L, 12L), (3L, 1L, 9999L, 21L),
+      (4L, 2L, 5000L, 30L), (5L, 2L, 5001L, 30L),
+      (6L, 3L, 777L, 50L), (7L, 3L, 777L, 50L), (8L, 3L, 777L, 50L)
+    ).toDF("o_orderkey", "o_custkey", "cents", "day_num")
+    val got = etl.DataQuality.duplicatePaymentsOn(o).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got == Set(
+      (1L, 1L, 2L, 9999L, 2L),
+      (3L, 6L, 7L, 777L, 0L), (3L, 6L, 8L, 777L, 0L), (3L, 7L, 8L, 777L, 0L)))
+    // the synthetic ledger is clean — the corpus report must be honestly empty
+    assert(etl.DataQuality.dqDuplicatePayments(spark, sf).isEmpty)
+  }
+
   test("benford: full digit dim, counts conserve, literals are a distribution") {
     import org.apache.spark.sql.functions._
     val rows = etl.DataQuality.dqBenford(spark, sf).collect()
