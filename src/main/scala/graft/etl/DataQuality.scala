@@ -528,7 +528,56 @@ object DataQuality {
       | AND abs(a.day_num - b.day_num) <= 7
       |ORDER BY cust_id, key_a, key_b""".stripMargin
 
+  /** §2 `dq_velocity_screen`: purchase-VELOCITY screen — each user's
+    * peak trailing-24 h purchase count and when it peaked, flagged at
+    * ≥ 3 (the rate-limit audit beside the duplicate-payment screen:
+    * that one catches the same charge twice, this catches too many
+    * charges too fast — card-testing / runaway-retry signatures that
+    * are all DIFFERENT amounts). One user-partitioned RANGE window over
+    * purchases only (the window_time_range device — per-user fan-in
+    * bounded by purchase rate × 24 h), then the per-user peak via a
+    * rank window on the same partitioning (earliest window wins ties,
+    * deterministic); exact integers end-to-end, one boolean flag.
+    */
+  def dqVelocityScreen(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val p = Tables.events(spark, dir)
+      .filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id", unix_timestamp($"ts").as("t"))
+    val wRange = Window.partitionBy($"user_id").orderBy($"t").rangeBetween(-86399, 0)
+    val counted = p.withColumn("n_24h", count(lit(1)).over(wRange))
+    val wPick = Window.partitionBy($"user_id")
+      .orderBy($"n_24h".desc, $"t", $"event_id")
+    counted.withColumn("rn", row_number().over(wPick))
+      .filter($"rn" === 1)
+      .select($"user_id", $"n_24h".as("peak_24h"), $"t".as("peak_at_sec"),
+        ($"n_24h" >= 3).as("flagged"))
+      .orderBy($"user_id")
+  }
+
+  val dqVelocityScreenSql: String =
+    """WITH p AS (
+      |  SELECT user_id, event_id,
+      |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS t
+      |  FROM events WHERE event_type = 'purchase'
+      |), counted AS (
+      |  SELECT user_id, event_id, t,
+      |    COUNT(*) OVER (PARTITION BY user_id ORDER BY t
+      |      RANGE BETWEEN 86399 PRECEDING AND CURRENT ROW) AS n_24h
+      |  FROM p
+      |), picked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id
+      |    ORDER BY n_24h DESC, t, event_id) AS rn
+      |  FROM counted
+      |)
+      |SELECT user_id, CAST(n_24h AS BIGINT) AS peak_24h, t AS peak_at_sec,
+      |  n_24h >= 3 AS flagged
+      |FROM picked WHERE rn = 1
+      |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_velocity_screen" -> (dqVelocityScreen _),
     "dq_duplicate_payments" -> (dqDuplicatePayments _),
     "dq_freshness"   -> (dqFreshness _),
     "dq_profile"     -> (dqProfile _),
@@ -539,6 +588,7 @@ object DataQuality {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "dq_velocity_screen" -> dqVelocityScreenSql,
     "dq_duplicate_payments" -> dqDuplicatePaymentsSql,
     "dq_freshness"   -> dqFreshnessSql,
     "dq_profile"     -> dqProfileSql,

@@ -85,6 +85,30 @@ class DataQualitySpec extends SparkSuite {
     assert(!a.getBoolean(a.fieldIndex("stale")), "frontier type is fresh")
   }
 
+  test("velocity screen: peaks match a driver sweep; flags at the threshold") {
+    import spark.implicits._
+    val purchases = Tables.events(spark, sf)
+      .filter($"event_type" === "purchase")
+      .select($"user_id", unix_timestamp($"ts").as("t")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val want = purchases.groupBy(_._1).map { case (u, rs) =>
+      val ts = rs.map(_._2).sorted
+      val peaks = ts.map(t => (ts.count(x => x > t - 86400 && x <= t).toLong, t))
+      val best = peaks.maxBy { case (c, t) => (c, -t) }
+      u -> best
+    }
+    val got = etl.DataQuality.dqVelocityScreen(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (u, (peak, at, flag)) =>
+      val (wp, wt) = want(u)
+      assert(peak == wp && at == wt, s"user $u peak window")
+      assert(flag == (peak >= 3L))
+    }
+    assert(got.values.exists(_._3), "flagged users non-vacuous on the corpus")
+    assert(got.values.exists(!_._3), "unflagged users non-vacuous")
+  }
+
   test("duplicate payments: planted double-charges found exactly; clean ledger empty") {
     import spark.implicits._
     // c1: exact double-submit 2 days apart (HIT, gap 2); same amount 9 days
