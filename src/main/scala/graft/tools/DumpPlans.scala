@@ -90,7 +90,11 @@ object DumpPlans {
       "dq_benford_served", "asof_join_nearest", "sample_temperature",
       "embedding_outliers", "dm_grouping_sets",
       "churn_train_lr", "churn_score_lr", "ann_matryoshka_eval",
-      "dm_top_movers", "dedup_soft_weights")
+      "dm_top_movers", "dedup_soft_weights",
+      "agg_winsorized_mean", "events_survival_km", "knn_graph_kcore",
+      "ann_topk_binary", "dm_abc_analysis", "etl_pit_join",
+      "events_peak_concurrency", "dq_duplicate_payments", "text_novelty",
+      "dq_velocity_screen", "dq_benford_served")
 
     val sb = new StringBuilder
     sb.append("# Executed plans (generated by graft.tools.DumpPlans at " + sfDir + ")\n\n")
