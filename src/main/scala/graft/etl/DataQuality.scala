@@ -576,7 +576,68 @@ object DataQuality {
       |FROM picked WHERE rn = 1
       |ORDER BY user_id""".stripMargin
 
+  /** §2 `dq_bot_regularity`: inter-event-time REGULARITY screen — per
+    * user, the coefficient of variation of consecutive event gaps,
+    * flagged when suspiciously LOW (humans are bursty — a Poisson-ish
+    * arrival process has cv ≈ 1; schedulers and replay bots tick, so
+    * cv « 1 is the automation signature the velocity screen can't see:
+    * a slow, perfectly regular scraper never trips a rate limit).
+    * Gaps are exact integer seconds from one user-partitioned lag
+    * window; n, Σg, Σg² are exact BIGINT sufficient statistics (the
+    * Welch discipline), and mean / variance / cv are one fixed IEEE
+    * tree mirrored token-for-token in the oracle — the doubles
+    * hash-match. Users with < 5 gaps are reported unflagged-by-rule
+    * (insufficient evidence ≠ innocent, the flag column says which).
+    */
+  def dqBotRegularity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"t", $"event_id")
+    val gaps = Tables.events(spark, dir)
+      .select($"user_id", $"event_id", unix_timestamp($"ts").as("t"))
+      .withColumn("gap", $"t" - lag($"t", 1).over(w))
+      .filter($"gap".isNotNull)
+    val nD = $"n_gaps".cast("double")
+    val sD = $"s".cast("double")
+    val qD = $"q".cast("double")
+    gaps.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_gaps"), sum($"gap").as("s"),
+        sum($"gap" * $"gap").as("q"))
+      .withColumn("mean_gap", sD / nD)
+      .withColumn("cv_gap",
+        sqrt((nD * qD - sD * sD) / (nD * (nD - 1.0))) / ($"mean_gap"))
+      .withColumn("flagged", $"n_gaps" >= 5 && $"cv_gap" < 0.85)
+      .select($"user_id", $"n_gaps", $"mean_gap", $"cv_gap", $"flagged")
+      .orderBy($"user_id")
+  }
+
+  val dqBotRegularitySql: String =
+    """WITH g AS (
+      |  SELECT user_id,
+      |    t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS gap
+      |  FROM (SELECT user_id, event_id,
+      |          CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS t
+      |        FROM events)
+      |), stats AS (
+      |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+      |    CAST(SUM(gap) AS BIGINT) AS s, CAST(SUM(gap * gap) AS BIGINT) AS q
+      |  FROM g WHERE gap IS NOT NULL GROUP BY user_id
+      |), d AS (
+      |  SELECT user_id, n_gaps,
+      |    CAST(n_gaps AS DOUBLE) AS nd, CAST(s AS DOUBLE) AS sd, CAST(q AS DOUBLE) AS qd
+      |  FROM stats
+      |), m AS (
+      |  SELECT user_id, n_gaps, sd / nd AS mean_gap,
+      |    sqrt((nd * qd - sd * sd) / (nd * (nd - 1.0))) / (sd / nd) AS cv_gap
+      |  FROM d
+      |)
+      |SELECT user_id, n_gaps, mean_gap, cv_gap,
+      |  n_gaps >= 5 AND cv_gap < 0.85 AS flagged
+      |FROM m
+      |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_bot_regularity" -> (dqBotRegularity _),
     "dq_velocity_screen" -> (dqVelocityScreen _),
     "dq_duplicate_payments" -> (dqDuplicatePayments _),
     "dq_freshness"   -> (dqFreshness _),
@@ -588,6 +649,7 @@ object DataQuality {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "dq_bot_regularity" -> dqBotRegularitySql,
     "dq_velocity_screen" -> dqVelocityScreenSql,
     "dq_duplicate_payments" -> dqDuplicatePaymentsSql,
     "dq_freshness"   -> dqFreshnessSql,

@@ -131,13 +131,64 @@ object DiscoveryQueries {
       |GROUP BY abc_class
       |ORDER BY abc_class""".stripMargin
 
+  /** §2 `dm_hhi_concentration`: monthly Herfindahl–Hirschman index of
+    * artist listening concentration — Σ share² per month, plus the
+    * effective number of artists 1/HHI (the diversity family's THIRD
+    * lens: Gini ranks inequality, ABC materializes the partition, HHI
+    * is the antitrust-standard single number whose inverse reads as
+    * "listening behaved as if spread over N equal artists").
+    * HHI = Σc²/(Σc)² — numerator and denominator are exact BIGINTs from
+    * one (month, artist) partial-agg count table (map-side combine,
+    * bounded by months×artists), each reported double is ONE IEEE
+    * divide. effective_n = (Σc)²/Σc² — the reciprocal computed as its
+    * OWN single divide of the same exact integers, not 1/hhi (dividing
+    * the rounded double would compound two roundings and drift the
+    * gate).
+    */
+  def dmHhiConcentration(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counts = MartQueries.listeningFacts(spark, dir)
+      .select(($"ts_year" * 100 + $"ts_month").as("mk"), $"l_suppkey".as("artist_id"))
+      .groupBy($"mk", $"artist_id").agg(count(lit(1)).as("c"))
+    counts.groupBy($"mk")
+      .agg(count(lit(1)).as("n_artists"),
+        sum($"c").as("total_listens"),
+        sum($"c" * $"c").as("sum_sq"))
+      .withColumn("hhi",
+        $"sum_sq".cast("double") / ($"total_listens" * $"total_listens").cast("double"))
+      .withColumn("effective_n",
+        ($"total_listens" * $"total_listens").cast("double") / $"sum_sq".cast("double"))
+      .select($"mk".as("month_key"), $"n_artists", $"total_listens", $"hhi", $"effective_n")
+      .orderBy($"month_key")
+  }
+
+  val dmHhiConcentrationSql: String =
+    """WITH fh AS (
+      |  SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS mk,
+      |    l_suppkey AS artist_id
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |), counts AS (
+      |  SELECT mk, artist_id, CAST(COUNT(*) AS BIGINT) AS c FROM fh GROUP BY 1, 2
+      |)
+      |SELECT mk AS month_key, COUNT(*) AS n_artists,
+      |  CAST(SUM(c) AS BIGINT) AS total_listens,
+      |  CAST(SUM(c * c) AS DOUBLE)
+      |    / CAST(SUM(c) * SUM(c) AS DOUBLE) AS hhi,
+      |  CAST(SUM(c) * SUM(c) AS DOUBLE)
+      |    / CAST(SUM(c * c) AS DOUBLE) AS effective_n
+      |FROM counts
+      |GROUP BY mk
+      |ORDER BY month_key""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dm_artist_discovery" -> (artistDiscovery _),
-    "dm_abc_analysis" -> (dmAbcAnalysis _)
+    "dm_abc_analysis" -> (dmAbcAnalysis _),
+    "dm_hhi_concentration" -> (dmHhiConcentration _)
   )
 
   val oracleSql: Map[String, String] = Map(
     "dm_artist_discovery" -> artistDiscoverySql,
-    "dm_abc_analysis" -> dmAbcAnalysisSql
+    "dm_abc_analysis" -> dmAbcAnalysisSql,
+    "dm_hhi_concentration" -> dmHhiConcentrationSql
   )
 }

@@ -609,6 +609,73 @@ object KnnGraph {
       .orderBy($"vec_id")
   }
 
+  /** §2 `knn_graph_assortativity`: degree ASSORTATIVITY of the mutual
+    * kNN graph — the Pearson correlation of endpoint degrees over every
+    * directed mutual edge (Newman's r: positive = hubs link hubs,
+    * negative = hub-and-spoke; near zero on a healthy kNN graph whose
+    * degrees are capped at k — a strongly negative r is the
+    * hub-artifact diagnostic that says a few vectors sit in everyone's
+    * neighbor list, the failure mode the triangle census sees locally
+    * and this summarizes globally in one number). Exactness: degrees ≤
+    * k are exact ints; n, Σx, Σy, Σx², Σy², Σxy are exact BIGINT sums
+    * over the n·k edge table; r is the corrFrom fixed IEEE tree,
+    * mirrored token-for-token. One degree groupBy + two bounded joins +
+    * one scalar aggregate.
+    */
+  def knnGraphAssortativity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val mutualE = knnGraphExact(spark, dir).filter($"mutual")
+      .select($"vec_id".as("a"), $"neighbor_id".as("b"))
+    val deg = mutualE.groupBy($"a").agg(count(lit(1)).as("deg"))
+    val xy = mutualE
+      .join(deg.select($"a", $"deg".as("x")), Seq("a"))
+      .join(deg.select($"a".as("b"), $"deg".as("y")), Seq("b"))
+    val stats = xy.agg(count(lit(1)).as("n"),
+      sum($"x").as("sx"), sum($"y").as("sy"),
+      sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"),
+      sum($"x" * $"y").as("sxy"))
+    val nD = $"n".cast("double")
+    stats
+      .withColumn("assortativity",
+        (nD * $"sxy".cast("double") - $"sx".cast("double") * $"sy".cast("double")) /
+          (sqrt(nD * $"sxx".cast("double") - $"sx".cast("double") * $"sx".cast("double")) *
+            sqrt(nD * $"syy".cast("double") - $"sy".cast("double") * $"sy".cast("double"))))
+      .select($"n".as("n_directed_edges"), $"assortativity")
+  }
+
+  val knnGraphAssortativitySql: String =
+    s"""${LlmQueries.quantizedCte}, scored AS (
+       |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+       |    CAST(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) AS BIGINT) AS dot
+       |  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+       |), ranked AS (
+       |  SELECT vec_id, neighbor_id, dot,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, neighbor_id) AS rank
+       |  FROM scored
+       |), knn AS (
+       |  SELECT * FROM ranked WHERE rank <= $K
+       |), mutual AS (
+       |  SELECT k.vec_id AS a, k.neighbor_id AS b
+       |  FROM knn k JOIN knn m ON m.vec_id = k.neighbor_id AND m.neighbor_id = k.vec_id
+       |), deg AS (
+       |  SELECT a, CAST(COUNT(*) AS BIGINT) AS deg FROM mutual GROUP BY a
+       |), xy AS (
+       |  SELECT da.deg AS x, db.deg AS y
+       |  FROM mutual e JOIN deg da ON e.a = da.a JOIN deg db ON e.b = db.a
+       |), stats AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+       |    CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy,
+       |    CAST(SUM(x * y) AS BIGINT) AS sxy
+       |  FROM xy
+       |)
+       |SELECT n AS n_directed_edges,
+       |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+       |    (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+       |     sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+       |    AS assortativity
+       |FROM stats""".stripMargin
+
   /** Iterative k-core peeling over a DIRECTED mutual-edge table: delete
     * every node of degree < k, re-count, repeat to fixpoint — each round
     * ONE bounded degree groupBy + two semi-joins on an edge table that
@@ -750,6 +817,7 @@ object KnnGraph {
     "knn_graph_link_predict" -> (knnGraphLinkPredict _),
     "knn_graph_cc_star" -> (knnGraphCcStar _),
     "knn_graph_kcore" -> (knnGraphKcore _),
+    "knn_graph_assortativity" -> (knnGraphAssortativity _),
     "knn_graph_communities" -> (knnGraphCommunities _),
     "knn_graph_triangles" -> (knnGraphTriangles _),
     "knn_graph_exact"    -> (knnGraphExact _),
@@ -763,6 +831,7 @@ object KnnGraph {
   val oracleSql: Map[String, String] = Map(
     "knn_graph_exact" -> knnGraphExactSql,
     "knn_graph_triangles" -> knnGraphTrianglesSql,
-    "knn_graph_link_predict" -> knnGraphLinkPredictSql
+    "knn_graph_link_predict" -> knnGraphLinkPredictSql,
+    "knn_graph_assortativity" -> knnGraphAssortativitySql
   )
 }

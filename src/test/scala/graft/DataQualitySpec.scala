@@ -85,6 +85,36 @@ class DataQualitySpec extends SparkSuite {
     assert(!a.getBoolean(a.fieldIndex("stale")), "frontier type is fresh")
   }
 
+  test("bot regularity: cv matches a driver recompute; both flag branches live") {
+    import spark.implicits._
+    val rows = etl.DataQuality.dqBotRegularity(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // driver recompute from raw gaps for every user
+    val ev = Tables.events(spark, sf)
+      .select($"user_id", $"event_id", unix_timestamp($"ts").as("t")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = ev.groupBy(_._1).collect { case (u, rs) if rs.length >= 2 =>
+      val sorted = rs.sortBy(r => (r._3, r._2))
+      val gaps = sorted.sliding(2).map(p => (p(1)._3 - p(0)._3).toDouble).toSeq
+      val n = gaps.length
+      val m = gaps.sum / n
+      val cv =
+        if (n < 2) Double.NaN
+        else math.sqrt(gaps.map(g => (g - m) * (g - m)).sum / (n - 1)) / m
+      u -> (n.toLong, m, cv)
+    }.toMap
+    rows.foreach { r =>
+      val u = r.getLong(0)
+      val (wn, wm, wcv) = want(u)
+      assert(r.getLong(1) == wn)
+      assert(math.abs(r.getDouble(2) - wm) < 1e-6)
+      if (!wcv.isNaN) assert(math.abs(r.getDouble(3) - wcv) < 1e-6, s"user $u cv")
+      assert(r.getBoolean(4) == (wn >= 5 && r.getDouble(3) < 0.85))
+    }
+    val flags = rows.map(_.getBoolean(4)).toSet
+    assert(flags == Set(true, false), "both branches populated on the corpus")
+  }
+
   test("velocity screen: peaks match a driver sweep; flags at the threshold") {
     import spark.implicits._
     val purchases = Tables.events(spark, sf)

@@ -205,6 +205,16 @@ class KnnGraphSpec extends SparkSuite {
       "two CC algorithms over the same mutual-kNN edges must agree exactly")
   }
 
+  test("assortativity: bounded Pearson over exactly the mutual edge set") {
+    import spark.implicits._
+    val row = ops.KnnGraph.knnGraphAssortativity(spark, sf).head
+    val nMutual = ops.KnnGraph.knnGraphExact(spark, sf)
+      .filter($"mutual").count()
+    assert(row.getLong(0) == nMutual, "one (x,y) sample per directed mutual edge")
+    val r = row.getDouble(1)
+    assert(r >= -1.0 - 1e-12 && r <= 1.0 + 1e-12, s"assortativity $r out of range")
+  }
+
   test("k-core: equals a driver peeling reference; every core degree >= 2") {
     import spark.implicits._
     val edges = ops.KnnGraph.knnGraphIvf(spark, sf).filter($"mutual")
