@@ -109,6 +109,8 @@ object Bench {
   // dedup_soft_weights is excluded for the same no-double-counting reason:
   // it re-runs the verified-MinHash clustering dedup_minhash_lsh already
   // times, and its own tail is one map-side divide
+  // rec_coverage_eval likewise: it re-runs the full rec_user_topn pipeline
+  // the suite already times, and its own tail is four scalar aggregates
   // dedup_recall_eval joins ann_recall_eval in the excluded-harness
   // family: each runs EVERY path in its family back-to-back, so benching
   // it would double-count operators the suite already times individually

@@ -410,7 +410,80 @@ object Recommend {
       |FROM top
       |ORDER BY rank""".stripMargin
 
+  /** §2 `rec_coverage_eval`: recommender EVALUATION metrics over the
+    * served top-N table — the serving-quality numbers a recsys team
+    * reports beside accuracy (ann_recall_eval grades the vector side;
+    * this grades the CF side): CATALOG COVERAGE (share of the catalogue
+    * ever recommended — a high-accuracy recommender that only surfaces
+    * 2% of items is a popularity engine), slot diversity (distinct
+    * items / total slots), and head concentration (the top-10
+    * most-recommended items' share of all slots). Every metric is ONE
+    * IEEE divide of exact BIGINT counts off the rec_user_topn output,
+    * so the harness shares the CF entries' oracle-held semantics; the
+    * top-10 head is a TakeOrdered over the bounded per-item slot
+    * counts. One-row output (the dashboard tile shape).
+    */
+  def recCoverageEval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val recs = recUserTopn(spark, dir).select($"user_id", $"rec_item_id")
+    val catalog = Tables.lineitem(spark, dir)
+      .select($"l_partkey").distinct().agg(count(lit(1)).as("catalog_size"))
+    val slotCounts = recs.groupBy($"rec_item_id").agg(count(lit(1)).as("n_slots"))
+    val top10 = slotCounts.orderBy($"n_slots".desc, $"rec_item_id").limit(10)
+      .agg(sum($"n_slots").as("top10_slots"))
+    val base = recs.agg(
+      countDistinct($"user_id").as("n_users"),
+      count(lit(1)).as("total_slots"),
+      countDistinct($"rec_item_id").as("n_distinct_items"))
+    base.crossJoin(broadcast(catalog)).crossJoin(broadcast(top10))
+      .withColumn("coverage",
+        $"n_distinct_items".cast("double") / $"catalog_size".cast("double"))
+      .withColumn("slot_diversity",
+        $"n_distinct_items".cast("double") / $"total_slots".cast("double"))
+      .withColumn("top10_share",
+        $"top10_slots".cast("double") / $"total_slots".cast("double"))
+      .select($"n_users", $"total_slots", $"n_distinct_items", $"catalog_size",
+        $"coverage", $"slot_diversity", $"top10_share")
+  }
+
+  val recCoverageEvalSql: String =
+    s"""$cappedCte, votes AS (
+       |  SELECT c.user_id, n.rec_item_id,
+       |    CAST(SUM(n.co_users) AS BIGINT) AS score
+       |  FROM capped c JOIN nbr n ON c.item_id = n.item_id
+       |  GROUP BY 1, 2
+       |), novel AS (
+       |  SELECT v.* FROM votes v
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM ui c
+       |    WHERE c.user_id = v.user_id AND c.item_id = v.rec_item_id)
+       |), recs AS (
+       |  SELECT user_id, rec_item_id FROM (
+       |    SELECT user_id, rec_item_id,
+       |      row_number() OVER (PARTITION BY user_id ORDER BY score DESC, rec_item_id) AS rank
+       |    FROM novel
+       |  ) WHERE rank <= $topNRecs
+       |), catalog AS (
+       |  SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS catalog_size FROM lineitem
+       |), slot_counts AS (
+       |  SELECT rec_item_id, COUNT(*) AS n_slots FROM recs GROUP BY 1
+       |), top10 AS (
+       |  SELECT CAST(SUM(n_slots) AS BIGINT) AS top10_slots FROM (
+       |    SELECT n_slots FROM slot_counts ORDER BY n_slots DESC, rec_item_id LIMIT 10)
+       |), base AS (
+       |  SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       |    CAST(COUNT(*) AS BIGINT) AS total_slots,
+       |    CAST(COUNT(DISTINCT rec_item_id) AS BIGINT) AS n_distinct_items
+       |  FROM recs
+       |)
+       |SELECT n_users, total_slots, n_distinct_items, catalog_size,
+       |  CAST(n_distinct_items AS DOUBLE) / CAST(catalog_size AS DOUBLE) AS coverage,
+       |  CAST(n_distinct_items AS DOUBLE) / CAST(total_slots AS DOUBLE) AS slot_diversity,
+       |  CAST(top10_slots AS DOUBLE) / CAST(total_slots AS DOUBLE) AS top10_share
+       |FROM base CROSS JOIN catalog CROSS JOIN top10""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rec_coverage_eval"   -> (recCoverageEval _),
     "rec_item_item_cf"    -> (recItemItemCf _),
     "rec_user_topn"       -> (recUserTopn _),
     "dm_audience_overlap" -> (dmAudienceOverlap _),
@@ -418,6 +491,7 @@ object Recommend {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "rec_coverage_eval"   -> recCoverageEvalSql,
     "rec_item_item_cf"    -> recItemItemCfSql,
     "rec_user_topn"       -> recUserTopnSql,
     "dm_audience_overlap" -> dmAudienceOverlapSql,

@@ -150,6 +150,25 @@ class RecommendSpec extends SparkSuite {
       "the over-cap listened item must not resurface as a recommendation")
   }
 
+  test("coverage eval: metrics recompute exactly from the served rec table") {
+    import spark.implicits._
+    val recs = ops.Recommend.recUserTopn(spark, sf)
+      .select($"user_id", $"rec_item_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val row = ops.Recommend.recCoverageEval(spark, sf).head
+    assert(row.getLong(0) == recs.map(_._1).distinct.length)
+    assert(row.getLong(1) == recs.length)
+    val distinctItems = recs.map(_._2).distinct.length
+    assert(row.getLong(2) == distinctItems)
+    assert(row.getDouble(4) == distinctItems.toDouble / row.getLong(3))
+    assert(row.getDouble(5) == distinctItems.toDouble / recs.length)
+    val top10 = recs.groupBy(_._2).view.mapValues(_.size).toSeq
+      .sortBy { case (id, n) => (-n, id) }.take(10).map(_._2.toLong).sum
+    assert(row.getDouble(6) == top10.toDouble / recs.length)
+    assert(row.getDouble(4) > 0.0 && row.getDouble(4) <= 1.0)
+    assert(row.getDouble(6) > 0.0 && row.getDouble(6) <= 1.0)
+  }
+
   test("basket lift: measures recompute from their own counts; ranks dense") {
     val rows = ops.Recommend.recBasketLift(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 50)
