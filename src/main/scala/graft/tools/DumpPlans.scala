@@ -94,7 +94,9 @@ object DumpPlans {
       "agg_winsorized_mean", "events_survival_km", "knn_graph_kcore",
       "ann_topk_binary", "dm_abc_analysis", "etl_pit_join",
       "events_peak_concurrency", "dq_duplicate_payments", "text_novelty",
-      "dq_velocity_screen", "dq_benford_served")
+      "dq_velocity_screen", "dq_benford_served",
+      "dq_bot_regularity", "dm_hhi_concentration", "knn_graph_assortativity",
+      "rec_coverage_eval")
 
     val sb = new StringBuilder
     sb.append("# Executed plans (generated by graft.tools.DumpPlans at " + sfDir + ")\n\n")
