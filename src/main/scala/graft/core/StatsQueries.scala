@@ -731,7 +731,108 @@ object StatsQueries {
       |GROUP BY event_type, n_events
       |ORDER BY event_type""".stripMargin
 
+  /** Generic grouped LOWER MEDIAN (rank ceil(n/2) over (v, id)) for an
+    * integer value column — the two-phase bucket-histogram device
+    * generalized from [[tukeyQuartiles]] so [[aggMadExact]] can take a
+    * median of DERIVED values (absolute deviations) without a per-group
+    * sort. Expects columns (g, v: long, id); integer bucket arithmetic
+    * (domain ≤ ~2^43 before the ×1024 bucket scale could overflow — far
+    * above any cents-scale column; the double form is the drop-in past
+    * that).
+    */
+  private[graft] def groupedLowerMedianLong(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val stats = df.groupBy($"g")
+      .agg(count(lit(1)).as("n"), min($"v").as("mn"), max($"v").as("mx"))
+      .withColumn("r", ceil($"n" * 0.5).cast("long"))
+    val evb = df.join(broadcast(stats), Seq("g"))
+      .withColumn("b",
+        when($"mx" === $"mn", lit(0L))
+          .otherwise(least(expr("((v - mn) * 1024) div (mx - mn + 1)"), lit(1023L)))
+          .cast("int"))
+      .select($"g", $"v", $"id", $"b")
+    val hist = evb.groupBy($"g", $"b").agg(count(lit(1)).as("cnt"))
+    val wb = Window.partitionBy($"g").orderBy($"b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val target = hist
+      .withColumn("cum_before", coalesce(sum($"cnt").over(wb), lit(0L)))
+      .join(stats.select($"g", $"r"), Seq("g"))
+      .filter($"r" > $"cum_before" && $"r" <= $"cum_before" + $"cnt")
+      .select($"g", $"b", $"cum_before", $"r")
+    val probe = evb.join(broadcast(target), Seq("g", "b"))
+    val wp = Window.partitionBy($"g", $"b").orderBy($"v", $"id")
+    probe.withColumn("rank", row_number().over(wp).cast("long") + $"cum_before")
+      .filter($"rank" === $"r")
+      .groupBy($"g").agg(max($"v").as("med"))
+  }
+
+  /** §2 `agg_mad_exact`: MEDIAN ABSOLUTE DEVIATION per event type — the
+    * robust scale estimator beside the winsorized mean's robust level
+    * (50% breakdown point: half the feed can go corrupt before MAD
+    * moves, where the stddev the z-score screens use breaks at one bad
+    * value). Both medians are the LOWER median (rank ceil(n/2) over
+    * (value, event_id) — single order statistic, deterministic ties),
+    * computed via the shared bucket-histogram device — the center from
+    * [[tukeyQuartiles]]'s q50 verbatim, the deviation median through
+    * [[groupedLowerMedianLong]] over exact |cents − median_cents|
+    * integers; no per-group sort anywhere, reported doubles are one
+    * ÷100 each.
+    */
+  def aggMadExact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val med = tukeyQuartiles(spark, dir)
+      .select($"event_type",
+        ($"q50".cast("decimal(10,2)") * 100).cast("long").as("med_c"),
+        $"n_events")
+    val devs = Tables.events(spark, dir)
+      .select($"event_type", $"event_id",
+        ($"value".cast("decimal(10,2)") * 100).cast("long").as("v_c"))
+      .join(broadcast(med), Seq("event_type"))
+      .select($"event_type".as("g"), abs($"v_c" - $"med_c").as("v"), $"event_id".as("id"))
+    groupedLowerMedianLong(devs)
+      .select($"g".as("event_type"), $"med".as("mad_c"))
+      .join(broadcast(med), Seq("event_type"))
+      .select($"event_type", $"n_events", $"med_c".as("median_cents"),
+        $"mad_c".as("mad_cents"),
+        ($"med_c".cast("double") / 100.0).as("median"),
+        ($"mad_c".cast("double") / 100.0).as("mad"))
+      .orderBy($"event_type")
+  }
+
+  val aggMadExactSql: String =
+    """WITH ev AS (
+      |  SELECT event_type, event_id,
+      |    CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT) AS v_c
+      |  FROM events
+      |), ranked AS (
+      |  SELECT event_type, v_c,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY v_c, event_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM ev
+      |), med AS (
+      |  SELECT event_type, v_c AS med_c, CAST(n AS BIGINT) AS n_events
+      |  FROM ranked WHERE rn = CAST(ceil(n * 0.5) AS BIGINT)
+      |), devs AS (
+      |  SELECT ev.event_type, ev.event_id, abs(ev.v_c - med.med_c) AS dv
+      |  FROM ev JOIN med ON ev.event_type = med.event_type
+      |), ranked2 AS (
+      |  SELECT event_type, dv,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY dv, event_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM devs
+      |), mad AS (
+      |  SELECT event_type, dv AS mad_c
+      |  FROM ranked2 WHERE rn = CAST(ceil(n * 0.5) AS BIGINT)
+      |)
+      |SELECT med.event_type, n_events, med_c AS median_cents, mad_c AS mad_cents,
+      |  CAST(med_c AS DOUBLE) / 100.0 AS median,
+      |  CAST(mad_c AS DOUBLE) / 100.0 AS mad
+      |FROM med JOIN mad ON med.event_type = mad.event_type
+      |ORDER BY med.event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_mad_exact" -> (aggMadExact _),
     "agg_winsorized_mean" -> (aggWinsorizedMean _),
     "events_ab_welch" -> (eventsAbWelch _),
     "agg_moments_exact" -> (aggMomentsExact _),
@@ -744,6 +845,7 @@ object StatsQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "agg_mad_exact" -> aggMadExactSql,
     "agg_winsorized_mean" -> aggWinsorizedMeanSql,
     "events_ab_welch" -> eventsAbWelchSql,
     "agg_moments_exact" -> aggMomentsExactSql,

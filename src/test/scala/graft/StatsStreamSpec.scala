@@ -48,6 +48,33 @@ class StatsStreamSpec extends SparkSuite {
     assert(e.getMessage.contains("clear the state path"))
   }
 
+  test("mad: both medians equal a driver lower-median reference exactly") {
+    import spark.implicits._
+    val vals = Tables.events(spark, sf)
+      .select($"event_type", $"event_id",
+        ($"value".cast("decimal(10,2)") * 100).cast("long").as("v_c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def lowerMedian(xs: Seq[(Long, Long)]): Long = { // (v, id), rank ceil(n/2)
+      val sorted = xs.sortBy(identity)
+      sorted(((sorted.length + 1) / 2) - 1)._1
+    }
+    val want = vals.groupBy(_._1).map { case (t, rs) =>
+      val med = lowerMedian(rs.map(r => (r._3, r._2)))
+      val mad = lowerMedian(rs.map(r => (math.abs(r._3 - med), r._2)))
+      t -> (rs.length.toLong, med, mad)
+    }
+    val got = core.StatsQueries.aggMadExact(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val t = r.getString(0)
+      val (wn, wmed, wmad) = want(t)
+      assert(r.getLong(1) == wn)
+      assert(r.getLong(2) == wmed, s"$t median")
+      assert(r.getLong(3) == wmad, s"$t mad")
+      assert(r.getDouble(4) == wmed / 100.0 && r.getDouble(5) == wmad / 100.0)
+    }
+  }
+
   test("welch a/b: arms partition every event; t matches a driver reference to 1e-12") {
     import spark.implicits._
     val rows = core.StatsQueries.eventsAbWelch(spark, sf).collect()
