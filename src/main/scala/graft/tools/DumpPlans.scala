@@ -96,7 +96,7 @@ object DumpPlans {
       "events_peak_concurrency", "dq_duplicate_payments", "text_novelty",
       "dq_velocity_screen", "dq_benford_served",
       "dq_bot_regularity", "dm_hhi_concentration", "knn_graph_assortativity",
-      "rec_coverage_eval")
+      "rec_coverage_eval", "agg_mad_exact")
 
     val sb = new StringBuilder
     sb.append("# Executed plans (generated by graft.tools.DumpPlans at " + sfDir + ")\n\n")
