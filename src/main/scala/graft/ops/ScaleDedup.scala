@@ -136,13 +136,20 @@ object ScaleDedup {
   private[graft] def minhashVerifiedKeepers(docs: DataFrame, bands: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     val t = docs.select($"doc_id", $"lang", wordSet($"text").as("w"))
+      .withColumn("sz", size($"w"))
       .localCheckpoint() // probed by two verify joins below
     def verify(pairs: DataFrame): DataFrame = pairs
-      .join(t.select($"doc_id".as("a"), $"lang".as("la"), $"w".as("wa")), Seq("a"))
-      .join(t.select($"doc_id".as("b"), $"lang".as("lb"), $"w".as("wb")), Seq("b"))
+      .join(t.select($"doc_id".as("a"), $"lang".as("la"), $"w".as("wa"), $"sz".as("sza")), Seq("a"))
+      .join(t.select($"doc_id".as("b"), $"lang".as("lb"), $"w".as("wb"), $"sz".as("szb")), Seq("b"))
       .filter($"la" === $"lb")
+      // LOSSLESS size-ratio prune before the intersect: J ≥ 0.9 needs
+      // |A∩B| ≥ 0.9·|A∪B|, and |A∩B| ≤ min, |A∪B| ≥ max, so
+      // 10·min ≥ 9·max is a NECESSARY condition checkable from two
+      // ints — the below-threshold candidate halo that banding
+      // surfaces dies here without ever touching the arrays.
+      .filter(least($"sza", $"szb") * 10 >= greatest($"sza", $"szb") * 9)
       .withColumn("inter", size(array_intersect($"wa", $"wb")).cast("long"))
-      .filter($"inter" * 10 >= (size($"wa") + size($"wb") - $"inter") * 9)
+      .filter($"inter" * 10 >= ($"sza" + $"szb" - $"inter") * 9)
       .select($"a", $"b")
     // EXACT-DUPLICATE COLLAPSE before pair expansion: docs with the
     // IDENTICAL (lang, word set) have Jaccard exactly 1 with their
@@ -969,8 +976,27 @@ object ScaleDedup {
   private def containmentPairsOn(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val t = docs.select($"doc_id", $"lang", wordSet($"text").as("w"))
+    val keyed = docs.select($"doc_id", $"lang", wordSet($"text").as("w"))
       .filter(size($"w") >= 5)
+      .localCheckpoint() // read by the group agg and the member join
+    // WORD-SET COLLAPSE (the minhashVerifiedKeepers device on the
+    // containment axis): identical (lang, word-set) docs are
+    // interchangeable in EVERY containment relation — C(a,x) == C(rep,x)
+    // and C(x,a) == C(x,rep) bit-for-bit — so the prefix-filtered
+    // candidate join and the exact verify run over DISTINCT word sets
+    // only; members re-attach afterwards by two joins that replicate
+    // the rep pair's verified stats verbatim, plus the free intra-group
+    // 1.0 edges in BOTH directions (identical sets mutually contain).
+    // Exact array groupBy, no hash key: a set_key collision would merge
+    // distinct sets and corrupt the entry's oracle hash.
+    val groups = keyed.groupBy($"lang", $"w")
+      .agg(min($"doc_id").as("rep"))
+      .localCheckpoint() // the df chain AND the member join read it
+    val members = keyed
+      .join(groups.select($"lang", $"w", $"rep"), Seq("lang", "w"))
+      .select($"lang", $"doc_id", $"rep", size($"w").cast("long").as("sz"))
+      .localCheckpoint() // probed by three expansion joins below
+    val t = groups.select($"rep".as("doc_id"), $"lang", $"w")
 
     val df = t.select($"lang", explode($"w").as("tok"))
       .groupBy($"lang", $"tok").agg(count(lit(1)).as("df"))
@@ -1005,7 +1031,7 @@ object ScaleDedup {
           floor(($"sza" * 9 + 9) / 10))
       .select($"lang", $"a", $"b").distinct()
 
-    cands
+    val repPairs = cands
       .join(t.select($"lang", $"doc_id".as("a"), $"w".as("wa")), Seq("lang", "a"))
       .join(t.select($"lang", $"doc_id".as("b"), $"w".as("wb")), Seq("lang", "b"))
       .withColumn("inter", size(array_intersect($"wa", $"wb")).cast("long"))
@@ -1013,6 +1039,21 @@ object ScaleDedup {
       .select($"lang", $"a", $"b", $"inter",
         size($"wa").cast("long").as("sza"), size($"wb").cast("long").as("szb"),
         ($"inter".cast("double") / size($"wa").cast("double")).as("containment"))
+    // member expansion: every (member of group(a), member of group(b))
+    // inherits the rep pair's stats verbatim (identical sets)
+    val crossPairs = repPairs
+      .join(members.select($"lang", $"rep".as("a"), $"doc_id".as("ma")), Seq("lang", "a"))
+      .join(members.select($"lang", $"rep".as("b"), $"doc_id".as("mb")), Seq("lang", "b"))
+      .select($"lang", $"ma".as("a"), $"mb".as("b"),
+        $"inter", $"sza", $"szb", $"containment")
+    // free intra-group edges: identical word sets mutually contain with
+    // containment exactly 1.0; ordered pairs give both directions
+    val intraPairs = members.select($"lang", $"rep", $"doc_id".as("a"), $"sz")
+      .join(members.select($"lang", $"rep", $"doc_id".as("b")), Seq("lang", "rep"))
+      .filter($"a" =!= $"b")
+      .select($"lang", $"a", $"b", $"sz".as("inter"),
+        $"sz".as("sza"), $"sz".as("szb"), lit(1.0).as("containment"))
+    crossPairs.unionByName(intraPairs)
   }
 
   val dedupContainmentSql: String =
