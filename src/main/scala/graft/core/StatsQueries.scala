@@ -599,10 +599,18 @@ object StatsQueries {
     val syyaD = $"syy_a".cast("double") / 10000.0
     val syybD = $"syy_b".cast("double") / 10000.0
     stats
-      .withColumn("mean_a", syaD / naD)
-      .withColumn("mean_b", sybD / nbD)
-      .withColumn("var_a", (naD * syyaD - syaD * syaD) / (naD * (naD - 1.0)))
-      .withColumn("var_b", (nbD * syybD - sybD * sybD) / (nbD * (nbD - 1.0)))
+      // degenerate-arm guard: an arm with n = 0 has no mean and one with
+      // n ≤ 1 has no sample variance — the unguarded n·(n−1) denominator
+      // produced NaN/Infinity whose handling DuckDB need not share. NULL
+      // here propagates NULL through ra/rb/t_stat/dof/significant in
+      // BOTH engines (NULL arithmetic is NULL), keeping the hash exact
+      // on a skewed event type.
+      .withColumn("mean_a", when($"n_a" > 0, syaD / naD))
+      .withColumn("mean_b", when($"n_b" > 0, sybD / nbD))
+      .withColumn("var_a", when($"n_a" > 1,
+        (naD * syyaD - syaD * syaD) / (naD * (naD - 1.0))))
+      .withColumn("var_b", when($"n_b" > 1,
+        (nbD * syybD - sybD * sybD) / (nbD * (nbD - 1.0))))
       .withColumn("ra", $"var_a" / naD)
       .withColumn("rb", $"var_b" / nbD)
       .withColumn("t_stat", ($"mean_a" - $"mean_b") / sqrt($"ra" + $"rb"))
@@ -637,9 +645,12 @@ object StatsQueries {
       |  FROM stats
       |), m AS (
       |  SELECT event_type, n_a, n_b, nad, nbd,
-      |    syad / nad AS mean_a, sybd / nbd AS mean_b,
-      |    (nad * syyad - syad * syad) / (nad * (nad - 1.0)) AS var_a,
-      |    (nbd * syybd - sybd * sybd) / (nbd * (nbd - 1.0)) AS var_b
+      |    CASE WHEN n_a > 0 THEN syad / nad END AS mean_a,
+      |    CASE WHEN n_b > 0 THEN sybd / nbd END AS mean_b,
+      |    CASE WHEN n_a > 1
+      |      THEN (nad * syyad - syad * syad) / (nad * (nad - 1.0)) END AS var_a,
+      |    CASE WHEN n_b > 1
+      |      THEN (nbd * syybd - sybd * sybd) / (nbd * (nbd - 1.0)) END AS var_b
       |  FROM d
       |), r AS (
       |  SELECT *, var_a / nad AS ra, var_b / nbd AS rb FROM m

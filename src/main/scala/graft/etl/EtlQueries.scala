@@ -700,23 +700,51 @@ object EtlQueries {
     * one scan per batch write, one merged scan, one bounded groupBy;
     * mergeSchema's footer-union cost is per-FILE metadata, not data.
     */
+  /** Session-lifetime cache of the two-schema batch dirs, keyed by
+    * (session, data dir) with LOCKED population — the persisted-index
+    * entries' discipline. Before this, the path was keyed only by
+    * pid + dir.hashCode, so two concurrent invocations for the same dir
+    * in one JVM (parallel test threads) raced: one overwrote b1/b2 while
+    * the other read the merged view. Now the first caller writes once
+    * behind the lock, every later caller reads the same immutable dirs,
+    * and a shutdown hook sweeps them when the JVM exits.
+    */
+  private val schemaEvoCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  private def schemaEvoBase(spark: SparkSession, dir: String): String =
+    schemaEvoCache.synchronized {
+      schemaEvoCache.getOrElseUpdate((spark, dir), {
+        import spark.implicits._
+        val ord = Tables.orders(spark, dir)
+        val wm = ord.agg(max($"o_orderkey").as("max_key"))
+        val tagged = ord.crossJoin(broadcast(wm))
+          .withColumn("is_old", $"o_orderkey" * 10 <= $"max_key" * 7)
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_schema_evo_" +
+          ProcessHandle.current().pid() + "_" +
+          java.util.UUID.randomUUID().toString.take(8)
+        tagged.filter($"is_old")
+          .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderstatus")
+          .write.mode("overwrite").parquet(s"$base/b1")
+        tagged.filter(!$"is_old")
+          .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderstatus",
+            $"o_orderpriority",
+            when($"o_orderkey" % 2 === 0, "api").otherwise("batch").as("load_channel"))
+          .write.mode("overwrite").parquet(s"$base/b2")
+        val baseDir = new java.io.File(base)
+        Runtime.getRuntime.addShutdownHook(new Thread(() => {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+          }
+          rm(baseDir)
+        }))
+        base
+      })
+    }
+
   def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val ord = Tables.orders(spark, dir)
-    val wm = ord.agg(max($"o_orderkey").as("max_key"))
-    val tagged = ord.crossJoin(broadcast(wm))
-      .withColumn("is_old", $"o_orderkey" * 10 <= $"max_key" * 7)
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_schema_evo_" +
-      ProcessHandle.current().pid() + "_" +
-      java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
-    tagged.filter($"is_old")
-      .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderstatus")
-      .write.mode("overwrite").parquet(s"$base/b1")
-    tagged.filter(!$"is_old")
-      .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderstatus",
-        $"o_orderpriority",
-        when($"o_orderkey" % 2 === 0, "api").otherwise("batch").as("load_channel"))
-      .write.mode("overwrite").parquet(s"$base/b2")
+    val base = schemaEvoBase(spark, dir)
     val merged = spark.read.option("mergeSchema", "true")
       .parquet(s"$base/b1", s"$base/b2")
     merged

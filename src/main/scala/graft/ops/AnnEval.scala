@@ -30,7 +30,8 @@ object AnnEval {
     "ivfpq"  -> VectorAgg.annTopkIvfPq(spark, dir),
     "pca"    -> EmbeddingPca.annTopkPca(spark, dir),
     "sq8"    -> EmbeddingSq.annTopkSq8(spark, dir),
-    "binary" -> EmbeddingSq.annTopkBinary(spark, dir)
+    "binary" -> EmbeddingSq.annTopkBinary(spark, dir),
+    "binary_refine" -> EmbeddingSq.annTopkBinaryRefine(spark, dir)
   )
 
   def annRecallEval(spark: SparkSession, dir: String): DataFrame = {

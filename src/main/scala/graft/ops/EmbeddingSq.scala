@@ -142,27 +142,44 @@ object EmbeddingSq {
       .orderBy($"query_id", $"rank")
   }
 
+  /** Sign-bit signature table shared by the solo Hamming scan and the
+    * two-stage refine entry: one bit per dimension (sign of the shared
+    * ×1000 quantization grid, so the binarization point is identical to
+    * every other compression path's), up to 64 dims packed into a
+    * single BIGINT — a 32× smaller index than float32 and 8× smaller
+    * than SQ8. The dim ≤ 64 bound is enforced IN the expression with
+    * `raise_error`, not silently: Java's shift wraps its amount at 64
+    * (i & 63), so a >64-dim corpus would alias sign bits into the same
+    * word positions and corrupt every signature without any symptom.
+    */
+  private[graft] def binarySigs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    VectorAgg.quantized(spark, dir)
+      .withColumn("sig", expr(
+        "CASE WHEN size(v) > 64 THEN raise_error(" +
+          "'ann_topk_binary: dim > 64 would alias sign bits " +
+          "(Java shiftleft wraps the shift amount at 64); " +
+          "pack into an array of words instead') " +
+        "ELSE aggregate(zip_with(v, sequence(0, size(v) - 1), " +
+          "(x, i) -> IF(x >= 0L, shiftleft(1L, i), 0L)), 0L, (a, b) -> a + b) END"))
+      .select($"vec_id", $"sig")
+  }
+
   /** §2 `ann_topk_binary`: BINARY-quantized search — the extreme point
     * of the compression family (SQ8 keeps 8 bits/dim; this keeps ONE:
-    * the sign bit, 32 dims packed into a single BIGINT, a 32× smaller
-    * index than float and 8× smaller than SQ8), ranked by Hamming
-    * distance = `bit_count(xor)` — one ALU op per candidate, the
-    * cheapest possible first-stage scan and the standard binary-prefilter
-    * leg of a two-stage 100 TB serving stack (its measured recall is a
-    * row in the ann_recall_eval harness, beside the paths it would
-    * shortlist for). Signature packing is one fold over the quantized
-    * vector (sign of the shared ×1000 grid — so the binarization point
-    * is identical to every other path's); ranking is exact integers with
-    * deterministic (hamming, neighbor_id) ties through PartialTopK.
+    * the sign bit — see [[binarySigs]] for the packing and its dim ≤ 64
+    * guard), ranked by Hamming distance = `bit_count(xor)` — one ALU op
+    * per candidate, the cheapest possible first-stage scan and the
+    * standard binary-prefilter leg of a two-stage 100 TB serving stack
+    * (its measured recall is a row in the ann_recall_eval harness,
+    * beside the paths it would shortlist for; `ann_topk_binary_refine`
+    * IS that composition). Ranking is exact integers with deterministic
+    * (hamming, neighbor_id) ties through PartialTopK.
     */
   def annTopkBinary(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.functions.PartialTopK.partial_topk
-    val sig = VectorAgg.quantized(spark, dir)
-      .withColumn("sig", expr(
-        "aggregate(zip_with(v, sequence(0, size(v) - 1), " +
-          "(x, i) -> IF(x >= 0L, shiftleft(1L, i), 0L)), 0L, (a, b) -> a + b)"))
-      .select($"vec_id", $"sig")
+    val sig = binarySigs(spark, dir)
     val queriesDf = sig.filter($"vec_id" % 10 === 0)
       .select($"vec_id".as("query_id"), $"sig".as("qs"))
     val cands = sig.select($"vec_id".as("neighbor_id"), $"sig".as("cs"))
@@ -176,10 +193,55 @@ object EmbeddingSq {
       .orderBy($"query_id", $"rank")
   }
 
+  /** §2 `ann_topk_binary_refine`: the documented production composition
+    * of the 1-bit scan — Hamming SHORTLIST (50 deep per query, one ALU
+    * op per candidate over the 32×-compressed signature table) → exact
+    * integer dot re-rank on the shortlist pairs ONLY (≤ 50 raw-vector
+    * touches per query instead of the whole corpus). This is the
+    * [[VectorAgg.annTopkPqRefine]] two-stage discipline on the binary
+    * axis: the solo Hamming row in ann_recall_eval is the honest
+    * cheap-scan recall; this entry is what a 100 TB serving stack
+    * actually runs, and AnnEvalSpec pins its recall well above the solo
+    * row. Both stages flow through the bounded-heap PartialTopK — at
+    * most shortlist-depth rows per (query, partition) ever reach an
+    * exchange.
+    */
+  def annTopkBinaryRefine(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.LongVectorDot.vector_dot
+    import graft.functions.PartialTopK.partial_topk
+    val q = VectorAgg.quantized(spark, dir)
+      // the raw (quantized-integer) vectors: probed by the query side and
+      // the shortlist re-rank; cached so the two touches share one scan
+      .localCheckpoint()
+    val sig = binarySigs(spark, dir)
+    val queriesDf = sig.filter($"vec_id" % 10 === 0)
+      .select($"vec_id".as("query_id"), $"sig".as("qs"))
+    val cands = sig.select($"vec_id".as("neighbor_id"), $"sig".as("cs"))
+    val shortlist = queriesDf.join(cands, $"query_id" =!= $"neighbor_id")
+      .withColumn("hamming", bit_count($"qs".bitwiseXOR($"cs")).cast("long"))
+      .groupBy($"query_id")
+      .agg(partial_topk(struct($"hamming", $"neighbor_id"), 50).as("s"))
+      .select($"query_id", explode($"s.neighbor_id").as("neighbor_id"))
+    shortlist
+      .join(q.select($"vec_id".as("query_id"), $"v".as("qv")), Seq("query_id"))
+      .join(q.select($"vec_id".as("neighbor_id"), $"v".as("nv")), Seq("neighbor_id"))
+      .withColumn("dot", vector_dot($"qv", $"nv"))
+      .groupBy($"query_id")
+      .agg(partial_topk(
+        struct((-$"dot").as("neg_dot"), $"neighbor_id".as("neighbor_id"), $"dot".as("dot")),
+        5).as("topk"))
+      .select($"query_id", posexplode($"topk").as(Seq("pos", "s")))
+      .select($"query_id", ($"pos" + 1).cast("int").as("rank"),
+        $"s.neighbor_id".as("neighbor_id"), $"s.dot".as("dot"))
+      .orderBy($"query_id", $"rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embedding_quantize_int8" -> (embeddingQuantizeInt8 _),
     "ann_topk_sq8"            -> (annTopkSq8 _),
-    "ann_topk_binary"         -> (annTopkBinary _)
+    "ann_topk_binary"         -> (annTopkBinary _),
+    "ann_topk_binary_refine"  -> (annTopkBinaryRefine _)
   )
 
   val oracleSql: Map[String, String] = Map(

@@ -94,7 +94,7 @@ object DumpPlans {
       "agg_winsorized_mean", "events_survival_km", "knn_graph_kcore",
       "ann_topk_binary", "dm_abc_analysis", "etl_pit_join",
       "events_peak_concurrency", "dq_duplicate_payments", "text_novelty",
-      "dq_velocity_screen", "dq_benford_served",
+      "dq_velocity_screen",
       "dq_bot_regularity", "dm_hhi_concentration", "knn_graph_assortativity",
       "rec_coverage_eval", "agg_mad_exact")
 
@@ -103,7 +103,9 @@ object DumpPlans {
     sb.append("What to look for: `PushedFilters`/`ReadSchema` on every scan (pushdown +\n")
     sb.append("pruning), `BroadcastHashJoin` on all dimension joins, `*(n)` whole-stage\n")
     sb.append("codegen spans over the agg pipelines, AQE coalesced shuffle reads.\n\n")
-    picks.foreach { name =>
+    // .distinct: a duplicated pick would emit a duplicate plan section and
+    // inflate the count docs/PLANS.md reports (bit round 10)
+    picks.distinct.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       df.collect() // finalize AQE on this exact plan instance
       sb.append(s"## $name\n\n```\n")
@@ -130,7 +132,7 @@ object DumpPlans {
     }
     Files.createDirectories(Paths.get("docs"))
     Files.writeString(Paths.get("docs/PLANS.md"), sb.toString)
-    println(s"wrote docs/PLANS.md (${picks.size} plans)")
+    println(s"wrote docs/PLANS.md (${picks.distinct.size} plans)")
     spark.stop()
   }
 }
