@@ -226,6 +226,10 @@ object CfIndex {
     import spark.implicits._
     val allListens = spark.read.parquet(s"$indexPath/uic")
       .groupBy($"user_id", $"item_id").agg(sum($"n").as("n")).filter($"n" > 0)
+      // pinned: read by the capping window AND the novelty anti-join —
+      // one ledger aggregation instead of two (the rec_user_topn
+      // one-scan discipline on the serve side)
+      .localCheckpoint()
     val listens = cappedOf(allListens)
     val nb = serveCfNeighbors(spark, indexPath)
       .select($"item_id", $"rec_item_id", $"co_users")

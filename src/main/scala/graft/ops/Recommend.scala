@@ -58,10 +58,18 @@ object Recommend {
     * [[maxItemsPerUser]] tracks per user (deterministic: count desc,
     * track asc).
     */
-  private[graft] def cappedListens(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def cappedListens(spark: SparkSession, dir: String): DataFrame =
+    cappedFrom(listenCounts(spark, dir))
+
+  /** The capping window over an already-built (user, item, n_listens)
+    * profile — split out so [[recUserTopn]] can feed every branch from
+    * ONE materialized listen profile instead of re-deriving it.
+    */
+  private[graft] def cappedFrom(lc: DataFrame): DataFrame = {
+    val spark = lc.sparkSession
     import spark.implicits._
     val wcap = Window.partitionBy($"user_id").orderBy($"n_listens".desc, $"item_id")
-    listenCounts(spark, dir).withColumn("r", row_number().over(wcap))
+    lc.withColumn("r", row_number().over(wcap))
       .filter($"r" <= maxItemsPerUser)
       .select($"user_id", $"item_id")
   }
@@ -70,9 +78,15 @@ object Recommend {
     * user-keyed self-join, cosine over the broadcast audience sizes,
     * rank per track (cosine desc, neighbor id asc).
     */
-  private[graft] def neighbors(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def neighbors(spark: SparkSession, dir: String): DataFrame =
+    neighborsFrom(cappedListens(spark, dir))
+
+  /** The neighbor build over an already-built capped listen set — split
+    * out so [[recUserTopn]]'s one materialized profile feeds it too.
+    */
+  private[graft] def neighborsFrom(listens: DataFrame): DataFrame = {
+    val spark = listens.sparkSession
     import spark.implicits._
-    val listens = cappedListens(spark, dir)
     val nu = listens.groupBy($"item_id").agg(count(lit(1)).as("n_users"))
     val a = listens.select($"user_id", $"item_id".as("a"))
     val b = listens.select($"user_id", $"item_id".as("b"))
@@ -135,13 +149,22 @@ object Recommend {
     */
   def recUserTopn(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val listens = cappedListens(spark, dir)
-    val nb = neighbors(spark, dir).select($"item_id", $"rec_item_id", $"co_users")
+    // ONE fact scan for the whole entry: the listen profile is
+    // materialized once and feeds all three consumers — the capped
+    // window, the neighbor build (through the capped set), and the
+    // full-set novelty anti-join. Before round 11 each branch re-derived
+    // it from lineitem⋈orders (ReusedExchange dedups only identical
+    // subtrees, and the three differed) — three fact scans at 100 TB
+    // where one suffices. The capped set is pinned too: it is probed by
+    // four joins (nu, both self-join sides, the vote join).
+    val lc = listenCounts(spark, dir).localCheckpoint()
+    val listens = cappedFrom(lc).localCheckpoint()
+    val nb = neighborsFrom(listens).select($"item_id", $"rec_item_id", $"co_users")
     val votes = listens.join(nb, Seq("item_id"))
       .groupBy($"user_id", $"rec_item_id")
       .agg(sum($"co_users").as("score"), count(lit(1)).as("n_via"))
     val novel = votes.join(
-      listenCounts(spark, dir).select($"user_id", $"item_id".as("rec_item_id")),
+      lc.select($"user_id", $"item_id".as("rec_item_id")),
       Seq("user_id", "rec_item_id"), "left_anti")
     rankUserVotes(novel).orderBy($"user_id", $"rank")
   }
