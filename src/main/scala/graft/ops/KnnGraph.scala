@@ -710,16 +710,65 @@ object KnnGraph {
     * standard graph-cleaning pass before community/cluster analysis
     * (degree-1 tendrils and isolated pairs inflate component counts and
     * drag label propagation; the core is where the real neighborhood
-    * structure lives). Rows-only; spec pins the result against a
-    * driver-side peeling reference and the ≥ k in-core degree invariant.
+    * structure lives). Round 11: runs on the EXACT mutual edge table —
+    * the same oracle-expressible base as the triangle census and the
+    * assortativity summary — which promotes the entry from rows-only to
+    * hash-gated: the DuckDB oracle unrolls the peeling to
+    * [[kcoreOn]]'s own maxRounds bound (rounds past the fixpoint are
+    * no-ops, so wherever the Spark side converges the two agree
+    * row-for-row). The spec additionally pins the result against a
+    * driver-side peeling reference and the ≥ k in-core degree
+    * invariant.
     */
   def knnGraphKcore(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val knn = withMutual(ivfEdges(spark, dir))
-    val edges = knn.filter($"mutual")
+    val edges = knnGraphExact(spark, dir).filter($"mutual")
       .select($"vec_id".as("a"), $"neighbor_id".as("b"))
       .localCheckpoint() // mutual edges carry both directions already
     kcoreOn(edges, k = 2).orderBy($"vec_id")
+  }
+
+  /** The exact-graph mutual-edge prologue shared by the assortativity
+    * and k-core oracles.
+    */
+  private def mutualCte: String =
+    s"""${LlmQueries.quantizedCte}, scored AS (
+       |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+       |    CAST(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) AS BIGINT) AS dot
+       |  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+       |), ranked AS (
+       |  SELECT vec_id, neighbor_id, dot,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, neighbor_id) AS rank
+       |  FROM scored
+       |), knn AS (
+       |  SELECT * FROM ranked WHERE rank <= $K
+       |), mutual AS (
+       |  SELECT k.vec_id AS a, k.neighbor_id AS b
+       |  FROM knn k JOIN knn m ON m.vec_id = k.neighbor_id AND m.neighbor_id = k.vec_id
+       |)""".stripMargin
+
+  /** Peeling unrolled to the Spark side's maxRounds = 64: round i keeps
+    * nodes with in-round degree ≥ 2 and restricts the edge table to
+    * them. Past the fixpoint every round is the identity, so the
+    * unrolled depth only needs to DOMINATE the true peeling depth —
+    * and 64 is exactly the bound [[kcoreOn]] throws beyond, so any
+    * input the Spark entry accepts, this oracle matches.
+    */
+  val knnGraphKcoreSql: String = {
+    // AS MATERIALIZED is load-bearing: round i references round i−1
+    // three times (the degree census and both endpoint semi-joins), so
+    // DuckDB's default CTE inlining would expand the 64-round chain
+    // 3^64-fold; materializing each round keeps it linear.
+    val rounds = (1 to 64).map { i =>
+      s""", k$i AS MATERIALIZED (SELECT a FROM e${i - 1} GROUP BY a HAVING COUNT(*) >= 2)
+         |, e$i AS MATERIALIZED (
+         |  SELECT e.a, e.b FROM e${i - 1} e
+         |  JOIN k$i x ON e.a = x.a JOIN k$i y ON e.b = y.a)""".stripMargin
+    }.mkString("\n")
+    s"""$mutualCte, e0 AS MATERIALIZED (SELECT a, b FROM mutual)
+       |$rounds
+       |SELECT a AS vec_id, CAST(COUNT(*) AS BIGINT) AS core_degree
+       |FROM e64 GROUP BY a ORDER BY vec_id""".stripMargin
   }
 
   /** Common-neighbor core over a DIRECTED mutual-edge table (each
@@ -832,6 +881,7 @@ object KnnGraph {
     "knn_graph_exact" -> knnGraphExactSql,
     "knn_graph_triangles" -> knnGraphTrianglesSql,
     "knn_graph_link_predict" -> knnGraphLinkPredictSql,
-    "knn_graph_assortativity" -> knnGraphAssortativitySql
+    "knn_graph_assortativity" -> knnGraphAssortativitySql,
+    "knn_graph_kcore" -> knnGraphKcoreSql
   )
 }

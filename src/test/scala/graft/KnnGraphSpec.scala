@@ -217,7 +217,7 @@ class KnnGraphSpec extends SparkSuite {
 
   test("k-core: equals a driver peeling reference; every core degree >= 2") {
     import spark.implicits._
-    val edges = ops.KnnGraph.knnGraphIvf(spark, sf).filter($"mutual")
+    val edges = ops.KnnGraph.knnGraphExact(spark, sf).filter($"mutual")
       .select($"vec_id", $"neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     // driver peeling of the same directed mutual edge set
