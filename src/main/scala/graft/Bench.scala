@@ -91,7 +91,8 @@ object Bench {
     "events_forecast_ses_served", "events_forecast_holt_served",
     "events_autocorr_served", "events_markov_transitions_served",
     "events_value_corr_served", "dq_drift_chi2_served", "sample_token_budget",
-    "events_attribution", "events_attribution_channel", "dq_benford",
+    "events_attribution", "events_attribution_channel",
+    "events_attribution_channel_served", "dq_benford",
     "rec_basket_lift", "knn_graph_link_predict", "sample_importance",
     "text_search_phrase", "text_search_phrase_persisted",
     "knn_graph_cc_star", "events_ab_welch", "etl_schema_evolution",
@@ -182,6 +183,7 @@ object Bench {
     runOnce("events_value_corr_served")
     runOnce("dq_drift_chi2_served")
     runOnce("dq_benford_served")
+    runOnce("events_attribution_channel_served")
 
     val pass1 = headline.map(n => n -> runOnce(n))
     val pass2 = headline.map(n => n -> runOnce(n))

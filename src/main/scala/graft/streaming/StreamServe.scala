@@ -103,11 +103,24 @@ object StreamServe {
     DriftStream.serveBenford(spark, path)
   }
 
+  /** Last-touch channel credits folded through the bucketed-touch
+    * stream (event-id thirds satisfy the per-user event-time delivery
+    * contract) and served from the StateFold rollup — held to the
+    * batch entry's oracle verbatim (round 11, the one analytics family
+    * that lacked a served twin).
+    */
+  def attributionChannelServed(spark: SparkSession, dir: String): DataFrame =
+    AttributionStream.serveChannels(spark,
+      statePathFor(spark, dir, "attribution") { (s, d, p) =>
+        foldInThirds(s, d, (b, i) => AttributionStream.attributionFold(b, p, i))
+      })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_markov_transitions_served" -> (markovServed _),
     "events_value_corr_served"         -> (corrServed _),
     "dq_drift_chi2_served"             -> (driftServed _),
-    "dq_benford_served"                -> (benfordServed _)
+    "dq_benford_served"                -> (benfordServed _),
+    "events_attribution_channel_served" -> (attributionChannelServed _)
   )
 
   /** The batch twins' oracles verbatim — serve-from-state is bit-equal. */
@@ -115,6 +128,8 @@ object StreamServe {
     "events_markov_transitions_served" -> graft.core.EngagementQueries.eventsMarkovTransitionsSql,
     "events_value_corr_served"         -> graft.core.StatsQueries.eventsValueCorrSql,
     "dq_drift_chi2_served"             -> graft.etl.DataQuality.dqDriftChi2Sql,
-    "dq_benford_served"                -> graft.etl.DataQuality.dqBenfordSql
+    "dq_benford_served"                -> graft.etl.DataQuality.dqBenfordSql,
+    "events_attribution_channel_served" ->
+      graft.core.AttributionQueries.eventsAttributionChannelSql
   )
 }
