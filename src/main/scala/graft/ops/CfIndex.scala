@@ -151,6 +151,40 @@ object CfIndex {
     }
   }
 
+  /** GDPR DELETE through the CF ledgers — the [[graft.etl.UserPurge]]
+    * path for the recommendation store: a user's whole contribution to
+    * the index is the +1 net their CURRENT capped set holds in `co`/`nu`
+    * (every append rolled back the previous capped set and asserted the
+    * new one), so deletion is three NEGATED-delta appends — the user's
+    * aggregated `uic` rows with −n, their capped pair expansion with
+    * −1, their item rows with −1. No ledger is read-modify-written, no
+    * other user's rows are touched (cold files stay byte-identical),
+    * and the serve paths' `sum(d) / sum(n)` aggregation makes the user
+    * vanish exactly: serve-after-delete == rebuild-without-user,
+    * spec-pinned. Idempotent: a re-delete sees the user's `uic` sum to
+    * ≤ 0, finds an empty capped set, and appends nothing.
+    */
+  def deleteUsersFromCfIndex(spark: SparkSession, indexPath: String,
+      userIds: Seq[Long], srcBatch: Long = -2L): Unit = {
+    import spark.implicits._
+    val users = userIds.toDF("user_id")
+    val uicU = spark.read.parquet(s"$indexPath/uic")
+      .join(users, Seq("user_id"), "left_semi")
+      .groupBy($"user_id", $"item_id").agg(sum($"n").as("n"))
+      .filter($"n" > 0)
+      .localCheckpoint() // probed by the negation and the capped expansion
+    if (!uicU.isEmpty) {
+      val capped = cappedOf(uicU)
+      uicU.select($"user_id", $"item_id", (-$"n").as("n"))
+        .withColumn("src_batch", lit(srcBatch))
+        .write.mode("append").parquet(s"$indexPath/uic")
+      pairDeltas(capped, -1).withColumn("src_batch", lit(srcBatch))
+        .write.mode("append").parquet(s"$indexPath/co")
+      itemDeltas(capped, -1).withColumn("src_batch", lit(srcBatch))
+        .write.mode("append").parquet(s"$indexPath/nu")
+    }
+  }
+
   /** The neighbor table served from the ledgers alone — one aggregation
     * per ledger, then [[Recommend]]'s exact ranking tail. No fact scan.
     */

@@ -371,6 +371,63 @@ object KnnGraph {
       .repartition(1).write.mode("append").parquet(s"$indexPath/adj")
   }
 
+  /** GDPR DELETE through the persisted graph — the append path's
+    * inverse: every adjacency row touching a deleted vector drops (one
+    * rewrite of the edge-metadata-sized `adj/` table; n·K rows, never
+    * the corpus), deleted seeds leave the seed layer, and the SURVIVORS
+    * that lost an edge re-link by running the SAME beam search against
+    * the cleaned graph and appending bidirectional links to their top-K
+    * results — exactly how a new vector joins, so the graph's
+    * navigability invariant (every member holds ~K live links) is
+    * restored by the machinery that created it. Deleted ids can never
+    * be served afterwards: beam candidates come only from the cleaned
+    * adjacency ∪ cleaned seeds, and the re-link scores against a
+    * corpus view that excludes them. Re-delete is a no-op probe
+    * (nothing in `adj/` or `seeds/` references the ids). Graph ANN is
+    * approximate, so the spec pins containment and navigability — no
+    * deleted id in state or results, orphans re-linked, queries still
+    * k-deep — rather than bit-equality with a from-scratch rebuild.
+    */
+  def deleteFromKnnGraph(spark: SparkSession, dir: String, indexPath: String,
+      vecIds: Seq[Long]): Unit = {
+    import spark.implicits._
+    val adjPath = s"$indexPath/adj"
+    val seedsPath = s"$indexPath/seeds"
+    val adj = spark.read.parquet(adjPath)
+    val seeds = spark.read.parquet(seedsPath)
+    val touched = adj.filter($"src".isin(vecIds: _*) || $"dst".isin(vecIds: _*))
+      .localCheckpoint() // probed for the orphan set and the no-op guard
+    val seedsDirty = !seeds.filter($"node".isin(vecIds: _*)).isEmpty
+    if (touched.isEmpty && !seedsDirty) return // already deleted — no-op
+    // survivors that lost an edge to a deleted node
+    val orphans = touched.filter(!$"dst".isin(vecIds: _*))
+      .select($"dst".as("vec_id")).distinct()
+    val cleaned = adj
+      .filter(!$"src".isin(vecIds: _*) && !$"dst".isin(vecIds: _*))
+      .localCheckpoint() // materialize before overwriting the dir being read
+    cleaned.repartition(1).write.mode("overwrite").parquet(adjPath)
+    if (seedsDirty)
+      seeds.filter(!$"node".isin(vecIds: _*))
+        .localCheckpoint()
+        .coalesce(1).write.mode("overwrite").parquet(seedsPath)
+    val liveSeeds = spark.read.parquet(seedsPath)
+    val q = VectorAgg.quantized(spark, dir)
+    val corpusVec = q.filter(!$"vec_id".isin(vecIds: _*))
+      .select($"vec_id".as("node"), $"v".as("nv"))
+    val newQ = q.join(orphans, Seq("vec_id"), "left_semi")
+      .select($"vec_id".as("query_id"), $"v".as("qv"))
+    val links = beamSearch(newQ, cleaned, liveSeeds, corpusVec)
+      .filter($"rank" <= K)
+      .select($"query_id".as("src"), $"node".as("dst"))
+    val newEdges = links
+      .unionByName(links.select($"dst".as("src"), $"src".as("dst")))
+      .distinct()
+      .join(cleaned, Seq("src", "dst"), "left_anti") // only genuinely new rows
+      .localCheckpoint()
+    if (!newEdges.isEmpty)
+      newEdges.repartition(1).write.mode("append").parquet(adjPath)
+  }
+
   /** Serve the fixed ANN query set from the LOADED graph. */
   def annTopkGraphFromIndex(spark: SparkSession, dir: String, indexPath: String): DataFrame = {
     import spark.implicits._

@@ -979,6 +979,78 @@ object LlmQueries {
     oversized
   }
 
+  /** Drop every row of the given doc_ids from a `tb=`-bucketed posting
+    * table — the shared routine of the tf/BM25 index's DELETE and the
+    * positional index's ([[graft.ops.PhraseSearch]]). The purge's bucket
+    * discipline: ONE column-pruned probe finds the ≤ `postingBuckets`
+    * affected bucket ids, only those rewrite (dynamic partition
+    * overwrite; buckets left EMPTY by the delete have no rows for the
+    * dynamic overwrite to land, so their dirs are removed explicitly),
+    * and untouched buckets keep their files byte-identical. Returns the
+    * affected bucket ids; empty (and zero I/O beyond the probe) when
+    * none of the docs are present — which is what makes a re-delete
+    * idempotent and mtime-stable.
+    */
+  private[graft] def deleteDocsFromBucketedTable(spark: SparkSession,
+      tablePath: String, docIds: Seq[Long], sortCols: Seq[String]): Seq[Int] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    val tbl = spark.read.parquet(tablePath)
+    val affected = tbl.filter(col("doc_id").isin(docIds: _*))
+      .select(col("tb").cast("int")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    if (affected.nonEmpty) {
+      val remaining = tbl.filter(col("tb").isin(affected: _*))
+        .filter(!col("doc_id").isin(docIds: _*))
+        .localCheckpoint() // materialize before overwriting the dirs being read
+      val kept = remaining.select(col("tb").cast("int")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      if (kept.nonEmpty)
+        remaining.repartition(kept.size, col("tb"))
+          .sortWithinPartitions(sortCols.map(col): _*)
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("tb")
+          .parquet(tablePath)
+      affected.filterNot(kept)
+        .foreach(b => fs.delete(new Path(s"$tablePath/tb=$b"), true))
+    }
+    affected
+  }
+
+  /** GDPR DELETE through the persisted inverted index — the
+    * [[graft.etl.UserPurge]] bucket discipline applied to the document
+    * store: the docs' postings vanish from only their ≤ 64 touched
+    * `tb=` buckets ([[deleteDocsFromBucketedTable]]), the norms ledger
+    * rewrites without their rows (corpus-METADATA-sized — 16 bytes/doc),
+    * and the meta ledger gains ONE NEGATIVE correction row (−n_docs,
+    * −total_len): serve already SUMS the ledger, so no
+    * read-modify-write — the CF ledgers' negated-delta device on the
+    * corpus-stats axis. Serve-after-delete is EXACTLY
+    * rebuild-without-docs (same postings, same norms, same ledger
+    * sums → identical BM25/tf scores), spec-pinned; a re-delete finds
+    * no norm rows and no postings and touches nothing.
+    */
+  def deleteFromPostingIndex(spark: SparkSession, indexPath: String,
+      docIds: Seq[Long]): Seq[Int] = {
+    import spark.implicits._
+    val norms = spark.read.parquet(s"$indexPath/norms")
+    val gone = norms.filter($"doc_id".isin(docIds: _*))
+      .agg(count(lit(1)).as("n"), sum($"dl").as("len")).head()
+    if (gone.getLong(0) > 0) {
+      norms.filter(!$"doc_id".isin(docIds: _*))
+        .localCheckpoint() // materialize before overwriting the dir being read
+        .write.mode("overwrite").parquet(s"$indexPath/norms")
+      Seq((-gone.getLong(0), -gone.getLong(1)))
+        .toDF("n_docs", "total_len")
+        .coalesce(1).write.mode("append").parquet(s"$indexPath/meta")
+    }
+    deleteDocsFromBucketedTable(spark, s"$indexPath/postings", docIds,
+      Seq("tb", "term", "doc_id"))
+  }
+
   /** Serve a query from the LOADED posting lists — the corpus text is
     * never read, tokenized, or counted at query time; identical scoring to
     * [[textSearch]], so the persisted entry shares its DuckDB oracle

@@ -101,6 +101,18 @@ object PhraseSearch {
     positionalRows(batch)
       .write.mode("append").partitionBy("tb").parquet(s"$indexPath/positions")
 
+  /** GDPR DELETE for the positional index — the shared bucketed-table
+    * routine ([[LlmQueries.deleteDocsFromBucketedTable]]): only the
+    * docs' touched `tb=` dirs rewrite, cold buckets stay byte-identical,
+    * re-delete is a no-op probe. Positional rows are pure facts, so
+    * delete == rebuild-without-docs by set difference — no ledger
+    * corrections needed. Returns the affected bucket ids.
+    */
+  private[graft] def deleteFromPositionalIndex(spark: SparkSession,
+      indexPath: String, docIds: Seq[Long]): Seq[Int] =
+    LlmQueries.deleteDocsFromBucketedTable(spark, s"$indexPath/positions",
+      docIds, Seq("tb", "term", "doc_id", "pos"))
+
   private val savedIndexes =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
 

@@ -415,9 +415,16 @@ object ScaleDedup {
     */
   def saveBandIndex(spark: SparkSession, dir: String, indexPath: String, watermarkId: Long = 250L): Unit = {
     import spark.implicits._
-    val corpus = Tables.documents(spark, dir)
+    saveBandIndexOf(Tables.documents(spark, dir)
       .select($"doc_id", $"lang", $"text")
-      .filter($"doc_id" <= watermarkId)
+      .filter($"doc_id" <= watermarkId), indexPath)
+  }
+
+  /** Frame-based core of [[saveBandIndex]] (injectable for the
+    * delete == rebuild-without-docs parity spec).
+    */
+  private[graft] def saveBandIndexOf(corpus: DataFrame, indexPath: String): Unit = {
+    import corpus.sparkSession.implicits._
     bandRows(corpus).write.mode("overwrite").parquet(s"$indexPath/bands")
     corpus.select($"doc_id", $"lang", wordSet($"text").as("w"))
       .write.mode("overwrite").parquet(s"$indexPath/wordsets")
@@ -454,11 +461,70 @@ object ScaleDedup {
     val incoming = Tables.documents(spark, dir)
       .select($"doc_id", $"lang", $"text")
       .filter($"doc_id" > watermarkId)
+    val tomb = bandTombstones(spark, indexPath)
     val corpusIndex = spark.read.parquet(s"$indexPath/bands")
       .select($"band", $"band_key", $"doc_id".as("corpus_doc_id"))
+      .join(tomb.select($"doc_id".as("corpus_doc_id")), Seq("corpus_doc_id"), "left_anti")
     val corpusW = spark.read.parquet(s"$indexPath/wordsets")
       .select($"doc_id".as("corpus_doc_id"), $"lang".as("c_lang"), $"w".as("wc"))
+      .join(tomb.select($"doc_id".as("corpus_doc_id")), Seq("corpus_doc_id"), "left_anti")
     bandedIncremental(incoming, corpusIndex, corpusW)
+  }
+
+  /** The band index's tombstone set (empty frame when none). */
+  private def bandTombstones(spark: SparkSession, indexPath: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val p = new Path(s"$indexPath/deleted")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p) && fs.listStatus(p).nonEmpty)
+      spark.read.parquet(p.toString)
+    else Seq.empty[Long].toDF("doc_id")
+  }
+
+  /** GDPR DELETE for the band index — TOMBSTONES, not rewrite: the
+    * docIds land in a `deleted/` side table (only genuinely new ids
+    * append, so a re-delete adds zero bytes), the serve path anti-joins
+    * it on the corpus side of both the bucket and word-set reads, and
+    * `bands/`/`wordsets/` stay byte-identical — the mtime-stable
+    * extreme of the purge discipline, right for an index whose tables
+    * have no doc-keyed partition axis to prune a rewrite to. The
+    * deferred rewrite is [[vacuumBandIndex]] (the CdcStream
+    * vacuumTombstones cadence): serve-after-delete ==
+    * serve-after-vacuum == rebuild-without-docs, spec-pinned.
+    */
+  def deleteFromBandIndex(spark: SparkSession, indexPath: String,
+      docIds: Seq[Long]): Unit = {
+    import spark.implicits._
+    val fresh = docIds.distinct.toDF("doc_id")
+      .join(bandTombstones(spark, indexPath), Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    if (!fresh.isEmpty)
+      fresh.coalesce(1).write.mode("append").parquet(s"$indexPath/deleted")
+  }
+
+  /** Fold the tombstones into the base tables: rewrite `bands/` and
+    * `wordsets/` without the deleted docs' rows, then clear `deleted/`.
+    * Idempotent; serve is bit-identical before and after (the anti-join
+    * and the rewrite remove the same rows). Returns the number of docs
+    * vacuumed.
+    */
+  def vacuumBandIndex(spark: SparkSession, indexPath: String): Long = {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val tomb = bandTombstones(spark, indexPath).localCheckpoint()
+    val n = tomb.count()
+    if (n > 0) {
+      Seq("bands", "wordsets").foreach { sub =>
+        spark.read.parquet(s"$indexPath/$sub")
+          .join(tomb, Seq("doc_id"), "left_anti")
+          .localCheckpoint() // materialize before overwriting the dir being read
+          .write.mode("overwrite").parquet(s"$indexPath/$sub")
+      }
+      val p = new Path(s"$indexPath/deleted")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    n
   }
 
   private val savedBandIndexes =

@@ -1,0 +1,203 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** DELETE propagation through the persisted-index lifecycle — the GDPR
+  * path (etl_user_purge's discipline) extended to the document/vector
+  * stores: every index family's delete op must leave serve-after-delete
+  * equal to rebuild-without-keys (exactly where the index is exact;
+  * containment + navigability where it is approximate), keep cold
+  * buckets byte-identical, and no-op on re-delete.
+  */
+class IndexDeleteSpec extends SparkSuite {
+
+  /** name → lastModified for every data file under a dir. */
+  private def mtimes(root: String): Map[String, Long] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk) else Seq(f)
+    walk(new java.io.File(root))
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getPath -> f.lastModified()).toMap
+  }
+
+  private def rowsOf(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq).toSet
+
+  test("posting index: delete == rebuild-without-docs exactly; cold buckets stable; re-delete no-op") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"lang", $"text")
+    val gone = docs.select($"doc_id").filter($"doc_id" % 11 === 0)
+      .collect().map(_.getLong(0)).toSeq
+    assert(gone.nonEmpty)
+
+    val a = Files.createTempDirectory("graft_pidx_del").toString
+    val b = Files.createTempDirectory("graft_pidx_ref").toString
+    ops.LlmQueries.savePostingIndexOf(docs, a)
+    ops.LlmQueries.savePostingIndexOf(docs.filter(!$"doc_id".isin(gone: _*)), b)
+
+    val pre = mtimes(s"$a/postings")
+    val affected = ops.LlmQueries.deleteFromPostingIndex(spark, a, gone)
+    assert(affected.nonEmpty, "docs were indexed — some buckets must rewrite")
+
+    // table-level: postings and norms equal the rebuilt index as SETS;
+    // meta equal as SUMS (the only thing serve reads)
+    assert(rowsOf(spark.read.parquet(s"$a/postings").select($"doc_id", $"term", $"tf")) ==
+      rowsOf(spark.read.parquet(s"$b/postings").select($"doc_id", $"term", $"tf")))
+    assert(rowsOf(spark.read.parquet(s"$a/norms")) == rowsOf(spark.read.parquet(s"$b/norms")))
+    def metaSums(p: String) = spark.read.parquet(s"$p/meta")
+      .agg(sum($"n_docs"), sum($"total_len")).head()
+    assert(metaSums(a) == metaSums(b), "meta ledger sums must match the rebuild")
+
+    // serve-level: both the tf and the BM25 serve paths agree bit-for-bit
+    val terms = Seq("data", "model", "training", "quality")
+    assert(ops.LlmQueries.textSearchFromIndex(spark, a, terms).collect().map(_.toSeq).toSeq ==
+      ops.LlmQueries.textSearchFromIndex(spark, b, terms).collect().map(_.toSeq).toSeq)
+    assert(ops.Bm25.textSearchBm25FromIndex(spark, a, terms).collect().map(_.toSeq).toSeq ==
+      ops.Bm25.textSearchBm25FromIndex(spark, b, terms).collect().map(_.toSeq).toSeq)
+
+    // cold buckets: every file in an UNAFFECTED tb= dir is byte-stable
+    val affectedDirs = affected.map(i => s"tb=$i").toSet
+    val post = mtimes(s"$a/postings")
+    pre.filter { case (f, _) => !affectedDirs.exists(f.contains) }
+      .foreach { case (f, m) =>
+        assert(post.get(f).contains(m), s"cold bucket file rewritten: $f") }
+
+    // idempotent re-delete: zero affected buckets, zero file churn
+    val stable = mtimes(a)
+    assert(ops.LlmQueries.deleteFromPostingIndex(spark, a, gone).isEmpty)
+    assert(mtimes(a) == stable, "re-delete touched index files")
+  }
+
+  test("positional index: delete drops the docs' rows, cold buckets stable") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"lang", $"text")
+    val gone = docs.select($"doc_id").filter($"doc_id" % 13 === 0)
+      .collect().map(_.getLong(0)).toSeq
+    val p = Files.createTempDirectory("graft_posidx_del").toString
+    ops.PhraseSearch.savePositionalIndex(spark, sf, p)
+    val before = spark.read.parquet(s"$p/positions")
+    assert(!before.filter($"doc_id".isin(gone: _*)).isEmpty)
+    val keptBefore = rowsOf(before.filter(!$"doc_id".isin(gone: _*))
+      .select($"doc_id", $"term", $"pos"))
+    val affected = ops.PhraseSearch.deleteFromPositionalIndex(spark, p, gone)
+    assert(affected.nonEmpty)
+    val after = spark.read.parquet(s"$p/positions")
+    assert(after.filter($"doc_id".isin(gone: _*)).isEmpty, "deleted rows survived")
+    assert(rowsOf(after.select($"doc_id", $"term", $"pos")) == keptBefore,
+      "surviving rows must be untouched")
+    val stable = mtimes(p)
+    assert(ops.PhraseSearch.deleteFromPositionalIndex(spark, p, gone).isEmpty)
+    assert(mtimes(p) == stable)
+  }
+
+  test("cf ledgers: delete-user == rebuild-without-user exactly; negated deltas only; re-delete no-op") {
+    import spark.implicits._
+    val li  = Tables.lineitem(spark, sf).select($"l_orderkey", $"l_partkey")
+    val ord = Tables.orders(spark, sf).select($"o_orderkey", $"o_custkey")
+    val listens = li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .select($"o_custkey".as("user_id"), $"l_partkey".as("item_id"))
+      .localCheckpoint()
+    val users = listens.select($"user_id").distinct()
+      .orderBy($"user_id").limit(3).collect().map(_.getLong(0)).toSeq
+
+    val a = Files.createTempDirectory("graft_cf_del").toString
+    val b = Files.createTempDirectory("graft_cf_ref").toString
+    ops.CfIndex.saveCfIndex(listens, a)
+    ops.CfIndex.saveCfIndex(listens.filter(!$"user_id".isin(users: _*)), b)
+
+    val coFilesBefore = mtimes(s"$a/co")
+    ops.CfIndex.deleteUsersFromCfIndex(spark, a, users)
+    // append-only: every pre-delete ledger file is byte-identical
+    mtimes(s"$a/co").filterKeys(coFilesBefore.contains).foreach { case (f, m) =>
+      assert(coFilesBefore(f) == m, s"delete rewrote a ledger file: $f") }
+
+    assert(ops.CfIndex.serveCfNeighbors(spark, a).collect().map(_.toSeq).toSeq ==
+      ops.CfIndex.serveCfNeighbors(spark, b).collect().map(_.toSeq).toSeq,
+      "neighbor serve after delete must equal rebuild-without-users")
+    assert(ops.CfIndex.serveCfUserTopn(spark, a).collect().map(_.toSeq).toSeq ==
+      ops.CfIndex.serveCfUserTopn(spark, b).collect().map(_.toSeq).toSeq,
+      "recommendation serve after delete must equal rebuild-without-users")
+
+    // idempotent: a second delete appends nothing
+    val stable = mtimes(a)
+    ops.CfIndex.deleteUsersFromCfIndex(spark, a, users)
+    assert(mtimes(a) == stable, "re-delete appended ledger rows")
+  }
+
+  test("band index: tombstone delete == rebuild-without-docs; base tables mtime-stable; vacuum folds") {
+    import spark.implicits._
+    val corpus = Tables.documents(spark, sf)
+      .select($"doc_id", $"lang", $"text").filter($"doc_id" <= 250L)
+    // delete docs that ARE candidate containers for the incoming batch so
+    // the check is non-vacuous: take corpus docs the pre-delete serve hits
+    val a = Files.createTempDirectory("graft_band_del").toString
+    val b = Files.createTempDirectory("graft_band_ref").toString
+    ops.ScaleDedup.saveBandIndexOf(corpus, a)
+    val preServe = ops.ScaleDedup.dedupIncrementalBandedFromIndex(spark, sf, a)
+    val hit = preServe.select($"corpus_doc_id").distinct().limit(2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(hit.nonEmpty, "fixture vacuous: no incoming doc matches the corpus index")
+    ops.ScaleDedup.saveBandIndexOf(corpus.filter(!$"doc_id".isin(hit: _*)), b)
+
+    val baseFiles = mtimes(s"$a/bands") ++ mtimes(s"$a/wordsets")
+    ops.ScaleDedup.deleteFromBandIndex(spark, a, hit)
+    assert((mtimes(s"$a/bands") ++ mtimes(s"$a/wordsets")) == baseFiles,
+      "tombstone delete must not rewrite base tables")
+
+    val want = ops.ScaleDedup.dedupIncrementalBandedFromIndex(spark, sf, b)
+      .collect().map(_.toSeq).toSeq
+    assert(ops.ScaleDedup.dedupIncrementalBandedFromIndex(spark, sf, a)
+      .collect().map(_.toSeq).toSeq == want,
+      "tombstoned serve must equal rebuild-without-docs")
+
+    // re-delete appends no tombstones
+    val tombFiles = mtimes(a)
+    ops.ScaleDedup.deleteFromBandIndex(spark, a, hit)
+    assert(mtimes(a) == tombFiles, "re-delete appended tombstones")
+
+    // vacuum folds the tombstones in and serve is unchanged
+    assert(ops.ScaleDedup.vacuumBandIndex(spark, a) == hit.length.toLong)
+    assert(ops.ScaleDedup.dedupIncrementalBandedFromIndex(spark, sf, a)
+      .collect().map(_.toSeq).toSeq == want, "vacuum changed the serve")
+    assert(ops.ScaleDedup.vacuumBandIndex(spark, a) == 0L, "vacuum not idempotent")
+  }
+
+  test("knn graph: deleted ids vanish from state and results; orphans re-link; queries stay k-deep") {
+    import spark.implicits._
+    val p = Files.createTempDirectory("graft_graph_del").toString
+    ops.KnnGraph.saveKnnGraph(spark, sf, p)
+    val adj0 = spark.read.parquet(s"$p/adj")
+    // delete well-connected non-query nodes so orphans + serve both exercise
+    val gone = adj0.groupBy($"src").agg(count(lit(1)).as("d"))
+      .filter($"src" % 10 =!= 0).orderBy($"d".desc, $"src").limit(3)
+      .collect().map(_.getLong(0)).toSeq
+    val orphans = adj0.filter($"src".isin(gone: _*))
+      .filter(!$"dst".isin(gone: _*))
+      .select($"dst").distinct().collect().map(_.getLong(0)).toSet
+    assert(orphans.nonEmpty)
+
+    ops.KnnGraph.deleteFromKnnGraph(spark, sf, p, gone)
+    val adj1 = spark.read.parquet(s"$p/adj")
+    assert(adj1.filter($"src".isin(gone: _*) || $"dst".isin(gone: _*)).isEmpty,
+      "deleted ids still present in adjacency")
+    assert(spark.read.parquet(s"$p/seeds").filter($"node".isin(gone: _*)).isEmpty,
+      "deleted ids still present in seeds")
+    // every orphan re-linked (navigability restored by the beam)
+    val linked = adj1.select($"src").distinct().collect().map(_.getLong(0)).toSet
+    orphans.foreach(o => assert(linked(o), s"orphan $o left without edges"))
+
+    val served = ops.KnnGraph.annTopkGraphFromIndex(spark, sf, p)
+    assert(served.filter($"neighbor_id".isin(gone: _*)).isEmpty,
+      "a deleted id was served")
+    // k-deep: every query still returns 5 ranked hits
+    val depths = served.groupBy($"query_id").agg(count(lit(1)).as("n"))
+    assert(depths.filter($"n" =!= 5).isEmpty, "a query lost result depth")
+
+    // idempotent re-delete: nothing references the ids → zero churn
+    val stable = mtimes(p)
+    ops.KnnGraph.deleteFromKnnGraph(spark, sf, p, gone)
+    assert(mtimes(p) == stable, "re-delete touched graph files")
+  }
+}
