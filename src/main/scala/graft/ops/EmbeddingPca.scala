@@ -298,6 +298,23 @@ object EmbeddingPca {
       .write.mode("overwrite").parquet(s"$indexPath/projected")
   }
 
+  /** GDPR DELETE for the PCA index — the [[VectorAgg.deleteFromIvfPqIndex]]
+    * shape: the ids' rows drop from the `projected/` table (the
+    * `components/` model holds no per-vector rows and stays
+    * byte-identical); idempotent, returns rows removed.
+    */
+  def deleteFromPcaIndex(spark: SparkSession, indexPath: String,
+      vecIds: Seq[Long]): Long = {
+    import spark.implicits._
+    val proj = spark.read.parquet(s"$indexPath/projected")
+    val n = proj.filter($"vec_id".isin(vecIds: _*)).count()
+    if (n > 0)
+      proj.filter(!$"vec_id".isin(vecIds: _*))
+        .localCheckpoint() // materialize before overwriting the dir being read
+        .write.mode("overwrite").parquet(s"$indexPath/projected")
+    n
+  }
+
   /** Append a batch of NEW vectors to an existing PCA index — the
     * maintenance half of the continuous-ingestion loop, exactly
     * [[ScaleDedup.appendToBandIndex]]'s contract: project the batch with

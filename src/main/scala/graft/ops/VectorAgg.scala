@@ -545,6 +545,27 @@ object VectorAgg {
       .write.mode("append").parquet(s"$indexPath/lists")
   }
 
+  /** GDPR DELETE for the IVF-PQ index — FAISS `remove_ids` semantics:
+    * the ids' inverted-list rows drop (ONE rewrite of the
+    * 32×-compressed `lists/` table — the model tables `cells/` and
+    * `codebook/` hold no per-vector rows and stay byte-identical), so
+    * a deleted vector can never be a candidate again; appends keep
+    * encoding through the SAVED model afterwards. Idempotent: a
+    * re-delete finds no matching rows and touches nothing. Returns the
+    * number of list rows removed.
+    */
+  def deleteFromIvfPqIndex(spark: SparkSession, indexPath: String,
+      vecIds: Seq[Long]): Long = {
+    import spark.implicits._
+    val lists = spark.read.parquet(s"$indexPath/lists")
+    val n = lists.filter($"neighbor_id".isin(vecIds: _*)).count()
+    if (n > 0)
+      lists.filter(!$"neighbor_id".isin(vecIds: _*))
+        .localCheckpoint() // materialize before overwriting the dir being read
+        .write.mode("overwrite").parquet(s"$indexPath/lists")
+    n
+  }
+
   /** IVF-PQ ANN served ENTIRELY from the persisted index tables: the
     * query side ranks cells against the loaded centroids and builds its
     * ADC table from the loaded codebook (both tiny → broadcast as the

@@ -164,6 +164,41 @@ class IndexDeleteSpec extends SparkSuite {
     assert(ops.ScaleDedup.vacuumBandIndex(spark, a) == 0L, "vacuum not idempotent")
   }
 
+  test("compression indexes: list/projection rows drop, models untouched, serve excludes ids, re-delete no-op") {
+    import spark.implicits._
+    val gone = Seq(3L, 17L, 42L)
+
+    val pq = Files.createTempDirectory("graft_ivfpq_del").toString
+    ops.VectorAgg.saveIvfPqIndex(spark, sf, pq)
+    val keepBefore = rowsOf(spark.read.parquet(s"$pq/lists")
+      .filter(!$"neighbor_id".isin(gone: _*)))
+    val models = mtimes(s"$pq/cells") ++ mtimes(s"$pq/codebook")
+    assert(ops.VectorAgg.deleteFromIvfPqIndex(spark, pq, gone) == gone.length.toLong)
+    assert(rowsOf(spark.read.parquet(s"$pq/lists")) == keepBefore,
+      "lists must lose exactly the ids' rows")
+    assert((mtimes(s"$pq/cells") ++ mtimes(s"$pq/codebook")) == models,
+      "delete touched a model table")
+    assert(ops.VectorAgg.annTopkIvfPqFromIndex(spark, sf, pq)
+      .filter($"neighbor_id".isin(gone: _*)).isEmpty, "a deleted id was served")
+    val pqStable = mtimes(pq)
+    assert(ops.VectorAgg.deleteFromIvfPqIndex(spark, pq, gone) == 0L)
+    assert(mtimes(pq) == pqStable, "re-delete rewrote lists")
+
+    val pca = Files.createTempDirectory("graft_pca_del").toString
+    ops.EmbeddingPca.savePcaIndex(spark, sf, pca)
+    val projBefore = rowsOf(spark.read.parquet(s"$pca/projected")
+      .filter(!$"vec_id".isin(gone: _*)))
+    val comps = mtimes(s"$pca/components")
+    assert(ops.EmbeddingPca.deleteFromPcaIndex(spark, pca, gone) == gone.length.toLong)
+    assert(rowsOf(spark.read.parquet(s"$pca/projected")) == projBefore)
+    assert(mtimes(s"$pca/components") == comps, "delete touched the basis")
+    assert(ops.EmbeddingPca.annTopkPcaFromIndex(spark, sf, pca)
+      .filter($"neighbor_id".isin(gone: _*)).isEmpty, "a deleted id was served")
+    val pcaStable = mtimes(pca)
+    assert(ops.EmbeddingPca.deleteFromPcaIndex(spark, pca, gone) == 0L)
+    assert(mtimes(pca) == pcaStable)
+  }
+
   test("knn graph: deleted ids vanish from state and results; orphans re-link; queries stay k-deep") {
     import spark.implicits._
     val p = Files.createTempDirectory("graft_graph_del").toString
