@@ -95,7 +95,7 @@ object Bench {
     "events_attribution_channel_served", "dq_benford",
     "rec_basket_lift", "knn_graph_link_predict", "sample_importance",
     "text_search_phrase", "text_search_phrase_persisted",
-    "knn_graph_cc_star", "events_ab_welch", "etl_schema_evolution",
+    "knn_graph_cc_star", "events_ab_welch", "etl_schema_evolution", "ann_topk_binary_refine",
     "dq_benford_served", "asof_join_nearest", "sample_temperature",
     "embedding_outliers", "dm_grouping_sets",
     "churn_train_lr", "churn_score_lr", "dm_top_movers",

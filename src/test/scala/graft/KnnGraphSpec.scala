@@ -135,9 +135,9 @@ class KnnGraphSpec extends SparkSuite {
     assert(got.values.toSet.size > 1)
   }
 
-  test("clusters = union-find over the IVF graph's mutual edges; keeper is the component min") {
+  test("clusters = union-find over the exact graph's mutual edges; keeper is the component min") {
     import spark.implicits._
-    val knn = ops.KnnGraph.knnGraphIvf(spark, sf)
+    val knn = ops.KnnGraph.knnGraphExact(spark, sf)
       .filter($"mutual" && $"vec_id" < $"neighbor_id")
       .select($"vec_id", $"neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
