@@ -224,7 +224,11 @@ object KnnGraph {
     */
   def knnGraphPagerank(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val edges = ivfEdges(spark, dir).select($"vec_id".as("src"), $"neighbor_id".as("dst"))
+    // r11: exact directed edge base (the graph-analytics family's shared
+    // pinned graph) — which, because the recurrence is exact integer
+    // arithmetic, makes even iterative CENTRALITY hash-gated: the DuckDB
+    // oracle unrolls the same 8 rounds over the same edges
+    val edges = exactGraphOf(spark, dir).select($"vec_id".as("src"), $"neighbor_id".as("dst"))
     val outDeg = edges.groupBy($"src").agg(count(lit(1)).as("out"))
     val edgesDeg = edges.join(outDeg, Seq("src")).localCheckpoint()
     val nodes = VectorAgg.quantized(spark, dir).select($"vec_id").localCheckpoint()
@@ -244,6 +248,51 @@ object KnnGraph {
         .localCheckpoint()
     }
     ranks.select($"vec_id", $"r".as("rank_scaled")).orderBy($"vec_id")
+  }
+
+  /** The PageRank recurrence mirrored in DuckDB — possible ONLY because
+    * the Spark side runs in exact integer arithmetic (floor-division
+    * shares and damping): 8 rounds unroll as MATERIALIZED CTEs (the
+    * kcore discipline — each round references the previous one through
+    * a join and would otherwise inline exponentially), every round ONE
+    * share join + ONE grouped sum + the teleport-base rebuild, all
+    * BIGINT (each SUM cast immediately — the §5 HUGEINT rule). Same
+    * edges (the exact directed kNN graph), same constants, same
+    * truncation points ⇒ hash-identical ranks.
+    */
+  val knnGraphPagerankSql: String = {
+    val rounds = (1 to PrIters).map { i =>
+      s""", inc$i AS MATERIALIZED (
+         |  SELECT k.neighbor_id AS vec_id,
+         |    CAST(SUM(r.r // d.outd) AS BIGINT) AS in_mass
+         |  FROM knn k
+         |  JOIN pr${i - 1} r ON r.vec_id = k.vec_id
+         |  JOIN deg d ON d.vec_id = k.vec_id
+         |  GROUP BY k.neighbor_id)
+         |, pr$i AS MATERIALIZED (
+         |  SELECT nn.vec_id,
+         |    CAST(((3 * $PrScale // 20) // cnt.nv)
+         |      + (17 * COALESCE(i.in_mass, 0)) // 20 AS BIGINT) AS r
+         |  FROM n nn CROSS JOIN cnt LEFT JOIN inc$i i ON i.vec_id = nn.vec_id)""".stripMargin
+    }.mkString("\n")
+    s"""${LlmQueries.quantizedCte}, scored AS (
+       |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+       |    CAST(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) AS BIGINT) AS dot
+       |  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+       |), ranked AS (
+       |  SELECT vec_id, neighbor_id, dot,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, neighbor_id) AS rank
+       |  FROM scored
+       |), knn AS MATERIALIZED (
+       |  SELECT vec_id, neighbor_id FROM ranked WHERE rank <= $K
+       |), cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nv FROM n)
+       |, deg AS MATERIALIZED (
+       |  SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS outd FROM knn GROUP BY vec_id
+       |), pr0 AS MATERIALIZED (
+       |  SELECT nn.vec_id, CAST($PrScale // cnt.nv AS BIGINT) AS r
+       |  FROM n nn CROSS JOIN cnt)
+       |$rounds
+       |SELECT vec_id, r AS rank_scaled FROM pr$PrIters ORDER BY vec_id""".stripMargin
   }
 
   private val BeamWidth = 8
@@ -1003,6 +1052,7 @@ object KnnGraph {
     "knn_graph_assortativity" -> knnGraphAssortativitySql,
     "knn_graph_kcore" -> knnGraphKcoreSql,
     "knn_graph_clusters" -> knnGraphCcSql,
-    "knn_graph_cc_star" -> knnGraphCcSql
+    "knn_graph_cc_star" -> knnGraphCcSql,
+    "knn_graph_pagerank" -> knnGraphPagerankSql
   )
 }

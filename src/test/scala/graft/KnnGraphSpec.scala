@@ -107,7 +107,7 @@ class KnnGraphSpec extends SparkSuite {
 
   test("pagerank equals the single-threaded integer reference rank-for-rank; mass bounded") {
     import spark.implicits._
-    val edges = ops.KnnGraph.knnGraphIvf(spark, sf)
+    val edges = ops.KnnGraph.knnGraphExact(spark, sf)
       .select($"vec_id", $"neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     val nodes = ops.VectorAgg.quantized(spark, sf)
