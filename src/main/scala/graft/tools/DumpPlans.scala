@@ -96,7 +96,9 @@ object DumpPlans {
       "events_peak_concurrency", "dq_duplicate_payments", "text_novelty",
       "dq_velocity_screen",
       "dq_bot_regularity", "dm_hhi_concentration", "knn_graph_assortativity",
-      "rec_coverage_eval", "agg_mad_exact")
+      "rec_coverage_eval", "agg_mad_exact",
+      "ann_topk_binary_refine", "events_attribution_channel_served",
+      "knn_graph_clusters", "knn_graph_pagerank")
 
     val sb = new StringBuilder
     sb.append("# Executed plans (generated by graft.tools.DumpPlans at " + sfDir + ")\n\n")

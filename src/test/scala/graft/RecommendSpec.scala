@@ -125,6 +125,23 @@ class RecommendSpec extends SparkSuite {
         df.queryExecution.executedPlan.toString)
   }
 
+  test("one fact scan: rec_user_topn's plan reads facts only through the pinned profile (round-11)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // the entry materializes the listen profile once (eager
+    // localCheckpoint) and feeds the capped window, the neighbor build,
+    // and the novelty anti-join from it — so the FINAL executed plan
+    // must contain ZERO file scans of the fact tables (all three
+    // branches read the checkpointed profile; before round 11 the plan
+    // carried three separate lineitem⋈orders derivations)
+    val df = ops.Recommend.recUserTopn(spark, sf)
+    df.collect() // finalize AQE
+    val factScans = tools.PlanWalk.flatten(df.queryExecution.executedPlan)
+      .collect { case f: FileSourceScanExec => f.toString }
+      .filter(s => s.contains("lineitem") || s.contains("orders"))
+    assert(factScans.isEmpty,
+      s"fact tables scanned outside the pinned profile:\n${factScans.mkString("\n")}")
+  }
+
   test("novelty holds past the power-listener cap (round-10 fix)") {
     import spark.implicits._
     // user 1 listens to 205 distinct items — items 201..205 fall OUTSIDE
