@@ -992,30 +992,41 @@ object LlmQueries {
     * idempotent and mtime-stable.
     */
   private[graft] def deleteDocsFromBucketedTable(spark: SparkSession,
-      tablePath: String, docIds: Seq[Long], sortCols: Seq[String]): Seq[Int] = {
+      tablePath: String, docIds: Seq[Long], sortCols: Seq[String]): Seq[Int] =
+    deleteKeysFromPartitionedTable(spark, tablePath, "doc_id", "tb", docIds, sortCols)
+
+  /** The general form: drop every row whose `keyCol` is in `keys` from a
+    * `partCol=`-partitioned table — shared by the tf/BM25 and positional
+    * posting indexes (doc_id / tb) and the z-order layout's user purge
+    * (user_id / cell, where z-ordering itself is what keeps one user's
+    * rows clustered into few cells).
+    */
+  private[graft] def deleteKeysFromPartitionedTable(spark: SparkSession,
+      tablePath: String, keyCol: String, partCol: String, keys: Seq[Long],
+      sortCols: Seq[String]): Seq[Int] = {
     import org.apache.hadoop.fs.Path
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return Seq.empty
     val tbl = spark.read.parquet(tablePath)
-    val affected = tbl.filter(col("doc_id").isin(docIds: _*))
-      .select(col("tb").cast("int")).distinct()
+    val affected = tbl.filter(col(keyCol).isin(keys: _*))
+      .select(col(partCol).cast("int")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
     if (affected.nonEmpty) {
-      val remaining = tbl.filter(col("tb").isin(affected: _*))
-        .filter(!col("doc_id").isin(docIds: _*))
+      val remaining = tbl.filter(col(partCol).isin(affected: _*))
+        .filter(!col(keyCol).isin(keys: _*))
         .localCheckpoint() // materialize before overwriting the dirs being read
-      val kept = remaining.select(col("tb").cast("int")).distinct()
+      val kept = remaining.select(col(partCol).cast("int")).distinct()
         .collect().map(_.getInt(0)).toSet
       if (kept.nonEmpty)
-        remaining.repartition(kept.size, col("tb"))
+        remaining.repartition(kept.size, col(partCol))
           .sortWithinPartitions(sortCols.map(col): _*)
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("tb")
+          .partitionBy(partCol)
           .parquet(tablePath)
       affected.filterNot(kept)
-        .foreach(b => fs.delete(new Path(s"$tablePath/tb=$b"), true))
+        .foreach(b => fs.delete(new Path(s"$tablePath/$partCol=$b"), true))
     }
     affected
   }

@@ -175,6 +175,23 @@ object ZorderLayout {
       .select($"event_id", $"user_id", $"sec")
   }
 
+  /** GDPR purge through the persisted layout — the etl_user_purge bucket
+    * discipline on the cell axis, and the place z-ordering itself pays
+    * off for deletion: one user's rows cluster into the few cells along
+    * their user-coordinate row of the grid, so the probe finds ≤ that
+    * many `cell=` dirs and only they rewrite (emptied dirs removed,
+    * cold cells byte-identical, idempotent re-delete — the shared
+    * [[LlmQueries.deleteKeysFromPartitionedTable]] routine). The
+    * `_cellstats` prune boxes stay UNTOUCHED and stay sound: deletion
+    * only shrinks a cell's true bounding box, and an over-wide box can
+    * only under-prune, never lose a row — the same one-sided contract
+    * appends rely on; the periodic re-layout reclaims the slack.
+    */
+  def deleteUsersFromZorderLayout(spark: SparkSession, path: String,
+      userIds: Seq[Long]): Seq[Int] =
+    LlmQueries.deleteKeysFromPartitionedTable(spark, path, "user_id", "cell",
+      userIds, Seq("cell", "z", "event_id"))
+
   /** Equi-depth variant over any two long columns — the skew-robust
     * normalization [[layoutZorder]]'s equi-width grid lacks: under a
     * heavy-tailed dim (a Zipf user, a bursty time axis) equi-width packs

@@ -199,6 +199,50 @@ class IndexDeleteSpec extends SparkSuite {
     assert(mtimes(pca) == pcaStable)
   }
 
+  test("zorder layout: user purge rewrites only the user's cells; pruned scan == oracle-minus-user") {
+    import spark.implicits._
+    val p = Files.createTempDirectory("graft_zorder_del").toString
+    ops.ZorderLayout.writeZorderLayout(spark, sf, p)
+    val gone = Seq(5L) // inside the fixed query band, so the serve check bites
+    val before = spark.read.parquet(p)
+    assert(!before.filter($"user_id".isin(gone: _*)).isEmpty)
+    val keptBefore = rowsOf(before.filter(!$"user_id".isin(gone: _*))
+      .select($"event_id", $"user_id", $"sec"))
+    val boxesBefore = mtimes(s"$p/_cellstats") ++ mtimes(s"$p/_stats")
+    val pre = mtimes(p)
+
+    val affected = ops.ZorderLayout.deleteUsersFromZorderLayout(spark, p, gone)
+    assert(affected.nonEmpty)
+    // z-ordering clusters one user into few cells: the purge must not
+    // have rewritten the whole 256-cell layout
+    assert(affected.size < 64, s"purge touched ${affected.size} cells")
+    val after = spark.read.parquet(p)
+    assert(after.filter($"user_id".isin(gone: _*)).isEmpty, "purged rows survived")
+    assert(rowsOf(after.select($"event_id", $"user_id", $"sec")) == keptBefore)
+    // prune boxes untouched (stale-but-sound contract), cold cells stable
+    assert((mtimes(s"$p/_cellstats") ++ mtimes(s"$p/_stats")) == boxesBefore)
+    val affectedDirs = affected.map(i => s"cell=$i").toSet
+    val post = mtimes(p)
+    pre.filter { case (f, _) =>
+      !affectedDirs.exists(f.contains) && !f.contains("_cellstats") && !f.contains("_stats") }
+      .foreach { case (f, m) =>
+        assert(post.get(f).contains(m), s"cold cell rewritten: $f") }
+
+    // the pruned serve path equals the full-scan truth minus the user
+    val (uLo, uHi, sLo, sHi) = (3L, 7L, 1704500000L, 1705100000L)
+    val want = rowsOf(Tables.events(spark, sf)
+      .select($"event_id", $"user_id", $"ts".cast("long").as("sec"))
+      .filter($"user_id".between(uLo, uHi) && $"sec".between(sLo, sHi))
+      .filter(!$"user_id".isin(gone: _*)))
+    assert(rowsOf(ops.ZorderLayout.prunedRangeScan(spark, p, uLo, uHi, sLo, sHi)) == want,
+      "pruned scan after purge must equal the oracle without the user")
+
+    // idempotent re-delete
+    val stable = mtimes(p)
+    assert(ops.ZorderLayout.deleteUsersFromZorderLayout(spark, p, gone).isEmpty)
+    assert(mtimes(p) == stable)
+  }
+
   test("knn graph: deleted ids vanish from state and results; orphans re-link; queries stay k-deep") {
     import spark.implicits._
     val p = Files.createTempDirectory("graft_graph_del").toString
