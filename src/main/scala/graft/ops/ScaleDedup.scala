@@ -111,6 +111,28 @@ object ScaleDedup {
       .select($"doc_id" +: carryCols :+ $"bk.band" :+ $"bk.band_key": _*)
   }
 
+  /** Session-lifetime cache of the RAW-corpus verified keeper table —
+    * the kmeansCells/indexCache discipline on the dedup axis: at
+    * production scale the cluster assignment is an artifact of the
+    * landing job (the band index is already a persisted table; the
+    * verified components are its companion), and every downstream
+    * consumer — the keeper entry, soft weights, the leak-proof split —
+    * READS it rather than re-running LSH → exact-verify → CC per query.
+    * Before round 11 three bench entries each paid the full ~15 s
+    * clustering on the identical raw corpus.
+    */
+  private val verifiedKeepersCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private[graft] def verifiedKeepersFor(spark: SparkSession, dir: String): DataFrame =
+    verifiedKeepersCache.synchronized {
+      verifiedKeepersCache.getOrElseUpdate((spark, dir), {
+        val docs = Tables.documents(spark, dir)
+        minhashVerifiedKeepers(docs, bandRows(docs).localCheckpoint())
+          .localCheckpoint()
+      })
+    }
+
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
@@ -120,7 +142,7 @@ object ScaleDedup {
     val maxBucket = bands.join(bucketSize, Seq("band", "band_key"))
       .groupBy($"doc_id")
       .agg(max($"bucket_size").as("max_bucket"))
-    minhashVerifiedKeepers(docs, bands)
+    verifiedKeepersFor(spark, dir)
       .join(maxBucket, Seq("doc_id"))
       .filter($"doc_id" =!= $"keeper_doc_id")
       .select($"doc_id", $"keeper_doc_id", $"max_bucket")
@@ -211,8 +233,7 @@ object ScaleDedup {
     */
   def dedupSoftWeights(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables.documents(spark, dir)
-    val keepers = minhashVerifiedKeepers(docs, bandRows(docs).localCheckpoint())
+    val keepers = verifiedKeepersFor(spark, dir) // shared cluster artifact
     val sizes = keepers.groupBy($"keeper_doc_id").agg(count(lit(1)).as("cluster_size"))
     keepers.join(sizes, Seq("keeper_doc_id"))
       .withColumn("weight", lit(1.0) / $"cluster_size".cast("double"))
@@ -719,7 +740,7 @@ object ScaleDedup {
     */
   def splitTrainHoldout(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    splitAssignments(Tables.documents(spark, dir))
+    splitAssignmentsWith(Tables.documents(spark, dir), verifiedKeepersFor(spark, dir))
       .groupBy($"source", $"split")
       .agg(count(lit(1)).as("n_docs"),
         countDistinct($"keeper").as("n_clusters"))
@@ -799,8 +820,20 @@ object ScaleDedup {
     val withLang =
       if (docs.columns.contains("lang")) docs
       else docs.withColumn("lang", lit("und"))
+    splitAssignmentsWith(docs,
+      minhashVerifiedKeepers(withLang, bandRows(withLang).localCheckpoint()))
+  }
+
+  /** The split decision over an already-built keeper table — so the §2
+    * entry reads the session's shared cluster artifact
+    * ([[verifiedKeepersFor]]) instead of re-running LSH+verify+CC,
+    * while the spec's synthetic-frame path ([[splitAssignments]]) still
+    * derives keepers from whatever corpus it plants.
+    */
+  private[graft] def splitAssignmentsWith(docs: DataFrame, keepers: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
     docs.select($"doc_id", $"source")
-      .join(minhashVerifiedKeepers(withLang, bandRows(withLang).localCheckpoint())
+      .join(keepers
         .select($"doc_id", $"keeper_doc_id".as("keeper")), Seq("doc_id"), "left")
       .select($"doc_id", $"source",
         coalesce($"keeper", $"doc_id").as("keeper"))
