@@ -135,7 +135,9 @@ object Recommend {
   /** §2 entry `rec_item_item_cf`: the track→track neighbor table. */
   def recItemItemCf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    neighbors(spark, dir).orderBy($"item_id", $"rank")
+    // one fact scan: the capped set feeds nu and both self-join sides
+    neighborsFrom(cappedListens(spark, dir).localCheckpoint())
+      .orderBy($"item_id", $"rank")
   }
 
   /** §2 entry `rec_user_topn`: per-user recommendations — each listened
@@ -277,6 +279,7 @@ object Recommend {
     val ua = uaCounts.withColumn("r", row_number().over(wcap))
       .filter($"r" <= maxItemsPerUser)
       .select($"user_id", $"artist_id")
+      .localCheckpoint() // one fact scan: feeds na and both self-join sides
     val na = ua.groupBy($"artist_id").agg(count(lit(1)).as("n_users"))
     val a = ua.select($"user_id", $"artist_id".as("a"))
     val b = ua.select($"user_id", $"artist_id".as("b"))
@@ -358,7 +361,11 @@ object Recommend {
     */
   def recBasketLift(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val listens = cappedListens(spark, dir)
+    // ONE fact scan (the rec_user_topn discipline): the capped set feeds
+    // four branches — the user total, the audience sizes, and both
+    // self-join sides — which otherwise each re-derive lineitem⋈orders
+    // plus the capping window
+    val listens = cappedListens(spark, dir).localCheckpoint()
     val nTotal = listens.select($"user_id").distinct()
       .agg(count(lit(1)).as("n_users_total"))
     val nu = listens.groupBy($"item_id").agg(count(lit(1)).as("n_users"))
