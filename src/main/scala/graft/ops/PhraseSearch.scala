@@ -86,7 +86,11 @@ object PhraseSearch {
 
   private[graft] def savePositionalIndex(spark: SparkSession, dir: String,
       indexPath: String): Unit =
-    positionalRows(Tables.documents(spark, dir))
+    savePositionalIndexOf(Tables.documents(spark, dir), indexPath)
+
+  /** Frame-based core (injectable for the purge-stream parity spec). */
+  private[graft] def savePositionalIndexOf(docs: DataFrame, indexPath: String): Unit =
+    positionalRows(docs)
       .write.mode("overwrite").partitionBy("tb").parquet(s"$indexPath/positions")
 
   /** Grow the positional index with a LANDED batch — the shared

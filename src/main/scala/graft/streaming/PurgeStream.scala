@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+/** The GDPR REQUEST STREAM — the streaming face of the per-index delete
+  * ops (round 11's delete propagation, driven continuously): deletion
+  * requests land as micro-batches of doc ids, and each batch fans out
+  * through the document stores' delete paths — posting index (bucket
+  * rewrite + negative meta row), positional index (bucket rewrite),
+  * band index (tombstones) — then commits a processed-watermark row
+  * through [[StateFold.guarded]].
+  *
+  * Exactly-once EFFECT without write-ahead gymnastics: every delete op
+  * is IDEMPOTENT by construction (a re-delete probes, finds nothing,
+  * touches nothing — IndexDeleteSpec pins it per index), so the crash
+  * window between the index deletes and the watermark commit needs no
+  * recovery protocol — the retry re-runs the deletes as no-ops and
+  * commits. This is the mirror image of the append sinks' Bloom
+  * anti-join guards: appends need dedup because append twice = twice
+  * the rows; deletes are naturally their own guard.
+  *
+  * State is ONE row (batch id, cumulative ids processed) — bounded by
+  * contract. Request batches are GDPR-request-rate sized (thousands,
+  * not corpus-sized); the per-batch `collect` of distinct ids is the
+  * bounded pull the delete ops' `isin` signature needs.
+  */
+object PurgeStream {
+
+  def docPurgeSink(requests: DataFrame, postingIndexPath: String,
+      positionalIndexPath: String, bandIndexPath: String,
+      statePath: String, runTag: String = "default"): DataStreamWriter[Row] =
+    requests.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        docPurgeFold(batch, postingIndexPath, positionalIndexPath,
+          bandIndexPath, statePath, batchId, runTag)
+      }
+
+  /** The per-batch body, factored out for direct testing. `batch` must
+    * carry a `doc_id` column.
+    */
+  private[graft] def docPurgeFold(batch: DataFrame, postingIndexPath: String,
+      positionalIndexPath: String, bandIndexPath: String, statePath: String,
+      batchId: Long, runTag: String = "default"): Unit =
+    if (!batch.isEmpty) {
+      val spark = batch.sparkSession
+      import spark.implicits._
+      StateFold.guarded(spark, statePath, batchId, runTag) { prev =>
+        val ids = batch.select($"doc_id".cast("long"))
+          .distinct().collect().map(_.getLong(0)).toSeq
+        graft.ops.LlmQueries.deleteFromPostingIndex(spark, postingIndexPath, ids)
+        graft.ops.PhraseSearch.deleteFromPositionalIndex(spark, positionalIndexPath, ids)
+        graft.ops.ScaleDedup.deleteFromBandIndex(spark, bandIndexPath, ids)
+        val prevN = prev.map(_.select($"n_purged").head().getLong(0)).getOrElse(0L)
+        Seq((batchId, prevN + ids.length)).toDF("last_batch_id", "n_purged")
+      }
+    }
+
+  /** The processed watermark, for monitoring and the spec. */
+  def servePurgeState(spark: SparkSession, statePath: String): DataFrame =
+    StateFold.readState(spark, statePath)
+      .getOrElse(throw new IllegalStateException(s"no committed purge state at $statePath"))
+}
