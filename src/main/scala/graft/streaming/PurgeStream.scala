@@ -58,6 +58,37 @@ object PurgeStream {
       }
     }
 
+  /** The user-grain twin: purge requests carry `user_id` and fan out
+    * through the CF ledgers (negated deltas — a re-delete finds the
+    * user's counts already ≤ 0 and appends nothing) and the z-order
+    * event layout (cell-bounded rewrite, no-op probe on re-delete).
+    * Same watermark contract as [[docPurgeSink]].
+    */
+  def userPurgeSink(requests: DataFrame, cfIndexPath: String,
+      zorderLayoutPath: String, statePath: String,
+      runTag: String = "default"): DataStreamWriter[Row] =
+    requests.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        userPurgeFold(batch, cfIndexPath, zorderLayoutPath, statePath, batchId, runTag)
+      }
+
+  private[graft] def userPurgeFold(batch: DataFrame, cfIndexPath: String,
+      zorderLayoutPath: String, statePath: String, batchId: Long,
+      runTag: String = "default"): Unit =
+    if (!batch.isEmpty) {
+      val spark = batch.sparkSession
+      import spark.implicits._
+      StateFold.guarded(spark, statePath, batchId, runTag) { prev =>
+        val ids = batch.select($"user_id".cast("long"))
+          .distinct().collect().map(_.getLong(0)).toSeq
+        graft.ops.CfIndex.deleteUsersFromCfIndex(spark, cfIndexPath, ids)
+        graft.ops.ZorderLayout.deleteUsersFromZorderLayout(spark, zorderLayoutPath, ids)
+        val prevN = prev.map(_.select($"n_purged").head().getLong(0)).getOrElse(0L)
+        Seq((batchId, prevN + ids.length)).toDF("last_batch_id", "n_purged")
+      }
+    }
+
   /** The processed watermark, for monitoring and the spec. */
   def servePurgeState(spark: SparkSession, statePath: String): DataFrame =
     StateFold.readState(spark, statePath)

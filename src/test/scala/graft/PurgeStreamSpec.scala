@@ -64,6 +64,44 @@ class PurgeStreamSpec extends SparkSuite {
       "watermark must count each batch's requests exactly once")
   }
 
+  test("user-grain purge: cf serve == rebuild-without-users; layout purged; crash window absorbed") {
+    import spark.implicits._
+    val li  = Tables.lineitem(spark, sf).select($"l_orderkey", $"l_partkey")
+    val ord = Tables.orders(spark, sf).select($"o_orderkey", $"o_custkey")
+    val listens = li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .select($"o_custkey".as("user_id"), $"l_partkey".as("item_id"))
+      .localCheckpoint()
+    val gone = listens.select($"user_id").distinct()
+      .orderBy($"user_id").limit(2).collect().map(_.getLong(0)).toSeq
+
+    val cf = Files.createTempDirectory("graft_purge_cf").toString
+    val cfRef = Files.createTempDirectory("graft_purge_cf_ref").toString
+    ops.CfIndex.saveCfIndex(listens, cf)
+    ops.CfIndex.saveCfIndex(listens.filter(!$"user_id".isin(gone: _*)), cfRef)
+    val layout = Files.createTempDirectory("graft_purge_layout").toString
+    ops.ZorderLayout.writeZorderLayout(spark, sf, layout)
+    val state = Files.createTempDirectory("graft_purge_ustate").toString
+
+    streaming.PurgeStream.userPurgeFold(
+      gone.toDF("user_id"), cf, layout, state, 0L)
+    assert(ops.CfIndex.serveCfNeighbors(spark, cf).collect().map(_.toSeq).toSeq ==
+      ops.CfIndex.serveCfNeighbors(spark, cfRef).collect().map(_.toSeq).toSeq)
+    assert(spark.read.parquet(layout).filter($"user_id".isin(gone: _*)).isEmpty)
+
+    // crash window: commit lost, deletes landed — re-fold must not
+    // double-negate the CF ledgers (the user's counts are already ≤ 0)
+    val want = ops.CfIndex.serveCfUserTopn(spark, cf).collect().map(_.toSeq).toSeq
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$state/v0"), true))
+    streaming.PurgeStream.userPurgeFold(
+      gone.toDF("user_id"), cf, layout, state, 0L)
+    assert(ops.CfIndex.serveCfUserTopn(spark, cf).collect().map(_.toSeq).toSeq == want,
+      "crash-window re-fold double-applied the negated deltas")
+    assert(streaming.PurgeStream.servePurgeState(spark, state)
+      .head().getAs[Long]("n_purged") == gone.length.toLong)
+  }
+
   test("retry no-ops; crash window (deletes applied, commit lost) re-folds to the same state") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf).select($"doc_id", $"lang", $"text")
