@@ -142,10 +142,11 @@ object CfIndex {
         !df.filter($"src_batch" === srcBatch).isEmpty
       }
       if (dirty) {
-        spark.read.parquet(p.toString)
-          .filter($"src_batch" =!= srcBatch)
-          .localCheckpoint()
-          .write.mode("overwrite").parquet(p.toString)
+        AtomicRewrite.overwrite(
+          spark.read.parquet(p.toString)
+            .filter($"src_batch" =!= srcBatch)
+            .localCheckpoint(),
+          p.toString)
       }
       dirty
     }
@@ -157,16 +158,35 @@ object CfIndex {
     * (every append rolled back the previous capped set and asserted the
     * new one), so deletion is three NEGATED-delta appends — the user's
     * aggregated `uic` rows with −n, their capped pair expansion with
-    * −1, their item rows with −1. No ledger is read-modify-written, no
-    * other user's rows are touched (cold files stay byte-identical),
-    * and the serve paths' `sum(d) / sum(n)` aggregation makes the user
-    * vanish exactly: serve-after-delete == rebuild-without-user,
-    * spec-pinned. Idempotent: a re-delete sees the user's `uic` sum to
-    * ≤ 0, finds an empty capped set, and appends nothing.
+    * −1, their item rows with −1. No ledger is read-modify-written on
+    * the happy path, no other user's rows are touched, and the serve
+    * paths' `sum(d) / sum(n)` aggregation makes the user vanish
+    * exactly: serve-after-delete == rebuild-without-user, spec-pinned.
+    *
+    * EXACTLY-ONCE across the three appends (they are not atomic, and a
+    * crash between them would otherwise make the retry's `uic`-sum
+    * probe a permanent no-op with the user's `co`/`nu` mass retained):
+    * `srcBatch` must uniquely identify the LOGICAL delete request (the
+    * purge sink derives it from its batch id), every delta row is
+    * stamped with it, and a one-row marker in `deletes/` lands LAST as
+    * the completion record. A retry of the same request first checks
+    * the marker — present means fully committed, full no-op (so a
+    * re-delete stays mtime-stable) — then [[rollbackBatch]]s any
+    * half-crashed attempt's stamped rows and re-applies from the clean
+    * state. Deleting an already-purged user under a NEW stamp finds an
+    * empty capped set and appends only its marker.
     */
   def deleteUsersFromCfIndex(spark: SparkSession, indexPath: String,
       userIds: Seq[Long], srcBatch: Long = -2L): Unit = {
+    import org.apache.hadoop.fs.Path
     import spark.implicits._
+    val markerPath = new Path(s"$indexPath/deletes")
+    val fs = markerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed = fs.exists(markerPath) && fs.listStatus(markerPath).nonEmpty &&
+      !spark.read.parquet(markerPath.toString)
+        .filter($"src_batch" === srcBatch).isEmpty
+    if (committed) return // this logical delete already fully applied
+    rollbackBatch(spark, indexPath, srcBatch) // clear any half-crashed attempt
     val users = userIds.toDF("user_id")
     val uicU = spark.read.parquet(s"$indexPath/uic")
       .join(users, Seq("user_id"), "left_semi")
@@ -183,6 +203,8 @@ object CfIndex {
       itemDeltas(capped, -1).withColumn("src_batch", lit(srcBatch))
         .write.mode("append").parquet(s"$indexPath/nu")
     }
+    Seq(srcBatch).toDF("src_batch") // completion marker, written LAST
+      .coalesce(1).write.mode("append").parquet(markerPath.toString)
   }
 
   /** The neighbor table served from the ledgers alone — one aggregation

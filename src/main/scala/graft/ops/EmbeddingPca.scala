@@ -309,9 +309,10 @@ object EmbeddingPca {
     val proj = spark.read.parquet(s"$indexPath/projected")
     val n = proj.filter($"vec_id".isin(vecIds: _*)).count()
     if (n > 0)
-      proj.filter(!$"vec_id".isin(vecIds: _*))
-        .localCheckpoint() // materialize before overwriting the dir being read
-        .write.mode("overwrite").parquet(s"$indexPath/projected")
+      AtomicRewrite.overwrite(
+        proj.filter(!$"vec_id".isin(vecIds: _*))
+          .localCheckpoint(), // pin before replacing the dir being read
+        s"$indexPath/projected")
     n
   }
 

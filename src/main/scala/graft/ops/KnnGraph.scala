@@ -170,8 +170,9 @@ object KnnGraph {
     // rationale — the same oracle-expressible graph the triangle/
     // assortativity entries analyze), which makes the CC labels
     // hash-gated against a DuckDB reachability-closure oracle; the
-    // IVF-built graph stays the 100 TB construction path and keeps its
-    // own entries (knn_graph_ivf / communities / pagerank)
+    // IVF-built graph stays the 100 TB construction path with its own
+    // entry (knn_graph_ivf — communities and pagerank moved to the
+    // exact base with the rest of the analytics family this round)
     val knn = exactGraphOf(spark, dir)
     // materialize the edge table BEFORE label propagation: ccKeepers
     // re-reads its input every round, and without this each CC round
@@ -475,13 +476,14 @@ object KnnGraph {
       .select($"dst".as("vec_id")).distinct()
     val cleaned = adj
       .filter(!$"src".isin(vecIds: _*) && !$"dst".isin(vecIds: _*))
-      .localCheckpoint() // materialize before overwriting the dir being read
-    cleaned.repartition(1).write.mode("overwrite").parquet(adjPath)
-    if (seedsDirty)
-      seeds.filter(!$"node".isin(vecIds: _*))
-        .localCheckpoint()
-        .coalesce(1).write.mode("overwrite").parquet(seedsPath)
-    val liveSeeds = spark.read.parquet(seedsPath)
+      .localCheckpoint() // pinned: the beam walks it, the final write lands it
+    val liveSeeds = seeds.filter(!$"node".isin(vecIds: _*)).localCheckpoint()
+    // the orphan re-link is computed BEFORE anything is written, against
+    // the in-memory cleaned graph — so the adjacency lands as ONE atomic
+    // replace of (cleaned ∪ new links). The earlier rewrite-then-append
+    // form had an unrecoverable crash window: adj cleaned on disk but
+    // links not yet appended meant the retry's no-op probe fired and the
+    // orphans stayed under-linked forever.
     val q = VectorAgg.quantized(spark, dir)
     val corpusVec = q.filter(!$"vec_id".isin(vecIds: _*))
       .select($"vec_id".as("node"), $"v".as("nv"))
@@ -490,13 +492,17 @@ object KnnGraph {
     val links = beamSearch(newQ, cleaned, liveSeeds, corpusVec)
       .filter($"rank" <= K)
       .select($"query_id".as("src"), $"node".as("dst"))
-    val newEdges = links
-      .unionByName(links.select($"dst".as("src"), $"src".as("dst")))
+    val nextAdj = cleaned.unionByName(
+        links.unionByName(links.select($"dst".as("src"), $"src".as("dst"))))
       .distinct()
-      .join(cleaned, Seq("src", "dst"), "left_anti") // only genuinely new rows
+      .repartition(1)
       .localCheckpoint()
-    if (!newEdges.isEmpty)
-      newEdges.repartition(1).write.mode("append").parquet(adjPath)
+    // seeds first, then the adjacency: a crash between the two leaves
+    // the old adjacency intact (ids still present → the retry's no-op
+    // guard does NOT fire) and the whole op re-runs from scratch
+    if (seedsDirty)
+      AtomicRewrite.overwrite(liveSeeds.coalesce(1), seedsPath)
+    AtomicRewrite.overwrite(nextAdj, adjPath)
   }
 
   /** Serve the fixed ANN query set from the LOADED graph. */

@@ -1048,16 +1048,29 @@ object LlmQueries {
       docIds: Seq[Long]): Seq[Int] = {
     import spark.implicits._
     val norms = spark.read.parquet(s"$indexPath/norms")
-    val gone = norms.filter($"doc_id".isin(docIds: _*))
-      .agg(count(lit(1)).as("n"), sum($"dl").as("len")).head()
-    if (gone.getLong(0) > 0) {
-      norms.filter(!$"doc_id".isin(docIds: _*))
-        .localCheckpoint() // materialize before overwriting the dir being read
-        .write.mode("overwrite").parquet(s"$indexPath/norms")
-      Seq((-gone.getLong(0), -gone.getLong(1)))
-        .toDF("n_docs", "total_len")
-        .coalesce(1).write.mode("append").parquet(s"$indexPath/meta")
+    if (!norms.filter($"doc_id".isin(docIds: _*)).isEmpty) {
+      AtomicRewrite.overwrite(
+        norms.filter(!$"doc_id".isin(docIds: _*))
+          .localCheckpoint(), // pin before replacing the dir being read
+        s"$indexPath/norms")
     }
+    // meta correction by RECONCILIATION, not by a pre-rewrite delta: the
+    // appended row is (norms truth − ledger sums), so it is correct from
+    // ANY starting state — a crash between the norms rewrite and this
+    // append just leaves drift that the retry (or the next delete)
+    // measures and closes, where a delta computed before the rewrite
+    // was lost forever once the retry's probe saw no matching norm rows.
+    // After a clean run drift is zero and nothing is appended.
+    val truth = spark.read.parquet(s"$indexPath/norms")
+      .agg(count(lit(1)).as("n"), coalesce(sum($"dl"), lit(0L)).as("len")).head()
+    val ledger = spark.read.parquet(s"$indexPath/meta")
+      .agg(coalesce(sum($"n_docs"), lit(0L)).as("n"),
+        coalesce(sum($"total_len"), lit(0L)).as("len")).head()
+    val (dn, dl) = (truth.getLong(0) - ledger.getLong(0),
+      truth.getLong(1) - ledger.getLong(1))
+    if (dn != 0L || dl != 0L)
+      Seq((dn, dl)).toDF("n_docs", "total_len")
+        .coalesce(1).write.mode("append").parquet(s"$indexPath/meta")
     deleteDocsFromBucketedTable(spark, s"$indexPath/postings", docIds,
       Seq("tb", "term", "doc_id"))
   }

@@ -537,10 +537,11 @@ object ScaleDedup {
     val n = tomb.count()
     if (n > 0) {
       Seq("bands", "wordsets").foreach { sub =>
-        spark.read.parquet(s"$indexPath/$sub")
-          .join(tomb, Seq("doc_id"), "left_anti")
-          .localCheckpoint() // materialize before overwriting the dir being read
-          .write.mode("overwrite").parquet(s"$indexPath/$sub")
+        AtomicRewrite.overwrite(
+          spark.read.parquet(s"$indexPath/$sub")
+            .join(tomb, Seq("doc_id"), "left_anti")
+            .localCheckpoint(), // pin before replacing the dir being read
+          s"$indexPath/$sub")
       }
       val p = new Path(s"$indexPath/deleted")
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)

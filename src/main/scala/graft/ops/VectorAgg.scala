@@ -560,9 +560,10 @@ object VectorAgg {
     val lists = spark.read.parquet(s"$indexPath/lists")
     val n = lists.filter($"neighbor_id".isin(vecIds: _*)).count()
     if (n > 0)
-      lists.filter(!$"neighbor_id".isin(vecIds: _*))
-        .localCheckpoint() // materialize before overwriting the dir being read
-        .write.mode("overwrite").parquet(s"$indexPath/lists")
+      AtomicRewrite.overwrite(
+        lists.filter(!$"neighbor_id".isin(vecIds: _*))
+          .localCheckpoint(), // pin before replacing the dir being read
+        s"$indexPath/lists")
     n
   }
 

@@ -143,11 +143,21 @@ object AttributionStream {
           .filter($"t_ts_sec" >= $"floor_ts" - lookbackSec)
           .select($"user_id", $"touch_id", $"touch_type", $"t_ts_sec",
             bucketOf($"user_id").as("_bucket"))
-        keep.unionByName(rewritten).localCheckpoint()
+        val nextTouches = keep.unionByName(rewritten).localCheckpoint()
+        nextTouches
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("_bucket")
           .parquet(touchesPath)
+        // dynamic overwrite writes nothing for an affected bucket whose
+        // rewrite came out EMPTY (every carried touch expired, no new
+        // ones) — its stale rows would survive on disk and break the
+        // retention bound, so emptied dirs are removed explicitly (the
+        // deleteKeysFromPartitionedTable device)
+        val liveBuckets = nextTouches.select($"_bucket").distinct()
+          .collect().map(_.getInt(0)).toSet
+        affected.filterNot(liveBuckets)
+          .foreach(b => fs.delete(new Path(s"$touchesPath/_bucket=$b"), true))
 
         // rollup merge: exact BIGINT counts and cents are additive
         prev.map(_.unionByName(delta)).getOrElse(delta)

@@ -12,14 +12,16 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   * band index (tombstones) — then commits a processed-watermark row
   * through [[StateFold.guarded]].
   *
-  * Exactly-once EFFECT without write-ahead gymnastics: every delete op
-  * is IDEMPOTENT by construction (a re-delete probes, finds nothing,
-  * touches nothing — IndexDeleteSpec pins it per index), so the crash
-  * window between the index deletes and the watermark commit needs no
-  * recovery protocol — the retry re-runs the deletes as no-ops and
-  * commits. This is the mirror image of the append sinks' Bloom
-  * anti-join guards: appends need dedup because append twice = twice
-  * the rows; deletes are naturally their own guard.
+  * Exactly-once EFFECT: every delete op is RETRY-SAFE at any crash
+  * point — the single-table ops by their own no-op probes (a re-delete
+  * finds nothing and touches nothing), the posting index by
+  * reconciling its meta ledger against the norms truth instead of
+  * appending a pre-computed delta, and the multi-ledger CF delete by
+  * its stamped rollback-then-apply protocol with a completion marker —
+  * so the crash window between the index deletes and the watermark
+  * commit recovers by simply re-running them. This is the mirror image
+  * of the append sinks' Bloom anti-join guards: appends need dedup
+  * because append twice = twice the rows; deletes converge.
   *
   * State is ONE row (batch id, cumulative ids processed) — bounded by
   * contract. Request batches are GDPR-request-rate sized (thousands,
@@ -59,10 +61,11 @@ object PurgeStream {
     }
 
   /** The user-grain twin: purge requests carry `user_id` and fan out
-    * through the CF ledgers (negated deltas — a re-delete finds the
-    * user's counts already ≤ 0 and appends nothing) and the z-order
-    * event layout (cell-bounded rewrite, no-op probe on re-delete).
-    * Same watermark contract as [[docPurgeSink]].
+    * through the CF ledgers (negated deltas under the stamped
+    * marker+rollback protocol, so even a crash BETWEEN the three
+    * ledger appends heals on redelivery) and the z-order event layout
+    * (cell-bounded rewrite, no-op probe on re-delete). Same watermark
+    * contract as [[docPurgeSink]].
     */
   def userPurgeSink(requests: DataFrame, cfIndexPath: String,
       zorderLayoutPath: String, statePath: String,
@@ -82,7 +85,13 @@ object PurgeStream {
       StateFold.guarded(spark, statePath, batchId, runTag) { prev =>
         val ids = batch.select($"user_id".cast("long"))
           .distinct().collect().map(_.getLong(0)).toSeq
-        graft.ops.CfIndex.deleteUsersFromCfIndex(spark, cfIndexPath, ids)
+        // stamp = a batch-derived id in the reserved negative space
+        // (< −2, colliding with neither the append stamps ≥ −1 nor the
+        // ad-hoc delete default −2): the CF delete's exactly-once
+        // protocol keys its completion marker and rollback on it, so a
+        // crash INSIDE the delete heals on redelivery of this batch
+        graft.ops.CfIndex.deleteUsersFromCfIndex(spark, cfIndexPath, ids,
+          srcBatch = -1000L - batchId)
         graft.ops.ZorderLayout.deleteUsersFromZorderLayout(spark, zorderLayoutPath, ids)
         val prevN = prev.map(_.select($"n_purged").head().getLong(0)).getOrElse(0L)
         Seq((batchId, prevN + ids.length)).toDF("last_batch_id", "n_purged")

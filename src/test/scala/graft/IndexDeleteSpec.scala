@@ -164,6 +164,68 @@ class IndexDeleteSpec extends SparkSuite {
     assert(ops.ScaleDedup.vacuumBandIndex(spark, a) == 0L, "vacuum not idempotent")
   }
 
+  test("cf crash window: half-applied delete (uic negated, co/nu not) heals on stamped retry") {
+    import spark.implicits._
+    val li  = Tables.lineitem(spark, sf).select($"l_orderkey", $"l_partkey")
+    val ord = Tables.orders(spark, sf).select($"o_orderkey", $"o_custkey")
+    val listens = li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .select($"o_custkey".as("user_id"), $"l_partkey".as("item_id"))
+      .localCheckpoint()
+    val gone = listens.select($"user_id").distinct()
+      .orderBy($"user_id").limit(2).collect().map(_.getLong(0)).toSeq
+    val a = Files.createTempDirectory("graft_cf_crash").toString
+    val b = Files.createTempDirectory("graft_cf_crash_ref").toString
+    ops.CfIndex.saveCfIndex(listens, a)
+    ops.CfIndex.saveCfIndex(listens.filter(!$"user_id".isin(gone: _*)), b)
+
+    val stamp = -77L
+    ops.CfIndex.deleteUsersFromCfIndex(spark, a, gone, stamp)
+    // reconstruct the crash: the uic negation landed, co/nu did not, and
+    // the completion marker (written last) never did
+    Seq("co", "nu").foreach { sub =>
+      val kept = spark.read.parquet(s"$a/$sub")
+        .filter($"src_batch" =!= stamp).localCheckpoint()
+      kept.write.mode("overwrite").parquet(s"$a/$sub")
+    }
+    val fs = new org.apache.hadoop.fs.Path(a)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$a/deletes"), true)
+    // in this state the old probe-only delete was a permanent no-op
+    // (uic sums <= 0); the stamped retry must roll back and re-apply
+    ops.CfIndex.deleteUsersFromCfIndex(spark, a, gone, stamp)
+    assert(ops.CfIndex.serveCfNeighbors(spark, a).collect().map(_.toSeq).toSeq ==
+      ops.CfIndex.serveCfNeighbors(spark, b).collect().map(_.toSeq).toSeq,
+      "half-applied delete not healed: co/nu retain the purged user's mass")
+    assert(ops.CfIndex.serveCfUserTopn(spark, a).collect().map(_.toSeq).toSeq ==
+      ops.CfIndex.serveCfUserTopn(spark, b).collect().map(_.toSeq).toSeq)
+  }
+
+  test("posting crash window: norms rewritten but meta uncorrected — reconciling delete heals the ledger") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"lang", $"text")
+    val gone = docs.select($"doc_id").filter($"doc_id" % 29 === 0)
+      .collect().map(_.getLong(0)).toSeq
+    val a = Files.createTempDirectory("graft_pidx_crash").toString
+    val b = Files.createTempDirectory("graft_pidx_crash_ref").toString
+    ops.LlmQueries.savePostingIndexOf(docs, a)
+    ops.LlmQueries.savePostingIndexOf(docs.filter(!$"doc_id".isin(gone: _*)), b)
+    // reconstruct the crash state: norms already rewritten without the
+    // docs, meta still at pre-delete sums, postings untouched
+    val keptNorms = spark.read.parquet(s"$a/norms")
+      .filter(!$"doc_id".isin(gone: _*)).localCheckpoint()
+    keptNorms.write.mode("overwrite").parquet(s"$a/norms")
+    // the retry: drift-reconciliation must close the ledger gap the old
+    // pre-rewrite delta lost forever (its probe saw zero matching norms)
+    ops.LlmQueries.deleteFromPostingIndex(spark, a, gone)
+    def metaSums(p: String) = spark.read.parquet(s"$p/meta")
+      .agg(sum($"n_docs"), sum($"total_len")).head()
+    assert(metaSums(a) == metaSums(b),
+      "meta ledger not reconciled after the crash window")
+    val terms = Seq("data", "model", "training", "quality")
+    assert(ops.Bm25.textSearchBm25FromIndex(spark, a, terms).collect().map(_.toSeq).toSeq ==
+      ops.Bm25.textSearchBm25FromIndex(spark, b, terms).collect().map(_.toSeq).toSeq)
+  }
+
   test("compression indexes: list/projection rows drop, models untouched, serve excludes ids, re-delete no-op") {
     import spark.implicits._
     val gone = Seq(3L, 17L, 42L)
