@@ -166,23 +166,36 @@ object CfIndex {
     * EXACTLY-ONCE across the three appends (they are not atomic, and a
     * crash between them would otherwise make the retry's `uic`-sum
     * probe a permanent no-op with the user's `co`/`nu` mass retained):
-    * `srcBatch` must uniquely identify the LOGICAL delete request (the
-    * purge sink derives it from its batch id), every delta row is
-    * stamped with it, and a one-row marker in `deletes/` lands LAST as
-    * the completion record. A retry of the same request first checks
-    * the marker — present means fully committed, full no-op (so a
-    * re-delete stays mtime-stable) — then [[rollbackBatch]]s any
-    * half-crashed attempt's stamped rows and re-applies from the clean
-    * state. Deleting an already-purged user under a NEW stamp finds an
-    * empty capped set and appends only its marker.
+    * `srcBatch` must uniquely identify the LOGICAL delete request — it
+    * is deliberately NOT defaulted, because two distinct requests
+    * sharing a stamp corrupt each other (the second no-ops on the
+    * first's marker, or its rollback un-deletes the first's applied
+    * deltas); the purge sink derives one from (run tag, batch id).
+    * Every delta row is stamped with it, and a one-row marker in
+    * `deletes/` lands LAST as the completion record. A retry of the
+    * same request first checks the marker — present means fully
+    * committed, full no-op (so a re-delete stays mtime-stable) — then
+    * [[rollbackBatch]]s any half-crashed attempt's stamped rows and
+    * re-applies from the clean state. Deleting an already-purged user
+    * under a NEW stamp finds an empty capped set and appends only its
+    * marker. All three ledgers must exist (any saved index has them) —
+    * a missing one means a torn rewrite and fails loudly rather than
+    * letting the appends recreate a ledger holding only negations.
     */
   def deleteUsersFromCfIndex(spark: SparkSession, indexPath: String,
-      userIds: Seq[Long], srcBatch: Long = -2L): Unit = {
+      userIds: Seq[Long], srcBatch: Long): Unit = {
     import org.apache.hadoop.fs.Path
     import spark.implicits._
     val markerPath = new Path(s"$indexPath/deletes")
     val fs = markerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val committed = fs.exists(markerPath) && fs.listStatus(markerPath).nonEmpty &&
+    Seq("uic", "co", "nu").foreach { sub =>
+      val p = new Path(s"$indexPath/$sub")
+      if (!AtomicRewrite.hasCommittedFiles(fs, p))
+        throw new IllegalStateException(
+          s"cf delete: ledger $p is missing or holds no committed files — " +
+            "torn index (a crashed rewrite?); restore it before deleting")
+    }
+    val committed = AtomicRewrite.hasCommittedFiles(fs, markerPath) &&
       !spark.read.parquet(markerPath.toString)
         .filter($"src_batch" === srcBatch).isEmpty
     if (committed) return // this logical delete already fully applied
@@ -250,12 +263,38 @@ object CfIndex {
     def rewrite(sub: String, agg: DataFrame => DataFrame): (Int, Int) = {
       val before = files(sub)
       if (before > 0) {
-        agg(spark.read.parquet(s"$indexPath/$sub"))
-          .coalesce(1).localCheckpoint()
-          .write.mode("overwrite").parquet(s"$indexPath/$sub")
+        AtomicRewrite.overwrite(
+          agg(spark.read.parquet(s"$indexPath/$sub"))
+            .coalesce(1).localCheckpoint(),
+          s"$indexPath/$sub")
       }
       (before, files(sub))
     }
+    // PENDING-DELETE guard: compaction re-stamps rows src_batch = -1,
+    // which would erase a HALF-CRASHED delete's provenance — its retry
+    // then finds nothing to roll back, an empty capped set, and writes
+    // its completion marker over permanently-retained co/nu mass. A
+    // crashed delete is a pending operation, so quiescence (the
+    // compaction precondition) is not satisfied: refuse loudly when any
+    // delete stamp in the ledgers lacks its completion marker.
+    val markers: Set[Long] = {
+      val mp = new Path(s"$indexPath/deletes")
+      val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (AtomicRewrite.hasCommittedFiles(fs, mp))
+        spark.read.parquet(mp.toString)
+          .select($"src_batch").distinct().collect().map(_.getLong(0)).toSet
+      else Set.empty
+    }
+    val pending = Seq("uic", "co", "nu").flatMap { sub =>
+      if (files(sub) == 0) Seq.empty[Long]
+      else spark.read.parquet(s"$indexPath/$sub")
+        .select($"src_batch").filter($"src_batch" < -1L).distinct()
+        .collect().map(_.getLong(0))
+    }.toSet.diff(markers)
+    if (pending.nonEmpty)
+      throw new IllegalStateException(
+        s"compactCfIndex: unmarked delete stamps ${pending.mkString(",")} — " +
+          "a delete is half-applied; let its retry complete before compacting")
     // compacted rows re-stamp src_batch = -1 (provenance collapses with
     // the deltas; compaction must only run with the stream quiescent —
     // already the rule, since the read-aggregate-overwrite would race a

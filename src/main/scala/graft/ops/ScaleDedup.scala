@@ -498,7 +498,9 @@ object ScaleDedup {
     import spark.implicits._
     val p = new Path(s"$indexPath/deleted")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p) && fs.listStatus(p).nonEmpty)
+    // committed-files probe, not bare nonEmpty: a crashed tombstone
+    // append leaves only _temporary, and reading that throws forever
+    if (AtomicRewrite.hasCommittedFiles(fs, p))
       spark.read.parquet(p.toString)
     else Seq.empty[Long].toDF("doc_id")
   }

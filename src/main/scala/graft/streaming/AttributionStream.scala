@@ -96,7 +96,7 @@ object AttributionStream {
         val affected = ev.select(bucketOf($"user_id").as("_bucket")).distinct()
           .collect().map(_.getInt(0)).toSeq
         val prevTouches =
-          if (fs.exists(tp) && fs.listStatus(tp).nonEmpty)
+          if (graft.ops.AtomicRewrite.hasCommittedFiles(fs, tp))
             spark.read.parquet(touchesPath).filter($"_bucket".isin(affected: _*))
           else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], touchesSchema)
 

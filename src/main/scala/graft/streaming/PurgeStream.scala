@@ -85,18 +85,27 @@ object PurgeStream {
       StateFold.guarded(spark, statePath, batchId, runTag) { prev =>
         val ids = batch.select($"user_id".cast("long"))
           .distinct().collect().map(_.getLong(0)).toSeq
-        // stamp = a batch-derived id in the reserved negative space
-        // (< −2, colliding with neither the append stamps ≥ −1 nor the
-        // ad-hoc delete default −2): the CF delete's exactly-once
-        // protocol keys its completion marker and rollback on it, so a
-        // crash INSIDE the delete heals on redelivery of this batch
         graft.ops.CfIndex.deleteUsersFromCfIndex(spark, cfIndexPath, ids,
-          srcBatch = -1000L - batchId)
+          srcBatch = deleteStamp(runTag, batchId))
         graft.ops.ZorderLayout.deleteUsersFromZorderLayout(spark, zorderLayoutPath, ids)
         val prevN = prev.map(_.select($"n_purged").head().getLong(0)).getOrElse(0L)
         Seq((batchId, prevN + ids.length)).toDF("last_batch_id", "n_purged")
       }
     }
+
+  /** The CF delete stamp for (runTag, batchId) — always < −2 (clear of
+    * the append stamps ≥ −1), distinct for every batch id within a run
+    * (the batch id occupies its own high bits), and separated ACROSS
+    * runs by the run-tag hash: batch ids are only checkpoint-relative,
+    * so a redeployment with a fresh checkpoint restarts them at 0 and a
+    * checkpoint-only stamp would silently no-op new requests against
+    * the old run's completion markers. Reusing an index across
+    * redeployments therefore requires a fresh runTag — the same
+    * crossed-streams rule StateFold already enforces for the watermark.
+    */
+  private[graft] def deleteStamp(runTag: String, batchId: Long): Long =
+    -1000L - ((batchId & 0x7fffffL) << 32) -
+      (s"$runTag#".hashCode.toLong & 0xffffffffL)
 
   /** The processed watermark, for monitoring and the spec. */
   def servePurgeState(spark: SparkSession, statePath: String): DataFrame =

@@ -108,7 +108,9 @@ class IndexDeleteSpec extends SparkSuite {
     ops.CfIndex.saveCfIndex(listens.filter(!$"user_id".isin(users: _*)), b)
 
     val coFilesBefore = mtimes(s"$a/co")
-    ops.CfIndex.deleteUsersFromCfIndex(spark, a, users)
+    // explicit stamp: the protocol deliberately has no default — two
+    // distinct logical deletes sharing one would corrupt each other
+    ops.CfIndex.deleteUsersFromCfIndex(spark, a, users, srcBatch = -42L)
     // append-only: every pre-delete ledger file is byte-identical
     mtimes(s"$a/co").filterKeys(coFilesBefore.contains).foreach { case (f, m) =>
       assert(coFilesBefore(f) == m, s"delete rewrote a ledger file: $f") }
@@ -122,7 +124,7 @@ class IndexDeleteSpec extends SparkSuite {
 
     // idempotent: a second delete appends nothing
     val stable = mtimes(a)
-    ops.CfIndex.deleteUsersFromCfIndex(spark, a, users)
+    ops.CfIndex.deleteUsersFromCfIndex(spark, a, users, srcBatch = -42L)
     assert(mtimes(a) == stable, "re-delete appended ledger rows")
   }
 
