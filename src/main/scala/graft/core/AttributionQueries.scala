@@ -170,13 +170,146 @@ object AttributionQueries {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  /** §2 `events_attribution_position`: POSITION-BASED (U-shaped)
+    * multi-touch attribution — 40 % of a purchase's value to the first
+    * touch, 40 % to the last, 20 % shared equally by the middles (the
+    * standard U-model; n = 1 gets all, n = 2 splits evenly) — rolled up
+    * to channel grain in EXACT integer cents via largest-remainder
+    * (Hamilton) apportionment: per purchase, touch i's weight is the
+    * integer w_i over common denominator D (n ≥ 3: first/last
+    * 2·(n−2), middles 1, D = 5·(n−2) — exactly 2/5, 2/5, 1/5), the
+    * base allocation is ⌊value_cents·w_i / D⌋, and the leftover
+    * R = value_cents − Σ⌊·⌋ cents go one each to the R touches with the
+    * largest fractional remainder (ties by position — deterministic in
+    * both engines). Credits are whole cents that sum EXACTLY to the
+    * purchase value — the conservation law Σ channels == Σ purchases
+    * that a rounded-double model silently violates — so the rollup is
+    * a plain BIGINT sum. Zero-touch purchases credit `direct`.
+    *
+    * Scale shape: identical to the last-touch twin — the one user_id
+    * shuffle for the range join, purchase_id-partitioned windows over
+    * the bounded 7-day fan-out, then a 3-group rollup. All integer
+    * arithmetic (products ≤ value_cents · 2n — far inside BIGINT).
+    */
+  def eventsAttributionPosition(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"event_id", $"user_id", $"event_type",
+        unix_timestamp($"ts").as("ts_sec"), $"value")
+    attributionPositionOn(ev)
+  }
+
+  /** Core over any (event_id, user_id, event_type, ts_sec, value)
+    * frame — spec-testable on synthetic chains.
+    */
+  private[graft] def attributionPositionOn(ev: DataFrame): DataFrame = {
+    val spark = ev.sparkSession
+    import spark.implicits._
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id",
+        $"ts_sec".as("p_ts_sec"),
+        ($"value".cast("decimal(10,2)") * 100).cast("long").as("value_cents"))
+    val touches = ev.filter($"event_type".isin("click", "view"))
+      .select($"user_id".as("t_user_id"), $"event_id".as("touch_id"),
+        $"event_type".as("touch_type"), $"ts_sec".as("t_ts_sec"))
+    val joined = purchases.join(touches,
+      $"user_id" === $"t_user_id" &&
+        $"t_ts_sec" < $"p_ts_sec" &&
+        $"t_ts_sec" >= $"p_ts_sec" - lookbackSec)
+    val byPurchase = Window.partitionBy($"purchase_id")
+    val pos = joined
+      .withColumn("pos", row_number().over(byPurchase.orderBy($"t_ts_sec", $"touch_id")))
+      .withColumn("n", count(lit(1)).over(byPurchase))
+      .withColumn("w",
+        when($"n" <= 2, lit(1L))
+          .otherwise(when($"pos" === 1 || $"pos" === $"n", ($"n" - 2) * 2L).otherwise(lit(1L))))
+      .withColumn("d", when($"n" === 1, 1L).when($"n" === 2, 2L).otherwise(($"n" - 2) * 5L))
+      .withColumn("base", expr("(value_cents * w) div d"))
+      .withColumn("rem", ($"value_cents" * $"w") % $"d")
+    val credited = pos
+      .withColumn("leftover", $"value_cents" - sum($"base").over(byPurchase))
+      .withColumn("rr", row_number().over(byPurchase.orderBy($"rem".desc, $"pos")))
+      .withColumn("credit_cents", $"base" + when($"rr" <= $"leftover", 1L).otherwise(0L))
+    val channelCredits = credited
+      .groupBy($"touch_type".as("channel"))
+      .agg(count(lit(1)).as("n_credits"), sum($"credit_cents").as("attributed_cents"))
+    val direct = purchases
+      .join(credited.select($"purchase_id").distinct(), Seq("purchase_id"), "left_anti")
+      .agg(count(lit(1)).as("n_credits"), sum($"value_cents").as("attributed_cents"))
+      .select(lit("direct").as("channel"), $"n_credits",
+        coalesce($"attributed_cents", lit(0L)).as("attributed_cents"))
+    channelCredits.unionByName(direct)
+      .filter($"n_credits" > 0)
+      .orderBy($"channel")
+  }
+
+  val eventsAttributionPositionSql: String =
+    s"""WITH ev AS (
+      |  SELECT event_id, user_id, event_type,
+      |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ts_sec, value
+      |  FROM events
+      |), purchases AS (
+      |  SELECT event_id AS purchase_id, user_id, ts_sec AS p_ts_sec,
+      |    CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT) AS value_cents
+      |  FROM ev WHERE event_type = 'purchase'
+      |), touches AS (
+      |  SELECT user_id AS t_user_id, event_id AS touch_id,
+      |    event_type AS touch_type, ts_sec AS t_ts_sec
+      |  FROM ev WHERE event_type IN ('click', 'view')
+      |), joined AS (
+      |  SELECT p.purchase_id, p.value_cents, t.touch_id, t.touch_type, t.t_ts_sec
+      |  FROM purchases p JOIN touches t
+      |    ON p.user_id = t.t_user_id
+      |   AND t.t_ts_sec < p.p_ts_sec
+      |   AND t.t_ts_sec >= p.p_ts_sec - ${lookbackSec}
+      |), pos AS (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY purchase_id ORDER BY t_ts_sec, touch_id) AS pos,
+      |    COUNT(*) OVER (PARTITION BY purchase_id) AS n
+      |  FROM joined
+      |), weighted AS (
+      |  SELECT *,
+      |    CASE WHEN n <= 2 THEN 1
+      |         WHEN pos = 1 OR pos = n THEN 2 * (n - 2) ELSE 1 END AS w,
+      |    CASE WHEN n = 1 THEN 1 WHEN n = 2 THEN 2 ELSE 5 * (n - 2) END AS d
+      |  FROM pos
+      |), alloc AS (
+      |  SELECT *,
+      |    (value_cents * w) // d AS base,
+      |    (value_cents * w) % d AS rem
+      |  FROM weighted
+      |), credited AS (
+      |  SELECT *,
+      |    value_cents - SUM(base) OVER (PARTITION BY purchase_id) AS leftover,
+      |    row_number() OVER (PARTITION BY purchase_id ORDER BY rem DESC, pos) AS rr
+      |  FROM alloc
+      |), final_credits AS (
+      |  SELECT touch_type AS channel,
+      |    base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS credit_cents
+      |  FROM credited
+      |), rollup_t AS (
+      |  SELECT channel, COUNT(*) AS n_credits,
+      |    CAST(SUM(credit_cents) AS BIGINT) AS attributed_cents
+      |  FROM final_credits GROUP BY channel
+      |  UNION ALL
+      |  SELECT 'direct' AS channel, COUNT(*) AS n_credits,
+      |    CAST(COALESCE(SUM(value_cents), 0) AS BIGINT) AS attributed_cents
+      |  FROM purchases p
+      |  WHERE NOT EXISTS (SELECT 1 FROM joined j WHERE j.purchase_id = p.purchase_id)
+      |)
+      |SELECT channel, CAST(n_credits AS BIGINT) AS n_credits, attributed_cents
+      |FROM rollup_t WHERE n_credits > 0
+      |ORDER BY channel""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_attribution"         -> (eventsAttribution _),
-    "events_attribution_channel" -> (eventsAttributionChannel _)
+    "events_attribution_channel" -> (eventsAttributionChannel _),
+    "events_attribution_position" -> (eventsAttributionPosition _)
   )
 
   val oracleSql: Map[String, String] = Map(
     "events_attribution"         -> eventsAttributionSql,
-    "events_attribution_channel" -> eventsAttributionChannelSql
+    "events_attribution_channel" -> eventsAttributionChannelSql,
+    "events_attribution_position" -> eventsAttributionPositionSql
   )
 }

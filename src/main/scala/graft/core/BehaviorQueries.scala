@@ -687,7 +687,83 @@ object BehaviorQueries {
       |FROM counts JOIN peaks ON counts.day_num = peaks.day_num
       |ORDER BY counts.day_num""".stripMargin
 
+  /** §2 `events_retention_bitmap`: lag-k retention for EVERY horizon
+    * k ∈ 1..62 in one pass, via per-user activity BITMAPS — the
+    * bitmap-index device (Roaring-style, one machine word per user
+    * here): a user's last 63 days collapse to one BIGINT with bit i set
+    * iff they were active i days before the corpus frontier, so "active
+    * on two days k apart" is `mask & (mask >> k)` — popcount counts the
+    * co-active day pairs and a nonzero word marks a retained user. The
+    * join-free contrast: user_retention_cohort answers one horizon per
+    * row via a self-join shape; this answers all 62 with zero joins
+    * after the mask build.
+    *
+    * Scale shape: ONE user-keyed aggregation builds the masks (the
+    * per-user distinct-day set collapses map-side via the partial
+    * sum(DISTINCT bit) — each distinct (user, day) contributes one
+    * power of two, so sum-distinct IS bit_or); the 62-lag expansion
+    * runs on #users rows (bounded fan-out, no shuffle — lag is derived
+    * per row), and the rollup is a 62-group aggregate. The frontier is
+    * the usual broadcast 1-row scalar. Exact integers end-to-end: bits
+    * stay in 0..62, so no mask is ever negative and arithmetic vs
+    * logical shift cannot diverge between engines.
+    */
+  def eventsRetentionBitmap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    retentionBitmapOn(Tables.events(spark, dir)
+      .select($"user_id", expr("unix_timestamp(ts) div 86400").as("day_num")))
+  }
+
+  /** Core over any (user_id, day_num) frame — spec-testable against a
+    * naive per-lag distinct-day self-join.
+    */
+  private[graft] def retentionBitmapOn(ev: DataFrame): DataFrame = {
+    val spark = ev.sparkSession
+    import spark.implicits._
+    val mx = ev.agg(max($"day_num").as("max_day"))
+    val masks = ev.crossJoin(broadcast(mx))
+      .withColumn("idx", ($"max_day" - $"day_num").cast("int"))
+      .filter($"idx" <= 62)
+      .groupBy($"user_id")
+      // shiftleft via SQL expr: the Scala helper only takes a literal
+      // shift amount, the SQL function takes any expression
+      .agg(sum_distinct(expr("shiftleft(1L, idx)")).as("mask"))
+    masks
+      .select($"mask", explode(sequence(lit(1), lit(62))).as("lag"))
+      .withColumn("co", $"mask".bitwiseAND(expr("shiftright(mask, lag)")))
+      .groupBy($"lag")
+      .agg(sum(bit_count($"co")).cast("long").as("n_copresent_user_days"),
+        sum(when($"co" =!= 0L, 1L).otherwise(0L)).as("n_users_retained"))
+      .select($"lag".cast("int").as("lag"),
+        $"n_copresent_user_days", $"n_users_retained")
+      .orderBy($"lag")
+  }
+
+  val eventsRetentionBitmapSql: String =
+    """WITH ev AS (
+      |  SELECT user_id,
+      |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) // 86400 AS day_num
+      |  FROM events
+      |), mx AS (
+      |  SELECT MAX(day_num) AS max_day FROM ev
+      |), masks AS (
+      |  SELECT user_id,
+      |    CAST(SUM(DISTINCT 1::BIGINT << CAST(max_day - day_num AS INT)) AS BIGINT) AS mask
+      |  FROM ev, mx
+      |  WHERE max_day - day_num <= 62
+      |  GROUP BY user_id
+      |), lagged AS (
+      |  SELECT CAST(u AS INT) AS lag, mask & (mask >> CAST(u AS INT)) AS co
+      |  FROM masks, UNNEST(range(1, 63)) AS r(u)
+      |)
+      |SELECT lag,
+      |  CAST(SUM(bit_count(co)) AS BIGINT) AS n_copresent_user_days,
+      |  CAST(SUM(CASE WHEN co <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_users_retained
+      |FROM lagged GROUP BY lag
+      |ORDER BY lag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_retention_bitmap" -> (eventsRetentionBitmap _),
     "events_peak_concurrency" -> (eventsPeakConcurrency _),
     "events_survival_km"    -> (eventsSurvivalKm _),
     "events_path_topk"      -> (eventsPathTopk _),
@@ -701,6 +777,7 @@ object BehaviorQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "events_retention_bitmap" -> eventsRetentionBitmapSql,
     "events_peak_concurrency" -> eventsPeakConcurrencySql,
     "events_path_topk"      -> eventsPathTopkSql,
     "events_anomaly_trailing" -> eventsAnomalyTrailingSql,

@@ -28,17 +28,21 @@ import org.apache.spark.sql.DataFrame
   */
 object AtomicRewrite {
 
-  /** True iff the dir exists AND holds at least one COMMITTED (non-
-    * hidden) entry. The naive `exists && listStatus.nonEmpty` probe
-    * counts a crashed write's lone `_temporary` dir as data, and the
-    * parquet read that follows then throws unable-to-infer-schema on
-    * every retry — a permanent crash loop in paths whose whole point
-    * is heal-on-redelivery.
+  /** True iff the dir exists AND holds at least one COMMITTED entry.
+    * The naive `exists && listStatus.nonEmpty` probe counts a crashed
+    * write's lone `_temporary` dir as data, and the parquet read that
+    * follows then throws unable-to-infer-schema on every retry — a
+    * permanent crash loop in paths whose whole point is
+    * heal-on-redelivery. Committed entries are non-hidden names PLUS
+    * partition directories: a `_bucket=3` dir is committed output (the
+    * touch/ledger stores partition on `_bucket`), while the temp/marker
+    * names this probe exists to skip (`_temporary`, `_SUCCESS`,
+    * `.hive-staging…`) never contain `=`.
     */
   def hasCommittedFiles(fs: org.apache.hadoop.fs.FileSystem, p: Path): Boolean =
     fs.exists(p) && fs.listStatus(p).exists { s =>
       val n = s.getPath.getName
-      !n.startsWith("_") && !n.startsWith(".")
+      n.contains("=") || (!n.startsWith("_") && !n.startsWith("."))
     }
 
   def overwrite(df: DataFrame, destPath: String): Unit = {

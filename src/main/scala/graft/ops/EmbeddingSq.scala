@@ -237,6 +237,77 @@ object EmbeddingSq {
       .orderBy($"query_id", $"rank")
   }
 
+  /** Shared sign-bit signature CTE for the two binary-ANN oracles —
+    * byte-exact with [[binarySigs]]: the sign is taken on the SAME
+    * ×1000 quantization grid (the quantizedCte), bit i set iff
+    * v[i] ≥ 0. Bit 63 needs the min-BIGINT literal (DuckDB's `<<`
+    * range-checks where Java's wraps, and the 64-dim corpus exercises
+    * it); the sum of min-BIGINT plus distinct lower powers of two is
+    * the packed signed 64-bit value, always in int64 range.
+    */
+  private val binarySigCte: String =
+    LlmQueries.quantizedCte +
+      """, s AS (
+        |  SELECT vec_id,
+        |    CAST(list_sum(list_transform(range(1, len(v) + 1), i ->
+        |      CASE WHEN v[i] >= 0 THEN
+        |        CASE WHEN i = 64 THEN (-9223372036854775807::BIGINT - 1)
+        |             ELSE (1::BIGINT << CAST(i - 1 AS INT)) END
+        |      ELSE 0::BIGINT END)) AS BIGINT) AS sig
+        |  FROM n
+        |)""".stripMargin
+
+  /** Oracle for `ann_topk_binary`: exact integers end-to-end (sign
+    * packing, xor, popcount, (hamming, neighbor_id) rank), so the
+    * brute-force window form hash-checks the PartialTopK plan.
+    */
+  val annTopkBinarySql: String =
+    s"""$binarySigCte, scored AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+       |  FROM s a JOIN s b ON a.vec_id % 10 = 0 AND a.vec_id <> b.vec_id
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, hamming,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY hamming, neighbor_id) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, rank, neighbor_id, hamming
+       |FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** Oracle for `ann_topk_binary_refine`: the 50-deep Hamming shortlist
+    * then the exact integer-dot re-rank — both stages deterministic, so
+    * the two-stage composition is hash-checked, not just recall-pinned.
+    */
+  val annTopkBinaryRefineSql: String =
+    s"""$binarySigCte, scored AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+       |  FROM s a JOIN s b ON a.vec_id % 10 = 0 AND a.vec_id <> b.vec_id
+       |), short AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY hamming, neighbor_id) AS rn
+       |    FROM scored) WHERE rn <= 50
+       |), rer AS (
+       |  SELECT sh.query_id, sh.neighbor_id,
+       |    CAST(list_sum(list_transform(range(1, len(a.v) + 1),
+       |      i -> a.v[i] * b.v[i])) AS BIGINT) AS dot
+       |  FROM short sh
+       |  JOIN n a ON a.vec_id = sh.query_id
+       |  JOIN n b ON b.vec_id = sh.neighbor_id
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, dot,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY dot DESC, neighbor_id) AS rank
+       |  FROM rer
+       |)
+       |SELECT query_id, rank, neighbor_id, dot
+       |FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embedding_quantize_int8" -> (embeddingQuantizeInt8 _),
     "ann_topk_sq8"            -> (annTopkSq8 _),
@@ -245,6 +316,10 @@ object EmbeddingSq {
   )
 
   val oracleSql: Map[String, String] = Map(
-    "embedding_quantize_int8" -> embeddingQuantizeInt8Sql
+    "embedding_quantize_int8" -> embeddingQuantizeInt8Sql,
+    // binary promotions (round 11): both entries are exact integer
+    // pipelines, so the brute-force SQL twins hash-check them
+    "ann_topk_binary"        -> annTopkBinarySql,
+    "ann_topk_binary_refine" -> annTopkBinaryRefineSql
   )
 }

@@ -1174,6 +1174,69 @@ object ScaleDedup {
       |WHERE len(list_intersect(a.w, b.w)) * 10 >= len(a.w) * 9
       |ORDER BY 1, 2, 3""".stripMargin
 
+  /** Oracle for `dedup_containment_keeper` — the keeper is a pure
+    * deterministic argmax over the SAME verified pair table the pair
+    * entry holds to [[dedupContainmentSql]], so the quadratic join plus
+    * a rank-1 window answers the identical question: best container by
+    * (containment DESC, szb DESC, b ASC). Ties cannot reach past `b`
+    * (one row per (lang, a, b)), so the ordering is engine-exact —
+    * containment is the same int/int double in both engines.
+    */
+  val dedupContainmentKeeperSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang,
+      |    list_sort(list_distinct(string_split(lower(trim(text)), ' '))) AS w
+      |  FROM documents
+      |  WHERE len(list_distinct(string_split(lower(trim(text)), ' '))) >= 5
+      |), p AS (
+      |  SELECT a.lang, a.doc_id AS a, b.doc_id AS b,
+      |    CAST(len(list_intersect(a.w, b.w)) AS BIGINT) AS inter,
+      |    CAST(len(a.w) AS BIGINT) AS sza,
+      |    CAST(len(b.w) AS BIGINT) AS szb,
+      |    CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+      |      / CAST(len(a.w) AS DOUBLE) AS containment
+      |  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id <> b.doc_id
+      |  WHERE len(list_intersect(a.w, b.w)) * 10 >= len(a.w) * 9
+      |), r AS (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY lang, a
+      |    ORDER BY containment DESC, szb DESC, b ASC) AS rn
+      |  FROM p
+      |)
+      |SELECT lang, a AS doc_id, b AS keeper_doc_id, inter, sza, szb, containment
+      |FROM r WHERE rn = 1
+      |ORDER BY lang, doc_id""".stripMargin
+
+  /** Oracle for `dedup_jaccard_prefix_keeper` — the keeper is the MIN
+    * doc_id of each doc's connected component in the exact Jaccard ≥ 0.9
+    * pair graph (identical word sets are J = 1 edges, so the Spark side's
+    * rep-collapse-then-CC construction and plain CC over the pair graph
+    * agree): reachability closure to true fixpoint (the knn CC oracle's
+    * set-union recursion), then one row per doc whose component min is
+    * strictly below it. Closure size is Σ component² — bounded at gate
+    * scale.
+    */
+  val dedupJaccardPrefixKeeperSql: String =
+    """WITH RECURSIVE t AS (
+      |  SELECT doc_id, lang,
+      |    list_sort(list_distinct(string_split(lower(trim(text)), ' '))) AS w
+      |  FROM documents
+      |), p AS MATERIALIZED (
+      |  SELECT a.doc_id AS a, b.doc_id AS b
+      |  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+      |      / CAST(len(list_distinct(list_concat(a.w, b.w))) AS DOUBLE) >= 0.9
+      |), e AS MATERIALIZED (
+      |  SELECT a, b FROM p UNION ALL SELECT b AS a, a AS b FROM p
+      |), reach AS (
+      |  SELECT a AS v, b AS u FROM e
+      |  UNION
+      |  SELECT r.v, e2.b AS u FROM reach r JOIN e e2 ON e2.a = r.u
+      |)
+      |SELECT v AS doc_id, MIN(u) AS keeper_doc_id
+      |FROM reach GROUP BY v HAVING MIN(u) < v
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_containment" -> (dedupContainment _),
     "dedup_containment_keeper" -> (dedupContainmentKeeper _),
@@ -1195,6 +1258,11 @@ object ScaleDedup {
     // lossless, so the pruned join answers the identical question
     "dedup_jaccard_prefix" -> LlmQueries.dedupNgramJaccardSql,
     // the quadratic containment join: same lossless-pruning discipline
-    "dedup_containment" -> dedupContainmentSql
+    "dedup_containment" -> dedupContainmentSql,
+    // keeper promotions (round 11): both are deterministic functions of
+    // their family's oracle-held pair table, so the quadratic twin plus
+    // a window / reachability closure hash-checks them too
+    "dedup_containment_keeper" -> dedupContainmentKeeperSql,
+    "dedup_jaccard_prefix_keeper" -> dedupJaccardPrefixKeeperSql
   )
 }

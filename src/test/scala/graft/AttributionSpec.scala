@@ -64,4 +64,49 @@ class AttributionSpec extends SparkSuite {
     assert(channels.subsetOf(Set("click", "view", "direct")))
     assert((channels - "direct").nonEmpty, "attributed channels non-vacuous")
   }
+
+  test("position model: U-shape split hand-checked, largest-remainder exact") {
+    import spark.implicits._
+    // one purchase of 10.01 (1001 cents) with 4 touches: weights
+    // 4/1/1/4 over D=10 -> bases 400/100/100/400 (=1000), remainders
+    // 4/1/1/4, leftover 1 cent goes to the largest-remainder touch with
+    // the LOWEST position (the first touch, id 1). n=1 (u2) takes all;
+    // n=2 (u3) splits 450/451 by the same rule (901 cents, rem 1/1,
+    // position tie-break gives the extra cent to the first).
+    val ev = Seq(
+      (1L, 1L, "view", 100L, 0.0),
+      (2L, 1L, "click", 200L, 0.0),
+      (3L, 1L, "click", 300L, 0.0),
+      (4L, 1L, "view", 400L, 0.0),
+      (10L, 1L, "purchase", 1000L, 10.01),
+      (5L, 2L, "click", 100L, 0.0),
+      (20L, 2L, "purchase", 1000L, 5.00),
+      (6L, 3L, "view", 100L, 0.0),
+      (7L, 3L, "click", 200L, 0.0),
+      (30L, 3L, "purchase", 1000L, 9.01),
+      (40L, 4L, "purchase", 1000L, 2.00)
+    ).toDF("event_id", "user_id", "event_type", "ts_sec", "value")
+    val rows = core.AttributionQueries.attributionPositionOn(ev)
+      .collect().map(r => r.getAs[String]("channel") ->
+        (r.getAs[Long]("n_credits"), r.getAs[Long]("attributed_cents"))).toMap
+    // u1: first view 400+1, middle clicks 100+100, last view 400
+    // u2: click 500;  u3: first view 450+1, last click 450;  u4: direct 200
+    assert(rows("view") == (3L, 1252L), s"views: ${rows("view")}")
+    assert(rows("click") == (4L, 1150L), s"clicks: ${rows("click")}")
+    assert(rows("direct") == (1L, 200L))
+    assert(rows.values.map(_._2).sum == 1001L + 500L + 901L + 200L,
+      "largest-remainder allocation conserves every purchase exactly")
+  }
+
+  test("position model on the corpus: conservation law holds exactly") {
+    import org.apache.spark.sql.functions._
+    val pos = core.AttributionQueries.eventsAttributionPosition(spark, sf)
+    val totalCents = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .agg(sum((col("value").cast("decimal(10,2)") * 100).cast("long")))
+      .head.getLong(0)
+    val attributed = pos.agg(sum("attributed_cents")).head.getLong(0)
+    assert(attributed == totalCents,
+      s"position credits must sum to purchase total: $attributed != $totalCents")
+  }
 }

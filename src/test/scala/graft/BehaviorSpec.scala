@@ -157,4 +157,47 @@ class BehaviorSpec extends SparkSuite {
       if (r.getAs[String]("status") == "quarantined") assert(a == 3)
     }
   }
+
+  test("bitmap retention: equals the naive distinct-day pair count per lag") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // synthetic: u1 active days 100,101,103; u2 active 100 only (twice —
+    // distinctness inside the mask); u3 active 30 (73 days before the
+    // frontier 103 — outside the 63-day window) and 103
+    val ev = Seq(
+      (1L, 100L), (1L, 101L), (1L, 103L),
+      (2L, 100L), (2L, 100L),
+      (3L, 30L), (3L, 103L)
+    ).toDF("user_id", "day_num")
+    val got = core.BehaviorQueries.retentionBitmapOn(ev)
+      .collect().map(r => r.getAs[Int]("lag") ->
+        (r.getAs[Long]("n_copresent_user_days"), r.getAs[Long]("n_users_retained"))).toMap
+    assert(got.size == 62)
+    // lag 1: u1 (100,101); lag 2: u1 (101,103); lag 3: u1 (100,103)
+    assert(got(1) == (1L, 1L) && got(2) == (1L, 1L) && got(3) == (1L, 1L))
+    assert((4 to 62).forall(k => got(k) == (0L, 0L)),
+      "u3's day 30 is outside the 63-day window and must not pair with 103")
+
+    // corpus: the bitmap answer must equal a naive distinct-day self-join
+    val corpus = Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_timestamp(ts) div 86400").as("day_num"))
+    val frontier = corpus.agg(max("day_num")).head.getLong(0)
+    val days = corpus.filter(col("day_num") >= frontier - 62)
+      .select("user_id", "day_num").distinct()
+    val naive = days.as("a").join(days.as("b"), Seq("user_id"))
+      .withColumn("lag", (col("b.day_num") - col("a.day_num")).cast("int"))
+      .filter(col("lag") >= 1)
+      .groupBy("lag")
+      .agg(count(lit(1)).as("pairs"), countDistinct("user_id").as("users"))
+      .collect().map(r => r.getAs[Int]("lag") ->
+        (r.getAs[Long]("pairs"), r.getAs[Long]("users"))).toMap
+    val bm = core.BehaviorQueries.eventsRetentionBitmap(spark, sf)
+      .collect().map(r => r.getAs[Int]("lag") ->
+        (r.getAs[Long]("n_copresent_user_days"), r.getAs[Long]("n_users_retained"))).toMap
+    (1 to 62).foreach { k =>
+      assert(bm(k) == naive.getOrElse(k, (0L, 0L)),
+        s"lag $k: bitmap ${bm(k)} != naive ${naive.getOrElse(k, (0L, 0L))}")
+    }
+    assert(bm.values.exists(_._1 > 0L), "corpus co-presence non-vacuous")
+  }
 }
