@@ -457,7 +457,11 @@ object Curation {
     * Output: (rank, vec_id, d2_at_pick) — d2_at_pick is the squared
     * distance to the nearest EARLIER pick (the coverage radius sequence;
     * non-increasing is the greedy invariant KcenterSpec re-derives
-    * driver-side). Rows-only: the greedy trace is not SQL-expressible.
+    * driver-side). HASH-GATED since r11-cont: distances are exact
+    * integers (nrm_a + nrm_b − 2·dot on the ×1000 grid), so the greedy
+    * trace unrolls into k−1 MATERIALIZED DuckDB rounds
+    * ([[sampleKcenterSql]] — the kcore-oracle unrolling device applied
+    * to a sequential-by-definition greedy).
     */
   def sampleKcenter(spark: SparkSession, dir: String, k: Int = 12): DataFrame = {
     import spark.implicits._
@@ -836,7 +840,43 @@ object Curation {
     "text_repetition_filter" -> (textRepetitionFilter _)
   )
 
+  /** Oracle for `sample_kcenter` — the greedy is sequential but every
+    * round is a deterministic integer argmax, so it unrolls: round i
+    * materializes the running min-distance table m(i−1), picks the
+    * (d2 DESC, vec_id ASC) top row, and folds the new pick's distances
+    * in with LEAST. MATERIALIZED is load-bearing (each m is referenced
+    * by the next pick and the next m — default inlining would double
+    * the chain per round). k = 12 → 11 rounds; verified identical to
+    * the Spark trace pick-for-pick.
+    */
+  val sampleKcenterSql: String = {
+    val kK = 12
+    def dot(a: String, b: String) =
+      s"CAST(list_sum(list_transform(range(1, len($a) + 1), j -> $a[j] * $b[j])) AS BIGINT)"
+    val rounds = (2 to kK).map { i =>
+      s""", p$i AS MATERIALIZED (SELECT vec_id, v, nrm, d2 FROM m${i - 1} ORDER BY d2 DESC, vec_id LIMIT 1)
+         |, m$i AS MATERIALIZED (
+         |  SELECT m.vec_id, m.v, m.nrm,
+         |    LEAST(m.d2, m.nrm + p.nrm - 2 * ${dot("m.v", "p.v")}) AS d2
+         |  FROM m${i - 1} m, p$i p WHERE m.vec_id <> p.vec_id)""".stripMargin
+    }.mkString("\n")
+    val tail = (2 to kK).map(i =>
+      s"  UNION ALL SELECT $i AS rank, vec_id, d2 AS d2_at_pick FROM p$i").mkString("\n")
+    s"""${LlmQueries.quantizedCte}, p1 AS MATERIALIZED (
+       |  SELECT vec_id, v, nrm FROM n ORDER BY vec_id LIMIT 1
+       |), m1 AS MATERIALIZED (
+       |  SELECT b.vec_id, b.v, b.nrm,
+       |    b.nrm + p.nrm - 2 * ${dot("b.v", "p.v")} AS d2
+       |  FROM n b, p1 p WHERE b.vec_id <> p.vec_id)
+       |$rounds
+       |SELECT * FROM (
+       |  SELECT 1 AS rank, vec_id, 0::BIGINT AS d2_at_pick FROM p1
+       |$tail
+       |) ORDER BY rank""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "sample_kcenter"    -> sampleKcenterSql,
     "sample_temperature" -> sampleTemperatureSql,
     "sample_importance" -> sampleImportanceSql,
     "sample_token_budget" -> sampleTokenBudgetSql,

@@ -1051,7 +1051,44 @@ object KnnGraph {
     "ann_topk_graph_persisted" -> (annTopkGraphPersisted _)
   )
 
+  /** Oracle for `knn_graph_communities` — synchronous mode-voting LP is
+    * exact integer arithmetic (vote counts + (count DESC, label ASC)
+    * argmax), so the 5 fixed rounds unroll: vote edges are the directed
+    * mutual table plus one self-loop per node (the self-vote), each
+    * round joins the previous labels, counts votes per (node, label),
+    * and picks the mode via a rank-1 window. MATERIALIZED per round —
+    * each labels table feeds the next round's join.
+    */
+  val knnGraphCommunitiesSql: String = {
+    val rounds = (1 to 5).map { r =>
+      s""", c$r AS (
+         |  SELECT v.dst, l.label, COUNT(*) AS c
+         |  FROM ve v JOIN l${r - 1} l ON l.vec_id = v.src
+         |  GROUP BY v.dst, l.label
+         |), l$r AS MATERIALIZED (
+         |  SELECT dst AS vec_id, label FROM (
+         |    SELECT dst, label,
+         |      row_number() OVER (PARTITION BY dst ORDER BY c DESC, label ASC) AS rn
+         |    FROM c$r) WHERE rn = 1)""".stripMargin
+    }.mkString("\n")
+    s"""$mutualCte, ve AS MATERIALIZED (
+       |  SELECT a AS src, b AS dst FROM mutual
+       |  UNION ALL SELECT vec_id, vec_id FROM n
+       |), l0 AS MATERIALIZED (
+       |  SELECT vec_id, vec_id AS label FROM n
+       |)
+       |$rounds
+       |, sizes AS (
+       |  SELECT label, CAST(COUNT(*) AS BIGINT) AS community_size
+       |  FROM l5 GROUP BY label
+       |)
+       |SELECT l.vec_id, l.label AS community, s.community_size
+       |FROM l5 l JOIN sizes s USING (label)
+       |ORDER BY l.vec_id""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "knn_graph_communities" -> knnGraphCommunitiesSql,
     "knn_graph_exact" -> knnGraphExactSql,
     "knn_graph_triangles" -> knnGraphTrianglesSql,
     "knn_graph_link_predict" -> knnGraphLinkPredictSql,
