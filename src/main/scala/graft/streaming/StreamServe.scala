@@ -115,7 +115,19 @@ object StreamServe {
         foldInThirds(s, d, (b, i) => AttributionStream.attributionFold(b, p, i))
       })
 
+  /** The retention bitmaps folded from event-id thirds (delivery order
+    * is irrelevant here — the state is a day SET and union commutes)
+    * and served through the shared batch core — held to the batch
+    * entry's oracle verbatim.
+    */
+  def retentionBitmapServed(spark: SparkSession, dir: String): DataFrame =
+    RetentionStream.serveRetention(spark,
+      statePathFor(spark, dir, "retention") { (s, d, p) =>
+        foldInThirds(s, d, (b, i) => RetentionStream.retentionFold(b, p, i))
+      })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_retention_bitmap_served"   -> (retentionBitmapServed _),
     "events_markov_transitions_served" -> (markovServed _),
     "events_value_corr_served"         -> (corrServed _),
     "dq_drift_chi2_served"             -> (driftServed _),
@@ -130,6 +142,8 @@ object StreamServe {
     "dq_drift_chi2_served"             -> graft.etl.DataQuality.dqDriftChi2Sql,
     "dq_benford_served"                -> graft.etl.DataQuality.dqBenfordSql,
     "events_attribution_channel_served" ->
-      graft.core.AttributionQueries.eventsAttributionChannelSql
+      graft.core.AttributionQueries.eventsAttributionChannelSql,
+    "events_retention_bitmap_served" ->
+      graft.core.BehaviorQueries.eventsRetentionBitmapSql
   )
 }
