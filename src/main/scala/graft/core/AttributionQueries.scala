@@ -212,6 +212,23 @@ object AttributionQueries {
     val touches = ev.filter($"event_type".isin("click", "view"))
       .select($"user_id".as("t_user_id"), $"event_id".as("touch_id"),
         $"event_type".as("touch_type"), $"ts_sec".as("t_ts_sec"))
+    positionChannelRollupOn(purchases, touches)
+      .filter($"n_credits" > 0)
+      .orderBy($"channel")
+  }
+
+  /** The position model's channel rollup over an explicit (purchases,
+    * touches) pair — UNordered and UNfiltered so the streaming fold can
+    * merge its per-batch deltas additively; the batch entry applies the
+    * n_credits > 0 filter and the ordering on top. The touch side may
+    * contain touches from state carried across batches — the model is a
+    * deterministic function of each purchase's qualifying touch SET, so
+    * the crash-window retry (batch touches already resident, deduped
+    * upstream) derives bit-identical credits.
+    */
+  private[graft] def positionChannelRollupOn(purchases: DataFrame, touches: DataFrame): DataFrame = {
+    val spark = purchases.sparkSession
+    import spark.implicits._
     val joined = purchases.join(touches,
       $"user_id" === $"t_user_id" &&
         $"t_ts_sec" < $"p_ts_sec" &&
@@ -239,8 +256,6 @@ object AttributionQueries {
       .select(lit("direct").as("channel"), $"n_credits",
         coalesce($"attributed_cents", lit(0L)).as("attributed_cents"))
     channelCredits.unionByName(direct)
-      .filter($"n_credits" > 0)
-      .orderBy($"channel")
   }
 
   val eventsAttributionPositionSql: String =

@@ -121,8 +121,20 @@ object AttributionStream {
           .agg(max(struct($"t_ts_sec", $"touch_id", $"touch_type")).as("lt"))
           .select($"purchase_id", $"value_cents",
             coalesce($"lt.touch_type", lit("direct")).as("channel"))
-        val delta = credited.groupBy($"channel")
-          .agg(count(lit(1)).as("n_purchases"), sum($"value_cents").as("attributed_cents"))
+        val lastDelta = credited.groupBy($"channel")
+          .agg(count(lit(1)).as("n"), sum($"value_cents").as("cents"))
+          .select(lit("last").as("model"), $"channel", $"n", $"cents")
+        // position (U-shaped) credit through the SHARED batch core —
+        // one touch store, two credit models: the model is a
+        // deterministic function of each purchase's qualifying touch
+        // SET, so it inherits the same crash-window invariance as the
+        // argmax (the retry sees the identical deduped set)
+        val positionDelta = graft.core.AttributionQueries
+          .positionChannelRollupOn(purchases,
+            allTouches.withColumnRenamed("user_id", "t_user_id"))
+          .select(lit("position").as("model"), $"channel",
+            $"n_credits".as("n"), $"attributed_cents".as("cents"))
+        val delta = lastDelta.unionByName(positionDelta)
 
         // touches write-ahead: untouched residents ∪ (residents + batch
         // touches of batch users), pruned per USER to their batch MIN
@@ -159,23 +171,44 @@ object AttributionStream {
         affected.filterNot(liveBuckets)
           .foreach(b => fs.delete(new Path(s"$touchesPath/_bucket=$b"), true))
 
-        // rollup merge: exact BIGINT counts and cents are additive
+        // rollup merge: exact BIGINT counts and cents are additive per
+        // (model, channel) — each purchase is credited exactly once, in
+        // its arrival batch, under both models
         prev.map(_.unionByName(delta)).getOrElse(delta)
-          .groupBy($"channel")
-          .agg(sum($"n_purchases").as("n_purchases"),
-            sum($"attributed_cents").as("attributed_cents"))
+          .groupBy($"model", $"channel")
+          .agg(sum($"n").as("n"), sum($"cents").as("cents"))
       }
     }
 
-  /** The channel rollup from folded state — row-identical to the batch
-    * entry when the stream has delivered the same events.
-    */
-  def serveChannels(spark: SparkSession, statePath: String): DataFrame = {
+  private def serveModel(spark: SparkSession, statePath: String, model: String): DataFrame = {
     import spark.implicits._
     StateFold.readState(spark, statePath)
       .getOrElse(throw new IllegalStateException(
         s"no committed attribution state at $statePath"))
-      .select($"channel", $"n_purchases", $"attributed_cents")
+      .filter($"model" === model)
+      .select($"channel", $"n", $"cents")
+  }
+
+  /** The last-touch channel rollup from folded state — row-identical to
+    * the batch entry when the stream has delivered the same events.
+    */
+  def serveChannels(spark: SparkSession, statePath: String): DataFrame = {
+    import spark.implicits._
+    serveModel(spark, statePath, "last")
+      .select($"channel", $"n".as("n_purchases"), $"cents".as("attributed_cents"))
+      .orderBy($"channel")
+  }
+
+  /** The position-model rollup from folded state — row-identical to
+    * `events_attribution_position` (the batch entry's n_credits > 0
+    * filter re-applied: a zero-credit channel row can only be an
+    * all-zero direct row, which the batch entry drops too).
+    */
+  def servePositionChannels(spark: SparkSession, statePath: String): DataFrame = {
+    import spark.implicits._
+    serveModel(spark, statePath, "position")
+      .select($"channel", $"n".as("n_credits"), $"cents".as("attributed_cents"))
+      .filter($"n_credits" > 0)
       .orderBy($"channel")
   }
 }

@@ -126,7 +126,18 @@ object StreamServe {
         foldInThirds(s, d, (b, i) => RetentionStream.retentionFold(b, p, i))
       })
 
+  /** The position-model rollup served from the SAME folded attribution
+    * state as the last-touch entry — one touch store, two credit
+    * models; held to the batch position entry's oracle verbatim.
+    */
+  def attributionPositionServed(spark: SparkSession, dir: String): DataFrame =
+    AttributionStream.servePositionChannels(spark,
+      statePathFor(spark, dir, "attribution") { (s, d, p) =>
+        foldInThirds(s, d, (b, i) => AttributionStream.attributionFold(b, p, i))
+      })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_attribution_position_served" -> (attributionPositionServed _),
     "events_retention_bitmap_served"   -> (retentionBitmapServed _),
     "events_markov_transitions_served" -> (markovServed _),
     "events_value_corr_served"         -> (corrServed _),
@@ -144,6 +155,8 @@ object StreamServe {
     "events_attribution_channel_served" ->
       graft.core.AttributionQueries.eventsAttributionChannelSql,
     "events_retention_bitmap_served" ->
-      graft.core.BehaviorQueries.eventsRetentionBitmapSql
+      graft.core.BehaviorQueries.eventsRetentionBitmapSql,
+    "events_attribution_position_served" ->
+      graft.core.AttributionQueries.eventsAttributionPositionSql
   )
 }

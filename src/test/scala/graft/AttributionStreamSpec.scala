@@ -37,6 +37,26 @@ class AttributionStreamSpec extends SparkSuite {
     assert(batch.nonEmpty)
   }
 
+  test("streamed position model == batch events_attribution_position bit-for-bit") {
+    val dir = Files.createTempDirectory("graft_attrstream_pos").toString
+    foldThirds(dir)
+    val streamed = streaming.AttributionStream.servePositionChannels(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val batch = core.AttributionQueries.eventsAttributionPosition(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch,
+      "streamed position rollup diverges from the batch entry")
+    assert(batch.nonEmpty)
+    // conservation holds through the stream too: largest-remainder
+    // credits partition every purchase exactly
+    import spark.implicits._
+    val total = Tables.events(spark, sf).filter($"event_type" === "purchase")
+      .select(($"value".cast("decimal(10,2)") * 100).cast("long").as("cents"))
+      .agg(sum($"cents")).head().getLong(0)
+    assert(streamed.map(_(2).asInstanceOf[Long]).sum == total,
+      "streamed position credits must sum to total purchase cents")
+  }
+
   test("conservation: channel credits partition the purchases exactly") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_attrstream_cons").toString
@@ -92,6 +112,8 @@ class AttributionStreamSpec extends SparkSuite {
     streaming.AttributionStream.attributionFold(b1, dir, 1L)
     val want = streaming.AttributionStream.serveChannels(spark, dir)
       .collect().map(_.toSeq).toSeq
+    val wantPos = streaming.AttributionStream.servePositionChannels(spark, dir)
+      .collect().map(_.toSeq).toSeq
     // reconstruct the crash state: batch 1's touch rewrite stays, its
     // rollup commit vanishes, the pre-batch state is still committed
     assert(fs.delete(new org.apache.hadoop.fs.Path(s"$dir/v1"), true))
@@ -104,5 +126,10 @@ class AttributionStreamSpec extends SparkSuite {
     assert(got == want,
       "half-committed retry must re-derive the identical rollup " +
         "(argmax credit is duplication-invariant)")
+    val gotPos = streaming.AttributionStream.servePositionChannels(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(gotPos == wantPos,
+      "position credits must also survive the crash window " +
+        "(deterministic function of the deduped touch set)")
   }
 }
