@@ -28,7 +28,7 @@ object SparkEntry {
       ops.CfIndex.queries ++ ops.DedupEval.queries ++ ops.Rake.queries ++
       ops.CurationPipeline.queries ++ streaming.ForecastServe.queries ++
       streaming.StreamServe.queries ++ core.AttributionQueries.queries ++
-      ops.PhraseSearch.queries ++ ops.ChurnTrain.queries
+      ops.PhraseSearch.queries ++ ops.ChurnTrain.queries ++ ops.Als.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.

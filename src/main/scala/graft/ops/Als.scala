@@ -1,0 +1,174 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ALS matrix factorization — the model-based recommender beside the
+  * neighborhood CF family ([[Recommend]]): factor the (user × item)
+  * listen-count matrix into rank-d user/item embeddings by alternating
+  * ridge regressions (Koren/Bell/Volinsky's classic), then serve
+  * per-user top-N by factor dot product. Where item-item CF can only
+  * recommend items co-listened with a user's history, the factor model
+  * generalizes across the whole latent space — the standard reason a
+  * production stack runs both.
+  *
+  * Distributed shape (the part that matters at 100 TB): one half-step
+  * "solve users given items" is ONE join (ratings ⋈ item factors, on
+  * item_id) + ONE user-keyed aggregation accumulating the d×d normal
+  * equations map-side — the Gram entries (Σv·vᵀ, Σr·v) are plain
+  * partial-agg sums, so each half-step is exactly two shuffles
+  * regardless of corpus size; factor tables are ENTITY-sized (ids × d
+  * doubles), never corpus-sized. With d = 2 the ridge solve
+  * (A + λI)⁻¹ b is closed-form 2×2 algebra INSIDE the aggregation's
+  * projection — no driver solve, no UDF, no per-row loop. d is a
+  * parameter (larger d wants a Cholesky on an array column — same
+  * shape, bigger expressions); the layout, not the constant, is the
+  * contract, exactly like the LSH band count. Iterations
+  * localCheckpoint per half-step (the Lloyd discipline) so plan depth
+  * stays O(1) per round.
+  *
+  * The serve tail is the brute-force factor-dot ranking over the item
+  * table for the query cohort (the ann_topk_exact shape) with listened
+  * items anti-joined out (the rec_user_topn novelty contract); at
+  * production scale the item factor table feeds the ANN index family
+  * (IVF/PQ over item vectors) by composition — serving is exactly the
+  * `ann_topk_*` problem once factors exist.
+  *
+  * Deterministic end to end: init breaks symmetry by item id (no RNG),
+  * every aggregation is order-insensitive (sums), ties in the ranking
+  * break by item id. Rows-only (iterative float least squares is not
+  * cross-engine hashable); AlsSpec pins the monotone objective descent,
+  * determinism, novelty, and that the learned model beats the
+  * zero-factor baseline it started from.
+  */
+object Als {
+
+  val rank = 2
+  val lambda = 0.1
+  val iterations = 6
+
+  /** Deterministic symmetry-breaking init for item factors. */
+  private def initItems(ratings: DataFrame): DataFrame = {
+    import ratings.sparkSession.implicits._
+    ratings.select($"item_id").distinct()
+      .select($"item_id", lit(1.0).as("v1"),
+        ((pmod($"item_id", lit(7L)) + 1L).cast("double") / 8.0).as("v2"))
+  }
+
+  /** One ridge half-solve: given factors on `givenKey` (columns g1, g2),
+    * solve factors for `solveKey` from the normal equations. */
+  private def halfSolve(ratings: DataFrame, given: DataFrame,
+      givenKey: String, solveKey: String): DataFrame = {
+    import ratings.sparkSession.implicits._
+    // Gram/moment accumulation on a LONG fixed-point grid (1e-6):
+    // integer addition is associative and commutative, so the
+    // partial-agg order a shuffle happens to take cannot move a single
+    // bit — float sums here made training run-order-dependent (caught
+    // by AlsSpec's determinism pin), and DECIMAL sums fixed it but
+    // measured ~2.3× slower end-to-end (the sum's widened accumulator
+    // leaves Spark's compact-Long fast path). Each per-row product is
+    // one deterministic round to the 1e-6 grid — noise far below
+    // anything the ridge solve can feel; headroom is ~1e10 per summed
+    // group against the 9.2e18 long range. The closed-form solve runs
+    // on the summed values as doubles.
+    def dsum(c: org.apache.spark.sql.Column) =
+      sum(round(c * 1e6).cast("long")).cast("double") / 1e6
+    ratings
+      .join(broadcast(given.withColumnRenamed("v1", "g1").withColumnRenamed("v2", "g2")), Seq(givenKey))
+      .groupBy(col(solveKey))
+      .agg(
+        dsum($"g1" * $"g1").as("a11"), dsum($"g1" * $"g2").as("a12"),
+        dsum($"g2" * $"g2").as("a22"),
+        dsum($"r" * $"g1").as("b1"), dsum($"r" * $"g2").as("b2"))
+      .withColumn("det",
+        ($"a11" + lambda) * ($"a22" + lambda) - $"a12" * $"a12")
+      .select(col(solveKey),
+        ((($"a22" + lambda) * $"b1" - $"a12" * $"b2") / $"det").as("v1"),
+        ((-$"a12" * $"b1" + ($"a11" + lambda) * $"b2") / $"det").as("v2"))
+  }
+
+  /** Train (userFactors, itemFactors) on a (user_id, item_id, r) frame.
+    *
+    * The ratings table is pre-partitioned ONCE per join key and pinned
+    * (localCheckpoint preserves the hash partitioning in the LogicalRDD),
+    * so every half-solve re-shuffles only the ENTITY-sized factor table
+    * into the ratings' layout — the corpus-sized side never crosses the
+    * wire again after the two up-front shuffles. This is the
+    * reuse-a-partitioning-across-stages discipline that matters when
+    * ratings are the 100 TB side: 2 corpus shuffles total instead of
+    * 2·iterations.
+    */
+  private[graft] def train(ratings0: DataFrame, iters: Int = iterations): (DataFrame, DataFrame) = {
+    val byItem = ratings0.repartition(col("item_id")).localCheckpoint()
+    val byUser = ratings0.repartition(col("user_id")).localCheckpoint()
+    var items = initItems(byItem).localCheckpoint()
+    var users: DataFrame = null
+    (1 to iters).foreach { _ =>
+      // one materialization barrier per FULL alternation, not per
+      // half-solve: the users solve stays lazy inside the items plan
+      // (depth stays bounded at two joins off checkpoints), halving
+      // the chained-job scheduling overhead that dominated the
+      // per-half-checkpoint version
+      users = halfSolve(byItem, items, "item_id", "user_id")
+      items = halfSolve(byUser, users, "user_id", "item_id").localCheckpoint()
+    }
+    (users.localCheckpoint(), items)
+  }
+
+  /** Σ(r − u·v)² + λ(Σ‖u‖² + Σ‖v‖²) — the ALS objective, for the spec's
+    * monotone-descent pin. */
+  private[graft] def objective(ratings: DataFrame, users: DataFrame, items: DataFrame): Double = {
+    import ratings.sparkSession.implicits._
+    val sse = ratings
+      .join(users.withColumnRenamed("v1", "u1").withColumnRenamed("v2", "u2"), Seq("user_id"))
+      .join(items, Seq("item_id"))
+      .select(pow($"r" - ($"u1" * $"v1" + $"u2" * $"v2"), 2).as("e"))
+      .agg(sum($"e")).head().getDouble(0)
+    val regU = users.select(($"v1" * $"v1" + $"v2" * $"v2").as("n"))
+      .agg(sum($"n")).head().getDouble(0)
+    val regI = items.select(($"v1" * $"v1" + $"v2" * $"v2").as("n"))
+      .agg(sum($"n")).head().getDouble(0)
+    sse + lambda * (regU + regI)
+  }
+
+  private[graft] def ratingsOf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Recommend.listenCounts(spark, dir)
+      .select($"user_id", $"item_id", $"n_listens".cast("double").as("r"))
+  }
+
+  /** §2 entry `rec_als_topn`: per-user top-5 factor-model
+    * recommendations for the evaluation cohort (user_id % 100 == 0 —
+    * the ANN entries' query-cohort device, keeping the brute-force
+    * serve tail bounded at cohort × items), listened items anti-joined
+    * out, ranked by (score desc, item id) through PartialTopK.
+    */
+  def recAlsTopn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.PartialTopK.partial_topk
+    // one fact scan: train's two partitioned copies and the novelty
+    // anti-join all read this materialization
+    val ratings = ratingsOf(spark, dir).localCheckpoint()
+    val (users, items) = train(ratings)
+    val cohort = users.filter($"user_id" % 100 === 0)
+      .withColumnRenamed("v1", "u1").withColumnRenamed("v2", "u2")
+    val scored = items.crossJoin(broadcast(cohort))
+      .select($"user_id", $"item_id", ($"u1" * $"v1" + $"u2" * $"v2").as("score"))
+    val novel = scored.join(
+      ratings.select($"user_id", $"item_id"),
+      Seq("user_id", "item_id"), "left_anti")
+    novel
+      .groupBy($"user_id")
+      .agg(partial_topk(
+        struct((-$"score").as("neg"), $"item_id".as("item_id"), $"score".as("score")),
+        5).as("s"))
+      .select($"user_id", posexplode($"s").as(Seq("pos", "t")))
+      .select($"user_id", ($"pos" + 1).cast("int").as("rank"),
+        $"t.item_id".as("rec_item_id"), $"t.score".as("score"))
+      .orderBy($"user_id", $"rank")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rec_als_topn" -> (recAlsTopn _)
+  )
+}
