@@ -144,12 +144,20 @@ object Als {
     * out, ranked by (score desc, item id) through PartialTopK.
     */
   def recAlsTopn(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    import graft.functions.PartialTopK.partial_topk
     // one fact scan: train's two partitioned copies and the novelty
     // anti-join all read this materialization
     val ratings = ratingsOf(spark, dir).localCheckpoint()
     val (users, items) = train(ratings)
+    serveTopn(ratings, users, items)
+  }
+
+  /** The factor-dot serve tail shared by the trained and persisted
+    * entries: cohort × item scores, novelty anti-join, top-5 through
+    * PartialTopK.
+    */
+  private def serveTopn(ratings: DataFrame, users: DataFrame, items: DataFrame): DataFrame = {
+    import ratings.sparkSession.implicits._
+    import graft.functions.PartialTopK.partial_topk
     val cohort = users.filter($"user_id" % 100 === 0)
       .withColumnRenamed("v1", "u1").withColumnRenamed("v2", "u2")
     val scored = items.crossJoin(broadcast(cohort))
@@ -168,7 +176,82 @@ object Als {
       .orderBy($"user_id", $"rank")
   }
 
+  // ---------------------------------------------------------------------
+  // Persisted-factor lifecycle — the index discipline every other family
+  // has (save/serve/append/delete): at production the factor tables ARE
+  // the model artifact a training job writes and every serving job reads.
+  // ---------------------------------------------------------------------
+
+  /** Train on `dir`'s ratings and persist both factor tables. */
+  def saveAlsIndex(spark: SparkSession, dir: String, indexPath: String): Unit = {
+    val ratings = ratingsOf(spark, dir).localCheckpoint()
+    val (users, items) = train(ratings)
+    users.write.mode("overwrite").parquet(s"$indexPath/users")
+    items.write.mode("overwrite").parquet(s"$indexPath/items")
+  }
+
+  /** §2 entry `rec_als_topn_persisted`: the SAME recommendations served
+    * from the saved factor tables — no training pass in the serve path,
+    * which is the entry's whole claim (the `ann_topk_pca_persisted`
+    * contract). Row-identical to [[recAlsTopn]] (spec-pinned).
+    */
+  def recAlsTopnPersisted(spark: SparkSession, dir: String): DataFrame = {
+    val indexPath = savedIndexes.synchronized {
+      savedIndexes.getOrElseUpdate((spark, dir), {
+        val p = s"${System.getProperty("java.io.tmpdir")}/graft_als_index_" +
+          java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL) +
+          "_" + ProcessHandle.current().pid() +
+          "_" + Integer.toHexString(System.identityHashCode(spark))
+        saveAlsIndex(spark, dir, p)
+        p
+      })
+    }
+    serveTopn(ratingsOf(spark, dir),
+      spark.read.parquet(s"$indexPath/users"),
+      spark.read.parquet(s"$indexPath/items"))
+  }
+
+  private val savedIndexes =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  /** Incremental NEW-USER onboarding — the fold-in every production
+    * factor model serves with: solve the new users' factors against the
+    * FROZEN item table (one ridge half-solve over only the new users'
+    * ratings — no retraining, no touch of existing user rows) and
+    * append them. Exactly the cold-start path: a user's first session
+    * ends, one bounded solve, and the factor index can recommend for
+    * them. Idempotent re-fold: an already-present user is re-solved and
+    * REPLACED, not duplicated (the CDC upsert discipline).
+    */
+  def foldUsersIntoAlsIndex(spark: SparkSession, indexPath: String,
+      newRatings: DataFrame): Unit = {
+    import spark.implicits._
+    val items = spark.read.parquet(s"$indexPath/items")
+    val solved = halfSolve(newRatings, items, "item_id", "user_id")
+      .localCheckpoint()
+    val prev = spark.read.parquet(s"$indexPath/users")
+      .join(solved.select($"user_id"), Seq("user_id"), "left_anti")
+    AtomicRewrite.overwrite(prev.unionByName(solved).localCheckpoint(),
+      s"$indexPath/users")
+  }
+
+  /** GDPR user delete for the factor index: remove the users' factor
+    * rows (their latent taste vector IS derived personal data). The
+    * item table is untouched — it aggregates the population and is not
+    * keyed to any user. Idempotent; atomic via the shared temp-swap.
+    */
+  def deleteUsersFromAlsIndex(spark: SparkSession, indexPath: String,
+      userIds: Seq[Long]): Unit = {
+    import spark.implicits._
+    val users = spark.read.parquet(s"$indexPath/users")
+    if (!users.filter($"user_id".isin(userIds: _*)).isEmpty)
+      AtomicRewrite.overwrite(
+        users.filter(!$"user_id".isin(userIds: _*)).localCheckpoint(),
+        s"$indexPath/users")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "rec_als_topn" -> (recAlsTopn _)
+    "rec_als_topn" -> (recAlsTopn _),
+    "rec_als_topn_persisted" -> (recAlsTopnPersisted _)
   )
 }

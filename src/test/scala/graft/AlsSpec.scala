@@ -60,4 +60,48 @@ class AlsSpec extends SparkSuite {
       assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
     }
   }
+
+  test("persisted factors serve row-identically to the trained entry") {
+    val trained = ops.Als.recAlsTopn(spark, sf).collect().map(_.toSeq).toSeq
+    val served = ops.Als.recAlsTopnPersisted(spark, sf).collect().map(_.toSeq).toSeq
+    assert(served == trained, "factor-table round-trip changed the recommendations")
+  }
+
+  test("fold-in onboards a new user idempotently; delete removes; re-delete no-ops") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_als_idx").toString
+    ops.Als.saveAlsIndex(spark, sf, dir)
+    val before = spark.read.parquet(s"$dir/users").count()
+    val someItems = ops.Als.ratingsOf(spark, sf)
+      .select($"item_id").distinct().limit(3)
+      .collect().map(_.getLong(0))
+    val newUser = 999999L
+    val newRatings = someItems.map(i => (newUser, i, 2.0)).toSeq
+      .toDF("user_id", "item_id", "r")
+    ops.Als.foldUsersIntoAlsIndex(spark, dir, newRatings)
+    val after = spark.read.parquet(s"$dir/users")
+    assert(after.count() == before + 1, "fold-in must add exactly the new user")
+    val row1 = after.filter($"user_id" === newUser).collect().map(_.toSeq).toSeq
+    assert(row1.nonEmpty, "new user's factors missing")
+    // idempotent: re-folding the same ratings replaces, not duplicates,
+    // and re-solves to identical factors (integer-grid accumulation)
+    ops.Als.foldUsersIntoAlsIndex(spark, dir, newRatings)
+    val again = spark.read.parquet(s"$dir/users")
+    assert(again.count() == before + 1)
+    assert(again.filter($"user_id" === newUser).collect().map(_.toSeq).toSeq == row1)
+    // the item table is untouched by user lifecycle operations
+    ops.Als.deleteUsersFromAlsIndex(spark, dir, Seq(newUser))
+    val gone = spark.read.parquet(s"$dir/users")
+    assert(gone.count() == before)
+    assert(gone.filter($"user_id" === newUser).isEmpty)
+    // idempotent re-delete: nothing rewritten
+    def mtimes() = {
+      val d = new java.io.File(s"$dir/users")
+      d.listFiles().map(f => f.getName -> f.lastModified()).toMap
+    }
+    val stable = mtimes()
+    ops.Als.deleteUsersFromAlsIndex(spark, dir, Seq(newUser))
+    assert(mtimes() == stable, "re-delete rewrote the user factor table")
+  }
 }
