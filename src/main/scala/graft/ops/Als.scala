@@ -182,11 +182,25 @@ object Als {
   // the model artifact a training job writes and every serving job reads.
   // ---------------------------------------------------------------------
 
-  /** Train on `dir`'s ratings and persist both factor tables. */
+  /** Hash buckets for the persisted user-factor table — the user-grain
+    * lifecycle ops (fold-in, delete, the streaming onboard) rewrite only
+    * affected buckets, so the entity-sized table is never rewritten
+    * whole for a bounded change. 16 at test scale; the layout is the
+    * contract, not the constant.
+    */
+  val userBuckets = 16
+
+  private def bucketOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(xxhash64(c.cast("string")), lit(userBuckets.toLong)).cast("int")
+
+  /** Train on `dir`'s ratings and persist both factor tables (users
+    * bucketed by user-id hash — see [[userBuckets]]). */
   def saveAlsIndex(spark: SparkSession, dir: String, indexPath: String): Unit = {
+    import spark.implicits._
     val ratings = ratingsOf(spark, dir).localCheckpoint()
     val (users, items) = train(ratings)
-    users.write.mode("overwrite").parquet(s"$indexPath/users")
+    users.withColumn("_bucket", bucketOf($"user_id"))
+      .write.mode("overwrite").partitionBy("_bucket").parquet(s"$indexPath/users")
     items.write.mode("overwrite").parquet(s"$indexPath/items")
   }
 
@@ -207,7 +221,7 @@ object Als {
       })
     }
     serveTopn(ratingsOf(spark, dir),
-      spark.read.parquet(s"$indexPath/users"),
+      spark.read.parquet(s"$indexPath/users").drop("_bucket"),
       spark.read.parquet(s"$indexPath/items"))
   }
 
@@ -228,11 +242,25 @@ object Als {
     import spark.implicits._
     val items = spark.read.parquet(s"$indexPath/items")
     val solved = halfSolve(newRatings, items, "item_id", "user_id")
+      .withColumn("_bucket", bucketOf($"user_id"))
       .localCheckpoint()
-    val prev = spark.read.parquet(s"$indexPath/users")
+    // rewrite ONLY the affected user buckets (dynamic partition
+    // overwrite): untouched residents of those buckets carry over, the
+    // solved users replace their own rows, cold buckets stay
+    // byte-identical — the bounded-change discipline every persisted
+    // index's user-grain ops follow
+    val affected = solved.select($"_bucket").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val keep = spark.read.parquet(s"$indexPath/users")
+      .filter($"_bucket".isin(affected: _*))
       .join(solved.select($"user_id"), Seq("user_id"), "left_anti")
-    AtomicRewrite.overwrite(prev.unionByName(solved).localCheckpoint(),
-      s"$indexPath/users")
+      .select($"user_id", $"v1", $"v2", $"_bucket")
+    keep.unionByName(solved.select($"user_id", $"v1", $"v2", $"_bucket"))
+      .localCheckpoint()
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("_bucket")
+      .parquet(s"$indexPath/users")
   }
 
   /** GDPR user delete for the factor index: remove the users' factor
@@ -244,10 +272,33 @@ object Als {
       userIds: Seq[Long]): Unit = {
     import spark.implicits._
     val users = spark.read.parquet(s"$indexPath/users")
-    if (!users.filter($"user_id".isin(userIds: _*)).isEmpty)
-      AtomicRewrite.overwrite(
-        users.filter(!$"user_id".isin(userIds: _*)).localCheckpoint(),
-        s"$indexPath/users")
+    // only buckets actually holding the users rewrite; an already-purged
+    // id finds none and the re-delete is a byte-level no-op
+    val affected = users.filter($"user_id".isin(userIds: _*))
+      .select($"_bucket").distinct().collect().map(_.getInt(0)).toSeq
+    if (affected.nonEmpty) {
+      val rewritten = users.filter($"_bucket".isin(affected: _*))
+        .filter(!$"user_id".isin(userIds: _*))
+        .select($"user_id", $"v1", $"v2", $"_bucket")
+        .localCheckpoint()
+      rewritten
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_bucket")
+        .parquet(s"$indexPath/users")
+      // dynamic overwrite writes NOTHING for a bucket whose rewrite is
+      // empty (the deleted user was its only resident) — its stale rows
+      // would survive on disk, resurrecting the purged factors; remove
+      // emptied dirs explicitly (the attribution touch-store lesson)
+      val live = rewritten.select($"_bucket").distinct()
+        .collect().map(_.getInt(0)).toSet
+      val base = new org.apache.hadoop.fs.Path(s"$indexPath/users")
+      val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      affected.filterNot(live).foreach { b =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$indexPath/users/_bucket=$b"), true)
+        ()
+      }
+    }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -97,8 +97,10 @@ class AlsSpec extends SparkSuite {
     assert(gone.filter($"user_id" === newUser).isEmpty)
     // idempotent re-delete: nothing rewritten
     def mtimes() = {
-      val d = new java.io.File(s"$dir/users")
-      d.listFiles().map(f => f.getName -> f.lastModified()).toMap
+      def walk(f: java.io.File): Seq[(String, Long)] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else Seq(f.getPath -> f.lastModified())
+      walk(new java.io.File(s"$dir/users")).toMap
     }
     val stable = mtimes()
     ops.Als.deleteUsersFromAlsIndex(spark, dir, Seq(newUser))
