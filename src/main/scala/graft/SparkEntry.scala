@@ -50,5 +50,6 @@ object SparkEntry {
       ops.Recommend.oracleSql ++ core.HoltForecast.oracleSql ++
       ops.CfIndex.oracleSql ++ ops.Rake.oracleSql ++
       streaming.ForecastServe.oracleSql ++ streaming.StreamServe.oracleSql ++
-      core.AttributionQueries.oracleSql ++ ops.PhraseSearch.oracleSql
+      core.AttributionQueries.oracleSql ++ ops.PhraseSearch.oracleSql ++
+      ops.BpeTrain.oracleSql
 }

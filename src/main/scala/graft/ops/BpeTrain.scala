@@ -159,4 +159,104 @@ object BpeTrain {
     "bpe_train_merges" -> (bpeTrainMerges _),
     "bpe_tokenize"     -> (bpeTokenize _)
   )
+
+  /** The 8 training rounds unrolled into MATERIALIZED DuckDB CTEs — the
+    * kcore/kcenter unrolling device applied to BPE. The one non-obvious
+    * piece is the greedy left-to-right non-overlapping APPLY
+    * ([[applyMerge]]'s fold) as a positional computation:
+    *
+    *  - for `left ≠ right`, adjacent matches can never overlap (an
+    *    overlap at pos/pos+1 would need sym[pos+1] = right = left), so
+    *    the greedy takes EVERY match;
+    *  - for `left == right`, matches live inside maximal runs of the
+    *    symbol, and the fold takes offsets 0, 2, 4, … from each run
+    *    start (merging a pair consumes its second element before the
+    *    next is considered) — gaps-and-islands run grouping
+    *    (pos − row_number over (word, sym)) plus a run-start MIN window
+    *    and a parity test reproduce it exactly.
+    *
+    * A merged row keeps the FIRST element's position; rows consumed as a
+    * match's second element drop (the anti-join on `pm.m`), and
+    * positions re-densify per word for the next round. Pair counts are
+    * plain adjacent counts weighted by word frequency (overlapping
+    * occurrences both count, matching the Spark adjacentPairs explode),
+    * ties by (count DESC, left, right) — engine-exact string order.
+    * Verified bit-for-bit against the Spark trace, merges AND the
+    * per-doc tokenize rollup, before promotion.
+    */
+  private val bpeRoundsCte: String = {
+    val rounds = (1 to 8).map { r =>
+      val p = r - 1
+      s"""
+         |, pc$r AS (
+         |  SELECT sym AS lft, nsym AS rgt, SUM(freq) AS pair_count
+         |  FROM (SELECT word, freq, sym,
+         |          lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nsym
+         |        FROM t$p)
+         |  WHERE nsym IS NOT NULL
+         |  GROUP BY sym, nsym
+         |), best$r AS MATERIALIZED (
+         |  SELECT lft, rgt, pair_count FROM pc$r
+         |  ORDER BY pair_count DESC, lft, rgt LIMIT 1
+         |), x$r AS MATERIALIZED (
+         |  SELECT word, freq, pos, sym,
+         |    lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nsym,
+         |    pos - row_number() OVER (PARTITION BY word, sym ORDER BY pos) AS grp
+         |  FROM t$p
+         |), mm$r AS MATERIALIZED (
+         |  SELECT x.word, x.freq, x.pos, x.sym, x.nsym,
+         |    CASE WHEN b.lft <> b.rgt THEN (x.sym = b.lft AND x.nsym = b.rgt)
+         |         ELSE (x.sym = b.lft AND x.nsym = b.lft AND
+         |               (x.pos - MIN(x.pos) OVER (PARTITION BY x.word, x.sym, x.grp)) % 2 = 0)
+         |    END AS m
+         |  FROM x$r x, best$r b
+         |), t$r AS MATERIALIZED (
+         |  SELECT w.word, w.freq,
+         |    row_number() OVER (PARTITION BY w.word ORDER BY w.pos) AS pos,
+         |    CASE WHEN w.m THEN w.sym || w.nsym ELSE w.sym END AS sym
+         |  FROM mm$r w
+         |  LEFT JOIN mm$r pm ON pm.word = w.word AND pm.pos = w.pos - 1
+         |  WHERE NOT COALESCE(pm.m, FALSE)
+         |)""".stripMargin
+    }.mkString
+    s"""WITH words AS (
+       |  SELECT word, COUNT(*) AS freq FROM (
+       |    SELECT unnest(string_split_regex(lower(trim(text)), ' +')) AS word FROM documents)
+       |  WHERE len(word) > 0 GROUP BY word
+       |), t0 AS MATERIALIZED (
+       |  SELECT word, freq, CAST(u AS BIGINT) AS pos, substr(word, CAST(u AS INT), 1) AS sym
+       |  FROM words, UNNEST(range(1, len(word) + 1)) AS r(u)
+       |)$rounds""".stripMargin
+  }
+
+  val bpeTrainMergesSql: String = {
+    val tail = (1 to 8).map(r =>
+      s"""SELECT $r AS round, lft AS "left", rgt AS "right", lft || rgt AS merged, CAST(pair_count AS BIGINT) AS pair_count FROM best$r""")
+      .mkString("\nUNION ALL ")
+    s"""$bpeRoundsCte
+       |SELECT * FROM (
+       |$tail
+       |) ORDER BY round""".stripMargin
+  }
+
+  val bpeTokenizeSql: String =
+    s"""$bpeRoundsCte
+       |, occ AS (
+       |  SELECT doc_id, word FROM (
+       |    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), ' +')) AS word FROM documents)
+       |  WHERE len(word) > 0
+       |), wt AS (
+       |  SELECT word, COUNT(*) AS n_tokens FROM t8 GROUP BY word
+       |)
+       |SELECT o.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(len(o.word)) AS BIGINT) AS n_symbols,
+       |  CAST(SUM(w.n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(len(o.word)) AS DOUBLE) / CAST(SUM(w.n_tokens) AS DOUBLE) AS bytes_per_token
+       |FROM occ o JOIN wt w USING (word)
+       |GROUP BY o.doc_id ORDER BY o.doc_id""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "bpe_train_merges" -> bpeTrainMergesSql,
+    "bpe_tokenize"     -> bpeTokenizeSql
+  )
 }
