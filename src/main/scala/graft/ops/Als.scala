@@ -67,12 +67,17 @@ object Als {
     // by AlsSpec's determinism pin), and DECIMAL sums fixed it but
     // measured ~2.3× slower end-to-end (the sum's widened accumulator
     // leaves Spark's compact-Long fast path). Each per-row product is
-    // one deterministic round to the 1e-6 grid — noise far below
+    // one deterministic snap to the 1e-6 grid — noise far below
     // anything the ridge solve can feel; headroom is ~1e10 per summed
-    // group against the 9.2e18 long range. The closed-form solve runs
-    // on the summed values as doubles.
+    // group against the 9.2e18 long range. floor(x·1e6 + 0.5) and NOT
+    // round(): floor on a double is exact and engine-identical, where
+    // round() is Java BigDecimal HALF_UP on the printed value vs C
+    // half-away-from-zero on the binary value — the one op that would
+    // block the cross-engine oracle. The closed-form solve runs on the
+    // summed values as doubles (÷ × + − only — correctly-rounded IEEE,
+    // so the whole training trace stays cross-engine bit-exact).
     def dsum(c: org.apache.spark.sql.Column) =
-      sum(round(c * 1e6).cast("long")).cast("double") / 1e6
+      sum(floor(c * 1e6 + 0.5)).cast("double") / 1e6
     ratings
       .join(broadcast(given.withColumnRenamed("v1", "g1").withColumnRenamed("v2", "g2")), Seq(givenKey))
       .groupBy(col(solveKey))
@@ -304,5 +309,81 @@ object Als {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rec_als_topn" -> (recAlsTopn _),
     "rec_als_topn_persisted" -> (recAlsTopnPersisted _)
+  )
+
+  /** Oracle for BOTH ALS entries (PROMOTED r11-cont — the persisted twin
+    * is spec-pinned row-identical, so one oracle holds both): the whole
+    * training trace is cross-engine bit-exact, because every float in it
+    * is built from exact integers by correctly-rounded IEEE ops only —
+    * the Gram/moment sums snap to the long 1e-6 grid with floor(x+0.5)
+    * (exact on doubles in both engines, where round() is Java BigDecimal
+    * HALF_UP vs C half-away-from-zero), and the closed-form 2×2 solve is
+    * ÷ × + − verbatim. The 6 alternations unroll into 12 MATERIALIZED
+    * half-solves; the serve tail is the cohort × items scoring with the
+    * novelty anti-join and a (score DESC, item) rank. Token-for-token
+    * expression trees matter here (e.g. (g1·g1)·1e6 + 0.5, (−a12)·b1):
+    * float ops are non-associative, so the SQL mirrors the Column tree
+    * exactly. Verified bit-for-bit including the double scores.
+    */
+  val recAlsTopnSql: String = {
+    def fsum(prod: String) =
+      s"CAST(SUM(CAST(floor($prod * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0"
+    def solve(given: String, gk: String, sk: String, out: String) =
+      s"""
+         |, $out AS MATERIALIZED (
+         |  SELECT t.$sk,
+         |    (((t.a22 + 0.1) * t.b1 - t.a12 * t.b2) / t.det) AS v1,
+         |    (((-t.a12) * t.b1 + (t.a11 + 0.1) * t.b2) / t.det) AS v2
+         |  FROM (
+         |    SELECT s.$sk, s.a11, s.a12, s.a22, s.b1, s.b2,
+         |      ((s.a11 + 0.1) * (s.a22 + 0.1) - s.a12 * s.a12) AS det
+         |    FROM (
+         |      SELECT r.$sk,
+         |        ${fsum("g.v1 * g.v1")} AS a11,
+         |        ${fsum("g.v1 * g.v2")} AS a12,
+         |        ${fsum("g.v2 * g.v2")} AS a22,
+         |        ${fsum("r.r * g.v1")} AS b1,
+         |        ${fsum("r.r * g.v2")} AS b2
+         |      FROM ratings r JOIN $given g ON g.$gk = r.$gk
+         |      GROUP BY r.$sk
+         |    ) s
+         |  ) t
+         |)""".stripMargin
+    val rounds = (1 to iterations).map { it =>
+      solve(s"i${it - 1}", "item_id", "user_id", s"u$it") +
+        solve(s"u$it", "user_id", "item_id", s"i$it")
+    }.mkString
+    s"""WITH ratings AS MATERIALIZED (
+       |  SELECT o.o_custkey AS user_id, l.l_partkey AS item_id,
+       |    CAST(COUNT(*) AS DOUBLE) AS r
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  GROUP BY 1, 2
+       |), i0 AS (
+       |  SELECT DISTINCT item_id, 1.0 AS v1,
+       |    CAST(item_id % 7 + 1 AS DOUBLE) / 8.0 AS v2
+       |  FROM ratings
+       |)$rounds
+       |, cohort AS (
+       |  SELECT user_id, v1 AS u1, v2 AS u2 FROM u$iterations WHERE user_id % 100 = 0
+       |), scored_t AS (
+       |  SELECT c.user_id, i.item_id, (c.u1 * i.v1 + c.u2 * i.v2) AS score
+       |  FROM cohort c, i$iterations i
+       |), novel AS (
+       |  SELECT s.* FROM scored_t s
+       |  LEFT JOIN ratings x ON x.user_id = s.user_id AND x.item_id = s.item_id
+       |  WHERE x.item_id IS NULL
+       |), ranked AS (
+       |  SELECT user_id, item_id, score,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY score DESC, item_id) AS rank
+       |  FROM novel
+       |)
+       |SELECT user_id, CAST(rank AS INT) AS rank, item_id AS rec_item_id, score
+       |FROM ranked WHERE rank <= 5
+       |ORDER BY user_id, rank""".stripMargin
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "rec_als_topn" -> recAlsTopnSql,
+    "rec_als_topn_persisted" -> recAlsTopnSql
   )
 }

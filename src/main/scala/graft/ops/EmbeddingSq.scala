@@ -315,8 +315,52 @@ object EmbeddingSq {
     "ann_topk_binary_refine"  -> (annTopkBinaryRefine _)
   )
 
+  /** Oracle for `ann_topk_sq8` (PROMOTED r11-cont): both stages are
+    * exact integers — the reconstructed vectors 254·mn + code·(mx−mn)
+    * with code = ((v−mn)·254) // (mx−mn) (nonnegative numerators, so
+    * Spark DIV and DuckDB // agree), the 15-deep approx-dot shortlist,
+    * and the exact-dot re-rank — so the two-stage composition
+    * hash-checks, not just its recall.
+    */
+  val annTopkSq8Sql: String =
+    LlmQueries.quantizedCte +
+      """, dims AS (
+        |  SELECT u AS dim0, MIN(v[u]) AS mn, MAX(v[u]) AS mx
+        |  FROM n, UNNEST(range(1, len(v) + 1)) AS r(u)
+        |  GROUP BY u
+        |), st0 AS (
+        |  SELECT list(struct_pack(mn := mn, mx := mx) ORDER BY dim0) AS st FROM dims
+        |), rec AS MATERIALIZED (
+        |  SELECT vec_id, v,
+        |    list_transform(range(1, len(v) + 1), i ->
+        |      CASE WHEN st[i].mx > st[i].mn
+        |        THEN 254 * st[i].mn + (((v[i] - st[i].mn) * 254) // (st[i].mx - st[i].mn)) * (st[i].mx - st[i].mn)
+        |        ELSE 254 * st[i].mn END) AS rv
+        |  FROM n, st0
+        |), scored AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    CAST(list_sum(list_transform(range(1, len(a.rv) + 1), i -> a.rv[i] * b.rv[i])) AS BIGINT) AS approx_dot
+        |  FROM rec a JOIN rec b ON a.vec_id % 10 = 0 AND a.vec_id <> b.vec_id
+        |), short AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY approx_dot DESC, neighbor_id) AS rn
+        |    FROM scored) WHERE rn <= 15
+        |), rer AS (
+        |  SELECT sh.query_id, sh.neighbor_id,
+        |    CAST(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) AS BIGINT) AS dot
+        |  FROM short sh JOIN n a ON a.vec_id = sh.query_id JOIN n b ON b.vec_id = sh.neighbor_id
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id, dot,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rank
+        |  FROM rer
+        |)
+        |SELECT query_id, rank, neighbor_id, dot FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "embedding_quantize_int8" -> embeddingQuantizeInt8Sql,
+    "ann_topk_sq8"            -> annTopkSq8Sql,
     // binary promotions (round 11): both entries are exact integer
     // pipelines, so the brute-force SQL twins hash-check them
     "ann_topk_binary"        -> annTopkBinarySql,

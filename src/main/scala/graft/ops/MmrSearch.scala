@@ -155,7 +155,64 @@ object MmrSearch {
     "search_mmr"        -> (searchMmr _)
   )
 
+  /** Oracle for `search_mmr` (PROMOTED r11-cont) — the greedy is
+    * sequential but every quantity in it is cross-engine bit-exact:
+    * integer dots and norms, and only correctly-rounded IEEE ops on top
+    * (÷, ×, −, sqrt, max — unlike ln/exp, these are exact by the
+    * standard), so the 5 rounds unroll like the k-center oracle. Per
+    * round: candidates = shortlist minus picked, score = 0.5·rel −
+    * 0.5·max(−1, max sim-to-picked) (max over a set is
+    * comparison-exact, so the Spark fold and the SQL MAX agree
+    * bit-for-bit), argmax by (score DESC, shortlist position) — the
+    * strict-> fold's earliest-position tie rule.
+    */
+  val searchMmrSql: String = {
+    val rounds = (1 to 5).map { r =>
+      val p = r - 1
+      s"""
+         |, cand$r AS (
+         |  SELECT c.* FROM sl c
+         |  LEFT JOIN picked$p x ON x.query_id = c.query_id AND x.neighbor_id = c.neighbor_id
+         |  WHERE x.neighbor_id IS NULL
+         |), sc$r AS (
+         |  SELECT c.query_id, c.sl_pos, c.neighbor_id, c.vb, c.nb, c.rel,
+         |    0.5 * c.rel - 0.5 * GREATEST(-1.0, COALESCE(MAX(
+         |      CAST(list_sum(list_transform(range(1, len(c.vb) + 1), i -> c.vb[i] * s.vb[i])) AS DOUBLE)
+         |        / sqrt(CAST(c.nb * s.nb AS DOUBLE))), -1.0)) AS score
+         |  FROM cand$r c
+         |  LEFT JOIN picked$p s ON s.query_id = c.query_id
+         |  GROUP BY c.query_id, c.sl_pos, c.neighbor_id, c.vb, c.nb, c.rel
+         |), picked$r AS MATERIALIZED (
+         |  SELECT query_id, sl_pos, neighbor_id, vb, nb, rel, score, $r AS round FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, sl_pos) AS rn
+         |    FROM sc$r) WHERE rn = 1
+         |  UNION ALL SELECT * FROM picked$p
+         |)""".stripMargin
+    }.mkString
+    s"""${LlmQueries.quantizedCte}
+       |, scored AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, b.v AS vb, b.nrm AS nb,
+       |    CAST(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) AS DOUBLE)
+       |      / sqrt(CAST(a.nrm * b.nrm AS DOUBLE)) AS rel
+       |  FROM n a JOIN n b ON a.vec_id % 10 = 0 AND a.vec_id <> b.vec_id
+       |), sl AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id, vb, nb, rel,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, neighbor_id) AS sl_pos
+       |  FROM scored
+       |  QUALIFY sl_pos <= 20
+       |), picked0 AS (
+       |  SELECT query_id, sl_pos, neighbor_id, vb, nb, rel,
+       |    CAST(NULL AS DOUBLE) AS score, 0 AS round
+       |  FROM sl WHERE FALSE
+       |)$rounds
+       |SELECT query_id, CAST(round AS INT) AS rank, neighbor_id,
+       |  rel AS rel_cos, score AS mmr_score
+       |FROM picked5 WHERE round >= 1
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
-    "ann_topk_filtered" -> annTopkFilteredSql
+    "ann_topk_filtered" -> annTopkFilteredSql,
+    "search_mmr"        -> searchMmrSql
   )
 }
