@@ -471,7 +471,35 @@ object EmbeddingPca {
     "ann_topk_pca_persisted"  -> (annTopkPcaPersisted _)
   )
 
+  /** Oracle for `mine_hard_negatives_ivf` (PROMOTED r11-cont): the
+    * shared integer-exact Lloyd cells, 3-deep anchor probe, cross-label
+    * filter, exact-dot top-3 — the cell-blocked composition hash-checks
+    * like its brute-force twin.
+    */
+  val mineHardNegativesIvfSql: String =
+    graft.ops.VectorAgg.kmeansRankedCellsCte +
+      s"""
+         |, cands AS (
+         |  SELECT vec_id AS negative_id, label AS negative_label, v AS vb, cell
+         |  FROM ranked_cells WHERE rn = 1
+         |), anchors AS (
+         |  SELECT vec_id AS anchor_id, label AS anchor_label, v AS va, cell
+         |  FROM ranked_cells WHERE vec_id % 10 = 0 AND rn <= 3
+         |), scored AS (
+         |  SELECT a.anchor_id, a.anchor_label, c.negative_id, c.negative_label,
+         |    ${graft.ops.VectorAgg.sqlDot("a.va", "c.vb")} AS dot
+         |  FROM anchors a JOIN cands c USING (cell)
+         |  WHERE a.anchor_label <> c.negative_label
+         |), ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY anchor_id ORDER BY dot DESC, negative_id) AS rank
+         |  FROM scored
+         |)
+         |SELECT anchor_id, anchor_label, CAST(rank AS INT) AS rank,
+         |  negative_id, negative_label, dot
+         |FROM ranked WHERE rank <= 3 ORDER BY anchor_id, rank""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
-    "mine_hard_negatives" -> mineHardNegativesSql
+    "mine_hard_negatives" -> mineHardNegativesSql,
+    "mine_hard_negatives_ivf" -> mineHardNegativesIvfSql
   )
 }

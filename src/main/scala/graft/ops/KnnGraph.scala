@@ -1087,8 +1087,36 @@ object KnnGraph {
        |ORDER BY l.vec_id""".stripMargin
   }
 
+  /** Oracle for `knn_graph_ivf` (PROMOTED r11-cont): the shared
+    * integer-exact Lloyd cells ([[VectorAgg.kmeansRankedCellsCte]]),
+    * 5-deep probe for EVERY vector, exact-dot top-K edges, mutual flag
+    * via the back-edge self-join — the approximate graph itself is
+    * deterministic, so it hash-checks, not just its containment.
+    */
+  val knnGraphIvfSql: String =
+    VectorAgg.kmeansRankedCellsCte +
+      s"""
+         |, assigned AS (
+         |  SELECT vec_id AS neighbor_id, v AS nv, cell FROM ranked_cells WHERE rn = 1
+         |), probed AS (
+         |  SELECT vec_id, v AS va, cell FROM ranked_cells WHERE rn <= 5
+         |), scored AS (
+         |  SELECT p.vec_id, a.neighbor_id, ${VectorAgg.sqlDot("p.va", "a.nv")} AS dot
+         |  FROM probed p JOIN assigned a USING (cell)
+         |  WHERE p.vec_id <> a.neighbor_id
+         |), knn2 AS MATERIALIZED (
+         |  SELECT vec_id, neighbor_id, dot,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, neighbor_id) AS rank
+         |  FROM scored QUALIFY rank <= $K
+         |)
+         |SELECT k.vec_id, CAST(k.rank AS INT) AS rank, k.neighbor_id, k.dot,
+         |  (m.vec_id IS NOT NULL) AS mutual
+         |FROM knn2 k LEFT JOIN knn2 m ON m.vec_id = k.neighbor_id AND m.neighbor_id = k.vec_id
+         |ORDER BY k.vec_id, k.rank""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "knn_graph_communities" -> knnGraphCommunitiesSql,
+    "knn_graph_ivf" -> knnGraphIvfSql,
     "knn_graph_exact" -> knnGraphExactSql,
     "knn_graph_triangles" -> knnGraphTrianglesSql,
     "knn_graph_link_predict" -> knnGraphLinkPredictSql,

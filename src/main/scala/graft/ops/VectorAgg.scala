@@ -831,6 +831,139 @@ object VectorAgg {
     "skew_salted_topk"    -> (skewSaltedTopk _)
   )
 
+  private[graft] def sqlDot(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(range(1, len($a) + 1), j -> $a[j] * $b[j])) AS BIGINT)"
+
+  /** Unrolled Lloyd cells (k = 16, iters = 2) shared by the two k-means
+    * oracles (PROMOTED r11-cont): every quantity in training is
+    * cross-engine exact — distances are integer cc − 2·dot, the per-dim
+    * means are one IEEE division of an exactly-representable integer sum
+    * (the double accumulator never leaves the integers, all values
+    * ≪ 2^53), and the centroid snap is floor(mean + 0.5) back onto the
+    * long grid — so assignment, update, and the final serve all
+    * hash-check. Empty cells drop out of GROUP BY exactly as the Spark
+    * aggregation drops them.
+    */
+  private[graft] val kmeansCellsCte: String = {
+    val rounds = (1 to 2).map { i =>
+      s"""
+         |, a$i AS MATERIALIZED (
+         |  SELECT vec_id, v, cell FROM (
+         |    SELECT q2.vec_id, q2.v, c.cell,
+         |      row_number() OVER (PARTITION BY q2.vec_id
+         |        ORDER BY (c.cc - 2 * ${sqlDot("q2.v", "c.cv")}) ASC, c.cell ASC) AS rn
+         |    FROM n q2, c${i - 1} c) WHERE rn = 1
+         |), c$i AS MATERIALIZED (
+         |  SELECT cell,
+         |    list(CAST(floor(mean + 0.5) AS BIGINT) ORDER BY dim0) AS cv,
+         |    CAST(list_sum(list_transform(list(CAST(floor(mean + 0.5) AS BIGINT) ORDER BY dim0), x -> x * x)) AS BIGINT) AS cc
+         |  FROM (
+         |    SELECT cell, u AS dim0, CAST(SUM(v[u]) AS DOUBLE) / COUNT(*) AS mean
+         |    FROM a$i, UNNEST(range(1, len(v) + 1)) AS r(u)
+         |    GROUP BY cell, u)
+         |  GROUP BY cell
+         |)""".stripMargin
+    }.mkString
+    LlmQueries.quantizedCte +
+      s"""
+         |, c0 AS MATERIALIZED (
+         |  SELECT vec_id AS cell, v AS cv,
+         |    CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS cc
+         |  FROM n ORDER BY vec_id LIMIT 16
+         |)$rounds""".stripMargin
+  }
+
+  /** The cells CTE plus the per-vector cell ranking, label carried — the
+    * fragment the IVF-family oracles in [[KnnGraph]] / [[EmbeddingPca]]
+    * build on.
+    */
+  private[graft] val kmeansRankedCellsCte: String =
+    kmeansCellsCte +
+      s"""
+         |, ranked_cells AS MATERIALIZED (
+         |  SELECT q2.vec_id, q2.label, q2.v, c.cell,
+         |    row_number() OVER (PARTITION BY q2.vec_id
+         |      ORDER BY (c.cc - 2 * ${sqlDot("q2.v", "c.cv")}) ASC, c.cell ASC) AS rn
+         |  FROM n q2, c2 c
+         |)""".stripMargin
+
+  val annKmeansTrainSql: String =
+    kmeansCellsCte +
+      s"""
+         |, fin AS (
+         |  SELECT vec_id, nrm, cell, d2 FROM (
+         |    SELECT q2.vec_id, q2.nrm, c.cell,
+         |      (c.cc - 2 * ${sqlDot("q2.v", "c.cv")}) AS d2,
+         |      row_number() OVER (PARTITION BY q2.vec_id
+         |        ORDER BY (c.cc - 2 * ${sqlDot("q2.v", "c.cv")}) ASC, c.cell ASC) AS rn
+         |    FROM n q2, c2 c) WHERE rn = 1
+         |)
+         |SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+         |  CAST(SUM(nrm + d2) AS BIGINT) AS inertia
+         |FROM fin GROUP BY cell ORDER BY cell""".stripMargin
+
+  val annTopkKmeansSql: String =
+    kmeansCellsCte +
+      s"""
+         |, ranked_cells AS MATERIALIZED (
+         |  SELECT q2.vec_id, q2.v, c.cell,
+         |    row_number() OVER (PARTITION BY q2.vec_id
+         |      ORDER BY (c.cc - 2 * ${sqlDot("q2.v", "c.cv")}) ASC, c.cell ASC) AS rn
+         |  FROM n q2, c2 c
+         |), assigned AS (
+         |  SELECT vec_id AS neighbor_id, v AS nv, cell FROM ranked_cells WHERE rn = 1
+         |), probed AS (
+         |  SELECT vec_id AS query_id, v AS qv, cell FROM ranked_cells
+         |  WHERE vec_id % 10 = 0 AND rn <= 2
+         |), scored AS (
+         |  SELECT p.query_id, a.neighbor_id, ${sqlDot("p.qv", "a.nv")} AS dot
+         |  FROM probed p JOIN assigned a USING (cell)
+         |  WHERE p.query_id <> a.neighbor_id
+         |), rk AS (
+         |  SELECT query_id, neighbor_id, dot,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rank
+         |  FROM scored
+         |)
+         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, dot
+         |FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** Oracle for `ann_topk_ivf` (PROMOTED r11-cont): label-mean cells on
+    * the ×1000 grid (exact integer sums, one IEEE division per dim,
+    * floor-snap), dot-ranked cell probe of 3, exact-dot top-5.
+    */
+  val annTopkIvfSql: String =
+    LlmQueries.quantizedCte +
+      s"""
+         |, cents AS MATERIALIZED (
+         |  SELECT label AS cell,
+         |    list(CAST(floor(mean * 1000.0 + 0.5) AS BIGINT) ORDER BY dim0) AS cv
+         |  FROM (
+         |    SELECT label, u AS dim0, CAST(SUM(v[u]) AS DOUBLE) / COUNT(*) AS mean
+         |    FROM n, UNNEST(range(1, len(v) + 1)) AS r(u)
+         |    GROUP BY label, u)
+         |  GROUP BY label
+         |), ranked_cells AS MATERIALIZED (
+         |  SELECT q2.vec_id, q2.v, c.cell,
+         |    row_number() OVER (PARTITION BY q2.vec_id
+         |      ORDER BY ${sqlDot("q2.v", "c.cv")} DESC, c.cell ASC) AS rn
+         |  FROM n q2, cents c
+         |), assigned AS (
+         |  SELECT vec_id AS neighbor_id, v AS nv, cell FROM ranked_cells WHERE rn = 1
+         |), probed AS (
+         |  SELECT vec_id AS query_id, v AS qv, cell FROM ranked_cells
+         |  WHERE vec_id % 10 = 0 AND rn <= 3
+         |), scored AS (
+         |  SELECT p.query_id, a.neighbor_id, ${sqlDot("p.qv", "a.nv")} AS dot
+         |  FROM probed p JOIN assigned a USING (cell)
+         |  WHERE p.query_id <> a.neighbor_id
+         |), rk AS (
+         |  SELECT query_id, neighbor_id, dot,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rank
+         |  FROM scored
+         |)
+         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, dot
+         |FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "embedding_outliers"  -> embeddingOutliersSql,
     "embedding_centroids" -> embeddingCentroidsSql,
@@ -838,6 +971,10 @@ object VectorAgg {
     // the cell-bounded form is provably recall-1 and scores exactly, so it
     // is held to the SAME DuckDB oracle as the brute-force twin
     "ann_range_search_ivf" -> annRangeSearchSql,
-    "skew_salted_topk"    -> skewSaltedTopkSql
+    "skew_salted_topk"    -> skewSaltedTopkSql,
+    // k-means/IVF promotions (r11-cont): training is integer-exact
+    "ann_kmeans_train"    -> annKmeansTrainSql,
+    "ann_topk_kmeans"     -> annTopkKmeansSql,
+    "ann_topk_ivf"        -> annTopkIvfSql
   )
 }
