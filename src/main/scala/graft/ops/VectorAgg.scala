@@ -964,6 +964,137 @@ object VectorAgg {
          |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, dot
          |FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** PQ training + encode + per-query ADC entries as shared CTEs
+    * (PROMOTED r11-cont, the whole compression family): sub-space Lloyd
+    * is the same integer-exact discipline as the coarse cells (4-dim
+    * sub-vector slices, integer cc − 2·dot assignment, one-IEEE-division
+    * means, floor-snap centroids, starved cells keeping their seeds via
+    * the left-join coalesce), the codes are integer argmins, and the ADC
+    * entries are integers — so ADC scores sum exactly and every PQ
+    * serve path hash-checks.
+    */
+  private val pqCte: String = {
+    def sliceDot =
+      sqlDot("list_slice(v, mm * 4 + 1, mm * 4 + 4)", "list_slice(v, mm * 4 + 1, mm * 4 + 4)")
+    s"""
+       |, subv AS MATERIALIZED (
+       |  SELECT vec_id, CAST(mm AS INT) AS m, list_slice(v, mm * 4 + 1, mm * 4 + 4) AS sv
+       |  FROM n, UNNEST(range(0, 16)) AS r(mm)
+       |), seeds AS (
+       |  SELECT vec_id, v, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell
+       |  FROM (SELECT vec_id, v FROM n ORDER BY vec_id LIMIT 16)
+       |), sb AS MATERIALIZED (
+       |  SELECT CAST(mm AS INT) AS m, cell, list_slice(v, mm * 4 + 1, mm * 4 + 4) AS cv,
+       |    $sliceDot AS cc
+       |  FROM seeds, UNNEST(range(0, 16)) AS r(mm)
+       |), tassign AS MATERIALIZED (
+       |  SELECT vec_id, m, sv, cell FROM (
+       |    SELECT s.vec_id, s.m, s.sv, b.cell,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.m
+       |        ORDER BY (b.cc - 2 * ${sqlDot("s.sv", "b.cv")}) ASC, b.cell ASC) AS rn
+       |    FROM subv s JOIN sb b ON b.m = s.m) WHERE rn = 1
+       |), refined AS (
+       |  SELECT m, cell, list(CAST(floor(mean + 0.5) AS BIGINT) ORDER BY dim0) AS cv
+       |  FROM (
+       |    SELECT m, cell, u AS dim0, CAST(SUM(sv[u]) AS DOUBLE) / COUNT(*) AS mean
+       |    FROM tassign, UNNEST(range(1, 5)) AS r(u)
+       |    GROUP BY m, cell, u)
+       |  GROUP BY m, cell
+       |), fcb AS MATERIALIZED (
+       |  SELECT s.m, s.cell, COALESCE(r.cv, s.cv) AS cv,
+       |    ${sqlDot("COALESCE(r.cv, s.cv)", "COALESCE(r.cv, s.cv)")} AS cc
+       |  FROM sb s LEFT JOIN refined r ON r.m = s.m AND r.cell = s.cell
+       |), codes AS MATERIALIZED (
+       |  SELECT vec_id, m, cell AS code FROM (
+       |    SELECT s.vec_id, s.m, f.cell,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.m
+       |        ORDER BY (f.cc - 2 * ${sqlDot("s.sv", "f.cv")}) ASC, f.cell ASC) AS rn
+       |    FROM subv s JOIN fcb f ON f.m = s.m) WHERE rn = 1
+       |), adc AS MATERIALIZED (
+       |  SELECT s.vec_id AS query_id, f.m, f.cell,
+       |    (f.cc - 2 * ${sqlDot("s.sv", "f.cv")}) AS d2e
+       |  FROM subv s JOIN fcb f ON f.m = s.m
+       |  WHERE s.vec_id % 10 = 0
+       |)""".stripMargin
+  }
+
+  val annTopkPqSql: String =
+    LlmQueries.quantizedCte + pqCte +
+      """
+        |, pairs AS (
+        |  SELECT a.query_id, c.vec_id AS neighbor_id,
+        |    CAST(SUM(a.d2e) AS BIGINT) AS approx_d2
+        |  FROM codes c JOIN adc a ON a.m = c.m AND a.cell = c.code
+        |  WHERE a.query_id <> c.vec_id
+        |  GROUP BY a.query_id, c.vec_id
+        |), rk AS (
+        |  SELECT query_id, neighbor_id, approx_d2,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY approx_d2 ASC, neighbor_id) AS rank
+        |  FROM pairs
+        |)
+        |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, approx_d2
+        |FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  val annTopkPqRefineSql: String =
+    LlmQueries.quantizedCte + pqCte +
+      s"""
+         |, pairs AS (
+         |  SELECT a.query_id, c.vec_id AS neighbor_id,
+         |    CAST(SUM(a.d2e) AS BIGINT) AS approx_d2
+         |  FROM codes c JOIN adc a ON a.m = c.m AND a.cell = c.code
+         |  WHERE a.query_id <> c.vec_id
+         |  GROUP BY a.query_id, c.vec_id
+         |), short AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY approx_d2 ASC, neighbor_id) AS rn
+         |    FROM pairs) WHERE rn <= 20
+         |), rer AS (
+         |  SELECT sh.query_id, sh.neighbor_id,
+         |    (a.nrm + b.nrm - 2 * ${sqlDot("a.v", "b.v")}) AS d2
+         |  FROM short sh JOIN n a ON a.vec_id = sh.query_id JOIN n b ON b.vec_id = sh.neighbor_id
+         |), rk AS (
+         |  SELECT query_id, neighbor_id, d2,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY d2 ASC, neighbor_id) AS rank
+         |  FROM rer
+         |)
+         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, d2
+         |FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** One oracle for both IVF-PQ entries — the persisted twin is
+    * spec-pinned row-identical (serve-from-saved-tables), so it is held
+    * to the same SQL.
+    */
+  val annTopkIvfPqSql: String =
+    kmeansCellsCte + pqCte +
+      s"""
+         |, rcells AS MATERIALIZED (
+         |  SELECT q2.vec_id, c.cell,
+         |    row_number() OVER (PARTITION BY q2.vec_id
+         |      ORDER BY (c.cc - 2 * ${sqlDot("q2.v", "c.cv")}) ASC, c.cell ASC) AS rn
+         |  FROM n q2, c2 c
+         |), lists AS (
+         |  SELECT r.vec_id AS neighbor_id, r.cell, cd.m, cd.code
+         |  FROM rcells r JOIN codes cd ON cd.vec_id = r.vec_id
+         |  WHERE r.rn = 1
+         |), probedq AS (
+         |  SELECT vec_id AS query_id, cell FROM rcells
+         |  WHERE vec_id % 10 = 0 AND rn <= 2
+         |), pairs AS (
+         |  SELECT p.query_id, l.neighbor_id, CAST(SUM(a.d2e) AS BIGINT) AS approx_d2
+         |  FROM probedq p
+         |  JOIN lists l ON l.cell = p.cell
+         |  JOIN adc a ON a.query_id = p.query_id AND a.m = l.m AND a.cell = l.code
+         |  WHERE p.query_id <> l.neighbor_id
+         |  GROUP BY p.query_id, l.neighbor_id
+         |), rk AS (
+         |  SELECT query_id, neighbor_id, approx_d2,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY approx_d2 ASC, neighbor_id) AS rank
+         |  FROM pairs
+         |)
+         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, approx_d2
+         |FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "embedding_outliers"  -> embeddingOutliersSql,
     "embedding_centroids" -> embeddingCentroidsSql,
@@ -975,6 +1106,11 @@ object VectorAgg {
     // k-means/IVF promotions (r11-cont): training is integer-exact
     "ann_kmeans_train"    -> annKmeansTrainSql,
     "ann_topk_kmeans"     -> annTopkKmeansSql,
-    "ann_topk_ivf"        -> annTopkIvfSql
+    "ann_topk_ivf"        -> annTopkIvfSql,
+    // PQ promotions (r11-cont): sub-space Lloyd + ADC, all integers
+    "ann_topk_pq"         -> annTopkPqSql,
+    "ann_topk_pq_refine"  -> annTopkPqRefineSql,
+    "ann_topk_ivfpq"      -> annTopkIvfPqSql,
+    "ann_topk_ivfpq_persisted" -> annTopkIvfPqSql
   )
 }
