@@ -1114,9 +1114,82 @@ object KnnGraph {
          |FROM knn2 k LEFT JOIN knn2 m ON m.vec_id = k.neighbor_id AND m.neighbor_id = k.vec_id
          |ORDER BY k.vec_id, k.rank""".stripMargin
 
+  /** Oracle for BOTH graph-ANN entries (PROMOTED r11-cont; the persisted
+    * twin is spec-pinned row-identical): the navigable graph is the
+    * deterministic IVF kNN graph, seeds are per-cell min members of the
+    * unrolled Lloyd cells, and the beam is integer-dot scored with
+    * (dot DESC, node) ties — so the 1 + BeamRounds beam states unroll
+    * like every other iterative oracle (candidates = beam ∪ one-hop
+    * expansion, DISTINCT, score, top-BeamWidth) and HNSW-style
+    * graph search itself is hash-gated.
+    */
+  val annTopkGraphSql: String = {
+    def beamRound(r: Int, cand: String) =
+      s"""
+         |, sc$r AS (
+         |  SELECT c.query_id, c.node, ${VectorAgg.sqlDot("qq.qv", "nn.v")} AS dot
+         |  FROM $cand c
+         |  JOIN queriesg qq ON qq.query_id = c.query_id
+         |  JOIN n nn ON nn.vec_id = c.node
+         |  WHERE c.node <> c.query_id
+         |), b$r AS MATERIALIZED (
+         |  SELECT query_id, node, dot FROM (
+         |    SELECT query_id, node, dot,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, node) AS rn
+         |    FROM sc$r) WHERE rn <= $BeamWidth
+         |)""".stripMargin
+    val rounds = (1 to BeamRounds).map { r =>
+      s"""
+         |, cand$r AS (
+         |  SELECT DISTINCT query_id, node FROM (
+         |    SELECT query_id, node FROM b${r - 1}
+         |    UNION ALL
+         |    SELECT b.query_id, a.dst AS node FROM b${r - 1} b JOIN adj a ON a.src = b.node)
+         |)""".stripMargin + beamRound(r, s"cand$r")
+    }.mkString
+    VectorAgg.kmeansRankedCellsCte +
+      s"""
+         |, assignedg AS MATERIALIZED (
+         |  SELECT vec_id AS neighbor_id, v AS nv, cell FROM ranked_cells WHERE rn = 1
+         |), probedg AS (
+         |  SELECT vec_id, v AS va, cell FROM ranked_cells WHERE rn <= 5
+         |), scoredg AS (
+         |  SELECT p.vec_id, a.neighbor_id, ${VectorAgg.sqlDot("p.va", "a.nv")} AS dot
+         |  FROM probedg p JOIN assignedg a USING (cell)
+         |  WHERE p.vec_id <> a.neighbor_id
+         |), knn3 AS MATERIALIZED (
+         |  SELECT vec_id, neighbor_id FROM (
+         |    SELECT vec_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, neighbor_id) AS rank
+         |    FROM scoredg) WHERE rank <= $K
+         |), adj AS MATERIALIZED (
+         |  SELECT vec_id AS src, neighbor_id AS dst FROM knn3
+         |  UNION
+         |  SELECT neighbor_id AS src, vec_id AS dst FROM knn3
+         |), seedsg AS MATERIALIZED (
+         |  SELECT MIN(neighbor_id) AS node FROM assignedg GROUP BY cell
+         |), queriesg AS MATERIALIZED (
+         |  SELECT vec_id AS query_id, v AS qv FROM n WHERE vec_id % 10 = 0
+         |), cand0 AS (
+         |  SELECT DISTINCT query_id, node FROM (
+         |    SELECT q3.query_id, a.dst AS node FROM queriesg q3 JOIN adj a ON a.src = q3.query_id
+         |    UNION ALL
+         |    SELECT q3.query_id, s.node FROM queriesg q3 CROSS JOIN seedsg s)
+         |)""".stripMargin +
+      beamRound(0, "cand0") + rounds +
+      s"""
+         |SELECT query_id, CAST(rn AS INT) AS rank, node AS neighbor_id, dot FROM (
+         |  SELECT query_id, node, dot,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, node) AS rn
+         |  FROM b$BeamRounds) WHERE rn <= 5
+         |ORDER BY query_id, rank""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "knn_graph_communities" -> knnGraphCommunitiesSql,
     "knn_graph_ivf" -> knnGraphIvfSql,
+    "ann_topk_graph" -> annTopkGraphSql,
+    "ann_topk_graph_persisted" -> annTopkGraphSql,
     "knn_graph_exact" -> knnGraphExactSql,
     "knn_graph_triangles" -> knnGraphTrianglesSql,
     "knn_graph_link_predict" -> knnGraphLinkPredictSql,
