@@ -51,5 +51,6 @@ object SparkEntry {
       ops.CfIndex.oracleSql ++ ops.Rake.oracleSql ++
       streaming.ForecastServe.oracleSql ++ streaming.StreamServe.oracleSql ++
       core.AttributionQueries.oracleSql ++ ops.PhraseSearch.oracleSql ++
-      ops.BpeTrain.oracleSql ++ ops.Als.oracleSql
+      ops.BpeTrain.oracleSql ++ ops.Als.oracleSql ++ ops.AnnLsh.oracleSql ++
+      ops.AnnEval.oracleSql
 }

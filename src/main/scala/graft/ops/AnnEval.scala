@@ -108,5 +108,55 @@ object AnnEval {
     "ann_matryoshka_eval" -> (annMatryoshkaEval _)
   )
 
-  val oracleSql: Map[String, String] = Map.empty
+  /** Oracle for `ann_matryoshka_eval` (PROMOTED r11-cont): every prefix
+    * ranking is an exact integer dot over the first d' components, the
+    * hit counts are semi-join cardinalities, and recall is one IEEE
+    * division of exact integers — the whole measurement harness
+    * hash-checks. (ann_recall_eval stays rows-only: its PCA path runs a
+    * driver-side Jacobi eigensolve, which is bounded model state, not
+    * SQL.) The full dimension is pinned at 64 — the corpus dimension
+    * every other embedding oracle also assumes (binarySigs raises above
+    * it).
+    */
+  val annMatryoshkaEvalSql: String = {
+    def pdot(a: String, b: String, dp: Int) =
+      s"CAST(list_sum(list_transform(range(1, $dp + 1), j -> $a[j] * $b[j])) AS BIGINT)"
+    val prefixes = Seq(4, 8, 16, 64)
+    val perPrefix = prefixes.map { dp =>
+      s"""
+         |, t$dp AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY ${pdot("a.v", "b.v", dp)} DESC, b.vec_id) AS rn
+         |  FROM n a JOIN n b ON a.vec_id % 10 = 0 AND a.vec_id <> b.vec_id
+         |), h$dp AS (
+         |  SELECT CAST($dp AS BIGINT) AS prefix_dim, CAST(COUNT(*) AS BIGINT) AS hits
+         |  FROM t$dp t JOIN exact5 e ON e.query_id = t.query_id AND e.neighbor_id = t.neighbor_id
+         |  WHERE t.rn <= 5
+         |)""".stripMargin
+    }.mkString
+    val unioned = prefixes.map(dp => s"SELECT * FROM h$dp").mkString(" UNION ALL ")
+    LlmQueries.quantizedCte +
+      s"""
+         |, exact5 AS MATERIALIZED (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY a.vec_id
+         |        ORDER BY CAST(list_sum(list_transform(range(1, len(a.v) + 1), j -> a.v[j] * b.v[j])) AS BIGINT) DESC, b.vec_id) AS rn
+         |    FROM n a JOIN n b ON a.vec_id % 10 = 0 AND a.vec_id <> b.vec_id) WHERE rn <= 5
+         |), totals AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS exact_total,
+         |    CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries
+         |  FROM exact5
+         |)$perPrefix
+         |SELECT u.prefix_dim, t.n_queries, u.hits, t.exact_total,
+         |  CAST(u.hits AS DOUBLE) / CAST(t.exact_total AS DOUBLE) AS recall_at_5
+         |FROM ($unioned) u
+         |CROSS JOIN totals t
+         |ORDER BY u.prefix_dim""".stripMargin
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "ann_matryoshka_eval" -> annMatryoshkaEvalSql
+  )
 }

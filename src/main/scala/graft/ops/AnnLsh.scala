@@ -70,4 +70,55 @@ object AnnLsh {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk_lsh" -> (annTopkLsh _)
   )
+
+  /** Oracle for `ann_topk_lsh` (PROMOTED r11-cont): the hyperplanes are
+    * a FIXED ±1 array baked at class load, so they embed as SQL
+    * literals; every per-element product is exact (float × ±1.0, and
+    * float × float in double), and the only inexact op — the fold-sum
+    * of products — is replayed in the IDENTICAL association via
+    * list_reduce over a 0.0-prepended list (Spark's aggregate(…, 0.0, +)
+    * left fold, token for token). Sign buckets, single-bit multiprobe,
+    * pair dedup, and the (dot DESC, id) rank then all reproduce
+    * bit-for-bit — the one remaining ANN path joins the hash-gated set.
+    */
+  val annTopkLshSql: String = {
+    def planeLit(p: Array[Double]): String =
+      p.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ", ", "]::DOUBLE[]")
+    def planeDot(i: Int): String =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, len(embedding) + 1), " +
+        s"j -> CAST(embedding[j] AS DOUBLE) * (${planeLit(planes(i))})[j])), (s1, s2) -> s1 + s2)"
+    val bucketExpr = (0 until numPlanes)
+      .map(i => s"(CASE WHEN ${planeDot(i)} >= 0 THEN ${1 << i} ELSE 0 END)")
+      .mkString(" + ")
+    val probeList = ("bucket" +: (0 until numPlanes).map(i => s"xor(bucket, ${1 << i})"))
+      .mkString("[", ", ", "]")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, embedding, ($bucketExpr) AS bucket FROM embeddings
+       |), qx AS (
+       |  SELECT vec_id AS query_id, unnest($probeList) AS bucket
+       |  FROM e WHERE vec_id % 10 = 0
+       |), pairs AS (
+       |  SELECT DISTINCT q4.query_id, c.vec_id AS neighbor_id
+       |  FROM qx q4 JOIN e c ON c.bucket = q4.bucket
+       |  WHERE q4.query_id <> c.vec_id
+       |), scored AS (
+       |  SELECT p.query_id, p.neighbor_id,
+       |    list_reduce(list_prepend(0.0, list_transform(range(1, len(a.embedding) + 1),
+       |      j -> CAST(a.embedding[j] AS DOUBLE) * CAST(b.embedding[j] AS DOUBLE))),
+       |      (s1, s2) -> s1 + s2) AS dot
+       |  FROM pairs p
+       |  JOIN e a ON a.vec_id = p.query_id
+       |  JOIN e b ON b.vec_id = p.neighbor_id
+       |), rk AS (
+       |  SELECT query_id, neighbor_id, dot,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, dot
+       |FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "ann_topk_lsh" -> annTopkLshSql
+  )
 }
