@@ -48,7 +48,7 @@ object Als {
   val iterations = 6
 
   /** Deterministic symmetry-breaking init for item factors. */
-  private def initItems(ratings: DataFrame): DataFrame = {
+  private[graft] def initItems(ratings: DataFrame): DataFrame = {
     import ratings.sparkSession.implicits._
     ratings.select($"item_id").distinct()
       .select($"item_id", lit(1.0).as("v1"),
@@ -57,7 +57,7 @@ object Als {
 
   /** One ridge half-solve: given factors on `givenKey` (columns g1, g2),
     * solve factors for `solveKey` from the normal equations. */
-  private def halfSolve(ratings: DataFrame, given: DataFrame,
+  private[graft] def halfSolve(ratings: DataFrame, given: DataFrame,
       givenKey: String, solveKey: String): DataFrame = {
     import ratings.sparkSession.implicits._
     // Gram/moment accumulation on a LONG fixed-point grid (1e-6):
@@ -78,8 +78,18 @@ object Als {
     // so the whole training trace stays cross-engine bit-exact).
     def dsum(c: org.apache.spark.sql.Column) =
       sum(floor(c * 1e6 + 0.5)).cast("double") / 1e6
+    // SHUFFLE_HASH, never broadcast: `given` can be the USER factor
+    // table (unbounded — 10⁸⁺ rows at 100× scale), so a broadcast here
+    // is a per-iteration multi-GB driver collect, 2×iterations per
+    // training run. The hint shuffles only the ENTITY-sized factor
+    // table into the ratings' pinned layout ([[train]] pre-partitioned
+    // the corpus on each join key) and builds the hash map on the
+    // factor side — no sort of the corpus side, no exchange under it.
+    // AlsSpec plan-pins both properties (no BroadcastExchange of
+    // factors; no shuffle beneath the streamed corpus side).
     ratings
-      .join(broadcast(given.withColumnRenamed("v1", "g1").withColumnRenamed("v2", "g2")), Seq(givenKey))
+      .join(given.withColumnRenamed("v1", "g1").withColumnRenamed("v2", "g2")
+        .hint("shuffle_hash"), Seq(givenKey))
       .groupBy(col(solveKey))
       .agg(
         dsum($"g1" * $"g1").as("a11"), dsum($"g1" * $"g2").as("a12"),
@@ -96,16 +106,36 @@ object Als {
     *
     * The ratings table is pre-partitioned ONCE per join key and pinned
     * (localCheckpoint preserves the hash partitioning in the LogicalRDD),
-    * so every half-solve re-shuffles only the ENTITY-sized factor table
-    * into the ratings' layout — the corpus-sized side never crosses the
-    * wire again after the two up-front shuffles. This is the
+    * and [[halfSolve]]'s SHUFFLE_HASH join consumes exactly that layout:
+    * every half-solve re-shuffles only the ENTITY-sized factor table
+    * into the ratings' partitioning (hash-building on the factor side,
+    * streaming the corpus side unsorted) — the corpus-sized side never
+    * crosses the wire again after the two up-front shuffles, and the
+    * groupBy that follows ships only map-side-combined Gram partials
+    * (≤ entities × partitions rows). This is the
     * reuse-a-partitioning-across-stages discipline that matters when
     * ratings are the 100 TB side: 2 corpus shuffles total instead of
-    * 2·iterations.
+    * 2·iterations. AlsSpec plan-asserts it (no BroadcastExchange of a
+    * factor table, no exchange beneath the corpus side of the solve
+    * join).
     */
+  /** One corpus shuffle, pinned and DECLARED: repartition with an
+    * explicit count (an AQE-stable layout — REPARTITION_BY_NUM is never
+    * coalesced), materialize via localCheckpoint, then re-declare the
+    * hash partitioning the checkpoint forgot (under AQE the captured
+    * outputPartitioning is Unknown — graftshim.declareHashPartitioned)
+    * so every half-solve's join consumes the layout instead of
+    * re-shuffling the corpus.
+    */
+  private[graft] def pinByKey(df: DataFrame, key: String): DataFrame = {
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    org.apache.spark.sql.graftshim.declareHashPartitioned(
+      df.repartition(n, col(key)).localCheckpoint(), n, key)
+  }
+
   private[graft] def train(ratings0: DataFrame, iters: Int = iterations): (DataFrame, DataFrame) = {
-    val byItem = ratings0.repartition(col("item_id")).localCheckpoint()
-    val byUser = ratings0.repartition(col("user_id")).localCheckpoint()
+    val byItem = pinByKey(ratings0, "item_id")
+    val byUser = pinByKey(ratings0, "user_id")
     var items = initItems(byItem).localCheckpoint()
     var users: DataFrame = null
     (1 to iters).foreach { _ =>
@@ -158,17 +188,19 @@ object Als {
 
   /** The factor-dot serve tail shared by the trained and persisted
     * entries: cohort × item scores, novelty anti-join, top-5 through
-    * PartialTopK.
+    * PartialTopK. `listened` is any frame with (user_id, item_id) —
+    * the in-session ratings for the trained entry, the persisted
+    * listened/ ledger for the index entry.
     */
-  private def serveTopn(ratings: DataFrame, users: DataFrame, items: DataFrame): DataFrame = {
-    import ratings.sparkSession.implicits._
+  private def serveTopn(listened: DataFrame, users: DataFrame, items: DataFrame): DataFrame = {
+    import listened.sparkSession.implicits._
     import graft.functions.PartialTopK.partial_topk
     val cohort = users.filter($"user_id" % 100 === 0)
       .withColumnRenamed("v1", "u1").withColumnRenamed("v2", "u2")
     val scored = items.crossJoin(broadcast(cohort))
       .select($"user_id", $"item_id", ($"u1" * $"v1" + $"u2" * $"v2").as("score"))
     val novel = scored.join(
-      ratings.select($"user_id", $"item_id"),
+      listened.select($"user_id", $"item_id"),
       Seq("user_id", "item_id"), "left_anti")
     novel
       .groupBy($"user_id")
@@ -199,7 +231,14 @@ object Als {
     pmod(xxhash64(c.cast("string")), lit(userBuckets.toLong)).cast("int")
 
   /** Train on `dir`'s ratings and persist both factor tables (users
-    * bucketed by user-id hash — see [[userBuckets]]). */
+    * bucketed by user-id hash — see [[userBuckets]]) PLUS the listened
+    * (user_id, item_id) pair ledger the novelty anti-join serves from —
+    * the CF family's uic/ discipline: the persisted entry's claim is a
+    * FACT-FREE serve path, and without the ledger the anti-join would
+    * re-scan the corpus at every serve. Same bucket layout as users/ so
+    * the user-grain lifecycle ops (fold-in, delete) rewrite only
+    * affected buckets of both tables.
+    */
   def saveAlsIndex(spark: SparkSession, dir: String, indexPath: String): Unit = {
     import spark.implicits._
     val ratings = ratingsOf(spark, dir).localCheckpoint()
@@ -207,12 +246,18 @@ object Als {
     users.withColumn("_bucket", bucketOf($"user_id"))
       .write.mode("overwrite").partitionBy("_bucket").parquet(s"$indexPath/users")
     items.write.mode("overwrite").parquet(s"$indexPath/items")
+    ratings.select($"user_id", $"item_id")
+      .withColumn("_bucket", bucketOf($"user_id"))
+      .write.mode("overwrite").partitionBy("_bucket").parquet(s"$indexPath/listened")
   }
 
   /** §2 entry `rec_als_topn_persisted`: the SAME recommendations served
-    * from the saved factor tables — no training pass in the serve path,
-    * which is the entry's whole claim (the `ann_topk_pca_persisted`
-    * contract). Row-identical to [[recAlsTopn]] (spec-pinned).
+    * from the saved factor tables — no training pass AND no fact-table
+    * scan in the serve path (the novelty anti-join reads the persisted
+    * listened/ ledger, the CfIndex uic/ discipline), which is the
+    * entry's whole claim (the `ann_topk_pca_persisted` contract).
+    * Row-identical to [[recAlsTopn]] (spec-pinned); fact-freedom is
+    * plan-asserted in AlsSpec.
     */
   def recAlsTopnPersisted(spark: SparkSession, dir: String): DataFrame = {
     val indexPath = savedIndexes.synchronized {
@@ -225,7 +270,7 @@ object Als {
         p
       })
     }
-    serveTopn(ratingsOf(spark, dir),
+    serveTopn(spark.read.parquet(s"$indexPath/listened").drop("_bucket"),
       spark.read.parquet(s"$indexPath/users").drop("_bucket"),
       spark.read.parquet(s"$indexPath/items"))
   }
@@ -266,44 +311,212 @@ object Als {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("_bucket")
       .parquet(s"$indexPath/users")
+    // listened/ ledger follows the same REPLACE rule: the folded users'
+    // pair sets come from their (full) streamed profile, so the serve
+    // path's novelty anti-join stays exact for onboarded users without
+    // ever touching a fact table
+    val newPairs = newRatings.select($"user_id", $"item_id").distinct()
+      .withColumn("_bucket", bucketOf($"user_id"))
+    val keepL = spark.read.parquet(s"$indexPath/listened")
+      .filter($"_bucket".isin(affected: _*))
+      .join(solved.select($"user_id"), Seq("user_id"), "left_anti")
+      .select($"user_id", $"item_id", $"_bucket")
+    keepL.unionByName(newPairs)
+      .localCheckpoint()
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("_bucket")
+      .parquet(s"$indexPath/listened")
   }
 
   /** GDPR user delete for the factor index: remove the users' factor
-    * rows (their latent taste vector IS derived personal data). The
-    * item table is untouched — it aggregates the population and is not
-    * keyed to any user. Idempotent; atomic via the shared temp-swap.
+    * rows (their latent taste vector IS derived personal data) AND
+    * their listened/ ledger rows (the raw listen pairs are personal
+    * data outright). The item table is untouched — it aggregates the
+    * population and is not keyed to any user. Idempotent; atomic via
+    * the shared temp-swap.
     */
   def deleteUsersFromAlsIndex(spark: SparkSession, indexPath: String,
       userIds: Seq[Long]): Unit = {
+    purgeUsersFromBucketed(spark, s"$indexPath/users", userIds)
+    purgeUsersFromBucketed(spark, s"$indexPath/listened", userIds)
+  }
+
+  /** Delete every row of `userIds` from a user-hash-bucketed parquet
+    * table, rewriting ONLY buckets that actually hold them (an
+    * already-purged id finds none and the re-delete is a byte-level
+    * no-op). Schema-generic: used for both the factor table and the
+    * listened ledger.
+    */
+  private def purgeUsersFromBucketed(spark: SparkSession, path: String,
+      userIds: Seq[Long]): Unit = {
     import spark.implicits._
-    val users = spark.read.parquet(s"$indexPath/users")
-    // only buckets actually holding the users rewrite; an already-purged
-    // id finds none and the re-delete is a byte-level no-op
-    val affected = users.filter($"user_id".isin(userIds: _*))
+    val df = spark.read.parquet(path)
+    val affected = df.filter($"user_id".isin(userIds: _*))
       .select($"_bucket").distinct().collect().map(_.getInt(0)).toSeq
     if (affected.nonEmpty) {
-      val rewritten = users.filter($"_bucket".isin(affected: _*))
+      val cols = df.columns.filterNot(_ == "_bucket").map(col) :+ col("_bucket")
+      val rewritten = df.filter($"_bucket".isin(affected: _*))
         .filter(!$"user_id".isin(userIds: _*))
-        .select($"user_id", $"v1", $"v2", $"_bucket")
+        .select(cols: _*)
         .localCheckpoint()
       rewritten
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("_bucket")
-        .parquet(s"$indexPath/users")
+        .parquet(path)
       // dynamic overwrite writes NOTHING for a bucket whose rewrite is
       // empty (the deleted user was its only resident) — its stale rows
-      // would survive on disk, resurrecting the purged factors; remove
+      // would survive on disk, resurrecting the purged data; remove
       // emptied dirs explicitly (the attribution touch-store lesson)
       val live = rewritten.select($"_bucket").distinct()
         .collect().map(_.getInt(0)).toSet
-      val base = new org.apache.hadoop.fs.Path(s"$indexPath/users")
+      val base = new org.apache.hadoop.fs.Path(path)
       val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
       affected.filterNot(live).foreach { b =>
-        fs.delete(new org.apache.hadoop.fs.Path(s"$indexPath/users/_bucket=$b"), true)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/_bucket=$b"), true)
         ()
       }
     }
+  }
+
+  // ---------------------------------------------------------------------
+  // Rank-parametric training (d > 2): the d=2 entries' closed-form 2×2
+  // solve generalizes to an LDLᵀ solve of the d×d normal equations on an
+  // ARRAY factor column — the same layout contract (shuffle-join the
+  // entity-sized factor table into the pinned corpus partitioning, Gram
+  // sums on the 1e-6 integer grid map-side, solve at ENTITY grain after
+  // the aggregation). The solve is a Scala UDF, deliberately: it runs on
+  // post-aggregate rows (one per entity, never per rating), so it sits
+  // off the corpus hot path — the one place a UDF costs nothing at
+  // 100 TB. LDLᵀ and not Cholesky so the whole solve stays ÷ × + −
+  // (no sqrt), keeping the trace exactly as deterministic as the d=2
+  // form. AlsSpec pins monotone objective descent and bit-determinism
+  // at d = 4 — the docstring's "larger d, same shape" contract as code.
+  // ---------------------------------------------------------------------
+
+  /** Deterministic symmetry-breaking init at rank d: lane 0 is 1.0, and
+    * each later lane keys to a distinct modulus so no two lanes are
+    * collinear over the item-id range. */
+  private[graft] def initItemsD(ratings: DataFrame, d: Int): DataFrame = {
+    import ratings.sparkSession.implicits._
+    val lanes = lit(1.0) +: (1 until d).map { j =>
+      (pmod($"item_id", lit((7 + 4 * j).toLong)) + 1L).cast("double") / (8 + 4 * j).toDouble
+    }
+    ratings.select($"item_id").distinct()
+      .select($"item_id", array(lanes: _*).as("v"))
+  }
+
+  /** LDLᵀ solve of (A + λI)x = b; `packed` is the upper triangle of the
+    * Gram matrix row-major (i ≤ j). Rational ops only — no sqrt — so the
+    * result is a deterministic function of the (integer-grid-exact)
+    * inputs. λI makes A strictly positive-definite: every D(j) > 0.
+    */
+  private[graft] def ldlSolve(packed: Seq[Double], bs: Seq[Double], d: Int,
+      lam: Double): Seq[Double] = {
+    val A = Array.ofDim[Double](d, d)
+    var idx = 0
+    var i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) { A(i)(j) = packed(idx); A(j)(i) = packed(idx); idx += 1; j += 1 }
+      i += 1
+    }
+    i = 0
+    while (i < d) { A(i)(i) += lam; i += 1 }
+    val L = Array.ofDim[Double](d, d)
+    val D = new Array[Double](d)
+    var j = 0
+    while (j < d) {
+      var s = A(j)(j)
+      var k = 0
+      while (k < j) { s -= L(j)(k) * L(j)(k) * D(k); k += 1 }
+      D(j) = s
+      L(j)(j) = 1.0
+      var r = j + 1
+      while (r < d) {
+        var t = A(r)(j)
+        k = 0
+        while (k < j) { t -= L(r)(k) * L(j)(k) * D(k); k += 1 }
+        L(r)(j) = t / D(j)
+        r += 1
+      }
+      j += 1
+    }
+    val y = new Array[Double](d) // forward: L y = b
+    i = 0
+    while (i < d) {
+      var t = bs(i)
+      var k = 0
+      while (k < i) { t -= L(i)(k) * y(k); k += 1 }
+      y(i) = t
+      i += 1
+    }
+    val x = new Array[Double](d) // scale + back: Lᵀ x = y / D
+    i = d - 1
+    while (i >= 0) {
+      var t = y(i) / D(i)
+      var k = i + 1
+      while (k < d) { t -= L(k)(i) * x(k); k += 1 }
+      x(i) = t
+      i -= 1
+    }
+    x.toSeq
+  }
+
+  /** Rank-d ridge half-solve over an array factor column `v` — the same
+    * two-shuffle shape as [[halfSolve]]: SHUFFLE_HASH join of the
+    * entity-sized factor table into the pinned corpus layout, integer-grid
+    * Gram accumulation map-side, entity-grain LDLᵀ solve after the agg.
+    */
+  private[graft] def halfSolveD(ratings: DataFrame, given: DataFrame,
+      givenKey: String, solveKey: String, d: Int): DataFrame = {
+    import ratings.sparkSession.implicits._
+    def dsum(c: org.apache.spark.sql.Column) =
+      sum(floor(c * 1e6 + 0.5)).cast("double") / 1e6
+    val grams = for (i <- 0 until d; j <- i until d)
+      yield dsum($"g".getItem(i) * $"g".getItem(j)).as(s"a_${i}_$j")
+    val moms = (0 until d).map(i => dsum($"r" * $"g".getItem(i)).as(s"b_$i"))
+    val solve = udf((a: Seq[Double], b: Seq[Double]) => ldlSolve(a, b, d, lambda))
+    ratings
+      .join(given.withColumnRenamed("v", "g").hint("shuffle_hash"), Seq(givenKey))
+      .groupBy(col(solveKey))
+      .agg(grams.head, (grams.tail ++ moms): _*)
+      .select(col(solveKey),
+        solve(
+          array((for (i <- 0 until d; j <- i until d) yield col(s"a_${i}_$j")): _*),
+          array((0 until d).map(i => col(s"b_$i")): _*)).as("v"))
+  }
+
+  /** Rank-d twin of [[train]] — identical pinned-partitioning and
+    * materialization-barrier discipline, array factor columns. */
+  private[graft] def trainD(ratings0: DataFrame, d: Int,
+      iters: Int = iterations): (DataFrame, DataFrame) = {
+    val byItem = pinByKey(ratings0, "item_id")
+    val byUser = pinByKey(ratings0, "user_id")
+    var items = initItemsD(byItem, d).localCheckpoint()
+    var users: DataFrame = null
+    (1 to iters).foreach { _ =>
+      users = halfSolveD(byItem, items, "item_id", "user_id", d)
+      items = halfSolveD(byUser, users, "user_id", "item_id", d).localCheckpoint()
+    }
+    (users.localCheckpoint(), items)
+  }
+
+  /** Rank-d objective Σ(r − u·v)² + λ(Σ‖u‖² + Σ‖v‖²) over array factors. */
+  private[graft] def objectiveD(ratings: DataFrame, users: DataFrame,
+      items: DataFrame): Double = {
+    import ratings.sparkSession.implicits._
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val sse = ratings
+      .join(users.withColumnRenamed("v", "u"), Seq("user_id"))
+      .join(items, Seq("item_id"))
+      .select(pow($"r" - dot($"u", $"v"), 2).as("e"))
+      .agg(sum($"e")).head().getDouble(0)
+    def reg(t: DataFrame) = t.select(dot(col("v"), col("v")).as("n"))
+      .agg(sum(col("n"))).head().getDouble(0)
+    sse + lambda * (reg(users) + reg(items))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

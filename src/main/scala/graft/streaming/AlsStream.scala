@@ -28,7 +28,9 @@ import org.apache.spark.sql.types._
   * only affected users (ledger rows of ≤ affected-users size), and
   * rewrites only affected buckets of the factor table via dynamic
   * partition overwrite — cold buckets byte-stable. The frozen item table
-  * is entity × d and broadcasts into the solve.
+  * is entity × d and shuffle-hash-joins into the solve (the same
+  * no-factor-broadcast rule as training — item catalogs are bounded but
+  * the rule is uniform and plan-pinned).
   *
   * Exactly-once — the [[CfStream]] discipline: ledger rows are STAMPED
   * with their batch id; a retry of a half-committed batch first rolls

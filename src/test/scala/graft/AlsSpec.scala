@@ -67,6 +67,71 @@ class AlsSpec extends SparkSuite {
     assert(served == trained, "factor-table round-trip changed the recommendations")
   }
 
+  test("persisted serve plan reads only the index, never the fact tables") {
+    // the CfIndexSpec discipline: the persisted entry's whole claim is a
+    // fact-free serve path — novelty comes from the listened/ ledger
+    val df = ops.Als.recAlsTopnPersisted(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("lineitem") && !plan.contains("orders"),
+      "persisted ALS serve must not scan fact tables")
+    assert(plan.contains("graft_als_index"),
+      "persisted ALS serve must scan the saved index")
+  }
+
+  test("training half-solve: factor table shuffle-joins into the pinned corpus layout") {
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+    import org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+    import org.apache.spark.sql.catalyst.optimizer.BuildRight
+    // the r11 weak mark: broadcast(given) shipped the (unbounded at 100×)
+    // USER factor table from the driver every item half-solve. The fixed
+    // plan must (a) never put a factor table through a BroadcastExchange,
+    // (b) hash-join with the corpus side STREAMED off its pinned
+    // (localCheckpoint-preserved) partitioning — no exchange beneath it.
+    val ratings = ops.Als.ratingsOf(spark, sf)
+    val byItem = ops.Als.pinByKey(ratings, "item_id")
+    val items = ops.Als.initItems(byItem).localCheckpoint()
+    val solved = ops.Als.halfSolve(byItem, items, "item_id", "user_id")
+    solved.collect() // finalize AQE
+    val nodes = tools.PlanWalk.flatten(solved.queryExecution.executedPlan)
+    val factorBroadcasts = nodes.collect {
+      case b: BroadcastExchangeExec
+        if b.output.exists(a => a.name == "g1" || a.name == "g2") => b
+    }
+    assert(factorBroadcasts.isEmpty,
+      factorBroadcasts.map(_.treeString).mkString("\n---\n"))
+    val joins = nodes.collect { case j: ShuffledHashJoinExec => j }
+    assert(joins.nonEmpty, solved.queryExecution.executedPlan.toString)
+    joins.foreach { j =>
+      val streamed = if (j.buildSide == BuildRight) j.left else j.right
+      assert(!tools.PlanWalk.flatten(streamed)
+        .exists(_.isInstanceOf[ShuffleExchangeExec]),
+        s"corpus side re-shuffled:\n${streamed.treeString}")
+    }
+  }
+
+  test("rank-4 array-column training: objective descends and beats the zero model") {
+    val ratings = ops.Als.ratingsOf(spark, sf).localCheckpoint()
+    val objs = (1 to 3).map { iters =>
+      val (u, v) = ops.Als.trainD(ratings, d = 4, iters)
+      ops.Als.objectiveD(ratings, u, v)
+    }
+    assert(objs.zip(objs.tail).forall { case (a, b) => b <= a + 1e-9 },
+      s"rank-4 ALS objective must not increase across iterations: $objs")
+    assert(objs.head.isFinite && objs.last > 0.0)
+    import spark.implicits._
+    val j0 = ratings.select(($"r" * $"r").as("r2")).agg(sum($"r2")).head().getDouble(0)
+    assert(objs.head < j0, s"one rank-4 sweep must beat the zero model: ${objs.head} !< $j0")
+  }
+
+  test("rank-4 training is bit-deterministic") {
+    val ratings = ops.Als.ratingsOf(spark, sf).localCheckpoint()
+    def snap() = {
+      val (u, v) = ops.Als.trainD(ratings, d = 4, iters = 2)
+      (u.collect().map(_.toSeq).toSet, v.collect().map(_.toSeq).toSet)
+    }
+    assert(snap() == snap(), "rank-4 ALS must be bit-deterministic (no RNG)")
+  }
+
   test("fold-in onboards a new user idempotently; delete removes; re-delete no-ops") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -46,6 +46,11 @@ class AlsStreamSpec extends SparkSuite {
       .select($"user_id", $"v1", $"v2").collect().map(_.toSeq).toSet
     assert(users(idxStream) == users(idxOnce),
       "streamed onboarding diverged from the one-shot fold-in")
+    // the listened/ ledger (the fact-free novelty store) converges too
+    def listened(p: String) = spark.read.parquet(s"$p/listened")
+      .select($"user_id", $"item_id").collect().map(_.toSeq).toSet
+    assert(listened(idxStream) == listened(idxOnce),
+      "streamed onboarding diverged on the listened ledger")
     // the onboarded users actually landed
     val onboarded = spark.read.parquet(s"$idxStream/users")
       .filter($"user_id" >= 900000L).count()
