@@ -89,8 +89,10 @@ object ChurnTrain {
         when($"post_rate" < $"pre_rate" * 0.5, 1.0).otherwise(0.0).as("y"))
   }
 
+  // fused dot product (see QualityTrain.marginCol for the why — the
+  // element_at fold trips Spark's codegen splitter at predicate depth)
   private def marginCol(w: Array[Double]): Column =
-    w.indices.map(j => lit(w(j)) * element_at(col("x"), j + 1)).reduce(_ + _)
+    graft.functions.DoubleDotLiteral.dot_lit(col("x"), w.toSeq)
 
   private val modelCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Array[Double]]

@@ -59,9 +59,16 @@ object QualityTrain {
       when($"label" === "hq", 1.0).otherwise(0.0).as("y"))
   }
 
-  /** margin = w·x with w as plan literals (d is tiny and fixed). */
+  /** margin = w·x with w as plan literals (d is tiny and fixed) — the
+    * fused [[graft.functions.DoubleDotLiteral]] expression, NOT a
+    * per-term element_at fold: the fold's generated Java grows linearly
+    * in d and at predicate depth trips Spark's method splitter into
+    * emitting an uncompilable class that silently falls back to the
+    * interpreter (caught under codegen.factoryMode=CODEGEN_ONLY,
+    * spec-pinned in QualityTrainSpec).
+    */
   private def marginCol(w: Array[Double]): Column =
-    (0 until dim).map(j => lit(w(j)) * element_at(col("x"), j + 1)).reduce(_ + _)
+    graft.functions.DoubleDotLiteral.dot_lit(col("x"), w.toSeq)
 
   /** One Newton epoch: gradient (d), Hessian upper triangle (d(d+1)/2),
     * mean loss, accuracy — ONE partial aggregate; the only driver traffic

@@ -633,6 +633,34 @@ class VectorDotSpec extends SparkSuite {
     assert(withNull.isNullAt(0))
   }
 
+  test("dot_lit mirrors the element_at fold it replaced: value, null element, length mismatch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.DoubleDotLiteral.dot_lit
+    val w = Seq(0.5, -2.0, 3.25)
+    // value parity with the left-associated lit(w)·element_at fold, on the
+    // codegen path (projection) AND the interpreted path (direct eval)
+    val rows = Seq(Seq(1.0, 2.0, 3.0), Seq(-0.5, 0.0, 8.0)).toDF("x")
+      .select(dot_lit($"x", w).as("fused"),
+        w.indices.map(j => lit(w(j)) * element_at($"x", j + 1)).reduce(_ + _).as("fold"))
+      .collect()
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+    val e = graft.functions.DoubleDotLiteral(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(1.0, 2.0, 3.0), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)), w)
+    assert(e.eval(null) == rows.head.getDouble(0)) // interpreted agrees
+    // a NULL element nulls the score; a short array nulls (total function,
+    // unlike the throwing element_at chain — unreachable for fixed-width
+    // feature rows, documented in the scaladoc)
+    val edge = spark.range(1).select(
+      dot_lit(expr("array(1.0d, CAST(NULL AS DOUBLE), 3.0d)"), w).as("withNull"),
+      dot_lit(expr("array(1.0d, 2.0d)"), w).as("short"),
+      dot_lit(expr("CAST(NULL AS ARRAY<DOUBLE>)"), w).as("nullIn"))
+      .collect().head
+    assert(edge.isNullAt(0) && edge.isNullAt(1) && edge.isNullAt(2))
+  }
+
   test("vector_dot ANSI parity: overflow throws when failOnError, wraps otherwise") {
     import org.apache.spark.sql.functions.expr
     import org.apache.spark.sql.graftshim
