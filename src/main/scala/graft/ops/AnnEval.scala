@@ -76,6 +76,13 @@ object AnnEval {
     import graft.functions.PartialTopK.partial_topk
     val q = VectorAgg.quantized(spark, dir)
     val fullDim = q.select(size($"v")).head.getInt(0)
+    // the oracle's prefix list is a compile-time constant — fail LOUDLY on
+    // a corpus whose dimension disagrees instead of letting the SQL emit
+    // silently-wrong prefix rows (the binarySigs raise_error discipline,
+    // driver-side here because fullDim is already a driver scalar)
+    require(fullDim == matryoshkaFullDim,
+      s"ann_matryoshka_eval's oracle is pinned to dim=$matryoshkaFullDim prefixes " +
+        s"but the corpus has dim=$fullDim — regenerate annMatryoshkaEvalSql's prefix list")
     val exact = LlmQueries.annTopkExact(spark, dir)
       .filter(col("rank") <= 5).select($"query_id", $"neighbor_id")
     val totals = exact.agg(
@@ -118,10 +125,15 @@ object AnnEval {
     * every other embedding oracle also assumes (binarySigs raises above
     * it).
     */
+  /** The one full-dimension constant both engines share: the Spark entry
+    * requires the corpus to match it, the oracle's prefix list derives
+    * from it — they cannot drift apart silently. */
+  val matryoshkaFullDim = 64
+
   val annMatryoshkaEvalSql: String = {
     def pdot(a: String, b: String, dp: Int) =
       s"CAST(list_sum(list_transform(range(1, $dp + 1), j -> $a[j] * $b[j])) AS BIGINT)"
-    val prefixes = Seq(4, 8, 16, 64)
+    val prefixes = Seq(4, 8, 16, matryoshkaFullDim)
     val perPrefix = prefixes.map { dp =>
       s"""
          |, t$dp AS (

@@ -34,15 +34,23 @@ object AtomicRewrite {
     * follows then throws unable-to-infer-schema on every retry — a
     * permanent crash loop in paths whose whole point is
     * heal-on-redelivery. Committed entries are non-hidden names PLUS
-    * partition directories: a `_bucket=3` dir is committed output (the
+    * partition DIRECTORIES: a `_bucket=3` dir is committed output (the
     * touch/ledger stores partition on `_bucket`), while the temp/marker
     * names this probe exists to skip (`_temporary`, `_SUCCESS`,
-    * `.hive-staging…`) never contain `=`.
+    * `.hive-staging…`) never contain `=`. The `=` rule applies to
+    * directories only (a stray `=`-named FILE is never committed
+    * partition output), and it assumes the job-level commit protocol
+    * (FileOutputCommitter algorithm v1, Spark's default for these
+    * rewrites): partition dirs appear only at job commit. A
+    * task-commit-materializing committer (algorithm v2) could leave a
+    * crashed write's partial `_bucket=` dirs that this probe would count
+    * as committed — the heal paths that rely on this probe all roll back
+    * by batch stamp afterwards, but do not switch the committer.
     */
   def hasCommittedFiles(fs: org.apache.hadoop.fs.FileSystem, p: Path): Boolean =
     fs.exists(p) && fs.listStatus(p).exists { s =>
       val n = s.getPath.getName
-      n.contains("=") || (!n.startsWith("_") && !n.startsWith("."))
+      (n.contains("=") && s.isDirectory) || (!n.startsWith("_") && !n.startsWith("."))
     }
 
   def overwrite(df: DataFrame, destPath: String): Unit = {

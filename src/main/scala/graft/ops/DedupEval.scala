@@ -29,7 +29,9 @@ import graft.Tables
   *
   * Shape: truth pairs localCheckpoint once (three label joins probe
   * them); each path contributes two broadcast-label joins + one partial
-  * agg; the final table is a union of 3 single-row frames. The heavy
+  * agg; the final table is a union of 4 single-row frames (the fourth is
+  * the containment axis — see dedupRecallEval's inline note for why its
+  * currency is contained-doc coverage, not co-clustering). The heavy
   * work is the paths themselves, which at 100 TB run their own
   * banded/blocked plans.
   */
@@ -61,11 +63,30 @@ object DedupEval {
         .join(lab.select($"doc_id".as("b"), $"label".as("lb")), Seq("b"))
         .agg(sum(when($"la" === $"lb", 1L).otherwise(0L)).as("hits"))
         .withColumn("path", lit(name))
+        .crossJoin(broadcast(totals))
+        .select($"path", $"truth_pairs", $"hits",
+          ($"hits".cast("double") / $"truth_pairs".cast("double")).as("pair_recall"))
     }
-    perPath.reduce(_.unionByName(_))
-      .crossJoin(broadcast(totals))
+    // CONTAINMENT AXIS (round 12): containment is asymmetric — not an
+    // equivalence — so co-cluster labelling is the wrong currency for it.
+    // The keeper's contract is "every verified CONTAINED doc is absorbed
+    // into exactly one best container", so its row measures contained-doc
+    // coverage against the keeper's own oracle-held pair truth: distinct
+    // contained docs in dedup_containment vs docs present in the keeper
+    // mapping. 1.0 by construction (the jaccard_prefix_keeper self-check
+    // device on this axis) — the row's value is completeness of the
+    // honesty table, spec-pinned in DedupEvalSpec.
+    val cTruth = ScaleDedup.dedupContainment(spark, dir)
+      .select($"a".as("doc_id")).distinct().localCheckpoint()
+    val cRow = cTruth
+      .join(ScaleDedup.dedupContainmentKeeper(spark, dir).select($"doc_id"),
+        Seq("doc_id"), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+      .withColumn("path", lit("containment_keeper"))
+      .crossJoin(broadcast(cTruth.agg(count(lit(1)).as("truth_pairs"))))
       .select($"path", $"truth_pairs", $"hits",
         ($"hits".cast("double") / $"truth_pairs".cast("double")).as("pair_recall"))
+    (perPath :+ cRow).reduce(_.unionByName(_))
       .orderBy($"path")
   }
 

@@ -42,10 +42,21 @@ class DedupEvalSpec extends SparkSuite {
     assert(r > 0.0 && r < 1.0)
   }
 
+  test("containment-axis self-check: every verified contained doc is absorbed") {
+    // the keeper emits exactly one best-container row per contained doc of
+    // the oracle-held pair table, so contained-doc coverage is 1.0 by
+    // construction — the row completes the "every dedup path has a
+    // measured number" claim on the one non-equivalence axis
+    val (t, h, r) = rows("containment_keeper")
+    assert(t > 0, "gate corpus must hold true containment pairs")
+    assert(h == t && r == 1.0, s"containment coverage must be exactly 1.0, got $r ($h/$t)")
+  }
+
   test("recalls are probabilities and hits never exceed truth") {
     rows.values.foreach { case (t, h, r) =>
       assert(h <= t && r >= 0.0 && r <= 1.0)
     }
-    assert(rows.keySet == Set("jaccard_prefix_keeper", "minhash_lsh", "simhash_keeper"))
+    assert(rows.keySet == Set(
+      "jaccard_prefix_keeper", "minhash_lsh", "simhash_keeper", "containment_keeper"))
   }
 }
