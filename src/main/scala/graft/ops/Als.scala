@@ -503,6 +503,50 @@ object Als {
     (users.localCheckpoint(), items)
   }
 
+  /** §2 entry `rec_als_topn_d4` (round 12): the rank-4 factor model as a
+    * first-class serving entry — same corpus, same cohort, same novelty
+    * contract as `rec_als_topn`, trained through [[trainD]]'s array
+    * factor column and LDLᵀ solve. HASH-GATED like the d=2 twin: every
+    * float in the training trace is built from integer-grid-exact sums
+    * by correctly-rounded IEEE ÷ × + − only (LDLᵀ needs no sqrt), so the
+    * 6 alternations unroll into 12 materialized DuckDB CTEs whose
+    * decomposition/substitution expressions mirror [[ldlSolve]]'s loop
+    * order token for token (see [[recAlsTopnD4Sql]]).
+    */
+  def recAlsTopnD4(spark: SparkSession, dir: String): DataFrame = {
+    val ratings = ratingsOf(spark, dir).localCheckpoint()
+    val (users, items) = trainD(ratings, d = 4)
+    serveTopnD(ratings, users, items)
+  }
+
+  /** The rank-d serve tail: cohort × item scores through an index-order
+    * array dot (left-associated, mirrored in the oracle), novelty
+    * anti-join, top-5 through PartialTopK — [[serveTopn]] on array
+    * factors.
+    */
+  private def serveTopnD(listened: DataFrame, users: DataFrame, items: DataFrame): DataFrame = {
+    import listened.sparkSession.implicits._
+    import graft.functions.PartialTopK.partial_topk
+    val d = 4
+    val cohort = users.filter($"user_id" % 100 === 0).withColumnRenamed("v", "u")
+    val score = (0 until d)
+      .map(i => $"u".getItem(i) * $"v".getItem(i)).reduce(_ + _)
+    val scored = items.crossJoin(broadcast(cohort))
+      .select($"user_id", $"item_id", score.as("score"))
+    val novel = scored.join(
+      listened.select($"user_id", $"item_id"),
+      Seq("user_id", "item_id"), "left_anti")
+    novel
+      .groupBy($"user_id")
+      .agg(partial_topk(
+        struct((-$"score").as("neg"), $"item_id".as("item_id"), $"score".as("score")),
+        5).as("s"))
+      .select($"user_id", posexplode($"s").as(Seq("pos", "t")))
+      .select($"user_id", ($"pos" + 1).cast("int").as("rank"),
+        $"t.item_id".as("rec_item_id"), $"t.score".as("score"))
+      .orderBy($"user_id", $"rank")
+  }
+
   /** Rank-d objective Σ(r − u·v)² + λ(Σ‖u‖² + Σ‖v‖²) over array factors. */
   private[graft] def objectiveD(ratings: DataFrame, users: DataFrame,
       items: DataFrame): Double = {
@@ -521,7 +565,8 @@ object Als {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rec_als_topn" -> (recAlsTopn _),
-    "rec_als_topn_persisted" -> (recAlsTopnPersisted _)
+    "rec_als_topn_persisted" -> (recAlsTopnPersisted _),
+    "rec_als_topn_d4" -> (recAlsTopnD4 _)
   )
 
   /** Oracle for BOTH ALS entries (PROMOTED r11-cont — the persisted twin
@@ -595,8 +640,103 @@ object Als {
        |ORDER BY user_id, rank""".stripMargin
   }
 
+  /** Oracle for `rec_als_topn_d4`: the d=2 device at rank 4 — Gram/moment
+    * sums on the shared 1e-6 integer grid, then the LDLᵀ decomposition,
+    * forward substitution, and back substitution laid out as a chain of
+    * nested projections whose expressions mirror [[ldlSolve]]'s loop
+    * order TOKEN FOR TOKEN (every `-` chain is left-associated exactly as
+    * the sequential `t -= …` statements run; `(lᵢₖ·lⱼₖ)·dₖ` products keep
+    * the Scala multiply order). No sqrt anywhere, so the whole train +
+    * serve trace is correctly-rounded IEEE ÷ × + − over exact integers —
+    * cross-engine bit-exact including the double scores.
+    */
+  val recAlsTopnD4Sql: String = {
+    def fsum(prod: String) =
+      s"CAST(SUM(CAST(floor($prod * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0"
+    def solve(given: String, gk: String, sk: String, out: String) = {
+      val sums = ((for (i <- 0 until 4; j <- i until 4)
+        yield s"${fsum(s"g.v$i * g.v$j")} AS a$i$j") ++
+        (0 until 4).map(i => s"${fsum(s"r.r * g.v$i")} AS b$i")).mkString(",\n                  ")
+      s"""
+         |, $out AS MATERIALIZED (
+         |  SELECT t13.$sk,
+         |    ((t13.b0 / t13.d0 - t13.l10 * t13.x1) - t13.l20 * t13.x2) - t13.l30 * t13.x3 AS v0,
+         |    t13.x1 AS v1, t13.x2 AS v2, t13.x3 AS v3
+         |  FROM (
+         |   SELECT t12.*, (t12.y1 / t12.d1 - t12.l21 * t12.x2) - t12.l31 * t12.x3 AS x1 FROM (
+         |    SELECT t11.*, t11.y2 / t11.d2 - t11.l32 * t11.x3 AS x2 FROM (
+         |     SELECT t10.*, t10.y3 / t10.d3 AS x3 FROM (
+         |      SELECT t9.*, ((t9.b3 - t9.l30 * t9.b0) - t9.l31 * t9.y1) - t9.l32 * t9.y2 AS y3 FROM (
+         |       SELECT t8.*, (t8.b2 - t8.l20 * t8.b0) - t8.l21 * t8.y1 AS y2 FROM (
+         |        SELECT t7.*, t7.b1 - t7.l10 * t7.b0 AS y1 FROM (
+         |         SELECT t6.*, (((t6.a33 + 0.1) - t6.l30 * t6.l30 * t6.d0) - t6.l31 * t6.l31 * t6.d1) - t6.l32 * t6.l32 * t6.d2 AS d3 FROM (
+         |          SELECT t5.*, ((t5.a23 - t5.l30 * t5.l20 * t5.d0) - t5.l31 * t5.l21 * t5.d1) / t5.d2 AS l32 FROM (
+         |           SELECT t4.*, ((t4.a22 + 0.1) - t4.l20 * t4.l20 * t4.d0) - t4.l21 * t4.l21 * t4.d1 AS d2 FROM (
+         |            SELECT t3.*, (t3.a12 - t3.l20 * t3.l10 * t3.d0) / t3.d1 AS l21,
+         |                         (t3.a13 - t3.l30 * t3.l10 * t3.d0) / t3.d1 AS l31 FROM (
+         |             SELECT t2.*, (t2.a11 + 0.1) - t2.l10 * t2.l10 * t2.d0 AS d1 FROM (
+         |              SELECT t1.*, t1.a01 / t1.d0 AS l10, t1.a02 / t1.d0 AS l20, t1.a03 / t1.d0 AS l30 FROM (
+         |               SELECT s.*, s.a00 + 0.1 AS d0 FROM (
+         |                SELECT r.$sk,
+         |                  $sums
+         |                FROM ratings r JOIN $given g ON g.$gk = r.$gk
+         |                GROUP BY r.$sk
+         |               ) s
+         |              ) t1
+         |             ) t2
+         |            ) t3
+         |           ) t4
+         |          ) t5
+         |         ) t6
+         |        ) t7
+         |       ) t8
+         |      ) t9
+         |     ) t10
+         |    ) t11
+         |   ) t12
+         |  ) t13
+         |)""".stripMargin
+    }
+    val rounds = (1 to iterations).map { it =>
+      solve(s"i${it - 1}", "item_id", "user_id", s"u$it") +
+        solve(s"u$it", "user_id", "item_id", s"i$it")
+    }.mkString
+    s"""WITH ratings AS MATERIALIZED (
+       |  SELECT o.o_custkey AS user_id, l.l_partkey AS item_id,
+       |    CAST(COUNT(*) AS DOUBLE) AS r
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  GROUP BY 1, 2
+       |), i0 AS (
+       |  SELECT DISTINCT item_id, 1.0 AS v0,
+       |    CAST(item_id % 11 + 1 AS DOUBLE) / 12.0 AS v1,
+       |    CAST(item_id % 15 + 1 AS DOUBLE) / 16.0 AS v2,
+       |    CAST(item_id % 19 + 1 AS DOUBLE) / 20.0 AS v3
+       |  FROM ratings
+       |)$rounds
+       |, cohort AS (
+       |  SELECT user_id, v0 AS u0, v1 AS u1, v2 AS u2, v3 AS u3
+       |  FROM u$iterations WHERE user_id % 100 = 0
+       |), scored_t AS (
+       |  SELECT c.user_id, i.item_id,
+       |    (c.u0 * i.v0 + c.u1 * i.v1 + c.u2 * i.v2 + c.u3 * i.v3) AS score
+       |  FROM cohort c, i$iterations i
+       |), novel AS (
+       |  SELECT s.* FROM scored_t s
+       |  LEFT JOIN ratings x ON x.user_id = s.user_id AND x.item_id = s.item_id
+       |  WHERE x.item_id IS NULL
+       |), ranked AS (
+       |  SELECT user_id, item_id, score,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY score DESC, item_id) AS rank
+       |  FROM novel
+       |)
+       |SELECT user_id, CAST(rank AS INT) AS rank, item_id AS rec_item_id, score
+       |FROM ranked WHERE rank <= 5
+       |ORDER BY user_id, rank""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "rec_als_topn" -> recAlsTopnSql,
-    "rec_als_topn_persisted" -> recAlsTopnSql
+    "rec_als_topn_persisted" -> recAlsTopnSql,
+    "rec_als_topn_d4" -> recAlsTopnD4Sql
   )
 }

@@ -123,6 +123,25 @@ class AlsSpec extends SparkSuite {
     assert(objs.head < j0, s"one rank-4 sweep must beat the zero model: ${objs.head} !< $j0")
   }
 
+  test("rank-4 entry honors the serve contract: dense ranks, cohort, novelty") {
+    import spark.implicits._
+    val rows = ops.Als.recAlsTopnD4(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (u, rs) =>
+      assert(u % 100 == 0, "only the evaluation cohort is served")
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to rs.length))
+      val scores = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+    val listened = ops.Recommend.listenCounts(spark, sf)
+      .select($"user_id", $"item_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    rows.foreach { r =>
+      assert(!listened((r.getAs[Long]("user_id"), r.getAs[Long]("rec_item_id"))),
+        "rank-4 model recommended an already-listened item")
+    }
+  }
+
   test("rank-4 training is bit-deterministic") {
     val ratings = ops.Als.ratingsOf(spark, sf).localCheckpoint()
     def snap() = {
