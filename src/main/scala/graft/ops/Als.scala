@@ -119,19 +119,11 @@ object Als {
     * factor table, no exchange beneath the corpus side of the solve
     * join).
     */
-  /** One corpus shuffle, pinned and DECLARED: repartition with an
-    * explicit count (an AQE-stable layout — REPARTITION_BY_NUM is never
-    * coalesced), materialize via localCheckpoint, then re-declare the
-    * hash partitioning the checkpoint forgot (under AQE the captured
-    * outputPartitioning is Unknown — graftshim.declareHashPartitioned)
-    * so every half-solve's join consumes the layout instead of
-    * re-shuffling the corpus.
-    */
-  private[graft] def pinByKey(df: DataFrame, key: String): DataFrame = {
-    val n = df.sparkSession.sessionState.conf.numShufflePartitions
-    org.apache.spark.sql.graftshim.declareHashPartitioned(
-      df.repartition(n, col(key)).localCheckpoint(), n, key)
-  }
+  /** One corpus shuffle, pinned and DECLARED — see
+    * [[graft.plans.PinnedLayout]] (the shared device; extracted there in
+    * r12 when PageRank and label propagation adopted it too). */
+  private[graft] def pinByKey(df: DataFrame, key: String): DataFrame =
+    graft.plans.PinnedLayout.pinByKey(df, key)
 
   private[graft] def train(ratings0: DataFrame, iters: Int = iterations): (DataFrame, DataFrame) = {
     val byItem = pinByKey(ratings0, "item_id")

@@ -216,8 +216,9 @@ object KnnGraph {
     * (out-degree from one bounded groupBy); each of the k iterations is
     * ONE equi-join of the n-row rank table to the edge table on src plus
     * ONE partial-agg groupBy on dst — the canonical distributed PageRank;
-    * at 100 TB the edge table pre-partitions by src so the join is
-    * co-located and only the n-row rank vector moves. Rank tables
+    * the edge table pre-partitions by src ONCE (PinnedLayout, r12 — made
+    * real, not just documented) so each round's join is co-located and
+    * only the n-row rank vector moves (plan-pinned). Rank tables
     * localCheckpoint per round (the Lloyd discipline: plan depth O(1) per
     * iteration). KnnGraphSpec pins rank-for-rank equality with a
     * single-threaded reference of the same integer recurrence, plus the
@@ -231,24 +232,39 @@ object KnnGraph {
     // oracle unrolls the same 8 rounds over the same edges
     val edges = exactGraphOf(spark, dir).select($"vec_id".as("src"), $"neighbor_id".as("dst"))
     val outDeg = edges.groupBy($"src").agg(count(lit(1)).as("out"))
-    val edgesDeg = edges.join(outDeg, Seq("src")).localCheckpoint()
+    // r12: the static edge table pins its src-hash layout ONCE (the ALS
+    // discipline, PinnedLayout) — each round's join then streams it in
+    // place and only the n-row rank table crosses the wire (plan-pinned
+    // in KnnGraphSpec); before this the "pre-partitions by src" claim
+    // was doc-only and every round re-shuffled the n·k edges
+    val edgesDeg = graft.plans.PinnedLayout.pinByKey(edges.join(outDeg, Seq("src")), "src")
     val nodes = VectorAgg.quantized(spark, dir).select($"vec_id").localCheckpoint()
     val n = nodes.count() // bounded driver pull: one long, the Lloyd contract
     val r0 = PrScale / n
     val base = (3L * PrScale / 20L) / n
     var ranks = nodes.select($"vec_id", lit(r0).as("r")).localCheckpoint()
     for (_ <- 1 to PrIters) {
-      val incoming = edgesDeg
-        .join(ranks.withColumnRenamed("vec_id", "src"), Seq("src"))
-        .select($"dst", expr("r div out").as("share")) // integer floor; r, out > 0
-        .groupBy($"dst").agg(sum($"share").as("in_mass"))
-      ranks = nodes
-        .join(incoming.withColumnRenamed("dst", "vec_id"), Seq("vec_id"), "left")
-        .select($"vec_id",
-          expr(s"$base + 17 * coalesce(in_mass, CAST(0 AS BIGINT)) div 20").as("r"))
-        .localCheckpoint()
+      ranks = prRound(edgesDeg, ranks, nodes, base).localCheckpoint()
     }
     ranks.select($"vec_id", $"r".as("rank_scaled")).orderBy($"vec_id")
+  }
+
+  /** One PageRank round over the pinned edge table — factored out so the
+    * spec can plan-pin the iteration shape: the rank table SHUFFLE_HASH
+    * builds into the edges' layout (no broadcast of ranks, no exchange
+    * beneath the edge side), the dst groupBy ships map-combined mass.
+    */
+  private[graft] def prRound(edgesDeg: DataFrame, ranks: DataFrame,
+      nodes: DataFrame, base: Long): DataFrame = {
+    import edgesDeg.sparkSession.implicits._
+    val incoming = edgesDeg
+      .join(ranks.withColumnRenamed("vec_id", "src").hint("shuffle_hash"), Seq("src"))
+      .select($"dst", expr("r div out").as("share")) // integer floor; r, out > 0
+      .groupBy($"dst").agg(sum($"share").as("in_mass"))
+    nodes
+      .join(incoming.withColumnRenamed("dst", "vec_id"), Seq("vec_id"), "left")
+      .select($"vec_id",
+        expr(s"$base + 17 * coalesce(in_mass, CAST(0 AS BIGINT)) div 20").as("r"))
   }
 
   /** The PageRank recurrence mirrored in DuckDB — possible ONLY because
@@ -630,17 +646,29 @@ object KnnGraph {
   private[graft] def lpCommunities(edges: DataFrame, nodes: DataFrame, rounds: Int): DataFrame = {
     import edges.sparkSession.implicits._
     val selfLoops = nodes.select($"vec_id".as("src"), $"vec_id".as("dst"))
-    val voteEdges = edges.select($"src", $"dst").union(selfLoops).localCheckpoint()
+    // r12: static vote-edge table pinned on src once (PinnedLayout — the
+    // ALS/PageRank discipline); each round's join streams it in place
+    val voteEdges = graft.plans.PinnedLayout.pinByKey(
+      edges.select($"src", $"dst").union(selfLoops), "src")
     var labels = nodes.select($"vec_id", $"vec_id".as("label")).localCheckpoint()
     for (_ <- 1 to rounds) {
-      labels = voteEdges
-        .join(labels.select($"vec_id".as("src"), $"label"), Seq("src"))
-        .groupBy($"dst", $"label").agg(count(lit(1)).as("c"))
-        .groupBy($"dst").agg(max(struct($"c", (-$"label").as("nl"))).as("m"))
-        .select($"dst".as("vec_id"), (-$"m.nl").as("label"))
-        .localCheckpoint()
+      labels = lpRound(voteEdges, labels).localCheckpoint()
     }
     labels
+  }
+
+  /** One synchronous LPA round over the pinned vote-edge table —
+    * factored out so the spec can plan-pin the iteration shape (labels
+    * SHUFFLE_HASH-build into the edges' layout; the corpus-sized edge
+    * side never re-shuffles).
+    */
+  private[graft] def lpRound(voteEdges: DataFrame, labels: DataFrame): DataFrame = {
+    import voteEdges.sparkSession.implicits._
+    voteEdges
+      .join(labels.select($"vec_id".as("src"), $"label").hint("shuffle_hash"), Seq("src"))
+      .groupBy($"dst", $"label").agg(count(lit(1)).as("c"))
+      .groupBy($"dst").agg(max(struct($"c", (-$"label").as("nl"))).as("m"))
+      .select($"dst".as("vec_id"), (-$"m.nl").as("label"))
   }
 
   /** §2 entry `knn_graph_communities`: mode-based label-propagation

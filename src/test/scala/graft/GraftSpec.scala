@@ -833,6 +833,39 @@ class ExtensionsSpec extends AnyFunSuite {
   }
 }
 
+class PinnedLayoutSpec extends SparkSuite {
+
+  test("pinByKey declares the true layout; declareHashPartitioned rejects misuse") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    val df = (1L to 100L).map(i => (i, i % 7)).toDF("k", "v")
+    val pinned = plans.PinnedLayout.pinByKey(df, "k")
+    val part = pinned.queryExecution.executedPlan.outputPartitioning
+    val n = spark.sessionState.conf.numShufflePartitions
+    part match {
+      case hp: HashPartitioning =>
+        assert(hp.numPartitions == n)
+        assert(hp.expressions.map(_.toString).exists(_.contains("k")))
+      case other => fail(s"expected HashPartitioning, got $other")
+    }
+    assert(pinned.collect().map(_.getLong(0)).sorted.sameElements(1L to 100L),
+      "pinning must not change the data")
+    // misuse is loud: a non-checkpoint plan has no LogicalRDD leaf to
+    // re-declare, and a wrong partition count contradicts the RDD
+    intercept[IllegalArgumentException] {
+      org.apache.spark.sql.graftshim.declareHashPartitioned(df, n, "k")
+    }
+    intercept[IllegalArgumentException] {
+      org.apache.spark.sql.graftshim.declareHashPartitioned(
+        df.repartition(n, $"k").localCheckpoint(), n + 1, "k")
+    }
+    intercept[IllegalArgumentException] {
+      org.apache.spark.sql.graftshim.declareHashPartitioned(
+        df.repartition(n, $"k").localCheckpoint(), n, "nope")
+    }
+  }
+}
+
 class PlanSpec extends SparkSuite {
 
   private def plan(df: org.apache.spark.sql.DataFrame): String = {

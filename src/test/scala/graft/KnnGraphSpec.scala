@@ -256,6 +256,48 @@ class KnnGraphSpec extends SparkSuite {
     assert(got((2L, 4L)) == ((1L, 2L, 1L, 0.5)))
   }
 
+  test("pagerank/LPA rounds: entity table shuffle-joins into the pinned edge layout") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+    import org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+    import org.apache.spark.sql.catalyst.optimizer.BuildRight
+    import org.apache.spark.sql.functions._
+    // the ALS-weak discipline applied to the graph family (r12): the
+    // static corpus-sized edge table pins its layout once; every round's
+    // join must stream it (no exchange beneath it) and hash-build the
+    // entity-sized rank/label table (no broadcast of it either — at 100×
+    // the rank table is corpus-entity-sized, a driver-collect hazard)
+    def assertPinnedRound(df: org.apache.spark.sql.DataFrame, entityCols: Set[String]): Unit = {
+      df.collect() // finalize AQE
+      val nodes = tools.PlanWalk.flatten(df.queryExecution.executedPlan)
+      val badBroadcasts = nodes.collect {
+        case b: BroadcastExchangeExec
+          if b.output.exists(a => entityCols.contains(a.name)) => b
+      }
+      assert(badBroadcasts.isEmpty, badBroadcasts.map(_.treeString).mkString("\n---\n"))
+      val joins = nodes.collect { case j: ShuffledHashJoinExec => j }
+      assert(joins.nonEmpty, df.queryExecution.executedPlan.toString)
+      joins.foreach { j =>
+        val streamed = if (j.buildSide == BuildRight) j.left else j.right
+        assert(!tools.PlanWalk.flatten(streamed)
+          .exists(_.isInstanceOf[ShuffleExchangeExec]),
+          s"edge side re-shuffled:\n${streamed.treeString}")
+      }
+    }
+    val knn = ops.KnnGraph.knnGraphExact(spark, sf)
+    val edges = knn.select($"vec_id".as("src"), $"neighbor_id".as("dst"))
+    val outDeg = edges.groupBy($"src").agg(count(lit(1)).as("out"))
+    val edgesDeg = plans.PinnedLayout.pinByKey(edges.join(outDeg, Seq("src")), "src")
+    val nodes = ops.VectorAgg.quantized(spark, sf).select($"vec_id").localCheckpoint()
+    val ranks = nodes.select($"vec_id", lit(1000L).as("r")).localCheckpoint()
+    assertPinnedRound(ops.KnnGraph.prRound(edgesDeg, ranks, nodes, 7L), Set("r"))
+    val voteEdges = plans.PinnedLayout.pinByKey(
+      knn.filter($"mutual").select($"vec_id".as("src"), $"neighbor_id".as("dst"))
+        .union(nodes.select($"vec_id".as("src"), $"vec_id".as("dst"))), "src")
+    val labels = nodes.select($"vec_id", $"vec_id".as("label")).localCheckpoint()
+    assertPinnedRound(ops.KnnGraph.lpRound(voteEdges, labels), Set("label"))
+  }
+
   test("knn_graph_link_predict: predictions are non-edges with bounded evidence") {
     import spark.implicits._
     val mutual = ops.KnnGraph.knnGraphExact(spark, sf).filter($"mutual")
