@@ -949,6 +949,62 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("no entry outside the documented scalar/cohort set plans a nested-loop join") {
+    // the 100 TB red flag beside the global window: a nested-loop join
+    // streaming one corpus against another is O(n·m) compares — the shape
+    // an accidentally-broken equi-join condition degrades into. Every
+    // CURRENT BroadcastNestedLoopJoin / CartesianProduct user is the
+    // deliberate bounded-broadcast device (a one-row total/threshold/
+    // codebook crossJoin, the ANN query-cohort scan, a scalar watermark,
+    // or an exact quadratic oracle documented by contract) — enumerated
+    // below. The guard is one-directional: a whitelisted entry may lose
+    // its nested loop (an index cache can), but NO entry outside the set
+    // may ever gain one. Extending the list is a conscious review act.
+    val documented = Set(
+      "ann_kmeans_train", "ann_matryoshka_eval", "ann_range_search_ivf",
+      "ann_recall_eval", "ann_topk_agg", "ann_topk_binary",
+      "ann_topk_binary_refine", "ann_topk_exact", "ann_topk_filtered",
+      "ann_topk_ivf", "ann_topk_ivfpq", "ann_topk_ivfpq_persisted",
+      "ann_topk_kmeans", "ann_topk_pca", "ann_topk_pca_persisted",
+      "ann_topk_pq", "ann_topk_pq_refine", "ann_topk_sq8",
+      "bpe_tokenize", "churn_score_lr", "dedup_recall_eval",
+      "dedup_semantic", "dm_abc_analysis", "dq_benford",
+      "dq_benford_served", "dq_drift_chi2", "dq_drift_chi2_served",
+      "dq_freshness", "dq_key_skew", "embedding_quantize_int8",
+      "etl_cdc_apply", "etl_delta_load", "etl_user_purge",
+      "events_anomaly_trailing", "events_forecast_holt",
+      "events_forecast_holt_served", "events_forecast_ses",
+      "events_forecast_ses_served", "events_retention_bitmap",
+      "events_retention_bitmap_served", "events_seasonality",
+      "events_survival_km", "hybrid_search_rrf",
+      "hybrid_search_rrf_persisted", "knn_graph_exact", "knn_graph_ivf",
+      "layout_zorder", "layout_zorder_equidepth", "mine_hard_negatives",
+      "mine_hard_negatives_ivf", "q11_important_stock",
+      "q22_global_sales", "rec_als_topn", "rec_als_topn_d4",
+      "rec_als_topn_persisted", "rec_basket_lift", "rec_coverage_eval",
+      "sample_curriculum", "sample_domain_mix", "sample_neyman",
+      "sample_temperature", "search_mmr", "sketch_distinct_diff",
+      "sketch_distinct_intersect", "text_collocation_pmi",
+      "text_perplexity", "text_search", "text_search_bm25",
+      "text_search_bm25_persisted", "text_search_multi",
+      "text_search_persisted")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      if (documented.contains(name)) None
+      else {
+        val nodes = tools.PlanWalk.flatten(fn(spark, sf).queryExecution.executedPlan)
+        val hits = nodes.collect {
+          case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec =>
+            s"BNLJ(${j.joinType})"
+          case _: org.apache.spark.sql.execution.joins.CartesianProductExec =>
+            "CartesianProduct"
+        }
+        if (hits.nonEmpty) Some(s"$name: ${hits.mkString(",")}") else None
+      }
+    }
+    assert(offenders.isEmpty,
+      "new nested-loop join outside the documented set:\n" + offenders.mkString("\n"))
+  }
+
   test("no query plans an unpartitioned (single-partition) window") {
     // the 100 TB red flag: WindowExec with an empty partition spec moves
     // the whole input through one task. Checked across EVERY entry.
