@@ -107,6 +107,23 @@ class AlsSpec extends SparkSuite {
         .exists(_.isInstanceOf[ShuffleExchangeExec]),
         s"corpus side re-shuffled:\n${streamed.treeString}")
     }
+    // the rank-d twin inherits the same layout discipline — assert it
+    // directly (array factor column "g" instead of g1/g2)
+    val itemsD = ops.Als.initItemsD(byItem, 4).localCheckpoint()
+    val solvedD = ops.Als.halfSolveD(byItem, itemsD, "item_id", "user_id", 4)
+    solvedD.collect()
+    val nodesD = tools.PlanWalk.flatten(solvedD.queryExecution.executedPlan)
+    assert(nodesD.collect {
+      case b: BroadcastExchangeExec if b.output.exists(_.name == "g") => b
+    }.isEmpty, "rank-d half-solve broadcast the factor table")
+    val joinsD = nodesD.collect { case j: ShuffledHashJoinExec => j }
+    assert(joinsD.nonEmpty, solvedD.queryExecution.executedPlan.toString)
+    joinsD.foreach { j =>
+      val streamed = if (j.buildSide == BuildRight) j.left else j.right
+      assert(!tools.PlanWalk.flatten(streamed)
+        .exists(_.isInstanceOf[ShuffleExchangeExec]),
+        s"rank-d corpus side re-shuffled:\n${streamed.treeString}")
+    }
   }
 
   test("rank-4 array-column training: objective descends and beats the zero model") {
