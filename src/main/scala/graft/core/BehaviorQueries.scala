@@ -762,7 +762,88 @@ object BehaviorQueries {
       |FROM lagged GROUP BY lag
       |ORDER BY lag""".stripMargin
 
+  /** §2 entry `events_gapfill_ffill` (round 12): calendar GAP-FILL with
+    * FORWARD FILL — the regular-grid resample every time-series pipeline
+    * runs before modeling (forecasters, anomaly scores, and retention
+    * math all assume one row per (entity, day); raw event streams have
+    * holes wherever a user went quiet). Per user: the daily activity
+    * rollup lands on the user's complete [first_day, last_day] calendar
+    * span — absent days appear with n_events = 0 and is_gap = 1 — and
+    * the last observed daily spend carries forward across the gap
+    * (`ffill_value`), the standard last-observation-carried-forward
+    * semantics.
+    *
+    * Scale shape: one corpus aggregate to daily grain (map-side
+    * combine), one ENTITY-grain span aggregate whose `sequence` explode
+    * builds the grid (output size = Σ user spans — the operator's
+    * contract, not a blow-up), one (user, day) equi-join, and a
+    * USER-partitioned running window for the carry (the sessionize
+    * discipline — the fleet-wide PlanSpec guard proves no global
+    * window). Hash-exact end to end: counts and flags are integers, the
+    * daily spend is an exact DECIMAL sum cast once, and forward-fill
+    * only COPIES values — no float arithmetic anywhere.
+    */
+  def eventsGapfillFfill(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    eventsGapfillFfillOn(Tables.events(spark, dir))
+  }
+
+  /** Core over any (user_id, ts, value) frame — spec-testable on planted
+    * gap shapes. */
+  private[graft] def eventsGapfillFfillOn(ev: DataFrame): DataFrame = {
+    import ev.sparkSession.implicits._
+    val daily = ev
+      .select($"user_id", to_date($"ts").as("d"),
+        $"value".cast("decimal(10,2)").as("v"))
+      .groupBy($"user_id", $"d")
+      .agg(count(lit(1)).as("n_events"), sum($"v").as("day_value"))
+    val grid = daily.groupBy($"user_id")
+      .agg(min($"d").as("d0"), max($"d").as("d1"))
+      .select($"user_id", explode(sequence($"d0", $"d1")).as("d"))
+    val carry = Window.partitionBy($"user_id").orderBy($"d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("user_id", "d"), "left")
+      .select($"user_id", $"d",
+        coalesce($"n_events", lit(0L)).as("n_events"), $"day_value")
+      .withColumn("ffill_value",
+        last($"day_value", ignoreNulls = true).over(carry).cast("double"))
+      .select($"user_id", date_format($"d", "yyyy-MM-dd").as("day"),
+        $"n_events",
+        ($"n_events" === 0L).cast("int").as("is_gap"),
+        $"ffill_value")
+      .orderBy($"user_id", $"day")
+  }
+
+  val eventsGapfillFfillSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+      |    CAST(value AS DECIMAL(10,2)) AS v
+      |  FROM events
+      |), daily AS (
+      |  SELECT user_id, d, CAST(COUNT(*) AS BIGINT) AS n_events, SUM(v) AS day_value
+      |  FROM ev GROUP BY 1, 2
+      |), span AS (
+      |  SELECT user_id, MIN(d) AS d0, MAX(d) AS d1 FROM daily GROUP BY 1
+      |), grid AS (
+      |  SELECT user_id,
+      |    d0 + CAST(UNNEST(range(0, date_diff('day', d0, d1) + 1)) AS INTEGER) AS d
+      |  FROM span
+      |), joined AS (
+      |  SELECT g.user_id, g.d,
+      |    CAST(COALESCE(dy.n_events, 0) AS BIGINT) AS n_events,
+      |    dy.day_value
+      |  FROM grid g LEFT JOIN daily dy ON dy.user_id = g.user_id AND dy.d = g.d
+      |)
+      |SELECT user_id, strftime(d, '%Y-%m-%d') AS day, n_events,
+      |  CAST(CASE WHEN n_events = 0 THEN 1 ELSE 0 END AS INT) AS is_gap,
+      |  CAST(last_value(day_value IGNORE NULLS) OVER (
+      |    PARTITION BY user_id ORDER BY d
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS ffill_value
+      |FROM joined
+      |ORDER BY user_id, day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_gapfill_ffill"  -> (eventsGapfillFfill _),
     "events_retention_bitmap" -> (eventsRetentionBitmap _),
     "events_peak_concurrency" -> (eventsPeakConcurrency _),
     "events_survival_km"    -> (eventsSurvivalKm _),
@@ -777,6 +858,7 @@ object BehaviorQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "events_gapfill_ffill"  -> eventsGapfillFfillSql,
     "events_retention_bitmap" -> eventsRetentionBitmapSql,
     "events_peak_concurrency" -> eventsPeakConcurrencySql,
     "events_path_topk"      -> eventsPathTopkSql,

@@ -100,7 +100,8 @@ object DumpPlans {
       "ann_topk_binary_refine", "events_attribution_channel_served",
       "events_retention_bitmap", "events_attribution_position",
       "events_retention_bitmap_served", "events_attribution_position_served",
-      "rec_als_topn", "rec_als_topn_persisted")
+      "rec_als_topn", "rec_als_topn_persisted", "rec_als_topn_d4",
+      "events_gapfill_ffill")
 
     val sb = new StringBuilder
     sb.append("# Executed plans (generated by graft.tools.DumpPlans at " + sfDir + ")\n\n")

@@ -8,6 +8,33 @@ package graft
   */
 class BehaviorSpec extends SparkSuite {
 
+  test("gap-fill: planted holes land on the grid with zero counts and carried values") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(day: Int) = Timestamp.valueOf(f"2024-03-$day%02d 10:00:00")
+    // user 1: days 1, 2, 5 — days 3 and 4 are gaps carrying day-2's value;
+    // user 2: a single day — a 1-row grid, no gaps
+    val ev = Seq(
+      (1L, ts(1), 10.0), (1L, ts(2), 7.5), (1L, ts(2), 2.5), (1L, ts(5), 3.0),
+      (2L, ts(9), 42.0)
+    ).toDF("user_id", "ts", "value")
+    val rows = core.BehaviorQueries.eventsGapfillFfillOn(ev).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("day")) ->
+        (r.getAs[Long]("n_events"), r.getAs[Int]("is_gap"), r.getAs[Double]("ffill_value")))
+      .toMap
+    assert(rows.size == 6, s"grid must be Σ spans = 5 + 1 rows, got ${rows.size}")
+    assert(rows((1L, "2024-03-01")) == ((1L, 0, 10.0)))
+    assert(rows((1L, "2024-03-02")) == ((2L, 0, 10.0))) // two events, exact decimal sum
+    assert(rows((1L, "2024-03-03")) == ((0L, 1, 10.0))) // gap: count 0, value carried
+    assert(rows((1L, "2024-03-04")) == ((0L, 1, 10.0)))
+    assert(rows((1L, "2024-03-05")) == ((1L, 0, 3.0)))  // observation resets the carry
+    assert(rows((2L, "2024-03-09")) == ((1L, 0, 42.0)))
+    // corpus non-vacuity: the gate corpus has real quiet days to fill
+    val corpus = core.BehaviorQueries.eventsGapfillFfill(spark, sf).collect()
+    assert(corpus.exists(_.getAs[Int]("is_gap") == 1), "corpus produced no gaps")
+    assert(corpus.forall(r => r.getAs[Long]("n_events") > 0 || r.getAs[Int]("is_gap") == 1))
+  }
+
   test("funnel: windowed ordered steps shrink monotonically, all populated") {
     val rows = core.BehaviorQueries.eventsFunnel(spark, sf).collect()
     assert(rows.length == 3)
