@@ -102,10 +102,16 @@ object Als {
         ((-$"a12" * $"b1" + ($"a11" + lambda) * $"b2") / $"det").as("v2"))
   }
 
+  /** One corpus shuffle, pinned and DECLARED — see
+    * [[graft.plans.PinnedLayout]] (the shared device; extracted there in
+    * r12 when PageRank and label propagation adopted it too). */
+  private[graft] def pinByKey(df: DataFrame, key: String): DataFrame =
+    graft.plans.PinnedLayout.pinByKey(df, key)
+
   /** Train (userFactors, itemFactors) on a (user_id, item_id, r) frame.
     *
     * The ratings table is pre-partitioned ONCE per join key and pinned
-    * (localCheckpoint preserves the hash partitioning in the LogicalRDD),
+    * ([[pinByKey]] re-declares the hash layout the checkpoint forgets),
     * and [[halfSolve]]'s SHUFFLE_HASH join consumes exactly that layout:
     * every half-solve re-shuffles only the ENTITY-sized factor table
     * into the ratings' partitioning (hash-building on the factor side,
@@ -119,12 +125,6 @@ object Als {
     * factor table, no exchange beneath the corpus side of the solve
     * join).
     */
-  /** One corpus shuffle, pinned and DECLARED — see
-    * [[graft.plans.PinnedLayout]] (the shared device; extracted there in
-    * r12 when PageRank and label propagation adopted it too). */
-  private[graft] def pinByKey(df: DataFrame, key: String): DataFrame =
-    graft.plans.PinnedLayout.pinByKey(df, key)
-
   private[graft] def train(ratings0: DataFrame, iters: Int = iterations): (DataFrame, DataFrame) = {
     val byItem = pinByKey(ratings0, "item_id")
     val byUser = pinByKey(ratings0, "user_id")
@@ -306,8 +306,15 @@ object Als {
     // listened/ ledger follows the same REPLACE rule: the folded users'
     // pair sets come from their (full) streamed profile, so the serve
     // path's novelty anti-join stays exact for onboarded users without
-    // ever touching a fact table
+    // ever touching a fact table. Restricted to SOLVED users, exactly
+    // like the factor rewrite: a user whose items are all absent from
+    // the frozen catalog produces no factor row, and admitting their
+    // pairs here would target buckets outside `affected` — the dynamic
+    // overwrite would then replace those buckets with ONLY the new
+    // pairs, silently wiping other residents' listened history
+    // (AlsSpec pins the ledger never shrinks on fold).
     val newPairs = newRatings.select($"user_id", $"item_id").distinct()
+      .join(solved.select($"user_id"), Seq("user_id"), "left_semi")
       .withColumn("_bucket", bucketOf($"user_id"))
     val keepL = spark.read.parquet(s"$indexPath/listened")
       .filter($"_bucket".isin(affected: _*))
@@ -508,18 +515,20 @@ object Als {
   def recAlsTopnD4(spark: SparkSession, dir: String): DataFrame = {
     val ratings = ratingsOf(spark, dir).localCheckpoint()
     val (users, items) = trainD(ratings, d = 4)
-    serveTopnD(ratings, users, items)
+    serveTopnD(ratings, users, items, d = 4)
   }
 
   /** The rank-d serve tail: cohort × item scores through an index-order
     * array dot (left-associated, mirrored in the oracle), novelty
     * anti-join, top-5 through PartialTopK — [[serveTopn]] on array
-    * factors.
+    * factors. `d` must match the factor arrays' rank (a shorter d scores
+    * a prefix; a longer one nulls every score through the out-of-bounds
+    * getItem), so it is threaded from the caller, not assumed.
     */
-  private def serveTopnD(listened: DataFrame, users: DataFrame, items: DataFrame): DataFrame = {
+  private def serveTopnD(listened: DataFrame, users: DataFrame, items: DataFrame,
+      d: Int): DataFrame = {
     import listened.sparkSession.implicits._
     import graft.functions.PartialTopK.partial_topk
-    val d = 4
     val cohort = users.filter($"user_id" % 100 === 0).withColumnRenamed("v", "u")
     val score = (0 until d)
       .map(i => $"u".getItem(i) * $"v".getItem(i)).reduce(_ + _)

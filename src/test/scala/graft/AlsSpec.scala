@@ -168,6 +168,37 @@ class AlsSpec extends SparkSuite {
     assert(snap() == snap(), "rank-4 ALS must be bit-deterministic (no RNG)")
   }
 
+  test("fold-in with cold-catalog users never shrinks the listened ledger") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the review-caught wipe: a user whose items are ALL absent from the
+    // frozen item table produces no solved factor row, so their bucket is
+    // not in the factor rewrite's affected set — admitting their pairs to
+    // the listened rewrite would dynamic-overwrite that bucket with only
+    // the new pairs, deleting every other resident's history
+    val dir = java.nio.file.Files.createTempDirectory("graft_als_cold").toString
+    ops.Als.saveAlsIndex(spark, sf, dir)
+    val usersBefore = spark.read.parquet(s"$dir/users").count()
+    val listenedBefore = spark.read.parquet(s"$dir/listened").count()
+    val knownItem = ops.Als.ratingsOf(spark, sf)
+      .select($"item_id").distinct().limit(1).collect().head.getLong(0)
+    val batch = Seq(
+      (888801L, knownItem, 1.0),    // solvable: known item
+      (888802L, 99999999L, 1.0),    // cold: item absent from the catalog
+      (888802L, 99999998L, 1.0)
+    ).toDF("user_id", "item_id", "r")
+    ops.Als.foldUsersIntoAlsIndex(spark, dir, batch)
+    val users = spark.read.parquet(s"$dir/users")
+    val listened = spark.read.parquet(s"$dir/listened")
+    assert(users.count() == usersBefore + 1, "only the solvable user gains factors")
+    assert(users.filter($"user_id" === 888802L).isEmpty)
+    assert(listened.count() == listenedBefore + 1,
+      "listened ledger must grow by exactly the solved user's pair — never shrink")
+    assert(listened.filter($"user_id" === 888802L).isEmpty,
+      "an unsolvable user must not enter the serving ledger")
+    assert(listened.filter($"user_id" === 888801L).count() == 1)
+  }
+
   test("fold-in onboards a new user idempotently; delete removes; re-delete no-ops") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
