@@ -499,7 +499,59 @@ object MartQueries {
       |FROM cum JOIN sizes s USING (cohort_month)
       |ORDER BY cohort_month, age_months""".stripMargin
 
+  /** §2 entry `dm_metrics_unpivot` (round 12): the WIDE→LONG melt of the
+    * monthly rollup — the inverse of `dm_pivot_event_types`, and the
+    * relational op the pivot entry was missing its twin for. A metric
+    * store / dashboard feed wants ONE (period, metric, value) stream
+    * rather than a widening column set; Spark 3.4's native
+    * `Dataset.unpivot` (melt) keeps it declarative — a generate-style
+    * expansion with NO shuffle beyond the rollup's own aggregation, so
+    * the long form costs exactly k output rows per input row at any
+    * scale. Every metric casts to double EXACTLY (counts ≪ 2⁵³, the two
+    * ratio metrics are already rounded doubles), so the entry is
+    * hash-gated against DuckDB's standard `UNPIVOT (value FOR metric
+    * IN …)` form — the variable column carries the source column names
+    * in both engines.
+    */
+  def metricsUnpivot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val metricCols = Seq("hours_listened", "total_streams_sessions",
+      "nonskip_sessions", "total_estimated_streams", "distinct_tracks",
+      "distinct_artists")
+    val wide = monthlyAgg(spark, dir)
+      .select($"year" +: $"month_num" +:
+        metricCols.map(c => col(c).cast("double").as(c)): _*)
+    wide.unpivot(
+      Array($"year", $"month_num"),
+      metricCols.map(col).toArray,
+      "metric", "value")
+      .orderBy($"year".desc, $"month_num".desc, $"metric")
+  }
+
+  val metricsUnpivotSql: String =
+    s"""$fhCte
+       |, m AS (
+       |  SELECT CAST(year(ts) AS BIGINT) AS year, CAST(month(ts) AS BIGINT) AS month_num,
+       |$aggMetricsSql
+       |  FROM fh GROUP BY 1, 2
+       |), w AS (
+       |  SELECT year, month_num,
+       |    CAST(hours_listened AS DOUBLE) AS hours_listened,
+       |    CAST(total_streams_sessions AS DOUBLE) AS total_streams_sessions,
+       |    CAST(nonskip_sessions AS DOUBLE) AS nonskip_sessions,
+       |    CAST(total_estimated_streams AS DOUBLE) AS total_estimated_streams,
+       |    CAST(distinct_tracks AS DOUBLE) AS distinct_tracks,
+       |    CAST(distinct_artists AS DOUBLE) AS distinct_artists
+       |  FROM m
+       |)
+       |SELECT year, month_num, metric, value
+       |FROM w UNPIVOT (value FOR metric IN (hours_listened,
+       |  total_streams_sessions, nonskip_sessions, total_estimated_streams,
+       |  distinct_tracks, distinct_artists))
+       |ORDER BY year DESC, month_num DESC, metric""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dm_metrics_unpivot"    -> (metricsUnpivot _),
     "dm_cohort_ltv"         -> (cohortLtv _),
     "dm_yearly_agg"         -> (yearlyAgg _),
     "dm_monthly_agg"        -> (monthlyAgg _),
@@ -513,6 +565,7 @@ object MartQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "dm_metrics_unpivot"   -> metricsUnpivotSql,
     "dm_cohort_ltv"        -> cohortLtvSql,
     "dm_yearly_agg"        -> yearlyAggSql,
     "dm_monthly_agg"       -> monthlyAggSql,

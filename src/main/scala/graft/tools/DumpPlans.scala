@@ -101,7 +101,7 @@ object DumpPlans {
       "events_retention_bitmap", "events_attribution_position",
       "events_retention_bitmap_served", "events_attribution_position_served",
       "rec_als_topn", "rec_als_topn_persisted", "rec_als_topn_d4",
-      "events_gapfill_ffill")
+      "events_gapfill_ffill", "dm_metrics_unpivot")
 
     val sb = new StringBuilder
     sb.append("# Executed plans (generated by graft.tools.DumpPlans at " + sfDir + ")\n\n")

@@ -57,6 +57,22 @@ class QueriesSpec extends SparkSuite {
     }
   }
 
+  test("metrics unpivot: 6 metric rows per month, value-identical to the wide rollup") {
+    val long = mart.MartQueries.metricsUnpivot(spark, sf).collect()
+    val wide = mart.MartQueries.monthlyAgg(spark, sf).collect()
+    assert(long.length == wide.length * 6)
+    val byKey = long.groupBy(r => (r.getAs[Long]("year"), r.getAs[Long]("month_num")))
+    assert(byKey.size == wide.length)
+    byKey.values.foreach(rs => assert(rs.map(_.getAs[String]("metric")).toSet.size == 6))
+    wide.foreach { w =>
+      val k = (w.getAs[Long]("year"), w.getAs[Long]("month_num"))
+      val m = byKey(k).map(r => r.getAs[String]("metric") -> r.getAs[Double]("value")).toMap
+      assert(m("hours_listened") == w.getAs[Double]("hours_listened"))
+      assert(m("distinct_tracks") == w.getAs[Long]("distinct_tracks").toDouble)
+      assert(m("total_streams_sessions") == w.getAs[Long]("total_streams_sessions").toDouble)
+    }
+  }
+
   test("dm top-N limited and rank-ordered") {
     val top = mart.MartQueries.topArtists(spark, sf).collect()
     assert(top.length <= 10)
