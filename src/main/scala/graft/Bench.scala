@@ -107,7 +107,10 @@ object Bench {
     "agg_mad_exact", "events_retention_bitmap", "events_attribution_position",
     "events_retention_bitmap_served", "events_attribution_position_served",
     "rec_als_topn", "rec_als_topn_persisted", "rec_als_topn_d4",
-    "events_gapfill_ffill", "dm_metrics_unpivot")
+    "events_gapfill_ffill", "dm_metrics_unpivot",
+    "events_trend_theilsen", "events_trend_mannkendall",
+    "events_trend_theilsen_served", "events_trend_mannkendall_served",
+    "events_forecast_hw", "events_forecast_hw_served", "dm_skyline_tracks")
   // ann_matryoshka_eval joins ann_recall_eval / dedup_recall_eval in the
   // excluded-harness family: it runs the brute-force ranking once per
   // prefix length back-to-back — a measurement harness, not a serving path

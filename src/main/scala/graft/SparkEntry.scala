@@ -28,7 +28,9 @@ object SparkEntry {
       ops.CfIndex.queries ++ ops.DedupEval.queries ++ ops.Rake.queries ++
       ops.CurationPipeline.queries ++ streaming.ForecastServe.queries ++
       streaming.StreamServe.queries ++ core.AttributionQueries.queries ++
-      ops.PhraseSearch.queries ++ ops.ChurnTrain.queries ++ ops.Als.queries
+      ops.PhraseSearch.queries ++ ops.ChurnTrain.queries ++ ops.Als.queries ++
+      core.TrendQueries.queries ++ core.HwForecast.queries ++
+      mart.SkylineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -52,5 +54,6 @@ object SparkEntry {
       streaming.ForecastServe.oracleSql ++ streaming.StreamServe.oracleSql ++
       core.AttributionQueries.oracleSql ++ ops.PhraseSearch.oracleSql ++
       ops.BpeTrain.oracleSql ++ ops.Als.oracleSql ++ ops.AnnLsh.oracleSql ++
-      ops.AnnEval.oracleSql
+      ops.AnnEval.oracleSql ++ core.TrendQueries.oracleSql ++
+      core.HwForecast.oracleSql ++ mart.SkylineQueries.oracleSql
 }

@@ -1,0 +1,206 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** §2 entries `events_trend_theilsen` / `events_trend_mannkendall` — the
+  * ROBUST trend pair beside the OLS slope (`events_value_corr`) and the
+  * CUSUM level-shift detector: Theil–Sen estimates the trend as the
+  * MEDIAN of all pairwise slopes (a single outlier day cannot move it,
+  * where it drags an OLS fit arbitrarily), and Mann–Kendall tests trend
+  * EXISTENCE from rank concordance alone (no linearity or normality
+  * assumption — the standard screen before quoting any slope).
+  *
+  * Scale shape (the reason both are cheap at 100 TB): ONE partial-agg
+  * groupBy collapses the event corpus to the (event_type, day, n) daily
+  * frame — ≤ types×days rows, CALENDAR-bounded, so the all-pairs
+  * self-join that both statistics need is days²-bounded per type
+  * (30 days → 435 pairs) regardless of corpus row count. The corpus is
+  * touched exactly once; everything pairwise runs on the collapsed
+  * frame. The per-type windows partition on event_type — bounded
+  * partitions, never a global sort.
+  *
+  * Exactness (hash-gate): pairwise slopes are dy/dx of exact BIGINTs
+  * (one correctly-rounded divide — both engines produce the identical
+  * IEEE double), the median is EXPLICIT rank selection over the total
+  * order (slope, dy, dx) — deterministic and engine-identical, with the
+  * even-count midpoint as sum/2 written identically in both engines.
+  * Mann–Kendall's S and the ties-corrected variance numerator are pure
+  * integer arithmetic; z adds one divide and one sqrt (both correctly
+  * rounded). Reference semantics: trend screens over the reference's
+  * daily listening-activity rollups (dm_ddl.sql daily views).
+  */
+object TrendQueries {
+
+  /** The shared daily-count frame: one corpus pass, ≤ types×days rows. */
+  private[graft] def dailyOf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** All ordered day pairs (a.day < b.day) per type with integer rise
+    * dy and run dx — the base frame both trend statistics consume.
+    */
+  private[graft] def dayPairsOn(daily: DataFrame): DataFrame = {
+    import daily.sparkSession.implicits._
+    val a = daily.select($"event_type", $"day".as("day_a"), $"n".as("n_a"))
+    val b = daily.select($"event_type", $"day".as("day_b"), $"n".as("n_b"))
+    a.join(b, Seq("event_type"))
+      .filter($"day_a" < $"day_b")
+      .select($"event_type",
+        ($"n_b" - $"n_a").as("dy"),
+        datediff($"day_b", $"day_a").cast("long").as("dx"))
+  }
+
+  /** Theil–Sen slope over a (event_type, day, n) daily frame — shared
+    * by the batch entry and the streaming serve.
+    */
+  private[graft] def theilSenOn(daily: DataFrame): DataFrame = {
+    import daily.sparkSession.implicits._
+    val pairs = dayPairsOn(daily)
+      .withColumn("slope", $"dy".cast("double") / $"dx".cast("double"))
+    // Explicit rank selection: total order (slope, dy, dx) is engine-
+    // identical; odd count picks one row twice (lo == hi), even count
+    // the two middles — median = picked-sum / picked-count either way.
+    val w = Window.partitionBy($"event_type").orderBy($"slope", $"dy", $"dx")
+    val ranked = pairs
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy($"event_type")))
+    val picked = ranked
+      .filter($"rnk" === expr("(cnt + 1) div 2") || $"rnk" === expr("cnt div 2 + 1"))
+    val days = daily.groupBy($"event_type").agg(count(lit(1)).as("n_days"))
+    picked.groupBy($"event_type")
+      .agg(max($"cnt").as("n_pairs"),
+        (sum($"slope") / count(lit(1))).as("slope_per_day"))
+      .join(days, Seq("event_type"))
+      .select($"event_type", $"n_days", $"n_pairs", $"slope_per_day",
+        ($"slope_per_day" * 7.0).as("slope_per_week"))
+      .orderBy($"event_type")
+  }
+
+  def eventsTrendTheilsen(spark: SparkSession, dir: String): DataFrame =
+    theilSenOn(dailyOf(spark, dir))
+
+  /** Mann–Kendall trend test over a (event_type, day, n) daily frame —
+    * shared by the batch entry and the streaming serve.
+    */
+  private[graft] def mannKendallOn(daily: DataFrame): DataFrame = {
+    import daily.sparkSession.implicits._
+    val s = dayPairsOn(daily)
+      .groupBy($"event_type")
+      .agg(sum(when($"dy" > 0, 1L).when($"dy" < 0, -1L).otherwise(0L)).as("s_stat"))
+    // Ties correction: groups of equal daily counts within a type.
+    val ties = daily.groupBy($"event_type", $"n").agg(count(lit(1)).as("t"))
+      .groupBy($"event_type")
+      .agg(sum($"t").as("n_days"),
+        sum($"t" * ($"t" - 1L) * (lit(2L) * $"t" + 5L)).as("tie_term"))
+    val joined = s.join(ties, Seq("event_type"))
+    val n = $"n_days"
+    val varS = (n * (n - 1L) * (lit(2L) * n + 5L) - $"tie_term").cast("double") / 18.0
+    val zCol: Column = when(varS <= 0.0, lit(null).cast("double"))
+      .when($"s_stat" > 0L, ($"s_stat" - 1L).cast("double") / sqrt(varS))
+      .when($"s_stat" < 0L, ($"s_stat" + 1L).cast("double") / sqrt(varS))
+      .otherwise(lit(0.0))
+    joined
+      .select($"event_type", $"n_days", $"s_stat", varS.as("var_s"), zCol.as("z"))
+      .withColumn("trend",
+        when($"z".isNull, "no_trend")
+          .when($"z" > 1.96, "increasing")
+          .when($"z" < -1.96, "decreasing")
+          .otherwise("no_trend"))
+      .orderBy($"event_type")
+  }
+
+  def eventsTrendMannKendall(spark: SparkSession, dir: String): DataFrame =
+    mannKendallOn(dailyOf(spark, dir))
+
+  private val dailySql: String =
+    """daily AS (
+      |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2
+      |), pairs AS (
+      |  SELECT a.event_type,
+      |    b.n - a.n AS dy,
+      |    CAST(date_diff('day', a.day, b.day) AS BIGINT) AS dx
+      |  FROM daily a JOIN daily b
+      |    ON a.event_type = b.event_type AND a.day < b.day
+      |)""".stripMargin
+
+  val eventsTrendTheilsenSql: String =
+    s"""WITH $dailySql, sloped AS (
+      |  SELECT event_type, dy, dx,
+      |    CAST(dy AS DOUBLE) / CAST(dx AS DOUBLE) AS slope
+      |  FROM pairs
+      |), ranked AS (
+      |  SELECT event_type, dy, dx, slope,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+      |      ORDER BY slope, dy, dx) AS BIGINT) AS rnk,
+      |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS cnt
+      |  FROM sloped
+      |), picked AS (
+      |  SELECT event_type, slope, cnt FROM ranked
+      |  WHERE rnk = (cnt + 1) // 2 OR rnk = cnt // 2 + 1
+      |), days AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+      |  FROM daily GROUP BY 1
+      |)
+      |SELECT p.event_type, d.n_days, p.n_pairs, p.slope_per_day,
+      |  p.slope_per_day * 7.0 AS slope_per_week
+      |FROM (
+      |  SELECT event_type, MAX(cnt) AS n_pairs,
+      |    SUM(slope) / CAST(COUNT(*) AS BIGINT) AS slope_per_day
+      |  FROM picked GROUP BY 1
+      |) p JOIN days d ON p.event_type = d.event_type
+      |ORDER BY p.event_type""".stripMargin
+
+  val eventsTrendMannKendallSql: String =
+    s"""WITH $dailySql, s AS (
+      |  SELECT event_type,
+      |    CAST(SUM(CASE WHEN dy > 0 THEN 1 WHEN dy < 0 THEN -1 ELSE 0 END)
+      |      AS BIGINT) AS s_stat
+      |  FROM pairs GROUP BY 1
+      |), tie_groups AS (
+      |  SELECT event_type, n, CAST(COUNT(*) AS BIGINT) AS t
+      |  FROM daily GROUP BY 1, 2
+      |), ties AS (
+      |  SELECT event_type,
+      |    CAST(SUM(t) AS BIGINT) AS n_days,
+      |    CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+      |  FROM tie_groups GROUP BY 1
+      |), joined AS (
+      |  SELECT s.event_type, ties.n_days, s.s_stat,
+      |    CAST(ties.n_days * (ties.n_days - 1) * (2 * ties.n_days + 5)
+      |      - ties.tie_term AS DOUBLE) / 18.0 AS var_s
+      |  FROM s JOIN ties ON s.event_type = ties.event_type
+      |), z AS (
+      |  SELECT event_type, n_days, s_stat, var_s,
+      |    CASE WHEN var_s <= 0.0 THEN NULL
+      |         WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE) / sqrt(var_s)
+      |         WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(var_s)
+      |         ELSE 0.0 END AS z
+      |  FROM joined
+      |)
+      |SELECT event_type, n_days, s_stat, var_s, z,
+      |  CASE WHEN z IS NULL THEN 'no_trend'
+      |       WHEN z > 1.96 THEN 'increasing'
+      |       WHEN z < -1.96 THEN 'decreasing'
+      |       ELSE 'no_trend' END AS trend
+      |FROM z
+      |ORDER BY event_type""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_trend_theilsen"    -> (eventsTrendTheilsen _),
+    "events_trend_mannkendall" -> (eventsTrendMannKendall _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "events_trend_theilsen"    -> eventsTrendTheilsenSql,
+    "events_trend_mannkendall" -> eventsTrendMannKendallSql
+  )
+}

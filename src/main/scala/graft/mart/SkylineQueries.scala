@@ -1,0 +1,104 @@
+package graft.mart
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** §2 entry `dm_skyline_tracks` — each month's Pareto FRONTIER of the
+  * catalogue over (streams, distinct listeners): the tracks no other
+  * track beats that month on both axes (strictly on at least one). The
+  * classic SKYLINE operator — "popular AND broad" is not a weighted
+  * score (any weighting buries one axis); the frontier is the exact set
+  * of non-dominated choices the dashboard's top-N lists approximate.
+  *
+  * Dominance (within a month): u dominates t iff u.s ≥ t.s ∧ u.l ≥ t.l
+  * ∧ (u.s > t.s ∨ u.l > t.l). Ties on BOTH axes are mutually
+  * non-dominating — both survive — which is why the skyline runs on
+  * DISTINCT metric POINTS (the word-set-collapse discipline: equal
+  * points are interchangeable in every dominance relation) and tracks
+  * re-attach by equi-join after.
+  *
+  * Scale shape — skyline is DISTRIBUTIVE (skyline(A ∪ B) =
+  * skyline(skyline(A) ∪ skyline(B))), so the plan is the two-phase
+  * local-prune / global-resolve pattern the big-data skyline literature
+  * uses: (1) one fact-corpus partial agg to the catalog×months frame;
+  * (2) LOCAL skylines inside (month, salt) hash-salted partitions — a
+  * lossless prune (dominance is transitive, so every dominated point's
+  * dominator chain tops out at a local survivor); (3) the GLOBAL pass
+  * per month over the union of local survivors (expected O(log-ish) of
+  * the catalog for non-degenerate data). On a sorted run the 2-D
+  * dominance test is ONE running max: ordered (s DESC, l DESC), a
+  * distinct point is dominated iff max(l) over the strictly-preceding
+  * rows ≥ its own l. All-integer metrics → hash-exact; the DuckDB
+  * oracle computes the one-pass truth the two-phase plan must equal.
+  */
+object SkylineQueries {
+
+  private val SALTS = 32
+
+  /** Local-then-global skyline over an (m, s, l) distinct-point frame. */
+  private[graft] def skylinePoints(points: DataFrame): DataFrame = {
+    import points.sparkSession.implicits._
+    def prune(df: DataFrame, part: Seq[org.apache.spark.sql.Column]): DataFrame = {
+      val w = Window.partitionBy(part: _*).orderBy($"s".desc, $"l".desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      df.withColumn("prev_max_l", max($"l").over(w))
+        .filter($"prev_max_l".isNull || $"prev_max_l" < $"l")
+        .drop("prev_max_l")
+    }
+    val local = prune(points,
+      Seq($"m", pmod(xxhash64($"s", $"l"), lit(SALTS.toLong))))
+    prune(local, Seq($"m"))
+  }
+
+  def dmSkylineTracks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li  = Tables.lineitem(spark, dir).select($"l_orderkey", $"l_partkey")
+    val ord = Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_custkey",
+        date_trunc("month", $"o_orderdate").as("m"))
+    val byTrack = li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"m", $"l_partkey")
+      .agg(count(lit(1)).as("s"), countDistinct($"o_custkey").as("l"))
+    val frontier = skylinePoints(byTrack.select($"m", $"s", $"l").distinct())
+    val part = broadcast(Tables.part(spark, dir).select($"p_partkey", $"p_name"))
+    byTrack.join(frontier, Seq("m", "s", "l"))
+      .join(part, $"l_partkey" === $"p_partkey")
+      .select($"m".as("month"), $"l_partkey".as("track_id"),
+        $"p_name".as("title"), $"s".as("n_streams"), $"l".as("n_listeners"))
+      .orderBy($"month", $"n_streams".desc, $"n_listeners".desc, $"track_id")
+  }
+
+  val dmSkylineTracksSql: String =
+    """WITH by_track AS (
+      |  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS m, l_partkey,
+      |    CAST(COUNT(*) AS BIGINT) AS s,
+      |    CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS l
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY 1, 2
+      |), pts AS (
+      |  SELECT DISTINCT m, s, l FROM by_track
+      |), flagged AS (
+      |  SELECT m, s, l,
+      |    MAX(l) OVER (PARTITION BY m ORDER BY s DESC, l DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_l
+      |  FROM pts
+      |), frontier AS (
+      |  SELECT m, s, l FROM flagged
+      |  WHERE prev_max_l IS NULL OR prev_max_l < l
+      |)
+      |SELECT b.m AS month, b.l_partkey AS track_id, p.p_name AS title,
+      |  b.s AS n_streams, b.l AS n_listeners
+      |FROM by_track b
+      |JOIN frontier f ON b.m = f.m AND b.s = f.s AND b.l = f.l
+      |JOIN part p ON b.l_partkey = p.p_partkey
+      |ORDER BY month, n_streams DESC, n_listeners DESC, track_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dm_skyline_tracks" -> (dmSkylineTracks _))
+
+  val oracleSql: Map[String, String] = Map(
+    "dm_skyline_tracks" -> dmSkylineTracksSql)
+}

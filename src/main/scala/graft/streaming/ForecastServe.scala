@@ -55,16 +55,31 @@ object ForecastServe {
   def acfServed(spark: SparkSession, dir: String): DataFrame =
     ForecastStream.serveAcf(spark, statePathFor(spark, dir))
 
+  def hwServed(spark: SparkSession, dir: String): DataFrame =
+    ForecastStream.serveHw(spark, statePathFor(spark, dir))
+
+  def theilSenServed(spark: SparkSession, dir: String): DataFrame =
+    ForecastStream.serveTheilSen(spark, statePathFor(spark, dir))
+
+  def mannKendallServed(spark: SparkSession, dir: String): DataFrame =
+    ForecastStream.serveMannKendall(spark, statePathFor(spark, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_forecast_ses_served"  -> (sesServed _),
     "events_forecast_holt_served" -> (holtServed _),
-    "events_autocorr_served"      -> (acfServed _)
+    "events_autocorr_served"      -> (acfServed _),
+    "events_trend_theilsen_served"    -> (theilSenServed _),
+    "events_trend_mannkendall_served" -> (mannKendallServed _),
+    "events_forecast_hw_served"       -> (hwServed _)
   )
 
   /** The batch twins' oracles verbatim — serve-from-state is bit-equal. */
   val oracleSql: Map[String, String] = Map(
     "events_forecast_ses_served"  -> graft.core.StatsQueries.eventsForecastSesSql,
     "events_forecast_holt_served" -> graft.core.HoltForecast.eventsForecastHoltSql,
-    "events_autocorr_served"      -> graft.core.StatsQueries.eventsAutocorrSql
+    "events_autocorr_served"      -> graft.core.StatsQueries.eventsAutocorrSql,
+    "events_trend_theilsen_served"    -> graft.core.TrendQueries.eventsTrendTheilsenSql,
+    "events_trend_mannkendall_served" -> graft.core.TrendQueries.eventsTrendMannKendallSql,
+    "events_forecast_hw_served"       -> graft.core.HwForecast.eventsForecastHwSql
   )
 }

@@ -79,4 +79,16 @@ object ForecastStream {
   /** Lag 1–7 autocorrelation from the folded state. */
   def serveAcf(spark: SparkSession, statePath: String): DataFrame =
     graft.core.StatsQueries.acfOn(stateDaily(spark, statePath))
+
+  /** Holt–Winters seasonal forecast from the folded state. */
+  def serveHw(spark: SparkSession, statePath: String): DataFrame =
+    graft.core.HwForecast.hwOn(stateDaily(spark, statePath))
+
+  /** Theil–Sen robust trend slope from the folded state. */
+  def serveTheilSen(spark: SparkSession, statePath: String): DataFrame =
+    graft.core.TrendQueries.theilSenOn(stateDaily(spark, statePath))
+
+  /** Mann–Kendall trend test from the folded state. */
+  def serveMannKendall(spark: SparkSession, statePath: String): DataFrame =
+    graft.core.TrendQueries.mannKendallOn(stateDaily(spark, statePath))
 }

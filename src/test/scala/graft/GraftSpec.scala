@@ -989,7 +989,8 @@ class PlanSpec extends SparkSuite {
       "dq_freshness", "dq_key_skew", "embedding_quantize_int8",
       "etl_cdc_apply", "etl_delta_load", "etl_user_purge",
       "events_anomaly_trailing", "events_forecast_holt",
-      "events_forecast_holt_served", "events_forecast_ses",
+      "events_forecast_holt_served", "events_forecast_hw",
+      "events_forecast_hw_served", "events_forecast_ses",
       "events_forecast_ses_served", "events_retention_bitmap",
       "events_retention_bitmap_served", "events_seasonality",
       "events_survival_km", "hybrid_search_rrf",

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Robust trend pair: Theil–Sen median slope and the Mann–Kendall test.
+  * Values are hand-computed on synthetic daily frames (even and odd pair
+  * counts, tie correction); the served twins must match the batch
+  * entries bit-for-bit (shared core over the streamed state).
+  */
+class TrendSpec extends SparkSuite {
+
+  private def daily(rows: Seq[(String, String, Long)]) = {
+    import spark.implicits._
+    rows.toDF("event_type", "day", "n")
+      .select($"event_type", to_date($"day").as("day"), $"n")
+  }
+
+  test("theil-sen: even pair count averages the two middle slopes") {
+    // counts 1,3,2,5 on consecutive days -> 6 slopes:
+    // 2, 0.5, 4/3, -1, 1, 3; sorted -1, 0.5, 1, 4/3, 2, 3
+    // median = (1 + 4/3) / 2
+    val d = daily(Seq(
+      ("a", "2024-01-01", 1L), ("a", "2024-01-02", 3L),
+      ("a", "2024-01-03", 2L), ("a", "2024-01-04", 5L)))
+    val row = core.TrendQueries.theilSenOn(d).collect().head
+    assert(row.getAs[Long]("n_days") == 4L)
+    assert(row.getAs[Long]("n_pairs") == 6L)
+    assert(row.getAs[Double]("slope_per_day") == (1.0 + 4.0 / 3.0) / 2)
+    assert(row.getAs[Double]("slope_per_week") == ((1.0 + 4.0 / 3.0) / 2) * 7.0)
+  }
+
+  test("theil-sen: odd pair count picks the single middle slope") {
+    // counts 1,2,4 on consecutive days -> slopes 1, 1.5, 2 -> median 1.5
+    val d = daily(Seq(
+      ("a", "2024-01-01", 1L), ("a", "2024-01-02", 2L),
+      ("a", "2024-01-03", 4L)))
+    val row = core.TrendQueries.theilSenOn(d).collect().head
+    assert(row.getAs[Long]("n_pairs") == 3L)
+    assert(row.getAs[Double]("slope_per_day") == 1.5)
+  }
+
+  test("theil-sen: one outlier day cannot move the median (robustness)") {
+    // a clean +1/day trend with one wild spike: OLS would bend, the
+    // median slope stays exactly 1
+    val d = daily(Seq(
+      ("a", "2024-01-01", 10L), ("a", "2024-01-02", 11L),
+      ("a", "2024-01-03", 12L), ("a", "2024-01-04", 13L),
+      ("a", "2024-01-05", 14L), ("a", "2024-01-06", 1000L),
+      ("a", "2024-01-07", 16L), ("a", "2024-01-08", 17L),
+      ("a", "2024-01-09", 18L)))
+    val row = core.TrendQueries.theilSenOn(d).collect().head
+    assert(row.getAs[Double]("slope_per_day") == 1.0)
+  }
+
+  test("mann-kendall: S, ties-corrected variance, z") {
+    // series 1,3,2,5: signs +,+,+,-,+,+ -> S=4; n=4 distinct counts ->
+    // var = 4*3*13/18; z = 3/sqrt(var)
+    val d = daily(Seq(
+      ("a", "2024-01-01", 1L), ("a", "2024-01-02", 3L),
+      ("a", "2024-01-03", 2L), ("a", "2024-01-04", 5L)))
+    val row = core.TrendQueries.mannKendallOn(d).collect().head
+    assert(row.getAs[Long]("s_stat") == 4L)
+    assert(row.getAs[Double]("var_s") == 156.0 / 18.0)
+    assert(row.getAs[Double]("z") == 3.0 / math.sqrt(156.0 / 18.0))
+    assert(row.getAs[String]("trend") == "no_trend")
+  }
+
+  test("mann-kendall: tie group shrinks the variance") {
+    // counts 2,2,3: one tie group t=2 -> tie_term = 2*1*9 = 18
+    // var = (3*2*11 - 18)/18 = 48/18; S = 0+1+1 = 2
+    val d = daily(Seq(
+      ("a", "2024-01-01", 2L), ("a", "2024-01-02", 2L),
+      ("a", "2024-01-03", 3L)))
+    val row = core.TrendQueries.mannKendallOn(d).collect().head
+    assert(row.getAs[Long]("s_stat") == 2L)
+    assert(row.getAs[Double]("var_s") == 48.0 / 18.0)
+    assert(row.getAs[Double]("z") == 1.0 / math.sqrt(48.0 / 18.0))
+  }
+
+  test("mann-kendall: all-tied series emits NULL z and no_trend") {
+    val d = daily(Seq(
+      ("a", "2024-01-01", 5L), ("a", "2024-01-02", 5L),
+      ("a", "2024-01-03", 5L)))
+    val row = core.TrendQueries.mannKendallOn(d).collect().head
+    assert(row.getAs[Long]("s_stat") == 0L)
+    assert(row.getAs[Double]("var_s") == 0.0)
+    assert(row.isNullAt(row.fieldIndex("z")))
+    assert(row.getAs[String]("trend") == "no_trend")
+  }
+
+  test("monotone decrease flags decreasing at sufficient length") {
+    val d = daily((1 to 10).map(i => ("a", f"2024-01-$i%02d", (100 - i).toLong)))
+    val row = core.TrendQueries.mannKendallOn(d).collect().head
+    assert(row.getAs[Long]("s_stat") == -45L)
+    assert(row.getAs[String]("trend") == "decreasing")
+    val ts = core.TrendQueries.theilSenOn(d).collect().head
+    assert(ts.getAs[Double]("slope_per_day") == -1.0)
+  }
+
+  test("served twins are bit-identical to the batch entries") {
+    val batchTs = core.TrendQueries.eventsTrendTheilsen(spark, sf).collect().toSeq
+    val servedTs = streaming.ForecastServe.theilSenServed(spark, sf).collect().toSeq
+    assert(batchTs == servedTs)
+    val batchMk = core.TrendQueries.eventsTrendMannKendall(spark, sf).collect().toSeq
+    val servedMk = streaming.ForecastServe.mannKendallServed(spark, sf).collect().toSeq
+    assert(batchMk == servedMk)
+    assert(batchTs.nonEmpty && batchMk.nonEmpty)
+  }
+}
