@@ -110,7 +110,8 @@ object Bench {
     "events_gapfill_ffill", "dm_metrics_unpivot",
     "events_trend_theilsen", "events_trend_mannkendall",
     "events_trend_theilsen_served", "events_trend_mannkendall_served",
-    "events_forecast_hw", "events_forecast_hw_served", "dm_skyline_tracks")
+    "events_forecast_hw", "events_forecast_hw_served", "dm_skyline_tracks",
+    "rec_als_implicit")
   // ann_matryoshka_eval joins ann_recall_eval / dedup_recall_eval in the
   // excluded-harness family: it runs the brute-force ranking once per
   // prefix length back-to-back — a measurement harness, not a serving path

@@ -564,10 +564,124 @@ object Als {
     sse + lambda * (reg(users) + reg(items))
   }
 
+  // ---------------------------------------------------------------------
+  // Implicit-feedback ALS (Hu/Koren/Volinsky) — the production variant:
+  // listen counts are CONFIDENCE, not ratings. Every (user, item) cell
+  // participates (preference p = 1 observed / 0 unobserved, confidence
+  // c = 1 + α·r), which naively makes each half-solve users×items-dense;
+  // the HKV identity collapses it: A_u = YᵀY + Σ_{i∈I_u}(c−1)·vᵢvᵢᵀ + λI,
+  // b_u = Σ_{i∈I_u} c·vᵢ — the GLOBAL Gram YᵀY is ONE 3-number aggregate
+  // over the entity-sized factor table (broadcast as one row — the
+  // delta_load scalar device), and the corrections touch only OBSERVED
+  // pairs, so the per-half-solve cost is identical to the explicit
+  // model's: one shuffle-hash join into the pinned corpus layout + one
+  // map-side-combined Gram aggregation.
+  // ---------------------------------------------------------------------
+
+  /** Confidence slope α. 32 = 2⁵: c = 1 + 32·r stays on an exact dyadic
+    * grid (r is an integer count as a double), so confidence weighting
+    * adds no rounding of its own.
+    */
+  val alpha = 32.0
+
+  /** The shared fixed-point Gram sum (the [[halfSolve]] device). */
+  private def dsumG(c: org.apache.spark.sql.Column) =
+    sum(floor(c * 1e6 + 0.5)).cast("double") / 1e6
+
+  /** The global factor Gram YᵀY as one (g11, g12, g22) row, on the same
+    * 1e-6 fixed-point grid as every other Gram sum.
+    */
+  private[graft] def gramOf(given: DataFrame): DataFrame = {
+    import given.sparkSession.implicits._
+    given.agg(dsumG($"v1" * $"v1").as("g11"), dsumG($"v1" * $"v2").as("g12"),
+      dsumG($"v2" * $"v2").as("g22"))
+  }
+
+  /** One implicit-feedback half-solve: corrections from observed pairs
+    * only, the global Gram crossed in as a broadcast scalar row.
+    */
+  private[graft] def halfSolveImplicit(ratings: DataFrame, given: DataFrame,
+      givenKey: String, solveKey: String): DataFrame = {
+    import ratings.sparkSession.implicits._
+    val corr = ratings
+      .join(given.withColumnRenamed("v1", "g1").withColumnRenamed("v2", "g2")
+        .hint("shuffle_hash"), Seq(givenKey))
+      .groupBy(col(solveKey))
+      .agg(
+        dsumG((lit(alpha) * $"r") * ($"g1" * $"g1")).as("c11"),
+        dsumG((lit(alpha) * $"r") * ($"g1" * $"g2")).as("c12"),
+        dsumG((lit(alpha) * $"r") * ($"g2" * $"g2")).as("c22"),
+        dsumG((lit(1.0) + lit(alpha) * $"r") * $"g1").as("b1"),
+        dsumG((lit(1.0) + lit(alpha) * $"r") * $"g2").as("b2"))
+    corr.crossJoin(broadcast(gramOf(given)))
+      .withColumn("a11", $"g11" + $"c11")
+      .withColumn("a12", $"g12" + $"c12")
+      .withColumn("a22", $"g22" + $"c22")
+      .withColumn("det",
+        ($"a11" + lambda) * ($"a22" + lambda) - $"a12" * $"a12")
+      .select(col(solveKey),
+        ((($"a22" + lambda) * $"b1" - $"a12" * $"b2") / $"det").as("v1"),
+        ((-$"a12" * $"b1" + ($"a11" + lambda) * $"b2") / $"det").as("v2"))
+  }
+
+  /** Train implicit-feedback factors — the [[train]] loop with the HKV
+    * half-solve; same pinned-corpus / entity-only-shuffle contract.
+    */
+  private[graft] def trainImplicit(ratings0: DataFrame,
+      iters: Int = iterations): (DataFrame, DataFrame) = {
+    val byItem = pinByKey(ratings0, "item_id")
+    val byUser = pinByKey(ratings0, "user_id")
+    var items = initItems(byItem).localCheckpoint()
+    var users: DataFrame = null
+    (1 to iters).foreach { _ =>
+      users = halfSolveImplicit(byItem, items, "item_id", "user_id")
+      items = halfSolveImplicit(byUser, users, "user_id", "item_id").localCheckpoint()
+    }
+    (users.localCheckpoint(), items)
+  }
+
+  /** The HKV objective Σ_{ALL cells} c·(p − x·y)² + λ(Σ‖x‖² + Σ‖y‖²),
+    * for the spec's monotone-descent pin — computed exactly without
+    * materializing the dense cell grid: Σ_all (x·y)² = tr(XᵀX · YᵀY)
+    * from the two 2×2 Grams, and the observed cells contribute
+    * c·(1 − x·y)² − (x·y)² on top of their dense-term share.
+    */
+  private[graft] def objectiveImplicit(ratings: DataFrame, users: DataFrame,
+      items: DataFrame): Double = {
+    import ratings.sparkSession.implicits._
+    def gram3(t: DataFrame): (Double, Double, Double) = {
+      val r = t.agg(sum($"v1" * $"v1"), sum($"v1" * $"v2"), sum($"v2" * $"v2")).head()
+      (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+    }
+    val (xu11, xu12, xu22) = gram3(users)
+    val (yi11, yi12, yi22) = gram3(items)
+    val dense = xu11 * yi11 + 2.0 * xu12 * yi12 + xu22 * yi22
+    val obs = ratings
+      .join(users.withColumnRenamed("v1", "u1").withColumnRenamed("v2", "u2"), Seq("user_id"))
+      .join(items, Seq("item_id"))
+      .select((($"u1" * $"v1" + $"u2" * $"v2")).as("xy"), $"r")
+      .select(((lit(1.0) + lit(alpha) * $"r") * pow(lit(1.0) - $"xy", 2)
+        - pow($"xy", 2)).as("e"))
+      .agg(sum($"e")).head().getDouble(0)
+    dense + obs + lambda * (xu11 + xu22 + yi11 + yi22)
+  }
+
+  /** §2 entry `rec_als_implicit`: per-user top-5 from the implicit-
+    * feedback factor model — same cohort / novelty / ranking contract as
+    * [[recAlsTopn]], different model class (confidence-weighted
+    * preference instead of count regression).
+    */
+  def recAlsImplicit(spark: SparkSession, dir: String): DataFrame = {
+    val ratings = ratingsOf(spark, dir).localCheckpoint()
+    val (users, items) = trainImplicit(ratings)
+    serveTopn(ratings, users, items)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rec_als_topn" -> (recAlsTopn _),
     "rec_als_topn_persisted" -> (recAlsTopnPersisted _),
-    "rec_als_topn_d4" -> (recAlsTopnD4 _)
+    "rec_als_topn_d4" -> (recAlsTopnD4 _),
+    "rec_als_implicit" -> (recAlsImplicit _)
   )
 
   /** Oracle for BOTH ALS entries (PROMOTED r11-cont — the persisted twin
@@ -735,9 +849,91 @@ object Als {
        |ORDER BY user_id, rank""".stripMargin
   }
 
+  /** Oracle for `rec_als_implicit`: the explicit oracle's unrolled
+    * half-solve chain with the HKV shape — each half-solve adds ONE
+    * global-Gram CTE over the given factor table (three fixed-point
+    * sums, the YᵀY the dense term collapses into) CROSS JOINed into the
+    * per-entity corrections. Confidence literals (1 + 32·r, 32·r) are
+    * dyadic on the exact count grid; every expression tree mirrors the
+    * Column tree token for token, so the whole confidence-weighted
+    * training trace is cross-engine bit-exact, double scores included.
+    */
+  val recAlsImplicitSql: String = {
+    def fsum(prod: String) =
+      s"CAST(SUM(CAST(floor($prod * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0"
+    def gram(given: String, out: String) =
+      s"""
+         |, $out AS MATERIALIZED (
+         |  SELECT ${fsum("g.v1 * g.v1")} AS g11,
+         |    ${fsum("g.v1 * g.v2")} AS g12,
+         |    ${fsum("g.v2 * g.v2")} AS g22
+         |  FROM $given g
+         |)""".stripMargin
+    def solve(given: String, gramT: String, gk: String, sk: String, out: String) =
+      s"""
+         |, $out AS MATERIALIZED (
+         |  SELECT t.$sk,
+         |    (((t.a22 + 0.1) * t.b1 - t.a12 * t.b2) / t.det) AS v1,
+         |    (((-t.a12) * t.b1 + (t.a11 + 0.1) * t.b2) / t.det) AS v2
+         |  FROM (
+         |    SELECT q.$sk, q.a11, q.a12, q.a22, q.b1, q.b2,
+         |      ((q.a11 + 0.1) * (q.a22 + 0.1) - q.a12 * q.a12) AS det
+         |    FROM (
+         |      SELECT s.$sk,
+         |        (g.g11 + s.c11) AS a11, (g.g12 + s.c12) AS a12,
+         |        (g.g22 + s.c22) AS a22, s.b1, s.b2
+         |      FROM (
+         |        SELECT r.$sk,
+         |          ${fsum("(32.0 * r.r) * (g.v1 * g.v1)")} AS c11,
+         |          ${fsum("(32.0 * r.r) * (g.v1 * g.v2)")} AS c12,
+         |          ${fsum("(32.0 * r.r) * (g.v2 * g.v2)")} AS c22,
+         |          ${fsum("(1.0 + 32.0 * r.r) * g.v1")} AS b1,
+         |          ${fsum("(1.0 + 32.0 * r.r) * g.v2")} AS b2
+         |        FROM ratings r JOIN $given g ON g.$gk = r.$gk
+         |        GROUP BY r.$sk
+         |      ) s CROSS JOIN $gramT g
+         |    ) q
+         |  ) t
+         |)""".stripMargin
+    val rounds = (1 to iterations).map { it =>
+      gram(s"i${it - 1}", s"gu$it") +
+        solve(s"i${it - 1}", s"gu$it", "item_id", "user_id", s"u$it") +
+        gram(s"u$it", s"gi$it") +
+        solve(s"u$it", s"gi$it", "user_id", "item_id", s"i$it")
+    }.mkString
+    s"""WITH ratings AS MATERIALIZED (
+       |  SELECT o.o_custkey AS user_id, l.l_partkey AS item_id,
+       |    CAST(COUNT(*) AS DOUBLE) AS r
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  GROUP BY 1, 2
+       |), i0 AS (
+       |  SELECT DISTINCT item_id, 1.0 AS v1,
+       |    CAST(item_id % 7 + 1 AS DOUBLE) / 8.0 AS v2
+       |  FROM ratings
+       |)$rounds
+       |, cohort AS (
+       |  SELECT user_id, v1 AS u1, v2 AS u2 FROM u$iterations WHERE user_id % 100 = 0
+       |), scored_t AS (
+       |  SELECT c.user_id, i.item_id, (c.u1 * i.v1 + c.u2 * i.v2) AS score
+       |  FROM cohort c, i$iterations i
+       |), novel AS (
+       |  SELECT s.* FROM scored_t s
+       |  LEFT JOIN ratings x ON x.user_id = s.user_id AND x.item_id = s.item_id
+       |  WHERE x.item_id IS NULL
+       |), ranked AS (
+       |  SELECT user_id, item_id, score,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY score DESC, item_id) AS rank
+       |  FROM novel
+       |)
+       |SELECT user_id, CAST(rank AS INT) AS rank, item_id AS rec_item_id, score
+       |FROM ranked WHERE rank <= 5
+       |ORDER BY user_id, rank""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "rec_als_topn" -> recAlsTopnSql,
     "rec_als_topn_persisted" -> recAlsTopnSql,
-    "rec_als_topn_d4" -> recAlsTopnD4Sql
+    "rec_als_topn_d4" -> recAlsTopnD4Sql,
+    "rec_als_implicit" -> recAlsImplicitSql
   )
 }

@@ -997,7 +997,8 @@ class PlanSpec extends SparkSuite {
       "hybrid_search_rrf_persisted", "knn_graph_exact", "knn_graph_ivf",
       "layout_zorder", "layout_zorder_equidepth", "mine_hard_negatives",
       "mine_hard_negatives_ivf", "q11_important_stock",
-      "q22_global_sales", "rec_als_topn", "rec_als_topn_d4",
+      "q22_global_sales", "rec_als_implicit", "rec_als_topn",
+      "rec_als_topn_d4",
       "rec_als_topn_persisted", "rec_basket_lift", "rec_coverage_eval",
       "sample_curriculum", "sample_domain_mix", "sample_neyman",
       "sample_temperature", "search_mmr", "sketch_distinct_diff",
