@@ -111,7 +111,7 @@ object Bench {
     "events_trend_theilsen", "events_trend_mannkendall",
     "events_trend_theilsen_served", "events_trend_mannkendall_served",
     "events_forecast_hw", "events_forecast_hw_served", "dm_skyline_tracks",
-    "rec_als_implicit")
+    "rec_als_implicit", "events_user_growth", "dq_classifier_agreement")
   // ann_matryoshka_eval joins ann_recall_eval / dedup_recall_eval in the
   // excluded-harness family: it runs the brute-force ranking once per
   // prefix length back-to-back — a measurement harness, not a serving path

@@ -30,7 +30,7 @@ object SparkEntry {
       streaming.StreamServe.queries ++ core.AttributionQueries.queries ++
       ops.PhraseSearch.queries ++ ops.ChurnTrain.queries ++ ops.Als.queries ++
       core.TrendQueries.queries ++ core.HwForecast.queries ++
-      mart.SkylineQueries.queries
+      mart.SkylineQueries.queries ++ ops.AgreementEval.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -55,5 +55,6 @@ object SparkEntry {
       core.AttributionQueries.oracleSql ++ ops.PhraseSearch.oracleSql ++
       ops.BpeTrain.oracleSql ++ ops.Als.oracleSql ++ ops.AnnLsh.oracleSql ++
       ops.AnnEval.oracleSql ++ core.TrendQueries.oracleSql ++
-      core.HwForecast.oracleSql ++ mart.SkylineQueries.oracleSql
+      core.HwForecast.oracleSql ++ mart.SkylineQueries.oracleSql ++
+      ops.AgreementEval.oracleSql
 }

@@ -155,15 +155,71 @@ object EngagementQueries {
       |FROM c CROSS JOIN t
       |ORDER BY dow, hod""".stripMargin
 
+  /** §2 entry `events_user_growth` — the user-base growth curve: per
+    * day, how many users were seen for the FIRST time, how many were
+    * active, and the cumulative distinct-user count (the audience-size
+    * number every dashboard headline quotes, computed exactly — a
+    * cumulative COUNT DISTINCT without ever running a distinct over a
+    * growing window).
+    *
+    * Shape: one (user, day) partial-agg distinct collapses the corpus;
+    * first-seen is a user-grain MIN, daily news/actives are ≤ days-sized
+    * aggregates, and the cumulative count is a prefix sum over the
+    * BOUNDED daily frame behind the non-foldable constant partition key
+    * (the bounded-aggregate window discipline). Cumulative distinct ==
+    * Σ first-seen because a user is new exactly once — the identity that
+    * makes the curve one prefix sum instead of a day² distinct.
+    * All-integer → hash-exact.
+    */
+  def eventsUserGrowth(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val userDays = Tables.events(spark, dir)
+      .select($"user_id", to_date($"ts").as("day")).distinct()
+    val newByDay = userDays.groupBy($"user_id").agg(min($"day").as("day"))
+      .groupBy($"day").agg(count(lit(1)).as("n_new_users"))
+    val activeByDay = userDays.groupBy($"day").agg(count(lit(1)).as("n_active_users"))
+    val one = pmod(year($"day"), lit(1))
+    val w = Window.partitionBy(one).orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    activeByDay.join(newByDay, Seq("day"), "left")
+      .withColumn("n_new_users", coalesce($"n_new_users", lit(0L)))
+      .withColumn("n_cumulative_users", sum($"n_new_users").over(w))
+      .select($"day".cast("timestamp").as("day"), $"n_new_users",
+        $"n_active_users", $"n_cumulative_users")
+      .orderBy($"day")
+  }
+
+  val eventsUserGrowthSql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+      |  FROM events
+      |), firsts AS (
+      |  SELECT user_id, MIN(day) AS day FROM ud GROUP BY 1
+      |), news AS (
+      |  SELECT day, CAST(COUNT(*) AS BIGINT) AS n_new_users FROM firsts GROUP BY 1
+      |), actives AS (
+      |  SELECT day, CAST(COUNT(*) AS BIGINT) AS n_active_users FROM ud GROUP BY 1
+      |)
+      |SELECT CAST(a.day AS TIMESTAMP) AS day,
+      |  COALESCE(n.n_new_users, 0) AS n_new_users,
+      |  a.n_active_users,
+      |  CAST(SUM(COALESCE(n.n_new_users, 0)) OVER (ORDER BY a.day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS n_cumulative_users
+      |FROM actives a LEFT JOIN news n ON a.day = n.day
+      |ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_markov_transitions" -> (eventsMarkovTransitions _),
     "user_rfm_segments"         -> (userRfmSegments _),
-    "events_seasonality"        -> (eventsSeasonality _)
+    "events_seasonality"        -> (eventsSeasonality _),
+    "events_user_growth"        -> (eventsUserGrowth _)
   )
 
   val oracleSql: Map[String, String] = Map(
     "events_markov_transitions" -> eventsMarkovTransitionsSql,
     "user_rfm_segments"         -> userRfmSegmentsSql,
-    "events_seasonality"        -> eventsSeasonalitySql
+    "events_seasonality"        -> eventsSeasonalitySql,
+    "events_user_growth"        -> eventsUserGrowthSql
   )
 }
