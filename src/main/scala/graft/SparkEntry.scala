@@ -30,7 +30,8 @@ object SparkEntry {
       streaming.StreamServe.queries ++ core.AttributionQueries.queries ++
       ops.PhraseSearch.queries ++ ops.ChurnTrain.queries ++ ops.Als.queries ++
       core.TrendQueries.queries ++ core.HwForecast.queries ++
-      mart.SkylineQueries.queries ++ ops.AgreementEval.queries
+      mart.SkylineQueries.queries ++ ops.AgreementEval.queries ++
+      core.RankTests.queries ++ core.SeasonalityQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -56,5 +57,6 @@ object SparkEntry {
       ops.BpeTrain.oracleSql ++ ops.Als.oracleSql ++ ops.AnnLsh.oracleSql ++
       ops.AnnEval.oracleSql ++ core.TrendQueries.oracleSql ++
       core.HwForecast.oracleSql ++ mart.SkylineQueries.oracleSql ++
-      ops.AgreementEval.oracleSql
+      ops.AgreementEval.oracleSql ++ core.RankTests.oracleSql ++
+      core.SeasonalityQueries.oracleSql
 }

@@ -1,0 +1,149 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** §2 entry `events_ab_mannwhitney` — the NONPARAMETRIC A/B test beside
+  * the Welch t (`events_ab_welch`): Mann–Whitney U from pooled ranks with
+  * midrank tie handling and the ties-corrected normal approximation.
+  * Welch compares MEANS and leans on a normality/finite-variance story a
+  * revenue-style `value` column rarely honors; U compares the whole
+  * distributions (P(X > Y) ≠ 1/2) and a single whale user cannot move it
+  * — the screen you quote when the t-test's assumptions are in doubt.
+  * Same experiment framing as Welch: arms by `user_id % 2`, one test per
+  * event type. Reference semantics: the A/B readout over the reference's
+  * per-event value rollups (gold_ddl.sql engagement marts).
+  *
+  * Scale shape: ONE partial-agg corpus pass collapses events to the
+  * (event_type, value) grain with per-arm counts — values are cents on a
+  * DECIMAL(10,2) grid, so this frame is DOMAIN-bounded (≤ types×distinct
+  * cents rows) regardless of corpus size, and every rank statistic is
+  * computed on it, never on raw rows. The running-rank window partitions
+  * by event_type over that bounded frame (the bounded-aggregate window
+  * discipline — never a global sort of the corpus).
+  *
+  * Exactness (hash-gate): ranks enter only through the TIE-GROUP identity
+  * — every row in a group of t equal values spanning ranks
+  * [before+1, before+t] gets midrank (2·before + t + 1)/2, so DOUBLE-RANKS
+  * (2×midrank) are pure BIGINTs and the rank-sum R2a = Σ c_a·(2·before+t+1)
+  * is exact integer arithmetic; U enters as 2U_a = R2a − n_a(n_a+1).
+  * The tie-corrected variance and z add three divides, one sqrt and one
+  * product chain of correctly-rounded doubles mirrored token for token in
+  * the DuckDB oracle. Degenerate edges (an empty arm, every value tied,
+  * n ≤ 1) drive var_u ≤ 0 → NULL z in BOTH engines. BIGINT bounds:
+  * R2a ≤ 2·n² — exact to n ≈ 2·10⁹ rows per event type; past that the
+  * sums move to DECIMAL(38,0) (the §5 device), the plan unchanged.
+  */
+object RankTests {
+
+  /** Shared core over a (event_type, arm, y_c) event frame — arm ∈ {0,1},
+    * y_c the exact integer value grid. Used by the entry and the specs.
+    */
+  private[graft] def mannWhitneyOn(ev: DataFrame): DataFrame = {
+    import ev.sparkSession.implicits._
+    // Value-grain collapse: one corpus pass, domain-bounded output.
+    val grouped = ev.groupBy($"event_type", $"y_c").agg(
+      sum(when($"arm" === 0, 1L).otherwise(0L)).as("c_a"),
+      sum(when($"arm" === 1, 1L).otherwise(0L)).as("c_b"))
+      .withColumn("t", $"c_a" + $"c_b")
+    // Pooled rows strictly below this value group (running sum over the
+    // bounded per-type frame); the first group's empty frame is 0.
+    val w = Window.partitionBy($"event_type").orderBy($"y_c")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = grouped.withColumn("below", coalesce(sum($"t").over(w), lit(0L)))
+    val agg = ranked.groupBy($"event_type").agg(
+      sum($"c_a").as("n_a"),
+      sum($"c_b").as("n_b"),
+      // Σ over arm-A rows of 2×midrank — exact BIGINT rank-sum.
+      sum($"c_a" * (lit(2L) * $"below" + $"t" + 1L)).as("r2_a"),
+      // Σ (t³ − t) over tie groups — the variance correction numerator.
+      sum($"t" * $"t" * $"t" - $"t").as("tie_term"))
+    val nanb = $"n_a" * $"n_b"
+    val nD = ($"n_a" + $"n_b").cast("double")
+    // var_U = (n_a·n_b / 12) · ((N+1) − Σ(t³−t)/(N(N−1))) — the exact
+    // double expression tree the oracle mirrors; ≤ 0 (empty arm or all
+    // values tied) voids the normal approximation → NULL z.
+    val varU = nanb.cast("double") / 12.0 *
+      ((nD + 1.0) - $"tie_term".cast("double") / (nD * (nD - 1.0)))
+    agg
+      .withColumn("u2_a", $"r2_a" - $"n_a" * ($"n_a" + 1L))
+      .withColumn("u2_b", lit(2L) * nanb - $"u2_a")
+      .withColumn("u_a", $"u2_a".cast("double") / 2.0)
+      .withColumn("u_b", $"u2_b".cast("double") / 2.0)
+      .withColumn("var_u", varU)
+      .withColumn("z",
+        when($"var_u" > 0.0,
+          ($"u2_a" - nanb).cast("double") / (lit(2.0) * sqrt($"var_u"))))
+      .withColumn("significant",
+        when($"z".isNull, lit(null).cast("boolean")).otherwise(abs($"z") > 1.96))
+      .select($"event_type", $"n_a", $"n_b", $"u_a", $"u_b",
+        $"var_u", $"z", $"significant")
+      .orderBy($"event_type")
+  }
+
+  def eventsAbMannWhitney(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"event_type", pmod($"user_id", lit(2)).as("arm"),
+        ($"value".cast("decimal(10,2)") * 100).cast("long").as("y_c"))
+    mannWhitneyOn(ev)
+  }
+
+  val eventsAbMannWhitneySql: String =
+    """WITH ev AS (
+      |  SELECT event_type, user_id % 2 AS arm,
+      |    CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT) AS y_c
+      |  FROM events
+      |), grouped AS (
+      |  SELECT event_type, y_c,
+      |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_b
+      |  FROM ev GROUP BY 1, 2
+      |), ranked AS (
+      |  SELECT event_type, c_a, c_b, c_a + c_b AS t,
+      |    COALESCE(SUM(c_a + c_b) OVER (PARTITION BY event_type ORDER BY y_c
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+      |  FROM grouped
+      |), agg AS (
+      |  SELECT event_type,
+      |    CAST(SUM(c_a) AS BIGINT) AS n_a,
+      |    CAST(SUM(c_b) AS BIGINT) AS n_b,
+      |    CAST(SUM(c_a * (2 * below + t + 1)) AS BIGINT) AS r2_a,
+      |    CAST(SUM(t * t * t - t) AS BIGINT) AS tie_term
+      |  FROM ranked GROUP BY 1
+      |), d AS (
+      |  SELECT event_type, n_a, n_b,
+      |    r2_a - n_a * (n_a + 1) AS u2_a,
+      |    2 * n_a * n_b - (r2_a - n_a * (n_a + 1)) AS u2_b,
+      |    CAST(n_a * n_b AS DOUBLE) / 12.0 *
+      |      ((CAST(n_a + n_b AS DOUBLE) + 1.0)
+      |        - CAST(tie_term AS DOUBLE)
+      |          / (CAST(n_a + n_b AS DOUBLE) * (CAST(n_a + n_b AS DOUBLE) - 1.0)))
+      |      AS var_u
+      |  FROM agg
+      |), z AS (
+      |  SELECT event_type, n_a, n_b,
+      |    CAST(u2_a AS DOUBLE) / 2.0 AS u_a,
+      |    CAST(u2_b AS DOUBLE) / 2.0 AS u_b,
+      |    var_u,
+      |    CASE WHEN var_u > 0.0
+      |      THEN CAST(u2_a - n_a * n_b AS DOUBLE) / (2.0 * sqrt(var_u))
+      |      ELSE NULL END AS z
+      |  FROM d
+      |)
+      |SELECT event_type, n_a, n_b, u_a, u_b, var_u, z,
+      |  CASE WHEN z IS NULL THEN NULL ELSE abs(z) > 1.96 END AS significant
+      |FROM z
+      |ORDER BY event_type""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_ab_mannwhitney" -> (eventsAbMannWhitney _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "events_ab_mannwhitney" -> eventsAbMannWhitneySql
+  )
+}

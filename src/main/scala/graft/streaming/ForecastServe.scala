@@ -64,13 +64,17 @@ object ForecastServe {
   def mannKendallServed(spark: SparkSession, dir: String): DataFrame =
     ForecastStream.serveMannKendall(spark, statePathFor(spark, dir))
 
+  def seasonalityServed(spark: SparkSession, dir: String): DataFrame =
+    ForecastStream.serveSeasonality(spark, statePathFor(spark, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_forecast_ses_served"  -> (sesServed _),
     "events_forecast_holt_served" -> (holtServed _),
     "events_autocorr_served"      -> (acfServed _),
     "events_trend_theilsen_served"    -> (theilSenServed _),
     "events_trend_mannkendall_served" -> (mannKendallServed _),
-    "events_forecast_hw_served"       -> (hwServed _)
+    "events_forecast_hw_served"       -> (hwServed _),
+    "events_seasonality_strength_served" -> (seasonalityServed _)
   )
 
   /** The batch twins' oracles verbatim — serve-from-state is bit-equal. */
@@ -80,6 +84,8 @@ object ForecastServe {
     "events_autocorr_served"      -> graft.core.StatsQueries.eventsAutocorrSql,
     "events_trend_theilsen_served"    -> graft.core.TrendQueries.eventsTrendTheilsenSql,
     "events_trend_mannkendall_served" -> graft.core.TrendQueries.eventsTrendMannKendallSql,
-    "events_forecast_hw_served"       -> graft.core.HwForecast.eventsForecastHwSql
+    "events_forecast_hw_served"       -> graft.core.HwForecast.eventsForecastHwSql,
+    "events_seasonality_strength_served" ->
+      graft.core.SeasonalityQueries.eventsSeasonalityStrengthSql
   )
 }

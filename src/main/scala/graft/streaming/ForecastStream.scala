@@ -91,4 +91,8 @@ object ForecastStream {
   /** Mann–Kendall trend test from the folded state. */
   def serveMannKendall(spark: SparkSession, statePath: String): DataFrame =
     graft.core.TrendQueries.mannKendallOn(stateDaily(spark, statePath))
+
+  /** Day-of-week seasonality strength (η²) from the folded state. */
+  def serveSeasonality(spark: SparkSession, statePath: String): DataFrame =
+    graft.core.SeasonalityQueries.seasonalityOn(stateDaily(spark, statePath))
 }

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+/** Mann–Whitney U: hand-computed rank sums on tiny pooled frames (with
+  * and without ties), the U_a + U_b = n_a·n_b identity, degenerate-edge
+  * NULLs, and the location-shift detection property the test exists for.
+  */
+class RankTestsSpec extends SparkSuite {
+
+  private def ev(rows: Seq[(String, Int, Long)]) = {
+    import spark.implicits._
+    rows.toDF("event_type", "arm", "y_c")
+  }
+
+  private def mw(rows: Seq[(String, Int, Long)]): Row =
+    core.RankTests.mannWhitneyOn(ev(rows)).collect().head
+
+  test("no ties: hand-computed U, variance, z") {
+    // A = {1,2}, B = {3,4}: R_a = 3, U_a = 0, U_b = 4
+    val row = mw(Seq(("a", 0, 1L), ("a", 0, 2L), ("a", 1, 3L), ("a", 1, 4L)))
+    assert(row.getAs[Long]("n_a") == 2L && row.getAs[Long]("n_b") == 2L)
+    assert(row.getAs[Double]("u_a") == 0.0)
+    assert(row.getAs[Double]("u_b") == 4.0)
+    val varU = 4.0 / 12.0 * ((4.0 + 1.0) - 0.0 / (4.0 * 3.0))
+    assert(row.getAs[Double]("var_u") == varU)
+    assert(row.getAs[Double]("z") == (0.0 - 4.0) / (2.0 * math.sqrt(varU)))
+    assert(!row.getAs[Boolean]("significant"))
+  }
+
+  test("ties: midranks and the tie-corrected variance") {
+    // A = {1,1}, B = {1,2}: the three 1s share midrank 2 -> R_a = 4,
+    // U_a = 1; tie term 3^3-3 = 24 -> var = (4/12)*(5 - 24/12)
+    val row = mw(Seq(("a", 0, 1L), ("a", 0, 1L), ("a", 1, 1L), ("a", 1, 2L)))
+    assert(row.getAs[Double]("u_a") == 1.0)
+    assert(row.getAs[Double]("u_b") == 3.0)
+    val varU = 4.0 / 12.0 * ((4.0 + 1.0) - 24.0 / (4.0 * 3.0))
+    assert(row.getAs[Double]("var_u") == varU)
+    assert(row.getAs[Double]("z") == (2.0 - 4.0) / (2.0 * math.sqrt(varU)))
+  }
+
+  test("an empty arm and an all-tied pool both void the z") {
+    val oneArm = mw(Seq(("a", 0, 1L), ("a", 0, 5L), ("a", 0, 9L)))
+    assert(oneArm.isNullAt(oneArm.fieldIndex("z")))
+    assert(oneArm.isNullAt(oneArm.fieldIndex("significant")))
+    val allTied = mw(Seq(("a", 0, 7L), ("a", 0, 7L), ("a", 1, 7L), ("a", 1, 7L)))
+    assert(allTied.getAs[Double]("var_u") == 0.0)
+    assert(allTied.isNullAt(allTied.fieldIndex("z")))
+  }
+
+  test("a planted location shift is detected; a whale row cannot fake one") {
+    // B = A + 1000 elementwise over 30 values each -> U_a = 0, |z| large
+    val base = (1 to 30).map(i => ("a", 0, i.toLong)) ++
+      (1 to 30).map(i => ("a", 1, i + 1000L))
+    val shifted = mw(base)
+    assert(shifted.getAs[Double]("u_a") == 0.0)
+    assert(shifted.getAs[Double]("z") < -1.96)
+    assert(shifted.getAs[Boolean]("significant"))
+    // identical distributions + ONE whale in arm B: the t-test's mean gap
+    // is huge, but U moves by at most n_a ranks -> not significant
+    val whale = (1 to 30).map(i => ("a", 0, i.toLong)) ++
+      (1 to 29).map(i => ("a", 1, i.toLong)) :+ ("a", 1, 1000000L)
+    val r = mw(whale)
+    assert(!r.getAs[Boolean]("significant"))
+  }
+
+  test("corpus entry: non-vacuous and U_a + U_b == n_a*n_b per type") {
+    val rows = core.RankTests.eventsAbMannWhitney(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val na = r.getAs[Long]("n_a"); val nb = r.getAs[Long]("n_b")
+      assert(r.getAs[Double]("u_a") + r.getAs[Double]("u_b") == na.toDouble * nb)
+      assert(r.getAs[Double]("u_a") >= 0.0 && r.getAs[Double]("u_b") >= 0.0)
+    }
+  }
+}
