@@ -31,7 +31,8 @@ object SparkEntry {
       ops.PhraseSearch.queries ++ ops.ChurnTrain.queries ++ ops.Als.queries ++
       core.TrendQueries.queries ++ core.HwForecast.queries ++
       mart.SkylineQueries.queries ++ ops.AgreementEval.queries ++
-      core.RankTests.queries ++ core.SeasonalityQueries.queries
+      core.RankTests.queries ++ core.SeasonalityQueries.queries ++
+      ops.RecEval.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -58,5 +59,5 @@ object SparkEntry {
       ops.AnnEval.oracleSql ++ core.TrendQueries.oracleSql ++
       core.HwForecast.oracleSql ++ mart.SkylineQueries.oracleSql ++
       ops.AgreementEval.oracleSql ++ core.RankTests.oracleSql ++
-      core.SeasonalityQueries.oracleSql
+      core.SeasonalityQueries.oracleSql ++ ops.RecEval.oracleSql
 }

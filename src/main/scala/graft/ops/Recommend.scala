@@ -192,12 +192,12 @@ object Recommend {
         ($"pos" + 1).cast("long").as("rank"))
   }
 
-  private val cappedCte: String =
-    s"""WITH ui AS (
-       |  SELECT o_custkey AS user_id, l_partkey AS item_id, COUNT(*) AS n_listens
-       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-       |  GROUP BY 1, 2
-       |), capped AS (
+  /** The neighbor-build CTE chain (capped profile → co-listen self-join
+    * → cosine → top-k) over a caller-supplied `ui` CTE — shared verbatim
+    * by the entry oracles here and [[RecEval]]'s train-restricted run.
+    */
+  private[graft] def cfChainFrom(uiCte: String): String =
+    s"""$uiCte, capped AS (
        |  SELECT user_id, item_id FROM (
        |    SELECT user_id, item_id,
        |      row_number() OVER (PARTITION BY user_id ORDER BY n_listens DESC, item_id) AS r
@@ -224,6 +224,13 @@ object Recommend {
        |    JOIN nu nb ON sym.b = nb.item_id
        |  ) WHERE rank <= $topKNeighbors
        |)""".stripMargin
+
+  private val cappedCte: String = "WITH " + cfChainFrom(
+    """ui AS (
+      |  SELECT o_custkey AS user_id, l_partkey AS item_id, COUNT(*) AS n_listens
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY 1, 2
+      |)""".stripMargin)
 
   val recItemItemCfSql: String =
     s"""$cappedCte

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Temporal-split P@k/R@k: a planted future listen the CF chain must
+  * predict (hit -> precision/recall 1.0 at the covered grain), the
+  * no-leakage property (train-period items never count as hits), and
+  * corpus-entry monotonicity invariants in k.
+  */
+class RecEvalSpec extends SparkSuite {
+
+  /** listens = (user, item, day); one synthetic order per listen. */
+  private def frames(rows: Seq[(Long, Long, String)]) = {
+    import spark.implicits._
+    val ord = rows.zipWithIndex.map { case ((u, _, d), i) =>
+      (i.toLong, u, java.sql.Date.valueOf(d))
+    }.toDF("o_orderkey", "o_custkey", "od")
+    val li = rows.zipWithIndex.map { case ((_, it, _), i) => (i.toLong, it) }
+      .toDF("l_orderkey", "l_partkey")
+    (li, ord)
+  }
+
+  test("a planted future listen on a CF-predicted item is a hit") {
+    // Train (2024-01-01, cutoff = jan 9 for span 10): users 1,2,3 all play
+    // items 1,2; users 2,3 also play item 3. CF for user 1 votes item 3
+    // with score co(1,3)+co(2,3) = 4. Test (2024-01-11): user 1 plays 3.
+    val (li, ord) = frames(Seq(
+      (1L, 1L, "2024-01-01"), (1L, 2L, "2024-01-01"),
+      (2L, 1L, "2024-01-01"), (2L, 2L, "2024-01-01"), (2L, 3L, "2024-01-01"),
+      (3L, 1L, "2024-01-01"), (3L, 2L, "2024-01-01"), (3L, 3L, "2024-01-01"),
+      (1L, 3L, "2024-01-11")))
+    val rows = ops.RecEval.recEvalPrkOn(li, ord).collect()
+    val at1 = rows.find(_.getAs[Long]("k") == 1L).get
+    assert(at1.getAs[Long]("n_test_pairs") == 1L)
+    assert(at1.getAs[Long]("n_recs") == 1L, "only user 1 has a novel candidate")
+    assert(at1.getAs[Long]("n_hits") == 1L)
+    assert(at1.getAs[Double]("precision_at_k") == 1.0)
+    assert(at1.getAs[Double]("recall_at_k") == 1.0)
+  }
+
+  test("a future REPLAY of a train-period item is not in the holdout") {
+    // Same corpus, but the future listen is item 2 — user 1 already played
+    // it in train, so the holdout is empty and recall is NULL.
+    val (li, ord) = frames(Seq(
+      (1L, 1L, "2024-01-01"), (1L, 2L, "2024-01-01"),
+      (2L, 1L, "2024-01-01"), (2L, 2L, "2024-01-01"), (2L, 3L, "2024-01-01"),
+      (3L, 1L, "2024-01-01"), (3L, 2L, "2024-01-01"), (3L, 3L, "2024-01-01"),
+      (1L, 2L, "2024-01-11")))
+    val rows = ops.RecEval.recEvalPrkOn(li, ord).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_test_pairs") == 0L)
+      assert(r.getAs[Long]("n_hits") == 0L)
+      assert(r.isNullAt(r.fieldIndex("recall_at_k")))
+    }
+  }
+
+  test("test-period listens never leak into training co-listens") {
+    // The ONLY co-listen evidence for (1,3)/(2,3) sits in the test window:
+    // users 2,3 play item 3 after the cutoff. Train CF then has no path to
+    // item 3, so user 1 gets no hit even though the future listen exists.
+    val (li, ord) = frames(Seq(
+      (1L, 1L, "2024-01-01"), (1L, 2L, "2024-01-01"),
+      (2L, 1L, "2024-01-01"), (2L, 2L, "2024-01-01"),
+      (3L, 1L, "2024-01-01"), (3L, 2L, "2024-01-01"),
+      (2L, 3L, "2024-01-11"), (3L, 3L, "2024-01-11"), (1L, 3L, "2024-01-11")))
+    val rows = ops.RecEval.recEvalPrkOn(li, ord).collect()
+    rows.foreach(r => assert(r.getAs[Long]("n_hits") == 0L))
+    assert(rows.find(_.getAs[Long]("k") == 1L).get.getAs[Long]("n_test_pairs") == 3L)
+  }
+
+  test("corpus entry: 3 k-rows, counts monotone in k, rates in [0,1]") {
+    val rows = ops.RecEval.recEvalPrk(spark, sf).collect().sortBy(_.getAs[Long]("k"))
+    assert(rows.map(_.getAs[Long]("k")).toSeq == Seq(1L, 3L, 5L))
+    val hits = rows.map(_.getAs[Long]("n_hits"))
+    val recs = rows.map(_.getAs[Long]("n_recs"))
+    assert(hits.sorted.sameElements(hits) && recs.sorted.sameElements(recs))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_hits") <= r.getAs[Long]("n_recs"))
+      assert(r.getAs[Long]("n_hits") <= r.getAs[Long]("n_test_pairs"))
+      if (!r.isNullAt(r.fieldIndex("precision_at_k"))) {
+        val p = r.getAs[Double]("precision_at_k")
+        assert(p >= 0.0 && p <= 1.0)
+      }
+    }
+  }
+}
