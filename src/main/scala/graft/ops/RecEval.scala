@@ -92,7 +92,10 @@ object RecEval {
       count(lit(1)).as("n_test_pairs"))
     val rAgg = recs.agg(atK($"rank", "nrec").head, atK($"rank", "nrec").tail: _*)
     val hAgg = hits.agg(atK($"rank", "nhit").head, atK($"rank", "nhit").tail: _*)
-    val m = tAgg.crossJoin(rAgg).crossJoin(hAgg)
+    // ONE row; checkpointed so the 3 k-projections below don't re-run
+    // the CF chain (each union branch would otherwise re-derive the
+    // aggregates from the last checkpoint up).
+    val m = tAgg.crossJoin(rAgg).crossJoin(hAgg).localCheckpoint()
     ks.map { k =>
       m.select(lit(k.toLong).as("k"), $"n_users_test", $"n_test_pairs",
         col(s"nrec$k").as("n_recs"), col(s"nhit$k").as("n_hits"))
