@@ -312,6 +312,129 @@ object KnnGraph {
        |SELECT vec_id, r AS rank_scaled FROM pr$PrIters ORDER BY vec_id""".stripMargin
   }
 
+  /** HITS value grid: 10⁹ keeps every half-round's gather sum exact in
+    * BIGINT to ~9·10⁹ nodes (values are ≤ HitsScale after quantization,
+    * so Σ over in-edges ≤ n·HitsScale < 2⁶³) — wider than PageRank's
+    * 10¹² grid because HITS sums UNNORMALIZED neighbor values where
+    * PageRank's shares always total one rank mass.
+    */
+  private val HitsScale = 1000000000L
+  private val HitsIters = 8
+
+  /** HITS hubs & authorities over the kNN graph — the SECOND centrality
+    * beside PageRank, and the one that separates the two roles PageRank
+    * conflates: an AUTHORITY is a vector many good hubs point at (a
+    * prototype — what a curation pass keeps), a HUB points at many good
+    * authorities (a connector spanning regions — what diversity sampling
+    * wants). On a directed kNN graph the two genuinely differ: out-degree
+    * is fixed at k but IN-degree concentrates on central vectors.
+    *
+    * Kleinberg normalizes by the L2 norm each round — a sqrt the exact
+    * hash-gate discipline cannot cross. This runs the SAME mutual
+    * recurrence on an integer grid: each half-round gathers the partner
+    * score over the edges (exact BIGINT sums), then MAX-quantizes back to
+    * the [0, HitsScale] grid by floor division with d = max div S + 1 —
+    * normalization by the sup-norm instead of L2, which rescales rounds
+    * but preserves the fixed-point DIRECTION the power iteration
+    * converges to (both norms quotient the same ray; floor quantization
+    * is the documented one-sided O(2⁻³⁰) trade, the PageRank family's).
+    *
+    * Scale shape: TWO pinned copies of the static n·k edge table (src-
+    * and dst-hash — each half-round joins on a different key; pinned
+    * ONCE, the r12 PageRank/LP discipline), each round = two equi-joins
+    * of the n-row score vector into a pinned layout + two map-combined
+    * grouped sums + a 1-row max broadcast; score tables localCheckpoint
+    * per half-round (O(1) plan depth). Hash-gated: the 8 rounds unroll
+    * as 16 gather + 16 quantize MATERIALIZED CTEs over the same exact
+    * edges, same constants, same truncation points.
+    */
+  def knnGraphHits(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val edges = exactGraphOf(spark, dir)
+      .select($"vec_id".as("src"), $"neighbor_id".as("dst"))
+    val eBySrc = graft.plans.PinnedLayout.pinByKey(edges, "src")
+    val eByDst = graft.plans.PinnedLayout.pinByKey(edges, "dst")
+    val nodes = VectorAgg.quantized(spark, dir).select($"vec_id").localCheckpoint()
+    var hub = nodes.select($"vec_id", lit(HitsScale).as("x")).localCheckpoint()
+    var auth: DataFrame = null
+    for (_ <- 1 to HitsIters) {
+      auth = hitsGather(eBySrc, hub, "src", "dst", nodes).localCheckpoint()
+      hub = hitsGather(eByDst, auth, "dst", "src", nodes).localCheckpoint()
+    }
+    nodes
+      .join(hub.withColumnRenamed("x", "hub_scaled"), Seq("vec_id"))
+      .join(auth.withColumnRenamed("x", "auth_scaled"), Seq("vec_id"))
+      .select($"vec_id", $"hub_scaled", $"auth_scaled")
+      .orderBy($"vec_id")
+  }
+
+  /** One HITS half-round over a pinned edge copy: the n-row score table
+    * (vec_id, x) SHUFFLE_HASH builds into the edges' `joinKey` layout
+    * (no broadcast of it, no exchange beneath the edge side — the
+    * prRound contract, spec plan-pinned), mass sums per `groupKey`
+    * map-combined, then the max-quantize back to the HitsScale grid
+    * rides a 1-row broadcast.
+    */
+  private[graft] def hitsGather(edgesPinned: DataFrame, values: DataFrame,
+      joinKey: String, groupKey: String, nodes: DataFrame): DataFrame = {
+    import edgesPinned.sparkSession.implicits._
+    val raw = edgesPinned
+      .join(values.withColumnRenamed("vec_id", joinKey).hint("shuffle_hash"),
+        Seq(joinKey))
+      .groupBy(col(groupKey)).agg(sum($"x").as("raw"))
+    val d = raw.agg(expr(s"max(raw) div $HitsScale + CAST(1 AS BIGINT)").as("d"))
+    nodes
+      .join(raw.withColumnRenamed(groupKey, "vec_id"), Seq("vec_id"), "left")
+      .crossJoin(broadcast(d))
+      .select($"vec_id",
+        expr("coalesce(raw, CAST(0 AS BIGINT)) div d").as("x"))
+  }
+
+  /** The HITS recurrence mirrored in DuckDB — same exact edges, same
+    * integer grid, same floor-quantization points as the Spark side, so
+    * iterative hub/authority centrality is hash-gated like PageRank: 8
+    * rounds unroll as 16 gather + 16 quantize MATERIALIZED CTEs (the
+    * kcore discipline), every SUM cast immediately (the §5 HUGEINT
+    * rule), the per-half-round divisor a 1-row CROSS JOIN scalar.
+    */
+  val knnGraphHitsSql: String = {
+    val rounds = (1 to HitsIters).map { i =>
+      s""", ar$i AS MATERIALIZED (
+         |  SELECT k.neighbor_id AS vec_id, CAST(SUM(h.h) AS BIGINT) AS raw
+         |  FROM knn k JOIN h${i - 1} h ON h.vec_id = k.vec_id
+         |  GROUP BY 1)
+         |, ad$i AS (SELECT CAST(MAX(raw) // $HitsScale + 1 AS BIGINT) AS d FROM ar$i)
+         |, a$i AS MATERIALIZED (
+         |  SELECT nn.vec_id, CAST(COALESCE(r.raw, 0) // ad.d AS BIGINT) AS a
+         |  FROM n nn CROSS JOIN ad$i ad LEFT JOIN ar$i r ON r.vec_id = nn.vec_id)
+         |, hr$i AS MATERIALIZED (
+         |  SELECT k.vec_id AS vec_id, CAST(SUM(a.a) AS BIGINT) AS raw
+         |  FROM knn k JOIN a$i a ON a.vec_id = k.neighbor_id
+         |  GROUP BY 1)
+         |, hd$i AS (SELECT CAST(MAX(raw) // $HitsScale + 1 AS BIGINT) AS d FROM hr$i)
+         |, h$i AS MATERIALIZED (
+         |  SELECT nn.vec_id, CAST(COALESCE(r.raw, 0) // hd.d AS BIGINT) AS h
+         |  FROM n nn CROSS JOIN hd$i hd LEFT JOIN hr$i r ON r.vec_id = nn.vec_id)""".stripMargin
+    }.mkString("\n")
+    s"""${LlmQueries.quantizedCte}, scored AS (
+       |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+       |    CAST(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) AS BIGINT) AS dot
+       |  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+       |), ranked AS (
+       |  SELECT vec_id, neighbor_id, dot,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, neighbor_id) AS rank
+       |  FROM scored
+       |), knn AS MATERIALIZED (
+       |  SELECT vec_id, neighbor_id FROM ranked WHERE rank <= $K
+       |), h0 AS MATERIALIZED (
+       |  SELECT vec_id, CAST($HitsScale AS BIGINT) AS h FROM n)
+       |$rounds
+       |SELECT nn.vec_id, h.h AS hub_scaled, a.a AS auth_scaled
+       |FROM n nn JOIN h$HitsIters h ON h.vec_id = nn.vec_id
+       |JOIN a$HitsIters a ON a.vec_id = nn.vec_id
+       |ORDER BY nn.vec_id""".stripMargin
+  }
+
   private val BeamWidth = 8
   private val BeamRounds = 3
 
@@ -1075,6 +1198,7 @@ object KnnGraph {
     "knn_graph_ivf"      -> (knnGraphIvf _),
     "knn_graph_clusters" -> (knnGraphClusters _),
     "knn_graph_pagerank" -> (knnGraphPagerank _),
+    "knn_graph_hits"     -> (knnGraphHits _),
     "ann_topk_graph"     -> (annTopkGraph _),
     "ann_topk_graph_persisted" -> (annTopkGraphPersisted _)
   )
@@ -1225,6 +1349,7 @@ object KnnGraph {
     "knn_graph_kcore" -> knnGraphKcoreSql,
     "knn_graph_clusters" -> knnGraphCcSql,
     "knn_graph_cc_star" -> knnGraphCcSql,
-    "knn_graph_pagerank" -> knnGraphPagerankSql
+    "knn_graph_pagerank" -> knnGraphPagerankSql,
+    "knn_graph_hits" -> knnGraphHitsSql
   )
 }

@@ -135,6 +135,44 @@ class KnnGraphSpec extends SparkSuite {
     assert(got.values.toSet.size > 1)
   }
 
+  test("hits equals the single-threaded integer reference hub- and auth-for-node") {
+    import spark.implicits._
+    val edges = ops.KnnGraph.knnGraphExact(spark, sf)
+      .select($"vec_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val nodes = ops.VectorAgg.quantized(spark, sf)
+      .select($"vec_id").collect().map(_.getLong(0)).toSeq.sorted
+    // reference: same gather + max-quantize recurrence, sequential
+    val scale = 1000000000L
+    def quantize(raw: Map[Long, Long]): Map[Long, Long] = {
+      val d = raw.values.max / scale + 1L
+      nodes.map(v => v -> raw.getOrElse(v, 0L) / d).toMap
+    }
+    var h = nodes.map(v => v -> scale).toMap
+    var a = Map.empty[Long, Long]
+    for (_ <- 1 to 8) {
+      val ar = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      edges.foreach { case (u, v) => ar(v) += h(u) }
+      a = quantize(ar.toMap)
+      val hr = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      edges.foreach { case (u, v) => hr(u) += a(v) }
+      h = quantize(hr.toMap)
+    }
+    val got = ops.KnnGraph.knnGraphHits(spark, sf)
+      .collect().map(x => (x.getLong(0), (x.getLong(1), x.getLong(2)))).toMap
+    assert(got.keySet == nodes.toSet)
+    nodes.foreach { v =>
+      assert(got(v)._1 == h(v), s"hub($v): ${got(v)._1} != ${h(v)}")
+      assert(got(v)._2 == a(v), s"auth($v): ${got(v)._2} != ${a(v)}")
+    }
+    // the two roles genuinely differ: every node has k out-edges so hubs
+    // are all positive, while authority concentrates (some node has none)
+    assert(got.values.forall(_._1 > 0L))
+    assert(got.values.map(_._2).toSet.size > 1)
+    assert(nodes.sortBy(v => -got(v)._1) != nodes.sortBy(v => -got(v)._2),
+      "hub and authority orderings should not coincide on the corpus")
+  }
+
   test("clusters = union-find over the exact graph's mutual edges; keeper is the component min") {
     import spark.implicits._
     val knn = ops.KnnGraph.knnGraphExact(spark, sf)
@@ -296,6 +334,11 @@ class KnnGraphSpec extends SparkSuite {
         .union(nodes.select($"vec_id".as("src"), $"vec_id".as("dst"))), "src")
     val labels = nodes.select($"vec_id", $"vec_id".as("label")).localCheckpoint()
     assertPinnedRound(ops.KnnGraph.lpRound(voteEdges, labels), Set("label"))
+    // HITS half-round: same contract on both pinned edge copies
+    val scores = nodes.select($"vec_id", lit(1000000000L).as("x")).localCheckpoint()
+    assertPinnedRound(
+      ops.KnnGraph.hitsGather(edgesDeg.select($"src", $"dst"), scores, "src", "dst", nodes),
+      Set("x"))
   }
 
   test("knn_graph_link_predict: predictions are non-edges with bounded evidence") {
