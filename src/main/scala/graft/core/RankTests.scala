@@ -45,10 +45,19 @@ object RankTests {
   private[graft] def mannWhitneyOn(ev: DataFrame): DataFrame = {
     import ev.sparkSession.implicits._
     // Value-grain collapse: one corpus pass, domain-bounded output.
-    val grouped = ev.groupBy($"event_type", $"y_c").agg(
+    mannWhitneyFromHist(ev.groupBy($"event_type", $"y_c").agg(
       sum(when($"arm" === 0, 1L).otherwise(0L)).as("c_a"),
-      sum(when($"arm" === 1, 1L).otherwise(0L)).as("c_b"))
-      .withColumn("t", $"c_a" + $"c_b")
+      sum(when($"arm" === 1, 1L).otherwise(0L)).as("c_b")))
+  }
+
+  /** The U statistic from an already-collapsed (event_type, y_c, c_a,
+    * c_b) value histogram — the shape the streaming A/B state serves
+    * (histogram counts are mergeable by addition, so streamed == batch
+    * is bit-exact through this shared core).
+    */
+  private[graft] def mannWhitneyFromHist(hist: DataFrame): DataFrame = {
+    import hist.sparkSession.implicits._
+    val grouped = hist.withColumn("t", $"c_a" + $"c_b")
     // Pooled rows strictly below this value group (running sum over the
     // bounded per-type frame); the first group's empty frame is 0.
     val w = Window.partitionBy($"event_type").orderBy($"y_c")

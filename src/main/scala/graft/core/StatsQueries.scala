@@ -585,13 +585,23 @@ object StatsQueries {
         $"value".cast("decimal(10,2)").as("y"))
       .withColumn("y_c", ($"y" * 100).cast("long"))
       .withColumn("yy_4", ($"y" * $"y" * 10000).cast("long"))
-    val stats = ev.groupBy($"event_type").agg(
+    welchFrom(ev.groupBy($"event_type").agg(
       sum(when($"arm" === 0, 1L).otherwise(0L)).as("n_a"),
       sum(when($"arm" === 0, $"y_c").otherwise(0L)).as("sy_a"),
       sum(when($"arm" === 0, $"yy_4").otherwise(0L)).as("syy_a"),
       sum(when($"arm" === 1, 1L).otherwise(0L)).as("n_b"),
       sum(when($"arm" === 1, $"y_c").otherwise(0L)).as("sy_b"),
-      sum(when($"arm" === 1, $"yy_4").otherwise(0L)).as("syy_b"))
+      sum(when($"arm" === 1, $"yy_4").otherwise(0L)).as("syy_b")))
+  }
+
+  /** The Welch IEEE tail over a per-type sufficient-statistics frame
+    * (n/Σ/Σ² per arm, exact cents grid) — shared by the batch entry and
+    * the streamed value-histogram serve (the integer stats derive
+    * identically from rows or from histogram counts, so streamed ==
+    * batch is bit-exact through this core).
+    */
+  private[graft] def welchFrom(stats: DataFrame): DataFrame = {
+    import stats.sparkSession.implicits._
     val naD  = $"n_a".cast("double")
     val nbD  = $"n_b".cast("double")
     val syaD = $"sy_a".cast("double") / 100.0

@@ -136,7 +136,26 @@ object StreamServe {
         foldInThirds(s, d, (b, i) => AttributionStream.attributionFold(b, p, i))
       })
 
+  /** Welch t and Mann–Whitney U served from ONE folded value-histogram
+    * state (the A/B state family — histogram counts merge additively;
+    * both tests project from it through the shared batch cores) — held
+    * to the batch entries' oracles verbatim.
+    */
+  def abWelchServed(spark: SparkSession, dir: String): DataFrame =
+    AbStream.serveWelch(spark,
+      statePathFor(spark, dir, "ab") { (s, d, p) =>
+        foldInThirds(s, d, (b, i) => AbStream.histFold(b, p, i))
+      })
+
+  def abMannWhitneyServed(spark: SparkSession, dir: String): DataFrame =
+    AbStream.serveMannWhitney(spark,
+      statePathFor(spark, dir, "ab") { (s, d, p) =>
+        foldInThirds(s, d, (b, i) => AbStream.histFold(b, p, i))
+      })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_ab_welch_served"       -> (abWelchServed _),
+    "events_ab_mannwhitney_served" -> (abMannWhitneyServed _),
     "events_attribution_position_served" -> (attributionPositionServed _),
     "events_retention_bitmap_served"   -> (retentionBitmapServed _),
     "events_markov_transitions_served" -> (markovServed _),
@@ -148,6 +167,8 @@ object StreamServe {
 
   /** The batch twins' oracles verbatim — serve-from-state is bit-equal. */
   val oracleSql: Map[String, String] = Map(
+    "events_ab_welch_served"       -> graft.core.StatsQueries.eventsAbWelchSql,
+    "events_ab_mannwhitney_served" -> graft.core.RankTests.eventsAbMannWhitneySql,
     "events_markov_transitions_served" -> graft.core.EngagementQueries.eventsMarkovTransitionsSql,
     "events_value_corr_served"         -> graft.core.StatsQueries.eventsValueCorrSql,
     "dq_drift_chi2_served"             -> graft.etl.DataQuality.dqDriftChi2Sql,
