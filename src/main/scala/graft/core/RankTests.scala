@@ -148,11 +148,102 @@ object RankTests {
       |FROM z
       |ORDER BY event_type""".stripMargin
 
+  /** §2 entry `events_ab_proportions` — the TWO-PROPORTION z-test
+    * completing the A/B trio (Welch compares means, Mann–Whitney whole
+    * distributions, this compares CONVERSION RATES — the binary metric
+    * most experiments actually ship on): per event type, the share of
+    * users who emitted that event at all, arms by the same user-parity
+    * hash, pooled-variance normal approximation.
+    *
+    * Scale shape: two partial-agg DISTINCT collapses of the corpus (the
+    * user grain for denominators — ONE 1-row conditional aggregate
+    * crossed in as a broadcast scalar row — and the (type, user) grain
+    * for numerators), both map-side-combined; everything after runs on
+    * ≤ |types| rows. Exactness: counts are exact BIGINTs; p̂, the pooled
+    * rate, the variance product chain and z are one fixed
+    * correctly-rounded double tree mirrored token for token; a pooled
+    * rate of exactly 0 or 1 (or an empty arm) zeroes the variance →
+    * NULL z in BOTH engines.
+    */
+  def eventsAbProportions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    abProportionsOn(Tables.events(spark, dir)
+      .select($"event_type", $"user_id", pmod($"user_id", lit(2)).as("arm")))
+  }
+
+  /** The test over a caller-supplied (event_type, user_id, arm) frame —
+    * split out for the planted specs.
+    */
+  private[graft] def abProportionsOn(ev: DataFrame): DataFrame = {
+    import ev.sparkSession.implicits._
+    // Denominators: distinct users per arm over the whole corpus.
+    val totals = ev.select($"user_id", $"arm").distinct().agg(
+      sum(when($"arm" === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when($"arm" === 1, 1L).otherwise(0L)).as("n_b"))
+    // Numerators: distinct converting users per (type, arm).
+    val conv = ev.select($"event_type", $"user_id", $"arm").distinct()
+      .groupBy($"event_type").agg(
+        sum(when($"arm" === 0, 1L).otherwise(0L)).as("x_a"),
+        sum(when($"arm" === 1, 1L).otherwise(0L)).as("x_b"))
+    val naD = $"n_a".cast("double")
+    val nbD = $"n_b".cast("double")
+    val pool = ($"x_a" + $"x_b").cast("double") / ($"n_a" + $"n_b").cast("double")
+    val varZ = pool * (lit(1.0) - pool) * (lit(1.0) / naD + lit(1.0) / nbD)
+    conv.crossJoin(broadcast(totals))
+      .withColumn("p_a", when($"n_a" > 0L, $"x_a".cast("double") / naD))
+      .withColumn("p_b", when($"n_b" > 0L, $"x_b".cast("double") / nbD))
+      .withColumn("var_z", when($"n_a" > 0L && $"n_b" > 0L, varZ))
+      .withColumn("z", when($"var_z" > 0.0, ($"p_a" - $"p_b") / sqrt($"var_z")))
+      .withColumn("significant",
+        when($"z".isNull, lit(null).cast("boolean")).otherwise(abs($"z") > 1.96))
+      .select($"event_type", $"n_a", $"n_b", $"x_a", $"x_b",
+        $"p_a", $"p_b", $"z", $"significant")
+      .orderBy($"event_type")
+  }
+
+  val eventsAbProportionsSql: String =
+    """WITH ev AS (
+      |  SELECT event_type, user_id, user_id % 2 AS arm FROM events
+      |), totals AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      |  FROM (SELECT DISTINCT user_id, arm FROM ev)
+      |), conv AS (
+      |  SELECT event_type,
+      |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS x_a,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS x_b
+      |  FROM (SELECT DISTINCT event_type, user_id, arm FROM ev)
+      |  GROUP BY 1
+      |), d AS (
+      |  SELECT c.event_type, t.n_a, t.n_b, c.x_a, c.x_b,
+      |    CASE WHEN t.n_a > 0
+      |      THEN CAST(c.x_a AS DOUBLE) / CAST(t.n_a AS DOUBLE) END AS p_a,
+      |    CASE WHEN t.n_b > 0
+      |      THEN CAST(c.x_b AS DOUBLE) / CAST(t.n_b AS DOUBLE) END AS p_b,
+      |    CASE WHEN t.n_a > 0 AND t.n_b > 0 THEN
+      |      (CAST(c.x_a + c.x_b AS DOUBLE) / CAST(t.n_a + t.n_b AS DOUBLE))
+      |      * (1.0 - CAST(c.x_a + c.x_b AS DOUBLE) / CAST(t.n_a + t.n_b AS DOUBLE))
+      |      * (1.0 / CAST(t.n_a AS DOUBLE) + 1.0 / CAST(t.n_b AS DOUBLE))
+      |    END AS var_z
+      |  FROM conv c CROSS JOIN totals t
+      |), z AS (
+      |  SELECT event_type, n_a, n_b, x_a, x_b, p_a, p_b,
+      |    CASE WHEN var_z > 0.0 THEN (p_a - p_b) / sqrt(var_z) END AS z
+      |  FROM d
+      |)
+      |SELECT event_type, n_a, n_b, x_a, x_b, p_a, p_b, z,
+      |  CASE WHEN z IS NULL THEN NULL ELSE abs(z) > 1.96 END AS significant
+      |FROM z
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "events_ab_mannwhitney" -> (eventsAbMannWhitney _)
+    "events_ab_mannwhitney" -> (eventsAbMannWhitney _),
+    "events_ab_proportions" -> (eventsAbProportions _)
   )
 
   val oracleSql: Map[String, String] = Map(
-    "events_ab_mannwhitney" -> eventsAbMannWhitneySql
+    "events_ab_mannwhitney" -> eventsAbMannWhitneySql,
+    "events_ab_proportions" -> eventsAbProportionsSql
   )
 }

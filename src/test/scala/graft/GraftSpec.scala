@@ -988,7 +988,7 @@ class PlanSpec extends SparkSuite {
       "dq_benford_served", "dq_drift_chi2", "dq_drift_chi2_served",
       "dq_freshness", "dq_key_skew", "embedding_quantize_int8",
       "etl_cdc_apply", "etl_delta_load", "etl_user_purge",
-      "events_anomaly_trailing", "events_forecast_holt",
+      "events_ab_proportions", "events_anomaly_trailing", "events_forecast_holt",
       "events_forecast_holt_served", "events_forecast_hw",
       "events_forecast_hw_served", "events_forecast_ses",
       "events_forecast_ses_served", "events_retention_bitmap",

@@ -64,6 +64,51 @@ class RankTestsSpec extends SparkSuite {
     assert(!r.getAs[Boolean]("significant"))
   }
 
+  private def prop(rows: Seq[(String, Long, Int)]) = {
+    import spark.implicits._
+    core.RankTests.abProportionsOn(rows.toDF("event_type", "user_id", "arm"))
+      .collect()
+  }
+
+  test("proportions: hand-computed pooled z; universal conversion voids it") {
+    // arm A: users 1,3 (user 1 converts on 'buy'); arm B: users 2,4 (both
+    // convert). x_a=1 n_a=2, x_b=2 n_b=2 -> pool=3/4
+    val rows = prop(Seq(
+      ("buy", 1L, 0), ("buy", 2L, 1), ("buy", 4L, 1),
+      ("view", 1L, 0), ("view", 3L, 0), ("view", 2L, 1), ("view", 4L, 1)))
+    val buy = rows.find(_.getString(0) == "buy").get
+    assert(buy.getAs[Long]("n_a") == 2L && buy.getAs[Long]("n_b") == 2L)
+    assert(buy.getAs[Long]("x_a") == 1L && buy.getAs[Long]("x_b") == 2L)
+    assert(buy.getAs[Double]("p_a") == 0.5 && buy.getAs[Double]("p_b") == 1.0)
+    val pool = 3.0 / 4.0
+    val varZ = pool * (1.0 - pool) * (1.0 / 2.0 + 1.0 / 2.0)
+    assert(buy.getAs[Double]("z") == (0.5 - 1.0) / math.sqrt(varZ))
+    // 'view': every user converts -> pool = 1 -> zero variance -> NULL z
+    val view = rows.find(_.getString(0) == "view").get
+    assert(view.isNullAt(view.fieldIndex("z")))
+    assert(view.isNullAt(view.fieldIndex("significant")))
+  }
+
+  test("proportions: duplicate events never double-count a converting user") {
+    val rows = prop(Seq(
+      ("buy", 1L, 0), ("buy", 1L, 0), ("buy", 1L, 0), ("buy", 2L, 1),
+      ("view", 1L, 0), ("view", 2L, 1), ("view", 3L, 0)))
+    val buy = rows.find(_.getString(0) == "buy").get
+    assert(buy.getAs[Long]("x_a") == 1L, "user 1 converts once, not thrice")
+    assert(buy.getAs[Long]("n_a") == 2L, "user 3 counts in the denominator")
+  }
+
+  test("corpus proportions entry: x <= n per arm, rates in [0,1]") {
+    val rows = core.RankTests.eventsAbProportions(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("x_a") <= r.getAs[Long]("n_a"))
+      assert(r.getAs[Long]("x_b") <= r.getAs[Long]("n_b"))
+      val pa = r.getAs[Double]("p_a")
+      assert(pa >= 0.0 && pa <= 1.0)
+    }
+  }
+
   test("corpus entry: non-vacuous and U_a + U_b == n_a*n_b per type") {
     val rows = core.RankTests.eventsAbMannWhitney(spark, sf).collect()
     assert(rows.nonEmpty)
