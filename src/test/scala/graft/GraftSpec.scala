@@ -998,7 +998,7 @@ class PlanSpec extends SparkSuite {
       "layout_zorder", "layout_zorder_equidepth", "mine_hard_negatives",
       "mine_hard_negatives_ivf", "q11_important_stock",
       "q22_global_sales", "rec_als_implicit", "rec_als_topn",
-      "rec_als_topn_d4", "rec_eval_prk",
+      "rec_als_topn_d4", "rec_eval_ndcg", "rec_eval_prk",
       "rec_als_topn_persisted", "rec_basket_lift", "rec_coverage_eval",
       "sample_curriculum", "sample_domain_mix", "sample_neyman",
       "sample_temperature", "search_mmr", "sketch_distinct_diff",

@@ -68,6 +68,47 @@ class RecEvalSpec extends SparkSuite {
     assert(rows.find(_.getAs[Long]("k") == 1L).get.getAs[Long]("n_test_pairs") == 3L)
   }
 
+  test("ndcg discounts re-derive from log2 (the literal-weights discipline)") {
+    val want = (1 to 5).map(r => math.round(1e6 / (math.log(r + 1.0) / math.log(2.0))))
+    assert(ops.RecEval.NdcgWeights == want)
+    assert(ops.RecEval.NdcgPrefix == want.scanLeft(0L)(_ + _).tail)
+  }
+
+  test("a single planted hit at rank 1 with a 1-item holdout scores ndcg 1.0") {
+    val (li, ord) = frames(Seq(
+      (1L, 1L, "2024-01-01"), (1L, 2L, "2024-01-01"),
+      (2L, 1L, "2024-01-01"), (2L, 2L, "2024-01-01"), (2L, 3L, "2024-01-01"),
+      (3L, 1L, "2024-01-01"), (3L, 2L, "2024-01-01"), (3L, 3L, "2024-01-01"),
+      (1L, 3L, "2024-01-11")))
+    val r = ops.RecEval.recEvalNdcgOn(li, ord).collect().head
+    assert(r.getAs[Long]("n_users_test") == 1L)
+    assert(r.getAs[Long]("dcg_scaled") == 1000000L)
+    assert(r.getAs[Long]("idcg_scaled") == 1000000L)
+    assert(r.getAs[Double]("ndcg") == 1.0)
+  }
+
+  test("an empty holdout yields NULL ndcg, not a crash or a zero") {
+    val (li, ord) = frames(Seq(
+      (1L, 1L, "2024-01-01"), (1L, 2L, "2024-01-01"),
+      (2L, 1L, "2024-01-01"), (2L, 2L, "2024-01-01"),
+      (1L, 2L, "2024-01-11")))
+    val r = ops.RecEval.recEvalNdcgOn(li, ord).collect().head
+    assert(r.getAs[Long]("idcg_scaled") == 0L)
+    assert(r.isNullAt(r.fieldIndex("ndcg")))
+  }
+
+  test("corpus ndcg: one row, dcg <= idcg, ndcg in [0,1]") {
+    val r = ops.RecEval.recEvalNdcg(spark, sf).collect() match {
+      case Array(only) => only
+      case other => fail(s"expected 1 row, got ${other.length}")
+    }
+    assert(r.getAs[Long]("dcg_scaled") <= r.getAs[Long]("idcg_scaled"))
+    if (!r.isNullAt(r.fieldIndex("ndcg"))) {
+      val n = r.getAs[Double]("ndcg")
+      assert(n >= 0.0 && n <= 1.0)
+    }
+  }
+
   test("corpus entry: 3 k-rows, counts monotone in k, rates in [0,1]") {
     val rows = ops.RecEval.recEvalPrk(spark, sf).collect().sortBy(_.getAs[Long]("k"))
     assert(rows.map(_.getAs[Long]("k")).toSeq == Seq(1L, 3L, 5L))
