@@ -476,6 +476,81 @@ object LlmQueries {
       |FROM s
       |ORDER BY doc_id""".stripMargin
 
+  /** §2 entry `text_readability` — FLESCH–KINCAID grade level beside the
+    * ratio-based quality screen: the classic readability score a corpus
+    * curation pass buckets documents by (too-high grade = legalese /
+    * machine-generated runs, negative = fragment soup). Syllables are the
+    * standard APPROXIMATION — maximal vowel-group runs ([aeiouy]+) — and
+    * sentences are terminator runs ([.!?]+, floored at 1), both counted
+    * by the replace-run-then-diff length device: ONE regexp_replace to a
+    * single char + one to empty, the difference IS the run count. No
+    * tokenizer, no UDF — entirely map-side over the documents scan, two
+    * correctly-rounded divides + one literal linear form per row.
+    * Hash-gate: lengths are exact integers; DuckDB mirrors with the 'g'
+    * flag (its regexp_replace is first-match by default — the one
+    * engine-semantics trap here); the FK constants are shared literals.
+    */
+  def textReadability(spark: SparkSession, dir: String): DataFrame =
+    textReadabilityOn(Tables.documents(spark, dir))
+
+  /** The FK scorer over any (doc_id, text) frame — split out for the
+    * planted-punctuation specs (the corpus texts carry no terminators,
+    * so the sentence axis is spec-covered).
+    */
+  private[graft] def textReadabilityOn(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val low = lower(trim($"text"))
+    val syl = (length(regexp_replace(low, "[aeiouy]+", "V")) -
+      length(regexp_replace(low, "[aeiouy]+", ""))).cast("long")
+    val sen = (length(regexp_replace(low, "[.!?]+", "S")) -
+      length(regexp_replace(low, "[.!?]+", ""))).cast("long")
+    docs.select($"doc_id",
+        size(words($"text")).cast("long").as("n_words"),
+        syl.as("n_syllables"),
+        greatest(sen, lit(1L)).as("n_sentences"))
+      .withColumn("words_per_sentence",
+        $"n_words".cast("double") / $"n_sentences".cast("double"))
+      .withColumn("syllables_per_word",
+        when($"n_words" > 0L, $"n_syllables".cast("double") / $"n_words".cast("double")))
+      .withColumn("fk_grade",
+        lit(0.39) * $"words_per_sentence" + lit(11.8) * $"syllables_per_word"
+          - lit(15.59))
+      .withColumn("readable",
+        when($"fk_grade".isNull, lit(null).cast("boolean"))
+          .otherwise($"fk_grade" <= 12.0))
+      .orderBy($"doc_id")
+  }
+
+  val textReadabilitySql: String =
+    """WITH t AS (
+      |  SELECT doc_id, lower(trim(text)) AS low,
+      |    CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS n_words
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, n_words,
+      |    CAST(len(regexp_replace(low, '[aeiouy]+', 'V', 'g'))
+      |      - len(regexp_replace(low, '[aeiouy]+', '', 'g')) AS BIGINT) AS n_syllables,
+      |    GREATEST(CAST(len(regexp_replace(low, '[.!?]+', 'S', 'g'))
+      |      - len(regexp_replace(low, '[.!?]+', '', 'g')) AS BIGINT), 1) AS n_sentences
+      |  FROM t
+      |), m AS (
+      |  SELECT doc_id, n_words, n_syllables, n_sentences,
+      |    CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE) AS words_per_sentence,
+      |    CASE WHEN n_words > 0
+      |      THEN CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE) END AS syllables_per_word
+      |  FROM c
+      |), g AS (
+      |  SELECT doc_id, n_words, n_syllables, n_sentences, words_per_sentence,
+      |    syllables_per_word,
+      |    0.39 * words_per_sentence + 11.8 * syllables_per_word - 15.59 AS fk_grade
+      |  FROM m
+      |)
+      |SELECT doc_id, n_words, n_syllables, n_sentences, words_per_sentence,
+      |  syllables_per_word, fk_grade,
+      |  CASE WHEN fk_grade IS NULL THEN NULL ELSE fk_grade <= 12.0 END AS readable
+      |FROM g
+      |ORDER BY doc_id""".stripMargin
+
   /** Curation filter chain — the keep/drop decision step of a training
     * pipeline: rules evaluated in PRIORITY order (first failure wins, like
     * a real filter cascade's short-circuit), each doc emits its verdict and
@@ -1393,6 +1468,7 @@ object LlmQueries {
     "hybrid_search_rrf_persisted" -> ((s, d) => hybridSearchRrfPersisted(s, d)),
     "text_search_multi"   -> (textSearchMulti _),
     "text_quality"        -> (textQuality _),
+    "text_readability"    -> (textReadability _),
     "curation_filter"     -> (curationFilter _),
     "text_tokens"         -> (textTokens _),
     "text_fingerprint"    -> (textFingerprint _)
@@ -1419,6 +1495,7 @@ object LlmQueries {
     "hybrid_search_rrf_persisted" -> hybridSearchRrfSql,
     "text_search_multi"   -> textSearchMultiSql,
     "text_quality"        -> textQualitySql,
+    "text_readability"    -> textReadabilitySql,
     "curation_filter"     -> curationFilterSql,
     "text_tokens"         -> textTokensSql,
     "text_fingerprint"    -> textFingerprintSql
