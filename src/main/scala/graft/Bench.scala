@@ -111,7 +111,14 @@ object Bench {
     "events_trend_theilsen", "events_trend_mannkendall",
     "events_trend_theilsen_served", "events_trend_mannkendall_served",
     "events_forecast_hw", "events_forecast_hw_served", "dm_skyline_tracks",
-    "rec_als_implicit", "events_user_growth", "dq_classifier_agreement")
+    "rec_als_implicit", "events_user_growth", "dq_classifier_agreement",
+    "events_ab_mannwhitney", "events_ab_proportions",
+    "events_seasonality_strength", "events_seasonality_strength_served",
+    "events_ab_welch_served", "events_ab_mannwhitney_served",
+    "knn_graph_hits", "text_readability")
+  // rec_eval_prk / rec_eval_ndcg join the excluded-harness family
+  // (rec_coverage_eval precedent): both re-run the CF train chain the
+  // suite already times, and their own tails are scalar aggregates
   // ann_matryoshka_eval joins ann_recall_eval / dedup_recall_eval in the
   // excluded-harness family: it runs the brute-force ranking once per
   // prefix length back-to-back — a measurement harness, not a serving path
