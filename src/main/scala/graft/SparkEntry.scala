@@ -32,7 +32,7 @@ object SparkEntry {
       core.TrendQueries.queries ++ core.HwForecast.queries ++
       mart.SkylineQueries.queries ++ ops.AgreementEval.queries ++
       core.RankTests.queries ++ core.SeasonalityQueries.queries ++
-      ops.RecEval.queries
+      ops.RecEval.queries ++ core.GrowthQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -59,5 +59,6 @@ object SparkEntry {
       ops.AnnEval.oracleSql ++ core.TrendQueries.oracleSql ++
       core.HwForecast.oracleSql ++ mart.SkylineQueries.oracleSql ++
       ops.AgreementEval.oracleSql ++ core.RankTests.oracleSql ++
-      core.SeasonalityQueries.oracleSql ++ ops.RecEval.oracleSql
+      core.SeasonalityQueries.oracleSql ++ ops.RecEval.oracleSql ++
+      core.GrowthQueries.oracleSql
 }
