@@ -115,7 +115,8 @@ object Bench {
     "events_ab_mannwhitney", "events_ab_proportions",
     "events_seasonality_strength", "events_seasonality_strength_served",
     "events_ab_welch_served", "events_ab_mannwhitney_served",
-    "knn_graph_hits", "text_readability", "dm_growth_accounting")
+    "knn_graph_hits", "text_readability", "dm_growth_accounting",
+    "agg_trimmed_mean", "events_dispersion", "events_dispersion_served")
   // rec_eval_prk / rec_eval_ndcg join the excluded-harness family
   // (rec_coverage_eval precedent): both re-run the CF train chain the
   // suite already times, and their own tails are scalar aggregates

@@ -1,6 +1,7 @@
 package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -713,6 +714,90 @@ object StatsQueries {
       .orderBy($"event_type")
   }
 
+  /** §2 entry `agg_trimmed_mean` — the 10% TRIMMED mean beside the
+    * winsorized one: winsorizing CLAMPS the tails to the fences, trimming
+    * DROPS the top and bottom n div 10 observations outright (the robust
+    * location estimate that ignores outliers instead of voting them at
+    * the fence). No per-row rank window: the corpus collapses to the
+    * DOMAIN-bounded value histogram (the Mann–Whitney discipline), the
+    * tail take per value group is a clamp of (k − cumulative-below)
+    * against the group count — pure integer arithmetic on the bounded
+    * frame, so a tie group straddling the cut contributes exactly its
+    * partial take (take_lo + take_hi < cnt is guaranteed by n > 2k).
+    * Hash-gate: sums/takes exact BIGINTs on the cents grid, one
+    * correctly-rounded divide per mean; n − 2k ≥ 1 for all n ≥ 1, so no
+    * degenerate edge exists.
+    */
+  def aggTrimmedMean(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    trimmedMeanOn(Tables.events(spark, dir)
+      .select($"event_type", ($"value".cast("decimal(10,2)") * 100).cast("long").as("y_c")))
+  }
+
+  /** The histogram-trim core over a (event_type, y_c) frame — split out
+    * for the planted specs.
+    */
+  private[graft] def trimmedMeanOn(ev: DataFrame): DataFrame = {
+    import ev.sparkSession.implicits._
+    val hist = ev.groupBy($"event_type", $"y_c").agg(count(lit(1)).as("cnt"))
+    val wb = Window.partitionBy($"event_type").orderBy($"y_c")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wt = Window.partitionBy($"event_type")
+    val taken = hist
+      .withColumn("cumb", coalesce(sum($"cnt").over(wb), lit(0L)))
+      .withColumn("n", sum($"cnt").over(wt))
+      .withColumn("k", expr("n div 10"))
+      .withColumn("cuma", $"n" - $"cumb" - $"cnt")
+      .withColumn("take_lo", greatest(least($"k" - $"cumb", $"cnt"), lit(0L)))
+      .withColumn("take_hi", greatest(least($"k" - $"cuma", $"cnt"), lit(0L)))
+    taken.groupBy($"event_type").agg(
+        max($"n").as("n_events"), max($"k").as("n_trimmed_each_side"),
+        sum($"y_c" * $"cnt").as("sum_all"),
+        sum($"y_c" * $"take_lo").as("trim_lo"),
+        sum($"y_c" * $"take_hi").as("trim_hi"))
+      .withColumn("mean_raw",
+        $"sum_all".cast("double") / ($"n_events" * 100L).cast("double"))
+      .withColumn("mean_trimmed",
+        ($"sum_all" - $"trim_lo" - $"trim_hi").cast("double")
+          / (($"n_events" - $"n_trimmed_each_side" * 2L) * 100L).cast("double"))
+      .select($"event_type", $"n_events", $"n_trimmed_each_side",
+        $"mean_raw", $"mean_trimmed")
+      .orderBy($"event_type")
+  }
+
+  val aggTrimmedMeanSql: String =
+    """WITH hist AS (
+      |  SELECT event_type,
+      |    CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT) AS y_c,
+      |    CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2
+      |), taken AS (
+      |  SELECT event_type, y_c, cnt,
+      |    COALESCE(SUM(cnt) OVER (PARTITION BY event_type ORDER BY y_c
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb,
+      |    SUM(cnt) OVER (PARTITION BY event_type) AS n
+      |  FROM hist
+      |), clamped AS (
+      |  SELECT event_type, y_c, cnt, n, n // 10 AS k,
+      |    GREATEST(LEAST(n // 10 - cumb, cnt), 0) AS take_lo,
+      |    GREATEST(LEAST(n // 10 - (n - cumb - cnt), cnt), 0) AS take_hi
+      |  FROM taken
+      |), agg AS (
+      |  SELECT event_type,
+      |    CAST(MAX(n) AS BIGINT) AS n_events,
+      |    CAST(MAX(k) AS BIGINT) AS n_trimmed_each_side,
+      |    CAST(SUM(y_c * cnt) AS BIGINT) AS sum_all,
+      |    CAST(SUM(y_c * take_lo) AS BIGINT) AS trim_lo,
+      |    CAST(SUM(y_c * take_hi) AS BIGINT) AS trim_hi
+      |  FROM clamped GROUP BY 1
+      |)
+      |SELECT event_type, n_events, n_trimmed_each_side,
+      |  CAST(sum_all AS DOUBLE) / CAST(n_events * 100 AS DOUBLE) AS mean_raw,
+      |  CAST(sum_all - trim_lo - trim_hi AS DOUBLE)
+      |    / CAST((n_events - 2 * n_trimmed_each_side) * 100 AS DOUBLE) AS mean_trimmed
+      |FROM agg
+      |ORDER BY event_type""".stripMargin
+
   val aggWinsorizedMeanSql: String =
     """WITH ranked AS (
       |  SELECT event_type, value,
@@ -855,6 +940,7 @@ object StatsQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_mad_exact" -> (aggMadExact _),
     "agg_winsorized_mean" -> (aggWinsorizedMean _),
+    "agg_trimmed_mean" -> (aggTrimmedMean _),
     "events_ab_welch" -> (eventsAbWelch _),
     "agg_moments_exact" -> (aggMomentsExact _),
     "events_autocorr" -> (eventsAutocorr _),
@@ -868,6 +954,7 @@ object StatsQueries {
   val oracleSql: Map[String, String] = Map(
     "agg_mad_exact" -> aggMadExactSql,
     "agg_winsorized_mean" -> aggWinsorizedMeanSql,
+    "agg_trimmed_mean" -> aggTrimmedMeanSql,
     "events_ab_welch" -> eventsAbWelchSql,
     "agg_moments_exact" -> aggMomentsExactSql,
     "events_autocorr" -> eventsAutocorrSql,

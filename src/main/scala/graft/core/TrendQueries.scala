@@ -119,6 +119,41 @@ object TrendQueries {
   def eventsTrendMannKendall(spark: SparkSession, dir: String): DataFrame =
     mannKendallOn(dailyOf(spark, dir))
 
+  /** §2 entry `events_dispersion` — the BURSTINESS screen on the daily
+    * frame: the index of dispersion (variance-to-mean ratio of daily
+    * counts). A Poisson arrival stream has D = 1; D ≫ 1 means bursty
+    * traffic (campaign spikes, batch replays), D ≪ 1 suspiciously
+    * regular (the bot signature dq_bot_regularity hunts per user, read
+    * here at the type grain). The number that tells you whether a mean
+    * daily volume is a usable capacity number at all.
+    *
+    * Exactness: D = (N·Q − S²) / ((N−1)·S) — one correctly-rounded
+    * divide of exact BIGINT forms (sample variance over mean, the
+    * n·Σx²−(Σx)² discipline); N < 2 or S = 0 → NULL in both engines.
+    * One corpus pass (the shared daily collapse), ≤ types rows after.
+    */
+  private[graft] def dispersionOn(daily: DataFrame): DataFrame = {
+    import daily.sparkSession.implicits._
+    daily.groupBy($"event_type").agg(
+        count(lit(1)).as("n_days"),
+        sum($"n").as("s"),
+        sum($"n" * $"n").as("q"))
+      .withColumn("mean_daily", $"s".cast("double") / $"n_days".cast("double"))
+      .withColumn("dispersion",
+        when($"n_days" > 1L && $"s" > 0L,
+          ($"n_days" * $"q" - $"s" * $"s").cast("double")
+            / (($"n_days" - 1L) * $"s").cast("double")))
+      .withColumn("overdispersed",
+        when($"dispersion".isNull, lit(null).cast("boolean"))
+          .otherwise($"dispersion" > 1.0))
+      .select($"event_type", $"n_days", $"mean_daily", $"dispersion",
+        $"overdispersed")
+      .orderBy($"event_type")
+  }
+
+  def eventsDispersion(spark: SparkSession, dir: String): DataFrame =
+    dispersionOn(dailyOf(spark, dir))
+
   private val dailySql: String =
     """daily AS (
       |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
@@ -194,13 +229,36 @@ object TrendQueries {
       |FROM z
       |ORDER BY event_type""".stripMargin
 
+  val eventsDispersionSql: String =
+    s"""WITH $dailySql, agg AS (
+      |  SELECT event_type,
+      |    CAST(COUNT(*) AS BIGINT) AS n_days,
+      |    CAST(SUM(n) AS BIGINT) AS s,
+      |    CAST(SUM(n * n) AS BIGINT) AS q
+      |  FROM daily GROUP BY 1
+      |), d AS (
+      |  SELECT event_type, n_days,
+      |    CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE) AS mean_daily,
+      |    CASE WHEN n_days > 1 AND s > 0
+      |      THEN CAST(n_days * q - s * s AS DOUBLE)
+      |        / CAST((n_days - 1) * s AS DOUBLE) END AS dispersion
+      |  FROM agg
+      |)
+      |SELECT event_type, n_days, mean_daily, dispersion,
+      |  CASE WHEN dispersion IS NULL THEN NULL ELSE dispersion > 1.0 END
+      |    AS overdispersed
+      |FROM d
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_trend_theilsen"    -> (eventsTrendTheilsen _),
-    "events_trend_mannkendall" -> (eventsTrendMannKendall _)
+    "events_trend_mannkendall" -> (eventsTrendMannKendall _),
+    "events_dispersion"        -> (eventsDispersion _)
   )
 
   val oracleSql: Map[String, String] = Map(
     "events_trend_theilsen"    -> eventsTrendTheilsenSql,
-    "events_trend_mannkendall" -> eventsTrendMannKendallSql
+    "events_trend_mannkendall" -> eventsTrendMannKendallSql,
+    "events_dispersion"        -> eventsDispersionSql
   )
 }

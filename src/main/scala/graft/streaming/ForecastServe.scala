@@ -67,6 +67,9 @@ object ForecastServe {
   def seasonalityServed(spark: SparkSession, dir: String): DataFrame =
     ForecastStream.serveSeasonality(spark, statePathFor(spark, dir))
 
+  def dispersionServed(spark: SparkSession, dir: String): DataFrame =
+    ForecastStream.serveDispersion(spark, statePathFor(spark, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_forecast_ses_served"  -> (sesServed _),
     "events_forecast_holt_served" -> (holtServed _),
@@ -74,7 +77,8 @@ object ForecastServe {
     "events_trend_theilsen_served"    -> (theilSenServed _),
     "events_trend_mannkendall_served" -> (mannKendallServed _),
     "events_forecast_hw_served"       -> (hwServed _),
-    "events_seasonality_strength_served" -> (seasonalityServed _)
+    "events_seasonality_strength_served" -> (seasonalityServed _),
+    "events_dispersion_served" -> (dispersionServed _)
   )
 
   /** The batch twins' oracles verbatim — serve-from-state is bit-equal. */
@@ -86,6 +90,7 @@ object ForecastServe {
     "events_trend_mannkendall_served" -> graft.core.TrendQueries.eventsTrendMannKendallSql,
     "events_forecast_hw_served"       -> graft.core.HwForecast.eventsForecastHwSql,
     "events_seasonality_strength_served" ->
-      graft.core.SeasonalityQueries.eventsSeasonalityStrengthSql
+      graft.core.SeasonalityQueries.eventsSeasonalityStrengthSql,
+    "events_dispersion_served" -> graft.core.TrendQueries.eventsDispersionSql
   )
 }

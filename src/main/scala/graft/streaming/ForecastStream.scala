@@ -95,4 +95,8 @@ object ForecastStream {
   /** Day-of-week seasonality strength (η²) from the folded state. */
   def serveSeasonality(spark: SparkSession, statePath: String): DataFrame =
     graft.core.SeasonalityQueries.seasonalityOn(stateDaily(spark, statePath))
+
+  /** Index of dispersion (burstiness) from the folded state. */
+  def serveDispersion(spark: SparkSession, statePath: String): DataFrame =
+    graft.core.TrendQueries.dispersionOn(stateDaily(spark, statePath))
 }

@@ -109,6 +109,44 @@ class RankTestsSpec extends SparkSuite {
     }
   }
 
+  private def trim(rows: Seq[(String, Long)]) = {
+    import spark.implicits._
+    core.StatsQueries.trimmedMeanOn(rows.toDF("event_type", "y_c")).collect()
+  }
+
+  test("trimmed mean drops exactly n div 10 per side (whale excised)") {
+    // 10 values 0, 1..8, 10000 -> k=1: drop the 0 and the whale ->
+    // trimmed mean = (1+..+8)/(8*100); raw mean carries the whale
+    val r = trim((Seq(0L) ++ (1L to 8L) ++ Seq(10000L)).map(("a", _))).head
+    assert(r.getAs[Long]("n_events") == 10L)
+    assert(r.getAs[Long]("n_trimmed_each_side") == 1L)
+    assert(r.getAs[Double]("mean_trimmed") == 36.0 / 800.0)
+    assert(r.getAs[Double]("mean_raw") == 10036.0 / 1000.0)
+  }
+
+  test("trimmed mean: a tie group straddling the cut takes only its partial") {
+    // 20 copies of 5 and one 0: n=21, k=2 -> drop the 0 and ONE 5 from
+    // the bottom, two 5s from the top -> mean over the 17 remaining 5s = 5
+    val r = trim((Seq(0L) ++ Seq.fill(20)(5L)).map(("a", _))).head
+    assert(r.getAs[Long]("n_trimmed_each_side") == 2L)
+    assert(r.getAs[Double]("mean_trimmed") == (17 * 5).toDouble / (17 * 100).toDouble)
+  }
+
+  test("under 10 rows nothing is trimmed; trimmed == raw") {
+    val r = trim(Seq(("a", 1L), ("a", 2L), ("a", 9L))).head
+    assert(r.getAs[Long]("n_trimmed_each_side") == 0L)
+    assert(r.getAs[Double]("mean_trimmed") == r.getAs[Double]("mean_raw"))
+  }
+
+  test("corpus trimmed mean: defined everywhere, within the raw range") {
+    val rows = core.StatsQueries.aggTrimmedMean(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_trimmed_each_side") == r.getAs[Long]("n_events") / 10)
+      assert(!r.getAs[Double]("mean_trimmed").isNaN)
+    }
+  }
+
   test("corpus entry: non-vacuous and U_a + U_b == n_a*n_b per type") {
     val rows = core.RankTests.eventsAbMannWhitney(spark, sf).collect()
     assert(rows.nonEmpty)

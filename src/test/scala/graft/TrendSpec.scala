@@ -52,6 +52,41 @@ class TrendSpec extends SparkSuite {
     assert(row.getAs[Double]("slope_per_day") == 1.0)
   }
 
+  test("dispersion: hand-computed index, Poisson-like vs bursty, NULL edges") {
+    // counts 2,2,2,2 -> var 0 -> D = 0 (perfectly regular)
+    val flat = core.TrendQueries.dispersionOn(daily(Seq(
+      ("a", "2024-01-01", 2L), ("a", "2024-01-02", 2L),
+      ("a", "2024-01-03", 2L), ("a", "2024-01-04", 2L)))).collect().head
+    assert(flat.getAs[Double]("dispersion") == 0.0)
+    assert(!flat.getAs[Boolean]("overdispersed"))
+    // counts 0,0,0,8: N=4 S=8 Q=64 -> var = (256-64)/12 = 16, mean 2 -> D 8
+    val burst = core.TrendQueries.dispersionOn(daily(Seq(
+      ("a", "2024-01-01", 0L), ("a", "2024-01-02", 0L),
+      ("a", "2024-01-03", 0L), ("a", "2024-01-04", 8L)))).collect().head
+    assert(burst.getAs[Double]("dispersion") == 8.0)
+    assert(burst.getAs[Boolean]("overdispersed"))
+    // a single day (N=1) and an all-zero series both void D
+    val one = core.TrendQueries.dispersionOn(daily(Seq(
+      ("a", "2024-01-01", 5L)))).collect().head
+    assert(one.isNullAt(one.fieldIndex("dispersion")))
+    val zero = core.TrendQueries.dispersionOn(daily(Seq(
+      ("a", "2024-01-01", 0L), ("a", "2024-01-02", 0L)))).collect().head
+    assert(zero.isNullAt(zero.fieldIndex("dispersion")))
+  }
+
+  test("dispersion served from streamed state == batch bit-for-bit") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_disp_stream").toString
+    val ev = Tables.events(spark, sf)
+    streaming.ForecastStream.dailyFold(ev.filter($"event_id" % 2 === 0), dir, 0L)
+    streaming.ForecastStream.dailyFold(ev.filter($"event_id" % 2 === 1), dir, 1L)
+    val served = streaming.ForecastStream.serveDispersion(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val batch = core.TrendQueries.eventsDispersion(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(served == batch && served.nonEmpty)
+  }
+
   test("mann-kendall: S, ties-corrected variance, z") {
     // series 1,3,2,5: signs +,+,+,-,+,+ -> S=4; n=4 distinct counts ->
     // var = 4*3*13/18; z = 3/sqrt(var)
