@@ -822,6 +822,118 @@ object KnnGraph {
       .orderBy($"vec_id")
   }
 
+  /** §2 entry `knn_graph_modularity` — Newman MODULARITY of the
+    * label-propagation communities: the quality number that says whether
+    * the partition is real structure or noise (Q ≈ 0: no better than
+    * random given the degree sequence; Q ≳ 0.3: strong community
+    * structure) — the acceptance gate before any pipeline consumes the
+    * community labels for stratification or dedup blocking. Per
+    * community: size, internal edge count, degree sum, and its Q
+    * contribution e_c/m − (d_c/2m)²; one sentinel community = −1 row
+    * carries the GLOBAL totals so Q itself is computed from exact
+    * integer sums, never a float Σ over communities (aggregation order
+    * would leak into the hash).
+    *
+    * Scale shape: reads the session's shared exact mutual graph and the
+    * SAME 5-round LP labels as `knn_graph_communities` (one chain in
+    * the oracle too); everything after is two bounded joins (edges ⋈
+    * labels twice) + ≤ C-row rollups; m rides a 1-row broadcast scalar.
+    * All counts exact BIGINTs; each row's contribution is a fixed
+    * correctly-rounded double tree, NULL when the graph has no mutual
+    * edges (both engines).
+    */
+  def knnGraphModularity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val knn = exactGraphOf(spark, dir)
+    val edges = knn.filter($"mutual")
+      .select($"vec_id".as("src"), $"neighbor_id".as("dst"))
+      .localCheckpoint() // both directions present
+    val nodes = VectorAgg.quantized(spark, dir).select($"vec_id")
+    val labels = lpCommunities(edges.select($"src", $"dst"), nodes, rounds = 5)
+      .localCheckpoint()
+    val und = edges.filter($"src" < $"dst")
+    val mm = und.agg(count(lit(1)).as("m"))
+    val deg = edges.groupBy($"src".as("vec_id")).agg(count(lit(1)).as("d"))
+    val nodeProps = labels
+      .join(deg, Seq("vec_id"), "left")
+      .select($"label", coalesce($"d", lit(0L)).as("d"))
+    val comm = nodeProps.groupBy($"label").agg(
+      count(lit(1)).as("community_size"), sum($"d").as("degree_sum"))
+    val la = labels.select($"vec_id".as("src"), $"label".as("la"))
+    val lb = labels.select($"vec_id".as("dst"), $"label".as("lb"))
+    val internal = und.join(la, Seq("src")).join(lb, Seq("dst"))
+      .filter($"la" === $"lb")
+      .groupBy($"la".as("label")).agg(count(lit(1)).as("internal_edges"))
+    // degree_sq carries d_c² per community and Σd_c² on the total row —
+    // the term that makes the sentinel row's q EXACTLY Newman's Q
+    // ((Σd)² would not be); BIGINT-exact to degree sums ~3·10⁹.
+    val rows = comm.join(internal, Seq("label"), "left")
+      .select($"label".as("community"), $"community_size",
+        coalesce($"internal_edges", lit(0L)).as("internal_edges"), $"degree_sum",
+        ($"degree_sum" * $"degree_sum").as("degree_sq"))
+      .localCheckpoint() // ≤ C rows; the total row re-reads it
+    val total = rows.agg(
+        sum($"community_size").as("community_size"),
+        sum($"internal_edges").as("internal_edges"),
+        sum($"degree_sum").as("degree_sum"),
+        sum($"degree_sq").as("degree_sq"))
+      .select(lit(-1L).as("community"), $"community_size",
+        $"internal_edges", $"degree_sum", $"degree_sq")
+    val mD = $"m".cast("double")
+    val contrib = $"internal_edges".cast("double") / mD -
+      $"degree_sq".cast("double") / ((lit(2.0) * mD) * (lit(2.0) * mD))
+    rows.union(total)
+      .crossJoin(broadcast(mm))
+      .withColumn("q_contribution", when($"m" > 0L, contrib))
+      .select($"community", $"community_size", $"internal_edges",
+        $"degree_sum", $"q_contribution")
+      .orderBy($"community")
+  }
+
+  val knnGraphModularitySql: String =
+    s"""$lpChainCte
+       |, und AS (SELECT a, b FROM mutual WHERE a < b)
+       |, mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM und)
+       |, deg AS (
+       |  SELECT a AS vec_id, CAST(COUNT(*) AS BIGINT) AS d FROM mutual GROUP BY 1
+       |), nodeprops AS (
+       |  SELECT l.label, COALESCE(d.d, 0) AS d
+       |  FROM l5 l LEFT JOIN deg d ON d.vec_id = l.vec_id
+       |), comm AS (
+       |  SELECT label, CAST(COUNT(*) AS BIGINT) AS community_size,
+       |    CAST(SUM(d) AS BIGINT) AS degree_sum
+       |  FROM nodeprops GROUP BY 1
+       |), internal AS (
+       |  SELECT la.label, CAST(COUNT(*) AS BIGINT) AS internal_edges
+       |  FROM und u
+       |  JOIN l5 la ON la.vec_id = u.a
+       |  JOIN l5 lb ON lb.vec_id = u.b
+       |  WHERE la.label = lb.label
+       |  GROUP BY 1
+       |), rows_ AS (
+       |  SELECT c.label AS community, c.community_size,
+       |    COALESCE(i.internal_edges, 0) AS internal_edges, c.degree_sum,
+       |    c.degree_sum * c.degree_sum AS degree_sq
+       |  FROM comm c LEFT JOIN internal i ON i.label = c.label
+       |), tot AS (
+       |  SELECT CAST(-1 AS BIGINT) AS community,
+       |    CAST(SUM(community_size) AS BIGINT) AS community_size,
+       |    CAST(SUM(internal_edges) AS BIGINT) AS internal_edges,
+       |    CAST(SUM(degree_sum) AS BIGINT) AS degree_sum,
+       |    CAST(SUM(degree_sq) AS BIGINT) AS degree_sq
+       |  FROM rows_
+       |), unioned AS (
+       |  SELECT * FROM rows_ UNION ALL SELECT * FROM tot
+       |)
+       |SELECT community, community_size, internal_edges, degree_sum,
+       |  CASE WHEN m > 0 THEN
+       |    CAST(internal_edges AS DOUBLE) / CAST(m AS DOUBLE)
+       |      - CAST(degree_sq AS DOUBLE)
+       |        / ((2.0 * CAST(m AS DOUBLE)) * (2.0 * CAST(m AS DOUBLE)))
+       |  END AS q_contribution
+       |FROM unioned CROSS JOIN mm
+       |ORDER BY community""".stripMargin
+
   /** Alternating large-star / small-star connected components (Kiveris
     * et al., "Connected Components in MapReduce and Beyond", SoCC'14) —
     * the O(log² n)-round CC that converges on ROUND COUNT INDEPENDENT OF
@@ -1199,6 +1311,7 @@ object KnnGraph {
     "knn_graph_clusters" -> (knnGraphClusters _),
     "knn_graph_pagerank" -> (knnGraphPagerank _),
     "knn_graph_hits"     -> (knnGraphHits _),
+    "knn_graph_modularity" -> (knnGraphModularity _),
     "ann_topk_graph"     -> (annTopkGraph _),
     "ann_topk_graph_persisted" -> (annTopkGraphPersisted _)
   )
@@ -1211,7 +1324,10 @@ object KnnGraph {
     * and picks the mode via a rank-1 window. MATERIALIZED per round —
     * each labels table feeds the next round's join.
     */
-  val knnGraphCommunitiesSql: String = {
+  /** The label-propagation CTE chain up to the final `l5` labels table —
+    * shared by the communities oracle and the modularity tail.
+    */
+  private def lpChainCte: String = {
     val rounds = (1 to 5).map { r =>
       s""", c$r AS (
          |  SELECT v.dst, l.label, COUNT(*) AS c
@@ -1229,7 +1345,11 @@ object KnnGraph {
        |), l0 AS MATERIALIZED (
        |  SELECT vec_id, vec_id AS label FROM n
        |)
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  val knnGraphCommunitiesSql: String = {
+    s"""$lpChainCte
        |, sizes AS (
        |  SELECT label, CAST(COUNT(*) AS BIGINT) AS community_size
        |  FROM l5 GROUP BY label
@@ -1350,6 +1470,7 @@ object KnnGraph {
     "knn_graph_clusters" -> knnGraphCcSql,
     "knn_graph_cc_star" -> knnGraphCcSql,
     "knn_graph_pagerank" -> knnGraphPagerankSql,
-    "knn_graph_hits" -> knnGraphHitsSql
+    "knn_graph_hits" -> knnGraphHitsSql,
+    "knn_graph_modularity" -> knnGraphModularitySql
   )
 }

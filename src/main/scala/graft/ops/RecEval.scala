@@ -150,8 +150,43 @@ object RecEval {
       .select($"n_users_test", $"dcg_scaled", $"idcg_scaled", $"ndcg")
   }
 
+  /** Reciprocal-rank grid: rw_r = round(10⁶/r) — exact for r ≤ 5 except
+    * r = 3 (the one-third truncation, the documented 10⁻⁶ trade);
+    * re-derived in the spec like the NDCG weights.
+    */
+  private[graft] val MrrWeights = Seq(1000000L, 500000L, 333333L, 250000L, 200000L)
+
+  /** Micro-MRR tail: mean over ALL eval users of 1/rank of their FIRST
+    * hit (0 when nothing in the top-5 hit) — the single-number serving
+    * metric when only the first good recommendation matters.
+    */
+  private def mrrFrom(frames: (DataFrame, DataFrame)): DataFrame = {
+    val (recs, holdout) = frames
+    val spark = recs.sparkSession
+    import spark.implicits._
+    val firstHit = recs.join(holdout, Seq("user_id", "rec_item_id"))
+      .groupBy($"user_id").agg(min($"rank").as("fr"))
+    val rrCase = MrrWeights.zipWithIndex.reverse.foldLeft(lit(0L): Column) {
+      case (acc, (w, i)) => when($"fr" === (i + 1).toLong, lit(w)).otherwise(acc)
+    }
+    val hAgg = firstHit.agg(
+      coalesce(count(lit(1)), lit(0L)).as("n_hit_users"),
+      coalesce(sum(rrCase), lit(0L)).as("rr_scaled_sum"))
+    val tAgg = holdout.agg(
+      coalesce(countDistinct($"user_id"), lit(0L)).as("n_users_test"))
+    tAgg.crossJoin(hAgg)
+      .withColumn("mrr",
+        when($"n_users_test" > 0L,
+          $"rr_scaled_sum".cast("double")
+            / ($"n_users_test" * 1000000L).cast("double")))
+      .select($"n_users_test", $"n_hit_users", $"rr_scaled_sum", $"mrr")
+  }
+
   private[graft] def recEvalPrkOn(li: DataFrame, ord: DataFrame): DataFrame =
     prkFrom(evalFramesOn(li, ord))
+
+  private[graft] def recEvalMrrOn(li: DataFrame, ord: DataFrame): DataFrame =
+    mrrFrom(evalFramesOn(li, ord))
 
   private[graft] def recEvalNdcgOn(li: DataFrame, ord: DataFrame): DataFrame =
     ndcgFrom(evalFramesOn(li, ord))
@@ -181,6 +216,9 @@ object RecEval {
 
   def recEvalNdcg(spark: SparkSession, dir: String): DataFrame =
     ndcgFrom(framesFor(spark, dir))
+
+  def recEvalMrr(spark: SparkSession, dir: String): DataFrame =
+    mrrFrom(framesFor(spark, dir))
 
   /** The shared CTE prefix: cutoff → split profile → the CF chain on the
     * train window → recs and holdout.
@@ -283,13 +321,39 @@ object RecEval {
       |FROM idcg i CROSS JOIN dcg d""".stripMargin
   }
 
+  val recEvalMrrSql: String = {
+    val rrCases = MrrWeights.zipWithIndex
+      .map { case (w, i) => s"WHEN ${i + 1} THEN $w" }.mkString(" ")
+    evalCtes + s""", first_hit AS (
+      |  SELECT r.user_id, CAST(MIN(r.rank) AS BIGINT) AS fr
+      |  FROM recs r
+      |  JOIN holdout h ON r.user_id = h.user_id AND r.rec_item_id = h.rec_item_id
+      |  GROUP BY 1
+      |), h_agg AS (
+      |  SELECT COALESCE(CAST(COUNT(*) AS BIGINT), 0) AS n_hit_users,
+      |    COALESCE(CAST(SUM(CASE fr $rrCases ELSE 0 END) AS BIGINT), 0)
+      |      AS rr_scaled_sum
+      |  FROM first_hit
+      |), t_agg AS (
+      |  SELECT COALESCE(CAST(COUNT(DISTINCT user_id) AS BIGINT), 0) AS n_users_test
+      |  FROM holdout
+      |)
+      |SELECT t.n_users_test, h.n_hit_users, h.rr_scaled_sum,
+      |  CASE WHEN t.n_users_test > 0
+      |    THEN CAST(h.rr_scaled_sum AS DOUBLE)
+      |      / CAST(t.n_users_test * 1000000 AS DOUBLE) END AS mrr
+      |FROM t_agg t CROSS JOIN h_agg h""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rec_eval_prk"  -> (recEvalPrk _),
-    "rec_eval_ndcg" -> (recEvalNdcg _)
+    "rec_eval_ndcg" -> (recEvalNdcg _),
+    "rec_eval_mrr"  -> (recEvalMrr _)
   )
 
   val oracleSql: Map[String, String] = Map(
     "rec_eval_prk"  -> recEvalPrkSql,
-    "rec_eval_ndcg" -> recEvalNdcgSql
+    "rec_eval_ndcg" -> recEvalNdcgSql,
+    "rec_eval_mrr"  -> recEvalMrrSql
   )
 }

@@ -173,6 +173,40 @@ class KnnGraphSpec extends SparkSuite {
       "hub and authority orderings should not coincide on the corpus")
   }
 
+  test("modularity: integer columns match a driver reference; sentinel row is Q") {
+    import spark.implicits._
+    val rows = ops.KnnGraph.knnGraphModularity(spark, sf).collect()
+    val (totalRows, commRows) = rows.partition(_.getAs[Long]("community") == -1L)
+    assert(totalRows.length == 1 && commRows.nonEmpty)
+    val labels = ops.KnnGraph.knnGraphCommunities(spark, sf)
+      .select($"vec_id", $"community").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mutual = ops.KnnGraph.knnGraphExact(spark, sf)
+      .filter($"mutual" && $"vec_id" < $"neighbor_id")
+      .select($"vec_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val m = mutual.length.toLong
+    val eC = mutual.groupBy { case (a, b) =>
+      if (labels(a) == labels(b)) labels(a) else -999L
+    }.view.mapValues(_.length.toLong).toMap
+    val dC = mutual.flatMap { case (a, b) => Seq(labels(a), labels(b)) }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    commRows.foreach { r =>
+      val c = r.getAs[Long]("community")
+      assert(r.getAs[Long]("internal_edges") == eC.getOrElse(c, 0L), s"e($c)")
+      assert(r.getAs[Long]("degree_sum") == dC.getOrElse(c, 0L), s"d($c)")
+    }
+    val tot = totalRows.head
+    assert(tot.getAs[Long]("community_size") == labels.size.toLong)
+    assert(tot.getAs[Long]("degree_sum") == 2L * m, "handshake identity")
+    // sentinel q == Newman Q from the exact integer sums
+    val q = tot.getAs[Double]("q_contribution")
+    val wantQ = eC.filterKeys(_ != -999L).values.sum.toDouble / m -
+      dC.values.map(d => d.toDouble * d).sum / ((2.0 * m) * (2.0 * m))
+    assert(math.abs(q - wantQ) < 1e-9, s"$q vs $wantQ")
+    assert(q >= -0.5 && q <= 1.0)
+  }
+
   test("clusters = union-find over the exact graph's mutual edges; keeper is the component min") {
     import spark.implicits._
     val knn = ops.KnnGraph.knnGraphExact(spark, sf)

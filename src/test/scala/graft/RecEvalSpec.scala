@@ -97,6 +97,35 @@ class RecEvalSpec extends SparkSuite {
     assert(r.isNullAt(r.fieldIndex("ndcg")))
   }
 
+  test("mrr weights re-derive from 1/r; planted rank-1 hit scores 1.0") {
+    val want = (1 to 5).map(r => math.round(1e6 / r))
+    assert(ops.RecEval.MrrWeights == want)
+    val (li, ord) = frames(Seq(
+      (1L, 1L, "2024-01-01"), (1L, 2L, "2024-01-01"),
+      (2L, 1L, "2024-01-01"), (2L, 2L, "2024-01-01"), (2L, 3L, "2024-01-01"),
+      (3L, 1L, "2024-01-01"), (3L, 2L, "2024-01-01"), (3L, 3L, "2024-01-01"),
+      (1L, 3L, "2024-01-11")))
+    val r = ops.RecEval.recEvalMrrOn(li, ord).collect().head
+    assert(r.getAs[Long]("n_users_test") == 1L)
+    assert(r.getAs[Long]("n_hit_users") == 1L)
+    assert(r.getAs[Long]("rr_scaled_sum") == 1000000L)
+    assert(r.getAs[Double]("mrr") == 1.0)
+  }
+
+  test("mrr: empty holdout is NULL; corpus mrr within [0,1] and <= hit share") {
+    val (li, ord) = frames(Seq(
+      (1L, 1L, "2024-01-01"), (1L, 2L, "2024-01-01"),
+      (2L, 1L, "2024-01-01"), (2L, 2L, "2024-01-01"),
+      (1L, 2L, "2024-01-11")))
+    val empty = ops.RecEval.recEvalMrrOn(li, ord).collect().head
+    assert(empty.isNullAt(empty.fieldIndex("mrr")))
+    val c = ops.RecEval.recEvalMrr(spark, sf).collect().head
+    val mrr = c.getAs[Double]("mrr")
+    val hitShare = c.getAs[Long]("n_hit_users").toDouble / c.getAs[Long]("n_users_test")
+    assert(mrr >= 0.0 && mrr <= hitShare + 1e-12,
+      "each hit user contributes at most 1 reciprocal rank")
+  }
+
   test("corpus ndcg: one row, dcg <= idcg, ndcg in [0,1]") {
     val r = ops.RecEval.recEvalNdcg(spark, sf).collect() match {
       case Array(only) => only
