@@ -355,39 +355,53 @@ object KnnGraph {
     val eBySrc = graft.plans.PinnedLayout.pinByKey(edges, "src")
     val eByDst = graft.plans.PinnedLayout.pinByKey(edges, "dst")
     val nodes = VectorAgg.quantized(spark, dir).select($"vec_id").localCheckpoint()
+    // A node absent from a score table is an implicit ZERO: it gathers
+    // nothing and contributes nothing, so the rounds never need the
+    // zero-fill join — only the final output does (r12 perf pass: the
+    // per-half-round nodes-join + 1-row broadcast were most of the
+    // entry's wall time at test scale; the divisor is ONE long — the
+    // Lloyd bounded-pull contract).
     var hub = nodes.select($"vec_id", lit(HitsScale).as("x")).localCheckpoint()
     var auth: DataFrame = null
     for (_ <- 1 to HitsIters) {
-      auth = hitsGather(eBySrc, hub, "src", "dst", nodes).localCheckpoint()
-      hub = hitsGather(eByDst, auth, "dst", "src", nodes).localCheckpoint()
+      auth = hitsGather(eBySrc, hub, "src", "dst")
+      hub = hitsGather(eByDst, auth, "dst", "src")
     }
     nodes
-      .join(hub.withColumnRenamed("x", "hub_scaled"), Seq("vec_id"))
-      .join(auth.withColumnRenamed("x", "auth_scaled"), Seq("vec_id"))
-      .select($"vec_id", $"hub_scaled", $"auth_scaled")
+      .join(hub.withColumnRenamed("x", "hub_scaled"), Seq("vec_id"), "left")
+      .join(auth.withColumnRenamed("x", "auth_scaled"), Seq("vec_id"), "left")
+      .select($"vec_id", coalesce($"hub_scaled", lit(0L)).as("hub_scaled"),
+        coalesce($"auth_scaled", lit(0L)).as("auth_scaled"))
       .orderBy($"vec_id")
   }
 
-  /** One HITS half-round over a pinned edge copy: the n-row score table
-    * (vec_id, x) SHUFFLE_HASH builds into the edges' `joinKey` layout
-    * (no broadcast of it, no exchange beneath the edge side — the
-    * prRound contract, spec plan-pinned), mass sums per `groupKey`
-    * map-combined, then the max-quantize back to the HitsScale grid
-    * rides a 1-row broadcast.
+  /** One HITS half-round over a pinned edge copy: the ≤ n-row score
+    * table (vec_id, x) SHUFFLE_HASH builds into the edges' `joinKey`
+    * layout (no broadcast of it, no exchange beneath the edge side —
+    * the prRound contract, spec plan-pinned), mass sums per `groupKey`
+    * map-combined and CHECKPOINTED, then the sup-norm divisor pulls as
+    * one long and the quantize is a lazy literal projection over the
+    * checkpointed raw table (absent node = implicit zero).
     */
-  private[graft] def hitsGather(edgesPinned: DataFrame, values: DataFrame,
-      joinKey: String, groupKey: String, nodes: DataFrame): DataFrame = {
+  /** The lazy gather plan (join + grouped sum), split out so the spec
+    * can plan-pin the round shape pre-checkpoint.
+    */
+  private[graft] def hitsRawGather(edgesPinned: DataFrame, values: DataFrame,
+      joinKey: String, groupKey: String): DataFrame = {
     import edgesPinned.sparkSession.implicits._
-    val raw = edgesPinned
+    edgesPinned
       .join(values.withColumnRenamed("vec_id", joinKey).hint("shuffle_hash"),
         Seq(joinKey))
       .groupBy(col(groupKey)).agg(sum($"x").as("raw"))
-    val d = raw.agg(expr(s"max(raw) div $HitsScale + CAST(1 AS BIGINT)").as("d"))
-    nodes
-      .join(raw.withColumnRenamed(groupKey, "vec_id"), Seq("vec_id"), "left")
-      .crossJoin(broadcast(d))
-      .select($"vec_id",
-        expr("coalesce(raw, CAST(0 AS BIGINT)) div d").as("x"))
+  }
+
+  private[graft] def hitsGather(edgesPinned: DataFrame, values: DataFrame,
+      joinKey: String, groupKey: String): DataFrame = {
+    import edgesPinned.sparkSession.implicits._
+    val raw = hitsRawGather(edgesPinned, values, joinKey, groupKey).localCheckpoint()
+    val d = raw.agg(expr(s"max(raw) div $HitsScale + CAST(1 AS BIGINT)"))
+      .head().getLong(0)
+    raw.select(col(groupKey).as("vec_id"), expr(s"raw div $d").as("x"))
   }
 
   /** The HITS recurrence mirrored in DuckDB — same exact edges, same
@@ -395,7 +409,9 @@ object KnnGraph {
     * iterative hub/authority centrality is hash-gated like PageRank: 8
     * rounds unroll as 16 gather + 16 quantize MATERIALIZED CTEs (the
     * kcore discipline), every SUM cast immediately (the §5 HUGEINT
-    * rule), the per-half-round divisor a 1-row CROSS JOIN scalar.
+    * rule), the per-half-round divisor a 1-row CROSS JOIN scalar (the
+    * oracle keeps the explicit zero-fill form; absent-node-is-zero
+    * makes the Spark rounds' sparse form value-identical).
     */
   val knnGraphHitsSql: String = {
     val rounds = (1 to HitsIters).map { i =>

@@ -371,7 +371,7 @@ class KnnGraphSpec extends SparkSuite {
     // HITS half-round: same contract on both pinned edge copies
     val scores = nodes.select($"vec_id", lit(1000000000L).as("x")).localCheckpoint()
     assertPinnedRound(
-      ops.KnnGraph.hitsGather(edgesDeg.select($"src", $"dst"), scores, "src", "dst", nodes),
+      ops.KnnGraph.hitsRawGather(edgesDeg.select($"src", $"dst"), scores, "src", "dst"),
       Set("x"))
   }
 
