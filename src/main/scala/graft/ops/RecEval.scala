@@ -62,7 +62,7 @@ object RecEval {
     * listens and (o_orderkey, o_custkey, od) orders: top-5 recs per user
     * from the train window and the novel-future-listen holdout.
     */
-  private[graft] def evalFramesOn(li: DataFrame, ord: DataFrame): (DataFrame, DataFrame) = {
+  private[graft] def evalFramesOn(li: DataFrame, ord: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val spark = li.sparkSession
     import spark.implicits._
     // Calendar cutoff: min + floor(4·span/5) days — a scalar aggregate,
@@ -93,12 +93,12 @@ object RecEval {
     // Holdout: future listens to items the user had NOT played in train.
     val holdout = prof.filter($"test_n" > 0L && $"train_n" === 0L)
       .select($"user_id", $"item_id".as("rec_item_id"))
-    (recs, holdout)
+    (recs, holdout, trainLc)
   }
 
   /** P@k/R@k tail over the shared frames. */
-  private def prkFrom(frames: (DataFrame, DataFrame)): DataFrame = {
-    val (recs, holdout) = frames
+  private def prkFrom(frames: (DataFrame, DataFrame, DataFrame)): DataFrame = {
+    val (recs, holdout, _) = frames
     val spark = recs.sparkSession
     import spark.implicits._
     val hits = recs.join(holdout, Seq("user_id", "rec_item_id"))
@@ -128,8 +128,8 @@ object RecEval {
     * rows, IDCG = Σ_users W(min(5, |test_u|)) — every user with a novel
     * future listen counts in the ideal, recommended or not.
     */
-  private def ndcgFrom(frames: (DataFrame, DataFrame)): DataFrame = {
-    val (recs, holdout) = frames
+  private def ndcgFrom(frames: (DataFrame, DataFrame, DataFrame)): DataFrame = {
+    val (recs, holdout, _) = frames
     val spark = recs.sparkSession
     import spark.implicits._
     val hits = recs.join(holdout, Seq("user_id", "rec_item_id"))
@@ -160,8 +160,8 @@ object RecEval {
     * hit (0 when nothing in the top-5 hit) — the single-number serving
     * metric when only the first good recommendation matters.
     */
-  private def mrrFrom(frames: (DataFrame, DataFrame)): DataFrame = {
-    val (recs, holdout) = frames
+  private def mrrFrom(frames: (DataFrame, DataFrame, DataFrame)): DataFrame = {
+    val (recs, holdout, _) = frames
     val spark = recs.sparkSession
     import spark.implicits._
     val firstHit = recs.join(holdout, Seq("user_id", "rec_item_id"))
@@ -182,8 +182,38 @@ object RecEval {
       .select($"n_users_test", $"n_hit_users", $"rr_scaled_sum", $"mrr")
   }
 
+  /** Popularity-baseline recommendations over the same split: each
+    * user's top-5 NOVEL items from the global train-popularity top-50
+    * (ties by item id). The honesty baseline every eval harness needs —
+    * a CF P@k only means something relative to what "recommend the
+    * charts" scores on the SAME holdout. A >200-item user can exhaust
+    * the candidate window and receive fewer than 5 rows — the
+    * documented bound, priced into the micro denominator.
+    */
+  private val BaselinePool = 50
+
+  private def baselineRecsFrom(train: DataFrame): DataFrame = {
+    val spark = train.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val top = train.groupBy($"item_id").agg(sum($"n_listens").as("pop"))
+      .orderBy($"pop".desc, $"item_id").limit(BaselinePool)
+    val users = train.select($"user_id").distinct()
+    val novel = users.crossJoin(broadcast(top))
+      .join(train.select($"user_id", $"item_id"), Seq("user_id", "item_id"), "left_anti")
+    val w = Window.partitionBy($"user_id").orderBy($"pop".desc, $"item_id")
+    novel.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= Recommend.topNRecs)
+      .select($"user_id", $"item_id".as("rec_item_id"), $"rank")
+  }
+
   private[graft] def recEvalPrkOn(li: DataFrame, ord: DataFrame): DataFrame =
     prkFrom(evalFramesOn(li, ord))
+
+  private[graft] def recEvalPrkBaselineOn(li: DataFrame, ord: DataFrame): DataFrame = {
+    val (_, holdout, train) = evalFramesOn(li, ord)
+    prkFrom((baselineRecsFrom(train), holdout, train))
+  }
 
   private[graft] def recEvalMrrOn(li: DataFrame, ord: DataFrame): DataFrame =
     mrrFrom(evalFramesOn(li, ord))
@@ -197,17 +227,17 @@ object RecEval {
     * first build).
     */
   private val framesCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (DataFrame, DataFrame)]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (DataFrame, DataFrame, DataFrame)]
 
-  private def framesFor(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+  private def framesFor(spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) =
     framesCache.synchronized {
       framesCache.getOrElseUpdate((spark, dir), {
         import spark.implicits._
-        val (r, h) = evalFramesOn(
+        val (r, h, t) = evalFramesOn(
           Tables.lineitem(spark, dir).select($"l_orderkey", $"l_partkey"),
           Tables.orders(spark, dir)
             .select($"o_orderkey", $"o_custkey", to_date($"o_orderdate").as("od")))
-        (r.localCheckpoint(), h.localCheckpoint())
+        (r.localCheckpoint(), h.localCheckpoint(), t.localCheckpoint())
       })
     }
 
@@ -219,6 +249,11 @@ object RecEval {
 
   def recEvalMrr(spark: SparkSession, dir: String): DataFrame =
     mrrFrom(framesFor(spark, dir))
+
+  def recEvalPrkBaseline(spark: SparkSession, dir: String): DataFrame = {
+    val (_, holdout, train) = framesFor(spark, dir)
+    prkFrom((baselineRecsFrom(train), holdout, train))
+  }
 
   /** The shared CTE prefix: cutoff → split profile → the CF chain on the
     * train window → recs and holdout.
@@ -264,7 +299,10 @@ object RecEval {
       |)""".stripMargin
   }
 
-  val recEvalPrkSql: String = {
+  /** The P@k/R@k SQL tail over caller-named recs/hits CTEs — shared by
+    * the CF entry and the popularity baseline.
+    */
+  private def prkTailSql(recsCte: String, hitsCte: String): String = {
     val recCases = ks.map(k =>
       s"    COALESCE(CAST(SUM(CASE WHEN rank <= $k THEN 1 ELSE 0 END) AS BIGINT), 0) AS nrec$k")
       .mkString(",\n")
@@ -274,18 +312,18 @@ object RecEval {
     val kRows = ks.map(k =>
       s"  SELECT $k AS k, n_users_test, n_test_pairs, nrec$k AS n_recs, nhit$k AS n_hits FROM m")
       .mkString("\n  UNION ALL\n")
-    evalCtes + s""", t_agg AS (
+    s""", t_agg AS (
       |  SELECT COALESCE(CAST(COUNT(DISTINCT user_id) AS BIGINT), 0) AS n_users_test,
       |    CAST(COUNT(*) AS BIGINT) AS n_test_pairs
       |  FROM holdout
       |), r_agg AS (
       |  SELECT
       |$recCases
-      |  FROM recs
+      |  FROM $recsCte
       |), h_agg AS (
       |  SELECT
       |$hitCases
-      |  FROM hits
+      |  FROM $hitsCte
       |), m AS (
       |  SELECT * FROM t_agg, r_agg, h_agg
       |), krows AS (
@@ -299,6 +337,33 @@ object RecEval {
       |FROM krows
       |ORDER BY k""".stripMargin
   }
+
+  val recEvalPrkSql: String = evalCtes + prkTailSql("recs", "hits")
+
+  val recEvalPrkBaselineSql: String =
+    evalCtes + s""", top_pool AS (
+      |  SELECT item_id, CAST(SUM(n_listens) AS BIGINT) AS pop
+      |  FROM ui GROUP BY 1
+      |  ORDER BY pop DESC, item_id LIMIT $BaselinePool
+      |), busers AS (
+      |  SELECT DISTINCT user_id FROM ui
+      |), bnovel AS (
+      |  SELECT c.user_id, c.item_id, c.pop FROM (
+      |    SELECT u.user_id, t.item_id, t.pop FROM busers u CROSS JOIN top_pool t
+      |  ) c
+      |  WHERE NOT EXISTS (
+      |    SELECT 1 FROM ui x
+      |    WHERE x.user_id = c.user_id AND x.item_id = c.item_id)
+      |), brecs AS (
+      |  SELECT user_id, item_id AS rec_item_id, rank FROM (
+      |    SELECT user_id, item_id,
+      |      row_number() OVER (PARTITION BY user_id ORDER BY pop DESC, item_id) AS rank
+      |    FROM bnovel
+      |  ) WHERE rank <= ${Recommend.topNRecs}
+      |), bhits AS (
+      |  SELECT r.user_id, r.rank FROM brecs r
+      |  JOIN holdout h ON r.user_id = h.user_id AND r.rec_item_id = h.rec_item_id
+      |)""".stripMargin + prkTailSql("brecs", "bhits")
 
   val recEvalNdcgSql: String = {
     val wCases = NdcgWeights.zipWithIndex
@@ -348,12 +413,14 @@ object RecEval {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rec_eval_prk"  -> (recEvalPrk _),
     "rec_eval_ndcg" -> (recEvalNdcg _),
-    "rec_eval_mrr"  -> (recEvalMrr _)
+    "rec_eval_mrr"  -> (recEvalMrr _),
+    "rec_eval_prk_baseline" -> (recEvalPrkBaseline _)
   )
 
   val oracleSql: Map[String, String] = Map(
     "rec_eval_prk"  -> recEvalPrkSql,
     "rec_eval_ndcg" -> recEvalNdcgSql,
-    "rec_eval_mrr"  -> recEvalMrrSql
+    "rec_eval_mrr"  -> recEvalMrrSql,
+    "rec_eval_prk_baseline" -> recEvalPrkBaselineSql
   )
 }

@@ -126,6 +126,34 @@ class RecEvalSpec extends SparkSuite {
       "each hit user contributes at most 1 reciprocal rank")
   }
 
+  test("popularity baseline: the chart-topper is recommended to whoever lacks it") {
+    // item 1 is the global chart-topper (3 listeners); user 4 has only
+    // item 9 in train and plays item 1 in the future -> baseline hit@1.
+    val (li, ord) = frames(Seq(
+      (1L, 1L, "2024-01-01"), (2L, 1L, "2024-01-01"), (3L, 1L, "2024-01-01"),
+      (1L, 2L, "2024-01-01"), (2L, 2L, "2024-01-01"),
+      (4L, 9L, "2024-01-01"),
+      (4L, 1L, "2024-01-11")))
+    val rows = ops.RecEval.recEvalPrkBaselineOn(li, ord).collect()
+    val at1 = rows.find(_.getAs[Long]("k") == 1L).get
+    assert(at1.getAs[Long]("n_test_pairs") == 1L)
+    assert(at1.getAs[Long]("n_hits") == 1L)
+    assert(at1.getAs[Double]("recall_at_k") == 1.0)
+  }
+
+  test("baseline shares the holdout denominators with the CF entry") {
+    val cf = ops.RecEval.recEvalPrk(spark, sf).collect()
+      .map(r => r.getAs[Long]("k") -> r).toMap
+    val bl = ops.RecEval.recEvalPrkBaseline(spark, sf).collect()
+      .map(r => r.getAs[Long]("k") -> r).toMap
+    assert(cf.keySet == bl.keySet)
+    cf.keySet.foreach { k =>
+      assert(cf(k).getAs[Long]("n_test_pairs") == bl(k).getAs[Long]("n_test_pairs"),
+        "same holdout, same denominator")
+      assert(cf(k).getAs[Long]("n_users_test") == bl(k).getAs[Long]("n_users_test"))
+    }
+  }
+
   test("corpus ndcg: one row, dcg <= idcg, ndcg in [0,1]") {
     val r = ops.RecEval.recEvalNdcg(spark, sf).collect() match {
       case Array(only) => only
