@@ -116,12 +116,15 @@ object Bench {
     "events_seasonality_strength", "events_seasonality_strength_served",
     "events_ab_welch_served", "events_ab_mannwhitney_served",
     "knn_graph_hits", "text_readability", "dm_growth_accounting",
-    "agg_trimmed_mean", "events_dispersion", "events_dispersion_served")
+    "agg_trimmed_mean", "events_dispersion", "events_dispersion_served",
+    "events_level_hl", "events_level_hl_served")
   // rec_eval_prk / rec_eval_ndcg / rec_eval_mrr join the excluded-harness
   // family (rec_coverage_eval precedent): they re-run the CF train chain
   // the suite already times, and their own tails are scalar aggregates.
-  // knn_graph_modularity likewise re-runs the LP chain knn_graph_communities
-  // already times; its own tail is two bounded joins + C-row rollups
+  // knn_graph_modularity / knn_graph_conductance likewise re-run the LP
+  // chain knn_graph_communities already times (one cached stats frame
+  // feeds both); their own tails are bounded joins + C-row rollups.
+  // rec_eval_prk_baseline shares the excluded eval-harness family.
   // ann_matryoshka_eval joins ann_recall_eval / dedup_recall_eval in the
   // excluded-harness family: it runs the brute-force ranking once per
   // prefix length back-to-back — a measurement harness, not a serving path

@@ -154,6 +154,47 @@ object TrendQueries {
   def eventsDispersion(spark: SparkSession, dir: String): DataFrame =
     dispersionOn(dailyOf(spark, dir))
 
+  /** §2 entry `events_level_hl` — the HODGES–LEHMANN robust LEVEL of
+    * daily volume, completing the robust trio (Theil–Sen = robust slope,
+    * Mann–Kendall = trend existence, HL = the level you quote): the
+    * median of all WALSH AVERAGES (n_i + n_j)/2 over day pairs i ≤ j —
+    * the estimator associated with the Wilcoxon test, ~30% of outlier
+    * days cannot move it where the mean follows any spike, yet it is
+    * more efficient than the plain median on clean data.
+    *
+    * Exactness: median((n_i+n_j)/2) = median(n_i+n_j)/2 (monotone map),
+    * so rank selection runs on the exact INTEGER pair sums over the
+    * engine-identical total order (sum, day_a, day_b); odd count picks
+    * one row twice, even the two middles — HL = picked-sum /
+    * (picked-count · 2), one correctly-rounded divide. Scale: the
+    * calendar²-bounded self-join of the Theil–Sen discipline (i ≤ j —
+    * self-pairs included, the Walsh set), windows partition by type.
+    */
+  private[graft] def hlLevelOn(daily: DataFrame): DataFrame = {
+    import daily.sparkSession.implicits._
+    val a = daily.select($"event_type", $"day".as("day_a"), $"n".as("n_a"))
+    val b = daily.select($"event_type", $"day".as("day_b"), $"n".as("n_b"))
+    val pairs = a.join(b, Seq("event_type"))
+      .filter($"day_a" <= $"day_b")
+      .select($"event_type", ($"n_a" + $"n_b").as("s"), $"day_a", $"day_b")
+    val w = Window.partitionBy($"event_type").orderBy($"s", $"day_a", $"day_b")
+    val ranked = pairs
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy($"event_type")))
+    val picked = ranked
+      .filter($"rnk" === expr("(cnt + 1) div 2") || $"rnk" === expr("cnt div 2 + 1"))
+    val days = daily.groupBy($"event_type").agg(count(lit(1)).as("n_days"))
+    picked.groupBy($"event_type")
+      .agg(max($"cnt").as("n_pairs"),
+        (sum($"s").cast("double") / (count(lit(1)) * 2L).cast("double")).as("hl_level"))
+      .join(days, Seq("event_type"))
+      .select($"event_type", $"n_days", $"n_pairs", $"hl_level")
+      .orderBy($"event_type")
+  }
+
+  def eventsLevelHl(spark: SparkSession, dir: String): DataFrame =
+    hlLevelOn(dailyOf(spark, dir))
+
   private val dailySql: String =
     """daily AS (
       |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
@@ -250,15 +291,43 @@ object TrendQueries {
       |FROM d
       |ORDER BY event_type""".stripMargin
 
+  val eventsLevelHlSql: String =
+    s"""WITH $dailySql, wpairs AS (
+      |  SELECT a.event_type, a.n + b.n AS s, a.day AS day_a, b.day AS day_b
+      |  FROM daily a JOIN daily b
+      |    ON a.event_type = b.event_type AND a.day <= b.day
+      |), ranked AS (
+      |  SELECT event_type, s,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+      |      ORDER BY s, day_a, day_b) AS BIGINT) AS rnk,
+      |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS cnt
+      |  FROM wpairs
+      |), picked AS (
+      |  SELECT event_type, s, cnt FROM ranked
+      |  WHERE rnk = (cnt + 1) // 2 OR rnk = cnt // 2 + 1
+      |), days AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+      |  FROM daily GROUP BY 1
+      |)
+      |SELECT p.event_type, d.n_days, p.n_pairs, p.hl_level
+      |FROM (
+      |  SELECT event_type, MAX(cnt) AS n_pairs,
+      |    CAST(SUM(s) AS DOUBLE) / CAST(COUNT(*) * 2 AS DOUBLE) AS hl_level
+      |  FROM picked GROUP BY 1
+      |) p JOIN days d ON p.event_type = d.event_type
+      |ORDER BY p.event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_trend_theilsen"    -> (eventsTrendTheilsen _),
     "events_trend_mannkendall" -> (eventsTrendMannKendall _),
-    "events_dispersion"        -> (eventsDispersion _)
+    "events_dispersion"        -> (eventsDispersion _),
+    "events_level_hl"          -> (eventsLevelHl _)
   )
 
   val oracleSql: Map[String, String] = Map(
     "events_trend_theilsen"    -> eventsTrendTheilsenSql,
     "events_trend_mannkendall" -> eventsTrendMannKendallSql,
-    "events_dispersion"        -> eventsDispersionSql
+    "events_dispersion"        -> eventsDispersionSql,
+    "events_level_hl"          -> eventsLevelHlSql
   )
 }

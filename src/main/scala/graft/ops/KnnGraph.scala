@@ -858,36 +858,54 @@ object KnnGraph {
     * correctly-rounded double tree, NULL when the graph has no mutual
     * edges (both engines).
     */
+  /** Per-community edge statistics over the shared mutual graph + LP
+    * labels — the frame modularity and conductance both read: ≤ C
+    * checkpointed rows (community, size, internal_edges, degree_sum,
+    * degree_sq) plus the 1-row undirected edge count. Session-cached
+    * like the graph itself (two entries, one LP run).
+    */
+  private val commStatsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (DataFrame, DataFrame)]
+
+  private def communityEdgeStats(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    commStatsCache.synchronized {
+      commStatsCache.getOrElseUpdate((spark, dir), {
+        import spark.implicits._
+        val knn = exactGraphOf(spark, dir)
+        val edges = knn.filter($"mutual")
+          .select($"vec_id".as("src"), $"neighbor_id".as("dst"))
+          .localCheckpoint() // both directions present
+        val nodes = VectorAgg.quantized(spark, dir).select($"vec_id")
+        val labels = lpCommunities(edges.select($"src", $"dst"), nodes, rounds = 5)
+          .localCheckpoint()
+        val und = edges.filter($"src" < $"dst")
+        val mm = und.agg(count(lit(1)).as("m")).localCheckpoint()
+        val deg = edges.groupBy($"src".as("vec_id")).agg(count(lit(1)).as("d"))
+        val nodeProps = labels
+          .join(deg, Seq("vec_id"), "left")
+          .select($"label", coalesce($"d", lit(0L)).as("d"))
+        val comm = nodeProps.groupBy($"label").agg(
+          count(lit(1)).as("community_size"), sum($"d").as("degree_sum"))
+        val la = labels.select($"vec_id".as("src"), $"label".as("la"))
+        val lb = labels.select($"vec_id".as("dst"), $"label".as("lb"))
+        val internal = und.join(la, Seq("src")).join(lb, Seq("dst"))
+          .filter($"la" === $"lb")
+          .groupBy($"la".as("label")).agg(count(lit(1)).as("internal_edges"))
+        // degree_sq carries d_c² per community and Σd_c² on the total row —
+        // the term that makes the sentinel row's q EXACTLY Newman's Q
+        // ((Σd)² would not be); BIGINT-exact to degree sums ~3·10⁹.
+        val rows = comm.join(internal, Seq("label"), "left")
+          .select($"label".as("community"), $"community_size",
+            coalesce($"internal_edges", lit(0L)).as("internal_edges"), $"degree_sum",
+            ($"degree_sum" * $"degree_sum").as("degree_sq"))
+          .localCheckpoint() // ≤ C rows; every consumer re-reads it
+        (rows, mm)
+      })
+    }
+
   def knnGraphModularity(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val knn = exactGraphOf(spark, dir)
-    val edges = knn.filter($"mutual")
-      .select($"vec_id".as("src"), $"neighbor_id".as("dst"))
-      .localCheckpoint() // both directions present
-    val nodes = VectorAgg.quantized(spark, dir).select($"vec_id")
-    val labels = lpCommunities(edges.select($"src", $"dst"), nodes, rounds = 5)
-      .localCheckpoint()
-    val und = edges.filter($"src" < $"dst")
-    val mm = und.agg(count(lit(1)).as("m"))
-    val deg = edges.groupBy($"src".as("vec_id")).agg(count(lit(1)).as("d"))
-    val nodeProps = labels
-      .join(deg, Seq("vec_id"), "left")
-      .select($"label", coalesce($"d", lit(0L)).as("d"))
-    val comm = nodeProps.groupBy($"label").agg(
-      count(lit(1)).as("community_size"), sum($"d").as("degree_sum"))
-    val la = labels.select($"vec_id".as("src"), $"label".as("la"))
-    val lb = labels.select($"vec_id".as("dst"), $"label".as("lb"))
-    val internal = und.join(la, Seq("src")).join(lb, Seq("dst"))
-      .filter($"la" === $"lb")
-      .groupBy($"la".as("label")).agg(count(lit(1)).as("internal_edges"))
-    // degree_sq carries d_c² per community and Σd_c² on the total row —
-    // the term that makes the sentinel row's q EXACTLY Newman's Q
-    // ((Σd)² would not be); BIGINT-exact to degree sums ~3·10⁹.
-    val rows = comm.join(internal, Seq("label"), "left")
-      .select($"label".as("community"), $"community_size",
-        coalesce($"internal_edges", lit(0L)).as("internal_edges"), $"degree_sum",
-        ($"degree_sum" * $"degree_sum").as("degree_sq"))
-      .localCheckpoint() // ≤ C rows; the total row re-reads it
+    val (rows, mm) = communityEdgeStats(spark, dir)
     val total = rows.agg(
         sum($"community_size").as("community_size"),
         sum($"internal_edges").as("internal_edges"),
@@ -905,6 +923,67 @@ object KnnGraph {
         $"degree_sum", $"q_contribution")
       .orderBy($"community")
   }
+
+  /** §2 entry `knn_graph_conductance` — per-community CONDUCTANCE, the
+    * partition-quality metric modularity can't see: φ_c = cut/min(vol,
+    * 2m − vol) measures how LEAKY one community's boundary is (φ ≈ 0 =
+    * near-isolated, φ → 1 = mostly boundary), independent of what the
+    * rest of the partition looks like — the per-cluster acceptance
+    * screen beside modularity's global verdict. cut = d_c − 2e_c and
+    * both min arms are exact BIGINTs off the SAME cached community
+    * stats frame (one LP run feeds both entries); one divide per row,
+    * NULL when the min volume arm is 0 (an isolated singleton or the
+    * whole graph in one community) in BOTH engines.
+    */
+  def knnGraphConductance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (rows, mm) = communityEdgeStats(spark, dir)
+    val cut = $"degree_sum" - lit(2L) * $"internal_edges"
+    val minVol = least($"degree_sum", lit(2L) * $"m" - $"degree_sum")
+    rows.crossJoin(broadcast(mm))
+      .withColumn("cut_edges", cut)
+      .withColumn("volume", $"degree_sum")
+      .withColumn("conductance",
+        when(minVol > 0L, $"cut_edges".cast("double") / minVol.cast("double")))
+      .select($"community", $"community_size", $"cut_edges", $"volume",
+        $"conductance")
+      .orderBy($"community")
+  }
+
+  val knnGraphConductanceSql: String =
+    s"""$lpChainCte
+       |, und AS (SELECT a, b FROM mutual WHERE a < b)
+       |, mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM und)
+       |, deg AS (
+       |  SELECT a AS vec_id, CAST(COUNT(*) AS BIGINT) AS d FROM mutual GROUP BY 1
+       |), nodeprops AS (
+       |  SELECT l.label, COALESCE(d.d, 0) AS d
+       |  FROM l5 l LEFT JOIN deg d ON d.vec_id = l.vec_id
+       |), comm AS (
+       |  SELECT label, CAST(COUNT(*) AS BIGINT) AS community_size,
+       |    CAST(SUM(d) AS BIGINT) AS degree_sum
+       |  FROM nodeprops GROUP BY 1
+       |), internal AS (
+       |  SELECT la.label, CAST(COUNT(*) AS BIGINT) AS internal_edges
+       |  FROM und u
+       |  JOIN l5 la ON la.vec_id = u.a
+       |  JOIN l5 lb ON lb.vec_id = u.b
+       |  WHERE la.label = lb.label
+       |  GROUP BY 1
+       |), rows_ AS (
+       |  SELECT c.label AS community, c.community_size,
+       |    COALESCE(i.internal_edges, 0) AS internal_edges, c.degree_sum
+       |  FROM comm c LEFT JOIN internal i ON i.label = c.label
+       |)
+       |SELECT community, community_size,
+       |  degree_sum - 2 * internal_edges AS cut_edges,
+       |  degree_sum AS volume,
+       |  CASE WHEN LEAST(degree_sum, 2 * m - degree_sum) > 0 THEN
+       |    CAST(degree_sum - 2 * internal_edges AS DOUBLE)
+       |      / CAST(LEAST(degree_sum, 2 * m - degree_sum) AS DOUBLE)
+       |  END AS conductance
+       |FROM rows_ CROSS JOIN mm
+       |ORDER BY community""".stripMargin
 
   val knnGraphModularitySql: String =
     s"""$lpChainCte
@@ -1328,6 +1407,7 @@ object KnnGraph {
     "knn_graph_pagerank" -> (knnGraphPagerank _),
     "knn_graph_hits"     -> (knnGraphHits _),
     "knn_graph_modularity" -> (knnGraphModularity _),
+    "knn_graph_conductance" -> (knnGraphConductance _),
     "ann_topk_graph"     -> (annTopkGraph _),
     "ann_topk_graph_persisted" -> (annTopkGraphPersisted _)
   )
@@ -1487,6 +1567,7 @@ object KnnGraph {
     "knn_graph_cc_star" -> knnGraphCcSql,
     "knn_graph_pagerank" -> knnGraphPagerankSql,
     "knn_graph_hits" -> knnGraphHitsSql,
-    "knn_graph_modularity" -> knnGraphModularitySql
+    "knn_graph_modularity" -> knnGraphModularitySql,
+    "knn_graph_conductance" -> knnGraphConductanceSql
   )
 }

@@ -70,6 +70,9 @@ object ForecastServe {
   def dispersionServed(spark: SparkSession, dir: String): DataFrame =
     ForecastStream.serveDispersion(spark, statePathFor(spark, dir))
 
+  def hlLevelServed(spark: SparkSession, dir: String): DataFrame =
+    ForecastStream.serveHlLevel(spark, statePathFor(spark, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_forecast_ses_served"  -> (sesServed _),
     "events_forecast_holt_served" -> (holtServed _),
@@ -78,7 +81,8 @@ object ForecastServe {
     "events_trend_mannkendall_served" -> (mannKendallServed _),
     "events_forecast_hw_served"       -> (hwServed _),
     "events_seasonality_strength_served" -> (seasonalityServed _),
-    "events_dispersion_served" -> (dispersionServed _)
+    "events_dispersion_served" -> (dispersionServed _),
+    "events_level_hl_served"   -> (hlLevelServed _)
   )
 
   /** The batch twins' oracles verbatim — serve-from-state is bit-equal. */
@@ -91,6 +95,7 @@ object ForecastServe {
     "events_forecast_hw_served"       -> graft.core.HwForecast.eventsForecastHwSql,
     "events_seasonality_strength_served" ->
       graft.core.SeasonalityQueries.eventsSeasonalityStrengthSql,
-    "events_dispersion_served" -> graft.core.TrendQueries.eventsDispersionSql
+    "events_dispersion_served" -> graft.core.TrendQueries.eventsDispersionSql,
+    "events_level_hl_served"   -> graft.core.TrendQueries.eventsLevelHlSql
   )
 }

@@ -99,4 +99,8 @@ object ForecastStream {
   /** Index of dispersion (burstiness) from the folded state. */
   def serveDispersion(spark: SparkSession, statePath: String): DataFrame =
     graft.core.TrendQueries.dispersionOn(stateDaily(spark, statePath))
+
+  /** Hodges–Lehmann robust level from the folded state. */
+  def serveHlLevel(spark: SparkSession, statePath: String): DataFrame =
+    graft.core.TrendQueries.hlLevelOn(stateDaily(spark, statePath))
 }

@@ -996,7 +996,7 @@ class PlanSpec extends SparkSuite {
       "events_retention_bitmap_served", "events_seasonality",
       "events_survival_km", "hybrid_search_rrf",
       "hybrid_search_rrf_persisted", "knn_graph_exact", "knn_graph_hits", "knn_graph_ivf",
-      "knn_graph_modularity", "rec_eval_mrr", "rec_eval_prk_baseline",
+      "knn_graph_conductance", "knn_graph_modularity", "rec_eval_mrr", "rec_eval_prk_baseline",
       "layout_zorder", "layout_zorder_equidepth", "mine_hard_negatives",
       "mine_hard_negatives_ivf", "q11_important_stock",
       "q22_global_sales", "rec_als_implicit", "rec_als_topn",

@@ -207,6 +207,34 @@ class KnnGraphSpec extends SparkSuite {
     assert(q >= -0.5 && q <= 1.0)
   }
 
+  test("conductance: cut identity with modularity stats, bounds, NULL edge") {
+    import spark.implicits._
+    val mod = ops.KnnGraph.knnGraphModularity(spark, sf).collect()
+      .filter(_.getAs[Long]("community") != -1L)
+      .map(r => r.getAs[Long]("community") ->
+        (r.getAs[Long]("internal_edges"), r.getAs[Long]("degree_sum"))).toMap
+    val m = ops.KnnGraph.knnGraphExact(spark, sf)
+      .filter($"mutual" && $"vec_id" < $"neighbor_id").count()
+    val rows = ops.KnnGraph.knnGraphConductance(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("community")).toSet == mod.keySet)
+    rows.foreach { r =>
+      val c = r.getAs[Long]("community")
+      val (e, d) = mod(c)
+      assert(r.getAs[Long]("cut_edges") == d - 2 * e, s"cut($c)")
+      assert(r.getAs[Long]("volume") == d)
+      val minVol = math.min(d, 2 * m - d)
+      if (minVol > 0) {
+        val phi = r.getAs[Double]("conductance")
+        assert(phi == (d - 2 * e).toDouble / minVol)
+        assert(phi >= 0.0 && phi <= (if (d <= m) 1.0 + 1e-12 else phi))
+      } else assert(r.isNullAt(r.fieldIndex("conductance")))
+    }
+    // LP communities are real structure on this corpus: some community
+    // keeps most of its volume inside
+    assert(rows.exists(r => !r.isNullAt(r.fieldIndex("conductance")) &&
+      r.getAs[Double]("conductance") < 0.5))
+  }
+
   test("clusters = union-find over the exact graph's mutual edges; keeper is the component min") {
     import spark.implicits._
     val knn = ops.KnnGraph.knnGraphExact(spark, sf)

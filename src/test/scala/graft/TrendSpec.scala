@@ -87,6 +87,35 @@ class TrendSpec extends SparkSuite {
     assert(served == batch && served.nonEmpty)
   }
 
+  test("hodges-lehmann: hand-computed Walsh medians, outlier resistance") {
+    // counts 1,2,9: Walsh sums (i<=j): 2,3,10,4,11,18 sorted -> even 6
+    // pairs, middles 4 and 10 -> HL = (4+10)/4 = 3.5
+    val r = core.TrendQueries.hlLevelOn(daily(Seq(
+      ("a", "2024-01-01", 1L), ("a", "2024-01-02", 2L),
+      ("a", "2024-01-03", 9L)))).collect().head
+    assert(r.getAs[Long]("n_days") == 3L)
+    assert(r.getAs[Long]("n_pairs") == 6L)
+    assert(r.getAs[Double]("hl_level") == 3.5)
+    // a clean level of 10 with one wild day: the mean jumps to ~174,
+    // HL stays at the level
+    val burst = core.TrendQueries.hlLevelOn(daily(Seq(
+      ("a", "2024-01-01", 10L), ("a", "2024-01-02", 10L),
+      ("a", "2024-01-03", 10L), ("a", "2024-01-04", 10L),
+      ("a", "2024-01-05", 10L), ("a", "2024-01-06", 1000L)))).collect().head
+    assert(burst.getAs[Double]("hl_level") == 10.0)
+  }
+
+  test("hodges-lehmann served from streamed state == batch bit-for-bit") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_hl_stream").toString
+    val ev = Tables.events(spark, sf)
+    streaming.ForecastStream.dailyFold(ev.filter($"event_id" % 2 === 0), dir, 0L)
+    streaming.ForecastStream.dailyFold(ev.filter($"event_id" % 2 === 1), dir, 1L)
+    assert(streaming.ForecastStream.serveHlLevel(spark, dir)
+      .collect().map(_.toSeq).toSeq ==
+      core.TrendQueries.eventsLevelHl(spark, sf).collect().map(_.toSeq).toSeq)
+  }
+
   test("mann-kendall: S, ties-corrected variance, z") {
     // series 1,3,2,5: signs +,+,+,-,+,+ -> S=4; n=4 distinct counts ->
     // var = 4*3*13/18; z = 3/sqrt(var)
