@@ -153,7 +153,25 @@ object StreamServe {
         foldInThirds(s, d, (b, i) => AbStream.histFold(b, p, i))
       })
 
+  /** Monthly growth accounting served from the streamed (customer,
+    * order-month) activity set — the orders-side state family member;
+    * two o_orderkey-half batches (set union commutes, any split works);
+    * held to the batch entry's oracle verbatim.
+    */
+  def growthAccountingServed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val path = statePathFor(spark, dir, "growth") { (s, d, p) =>
+      val ord = Tables.orders(s, d)
+      val maxId = ord.agg(max($"o_orderkey")).head().getLong(0)
+      val mid = maxId / 2
+      GrowthStream.growthFold(ord.filter($"o_orderkey" <= mid), p, 0L)
+      GrowthStream.growthFold(ord.filter($"o_orderkey" > mid), p, 1L)
+    }
+    GrowthStream.serveGrowth(spark, path)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dm_growth_accounting_served"  -> (growthAccountingServed _),
     "events_ab_welch_served"       -> (abWelchServed _),
     "events_ab_mannwhitney_served" -> (abMannWhitneyServed _),
     "events_attribution_position_served" -> (attributionPositionServed _),
@@ -167,6 +185,7 @@ object StreamServe {
 
   /** The batch twins' oracles verbatim — serve-from-state is bit-equal. */
   val oracleSql: Map[String, String] = Map(
+    "dm_growth_accounting_served"  -> graft.core.GrowthQueries.dmGrowthAccountingSql,
     "events_ab_welch_served"       -> graft.core.StatsQueries.eventsAbWelchSql,
     "events_ab_mannwhitney_served" -> graft.core.RankTests.eventsAbMannWhitneySql,
     "events_markov_transitions_served" -> graft.core.EngagementQueries.eventsMarkovTransitionsSql,

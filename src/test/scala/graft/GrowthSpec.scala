@@ -34,6 +34,24 @@ class GrowthSpec extends SparkSuite {
     assert(m(101L).isNullAt(m(101L).fieldIndex("quick_ratio")))
   }
 
+  test("streamed activity set over 2 batches == batch decomposition bit-for-bit") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_growth_stream").toString
+    val ord = Tables.orders(spark, sf)
+    // split by order-key PARITY (cuts across months and users)
+    streaming.GrowthStream.growthFold(ord.filter($"o_orderkey" % 2 === 0), dir, 0L)
+    streaming.GrowthStream.growthFold(ord.filter($"o_orderkey" % 2 === 1), dir, 1L)
+    val served = streaming.GrowthStream.serveGrowth(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val batch = core.GrowthQueries.dmGrowthAccounting(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(served == batch && served.nonEmpty)
+    // a replayed batch cannot inflate the activity set (union idempotent)
+    streaming.GrowthStream.growthFold(ord.filter($"o_orderkey" % 2 === 1), dir, 1L)
+    assert(streaming.GrowthStream.serveGrowth(spark, dir)
+      .collect().map(_.toSeq).toSeq == batch)
+  }
+
   test("corpus: mau identity, every-user-new-once, churn conservation") {
     import spark.implicits._
     val rows = core.GrowthQueries.dmGrowthAccounting(spark, sf).collect()
