@@ -101,7 +101,15 @@ object DumpPlans {
       "events_retention_bitmap", "events_attribution_position",
       "events_retention_bitmap_served", "events_attribution_position_served",
       "rec_als_topn", "rec_als_topn_persisted", "rec_als_topn_d4",
-      "events_gapfill_ffill", "dm_metrics_unpivot")
+      "events_gapfill_ffill", "dm_metrics_unpivot",
+      "events_ab_mannwhitney", "events_ab_proportions",
+      "events_seasonality_strength", "events_seasonality_strength_served",
+      "events_ab_welch_served", "events_ab_mannwhitney_served",
+      "rec_eval_prk", "rec_eval_ndcg", "rec_eval_mrr", "rec_eval_prk_baseline",
+      "knn_graph_hits", "knn_graph_modularity", "knn_graph_conductance",
+      "text_readability", "dm_growth_accounting", "dm_growth_accounting_served",
+      "agg_trimmed_mean", "events_dispersion", "events_dispersion_served",
+      "events_level_hl", "events_level_hl_served")
 
     val sb = new StringBuilder
     sb.append("# Executed plans (generated by graft.tools.DumpPlans at " + sfDir + ")\n\n")
