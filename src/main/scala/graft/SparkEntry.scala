@@ -32,7 +32,8 @@ object SparkEntry {
       core.TrendQueries.queries ++ core.HwForecast.queries ++
       mart.SkylineQueries.queries ++ ops.AgreementEval.queries ++
       core.RankTests.queries ++ core.SeasonalityQueries.queries ++
-      ops.RecEval.queries ++ core.GrowthQueries.queries
+      ops.RecEval.queries ++ core.GrowthQueries.queries ++
+      etl.OrcRoundtrip.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -60,5 +61,5 @@ object SparkEntry {
       core.HwForecast.oracleSql ++ mart.SkylineQueries.oracleSql ++
       ops.AgreementEval.oracleSql ++ core.RankTests.oracleSql ++
       core.SeasonalityQueries.oracleSql ++ ops.RecEval.oracleSql ++
-      core.GrowthQueries.oracleSql
+      core.GrowthQueries.oracleSql ++ etl.OrcRoundtrip.oracleSql
 }

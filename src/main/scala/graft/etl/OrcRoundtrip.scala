@@ -1,0 +1,81 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** §2 entry `etl_orc_roundtrip` — the ORC source/sink beside the
+  * parquet/CSV/JSON ingest family: the staging extract lands as
+  * Hive-layout PARTITIONED ORC (`l_returnflag=` dirs, the layout a
+  * downstream Hive/Trino/Presto reader expects), is read back through
+  * Spark's native vectorized ORC reader, and the entry emits a
+  * per-partition rollup of the READ-BACK data. The DuckDB oracle runs
+  * the same rollup on the SOURCE parquet — so the driver gate proves
+  * the round trip preserves every value exactly (longs, strings, and
+  * the DECIMAL(12,2) quantity — the type ORC's decimal writer must not
+  * perturb), not merely that files appeared.
+  *
+  * Scale shape: the write is one partitionBy exchange (3 partitions —
+  * flag cardinality, not data volume); the read-back rollup is one
+  * map-side-combined groupBy whose scan PRUNES by partition dir on a
+  * flag filter (spec-pinned via inputFiles). Write happens ONCE per
+  * (session, dir) — the persisted-artifact discipline; the entry
+  * re-reads the landed files every call, which IS the operator.
+  */
+object OrcRoundtrip {
+
+  private val built =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  private[graft] def orcPath(spark: SparkSession, dir: String): String =
+    built.synchronized {
+      built.getOrElseUpdate((spark, dir), {
+        import spark.implicits._
+        val p = s"${System.getProperty("java.io.tmpdir")}/graft_orc_" +
+          java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL) +
+          "_" + ProcessHandle.current().pid() +
+          "_" + Integer.toHexString(System.identityHashCode(spark))
+        Tables.lineitem(spark, dir)
+          .select($"l_orderkey", $"l_partkey",
+            $"l_quantity".cast("decimal(12,2)").as("qty"),
+            $"l_returnflag")
+          .write.mode("overwrite")
+          .partitionBy("l_returnflag")
+          .orc(p)
+        p
+      })
+    }
+
+  def etlOrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.orc(orcPath(spark, dir))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct($"l_partkey").as("n_parts"),
+        sum($"qty").as("qty_sum"))
+      .select($"l_returnflag", $"n_rows", $"n_parts",
+        $"qty_sum".cast("double").as("sum_qty"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** The same rollup on the SOURCE parquet — equality proves the ORC
+    * round trip value-exact.
+    */
+  val etlOrcRoundtripSql: String =
+    """SELECT l_returnflag,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_orc_roundtrip" -> (etlOrcRoundtrip _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "etl_orc_roundtrip" -> etlOrcRoundtripSql
+  )
+}

@@ -10,6 +10,38 @@ import org.apache.spark.sql.functions._
   */
 class EtlSourcesSpec extends SparkSuite {
 
+  test("orc roundtrip: hive partition layout, value-exact read-back, dir pruning") {
+    import spark.implicits._
+    val p = etl.OrcRoundtrip.orcPath(spark, sf)
+    // hive layout: one l_returnflag= dir per flag value
+    val dirs = new java.io.File(p).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("l_returnflag=")), dirs.mkString(","))
+    // read-back row count and per-row values match the source exactly
+    val src = Tables.lineitem(spark, sf)
+      .select($"l_orderkey", $"l_partkey",
+        $"l_quantity".cast("decimal(12,2)").as("qty"), $"l_returnflag")
+      .collect().map(_.toSeq).toSet
+    val back = spark.read.orc(p)
+      .select($"l_orderkey", $"l_partkey", $"qty", $"l_returnflag")
+      .collect().map(_.toSeq).toSet
+    assert(back == src, "ORC round trip changed values")
+    // a flag filter reaches the scan as a PARTITION filter (dir pruning),
+    // and the pruned scan reads exactly one partition's files
+    val prunedDf = spark.read.orc(p).filter($"l_returnflag" === "A")
+    prunedDf.collect()
+    val scans = tools.PlanWalk.flatten(prunedDf.queryExecution.executedPlan)
+      .collect { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+    assert(scans.nonEmpty)
+    scans.foreach { s =>
+      assert(s.partitionFilters.exists(_.references.exists(_.name == "l_returnflag")),
+        s"no partition filter on the ORC scan:\n$s")
+      val files = s.relation.location.listFiles(s.partitionFilters, s.dataFilters)
+        .flatMap(_.files).map(_.getPath.toString)
+      assert(files.nonEmpty && files.forall(_.contains("l_returnflag=A")),
+        s"pruned scan still lists foreign partitions: ${files.mkString(",")}")
+    }
+  }
+
   test("json ingest: explicit schema, corrupt-record quarantine, delta load") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_json").toString
