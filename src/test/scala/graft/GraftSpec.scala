@@ -989,7 +989,7 @@ class PlanSpec extends SparkSuite {
       "dq_freshness", "dq_key_skew", "embedding_quantize_int8",
       "etl_cdc_apply", "etl_delta_load", "etl_user_purge",
       "events_ab_proportions", "events_anomaly_trailing", "events_forecast_holt",
-      "dm_growth_accounting",
+      "dm_growth_accounting", "dm_growth_accounting_served",
       "events_forecast_holt_served", "events_forecast_hw",
       "events_forecast_hw_served", "events_forecast_ses",
       "events_forecast_ses_served", "events_retention_bitmap",
