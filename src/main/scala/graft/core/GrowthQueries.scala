@@ -34,7 +34,10 @@ import graft.Tables
   * NULL when nothing churned (both engines). The identity
   * new + retained + resurrected = MAU(m) holds by construction
   * (every active (user, month) row classifies exactly once) and is
-  * spec-pinned beside hand-built lifecycles.
+  * spec-pinned beside hand-built lifecycles. Reference anchor: the
+  * month-grain engagement charts (dashboard_queries.py:4-25
+  * top-N by year/month) — this is the decomposition UNDER those
+  * charts' audience totals.
   */
 object GrowthQueries {
 

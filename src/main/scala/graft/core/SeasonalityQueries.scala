@@ -26,7 +26,13 @@ import org.apache.spark.sql.functions._
   * would have let engine aggregation order leak into the hash. A
   * constant series (SS_tot = 0) emits NULL η² in both engines. BIGINT
   * bounds: (Σn)² exact to ~3·10⁹ events per (type, dow); past that the
-  * sums move to DECIMAL(38,0), the plan unchanged.
+  * sums move to DECIMAL(38,0), the plan unchanged. The
+  * `weekly_seasonal` flag uses η² > 0.2 (a conventional medium-effect
+  * cut — the number itself is the deliverable, the flag a convenience).
+  * Reference anchor: the weekday listening profile behind the
+  * reference dashboard's seasonality heatmap
+  * (dashboard_queries.py:30-47 month/year grains; dm_ddl.sql daily
+  * views).
   */
 object SeasonalityQueries {
 

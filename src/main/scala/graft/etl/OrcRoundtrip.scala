@@ -19,9 +19,13 @@ import graft.Tables
   * Scale shape: the write is one partitionBy exchange (3 partitions —
   * flag cardinality, not data volume); the read-back rollup is one
   * map-side-combined groupBy whose scan PRUNES by partition dir on a
-  * flag filter (spec-pinned via inputFiles). Write happens ONCE per
+  * flag filter (spec-pinned via the scan's partitionFilters and the
+  * pruned file listing). Write happens ONCE per
   * (session, dir) — the persisted-artifact discipline; the entry
   * re-reads the landed files every call, which IS the operator.
+  * Reference anchor: the reference lands staging extracts as database
+  * tables (etl/transformer.py staging loads, staging_ddl.sql); ORC is
+  * the columnar-warehouse analog of that landing zone.
   */
 object OrcRoundtrip {
 

@@ -489,6 +489,9 @@ object LlmQueries {
     * Hash-gate: lengths are exact integers; DuckDB mirrors with the 'g'
     * flag (its regexp_replace is first-match by default — the one
     * engine-semantics trap here); the FK constants are shared literals.
+    * Part of the LLM-curation surface the engine adds on top of the
+    * reference (no text analytics exist there — the nearest analog is
+    * track-name normalization, track_parent_select.py:1-28).
     */
   def textReadability(spark: SparkSession, dir: String): DataFrame =
     textReadabilityOn(Tables.documents(spark, dir))

@@ -5,10 +5,15 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 
-/** §2 entries `rec_eval_prk` / `rec_eval_ndcg` — TEMPORAL-SPLIT
-  * evaluation of the item-item CF recommender: precision@k / recall@k
-  * (k ∈ {1, 3, 5}) and micro-NDCG@5 against a TIME-ordered holdout, the
-  * offline readout a recommender ships or doesn't ship on.
+/** §2 entries `rec_eval_prk` / `rec_eval_ndcg` / `rec_eval_mrr` /
+  * `rec_eval_prk_baseline` — TEMPORAL-SPLIT evaluation of the item-item
+  * CF recommender: precision@k / recall@k (k ∈ {1, 3, 5}), micro-NDCG@5,
+  * first-hit MRR, and the popularity baseline, all against one
+  * TIME-ordered holdout — the offline readout a recommender ships or
+  * doesn't ship on. Reference anchor: the reference's "fans also like"
+  * surface (dashboard_queries.py top-N charts) has no offline eval at
+  * all; this harness is the engine's addition, graded against its own
+  * CF entries.
   * `rec_coverage_eval` measures catalog reach; these measure whether the
   * model predicts the FUTURE: train on the first 80% of the order
   * calendar, hold out the rest, count how many top-k recommendations
