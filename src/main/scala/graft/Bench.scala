@@ -118,7 +118,7 @@ object Bench {
     "knn_graph_hits", "text_readability", "dm_growth_accounting",
     "agg_trimmed_mean", "events_dispersion", "events_dispersion_served",
     "events_level_hl", "events_level_hl_served", "dm_growth_accounting_served",
-    "etl_orc_roundtrip")
+    "etl_orc_roundtrip", "events_markov_stationary")
   // rec_eval_prk / rec_eval_ndcg / rec_eval_mrr join the excluded-harness
   // family (rec_coverage_eval precedent): they re-run the CF train chain
   // the suite already times, and their own tails are scalar aggregates.

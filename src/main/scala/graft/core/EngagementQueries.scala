@@ -72,6 +72,131 @@ object EngagementQueries {
       |FROM c JOIN t USING (prev_type)
       |ORDER BY prev_type, next_type""".stripMargin
 
+  /** §2 entry `events_markov_stationary` — the LONG-RUN behavioral mix
+    * under the observed dynamics: 12-step power iteration of the
+    * transition matrix from the uniform start, the distribution the
+    * per-step matrix only hints at (a type can be a rare TARGET of
+    * every step yet dominate the long run). Output per state: the
+    * quantized long-run share + the EMPIRICAL step share beside it —
+    * divergence between them is itself the signal (a chain still far
+    * from mixing, or heavy self-loops).
+    *
+    * Scale shape: the transition COUNTING is the distributed pass
+    * (shared with the transitions entry); the matrix itself is
+    * MODEL-sized — types² cells, corpus-independent — so it pulls to
+    * the driver under the Lloyd bounded-pull contract and iterates in
+    * exact Scala longs (running 12 shuffles of a ≤ types-row table
+    * would be strictly worse at any scale). Exactness (hash-gate):
+    * probabilities quantize to the 2⁴⁰ grid via floor(p·2⁴⁰) — the
+    * multiply is EXACT (power-of-two scaling only shifts the
+    * exponent), so the floor is engine-deterministic; each round term
+    * is (π_i·q_ij) div 2⁴⁰ (≤ 2⁶⁰ products, per-term floor — the
+    * PageRank one-sided trade), summed order-free; π lives on the 2²⁰
+    * grid. Transitions into a state with NO outgoing rows would leak
+    * mass (dropped column); zero such states exist on this corpus and
+    * the spec pins the planted-chain stationary law. The DuckDB oracle
+    * unrolls the SAME 12 integer rounds as CTEs.
+    */
+  def eventsMarkovStationary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val pairs = Tables.events(spark, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("next_type", lead($"event_type", 1).over(w))
+      .filter($"next_type".isNotNull)
+      .select($"event_type".as("prev_type"), $"next_type")
+    markovStationaryOn(pairs.groupBy($"prev_type", $"next_type")
+      .agg(count(lit(1)).as("n_transitions")))
+  }
+
+  private val StatScaleQ  = 1L << 40
+  private val StatScalePi = 1L << 20
+  private val StatIters   = 12
+
+  private[graft] def markovStationaryOn(counts: DataFrame): DataFrame = {
+    val spark = counts.sparkSession
+    import spark.implicits._
+    // bounded model pull: types² probability cells (the Lloyd contract)
+    val cells = transitionProbs(counts)
+      .select($"prev_type", $"next_type", $"p").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    val states = cells.map(_._1).distinct.sorted
+    val q = cells.collect {
+      case (i, j, p) if states.contains(j) =>
+        (i, j) -> math.floor(p * StatScaleQ.toDouble).toLong
+    }.toMap
+    var pi = states.map(_ -> StatScalePi / states.length).toMap
+    for (_ <- 1 to StatIters) {
+      pi = states.map { j =>
+        j -> states.map(i => pi(i) * q.getOrElse((i, j), 0L) / StatScaleQ).sum
+      }.toMap
+    }
+    // empirical step share: distributed exact counts beside the model
+    // total over the ≤ types-row frame: pmod(n_steps, 1) is the repo's
+    // constant-valued NON-FOLDABLE partition key (a bare lit would fold
+    // into the global-window shape the fleet guard forbids)
+    val emp = counts.groupBy($"prev_type".as("event_type"))
+      .agg(sum($"n_transitions").as("n_steps"))
+      .withColumn("total",
+        sum($"n_steps").over(Window.partitionBy(pmod($"n_steps", lit(1)))))
+    val piDf = states.map(s => (s, pi(s))).toSeq
+      .toDF("event_type", "pi_scaled")
+    piDf.join(emp, Seq("event_type"))
+      .select($"event_type", $"pi_scaled",
+        ($"pi_scaled".cast("double") / StatScalePi.toDouble).as("pi_longrun"),
+        $"n_steps",
+        ($"n_steps".cast("double") / $"total".cast("double")).as("p_empirical"))
+      .orderBy($"event_type")
+  }
+
+  val eventsMarkovStationarySql: String = {
+    val rounds = (1 to StatIters).map { r =>
+      s""", pi$r AS (
+         |  SELECT q.next_type AS t,
+         |    CAST(SUM(p.v * q.q // $StatScaleQ) AS BIGINT) AS v
+         |  FROM q JOIN pi${r - 1} p ON p.t = q.prev_type
+         |  GROUP BY 1)""".stripMargin
+    }.mkString("\n")
+    s"""WITH seq AS (
+      |  SELECT event_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      |  FROM events
+      |), c AS (
+      |  SELECT event_type AS prev_type, next_type, COUNT(*) AS n_transitions
+      |  FROM seq WHERE next_type IS NOT NULL
+      |  GROUP BY 1, 2
+      |), t AS (
+      |  SELECT prev_type, CAST(SUM(n_transitions) AS BIGINT) AS total
+      |  FROM c GROUP BY 1
+      |), states AS (
+      |  SELECT DISTINCT prev_type FROM c
+      |), q AS MATERIALIZED (
+      |  SELECT c.prev_type, c.next_type,
+      |    CAST(floor(CAST(n_transitions AS DOUBLE) / CAST(total AS DOUBLE)
+      |      * $StatScaleQ) AS BIGINT) AS q
+      |  FROM c JOIN t USING (prev_type)
+      |  WHERE c.next_type IN (SELECT prev_type FROM states)
+      |), k AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM states
+      |), pi0 AS (
+      |  SELECT prev_type AS t, CAST($StatScalePi // k.k AS BIGINT) AS v
+      |  FROM states CROSS JOIN k)
+      |$rounds
+      |, emp AS (
+      |  SELECT prev_type AS event_type, CAST(SUM(n_transitions) AS BIGINT) AS n_steps,
+      |    CAST(SUM(SUM(n_transitions)) OVER () AS BIGINT) AS total_steps
+      |  FROM c GROUP BY 1
+      |)
+      |SELECT s.prev_type AS event_type,
+      |  COALESCE(p.v, 0) AS pi_scaled,
+      |  CAST(COALESCE(p.v, 0) AS DOUBLE) / $StatScalePi.0 AS pi_longrun,
+      |  e.n_steps,
+      |  CAST(e.n_steps AS DOUBLE) / CAST(e.total_steps AS DOUBLE) AS p_empirical
+      |FROM states s
+      |LEFT JOIN pi$StatIters p ON p.t = s.prev_type
+      |JOIN emp e ON e.event_type = s.prev_type
+      |ORDER BY event_type""".stripMargin
+  }
+
   /** RFM (recency / frequency / monetary) user segmentation: per-user
     * last-seen, event count, and DECIMAL-exact value total, each scored
     * into quartiles (NTILE(4), deterministic user_id tie-break), composed
@@ -211,6 +336,7 @@ object EngagementQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_markov_transitions" -> (eventsMarkovTransitions _),
+    "events_markov_stationary" -> (eventsMarkovStationary _),
     "user_rfm_segments"         -> (userRfmSegments _),
     "events_seasonality"        -> (eventsSeasonality _),
     "events_user_growth"        -> (eventsUserGrowth _)
@@ -218,6 +344,7 @@ object EngagementQueries {
 
   val oracleSql: Map[String, String] = Map(
     "events_markov_transitions" -> eventsMarkovTransitionsSql,
+    "events_markov_stationary" -> eventsMarkovStationarySql,
     "user_rfm_segments"         -> userRfmSegmentsSql,
     "events_seasonality"        -> eventsSeasonalitySql,
     "events_user_growth"        -> eventsUserGrowthSql

@@ -147,6 +147,29 @@ class RankTestsSpec extends SparkSuite {
     }
   }
 
+  test("markov stationary: planted 2-state chain converges to the known law") {
+    import spark.implicits._
+    // P = [[1/2,1/2],[1/4,3/4]] -> stationary (1/3, 2/3)
+    val counts = Seq(("a", "a", 1L), ("a", "b", 1L), ("b", "a", 1L), ("b", "b", 3L))
+      .toDF("prev_type", "next_type", "n_transitions")
+    val rows = core.EngagementQueries.markovStationaryOn(counts).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(math.abs(rows("a").getAs[Double]("pi_longrun") - 1.0 / 3.0) < 1e-3)
+    assert(math.abs(rows("b").getAs[Double]("pi_longrun") - 2.0 / 3.0) < 1e-3)
+    // floor quantization only LEAKS mass: the grid total stays <= 2^20
+    assert(rows.values.map(_.getAs[Long]("pi_scaled")).sum <= (1L << 20))
+    assert(rows("a").getAs[Double]("p_empirical") == 2.0 / 6.0)
+  }
+
+  test("markov stationary corpus entry: one row per state, shares near 1") {
+    val rows = core.EngagementQueries.eventsMarkovStationary(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val piSum = rows.map(_.getAs[Double]("pi_longrun")).sum
+    assert(piSum > 0.99 && piSum <= 1.0 + 1e-9, s"pi mass $piSum")
+    val empSum = rows.map(_.getAs[Double]("p_empirical")).sum
+    assert(math.abs(empSum - 1.0) < 1e-9)
+  }
+
   test("corpus entry: non-vacuous and U_a + U_b == n_a*n_b per type") {
     val rows = core.RankTests.eventsAbMannWhitney(spark, sf).collect()
     assert(rows.nonEmpty)
