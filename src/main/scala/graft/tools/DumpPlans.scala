@@ -109,7 +109,8 @@ object DumpPlans {
       "knn_graph_hits", "knn_graph_modularity", "knn_graph_conductance",
       "text_readability", "dm_growth_accounting", "dm_growth_accounting_served",
       "agg_trimmed_mean", "events_dispersion", "events_dispersion_served",
-      "events_level_hl", "events_level_hl_served")
+      "events_level_hl", "events_level_hl_served",
+      "etl_orc_roundtrip", "events_markov_stationary")
 
     val sb = new StringBuilder
     sb.append("# Executed plans (generated by graft.tools.DumpPlans at " + sfDir + ")\n\n")
