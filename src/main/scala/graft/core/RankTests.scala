@@ -33,9 +33,12 @@ import graft.Tables
   * The tie-corrected variance and z add three divides, one sqrt and one
   * product chain of correctly-rounded doubles mirrored token for token in
   * the DuckDB oracle. Degenerate edges (an empty arm, every value tied,
-  * n ≤ 1) drive var_u ≤ 0 → NULL z in BOTH engines. BIGINT bounds:
-  * R2a ≤ 2·n² — exact to n ≈ 2·10⁹ rows per event type; past that the
-  * sums move to DECIMAL(38,0) (the §5 device), the plan unchanged.
+  * n ≤ 1) drive var_u ≤ 0 → NULL z in BOTH engines. Bounds: the rank sum
+  * R2a ≤ 2·n² stays BIGINT — exact to n ≈ 2·10⁹ rows per event type; the
+  * CUBIC tie term Σ(t³−t) would overflow BIGINT at a single tie group of
+  * ~2.1M rows (t³ > 2⁶³ — realistic for a dominant cents price point), so
+  * it is summed in DECIMAL(38,0) / HUGEINT (the §5 device) from the
+  * start — exact to t ≈ 4.6·10¹², the same plan shape.
   */
 object RankTests {
 
@@ -69,7 +72,9 @@ object RankTests {
       // Σ over arm-A rows of 2×midrank — exact BIGINT rank-sum.
       sum($"c_a" * (lit(2L) * $"below" + $"t" + 1L)).as("r2_a"),
       // Σ (t³ − t) over tie groups — the variance correction numerator.
-      sum($"t" * $"t" * $"t" - $"t").as("tie_term"))
+      // DECIMAL(38,0): t³ outruns BIGINT once one tie group tops ~2.1M
+      // rows; the decimal sum is exact to t ≈ 4.6·10¹².
+      sum($"t".cast("decimal(38,0)") * $"t" * $"t" - $"t").as("tie_term"))
     val nanb = $"n_a" * $"n_b"
     val nD = ($"n_a" + $"n_b").cast("double")
     // var_U = (n_a·n_b / 12) · ((N+1) − Σ(t³−t)/(N(N−1))) — the exact
@@ -121,7 +126,7 @@ object RankTests {
       |    CAST(SUM(c_a) AS BIGINT) AS n_a,
       |    CAST(SUM(c_b) AS BIGINT) AS n_b,
       |    CAST(SUM(c_a * (2 * below + t + 1)) AS BIGINT) AS r2_a,
-      |    CAST(SUM(t * t * t - t) AS BIGINT) AS tie_term
+      |    SUM(CAST(t AS HUGEINT) * t * t - t) AS tie_term
       |  FROM ranked GROUP BY 1
       |), d AS (
       |  SELECT event_type, n_a, n_b,

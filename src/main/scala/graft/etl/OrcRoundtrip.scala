@@ -36,8 +36,12 @@ object OrcRoundtrip {
     built.synchronized {
       built.getOrElseUpdate((spark, dir), {
         import spark.implicits._
-        val p = s"${System.getProperty("java.io.tmpdir")}/graft_orc_" +
-          java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL) +
+        // SHA-256 prefix, not String.hashCode: two distinct dirs in one
+        // process colliding on 32 bits would silently overwrite each
+        // other's artifact while the cache still points at it.
+        val dirDigest = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(dir.getBytes("UTF-8")).take(12).map("%02x".format(_)).mkString
+        val p = s"${System.getProperty("java.io.tmpdir")}/graft_orc_" + dirDigest +
           "_" + ProcessHandle.current().pid() +
           "_" + Integer.toHexString(System.identityHashCode(spark))
         Tables.lineitem(spark, dir)

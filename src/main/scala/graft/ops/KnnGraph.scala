@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.LongVectorDot.vector_dot
@@ -367,11 +367,17 @@ object KnnGraph {
       auth = hitsGather(eBySrc, hub, "src", "dst")
       hub = hitsGather(eByDst, auth, "dst", "src")
     }
+    // Edgeless graph: the oracle's per-round divisor is NULL (MAX over an
+    // empty gather), so its scores degrade to NULL — mirror that here
+    // instead of zero-filling; on any non-empty graph d >= 1 and a node
+    // that gathers nothing is a genuine 0 in BOTH engines.
+    val zeroFill: Column => Column =
+      if (edges.isEmpty) _ => lit(null).cast("long") else coalesce(_, lit(0L))
     nodes
       .join(hub.withColumnRenamed("x", "hub_scaled"), Seq("vec_id"), "left")
       .join(auth.withColumnRenamed("x", "auth_scaled"), Seq("vec_id"), "left")
-      .select($"vec_id", coalesce($"hub_scaled", lit(0L)).as("hub_scaled"),
-        coalesce($"auth_scaled", lit(0L)).as("auth_scaled"))
+      .select($"vec_id", zeroFill($"hub_scaled").as("hub_scaled"),
+        zeroFill($"auth_scaled").as("auth_scaled"))
       .orderBy($"vec_id")
   }
 
@@ -399,7 +405,11 @@ object KnnGraph {
       joinKey: String, groupKey: String): DataFrame = {
     import edgesPinned.sparkSession.implicits._
     val raw = hitsRawGather(edgesPinned, values, joinKey, groupKey).localCheckpoint()
-    val d = raw.agg(expr(s"max(raw) div $HitsScale + CAST(1 AS BIGINT)"))
+    // coalesce: an edgeless graph yields an empty gather → NULL max; d=1
+    // keeps the divide defined (raw is empty, so the round stays empty —
+    // the sparse absent-node-is-zero form the oracle zero-fill matches).
+    val d = raw.agg(expr(
+        s"coalesce(max(raw) div $HitsScale + CAST(1 AS BIGINT), CAST(1 AS BIGINT))"))
       .head().getLong(0)
     raw.select(col(groupKey).as("vec_id"), expr(s"raw div $d").as("x"))
   }

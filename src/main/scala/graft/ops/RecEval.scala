@@ -73,9 +73,14 @@ object RecEval {
     // Calendar cutoff: min + floor(4·span/5) days — a scalar aggregate,
     // the one driver-side value in the entry.
     val b = ord.agg(min($"od").as("mn"), max($"od").as("mx")).head()
-    val mn = b.getDate(0).toLocalDate
-    val span = java.time.temporal.ChronoUnit.DAYS.between(mn, b.getDate(1).toLocalDate)
-    val cutoff = java.sql.Date.valueOf(mn.plusDays(span * 4 / 5))
+    // Empty orders → NULL bounds; any cutoff works (the profile join is
+    // empty), so pin the epoch and let the tails emit their NULL-metric
+    // rows like the other documented empty edges.
+    val cutoff = if (b.isNullAt(0)) java.sql.Date.valueOf("1970-01-01") else {
+      val mn = b.getDate(0).toLocalDate
+      val span = java.time.temporal.ChronoUnit.DAYS.between(mn, b.getDate(1).toLocalDate)
+      java.sql.Date.valueOf(mn.plusDays(span * 4 / 5))
+    }
     // ONE fact scan: per-(user, item) listen counts on BOTH sides of the
     // cutoff; train profile, novelty side and holdout project from it.
     val prof = li.join(ord, $"l_orderkey" === $"o_orderkey")

@@ -403,6 +403,17 @@ class KnnGraphSpec extends SparkSuite {
       Set("x"))
   }
 
+  test("hits gather on an edgeless graph is empty and defined (no NPE divisor)") {
+    import spark.implicits._
+    val edges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val scores = Seq((1L, 1000000000L), (2L, 500L)).toDF("vec_id", "x")
+    // Pre-guard this threw on getLong(0): MAX over the empty gather is
+    // NULL. The coalesced divisor keeps the round defined and empty.
+    val out = ops.KnnGraph.hitsGather(edges, scores, "src", "dst")
+    assert(out.count() == 0L)
+    assert(out.columns.toSeq == Seq("vec_id", "x"))
+  }
+
   test("knn_graph_link_predict: predictions are non-edges with bounded evidence") {
     import spark.implicits._
     val mutual = ops.KnnGraph.knnGraphExact(spark, sf).filter($"mutual")

@@ -170,6 +170,29 @@ class RankTestsSpec extends SparkSuite {
     assert(math.abs(empSum - 1.0) < 1e-9)
   }
 
+  test("a 2.4M-row tie group does not overflow the cubic tie term") {
+    // t³ = 1.38e19 > 2⁶³ — BIGINT would raise under ANSI; the
+    // DECIMAL(38,0) tie sum stays exact. Two symmetric value groups keep
+    // var_u > 0 so the full variance path (not just the NULL edge) runs.
+    import spark.implicits._
+    val hist = Seq(
+      ("a", 1L, 1200000L, 1200000L),
+      ("a", 2L, 1200000L, 1200000L)).toDF("event_type", "y_c", "c_a", "c_b")
+    val row = core.RankTests.mannWhitneyFromHist(hist).collect().head
+    val t = 2400000L
+    val tie = new java.math.BigDecimal(
+      java.math.BigInteger.valueOf(t).pow(3)
+        .subtract(java.math.BigInteger.valueOf(t))
+        .multiply(java.math.BigInteger.valueOf(2L))).doubleValue()
+    val nD = 4800000.0
+    val expVar = (2400000.0 * 2400000.0) / 12.0 *
+      ((nD + 1.0) - tie / (nD * (nD - 1.0)))
+    assert(row.getAs[Double]("var_u") == expVar)
+    assert(expVar > 0.0)
+    // Symmetric arms: U_a == U_b == n_a·n_b/2 -> z == 0.
+    assert(row.getAs[Double]("z") == 0.0)
+  }
+
   test("corpus entry: non-vacuous and U_a + U_b == n_a*n_b per type") {
     val rows = core.RankTests.eventsAbMannWhitney(spark, sf).collect()
     assert(rows.nonEmpty)

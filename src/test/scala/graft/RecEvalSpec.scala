@@ -166,6 +166,18 @@ class RecEvalSpec extends SparkSuite {
     }
   }
 
+  test("an empty orders frame degrades to NULL-metric rows, not an NPE") {
+    // The calendar-cutoff scalar is NULL on an empty frame; the guard
+    // pins the epoch and the tails emit their documented NULL metrics.
+    val (li, ord) = frames(Seq.empty)
+    val rows = ops.RecEval.recEvalPrkOn(li, ord).collect()
+    assert(rows.nonEmpty, "the k-rows frame is emitted even on an empty corpus")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_hits") == 0L && r.getAs[Long]("n_recs") == 0L)
+      assert(r.isNullAt(r.fieldIndex("precision_at_k")))
+    }
+  }
+
   test("corpus entry: 3 k-rows, counts monotone in k, rates in [0,1]") {
     val rows = ops.RecEval.recEvalPrk(spark, sf).collect().sortBy(_.getAs[Long]("k"))
     assert(rows.map(_.getAs[Long]("k")).toSeq == Seq(1L, 3L, 5L))
