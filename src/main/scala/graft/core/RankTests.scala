@@ -242,13 +242,247 @@ object RankTests {
       |FROM z
       |ORDER BY event_type""".stripMargin
 
+  /** §2 entry `events_ab_ks` — the two-sample KOLMOGOROV–SMIRNOV test
+    * completing the distribution-shape axis of the A/B family: Welch
+    * compares means, Mann–Whitney stochastic order, the proportions z
+    * conversion, and KS the ENTIRE distribution — D = sup |F̂_a − F̂_b|
+    * catches a variance or tail change the other three are blind to
+    * (same mean, same median, different spread). Same experiment
+    * framing: arms by user parity, one test per event type, values on
+    * the cents grid. Reference semantics: the distribution-shift screen
+    * over the reference's per-event value rollups (gold_ddl.sql).
+    *
+    * Scale shape: the SAME domain-bounded (event_type, y_c, c_a, c_b)
+    * value histogram the Mann–Whitney entry collapses to (one corpus
+    * pass; ≤ types×cents rows) — both ECDFs are running sums over that
+    * bounded frame, windows partitioned per type. The streaming A/B
+    * state serves this too ([[graft.streaming.AbStream]]): histogram
+    * counts are the sufficient statistic for all four tests.
+    *
+    * Exactness (hash-gate): the sup gap enters as the INTEGER
+    * cross-multiplied form max |cum_a·n_b − cum_b·n_a| (ECDF steps only
+    * move at histogram rows, so the max over distinct values IS the
+    * sup) — exact BIGINT to n_a·n_b < 2⁶³ (~3·10⁹ rows per arm per
+    * type; past that the products move to DECIMAL(38,0), plan
+    * unchanged); D and the α=0.05 rejection bound c·√((n_a+n_b)/
+    * (n_a·n_b)) add two divides and one sqrt of correctly-rounded
+    * doubles mirrored token for token. c = √(−ln(0.025)/2) enters as a
+    * literal on BOTH engines (the literal-weights discipline —
+    * RankTestsSpec re-derives it from math.log). An empty arm voids D
+    * and the verdict → NULL in both engines.
+    */
+  private[graft] val KsCoeff05 = 1.3581015157406195 // sqrt(-ln(0.025)/2)
+
+  private[graft] def ksFromHist(hist: DataFrame): DataFrame = {
+    import hist.sparkSession.implicits._
+    val wCum = Window.partitionBy($"event_type").orderBy($"y_c")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy($"event_type")
+    val cum = hist
+      .withColumn("cum_a", sum($"c_a").over(wCum))
+      .withColumn("cum_b", sum($"c_b").over(wCum))
+      .withColumn("n_a", sum($"c_a").over(wAll))
+      .withColumn("n_b", sum($"c_b").over(wAll))
+    val agg = cum.groupBy($"event_type").agg(
+      max($"n_a").as("n_a"), max($"n_b").as("n_b"),
+      max(abs($"cum_a" * $"n_b" - $"cum_b" * $"n_a")).as("gap"))
+    val nanb = $"n_a" * $"n_b"
+    agg
+      .withColumn("d",
+        when(nanb > 0L, $"gap".cast("double") / nanb.cast("double")))
+      .withColumn("d_crit",
+        when(nanb > 0L, lit(KsCoeff05) *
+          sqrt(($"n_a" + $"n_b").cast("double") / nanb.cast("double"))))
+      .withColumn("significant",
+        when($"d".isNull, lit(null).cast("boolean")).otherwise($"d" > $"d_crit"))
+      .select($"event_type", $"n_a", $"n_b", $"d", $"d_crit", $"significant")
+      .orderBy($"event_type")
+  }
+
+  def eventsAbKs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"event_type", pmod($"user_id", lit(2)).as("arm"),
+        ($"value".cast("decimal(10,2)") * 100).cast("long").as("y_c"))
+    ksFromHist(ev.groupBy($"event_type", $"y_c").agg(
+      sum(when($"arm" === 0, 1L).otherwise(0L)).as("c_a"),
+      sum(when($"arm" === 1, 1L).otherwise(0L)).as("c_b")))
+  }
+
+  val eventsAbKsSql: String =
+    s"""WITH ev AS (
+      |  SELECT event_type, user_id % 2 AS arm,
+      |    CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT) AS y_c
+      |  FROM events
+      |), grouped AS (
+      |  SELECT event_type, y_c,
+      |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_b
+      |  FROM ev GROUP BY 1, 2
+      |), cum AS (
+      |  SELECT event_type,
+      |    SUM(c_a) OVER (PARTITION BY event_type ORDER BY y_c
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+      |    SUM(c_b) OVER (PARTITION BY event_type ORDER BY y_c
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b,
+      |    SUM(c_a) OVER (PARTITION BY event_type) AS n_a,
+      |    SUM(c_b) OVER (PARTITION BY event_type) AS n_b
+      |  FROM grouped
+      |), agg AS (
+      |  SELECT event_type,
+      |    CAST(MAX(n_a) AS BIGINT) AS n_a,
+      |    CAST(MAX(n_b) AS BIGINT) AS n_b,
+      |    CAST(MAX(ABS(cum_a * n_b - cum_b * n_a)) AS BIGINT) AS gap
+      |  FROM cum GROUP BY 1
+      |), d AS (
+      |  SELECT event_type, n_a, n_b,
+      |    CASE WHEN n_a * n_b > 0
+      |      THEN CAST(gap AS DOUBLE) / CAST(n_a * n_b AS DOUBLE) END AS d,
+      |    CASE WHEN n_a * n_b > 0
+      |      THEN $KsCoeff05 *
+      |        sqrt(CAST(n_a + n_b AS DOUBLE) / CAST(n_a * n_b AS DOUBLE))
+      |      END AS d_crit
+      |  FROM agg
+      |)
+      |SELECT event_type, n_a, n_b, d, d_crit,
+      |  CASE WHEN d IS NULL THEN NULL ELSE d > d_crit END AS significant
+      |FROM d
+      |ORDER BY event_type""".stripMargin
+
+  /** §2 entry `events_ab_kruskal` — KRUSKAL–WALLIS H, the rank test for
+    * MORE than two arms (the one-way ANOVA's nonparametric twin): three
+    * variant arms by `user_id % 3`, one test per event type, H from
+    * pooled midranks with the ties correction. Mann–Whitney answers
+    * "did B move vs A"; this answers "do ANY of the k variants differ"
+    * without k² pairwise tests inflating the false-positive rate — the
+    * gate you run BEFORE drilling into pairs. Reference semantics: the
+    * multi-variant readout over the same per-event value rollups.
+    *
+    * Scale shape: the Mann–Whitney discipline with a third counter —
+    * ONE corpus pass to the domain-bounded (type, y_c, c_0, c_1, c_2)
+    * histogram, ranks from the same per-type running-sum window.
+    *
+    * Exactness (hash-gate): per-arm DOUBLE-rank sums r2_i = Σ c_i·
+    * (2·below + t + 1) are exact BIGINTs (≤ 2n², the MW bound); the
+    * squared sums enter H via DECIMAL(38,0)/HUGEINT products (r2²
+    * outruns BIGINT past n ≈ 55k rows per type — sf0.01 already
+    * crosses it); the cubic tie term is the MW DECIMAL device. H's
+    * double tree — 12/(N(N+1))·Σ r2_i²/(4n_i) − 3(N+1), all over the
+    * tie correction 1 − Σ(t³−t)/(N³−N) — is mirrored token for token.
+    * χ²(df=2, α=0.05) enters as the literal −2·ln(0.05) (the df=2 CDF
+    * is 1 − e^(−x/2)), re-derived in RankTestsSpec. Edges: N < 2 or an all-tied pool →
+    * NULL h; an EMPTY arm shifts df, so the 3-arm verdict is only
+    * emitted when all three arms are populated (NULL otherwise) — both
+    * engines agree.
+    */
+  private[graft] val KwChi2Df2Crit = 5.991464547107982 // -2*ln(0.05)
+
+  private[graft] def kruskalOn(ev: DataFrame): DataFrame = {
+    import ev.sparkSession.implicits._
+    val hist = ev.groupBy($"event_type", $"y_c").agg(
+      sum(when($"arm" === 0, 1L).otherwise(0L)).as("c_0"),
+      sum(when($"arm" === 1, 1L).otherwise(0L)).as("c_1"),
+      sum(when($"arm" === 2, 1L).otherwise(0L)).as("c_2"))
+    val grouped = hist.withColumn("t", $"c_0" + $"c_1" + $"c_2")
+    val w = Window.partitionBy($"event_type").orderBy($"y_c")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = grouped.withColumn("below", coalesce(sum($"t").over(w), lit(0L)))
+    val agg = ranked.groupBy($"event_type").agg(
+      sum($"c_0").as("n_0"), sum($"c_1").as("n_1"), sum($"c_2").as("n_2"),
+      sum($"c_0" * (lit(2L) * $"below" + $"t" + 1L)).as("r2_0"),
+      sum($"c_1" * (lit(2L) * $"below" + $"t" + 1L)).as("r2_1"),
+      sum($"c_2" * (lit(2L) * $"below" + $"t" + 1L)).as("r2_2"),
+      sum($"t".cast("decimal(38,0)") * $"t" * $"t" - $"t").as("tie_term"))
+    val nTot = $"n_0" + $"n_1" + $"n_2"
+    val nD = nTot.cast("double")
+    def term(i: Int): Column = when(col(s"n_$i") > 0L,
+      (col(s"r2_$i").cast("decimal(38,0)") * col(s"r2_$i")).cast("double")
+        / (lit(4.0) * col(s"n_$i").cast("double"))).otherwise(lit(0.0))
+    val hRaw = lit(12.0) / (nD * (nD + 1.0)) * (term(0) + term(1) + term(2)) -
+      lit(3.0) * (nD + 1.0)
+    val corr = lit(1.0) - $"tie_term".cast("double") / (nD * nD * nD - nD)
+    agg
+      .withColumn("h", when(nTot >= lit(2L) && corr > 0.0, hRaw / corr))
+      .withColumn("significant",
+        when($"h".isNull || $"n_0" === 0L || $"n_1" === 0L || $"n_2" === 0L,
+          lit(null).cast("boolean"))
+          .otherwise($"h" > KwChi2Df2Crit))
+      .select($"event_type", $"n_0", $"n_1", $"n_2", $"h", $"significant")
+      .orderBy($"event_type")
+  }
+
+  def eventsAbKruskal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    kruskalOn(Tables.events(spark, dir)
+      .select($"event_type", pmod($"user_id", lit(3)).as("arm"),
+        ($"value".cast("decimal(10,2)") * 100).cast("long").as("y_c")))
+  }
+
+  val eventsAbKruskalSql: String =
+    s"""WITH ev AS (
+      |  SELECT event_type, user_id % 3 AS arm,
+      |    CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT) AS y_c
+      |  FROM events
+      |), grouped AS (
+      |  SELECT event_type, y_c,
+      |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_0,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_1,
+      |    CAST(SUM(CASE WHEN arm = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c_2
+      |  FROM ev GROUP BY 1, 2
+      |), ranked AS (
+      |  SELECT event_type, c_0, c_1, c_2, c_0 + c_1 + c_2 AS t,
+      |    COALESCE(SUM(c_0 + c_1 + c_2) OVER (PARTITION BY event_type
+      |      ORDER BY y_c
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+      |  FROM grouped
+      |), agg AS (
+      |  SELECT event_type,
+      |    CAST(SUM(c_0) AS BIGINT) AS n_0,
+      |    CAST(SUM(c_1) AS BIGINT) AS n_1,
+      |    CAST(SUM(c_2) AS BIGINT) AS n_2,
+      |    CAST(SUM(c_0 * (2 * below + t + 1)) AS BIGINT) AS r2_0,
+      |    CAST(SUM(c_1 * (2 * below + t + 1)) AS BIGINT) AS r2_1,
+      |    CAST(SUM(c_2 * (2 * below + t + 1)) AS BIGINT) AS r2_2,
+      |    SUM(CAST(t AS HUGEINT) * t * t - t) AS tie_term
+      |  FROM ranked GROUP BY 1
+      |), d AS (
+      |  SELECT event_type, n_0, n_1, n_2,
+      |    CAST(n_0 + n_1 + n_2 AS DOUBLE) AS n_d,
+      |    n_0 + n_1 + n_2 AS n_tot,
+      |    (CASE WHEN n_0 > 0 THEN CAST(CAST(r2_0 AS HUGEINT) * r2_0 AS DOUBLE)
+      |        / (4.0 * CAST(n_0 AS DOUBLE)) ELSE 0.0 END
+      |     + CASE WHEN n_1 > 0 THEN CAST(CAST(r2_1 AS HUGEINT) * r2_1 AS DOUBLE)
+      |        / (4.0 * CAST(n_1 AS DOUBLE)) ELSE 0.0 END
+      |     + CASE WHEN n_2 > 0 THEN CAST(CAST(r2_2 AS HUGEINT) * r2_2 AS DOUBLE)
+      |        / (4.0 * CAST(n_2 AS DOUBLE)) ELSE 0.0 END) AS terms,
+      |    CAST(tie_term AS DOUBLE) AS tie_d
+      |  FROM agg
+      |), h AS (
+      |  SELECT event_type, n_0, n_1, n_2,
+      |    CASE WHEN n_tot >= 2
+      |        AND 1.0 - tie_d / (n_d * n_d * n_d - n_d) > 0.0
+      |      THEN (12.0 / (n_d * (n_d + 1.0)) * terms - 3.0 * (n_d + 1.0))
+      |        / (1.0 - tie_d / (n_d * n_d * n_d - n_d))
+      |      END AS h
+      |  FROM d
+      |)
+      |SELECT event_type, n_0, n_1, n_2, h,
+      |  CASE WHEN h IS NULL OR n_0 = 0 OR n_1 = 0 OR n_2 = 0 THEN NULL
+      |    ELSE h > $KwChi2Df2Crit END AS significant
+      |FROM h
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_ab_mannwhitney" -> (eventsAbMannWhitney _),
-    "events_ab_proportions" -> (eventsAbProportions _)
+    "events_ab_proportions" -> (eventsAbProportions _),
+    "events_ab_ks"          -> (eventsAbKs _),
+    "events_ab_kruskal"     -> (eventsAbKruskal _)
   )
 
   val oracleSql: Map[String, String] = Map(
     "events_ab_mannwhitney" -> eventsAbMannWhitneySql,
-    "events_ab_proportions" -> eventsAbProportionsSql
+    "events_ab_proportions" -> eventsAbProportionsSql,
+    "events_ab_ks"          -> eventsAbKsSql,
+    "events_ab_kruskal"     -> eventsAbKruskalSql
   )
 }

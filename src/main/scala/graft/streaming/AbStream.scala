@@ -83,4 +83,11 @@ object AbStream {
     */
   def serveMannWhitney(spark: SparkSession, statePath: String): DataFrame =
     graft.core.RankTests.mannWhitneyFromHist(stateHist(spark, statePath))
+
+  /** Kolmogorov–Smirnov D from the folded histogram — the third test
+    * the one histogram fold serves: both ECDFs are running sums over
+    * the state rows, nothing beyond the histogram is needed.
+    */
+  def serveKs(spark: SparkSession, statePath: String): DataFrame =
+    graft.core.RankTests.ksFromHist(stateHist(spark, statePath))
 }

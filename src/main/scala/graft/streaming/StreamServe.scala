@@ -136,10 +136,11 @@ object StreamServe {
         foldInThirds(s, d, (b, i) => AttributionStream.attributionFold(b, p, i))
       })
 
-  /** Welch t and Mann–Whitney U served from ONE folded value-histogram
-    * state (the A/B state family — histogram counts merge additively;
-    * both tests project from it through the shared batch cores) — held
-    * to the batch entries' oracles verbatim.
+  /** Welch t, Mann–Whitney U and Kolmogorov–Smirnov D served from ONE
+    * folded value-histogram state (the A/B state family — histogram
+    * counts merge additively; all three tests project from it through
+    * the shared batch cores) — held to the batch entries' oracles
+    * verbatim.
     */
   def abWelchServed(spark: SparkSession, dir: String): DataFrame =
     AbStream.serveWelch(spark,
@@ -149,6 +150,12 @@ object StreamServe {
 
   def abMannWhitneyServed(spark: SparkSession, dir: String): DataFrame =
     AbStream.serveMannWhitney(spark,
+      statePathFor(spark, dir, "ab") { (s, d, p) =>
+        foldInThirds(s, d, (b, i) => AbStream.histFold(b, p, i))
+      })
+
+  def abKsServed(spark: SparkSession, dir: String): DataFrame =
+    AbStream.serveKs(spark,
       statePathFor(spark, dir, "ab") { (s, d, p) =>
         foldInThirds(s, d, (b, i) => AbStream.histFold(b, p, i))
       })
@@ -174,6 +181,7 @@ object StreamServe {
     "dm_growth_accounting_served"  -> (growthAccountingServed _),
     "events_ab_welch_served"       -> (abWelchServed _),
     "events_ab_mannwhitney_served" -> (abMannWhitneyServed _),
+    "events_ab_ks_served"          -> (abKsServed _),
     "events_attribution_position_served" -> (attributionPositionServed _),
     "events_retention_bitmap_served"   -> (retentionBitmapServed _),
     "events_markov_transitions_served" -> (markovServed _),
@@ -188,6 +196,7 @@ object StreamServe {
     "dm_growth_accounting_served"  -> graft.core.GrowthQueries.dmGrowthAccountingSql,
     "events_ab_welch_served"       -> graft.core.StatsQueries.eventsAbWelchSql,
     "events_ab_mannwhitney_served" -> graft.core.RankTests.eventsAbMannWhitneySql,
+    "events_ab_ks_served"          -> graft.core.RankTests.eventsAbKsSql,
     "events_markov_transitions_served" -> graft.core.EngagementQueries.eventsMarkovTransitionsSql,
     "events_value_corr_served"         -> graft.core.StatsQueries.eventsValueCorrSql,
     "dq_drift_chi2_served"             -> graft.etl.DataQuality.dqDriftChi2Sql,

@@ -29,6 +29,9 @@ class AbStreamSpec extends SparkSuite {
       .orderBy($"event_type"))
     assert(mw == seqOf(core.RankTests.eventsAbMannWhitney(spark, sf)) &&
       mw.nonEmpty)
+    val ks = seqOf(streaming.AbStream.serveKs(spark, dir)
+      .orderBy($"event_type"))
+    assert(ks == seqOf(core.RankTests.eventsAbKs(spark, sf)) && ks.nonEmpty)
   }
 
   test("retry of the last batch no-ops; an older batch id fails loudly") {

@@ -170,6 +170,105 @@ class RankTestsSpec extends SparkSuite {
     assert(math.abs(empSum - 1.0) < 1e-9)
   }
 
+  private def ks(rows: Seq[(String, Int, Long)]): Row = {
+    import spark.implicits._
+    val hist = ev(rows).groupBy($"event_type", $"y_c").agg(
+      org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.when($"arm" === 0, 1L).otherwise(0L)).as("c_a"),
+      org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.when($"arm" === 1, 1L).otherwise(0L)).as("c_b"))
+    core.RankTests.ksFromHist(hist).collect().head
+  }
+
+  test("ks: hand-computed sup gap on a 3v3 pool; literal re-derives") {
+    assert(core.RankTests.KsCoeff05 == math.sqrt(-math.log(0.025) / 2.0))
+    // A = {1,2,3}, B = {2,3,4}: ECDF gap is 1/3 at every step.
+    val row = ks(Seq(("a", 0, 1L), ("a", 0, 2L), ("a", 0, 3L),
+      ("a", 1, 2L), ("a", 1, 3L), ("a", 1, 4L)))
+    assert(row.getAs[Long]("n_a") == 3L && row.getAs[Long]("n_b") == 3L)
+    assert(row.getAs[Double]("d") == 3.0 / 9.0)
+    assert(row.getAs[Double]("d_crit") ==
+      core.RankTests.KsCoeff05 * math.sqrt(6.0 / 9.0))
+    assert(!row.getAs[Boolean]("significant"))
+  }
+
+  test("ks detects a mean-preserving spread the rank tests cannot see") {
+    // A: 100 values at 10. B: 50 at 0 and 50 at 20 — same mean, and U is
+    // dead-center by symmetry; the ECDF gap at 0 is 0.5 and decisive.
+    val rows = (1 to 100).map(_ => ("a", 0, 10L)) ++
+      (1 to 50).map(_ => ("a", 1, 0L)) ++ (1 to 50).map(_ => ("a", 1, 20L))
+    val k = ks(rows)
+    assert(k.getAs[Double]("d") == 0.5)
+    assert(k.getAs[Boolean]("significant"))
+    val u = mw(rows)
+    assert(u.getAs[Double]("u_a") == u.getAs[Double]("u_b"),
+      "symmetric spread: U is dead-center")
+    assert(!u.getAs[Boolean]("significant"))
+  }
+
+  test("ks: an empty arm voids D and the verdict") {
+    val row = ks(Seq(("a", 0, 1L), ("a", 0, 2L)))
+    assert(row.isNullAt(row.fieldIndex("d")))
+    assert(row.isNullAt(row.fieldIndex("significant")))
+  }
+
+  private def kw(rows: Seq[(String, Int, Long)]): Row =
+    core.RankTests.kruskalOn(ev(rows)).collect().head
+
+  test("kruskal: hand-computed H on untied ranks; chi2 literal re-derives") {
+    assert(core.RankTests.KwChi2Df2Crit == -2.0 * math.log(0.05))
+    // arms {1,2} {3,4} {5,6}: R = 3, 7, 11 over ranks 1..6.
+    val row = kw(Seq(("a", 0, 1L), ("a", 0, 2L), ("a", 1, 3L), ("a", 1, 4L),
+      ("a", 2, 5L), ("a", 2, 6L)))
+    val nD = 6.0
+    val terms = 36.0 / (4.0 * 2.0) + 196.0 / (4.0 * 2.0) + 484.0 / (4.0 * 2.0)
+    val expH = (12.0 / (nD * (nD + 1.0)) * terms - 3.0 * (nD + 1.0)) / 1.0
+    assert(row.getAs[Double]("h") == expH)
+    assert(!row.getAs[Boolean]("significant"), "H = 4.57 < 5.99")
+  }
+
+  test("kruskal: midranks and the tie correction on a tied pool") {
+    // arms {1,1} {1,2} {2,2}: value 1 x3 (midrank 2), value 2 x3
+    // (midrank 5); R = 4, 7, 10; tie term 2*(27-3) = 48.
+    val row = kw(Seq(("a", 0, 1L), ("a", 0, 1L), ("a", 1, 1L), ("a", 1, 2L),
+      ("a", 2, 2L), ("a", 2, 2L)))
+    val nD = 6.0
+    val terms = 64.0 / (4.0 * 2.0) + 196.0 / (4.0 * 2.0) + 400.0 / (4.0 * 2.0)
+    val hRaw = 12.0 / (nD * (nD + 1.0)) * terms - 3.0 * (nD + 1.0)
+    val expH = hRaw / (1.0 - 48.0 / (nD * nD * nD - nD))
+    assert(row.getAs[Double]("h") == expH)
+  }
+
+  test("kruskal: a planted arm shift is significant; degenerate pools are NULL") {
+    val base = (1 to 30).flatMap(i => Seq(("a", 0, i.toLong), ("a", 1, i.toLong),
+      ("a", 2, i + 1000L)))
+    val shifted = kw(base)
+    assert(shifted.getAs[Double]("h") > core.RankTests.KwChi2Df2Crit)
+    assert(shifted.getAs[Boolean]("significant"))
+    val allTied = kw(Seq(("a", 0, 7L), ("a", 1, 7L), ("a", 2, 7L)))
+    assert(allTied.isNullAt(allTied.fieldIndex("h")))
+    // an empty arm shifts df: h stays defined, the 3-arm verdict is NULL
+    val twoArms = kw(Seq(("a", 0, 1L), ("a", 0, 2L), ("a", 1, 3L), ("a", 1, 4L)))
+    assert(!twoArms.isNullAt(twoArms.fieldIndex("h")))
+    assert(twoArms.isNullAt(twoArms.fieldIndex("significant")))
+  }
+
+  test("corpus ks + kruskal entries: defined, bounded, deterministic") {
+    val ksRows = core.RankTests.eventsAbKs(spark, sf).collect()
+    assert(ksRows.nonEmpty)
+    ksRows.foreach { r =>
+      val d = r.getAs[Double]("d")
+      assert(d >= 0.0 && d <= 1.0)
+      assert(r.getAs[Double]("d_crit") > 0.0)
+    }
+    val kwRows = core.RankTests.eventsAbKruskal(spark, sf).collect()
+    assert(kwRows.nonEmpty)
+    kwRows.foreach { r =>
+      assert(r.getAs[Long]("n_0") > 0L)
+      if (!r.isNullAt(r.fieldIndex("h"))) assert(r.getAs[Double]("h") >= -1e-9)
+    }
+  }
+
   test("a 2.4M-row tie group does not overflow the cubic tie term") {
     // t³ = 1.38e19 > 2⁶³ — BIGINT would raise under ANSI; the
     // DECIMAL(38,0) tie sum stays exact. Two symmetric value groups keep
