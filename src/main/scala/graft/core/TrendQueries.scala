@@ -317,17 +317,243 @@ object TrendQueries {
       |) p JOIN days d ON p.event_type = d.event_type
       |ORDER BY p.event_type""".stripMargin
 
+  /** §2 entry `events_changepoint_pettitt` — the RANK-based changepoint
+    * test beside the CUSUM level-shift detector (`events_changepoint_
+    * cusum`): Pettitt's U_t = Σ_{i≤t,j>t} sgn(x_j − x_i) locates the
+    * single most likely break in the daily series and TESTS it, with no
+    * distributional assumption — CUSUM flags where the running mean
+    * drifts (and a whale day drags it); Pettitt only counts rank
+    * concordance across the cut, so one spiked day cannot fake a break.
+    * The Mann–Kendall of changepoints: MK asks "is there a monotone
+    * trend", Pettitt asks "is there ONE structural break, and when".
+    *
+    * Scale shape: the shared daily collapse (ONE corpus pass,
+    * calendar-bounded frame), then U_t via the telescoping identity
+    * U_t = U_{t−1} + V_t with V_t = Σ_{e≠t} sgn(x_e − x_t) = m + 1 −
+    * midrank2(x_t) — the MW tie-group device gives every day's V from
+    * the per-type VALUE histogram + one below-window, and U is a
+    * day-ordered prefix sum: two bounded windows, NO days² join at all
+    * (cheaper than Theil–Sen on the same frame).
+    *
+    * Exactness (hash-gate): V and U are pure BIGINTs; K = max |U_t|
+    * over t < m with the argmax day picked by the engine-identical
+    * (|U| desc, day asc) order. Significance: p = 2·exp(−6K²/(m³+m²))
+    * ≤ 0.05 ⟺ 6K² > −ln(0.025)·(m³+m²), so the verdict needs no exp —
+    * the −ln(0.025) literal (the KS coefficient's sibling, re-derived
+    * in TrendSpec) and one double product chain mirrored token for
+    * token. A 1-day series has no interior cut → the type drops in
+    * both engines.
+    */
+  private[graft] val PettittLn40 = 3.6888794541139363 // -ln(0.025) = ln(40)
+
+  private[graft] def pettittOn(daily: DataFrame): DataFrame = {
+    import daily.sparkSession.implicits._
+    // Per-type value histogram with pooled-below counts (the MW device).
+    val hist = daily.groupBy($"event_type", $"n").agg(count(lit(1)).as("t"))
+    val wBelow = Window.partitionBy($"event_type").orderBy($"n")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val r2 = hist
+      .withColumn("below", coalesce(sum($"t").over(wBelow), lit(0L)))
+      .select($"event_type", $"n",
+        (lit(2L) * $"below" + $"t" + 1L).as("midrank2"))
+    val wAll = Window.partitionBy($"event_type")
+    val wDay = Window.partitionBy($"event_type").orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val u = daily.join(r2, Seq("event_type", "n"))
+      .withColumn("m", count(lit(1)).over(wAll))
+      .withColumn("v", $"m" + 1L - $"midrank2")
+      .withColumn("u", sum($"v").over(wDay))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"event_type").orderBy($"day")).cast("long"))
+      .filter($"rn" < $"m") // U_m == 0 identically; the cut is interior
+    val wPick = Window.partitionBy($"event_type").orderBy(abs($"u").desc, $"day")
+    val picked = u.withColumn("pick", row_number().over(wPick)).filter($"pick" === 1)
+    val mD = $"n_days".cast("double")
+    picked
+      .select($"event_type", $"m".as("n_days"), abs($"u").as("k_stat"),
+        $"day".cast("timestamp").as("change_day"))
+      .withColumn("significant",
+        lit(6.0) * $"k_stat".cast("double") * $"k_stat".cast("double") >
+          lit(PettittLn40) * (mD * mD * mD + mD * mD))
+      .orderBy($"event_type")
+  }
+
+  def eventsChangepointPettitt(spark: SparkSession, dir: String): DataFrame =
+    pettittOn(dailyOf(spark, dir))
+
+  val eventsChangepointPettittSql: String =
+    s"""WITH $dailySql, hist AS (
+      |  SELECT event_type, n, CAST(COUNT(*) AS BIGINT) AS t
+      |  FROM daily GROUP BY 1, 2
+      |), r2 AS (
+      |  SELECT event_type, n,
+      |    2 * COALESCE(SUM(t) OVER (PARTITION BY event_type ORDER BY n
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1
+      |      AS midrank2
+      |  FROM hist
+      |), vframe AS (
+      |  SELECT d.event_type, d.day,
+      |    CAST(COUNT(*) OVER (PARTITION BY d.event_type) AS BIGINT) AS m,
+      |    r2.midrank2,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY d.event_type ORDER BY d.day)
+      |      AS BIGINT) AS rn
+      |  FROM daily d JOIN r2 ON r2.event_type = d.event_type AND r2.n = d.n
+      |), u AS (
+      |  SELECT event_type, day, m, rn,
+      |    CAST(SUM(m + 1 - midrank2)
+      |      OVER (PARTITION BY event_type ORDER BY day
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS u
+      |  FROM vframe
+      |), picked AS (
+      |  SELECT event_type, m AS n_days, ABS(u) AS k_stat,
+      |    CAST(day AS TIMESTAMP) AS change_day,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type
+      |      ORDER BY ABS(u) DESC, day) AS pick
+      |  FROM u WHERE rn < m
+      |)
+      |SELECT event_type, n_days, k_stat, change_day,
+      |  6.0 * CAST(k_stat AS DOUBLE) * CAST(k_stat AS DOUBLE) >
+      |    $PettittLn40 * (CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE)
+      |      * CAST(n_days AS DOUBLE)
+      |      + CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE)) AS significant
+      |FROM picked WHERE pick = 1
+      |ORDER BY event_type""".stripMargin
+
+  /** §2 entry `events_value_spearman` — SPEARMAN rank correlation
+    * between daily volume and daily revenue per event type ("do busy
+    * days monetize, monotonically?"), the robust twin of the Pearson
+    * `events_value_corr`: Pearson bends to one whale day and only sees
+    * LINEAR association; Spearman ranks both margins first, so any
+    * monotone relation scores and no single day can move either margin
+    * by more than one rank step.
+    *
+    * Scale shape: one corpus pass to the (type, day, n, v) daily frame
+    * (counts AND value sums — the value axis needs cents), then BOTH
+    * margins' midranks from per-type value histograms (the MW tie
+    * device — two bounded windows), Pearson on the double-midranks via
+    * exact BIGINT sufficient statistics. Everything after the collapse
+    * is calendar-bounded; sums of rank products ≤ 4m⁴ hold in BIGINT
+    * to m ≈ 40k days per type — calendar-safe by two orders.
+    *
+    * Exactness (hash-gate): double-midranks are the exact integers of
+    * the MW device; the five Σ's are BIGINT; rho's one divide and one
+    * sqrt-of-product run on correctly-rounded doubles mirrored token
+    * for token. The large-sample screen z = rho·√(m−1) against 1.96
+    * (the house normal literal). A constant margin (all days equal
+    * volume or equal revenue) zeroes its variance → NULL rho in both
+    * engines; m < 2 likewise.
+    */
+  private[graft] def dailyValuesOf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(($"value".cast("decimal(10,2)") * 100).cast("long")).as("v"))
+  }
+
+  private[graft] def spearmanOn(daily: DataFrame): DataFrame = {
+    import daily.sparkSession.implicits._
+    def rank2Of(key: String): DataFrame = {
+      val hist = daily.groupBy($"event_type", col(key)).agg(count(lit(1)).as("t"))
+      val w = Window.partitionBy($"event_type").orderBy(col(key))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      hist.withColumn("below", coalesce(sum($"t").over(w), lit(0L)))
+        .select($"event_type", col(key),
+          (lit(2L) * $"below" + $"t" + 1L).as(s"r2_$key"))
+    }
+    val joined = daily
+      .join(rank2Of("n"), Seq("event_type", "n"))
+      .join(rank2Of("v"), Seq("event_type", "v"))
+    val agg = joined.groupBy($"event_type").agg(
+      count(lit(1)).as("m"),
+      sum($"r2_n").as("sx"), sum($"r2_v").as("sy"),
+      sum($"r2_n" * $"r2_n").as("sxx"), sum($"r2_v" * $"r2_v").as("syy"),
+      sum($"r2_n" * $"r2_v").as("sxy"))
+    val dxx = $"m" * $"sxx" - $"sx" * $"sx"
+    val dyy = $"m" * $"syy" - $"sy" * $"sy"
+    agg
+      .withColumn("rho",
+        when($"m" >= 2L && dxx > 0L && dyy > 0L,
+          ($"m" * $"sxy" - $"sx" * $"sy").cast("double") /
+            sqrt(dxx.cast("double") * dyy.cast("double"))))
+      .withColumn("z", when($"rho".isNotNull,
+        $"rho" * sqrt(($"m" - 1L).cast("double"))))
+      .withColumn("significant",
+        when($"z".isNull, lit(null).cast("boolean")).otherwise(abs($"z") > 1.96))
+      .select($"event_type", $"m".as("n_days"), $"rho", $"z", $"significant")
+      .orderBy($"event_type")
+  }
+
+  def eventsValueSpearman(spark: SparkSession, dir: String): DataFrame =
+    spearmanOn(dailyValuesOf(spark, dir))
+
+  val eventsValueSpearmanSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS v
+      |  FROM events GROUP BY 1, 2
+      |), rn AS (
+      |  SELECT event_type, n,
+      |    2 * COALESCE(SUM(t) OVER (PARTITION BY event_type ORDER BY n
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1
+      |      AS r2_n
+      |  FROM (SELECT event_type, n, CAST(COUNT(*) AS BIGINT) AS t
+      |        FROM daily GROUP BY 1, 2)
+      |), rv AS (
+      |  SELECT event_type, v,
+      |    2 * COALESCE(SUM(t) OVER (PARTITION BY event_type ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1
+      |      AS r2_v
+      |  FROM (SELECT event_type, v, CAST(COUNT(*) AS BIGINT) AS t
+      |        FROM daily GROUP BY 1, 2)
+      |), agg AS (
+      |  SELECT d.event_type,
+      |    CAST(COUNT(*) AS BIGINT) AS m,
+      |    CAST(SUM(rn.r2_n) AS BIGINT) AS sx,
+      |    CAST(SUM(rv.r2_v) AS BIGINT) AS sy,
+      |    CAST(SUM(rn.r2_n * rn.r2_n) AS BIGINT) AS sxx,
+      |    CAST(SUM(rv.r2_v * rv.r2_v) AS BIGINT) AS syy,
+      |    CAST(SUM(rn.r2_n * rv.r2_v) AS BIGINT) AS sxy
+      |  FROM daily d
+      |  JOIN rn ON rn.event_type = d.event_type AND rn.n = d.n
+      |  JOIN rv ON rv.event_type = d.event_type AND rv.v = d.v
+      |  GROUP BY 1
+      |), r AS (
+      |  SELECT event_type, m,
+      |    CASE WHEN m >= 2 AND m * sxx - sx * sx > 0 AND m * syy - sy * sy > 0
+      |      THEN CAST(m * sxy - sx * sy AS DOUBLE) /
+      |        sqrt(CAST(m * sxx - sx * sx AS DOUBLE)
+      |          * CAST(m * syy - sy * sy AS DOUBLE))
+      |      END AS rho
+      |  FROM agg
+      |), z AS (
+      |  SELECT event_type, m, rho,
+      |    CASE WHEN rho IS NOT NULL
+      |      THEN rho * sqrt(CAST(m - 1 AS DOUBLE)) END AS z
+      |  FROM r
+      |)
+      |SELECT event_type, m AS n_days, rho, z,
+      |  CASE WHEN z IS NULL THEN NULL ELSE ABS(z) > 1.96 END AS significant
+      |FROM z
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_trend_theilsen"    -> (eventsTrendTheilsen _),
     "events_trend_mannkendall" -> (eventsTrendMannKendall _),
     "events_dispersion"        -> (eventsDispersion _),
-    "events_level_hl"          -> (eventsLevelHl _)
+    "events_level_hl"          -> (eventsLevelHl _),
+    "events_changepoint_pettitt" -> (eventsChangepointPettitt _),
+    "events_value_spearman"      -> (eventsValueSpearman _)
   )
 
   val oracleSql: Map[String, String] = Map(
     "events_trend_theilsen"    -> eventsTrendTheilsenSql,
     "events_trend_mannkendall" -> eventsTrendMannKendallSql,
     "events_dispersion"        -> eventsDispersionSql,
-    "events_level_hl"          -> eventsLevelHlSql
+    "events_level_hl"          -> eventsLevelHlSql,
+    "events_changepoint_pettitt" -> eventsChangepointPettittSql,
+    "events_value_spearman"      -> eventsValueSpearmanSql
   )
 }

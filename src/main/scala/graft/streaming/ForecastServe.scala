@@ -73,6 +73,9 @@ object ForecastServe {
   def hlLevelServed(spark: SparkSession, dir: String): DataFrame =
     ForecastStream.serveHlLevel(spark, statePathFor(spark, dir))
 
+  def pettittServed(spark: SparkSession, dir: String): DataFrame =
+    ForecastStream.servePettitt(spark, statePathFor(spark, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_forecast_ses_served"  -> (sesServed _),
     "events_forecast_holt_served" -> (holtServed _),
@@ -82,7 +85,8 @@ object ForecastServe {
     "events_forecast_hw_served"       -> (hwServed _),
     "events_seasonality_strength_served" -> (seasonalityServed _),
     "events_dispersion_served" -> (dispersionServed _),
-    "events_level_hl_served"   -> (hlLevelServed _)
+    "events_level_hl_served"   -> (hlLevelServed _),
+    "events_changepoint_pettitt_served" -> (pettittServed _)
   )
 
   /** The batch twins' oracles verbatim — serve-from-state is bit-equal. */
@@ -96,6 +100,8 @@ object ForecastServe {
     "events_seasonality_strength_served" ->
       graft.core.SeasonalityQueries.eventsSeasonalityStrengthSql,
     "events_dispersion_served" -> graft.core.TrendQueries.eventsDispersionSql,
-    "events_level_hl_served"   -> graft.core.TrendQueries.eventsLevelHlSql
+    "events_level_hl_served"   -> graft.core.TrendQueries.eventsLevelHlSql,
+    "events_changepoint_pettitt_served" ->
+      graft.core.TrendQueries.eventsChangepointPettittSql
   )
 }

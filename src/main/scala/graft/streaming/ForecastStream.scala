@@ -103,4 +103,8 @@ object ForecastStream {
   /** Hodges–Lehmann robust level from the folded state. */
   def serveHlLevel(spark: SparkSession, statePath: String): DataFrame =
     graft.core.TrendQueries.hlLevelOn(stateDaily(spark, statePath))
+
+  /** Pettitt changepoint test from the folded state. */
+  def servePettitt(spark: SparkSession, statePath: String): DataFrame =
+    graft.core.TrendQueries.pettittOn(stateDaily(spark, statePath))
 }

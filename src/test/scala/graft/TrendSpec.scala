@@ -170,4 +170,85 @@ class TrendSpec extends SparkSuite {
     assert(batchMk == servedMk)
     assert(batchTs.nonEmpty && batchMk.nonEmpty)
   }
+
+  private def pettitt(rows: Seq[(String, String, Long)]) =
+    core.TrendQueries.pettittOn(daily(rows)).collect()
+
+  test("pettitt: a planted level break is located and significant") {
+    assert(core.TrendQueries.PettittLn40 == math.log(40.0))
+    assert(core.TrendQueries.PettittLn40 == -math.log(0.025))
+    // 10 days at 5, then 10 days at 50: U peaks at the cut with
+    // K = 10*10 = 100; 6K^2 = 60000 > ln40*(8000+400) ~ 30987.
+    val rows = (1 to 10).map(i => ("a", f"2024-01-$i%02d", 5L)) ++
+      (11 to 20).map(i => ("a", f"2024-01-$i%02d", 50L))
+    val r = pettitt(rows).head
+    assert(r.getAs[Long]("n_days") == 20L)
+    assert(r.getAs[Long]("k_stat") == 100L)
+    assert(r.getAs[java.sql.Timestamp]("change_day").toString.startsWith("2024-01-10"))
+    assert(r.getAs[Boolean]("significant"))
+  }
+
+  test("pettitt: hand-computed U on a 3-day series; earliest-day tie-break") {
+    // values 1,2,3: V = 2, 0, -2 -> U = 2, 2 (U_3 == 0 is not a cut);
+    // |U| ties at days 1 and 2 -> earliest day wins.
+    val r = pettitt(Seq(("a", "2024-01-01", 1L), ("a", "2024-01-02", 2L),
+      ("a", "2024-01-03", 3L))).head
+    assert(r.getAs[Long]("k_stat") == 2L)
+    assert(r.getAs[java.sql.Timestamp]("change_day").toString.startsWith("2024-01-01"))
+    assert(!r.getAs[Boolean]("significant"))
+  }
+
+  test("pettitt: one whale day cannot fake a break; 1-day series drops") {
+    val flat = (1 to 10).map(i => ("a", f"2024-01-$i%02d", 7L)) ++
+      Seq(("a", "2024-01-11", 1000000L)) ++
+      (12 to 21).map(i => ("a", f"2024-01-$i%02d", 7L))
+    val r = pettitt(flat).head
+    assert(r.getAs[Long]("k_stat") == 10L, "the whale moves U by one rank step per day")
+    assert(!r.getAs[Boolean]("significant"))
+    assert(pettitt(Seq(("a", "2024-01-01", 3L))).isEmpty,
+      "no interior cut on a 1-day series")
+  }
+
+  private def spearman(rows: Seq[(String, String, Long, Long)]) = {
+    import spark.implicits._
+    core.TrendQueries.spearmanOn(
+      rows.toDF("event_type", "day", "n", "v")
+        .select($"event_type", to_date($"day").as("day"), $"n", $"v"))
+      .collect()
+  }
+
+  test("spearman: perfect monotone is +-1; invariant under monotone maps") {
+    val up = (1 to 8).map(i => ("a", f"2024-01-$i%02d", i.toLong, (i * 100).toLong))
+    val r = spearman(up).head
+    assert(r.getAs[Double]("rho") == 1.0)
+    assert(r.getAs[Boolean]("significant"))
+    val down = (1 to 8).map(i => ("a", f"2024-01-$i%02d", i.toLong, (900 - i * 100).toLong))
+    assert(spearman(down).head.getAs[Double]("rho") == -1.0)
+    // rank correlation only sees order: cubing the value margin (or one
+    // whale at the top) changes nothing
+    val cubed = up.map { case (t, d, n, v) => (t, d, n, v * v * v) }
+    assert(spearman(cubed).head.getAs[Double]("rho") == 1.0)
+    val whale = up.dropRight(1) :+ (("a", "2024-01-08", 8L, 999999999L))
+    assert(spearman(whale).head.getAs[Double]("rho") == 1.0)
+  }
+
+  test("spearman: hand-computed rho with a tie; constant margins are NULL") {
+    // n = 1,2,3 ranks 1,2,3 (double 2,4,6); v = 10,10,20 midranks
+    // 1.5,1.5,3 (double 3,3,6): rho = cov/sd product on the double ranks
+    val r = spearman(Seq(("a", "2024-01-01", 1L, 10L),
+      ("a", "2024-01-02", 2L, 10L), ("a", "2024-01-03", 3L, 20L))).head
+    val (sx, sy, sxx, syy, sxy) = (12.0, 12.0, 56.0, 54.0, 54.0)
+    val m = 3.0
+    val exp = (m * sxy - sx * sy) /
+      math.sqrt((m * sxx - sx * sx) * (m * syy - sy * sy))
+    assert(r.getAs[Double]("rho") == exp)
+    val flatV = spearman((1 to 5).map(i => ("a", f"2024-01-$i%02d", i.toLong, 7L)))
+    assert(flatV.head.isNullAt(flatV.head.fieldIndex("rho")))
+  }
+
+  test("pettitt served from streamed state == batch bit-for-bit") {
+    val batch = core.TrendQueries.eventsChangepointPettitt(spark, sf).collect().toSeq
+    val served = streaming.ForecastServe.pettittServed(spark, sf).collect().toSeq
+    assert(batch == served && batch.nonEmpty)
+  }
 }
