@@ -472,17 +472,218 @@ object RankTests {
       |FROM h
       |ORDER BY event_type""".stripMargin
 
+  /** §2 entry `events_ab_cuped` — CUPED variance reduction, the device
+    * every production experimentation platform runs before reading a
+    * t-test: each user's PRE-period spend is a covariate that explains
+    * away between-user variance, so the adjusted metric y' = y − θ·x
+    * (θ the pooled cov(x,y)/var(x)) keeps the treatment effect but
+    * shrinks the noise by the pre/post correlation ρ² — the same
+    * experiment reads significant days earlier, or a too-small lift
+    * honestly stays null. The entry reports BOTH the plain Welch z and
+    * the CUPED z plus the realized variance-reduction ρ², so the win
+    * is visible in the row. Calendar split: first half of the corpus's
+    * day span is "pre", second half the experiment window; arms by the
+    * house user parity.
+    *
+    * Scale shape: ONE corpus pass to the (type, user, arm, pre, post)
+    * grain (two conditional sums — no second scan for the covariate),
+    * then one partial-agg moment collapse per type: 12 sufficient
+    * statistics, ≤ types rows after. The day-span cutoff is the one
+    * driver-side scalar (the RecEval device). θ, ρ², adjusted means /
+    * variances and both z's are fixed double trees over the exact
+    * sums, mirrored token for token.
+    *
+    * Exactness (hash-gate): per-user cents sums are BIGINT; the FIVE
+    * second-moment sums (x², y², xy per arm pooled) are DECIMAL(38,0)
+    * / HUGEINT — a user's cents² already tops 2⁶³ at ~$3M lifetime
+    * spend, so BIGINT was never an option. Degenerate edges: var(x) ≤
+    * 0 → θ = 0 (CUPED degrades to plain Welch, both engines); an arm
+    * with n ≤ 1 → NULL variance → NULL z → NULL verdict; var(y) ≤ 0 →
+    * NULL ρ².
+    */
+  private[graft] def cupedOn(ev: DataFrame, cut: Column): DataFrame = {
+    import ev.sparkSession.implicits._
+    val dec0 = lit(0L).cast("decimal(38,0)")
+    val pu = ev.groupBy($"event_type", $"user_id", $"arm").agg(
+      sum(when($"day" <= cut, $"y_c").otherwise(0L)).as("x"),
+      sum(when($"day" > cut, $"y_c").otherwise(0L)).as("y"))
+    val m = pu.groupBy($"event_type").agg(
+      sum(when($"arm" === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when($"arm" === 1, 1L).otherwise(0L)).as("n_b"),
+      sum(when($"arm" === 0, $"x").otherwise(0L)).as("sx_a"),
+      sum(when($"arm" === 1, $"x").otherwise(0L)).as("sx_b"),
+      sum(when($"arm" === 0, $"y").otherwise(0L)).as("sy_a"),
+      sum(when($"arm" === 1, $"y").otherwise(0L)).as("sy_b"),
+      sum(when($"arm" === 0, $"x".cast("decimal(38,0)") * $"x").otherwise(dec0)).as("sxx_a"),
+      sum(when($"arm" === 1, $"x".cast("decimal(38,0)") * $"x").otherwise(dec0)).as("sxx_b"),
+      sum(when($"arm" === 0, $"y".cast("decimal(38,0)") * $"y").otherwise(dec0)).as("syy_a"),
+      sum(when($"arm" === 1, $"y".cast("decimal(38,0)") * $"y").otherwise(dec0)).as("syy_b"),
+      sum(when($"arm" === 0, $"x".cast("decimal(38,0)") * $"y").otherwise(dec0)).as("sxy_a"),
+      sum(when($"arm" === 1, $"x".cast("decimal(38,0)") * $"y").otherwise(dec0)).as("sxy_b"))
+    val nD  = ($"n_a" + $"n_b").cast("double")
+    val sxD = ($"sx_a" + $"sx_b").cast("double")
+    val syD = ($"sy_a" + $"sy_b").cast("double")
+    val sxxD = ($"sxx_a" + $"sxx_b").cast("double")
+    val syyD = ($"syy_a" + $"syy_b").cast("double")
+    val sxyD = ($"sxy_a" + $"sxy_b").cast("double")
+    val dxx = nD * sxxD - sxD * sxD
+    val dyy = nD * syyD - syD * syD
+    val naD = $"n_a".cast("double")
+    val nbD = $"n_b".cast("double")
+    def armZ(theta: Column): Column = {
+      def meanOf(n: Column, nd: Column, sx: Column, sy: Column) =
+        when(n > 0L, (sy.cast("double") - theta * sx.cast("double")) / nd)
+      def varOf(n: Column, nd: Column, sx: Column, sy: Column,
+          sxx: Column, syy: Column, sxy: Column) = {
+        val sAdj = sy.cast("double") - theta * sx.cast("double")
+        val qAdj = syy.cast("double") - lit(2.0) * theta * sxy.cast("double") +
+          theta * theta * sxx.cast("double")
+        when(n > 1L, (nd * qAdj - sAdj * sAdj) / (nd * (nd - 1.0)))
+      }
+      val ma = meanOf($"n_a", naD, $"sx_a", $"sy_a")
+      val mb = meanOf($"n_b", nbD, $"sx_b", $"sy_b")
+      val va = varOf($"n_a", naD, $"sx_a", $"sy_a", $"sxx_a", $"syy_a", $"sxy_a")
+      val vb = varOf($"n_b", nbD, $"sx_b", $"sy_b", $"sxx_b", $"syy_b", $"sxy_b")
+      (ma - mb) / sqrt(va / naD + vb / nbD)
+    }
+    m
+      .withColumn("theta",
+        when(dxx > 0.0, (nD * sxyD - sxD * syD) / dxx).otherwise(lit(0.0)))
+      .withColumn("var_reduction",
+        when(dxx > 0.0 && dyy > 0.0,
+          (nD * sxyD - sxD * syD) * (nD * sxyD - sxD * syD) / (dxx * dyy)))
+      .withColumn("z_plain", armZ(lit(0.0)))
+      .withColumn("z_cuped", armZ($"theta"))
+      .withColumn("significant",
+        when($"z_cuped".isNull, lit(null).cast("boolean"))
+          .otherwise(abs($"z_cuped") > 1.96))
+      .select($"event_type", $"n_a", $"n_b", $"theta", $"var_reduction",
+        $"z_plain", $"z_cuped", $"significant")
+      .orderBy($"event_type")
+  }
+
+  def eventsAbCuped(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"event_type", $"user_id", pmod($"user_id", lit(2)).as("arm"),
+        to_date($"ts").as("day"),
+        ($"value".cast("decimal(10,2)") * 100).cast("long").as("y_c"))
+    // the one driver-side scalar (the RecEval cutoff device): pre =
+    // first half of the corpus's day span
+    val b = ev.agg(min($"day").as("mn"), max($"day").as("mx")).head()
+    val cut = if (b.isNullAt(0)) java.sql.Date.valueOf("1970-01-01") else {
+      val mn = b.getDate(0).toLocalDate
+      val span = java.time.temporal.ChronoUnit.DAYS
+        .between(mn, b.getDate(1).toLocalDate)
+      java.sql.Date.valueOf(mn.plusDays(span / 2))
+    }
+    cupedOn(ev, lit(cut))
+  }
+
+  val eventsAbCupedSql: String =
+    """WITH ev AS (
+      |  SELECT event_type, user_id, user_id % 2 AS arm,
+      |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+      |    CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT) AS y_c
+      |  FROM events
+      |), bounds AS (
+      |  SELECT MIN(day) AS mn, MAX(day) AS mx FROM ev
+      |), cut AS (
+      |  SELECT mn + CAST(date_diff('day', mn, mx) // 2 AS INTEGER) AS cutoff
+      |  FROM bounds
+      |), pu AS (
+      |  SELECT event_type, user_id, arm,
+      |    CAST(SUM(CASE WHEN day <= (SELECT cutoff FROM cut) THEN y_c ELSE 0 END)
+      |      AS BIGINT) AS x,
+      |    CAST(SUM(CASE WHEN day > (SELECT cutoff FROM cut) THEN y_c ELSE 0 END)
+      |      AS BIGINT) AS y
+      |  FROM ev GROUP BY 1, 2, 3
+      |), m AS (
+      |  SELECT event_type,
+      |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |    CAST(SUM(CASE WHEN arm = 0 THEN x ELSE 0 END) AS BIGINT) AS sx_a,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN x ELSE 0 END) AS BIGINT) AS sx_b,
+      |    CAST(SUM(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT) AS sy_a,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT) AS sy_b,
+      |    SUM(CASE WHEN arm = 0 THEN CAST(x AS HUGEINT) * x ELSE 0 END) AS sxx_a,
+      |    SUM(CASE WHEN arm = 1 THEN CAST(x AS HUGEINT) * x ELSE 0 END) AS sxx_b,
+      |    SUM(CASE WHEN arm = 0 THEN CAST(y AS HUGEINT) * y ELSE 0 END) AS syy_a,
+      |    SUM(CASE WHEN arm = 1 THEN CAST(y AS HUGEINT) * y ELSE 0 END) AS syy_b,
+      |    SUM(CASE WHEN arm = 0 THEN CAST(x AS HUGEINT) * y ELSE 0 END) AS sxy_a,
+      |    SUM(CASE WHEN arm = 1 THEN CAST(x AS HUGEINT) * y ELSE 0 END) AS sxy_b
+      |  FROM pu GROUP BY 1
+      |), d AS (
+      |  SELECT event_type, n_a, n_b,
+      |    CAST(n_a + n_b AS DOUBLE) AS n_d,
+      |    CAST(n_a AS DOUBLE) AS na_d, CAST(n_b AS DOUBLE) AS nb_d,
+      |    CAST(sx_a + sx_b AS DOUBLE) AS sx_d,
+      |    CAST(sy_a + sy_b AS DOUBLE) AS sy_d,
+      |    CAST(sxx_a + sxx_b AS DOUBLE) AS sxx_d,
+      |    CAST(syy_a + syy_b AS DOUBLE) AS syy_d,
+      |    CAST(sxy_a + sxy_b AS DOUBLE) AS sxy_d,
+      |    CAST(sx_a AS DOUBLE) AS sxa, CAST(sx_b AS DOUBLE) AS sxb,
+      |    CAST(sy_a AS DOUBLE) AS sya, CAST(sy_b AS DOUBLE) AS syb,
+      |    CAST(sxx_a AS DOUBLE) AS sxxa, CAST(sxx_b AS DOUBLE) AS sxxb,
+      |    CAST(syy_a AS DOUBLE) AS syya, CAST(syy_b AS DOUBLE) AS syyb,
+      |    CAST(sxy_a AS DOUBLE) AS sxya, CAST(sxy_b AS DOUBLE) AS sxyb
+      |  FROM m
+      |), th AS (
+      |  SELECT *,
+      |    CASE WHEN n_d * sxx_d - sx_d * sx_d > 0.0
+      |      THEN (n_d * sxy_d - sx_d * sy_d) / (n_d * sxx_d - sx_d * sx_d)
+      |      ELSE 0.0 END AS theta,
+      |    CASE WHEN n_d * sxx_d - sx_d * sx_d > 0.0
+      |        AND n_d * syy_d - sy_d * sy_d > 0.0
+      |      THEN (n_d * sxy_d - sx_d * sy_d) * (n_d * sxy_d - sx_d * sy_d)
+      |        / ((n_d * sxx_d - sx_d * sx_d) * (n_d * syy_d - sy_d * sy_d))
+      |      END AS var_reduction
+      |  FROM d
+      |), zz AS (
+      |  SELECT event_type, n_a, n_b, theta, var_reduction,
+      |    (CASE WHEN n_a > 0 THEN (sya - 0.0 * sxa) / na_d END
+      |     - CASE WHEN n_b > 0 THEN (syb - 0.0 * sxb) / nb_d END)
+      |    / sqrt(
+      |      CASE WHEN n_a > 1 THEN (na_d * (syya - 2.0 * 0.0 * sxya
+      |          + 0.0 * 0.0 * sxxa)
+      |          - (sya - 0.0 * sxa) * (sya - 0.0 * sxa))
+      |        / (na_d * (na_d - 1.0)) END / na_d
+      |      + CASE WHEN n_b > 1 THEN (nb_d * (syyb - 2.0 * 0.0 * sxyb
+      |          + 0.0 * 0.0 * sxxb)
+      |          - (syb - 0.0 * sxb) * (syb - 0.0 * sxb))
+      |        / (nb_d * (nb_d - 1.0)) END / nb_d) AS z_plain,
+      |    (CASE WHEN n_a > 0 THEN (sya - theta * sxa) / na_d END
+      |     - CASE WHEN n_b > 0 THEN (syb - theta * sxb) / nb_d END)
+      |    / sqrt(
+      |      CASE WHEN n_a > 1 THEN (na_d * (syya - 2.0 * theta * sxya
+      |          + theta * theta * sxxa)
+      |          - (sya - theta * sxa) * (sya - theta * sxa))
+      |        / (na_d * (na_d - 1.0)) END / na_d
+      |      + CASE WHEN n_b > 1 THEN (nb_d * (syyb - 2.0 * theta * sxyb
+      |          + theta * theta * sxxb)
+      |          - (syb - theta * sxb) * (syb - theta * sxb))
+      |        / (nb_d * (nb_d - 1.0)) END / nb_d) AS z_cuped
+      |  FROM th
+      |)
+      |SELECT event_type, n_a, n_b, theta, var_reduction, z_plain, z_cuped,
+      |  CASE WHEN z_cuped IS NULL THEN NULL ELSE ABS(z_cuped) > 1.96 END
+      |    AS significant
+      |FROM zz
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_ab_mannwhitney" -> (eventsAbMannWhitney _),
     "events_ab_proportions" -> (eventsAbProportions _),
     "events_ab_ks"          -> (eventsAbKs _),
-    "events_ab_kruskal"     -> (eventsAbKruskal _)
+    "events_ab_kruskal"     -> (eventsAbKruskal _),
+    "events_ab_cuped"       -> (eventsAbCuped _)
   )
 
   val oracleSql: Map[String, String] = Map(
     "events_ab_mannwhitney" -> eventsAbMannWhitneySql,
     "events_ab_proportions" -> eventsAbProportionsSql,
     "events_ab_ks"          -> eventsAbKsSql,
-    "events_ab_kruskal"     -> eventsAbKruskalSql
+    "events_ab_kruskal"     -> eventsAbKruskalSql,
+    "events_ab_cuped"       -> eventsAbCupedSql
   )
 }

@@ -539,7 +539,132 @@ object TrendQueries {
       |FROM z
       |ORDER BY event_type""".stripMargin
 
+  /** §2 entry `events_runs_test` — the WALD–WOLFOWITZ runs test on the
+    * daily series, the assumption-free RANDOMNESS screen that closes
+    * the daily-frame battery: Mann–Kendall asks "is there a monotone
+    * trend", Pettitt "is there one break", dispersion "is the variance
+    * Poisson-like" — this asks "is the sequence ORDER random at all".
+    * Days classify above/below the median daily count (median-tied
+    * days drop, the standard treatment); too FEW sign runs means
+    * clustering (regimes, weekly waves, autocorrelation — the signal
+    * to check BEFORE trusting any i.i.d.-flavored readout), too MANY
+    * means forced oscillation (load-balancer round-robin, dithering).
+    *
+    * Scale shape: the shared daily collapse, then bounded per-type
+    * windows only — a rank pick for the median (the Theil–Sen picker),
+    * one lag for run breaks. The ≤types-row median table broadcast-
+    * joins back (hash equi-join, not a nested loop).
+    *
+    * Exactness (hash-gate): the median enters ONLY through the integer
+    * comparison 2n vs med2 (med2 = twice-the-median as an exact BIGINT
+    * from the picker: 2·mid for odd counts, lo+hi for even), so
+    * classification can never ride a float; run counts and n₁/n₂ are
+    * BIGINTs; μ = 2n₁n₂/n + 1, σ² and z are one mirrored double tree.
+    * n₁ = 0 or n₂ = 0 (an all-equal or one-sided series) → NULL z and
+    * an 'undefined' pattern in both engines.
+    */
+  private[graft] def runsTestOn(daily: DataFrame): DataFrame = {
+    import daily.sparkSession.implicits._
+    val wRank = Window.partitionBy($"event_type").orderBy($"n", $"day")
+    val ranked = daily
+      .withColumn("rnk", row_number().over(wRank).cast("long"))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy($"event_type")))
+    val med = ranked
+      .filter($"rnk" === expr("(cnt + 1) div 2") || $"rnk" === expr("cnt div 2 + 1"))
+      .groupBy($"event_type")
+      .agg(expr("(2 * sum(n)) div count(1)").as("med2"))
+    val classified = daily.join(med, Seq("event_type"))
+      .withColumn("sgn",
+        when(lit(2L) * $"n" > $"med2", 1L).when(lit(2L) * $"n" < $"med2", -1L))
+      .filter($"sgn".isNotNull)
+    val wDay = Window.partitionBy($"event_type").orderBy($"day")
+    val runs = classified
+      .withColumn("prev", lag($"sgn", 1).over(wDay))
+      .withColumn("brk", when($"prev".isNull || $"prev" =!= $"sgn", 1L).otherwise(0L))
+    val agg = runs.groupBy($"event_type").agg(
+      sum(when($"sgn" === 1L, 1L).otherwise(0L)).as("n_above"),
+      sum(when($"sgn" === -1L, 1L).otherwise(0L)).as("n_below"),
+      sum($"brk").as("n_runs"))
+    val nD = ($"n_above" + $"n_below").cast("double")
+    val twoD = (lit(2L) * $"n_above" * $"n_below").cast("double")
+    val mu = twoD / nD + 1.0
+    val varR = (twoD * (twoD - nD)) / (nD * nD * (nD - 1.0))
+    agg
+      .withColumn("z",
+        when($"n_above" > 0L && $"n_below" > 0L &&
+            $"n_above" + $"n_below" > 1L && varR > 0.0,
+          ($"n_runs".cast("double") - mu) / sqrt(varR)))
+      .withColumn("pattern",
+        when($"z".isNull, "undefined")
+          .when($"z" < -1.96, "clustered")
+          .when($"z" > 1.96, "oscillating")
+          .otherwise("random"))
+      .select($"event_type", $"n_above", $"n_below", $"n_runs", $"z", $"pattern")
+      .orderBy($"event_type")
+  }
+
+  def eventsRunsTest(spark: SparkSession, dir: String): DataFrame =
+    runsTestOn(dailyOf(spark, dir))
+
+  val eventsRunsTestSql: String =
+    s"""WITH $dailySql, ranked AS (
+      |  SELECT event_type, day, n,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY n, day)
+      |      AS BIGINT) AS rnk,
+      |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS cnt
+      |  FROM daily
+      |), med AS (
+      |  SELECT event_type, (2 * SUM(n)) // COUNT(*) AS med2
+      |  FROM ranked
+      |  WHERE rnk = (cnt + 1) // 2 OR rnk = cnt // 2 + 1
+      |  GROUP BY 1
+      |), classified AS (
+      |  SELECT d.event_type, d.day,
+      |    CASE WHEN 2 * d.n > m.med2 THEN 1
+      |         WHEN 2 * d.n < m.med2 THEN -1 END AS sgn
+      |  FROM daily d JOIN med m ON m.event_type = d.event_type
+      |), kept AS (
+      |  SELECT event_type, day, sgn,
+      |    LAG(sgn) OVER (PARTITION BY event_type ORDER BY day) AS prev
+      |  FROM classified WHERE sgn IS NOT NULL
+      |), agg AS (
+      |  SELECT event_type,
+      |    CAST(SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+      |    CAST(SUM(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+      |    CAST(SUM(CASE WHEN prev IS NULL OR prev <> sgn THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_runs
+      |  FROM kept GROUP BY 1
+      |), z AS (
+      |  SELECT event_type, n_above, n_below, n_runs,
+      |    CASE WHEN n_above > 0 AND n_below > 0 AND n_above + n_below > 1
+      |        AND (CAST(2 * n_above * n_below AS DOUBLE)
+      |          * (CAST(2 * n_above * n_below AS DOUBLE)
+      |            - CAST(n_above + n_below AS DOUBLE)))
+      |          / (CAST(n_above + n_below AS DOUBLE)
+      |            * CAST(n_above + n_below AS DOUBLE)
+      |            * (CAST(n_above + n_below AS DOUBLE) - 1.0)) > 0.0
+      |      THEN (CAST(n_runs AS DOUBLE)
+      |          - (CAST(2 * n_above * n_below AS DOUBLE)
+      |            / CAST(n_above + n_below AS DOUBLE) + 1.0))
+      |        / sqrt((CAST(2 * n_above * n_below AS DOUBLE)
+      |            * (CAST(2 * n_above * n_below AS DOUBLE)
+      |              - CAST(n_above + n_below AS DOUBLE)))
+      |          / (CAST(n_above + n_below AS DOUBLE)
+      |            * CAST(n_above + n_below AS DOUBLE)
+      |            * (CAST(n_above + n_below AS DOUBLE) - 1.0)))
+      |      END AS z
+      |  FROM agg
+      |)
+      |SELECT event_type, n_above, n_below, n_runs, z,
+      |  CASE WHEN z IS NULL THEN 'undefined'
+      |       WHEN z < -1.96 THEN 'clustered'
+      |       WHEN z > 1.96 THEN 'oscillating'
+      |       ELSE 'random' END AS pattern
+      |FROM z
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_runs_test"         -> (eventsRunsTest _),
     "events_trend_theilsen"    -> (eventsTrendTheilsen _),
     "events_trend_mannkendall" -> (eventsTrendMannKendall _),
     "events_dispersion"        -> (eventsDispersion _),
@@ -549,6 +674,7 @@ object TrendQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "events_runs_test"         -> eventsRunsTestSql,
     "events_trend_theilsen"    -> eventsTrendTheilsenSql,
     "events_trend_mannkendall" -> eventsTrendMannKendallSql,
     "events_dispersion"        -> eventsDispersionSql,

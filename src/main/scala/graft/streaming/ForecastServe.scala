@@ -76,6 +76,9 @@ object ForecastServe {
   def pettittServed(spark: SparkSession, dir: String): DataFrame =
     ForecastStream.servePettitt(spark, statePathFor(spark, dir))
 
+  def runsTestServed(spark: SparkSession, dir: String): DataFrame =
+    ForecastStream.serveRunsTest(spark, statePathFor(spark, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_forecast_ses_served"  -> (sesServed _),
     "events_forecast_holt_served" -> (holtServed _),
@@ -86,7 +89,8 @@ object ForecastServe {
     "events_seasonality_strength_served" -> (seasonalityServed _),
     "events_dispersion_served" -> (dispersionServed _),
     "events_level_hl_served"   -> (hlLevelServed _),
-    "events_changepoint_pettitt_served" -> (pettittServed _)
+    "events_changepoint_pettitt_served" -> (pettittServed _),
+    "events_runs_test_served" -> (runsTestServed _)
   )
 
   /** The batch twins' oracles verbatim — serve-from-state is bit-equal. */
@@ -102,6 +106,7 @@ object ForecastServe {
     "events_dispersion_served" -> graft.core.TrendQueries.eventsDispersionSql,
     "events_level_hl_served"   -> graft.core.TrendQueries.eventsLevelHlSql,
     "events_changepoint_pettitt_served" ->
-      graft.core.TrendQueries.eventsChangepointPettittSql
+      graft.core.TrendQueries.eventsChangepointPettittSql,
+    "events_runs_test_served" -> graft.core.TrendQueries.eventsRunsTestSql
   )
 }

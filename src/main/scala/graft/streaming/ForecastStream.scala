@@ -107,4 +107,8 @@ object ForecastStream {
   /** Pettitt changepoint test from the folded state. */
   def servePettitt(spark: SparkSession, statePath: String): DataFrame =
     graft.core.TrendQueries.pettittOn(stateDaily(spark, statePath))
+
+  /** Wald–Wolfowitz runs test from the folded state. */
+  def serveRunsTest(spark: SparkSession, statePath: String): DataFrame =
+    graft.core.TrendQueries.runsTestOn(stateDaily(spark, statePath))
 }

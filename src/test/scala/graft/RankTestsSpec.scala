@@ -292,6 +292,68 @@ class RankTestsSpec extends SparkSuite {
     assert(row.getAs[Double]("z") == 0.0)
   }
 
+  private def cuped(rows: Seq[(Long, Int, String, Long)]) = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{lit, to_date}
+    val ev = rows.toDF("user_id", "arm", "day", "y_c")
+      .select(lit("t").as("event_type"), $"user_id", $"arm",
+        to_date($"day").as("day"), $"y_c")
+    core.RankTests.cupedOn(ev, lit(java.sql.Date.valueOf("2024-01-05")))
+      .collect().head
+  }
+
+  test("cuped: a pre-correlated metric reads sharper adjusted than plain") {
+    // x = u div 2 is arm-balanced (cov(x, arm) = 0); y = x + 10*arm +
+    // u%3 wiggle: the covariate explains ~97% of var(y) (the modest
+    // lift and the wiggle are the rest) -> theta ~ 1, and the same
+    // lift z-reads an order of magnitude stronger CUPED-adjusted.
+    val rows = (0L until 200L).flatMap { u =>
+      val x = u / 2; val arm = (u % 2).toInt
+      val y = x + 10L * arm + u % 3
+      Seq((u, arm, "2024-01-01", x), (u, arm, "2024-01-10", y))
+    }
+    val r = cuped(rows)
+    assert(r.getAs[Long]("n_a") == 100L && r.getAs[Long]("n_b") == 100L)
+    assert(math.abs(r.getAs[Double]("theta") - 1.0) < 0.01)
+    assert(r.getAs[Double]("var_reduction") > 0.9)
+    assert(math.abs(r.getAs[Double]("z_cuped")) >
+      math.abs(r.getAs[Double]("z_plain")) * 10)
+    assert(r.getAs[Boolean]("significant"))
+  }
+
+  test("cuped: zero covariate variance degrades to the plain Welch z") {
+    // every user has the same pre-spend -> var(x) = 0 -> theta = 0 and
+    // the adjusted z IS the plain z
+    val rows = (0L until 60L).flatMap { u =>
+      val arm = (u % 2).toInt
+      Seq((u, arm, "2024-01-01", 7L),
+        (u, arm, "2024-01-10", u * 3L + 20L * arm))
+    }
+    val r = cuped(rows)
+    assert(r.getAs[Double]("theta") == 0.0)
+    assert(r.getAs[Double]("z_cuped") == r.getAs[Double]("z_plain"))
+  }
+
+  test("cuped: an n<=1 arm voids the z and the verdict") {
+    val r = cuped(Seq((0L, 0, "2024-01-01", 5L), (0L, 0, "2024-01-10", 9L),
+      (2L, 0, "2024-01-10", 4L), (1L, 1, "2024-01-10", 8L)))
+    assert(r.isNullAt(r.fieldIndex("z_cuped")))
+    assert(r.isNullAt(r.fieldIndex("significant")))
+  }
+
+  test("cuped corpus entry: rho^2 bounded, both z's defined per type") {
+    val rows = core.RankTests.eventsAbCuped(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      if (!r.isNullAt(r.fieldIndex("var_reduction"))) {
+        val vr = r.getAs[Double]("var_reduction")
+        assert(vr >= 0.0 && vr <= 1.0)
+      }
+      assert(!r.isNullAt(r.fieldIndex("z_plain")))
+      assert(!r.isNullAt(r.fieldIndex("z_cuped")))
+    }
+  }
+
   test("corpus entry: non-vacuous and U_a + U_b == n_a*n_b per type") {
     val rows = core.RankTests.eventsAbMannWhitney(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -246,6 +246,47 @@ class TrendSpec extends SparkSuite {
     assert(flatV.head.isNullAt(flatV.head.fieldIndex("rho")))
   }
 
+  private def runsTest(rows: Seq[(String, String, Long)]) =
+    core.TrendQueries.runsTestOn(daily(rows)).collect()
+
+  test("runs test: hand-computed z on alternating and clustered series") {
+    // 1,9,1,9: median2 = 10, 4 runs of n1=n2=2 -> mu=3, var=2/3
+    val alt = runsTest(Seq(("a", "2024-01-01", 1L), ("a", "2024-01-02", 9L),
+      ("a", "2024-01-03", 1L), ("a", "2024-01-04", 9L))).head
+    assert(alt.getAs[Long]("n_above") == 2L && alt.getAs[Long]("n_below") == 2L)
+    assert(alt.getAs[Long]("n_runs") == 4L)
+    assert(alt.getAs[Double]("z") == (4.0 - 3.0) / math.sqrt(2.0 / 3.0))
+    // 1,1,1,9,9,9: 2 runs of n1=n2=3 -> mu=4, var=1.2, z<0 (clustered
+    // but short of 1.96 at this length)
+    val clu = runsTest(Seq(("a", "2024-01-01", 1L), ("a", "2024-01-02", 1L),
+      ("a", "2024-01-03", 1L), ("a", "2024-01-04", 9L),
+      ("a", "2024-01-05", 9L), ("a", "2024-01-06", 9L))).head
+    assert(clu.getAs[Long]("n_runs") == 2L)
+    assert(clu.getAs[Double]("z") == (2.0 - 4.0) / math.sqrt(1.2))
+    assert(clu.getAs[String]("pattern") == "random")
+  }
+
+  test("runs test: long regimes flag clustered; median-tied days drop") {
+    val regimes = runsTest((1 to 15).map(i => ("a", f"2024-01-$i%02d", 1L)) ++
+      (16 to 30).map(i => ("a", f"2024-01-$i%02d", 9L))).head
+    assert(regimes.getAs[String]("pattern") == "clustered")
+    // odd-length series 1,5,9: the 5 IS the median -> dropped; one run
+    // each side
+    val tied = runsTest(Seq(("a", "2024-01-01", 1L), ("a", "2024-01-02", 5L),
+      ("a", "2024-01-03", 9L))).head
+    assert(tied.getAs[Long]("n_above") == 1L && tied.getAs[Long]("n_below") == 1L)
+    assert(tied.getAs[Long]("n_runs") == 2L)
+    // all-equal series: everything ties the median -> undefined
+    val flat = runsTest((1 to 5).map(i => ("a", f"2024-01-$i%02d", 7L)))
+    assert(flat.isEmpty || flat.head.getAs[String]("pattern") == "undefined")
+  }
+
+  test("runs test served from streamed state == batch bit-for-bit") {
+    val batch = core.TrendQueries.eventsRunsTest(spark, sf).collect().toSeq
+    val served = streaming.ForecastServe.runsTestServed(spark, sf).collect().toSeq
+    assert(batch == served && batch.nonEmpty)
+  }
+
   test("pettitt served from streamed state == batch bit-for-bit") {
     val batch = core.TrendQueries.eventsChangepointPettitt(spark, sf).collect().toSeq
     val served = streaming.ForecastServe.pettittServed(spark, sf).collect().toSeq
