@@ -118,7 +118,11 @@ object Bench {
     "knn_graph_hits", "text_readability", "dm_growth_accounting",
     "agg_trimmed_mean", "events_dispersion", "events_dispersion_served",
     "events_level_hl", "events_level_hl_served", "dm_growth_accounting_served",
-    "etl_orc_roundtrip", "events_markov_stationary")
+    "etl_orc_roundtrip", "events_markov_stationary",
+    "events_ab_ks", "events_ab_ks_served", "events_ab_kruskal",
+    "events_ab_cuped", "events_changepoint_pettitt",
+    "events_changepoint_pettitt_served", "events_value_spearman",
+    "events_runs_test", "events_runs_test_served", "text_ttr")
   // rec_eval_prk / rec_eval_ndcg / rec_eval_mrr join the excluded-harness
   // family (rec_coverage_eval precedent): they re-run the CF train chain
   // the suite already times, and their own tails are scalar aggregates.
@@ -126,6 +130,8 @@ object Bench {
   // chain knn_graph_communities already times (one cached stats frame
   // feeds both); their own tails are bounded joins + C-row rollups.
   // rec_eval_prk_baseline shares the excluded eval-harness family.
+  // rec_eval_exposure_gini likewise: it serves from the same cached eval
+  // frames and its own tail is a histogram window + one scalar aggregate.
   // ann_matryoshka_eval joins ann_recall_eval / dedup_recall_eval in the
   // excluded-harness family: it runs the brute-force ranking once per
   // prefix length back-to-back — a measurement harness, not a serving path

@@ -59,4 +59,16 @@ object Tables {
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  /** Collision-safe key for data-dir-derived artifact paths (persisted
+    * indexes, streamed state, landed files): a SHA-256 prefix of the dir
+    * string. The previous 32-bit String.hashCode keying could let two
+    * distinct dirs used in one process share an artifact path — the
+    * second overwrite-mode write would clobber the first dir's artifact
+    * while its cached path still pointed there (the r12 advice finding
+    * on the ORC sink, fixed repo-wide).
+    */
+  def dirKey(dir: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(dir.getBytes("UTF-8")).take(12).map("%02x".format(_)).mkString
 }

@@ -87,7 +87,7 @@ object UserPurge {
     */
   private[graft] def warehousePath(spark: SparkSession, dir: String): String = {
     val p = s"${System.getProperty("java.io.tmpdir")}/graft_purge_wh_" +
-      java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL) +
+      graft.Tables.dirKey(dir) +
       "_" + ProcessHandle.current().pid() +
       "_" + Integer.toHexString(System.identityHashCode(spark))
     bucketed(Tables.events(spark, dir))

@@ -176,7 +176,7 @@ object IncrementalMart {
     savedStates.synchronized {
       savedStates.getOrElseUpdate((spark, dir), {
         val p = s"${System.getProperty("java.io.tmpdir")}/graft_mart_state_" +
-          java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL) +
+          graft.Tables.dirKey(dir) +
           "_" + ProcessHandle.current().pid() +
           "_" + Integer.toHexString(System.identityHashCode(spark))
         val facts = MartQueries.listeningFacts(spark, dir)

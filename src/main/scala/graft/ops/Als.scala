@@ -255,7 +255,7 @@ object Als {
     val indexPath = savedIndexes.synchronized {
       savedIndexes.getOrElseUpdate((spark, dir), {
         val p = s"${System.getProperty("java.io.tmpdir")}/graft_als_index_" +
-          java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL) +
+          graft.Tables.dirKey(dir) +
           "_" + ProcessHandle.current().pid() +
           "_" + Integer.toHexString(System.identityHashCode(spark))
         saveAlsIndex(spark, dir, p)

@@ -78,7 +78,7 @@ object BloomDedup {
       savedBlooms.getOrElseUpdate((spark, dir, watermarkId), {
         val p = java.nio.file.Paths.get(
           System.getProperty("java.io.tmpdir"),
-          "graft_bloom_" + java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL) +
+          "graft_bloom_" + graft.Tables.dirKey(dir) +
             "_w" + watermarkId +
             "_" + ProcessHandle.current().pid() +
             "_" + Integer.toHexString(System.identityHashCode(spark))).toString

@@ -376,7 +376,7 @@ object CfIndex {
     val indexPath = savedCfIndexes.synchronized {
       savedCfIndexes.getOrElseUpdate((spark, dir), {
         val p = s"${System.getProperty("java.io.tmpdir")}/graft_cf_index_" +
-          java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL) +
+          graft.Tables.dirKey(dir) +
           "_" + ProcessHandle.current().pid() +
           "_" + Integer.toHexString(System.identityHashCode(spark))
         val all = listensOf(spark, dir)

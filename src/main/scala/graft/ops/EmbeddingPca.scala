@@ -363,7 +363,7 @@ object EmbeddingPca {
     val indexPath = savedPcaIndexes.synchronized {
       savedPcaIndexes.getOrElseUpdate((spark, dir), {
         val p = s"${System.getProperty("java.io.tmpdir")}/graft_pca_index_" +
-          java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL) +
+          graft.Tables.dirKey(dir) +
           "_" + ProcessHandle.current().pid() +
           "_" + Integer.toHexString(System.identityHashCode(spark))
         savePcaIndex(spark, dir, p)

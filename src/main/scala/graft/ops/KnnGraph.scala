@@ -697,7 +697,7 @@ object KnnGraph {
     val path = savedGraphs.synchronized {
       savedGraphs.getOrElseUpdate((spark, dir), {
         val p = s"${System.getProperty("java.io.tmpdir")}/graft_knn_graph_" +
-          java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL) +
+          graft.Tables.dirKey(dir) +
           "_" + ProcessHandle.current().pid() +
           "_" + Integer.toHexString(System.identityHashCode(spark))
         saveKnnGraph(spark, dir, p)

@@ -1396,7 +1396,7 @@ object LlmQueries {
     savedPostingIndexes.synchronized {
       savedPostingIndexes.getOrElseUpdate((spark, dir), {
         val p = s"${System.getProperty("java.io.tmpdir")}/graft_posting_index_" +
-          java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL) +
+          graft.Tables.dirKey(dir) +
           "_" + ProcessHandle.current().pid() +
           "_" + Integer.toHexString(System.identityHashCode(spark))
         savePostingIndex(spark, dir, p)

@@ -571,7 +571,7 @@ object ScaleDedup {
     val indexPath = savedBandIndexes.synchronized {
       savedBandIndexes.getOrElseUpdate((spark, dir), {
         val p = s"${System.getProperty("java.io.tmpdir")}/graft_band_index_" +
-          java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL) +
+          graft.Tables.dirKey(dir) +
           "_" + ProcessHandle.current().pid() +
           "_" + Integer.toHexString(System.identityHashCode(spark))
         saveBandIndex(spark, dir, p)

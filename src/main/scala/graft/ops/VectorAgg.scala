@@ -624,7 +624,7 @@ object VectorAgg {
     val indexPath = savedIndexes.synchronized {
       savedIndexes.getOrElseUpdate((spark, dir), {
         val p = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_index_" +
-          java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL) +
+          graft.Tables.dirKey(dir) +
           "_" + ProcessHandle.current().pid() +
           "_" + Integer.toHexString(System.identityHashCode(spark))
         saveIvfPqIndex(spark, dir, p)

@@ -260,7 +260,7 @@ object ZorderLayout {
     val path = savedLayouts.synchronized {
       savedLayouts.getOrElseUpdate((spark, dir), {
         val p = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_layout_" +
-          java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL) +
+          graft.Tables.dirKey(dir) +
           "_" + ProcessHandle.current().pid() +
           "_" + Integer.toHexString(System.identityHashCode(spark))
         writeZorderLayout(spark, dir, p)

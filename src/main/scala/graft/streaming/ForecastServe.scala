@@ -32,7 +32,7 @@ object ForecastServe {
       builtStates.getOrElseUpdate((spark, dir), {
         import spark.implicits._
         val p = s"${System.getProperty("java.io.tmpdir")}/graft_forecast_state_" +
-          java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL) +
+          graft.Tables.dirKey(dir) +
           "_" + ProcessHandle.current().pid() +
           "_" + Integer.toHexString(System.identityHashCode(spark))
         val ev = Tables.events(spark, dir)

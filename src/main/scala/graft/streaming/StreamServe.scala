@@ -29,7 +29,7 @@ object StreamServe {
     built.synchronized {
       built.getOrElseUpdate((spark, dir, kind), {
         val p = s"${System.getProperty("java.io.tmpdir")}/graft_${kind}_state_" +
-          java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL) +
+          graft.Tables.dirKey(dir) +
           "_" + ProcessHandle.current().pid() +
           "_" + Integer.toHexString(System.identityHashCode(spark))
         fold(spark, dir, p)

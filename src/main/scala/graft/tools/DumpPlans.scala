@@ -110,7 +110,12 @@ object DumpPlans {
       "text_readability", "dm_growth_accounting", "dm_growth_accounting_served",
       "agg_trimmed_mean", "events_dispersion", "events_dispersion_served",
       "events_level_hl", "events_level_hl_served",
-      "etl_orc_roundtrip", "events_markov_stationary")
+      "etl_orc_roundtrip", "events_markov_stationary",
+      "events_ab_ks", "events_ab_ks_served", "events_ab_kruskal",
+      "events_ab_cuped", "events_changepoint_pettitt",
+      "events_changepoint_pettitt_served", "events_value_spearman",
+      "events_runs_test", "events_runs_test_served", "text_ttr",
+      "rec_eval_exposure_gini")
 
     val sb = new StringBuilder
     sb.append("# Executed plans (generated by graft.tools.DumpPlans at " + sfDir + ")\n\n")
