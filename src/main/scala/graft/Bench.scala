@@ -122,7 +122,8 @@ object Bench {
     "events_ab_ks", "events_ab_ks_served", "events_ab_kruskal",
     "events_ab_cuped", "events_changepoint_pettitt",
     "events_changepoint_pettitt_served", "events_value_spearman",
-    "events_runs_test", "events_runs_test_served", "text_ttr")
+    "events_runs_test", "events_runs_test_served", "text_ttr",
+    "knn_graph_betweenness")
   // rec_eval_prk / rec_eval_ndcg / rec_eval_mrr join the excluded-harness
   // family (rec_coverage_eval precedent): they re-run the CF train chain
   // the suite already times, and their own tails are scalar aggregates.

@@ -671,12 +671,175 @@ object RankTests {
       |FROM zz
       |ORDER BY event_type""".stripMargin
 
+  /** §2 entry `events_ab_srm` — the SAMPLE-RATIO-MISMATCH check, the
+    * test an experimentation platform runs BEFORE any metric test: if
+    * the 50/50 assignment itself is off (a redirect bug, a bot filter
+    * hitting one arm, crash-looping clients), every downstream readout
+    * is garbage no matter how significant. Per event type the exposed
+    * populations (distinct users per arm) against the expected parity
+    * split: z = (u_a − u_b)/√(u_a + u_b) — the df=1 χ² in z form.
+    * Exactness: user counts are exact BIGINT DISTINCT collapses (the
+    * proportions-entry grain); z is one mirrored divide + sqrt; an
+    * empty type → NULL z. An SRM hit here is the documented reason to
+    * DISCARD the Welch/MW/KS/CUPED rows beside it.
+    */
+  def eventsAbSrm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val u = Tables.events(spark, dir)
+      .select($"event_type", $"user_id", pmod($"user_id", lit(2)).as("arm"))
+      .distinct()
+      .groupBy($"event_type").agg(
+        sum(when($"arm" === 0, 1L).otherwise(0L)).as("u_a"),
+        sum(when($"arm" === 1, 1L).otherwise(0L)).as("u_b"))
+    u
+      .withColumn("z",
+        when($"u_a" + $"u_b" > 0L,
+          ($"u_a" - $"u_b").cast("double") / sqrt(($"u_a" + $"u_b").cast("double"))))
+      .withColumn("srm_detected",
+        when($"z".isNull, lit(null).cast("boolean")).otherwise(abs($"z") > 1.96))
+      .select($"event_type", $"u_a", $"u_b", $"z", $"srm_detected")
+      .orderBy($"event_type")
+  }
+
+  val eventsAbSrmSql: String =
+    """WITH u AS (
+      |  SELECT DISTINCT event_type, user_id, user_id % 2 AS arm FROM events
+      |), agg AS (
+      |  SELECT event_type,
+      |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS u_a,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS u_b
+      |  FROM u GROUP BY 1
+      |), z AS (
+      |  SELECT event_type, u_a, u_b,
+      |    CASE WHEN u_a + u_b > 0
+      |      THEN CAST(u_a - u_b AS DOUBLE) / sqrt(CAST(u_a + u_b AS DOUBLE))
+      |      END AS z
+      |  FROM agg
+      |)
+      |SELECT event_type, u_a, u_b, z,
+      |  CASE WHEN z IS NULL THEN NULL ELSE ABS(z) > 1.96 END AS srm_detected
+      |FROM z
+      |ORDER BY event_type""".stripMargin
+
+  /** §2 entry `events_ab_power` — the A/B SAMPLE-SIZE calculator ("is
+    * this experiment even big enough to read?"): per event type, the
+    * per-arm n required to detect a 5% lift on the mean value at
+    * α = 0.05 two-sided / 80% power — n = ⌈2·(z_α + z_β)²·s²/δ²⌉ with
+    * s² the pooled sample variance and δ = 5% of the pooled mean — and
+    * the verdict `powered` = min(n_a, n_b) ≥ n_required. The companion
+    * every z column in this file needs: a null Welch z on an
+    * underpowered type is EXPECTED, not evidence of no effect.
+    *
+    * Exactness: the same exact integer cents moments as the Welch
+    * entry (ONE conditional-sum pass); the pooled variance, δ and the
+    * ceil enter as a fixed mirrored double tree — ceil of the same
+    * IEEE double is engine-identical. z_α = 1.96 is the house literal;
+    * z_β = Φ⁻¹(0.8) enters as the literal 0.8416212335729143, which
+    * RankTestsSpec RE-DERIVES by inverting a Taylor-series normal CDF
+    * (the literal-weights discipline — a transcription error cannot
+    * survive the suite). Degenerate: mean ≤ 0 or undefined variance →
+    * NULL n_required and verdict in both engines.
+    */
+  private[graft] val PowerZBeta80 = 0.8416212335729143 // qnorm(0.8)
+
+  def eventsAbPower(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stats = Tables.events(spark, dir)
+      .select($"event_type", pmod($"user_id", lit(2)).as("arm"),
+        ($"value".cast("decimal(10,2)") * 100).cast("long").as("y_c"))
+      .groupBy($"event_type").agg(
+        sum(when($"arm" === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when($"arm" === 0, $"y_c").otherwise(0L)).as("sy_a"),
+        sum(when($"arm" === 0, $"y_c".cast("decimal(38,0)") * $"y_c")
+          .otherwise(lit(0L).cast("decimal(38,0)"))).as("syy_a"),
+        sum(when($"arm" === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when($"arm" === 1, $"y_c").otherwise(0L)).as("sy_b"),
+        sum(when($"arm" === 1, $"y_c".cast("decimal(38,0)") * $"y_c")
+          .otherwise(lit(0L).cast("decimal(38,0)"))).as("syy_b"))
+    val naD = $"n_a".cast("double")
+    val nbD = $"n_b".cast("double")
+    val varA = when($"n_a" > 1L,
+      (naD * $"syy_a".cast("double") - $"sy_a".cast("double") * $"sy_a".cast("double"))
+        / (naD * (naD - 1.0)))
+    val varB = when($"n_b" > 1L,
+      (nbD * $"syy_b".cast("double") - $"sy_b".cast("double") * $"sy_b".cast("double"))
+        / (nbD * (nbD - 1.0)))
+    val pooledVar = ((naD - 1.0) * varA + (nbD - 1.0) * varB) / (naD + nbD - 2.0)
+    val mean = ($"sy_a" + $"sy_b").cast("double") / (naD + nbD)
+    val delta = lit(0.05) * mean
+    val nReq = ceil(lit(2.0) * lit((1.96 + PowerZBeta80) * (1.96 + PowerZBeta80)) *
+      pooledVar / (delta * delta)).cast("long")
+    stats
+      .withColumn("mean_cents", when($"n_a" + $"n_b" > 0L, mean))
+      .withColumn("pooled_var", when($"n_a" > 1L && $"n_b" > 1L, pooledVar))
+      .withColumn("n_required",
+        when($"pooled_var".isNotNull && $"mean_cents" > 0.0, nReq))
+      .withColumn("powered",
+        when($"n_required".isNull, lit(null).cast("boolean"))
+          .otherwise(least($"n_a", $"n_b") >= $"n_required"))
+      .select($"event_type", $"n_a", $"n_b", $"mean_cents", $"pooled_var",
+        $"n_required", $"powered")
+      .orderBy($"event_type")
+  }
+
+  val eventsAbPowerSql: String = {
+    val zsum2 = (1.96 + PowerZBeta80) * (1.96 + PowerZBeta80)
+    s"""WITH ev AS (
+      |  SELECT event_type, user_id % 2 AS arm,
+      |    CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT) AS y_c
+      |  FROM events
+      |), stats AS (
+      |  SELECT event_type,
+      |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(SUM(CASE WHEN arm = 0 THEN y_c ELSE 0 END) AS BIGINT) AS sy_a,
+      |    SUM(CASE WHEN arm = 0 THEN CAST(y_c AS HUGEINT) * y_c ELSE 0 END) AS syy_a,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN y_c ELSE 0 END) AS BIGINT) AS sy_b,
+      |    SUM(CASE WHEN arm = 1 THEN CAST(y_c AS HUGEINT) * y_c ELSE 0 END) AS syy_b
+      |  FROM ev GROUP BY 1
+      |), d AS (
+      |  SELECT event_type, n_a, n_b,
+      |    CAST(n_a AS DOUBLE) AS na_d, CAST(n_b AS DOUBLE) AS nb_d,
+      |    CASE WHEN n_a > 1 THEN (CAST(n_a AS DOUBLE) * CAST(syy_a AS DOUBLE)
+      |        - CAST(sy_a AS DOUBLE) * CAST(sy_a AS DOUBLE))
+      |      / (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0)) END AS var_a,
+      |    CASE WHEN n_b > 1 THEN (CAST(n_b AS DOUBLE) * CAST(syy_b AS DOUBLE)
+      |        - CAST(sy_b AS DOUBLE) * CAST(sy_b AS DOUBLE))
+      |      / (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0)) END AS var_b,
+      |    CAST(sy_a + sy_b AS DOUBLE) / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+      |      AS mean_raw
+      |  FROM stats
+      |), p AS (
+      |  SELECT event_type, n_a, n_b,
+      |    CASE WHEN n_a + n_b > 0 THEN mean_raw END AS mean_cents,
+      |    CASE WHEN n_a > 1 AND n_b > 1
+      |      THEN ((na_d - 1.0) * var_a + (nb_d - 1.0) * var_b)
+      |        / (na_d + nb_d - 2.0) END AS pooled_var,
+      |    mean_raw
+      |  FROM d
+      |), r AS (
+      |  SELECT event_type, n_a, n_b, mean_cents, pooled_var,
+      |    CASE WHEN pooled_var IS NOT NULL AND mean_cents > 0.0
+      |      THEN CAST(ceil(2.0 * $zsum2 * pooled_var
+      |        / ((0.05 * mean_raw) * (0.05 * mean_raw))) AS BIGINT)
+      |      END AS n_required
+      |  FROM p
+      |)
+      |SELECT event_type, n_a, n_b, mean_cents, pooled_var, n_required,
+      |  CASE WHEN n_required IS NULL THEN NULL
+      |    ELSE LEAST(n_a, n_b) >= n_required END AS powered
+      |FROM r
+      |ORDER BY event_type""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_ab_mannwhitney" -> (eventsAbMannWhitney _),
     "events_ab_proportions" -> (eventsAbProportions _),
     "events_ab_ks"          -> (eventsAbKs _),
     "events_ab_kruskal"     -> (eventsAbKruskal _),
-    "events_ab_cuped"       -> (eventsAbCuped _)
+    "events_ab_cuped"       -> (eventsAbCuped _),
+    "events_ab_srm"         -> (eventsAbSrm _),
+    "events_ab_power"       -> (eventsAbPower _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -684,6 +847,8 @@ object RankTests {
     "events_ab_proportions" -> eventsAbProportionsSql,
     "events_ab_ks"          -> eventsAbKsSql,
     "events_ab_kruskal"     -> eventsAbKruskalSql,
-    "events_ab_cuped"       -> eventsAbCupedSql
+    "events_ab_cuped"       -> eventsAbCupedSql,
+    "events_ab_srm"         -> eventsAbSrmSql,
+    "events_ab_power"       -> eventsAbPowerSql
   )
 }

@@ -1404,7 +1404,143 @@ object KnnGraph {
        |SELECT a, b, cn, deg_a, deg_b, jaccard, CAST(rank AS BIGINT) AS rank
        |FROM top ORDER BY rank""".stripMargin
 
+  /** §2 entry `knn_graph_betweenness` — BETWEENNESS centrality on the
+    * mutual kNN graph: the BRIDGE score (how much shortest-path traffic
+    * crosses a node) that PageRank/HITS cannot express — a node can be
+    * low-degree and un-endorsed yet be the ONLY corridor between two
+    * semantic clusters, exactly the vector a diversity sampler must
+    * keep and a dedup pass must not collapse. Distributed BRANDES,
+    * honestly bounded the way a 100 TB pass must be: SAMPLED sources
+    * (the standard Brandes estimator — every `vec_id % 31 == 0` node,
+    * a deterministic ~3% sample mirrored in SQL) and HOP-BOUNDED
+    * (dist ≤ 4; on a mutual kNN graph intra-cluster shortest paths are
+    * short, and the k-bounded frontier keeps each round's state ≤
+    * sources × reach). Forward pass: 4 BFS rounds over the pinned edge
+    * layout, σ path counts as exact BIGINT grouped sums, the visited
+    * anti-join keeping layers disjoint — ALL sources advance together
+    * as one (src, node) frame, so rounds are joins, not a per-source
+    * loop. Backward pass: the Brandes dependency δ(v) = Σ_w σ_v/σ_w ·
+    * (1 + δ(w)) on the 2²⁰ grid — each term floor-quantized
+    * (per-term floor ≤ σ·(G + δ) < 2⁶³ to ~10⁸ nodes; the one-sided
+    * O(2⁻²⁰) trade of the PageRank family), every edge v∈layer_r →
+    * w∈layer_r+1 being a shortest-path DAG edge BY CONSTRUCTION
+    * (dist(w) = dist(v)+1 forces it).
+    *
+    * Hash-gated: σ and the quantized δ are pure integers, so the 4+3
+    * rounds unroll as MATERIALIZED CTEs over the same exact mutual
+    * edges (the kcore discipline); scores sum per node, zero-filled
+    * over the node table. KnnGraphSpec pins a diamond (σ = 2 splits δ
+    * exactly in half on the grid), a 5-node path (all-σ-1 → the grid
+    * arithmetic is EXACT, bc = known path-graph values), and corpus
+    * determinism.
+    */
+  private val BcHops = 4
+  private val BcGrid = 1048576L // 2^20
+  private val BcSourceMod = 31L
+
+  private[graft] def betweennessOn(edges: DataFrame, sources: DataFrame): DataFrame = {
+    import edges.sparkSession.implicits._
+    val ePinned = graft.plans.PinnedLayout.pinByKey(
+      edges.select($"a", $"b"), "a")
+    var frontier = sources.select($"src", $"src".as("node"), lit(1L).as("sigma"))
+      .localCheckpoint()
+    var visited = frontier.select($"src", $"node").localCheckpoint()
+    val layers = scala.collection.mutable.ArrayBuffer(frontier)
+    for (_ <- 1 to BcHops) {
+      val cand = ePinned
+        .join(frontier.withColumnRenamed("node", "a").hint("shuffle_hash"), Seq("a"))
+        .select($"src", $"b".as("node"), $"sigma")
+      val nf = cand.join(visited, Seq("src", "node"), "left_anti")
+        .groupBy($"src", $"node").agg(sum($"sigma").as("sigma"))
+        .localCheckpoint()
+      layers += nf
+      visited = visited.unionByName(nf.select($"src", $"node")).localCheckpoint()
+      frontier = nf
+    }
+    // backward: delta at the deepest layer is 0; each shallower layer
+    // gathers floor(sigma_v * (G + delta_w) / sigma_w) over its DAG edges
+    var delta = layers(BcHops).select($"src", $"node", lit(0L).as("delta2"))
+      .localCheckpoint()
+    val deltas = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (r <- (BcHops - 1) to 0 by -1) {
+      val wSide = layers(r + 1)
+        .select($"src", $"node".as("b"), $"sigma".as("sigma_w"))
+        .join(delta.select($"src", $"node".as("b"), $"delta2".as("delta_w")),
+          Seq("src", "b"))
+      val terms = ePinned
+        .join(wSide.hint("shuffle_hash"), Seq("b"))
+        .select($"src", $"a".as("node"), $"sigma_w", $"delta_w")
+      val vLayer = layers(r).select($"src", $"node", $"sigma".as("sigma_v"))
+      val gathered = vLayer.join(terms, Seq("src", "node"))
+        .groupBy($"src", $"node")
+        .agg(sum(expr(s"sigma_v * ($BcGrid + delta_w) div sigma_w")).as("dsum"))
+      delta = vLayer.join(gathered, Seq("src", "node"), "left")
+        .select($"src", $"node", coalesce($"dsum", lit(0L)).as("delta2"))
+        .localCheckpoint()
+      if (r > 0) deltas += delta // r == 0 is the source itself - excluded
+    }
+    deltas.reduce(_ unionByName _)
+      .groupBy($"node").agg(sum($"delta2").as("bc"))
+  }
+
+  def knnGraphBetweenness(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val edges = exactGraphOf(spark, dir).filter($"mutual")
+      .select($"vec_id".as("a"), $"neighbor_id".as("b"))
+    val nodes = VectorAgg.quantized(spark, dir).select($"vec_id")
+    val sources = nodes.filter($"vec_id" % BcSourceMod === 0)
+      .select($"vec_id".as("src"))
+    nodes
+      .join(betweennessOn(edges, sources)
+        .withColumnRenamed("node", "vec_id"), Seq("vec_id"), "left")
+      .select($"vec_id", coalesce($"bc", lit(0L)).as("bc_scaled"))
+      .orderBy($"vec_id")
+  }
+
+  val knnGraphBetweennessSql: String = {
+    val fwd = (1 to BcHops).map { i =>
+      s""", f$i AS MATERIALIZED (
+         |  SELECT f.src, e.b AS node, CAST(SUM(f.sigma) AS BIGINT) AS sigma
+         |  FROM f${i - 1} f JOIN mutual e ON e.a = f.node
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM v${i - 1} v WHERE v.src = f.src AND v.node = e.b)
+         |  GROUP BY 1, 2)
+         |, v$i AS MATERIALIZED (
+         |  SELECT src, node FROM v${i - 1} UNION ALL SELECT src, node FROM f$i)""".stripMargin
+    }.mkString("\n")
+    val bwd = ((BcHops - 1) to 1 by -1).map { r =>
+      s""", t$r AS MATERIALIZED (
+         |  SELECT f.src, f.node,
+         |    CAST(SUM((f.sigma * ($BcGrid + d.delta2)) // w.sigma) AS BIGINT) AS dsum
+         |  FROM f$r f
+         |  JOIN mutual e ON e.a = f.node
+         |  JOIN f${r + 1} w ON w.src = f.src AND w.node = e.b
+         |  JOIN d${r + 1} d ON d.src = f.src AND d.node = e.b
+         |  GROUP BY 1, 2)
+         |, d$r AS MATERIALIZED (
+         |  SELECT f.src, f.node, CAST(COALESCE(t.dsum, 0) AS BIGINT) AS delta2
+         |  FROM f$r f LEFT JOIN t$r t ON t.src = f.src AND t.node = f.node)""".stripMargin
+    }.mkString("\n")
+    val unions = (1 to (BcHops - 1))
+      .map(r => s"SELECT node, delta2 FROM d$r").mkString(" UNION ALL ")
+    s"""$mutualCte, f0 AS MATERIALIZED (
+       |  SELECT vec_id AS src, vec_id AS node, CAST(1 AS BIGINT) AS sigma
+       |  FROM n WHERE vec_id % $BcSourceMod = 0)
+       |, v0 AS MATERIALIZED (SELECT src, node FROM f0)
+       |$fwd
+       |, d$BcHops AS MATERIALIZED (
+       |  SELECT src, node, CAST(0 AS BIGINT) AS delta2 FROM f$BcHops)
+       |$bwd
+       |, bc AS (
+       |  SELECT node, CAST(SUM(delta2) AS BIGINT) AS bc
+       |  FROM ($unions) GROUP BY 1)
+       |SELECT nn.vec_id, CAST(COALESCE(bc.bc, 0) AS BIGINT) AS bc_scaled
+       |FROM n nn LEFT JOIN bc ON bc.node = nn.vec_id
+       |ORDER BY nn.vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_graph_betweenness" -> (knnGraphBetweenness _),
     "knn_graph_link_predict" -> (knnGraphLinkPredict _),
     "knn_graph_cc_star" -> (knnGraphCcStar _),
     "knn_graph_kcore" -> (knnGraphKcore _),
@@ -1564,6 +1700,7 @@ object KnnGraph {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "knn_graph_betweenness" -> knnGraphBetweennessSql,
     "knn_graph_communities" -> knnGraphCommunitiesSql,
     "knn_graph_ivf" -> knnGraphIvfSql,
     "ann_topk_graph" -> annTopkGraphSql,

@@ -403,6 +403,44 @@ class KnnGraphSpec extends SparkSuite {
       Set("x"))
   }
 
+  private def bcOn(und: Seq[(Long, Long)], sources: Seq[Long]) = {
+    import spark.implicits._
+    val edges = (und ++ und.map(_.swap)).toDF("a", "b")
+    val src = sources.toDF("src")
+    ops.KnnGraph.betweennessOn(edges, src).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("betweenness: 5-node path matches the exact ordered-pair counts") {
+    // all sigma = 1 -> the grid arithmetic is EXACT: bc(v) = G * (number
+    // of ordered source/target pairs whose shortest path crosses v)
+    val g = 1048576L
+    val bc = bcOn(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)), Seq(1L, 2L, 3L, 4L, 5L))
+    assert(bc.getOrElse(1L, 0L) == 0L && bc.getOrElse(5L, 0L) == 0L)
+    assert(bc(2L) == 6L * g)
+    assert(bc(3L) == 8L * g)
+    assert(bc(4L) == 6L * g)
+  }
+
+  test("betweenness: diamond splits the two shortest paths exactly in half") {
+    // 1-2-4 and 1-3-4: sigma(4 from 1) = 2, so delta(2) = delta(3) =
+    // floor(1*(G+0)/2) = G/2 per crossing source pair; symmetry gives
+    // every node the same bc = G
+    val g = 1048576L
+    val bc = bcOn(Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)), Seq(1L, 2L, 3L, 4L))
+    Seq(1L, 2L, 3L, 4L).foreach(v => assert(bc(v) == g, s"node $v"))
+  }
+
+  test("betweenness corpus entry: zero-filled over all nodes, deterministic") {
+    val a = ops.KnnGraph.knnGraphBetweenness(spark, sf).collect()
+    val b = ops.KnnGraph.knnGraphBetweenness(spark, sf).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    val nNodes = ops.VectorAgg.quantized(spark, sf).count()
+    assert(a.length == nNodes, "every node gets a row (zeros included)")
+    assert(a.exists(_.getLong(1) > 0L), "some bridge traffic exists")
+    a.foreach(r => assert(r.getLong(1) >= 0L))
+  }
+
   test("hits gather on an edgeless graph is empty and defined (no NPE divisor)") {
     import spark.implicits._
     val edges = Seq.empty[(Long, Long)].toDF("src", "dst")

@@ -354,6 +354,49 @@ class RankTestsSpec extends SparkSuite {
     }
   }
 
+  test("power: the z_beta literal re-derives from a Taylor-series normal CDF") {
+    // Phi(x) = (1 + erf(x/sqrt 2))/2 with erf by its Taylor series —
+    // machine-precision for |x| < 3, so the 0.8416... literal is pinned
+    // to Phi(z) == 0.8 within 1e-12 (the literal-weights discipline)
+    def erf(x: Double): Double = {
+      var (term, sum) = (x, x)
+      for (n <- 1 to 40) {
+        term = -term * x * x / n
+        sum += term / (2 * n + 1)
+      }
+      sum * 2.0 / math.sqrt(math.Pi)
+    }
+    val phi = 0.5 * (1.0 + erf(core.RankTests.PowerZBeta80 / math.sqrt(2.0)))
+    assert(math.abs(phi - 0.8) < 1e-12)
+  }
+
+  test("power corpus entry: verdict consistent with its own numbers") {
+    val rows = core.RankTests.eventsAbPower(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      if (!r.isNullAt(r.fieldIndex("n_required"))) {
+        val req = r.getAs[Long]("n_required")
+        assert(req >= 0L)
+        assert(r.getAs[Boolean]("powered") ==
+          (math.min(r.getAs[Long]("n_a"), r.getAs[Long]("n_b")) >= req))
+      } else assert(r.isNullAt(r.fieldIndex("powered")))
+    }
+  }
+
+  test("srm: z re-derives from the arm counts; both corpus arms populated") {
+    // the corpus entry's own split on real data: both arms exposed and
+    // the z column is exactly the (u_a-u_b)/sqrt(u_a+u_b) form
+    val rows = core.RankTests.eventsAbSrm(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("u_a") > 0L && r.getAs[Long]("u_b") > 0L)
+      val z = r.getAs[Double]("z")
+      val exp = (r.getAs[Long]("u_a") - r.getAs[Long]("u_b")).toDouble /
+        math.sqrt((r.getAs[Long]("u_a") + r.getAs[Long]("u_b")).toDouble)
+      assert(z == exp)
+    }
+  }
+
   test("corpus entry: non-vacuous and U_a + U_b == n_a*n_b per type") {
     val rows = core.RankTests.eventsAbMannWhitney(spark, sf).collect()
     assert(rows.nonEmpty)
