@@ -79,6 +79,35 @@ object ForecastServe {
   def runsTestServed(spark: SparkSession, dir: String): DataFrame =
     ForecastStream.serveRunsTest(spark, statePathFor(spark, dir))
 
+  /** The count+value state family (one extra BIGINT per state row —
+    * kept separate from the counts state so the twelve existing
+    * consumers' bit-parity pins never see a schema change).
+    */
+  private val builtValueStates =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  private def valueStatePathFor(spark: SparkSession, dir: String): String =
+    builtValueStates.synchronized {
+      builtValueStates.getOrElseUpdate((spark, dir), {
+        import spark.implicits._
+        val p = s"${System.getProperty("java.io.tmpdir")}/graft_dailyvalues_state_" +
+          graft.Tables.dirKey(dir) +
+          "_" + ProcessHandle.current().pid() +
+          "_" + Integer.toHexString(System.identityHashCode(spark))
+        val ev = Tables.events(spark, dir)
+        val maxId = ev.agg(max($"event_id")).head().getLong(0)
+        val cuts = Seq(maxId / 3, 2 * maxId / 3, maxId)
+        cuts.zip(-1L +: cuts.dropRight(1)).zipWithIndex.foreach { case ((hi, lo), i) =>
+          ForecastStream.dailyValuesFold(
+            ev.filter($"event_id" > lo && $"event_id" <= hi), p, i.toLong)
+        }
+        p
+      })
+    }
+
+  def spearmanServed(spark: SparkSession, dir: String): DataFrame =
+    ForecastStream.serveSpearman(spark, valueStatePathFor(spark, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_forecast_ses_served"  -> (sesServed _),
     "events_forecast_holt_served" -> (holtServed _),
@@ -90,7 +119,8 @@ object ForecastServe {
     "events_dispersion_served" -> (dispersionServed _),
     "events_level_hl_served"   -> (hlLevelServed _),
     "events_changepoint_pettitt_served" -> (pettittServed _),
-    "events_runs_test_served" -> (runsTestServed _)
+    "events_runs_test_served" -> (runsTestServed _),
+    "events_value_spearman_served" -> (spearmanServed _)
   )
 
   /** The batch twins' oracles verbatim — serve-from-state is bit-equal. */
@@ -107,6 +137,8 @@ object ForecastServe {
     "events_level_hl_served"   -> graft.core.TrendQueries.eventsLevelHlSql,
     "events_changepoint_pettitt_served" ->
       graft.core.TrendQueries.eventsChangepointPettittSql,
-    "events_runs_test_served" -> graft.core.TrendQueries.eventsRunsTestSql
+    "events_runs_test_served" -> graft.core.TrendQueries.eventsRunsTestSql,
+    "events_value_spearman_served" ->
+      graft.core.TrendQueries.eventsValueSpearmanSql
   )
 }

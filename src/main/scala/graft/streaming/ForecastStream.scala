@@ -111,4 +111,49 @@ object ForecastStream {
   /** Wald–Wolfowitz runs test from the folded state. */
   def serveRunsTest(spark: SparkSession, statePath: String): DataFrame =
     graft.core.TrendQueries.runsTestOn(stateDaily(spark, statePath))
+
+  /** The daily count+VALUE fold — the two-column sibling of
+    * [[dailyFold]] for analytics that need revenue beside volume
+    * (Spearman rank correlation): per-(type, day) counts AND exact
+    * cents sums, both mergeable by plain addition, same
+    * [[StateFold.guarded]] discipline and the same calendar-bounded
+    * state shape (one extra BIGINT per row).
+    */
+  def dailyValuesSink(events: DataFrame, statePath: String, runTag: String = "default"): DataStreamWriter[Row] =
+    events.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        dailyValuesFold(batch, statePath, batchId, runTag)
+      }
+
+  private[graft] def dailyValuesFold(batch: DataFrame, statePath: String, batchId: Long,
+      runTag: String = "default"): Unit =
+    if (!batch.isEmpty) {
+      val spark = batch.sparkSession
+      import spark.implicits._
+      val batchDaily: Seq[(String, String, Long, Long)] = batch
+        .groupBy($"event_type", date_format(to_date($"ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(($"value".cast("decimal(10,2)") * 100).cast("long")).as("v"))
+        .as[(String, String, Long, Long)].collect().toSeq
+      StateFold.guarded(spark, statePath, batchId, runTag) { prev =>
+        val prevRows = prev
+          .map(_.as[(String, String, Long, Long)].collect().toSeq).getOrElse(Seq.empty)
+        (prevRows ++ batchDaily)
+          .groupBy(r => (r._1, r._2))
+          .map { case ((t, d), rs) => (t, d, rs.map(_._3).sum, rs.map(_._4).sum) }
+          .toSeq.toDF("event_type", "day", "n", "v")
+      }
+    }
+
+  private def stateDailyValues(spark: SparkSession, statePath: String): DataFrame = {
+    import spark.implicits._
+    StateFold.readState(spark, statePath)
+      .getOrElse(throw new IllegalStateException(s"no committed daily-values state at $statePath"))
+      .select($"event_type", to_date($"day").as("day"), $"n", $"v")
+  }
+
+  /** Spearman volume/revenue rank correlation from the folded state. */
+  def serveSpearman(spark: SparkSession, statePath: String): DataFrame =
+    graft.core.TrendQueries.spearmanOn(stateDailyValues(spark, statePath))
 }

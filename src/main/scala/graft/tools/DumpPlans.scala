@@ -115,7 +115,8 @@ object DumpPlans {
       "events_ab_cuped", "events_changepoint_pettitt",
       "events_changepoint_pettitt_served", "events_value_spearman",
       "events_runs_test", "events_runs_test_served", "text_ttr",
-      "rec_eval_exposure_gini", "knn_graph_betweenness")
+      "rec_eval_exposure_gini", "knn_graph_betweenness",
+      "events_ab_srm", "events_ab_power", "events_value_spearman_served")
 
     val sb = new StringBuilder
     sb.append("# Executed plans (generated by graft.tools.DumpPlans at " + sfDir + ")\n\n")

@@ -287,6 +287,21 @@ class TrendSpec extends SparkSuite {
     assert(batch == served && batch.nonEmpty)
   }
 
+  test("spearman served from the count+value fold == batch bit-for-bit") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sp_stream").toString
+    val ev = Tables.events(spark, sf)
+    // cut across days (event_id mod) so per-day count AND cents sums
+    // must merge additively
+    streaming.ForecastStream.dailyValuesFold(ev.filter($"event_id" % 2 === 0), dir, 0L)
+    streaming.ForecastStream.dailyValuesFold(ev.filter($"event_id" % 2 === 1), dir, 1L)
+    val served = streaming.ForecastStream.serveSpearman(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val batch = core.TrendQueries.eventsValueSpearman(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(served == batch && served.nonEmpty)
+  }
+
   test("pettitt served from streamed state == batch bit-for-bit") {
     val batch = core.TrendQueries.eventsChangepointPettitt(spark, sf).collect().toSeq
     val served = streaming.ForecastServe.pettittServed(spark, sf).collect().toSeq
