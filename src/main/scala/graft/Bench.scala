@@ -124,7 +124,8 @@ object Bench {
     "events_changepoint_pettitt_served", "events_value_spearman",
     "events_runs_test", "events_runs_test_served", "text_ttr",
     "knn_graph_betweenness", "events_ab_srm", "events_ab_power",
-    "events_value_spearman_served")
+    "events_value_spearman_served", "knn_graph_closeness",
+    "etl_csv_roundtrip", "etl_json_roundtrip")
   // rec_eval_prk / rec_eval_ndcg / rec_eval_mrr join the excluded-harness
   // family (rec_coverage_eval precedent): they re-run the CF train chain
   // the suite already times, and their own tails are scalar aggregates.

@@ -79,11 +79,73 @@ object OrcRoundtrip {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  /** §2 entries `etl_csv_roundtrip` / `etl_json_roundtrip` — the TEXT
+    * landing zones beside the columnar one: the same partitioned
+    * staging extract lands as Hive-layout CSV (header, explicit
+    * read-back schema — inference would silently widen the decimal)
+    * and as JSON-lines, each read back and rolled up against the SAME
+    * source-parquet oracle — so the driver gate proves BOTH text
+    * serializers preserve longs, strings and the DECIMAL(12,2) exactly
+    * (the decimal is the type a naive float round-trip perturbs).
+    * Same once-per-(session, dir) write discipline; the read-back scan
+    * still prunes on the partition dir.
+    */
+  private val builtText =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), String]
+
+  private def textPath(spark: SparkSession, dir: String, fmt: String): String =
+    builtText.synchronized {
+      builtText.getOrElseUpdate((spark, dir, fmt), {
+        import spark.implicits._
+        val p = s"${System.getProperty("java.io.tmpdir")}/graft_${fmt}_" +
+          graft.Tables.dirKey(dir) +
+          "_" + ProcessHandle.current().pid() +
+          "_" + Integer.toHexString(System.identityHashCode(spark))
+        val df = Tables.lineitem(spark, dir)
+          .select($"l_orderkey", $"l_partkey",
+            $"l_quantity".cast("decimal(12,2)").as("qty"),
+            $"l_returnflag")
+        val w = df.write.mode("overwrite").partitionBy("l_returnflag")
+        if (fmt == "csv") w.option("header", "true").csv(p) else w.json(p)
+        p
+      })
+    }
+
+  private val landedSchema =
+    "l_orderkey BIGINT, l_partkey BIGINT, qty DECIMAL(12,2)"
+
+  private def textRoundtrip(spark: SparkSession, dir: String, fmt: String): DataFrame = {
+    import spark.implicits._
+    val p = textPath(spark, dir, fmt)
+    val back =
+      if (fmt == "csv")
+        spark.read.schema(landedSchema).option("header", "true").csv(p)
+      else spark.read.schema(landedSchema).json(p)
+    back
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct($"l_partkey").as("n_parts"),
+        sum($"qty").as("qty_sum"))
+      .select($"l_returnflag", $"n_rows", $"n_parts",
+        $"qty_sum".cast("double").as("sum_qty"))
+      .orderBy($"l_returnflag")
+  }
+
+  def etlCsvRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    textRoundtrip(spark, dir, "csv")
+
+  def etlJsonRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    textRoundtrip(spark, dir, "json")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "etl_orc_roundtrip" -> (etlOrcRoundtrip _)
+    "etl_orc_roundtrip"  -> (etlOrcRoundtrip _),
+    "etl_csv_roundtrip"  -> (etlCsvRoundtrip _),
+    "etl_json_roundtrip" -> (etlJsonRoundtrip _)
   )
 
   val oracleSql: Map[String, String] = Map(
-    "etl_orc_roundtrip" -> etlOrcRoundtripSql
+    "etl_orc_roundtrip"  -> etlOrcRoundtripSql,
+    "etl_csv_roundtrip"  -> etlOrcRoundtripSql,
+    "etl_json_roundtrip" -> etlOrcRoundtripSql
   )
 }

@@ -1438,7 +1438,14 @@ object KnnGraph {
   private val BcGrid = 1048576L // 2^20
   private val BcSourceMod = 31L
 
-  private[graft] def betweennessOn(edges: DataFrame, sources: DataFrame): DataFrame = {
+  /** The shared hop-bounded multi-source BFS: layers(r) = the (src,
+    * node, sigma) frame at distance exactly r (sigma = shortest-path
+    * counts), disjoint by the visited anti-join. Feeds betweenness
+    * (which back-propagates over them) and closeness (which only needs
+    * the distances).
+    */
+  private def bfsLayers(edges: DataFrame, sources: DataFrame)
+      : (DataFrame, scala.collection.mutable.ArrayBuffer[DataFrame]) = {
     import edges.sparkSession.implicits._
     val ePinned = graft.plans.PinnedLayout.pinByKey(
       edges.select($"a", $"b"), "a")
@@ -1457,6 +1464,12 @@ object KnnGraph {
       visited = visited.unionByName(nf.select($"src", $"node")).localCheckpoint()
       frontier = nf
     }
+    (ePinned, layers)
+  }
+
+  private[graft] def betweennessOn(edges: DataFrame, sources: DataFrame): DataFrame = {
+    import edges.sparkSession.implicits._
+    val (ePinned, layers) = bfsLayers(edges, sources)
     // backward: delta at the deepest layer is 0; each shallower layer
     // gathers floor(sigma_v * (G + delta_w) / sigma_w) over its DAG edges
     var delta = layers(BcHops).select($"src", $"node", lit(0L).as("delta2"))
@@ -1497,7 +1510,11 @@ object KnnGraph {
       .orderBy($"vec_id")
   }
 
-  val knnGraphBetweennessSql: String = {
+  /** The forward-BFS CTE chain shared by the betweenness and closeness
+    * oracles: sampled sources f0, visited-set v_i, per-layer (src,
+    * node, sigma) frames f1..f_H.
+    */
+  private def bcForwardSql: String = {
     val fwd = (1 to BcHops).map { i =>
       s""", f$i AS MATERIALIZED (
          |  SELECT f.src, e.b AS node, CAST(SUM(f.sigma) AS BIGINT) AS sigma
@@ -1508,6 +1525,14 @@ object KnnGraph {
          |, v$i AS MATERIALIZED (
          |  SELECT src, node FROM v${i - 1} UNION ALL SELECT src, node FROM f$i)""".stripMargin
     }.mkString("\n")
+    s"""$mutualCte, f0 AS MATERIALIZED (
+       |  SELECT vec_id AS src, vec_id AS node, CAST(1 AS BIGINT) AS sigma
+       |  FROM n WHERE vec_id % $BcSourceMod = 0)
+       |, v0 AS MATERIALIZED (SELECT src, node FROM f0)
+       |$fwd""".stripMargin
+  }
+
+  val knnGraphBetweennessSql: String = {
     val bwd = ((BcHops - 1) to 1 by -1).map { r =>
       s""", t$r AS MATERIALIZED (
          |  SELECT f.src, f.node,
@@ -1523,11 +1548,7 @@ object KnnGraph {
     }.mkString("\n")
     val unions = (1 to (BcHops - 1))
       .map(r => s"SELECT node, delta2 FROM d$r").mkString(" UNION ALL ")
-    s"""$mutualCte, f0 AS MATERIALIZED (
-       |  SELECT vec_id AS src, vec_id AS node, CAST(1 AS BIGINT) AS sigma
-       |  FROM n WHERE vec_id % $BcSourceMod = 0)
-       |, v0 AS MATERIALIZED (SELECT src, node FROM f0)
-       |$fwd
+    s"""$bcForwardSql
        |, d$BcHops AS MATERIALIZED (
        |  SELECT src, node, CAST(0 AS BIGINT) AS delta2 FROM f$BcHops)
        |$bwd
@@ -1539,8 +1560,68 @@ object KnnGraph {
        |ORDER BY nn.vec_id""".stripMargin
   }
 
+  /** §2 entry `knn_graph_closeness` — HARMONIC closeness centrality,
+    * the third centrality axis beside endorsement (PageRank/HITS) and
+    * bridging (betweenness): how NEAR a vector sits to everything else
+    * (Σ 1/dist — the formulation that is defined on disconnected
+    * graphs, where classic closeness's Σdist diverges). High harmonic
+    * closeness = a prototype at a cluster's center; near-zero = the
+    * periphery a quality prune inspects first. Reuses the SAME
+    * hop-bounded sampled-source BFS as betweenness (the bfsLayers
+    * core): each (src, v) pair at distance r contributes the exact
+    * integer ⌊G/r⌋ on the 2²⁰ grid — per-layer LITERAL weights, so the
+    * whole statistic is one union + one grouped sum over the already-
+    * disjoint layers; n_reached (sources within the hop bound) rides
+    * along. Hash-gated: the oracle reuses the shared forward CTE chain
+    * verbatim with the same ⌊G/r⌋ literals; zero-filled over the node
+    * table. Spec pins the 5-node path's exact harmonic values and
+    * layer-disjointness via n_reached.
+    */
+  private[graft] def closenessOn(edges: DataFrame, sources: DataFrame): DataFrame = {
+    import edges.sparkSession.implicits._
+    val (_, layers) = bfsLayers(edges, sources)
+    (1 to BcHops)
+      .map(r => layers(r).select($"node", lit(BcGrid / r).as("w")))
+      .reduce(_ unionByName _)
+      .groupBy($"node")
+      .agg(sum($"w").as("harmonic"), count(lit(1)).as("n_reached"))
+  }
+
+  def knnGraphCloseness(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val edges = exactGraphOf(spark, dir).filter($"mutual")
+      .select($"vec_id".as("a"), $"neighbor_id".as("b"))
+    val nodes = VectorAgg.quantized(spark, dir).select($"vec_id")
+    val sources = nodes.filter($"vec_id" % BcSourceMod === 0)
+      .select($"vec_id".as("src"))
+    nodes
+      .join(closenessOn(edges, sources)
+        .withColumnRenamed("node", "vec_id"), Seq("vec_id"), "left")
+      .select($"vec_id",
+        coalesce($"harmonic", lit(0L)).as("harmonic_scaled"),
+        coalesce($"n_reached", lit(0L)).as("n_reached"))
+      .orderBy($"vec_id")
+  }
+
+  val knnGraphClosenessSql: String = {
+    val unions = (1 to BcHops)
+      .map(r => s"SELECT node, CAST(${BcGrid / r} AS BIGINT) AS w FROM f$r")
+      .mkString(" UNION ALL ")
+    s"""$bcForwardSql
+       |, hc AS (
+       |  SELECT node, CAST(SUM(w) AS BIGINT) AS harmonic,
+       |    CAST(COUNT(*) AS BIGINT) AS n_reached
+       |  FROM ($unions) GROUP BY 1)
+       |SELECT nn.vec_id,
+       |  CAST(COALESCE(hc.harmonic, 0) AS BIGINT) AS harmonic_scaled,
+       |  CAST(COALESCE(hc.n_reached, 0) AS BIGINT) AS n_reached
+       |FROM n nn LEFT JOIN hc ON hc.node = nn.vec_id
+       |ORDER BY nn.vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_graph_betweenness" -> (knnGraphBetweenness _),
+    "knn_graph_closeness"   -> (knnGraphCloseness _),
     "knn_graph_link_predict" -> (knnGraphLinkPredict _),
     "knn_graph_cc_star" -> (knnGraphCcStar _),
     "knn_graph_kcore" -> (knnGraphKcore _),
@@ -1701,6 +1782,7 @@ object KnnGraph {
 
   val oracleSql: Map[String, String] = Map(
     "knn_graph_betweenness" -> knnGraphBetweennessSql,
+    "knn_graph_closeness"   -> knnGraphClosenessSql,
     "knn_graph_communities" -> knnGraphCommunitiesSql,
     "knn_graph_ivf" -> knnGraphIvfSql,
     "ann_topk_graph" -> annTopkGraphSql,

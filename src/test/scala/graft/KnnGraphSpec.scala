@@ -431,6 +431,20 @@ class KnnGraphSpec extends SparkSuite {
     Seq(1L, 2L, 3L, 4L).foreach(v => assert(bc(v) == g, s"node $v"))
   }
 
+  test("closeness: 5-node path harmonic values are the exact floor(G/r) sums") {
+    import spark.implicits._
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val edges = (und ++ und.map(_.swap)).toDF("a", "b")
+    val src = Seq(1L, 2L, 3L, 4L, 5L).toDF("src")
+    val hc = ops.KnnGraph.closenessOn(edges, src).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val g = 1048576L
+    // center: dists {1,1,2,2}; end: dists {1,2,3,4}
+    assert(hc(3L) == (2 * g + 2 * (g / 2), 4L))
+    assert(hc(1L) == (g + g / 2 + g / 3 + g / 4, 4L))
+    assert(hc(5L) == hc(1L), "path symmetry")
+  }
+
   test("betweenness corpus entry: zero-filled over all nodes, deterministic") {
     val a = ops.KnnGraph.knnGraphBetweenness(spark, sf).collect()
     val b = ops.KnnGraph.knnGraphBetweenness(spark, sf).collect()
