@@ -133,6 +133,8 @@ object Bench {
   // chain knn_graph_communities already times (one cached stats frame
   // feeds both); their own tails are bounded joins + C-row rollups.
   // rec_eval_prk_baseline shares the excluded eval-harness family.
+  // events_ab_readout likewise: the composite decision row re-runs six
+  // A/B corpus passes the suite already times individually.
   // rec_eval_exposure_gini likewise: it serves from the same cached eval
   // frames and its own tail is a histogram window + one scalar aggregate.
   // ann_matryoshka_eval joins ann_recall_eval / dedup_recall_eval in the

@@ -832,6 +832,88 @@ object RankTests {
       |ORDER BY event_type""".stripMargin
   }
 
+  /** §2 entry `events_ab_readout` — the EXPERIMENT DECISION ROW, the
+    * composite every platform's readout page implements over the tests
+    * this file provides: per event type, ONE row carrying the
+    * assignment-integrity flag (SRM), the power verdict, all four z's
+    * (Welch mean / CUPED-adjusted mean / Mann–Whitney order /
+    * conversion) plus the KS shape verdict, and a DECISION that
+    * encodes the canonical reading order — `invalid_srm` trumps
+    * everything (a broken split voids all metrics), then
+    * `underpowered` (a null z on a too-small sample is expected, not
+    * evidence), then `effect` iff ANY z clears the BONFERRONI-
+    * corrected bound for the m = 4 z-test family (z_{α/2m} =
+    * Φ⁻¹(1 − 0.00625) — the literal RankTestsSpec re-derives by the
+    * same Taylor-CDF inversion as the power literal; uncorrected 1.96
+    * across four tests inflates the family false-positive rate to
+    * ~18%), else `no_effect`.
+    *
+    * Composition, not recomputation-in-kind: each component is the
+    * already-hash-gated entry joined on event_type, so the readout's
+    * oracle is the JOIN of the component oracles verbatim (each as a
+    * WITH-bearing subquery) — any future drift in a component breaks
+    * this gate too. Bench-excluded (the eval-harness precedent: it
+    * re-runs six corpus passes the suite already times individually).
+    */
+  private[graft] val BonferroniZ4 = 2.4977054744123737 // qnorm(1 - 0.05/8)
+
+  def eventsAbReadout(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val welch = graft.core.StatsQueries.eventsAbWelch(spark, dir)
+      .select($"event_type", $"t_stat".as("z_welch"))
+    val mw = eventsAbMannWhitney(spark, dir).select($"event_type", $"z".as("z_mw"))
+    val conv = eventsAbProportions(spark, dir).select($"event_type", $"z".as("z_conv"))
+    val cuped = eventsAbCuped(spark, dir)
+      .select($"event_type", $"z_cuped", $"var_reduction")
+    val ks = eventsAbKs(spark, dir)
+      .select($"event_type", $"d".as("ks_d"), $"significant".as("ks_shape_shift"))
+    val srm = eventsAbSrm(spark, dir).select($"event_type", $"srm_detected")
+    val power = eventsAbPower(spark, dir).select($"event_type", $"powered")
+    val c = lit(BonferroniZ4)
+    srm
+      .join(power, Seq("event_type"))
+      .join(welch, Seq("event_type"))
+      .join(cuped, Seq("event_type"))
+      .join(mw, Seq("event_type"))
+      .join(conv, Seq("event_type"))
+      .join(ks, Seq("event_type"))
+      .withColumn("any_effect",
+        abs($"z_welch") > c || abs($"z_cuped") > c ||
+          abs($"z_mw") > c || abs($"z_conv") > c)
+      .withColumn("decision",
+        when($"srm_detected", "invalid_srm")
+          .when(!$"powered", "underpowered")
+          .when($"any_effect", "effect")
+          .otherwise("no_effect"))
+      .select($"event_type", $"srm_detected", $"powered",
+        $"z_welch", $"z_cuped", $"var_reduction", $"z_mw", $"z_conv",
+        $"ks_d", $"ks_shape_shift", $"any_effect", $"decision")
+      .orderBy($"event_type")
+  }
+
+  val eventsAbReadoutSql: String =
+    s"""SELECT s.event_type, s.srm_detected, p.powered,
+      |  w.t_stat AS z_welch, c.z_cuped, c.var_reduction,
+      |  m.z AS z_mw, v.z AS z_conv,
+      |  k.d AS ks_d, k.significant AS ks_shape_shift,
+      |  (ABS(w.t_stat) > $BonferroniZ4 OR ABS(c.z_cuped) > $BonferroniZ4
+      |    OR ABS(m.z) > $BonferroniZ4 OR ABS(v.z) > $BonferroniZ4) AS any_effect,
+      |  CASE WHEN s.srm_detected THEN 'invalid_srm'
+      |       WHEN NOT p.powered THEN 'underpowered'
+      |       WHEN (ABS(w.t_stat) > $BonferroniZ4 OR ABS(c.z_cuped) > $BonferroniZ4
+      |         OR ABS(m.z) > $BonferroniZ4 OR ABS(v.z) > $BonferroniZ4)
+      |         THEN 'effect'
+      |       ELSE 'no_effect' END AS decision
+      |FROM ($eventsAbSrmSql) s
+      |JOIN ($eventsAbPowerSql) p ON p.event_type = s.event_type
+      |JOIN (${graft.core.StatsQueries.eventsAbWelchSql}) w
+      |  ON w.event_type = s.event_type
+      |JOIN ($eventsAbCupedSql) c ON c.event_type = s.event_type
+      |JOIN ($eventsAbMannWhitneySql) m ON m.event_type = s.event_type
+      |JOIN ($eventsAbProportionsSql) v ON v.event_type = s.event_type
+      |JOIN ($eventsAbKsSql) k ON k.event_type = s.event_type
+      |ORDER BY s.event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_ab_mannwhitney" -> (eventsAbMannWhitney _),
     "events_ab_proportions" -> (eventsAbProportions _),
@@ -839,7 +921,8 @@ object RankTests {
     "events_ab_kruskal"     -> (eventsAbKruskal _),
     "events_ab_cuped"       -> (eventsAbCuped _),
     "events_ab_srm"         -> (eventsAbSrm _),
-    "events_ab_power"       -> (eventsAbPower _)
+    "events_ab_power"       -> (eventsAbPower _),
+    "events_ab_readout"     -> (eventsAbReadout _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -849,6 +932,7 @@ object RankTests {
     "events_ab_kruskal"     -> eventsAbKruskalSql,
     "events_ab_cuped"       -> eventsAbCupedSql,
     "events_ab_srm"         -> eventsAbSrmSql,
-    "events_ab_power"       -> eventsAbPowerSql
+    "events_ab_power"       -> eventsAbPowerSql,
+    "events_ab_readout"     -> eventsAbReadoutSql
   )
 }

@@ -117,7 +117,8 @@ object DumpPlans {
       "events_runs_test", "events_runs_test_served", "text_ttr",
       "rec_eval_exposure_gini", "knn_graph_betweenness",
       "events_ab_srm", "events_ab_power", "events_value_spearman_served",
-      "knn_graph_closeness", "etl_csv_roundtrip", "etl_json_roundtrip")
+      "knn_graph_closeness", "etl_csv_roundtrip", "etl_json_roundtrip",
+      "events_ab_readout")
 
     val sb = new StringBuilder
     sb.append("# Executed plans (generated by graft.tools.DumpPlans at " + sfDir + ")\n\n")

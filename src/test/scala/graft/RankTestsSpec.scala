@@ -397,6 +397,37 @@ class RankTestsSpec extends SparkSuite {
     }
   }
 
+  test("readout: Bonferroni literal re-derives; decision follows the rule") {
+    def erf(x: Double): Double = {
+      var (term, sum) = (x, x)
+      for (n <- 1 to 60) {
+        term = -term * x * x / n
+        sum += term / (2 * n + 1)
+      }
+      sum * 2.0 / math.sqrt(math.Pi)
+    }
+    val phi = 0.5 * (1.0 + erf(core.RankTests.BonferroniZ4 / math.sqrt(2.0)))
+    assert(math.abs(phi - (1.0 - 0.05 / 8.0)) < 1e-12)
+    val c = core.RankTests.BonferroniZ4
+    val rows = core.RankTests.eventsAbReadout(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      def zAbs(f: String) =
+        if (r.isNullAt(r.fieldIndex(f))) None else Some(math.abs(r.getAs[Double](f)))
+      val anyEff = Seq("z_welch", "z_cuped", "z_mw", "z_conv")
+        .flatMap(zAbs).exists(_ > c)
+      def boolOf(f: String): Option[Boolean] =
+        if (r.isNullAt(r.fieldIndex(f))) None else Some(r.getAs[Boolean](f))
+      // mirror SQL three-valued logic: a NULL condition skips its branch
+      val expected =
+        if (boolOf("srm_detected").contains(true)) "invalid_srm"
+        else if (boolOf("powered").contains(false)) "underpowered"
+        else if (anyEff) "effect"
+        else "no_effect"
+      assert(r.getAs[String]("decision") == expected, r.toString)
+    }
+  }
+
   test("corpus entry: non-vacuous and U_a + U_b == n_a*n_b per type") {
     val rows = core.RankTests.eventsAbMannWhitney(spark, sf).collect()
     assert(rows.nonEmpty)
