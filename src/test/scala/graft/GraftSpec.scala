@@ -988,7 +988,10 @@ class PlanSpec extends SparkSuite {
       "dq_benford_served", "dq_drift_chi2", "dq_drift_chi2_served",
       "dq_freshness", "dq_key_skew", "embedding_quantize_int8",
       "etl_cdc_apply", "etl_delta_load", "etl_user_purge",
-      "events_ab_proportions", "events_anomaly_trailing", "events_forecast_holt",
+      // events_ab_readout inherits events_ab_proportions' documented
+      // 1-row broadcast-scalar crossJoin through composition
+      "events_ab_proportions", "events_ab_readout",
+      "events_anomaly_trailing", "events_forecast_holt",
       "dm_growth_accounting", "dm_growth_accounting_served",
       "events_forecast_holt_served", "events_forecast_hw",
       "events_forecast_hw_served", "events_forecast_ses",
