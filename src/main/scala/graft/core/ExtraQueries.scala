@@ -332,6 +332,92 @@ object ExtraQueries {
       |  AND p_brand = base_brand
       |ORDER BY child_partkey""".stripMargin
 
+  /** §2 entry `dm_album_parent_prefix` — the GENERALIZED form of the
+    * reference's one remaining manual data patch
+    * (scripts/parent_mapping/album_mapping.sql:4-15): each hardcoded
+    * INSERT there collapses a variant-edition album onto its base by
+    * name prefix — `album_name LIKE '1989%' AND album_name <> '1989'
+    * AND track_id NOT IN (SELECT child_id FROM parent_tracks)` —
+    * keeping track titles. This entry is that rule as ONE declarative
+    * operator over the whole catalog: an album maps to its LONGEST
+    * proper-prefix album (the most specific base edition), and only
+    * tracks not already collapsed by the variant-group mapping
+    * (`dm_version_suggestions`' parent-key device standing in for the
+    * reference's parent_tracks anti-join) are emitted. Role mapping as
+    * everywhere in the mart family: album = p_brand, track =
+    * (p_partkey, p_name).
+    *
+    * Scale shape: the prefix match is an EQUI-join, never a LIKE
+    * theta-join — each distinct album name (a frame orders of
+    * magnitude smaller than the track catalog) emits its proper
+    * prefixes up to a documented 64-char cap as join keys, and base
+    * lookup is `pfx = album` (the SSJoin prefix-key discipline); the
+    * longest-base pick is one max_by over the matched pairs. The
+    * track-side anti-join device is the bounded per-(title, album)
+    * variant window `dm_version_suggestions` already runs, and the
+    * album→parent map enters the track join as a broadcast. Exactness:
+    * pure string/integer semantics, no floats anywhere.
+    */
+  def albumParentPrefix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    albumParentPrefixOn(
+      Tables.part(spark, dir).select($"p_partkey", $"p_name", $"p_brand"))
+  }
+
+  /** The collapse over a caller-supplied (p_partkey, p_name, p_brand)
+    * catalog — split out for the planted specs.
+    */
+  private[graft] def albumParentPrefixOn(part: DataFrame): DataFrame = {
+    import part.sparkSession.implicits._
+    val albums = part.select($"p_brand".as("album")).distinct()
+    // proper prefixes as equi-join keys; len≥2 guard keeps sequence()
+    // ascending (a 1-char album has no proper prefix)
+    val pfx = albums
+      .filter(length($"album") >= 2)
+      .withColumn("k",
+        explode(sequence(lit(1), least(length($"album") - 1, lit(64)))))
+      .select($"album", $"album".substr(lit(1), $"k").as("pfx"), $"k")
+    val bases = albums.select($"album".as("base_album"))
+    val parentOf = pfx
+      .join(bases, $"pfx" === $"base_album")
+      .groupBy($"album")
+      .agg(max_by($"base_album", $"k").as("parent_album"))
+    val w = Window.partitionBy($"p_name", $"p_brand")
+    val unmapped = part
+      .withColumn("parent_partkey", min($"p_partkey").over(w))
+      .filter($"p_partkey" === $"parent_partkey")
+      .select($"p_partkey".as("child_partkey"), $"p_name".as("track_title"),
+        $"p_brand")
+    unmapped.join(broadcast(parentOf), $"p_brand" === $"album")
+      .select($"child_partkey", $"track_title", $"p_brand".as("child_album"),
+        $"parent_album")
+      .orderBy($"child_partkey")
+  }
+
+  val albumParentPrefixSql: String =
+    """WITH albums AS (
+      |  SELECT DISTINCT p_brand AS album FROM part
+      |), pfx AS (
+      |  SELECT album, substr(album, 1, CAST(k AS INTEGER)) AS pfx,
+      |    CAST(k AS BIGINT) AS k
+      |  FROM albums, UNNEST(range(1, CAST(LEAST(len(album) - 1, 64) AS BIGINT) + 1)) AS r(k)
+      |  WHERE len(album) >= 2
+      |), parentof AS (
+      |  SELECT p.album, max_by(b.album, p.k) AS parent_album
+      |  FROM pfx p JOIN albums b ON p.pfx = b.album
+      |  GROUP BY p.album
+      |), pm AS (
+      |  SELECT p_partkey, p_name, p_brand,
+      |    MIN(p_partkey) OVER (PARTITION BY p_name, p_brand) AS parent_partkey
+      |  FROM part
+      |), unmapped AS (
+      |  SELECT p_partkey AS child_partkey, p_name AS track_title, p_brand
+      |  FROM pm WHERE p_partkey = parent_partkey
+      |)
+      |SELECT child_partkey, track_title, p_brand AS child_album, parent_album
+      |FROM unmapped JOIN parentof ON p_brand = album
+      |ORDER BY child_partkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "etl_fact_build_podcast"  -> (factBuildPodcast _),
     "dm_rollup_agg"           -> (rollupAgg _),
@@ -339,7 +425,8 @@ object ExtraQueries {
     "dm_cube_agg"             -> (cubeAgg _),
     "agg_median_exact"        -> (aggMedianExact _),
     "dm_top_tracks_per_album" -> (topTracksPerAlbum _),
-    "dm_version_suggestions"  -> (versionSuggestions _)
+    "dm_version_suggestions"  -> (versionSuggestions _),
+    "dm_album_parent_prefix"  -> (albumParentPrefix _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -349,6 +436,7 @@ object ExtraQueries {
     "dm_cube_agg"             -> cubeAggSql,
     "agg_median_exact"        -> aggMedianExactSql,
     "dm_top_tracks_per_album" -> topTracksPerAlbumSql,
-    "dm_version_suggestions"  -> versionSuggestionsSql
+    "dm_version_suggestions"  -> versionSuggestionsSql,
+    "dm_album_parent_prefix"  -> albumParentPrefixSql
   )
 }

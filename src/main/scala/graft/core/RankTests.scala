@@ -914,6 +914,198 @@ object RankTests {
       |JOIN ($eventsAbKsSql) k ON k.event_type = s.event_type
       |ORDER BY s.event_type""".stripMargin
 
+  /** §2 entry `events_ab_sequential` — the GROUP-SEQUENTIAL readout
+    * beside the fixed-horizon decision row (`events_ab_readout`): real
+    * platforms PEEK — reading the fixed-horizon z at every interim look
+    * inflates the false-positive rate well past α, so the honest
+    * peeking protocol is a monitoring boundary. This entry runs the
+    * O'Brien–Fleming-type design with K = 4 equally-spaced looks over
+    * the experiment's calendar span: at look k the cumulative Welch z
+    * (all events up to that look's close) is compared against the OBF
+    * boundary c·√(K/k) — near-unspendable early (4.05σ at look 1),
+    * converging to c = 2.024 ≈ the fixed-horizon bound at the final
+    * look, so early stops need overwhelming evidence and the total
+    * type-I spend stays ≈ 0.05. One row per (event_type, look) with
+    * the running z, its boundary, the crossing flag, the type's
+    * stop_look (first crossing — min over the partition; looks after
+    * it are the counterfactual a platform would never run), and the
+    * decision: `reject_early` (stopped before look 4) /
+    * `reject_final` / `accept`.
+    *
+    * Scale shape: ONE corpus pass collapses events to the (type, look)
+    * per-arm sufficient-statistic grain (6 conditional sums, map-side
+    * combined, ≤ types×4 rows out); the cumulative sums, the z tree,
+    * and the stop_look min are windows PARTITIONED BY event_type over
+    * that bounded frame — the bounded-aggregate window discipline,
+    * never a corpus sort. The look index is exact integer calendar
+    * arithmetic: d·4 and span+1 are small ints, so floor(double
+    * division) is deterministic and identical in both engines; the
+    * span scalar is the one driver-side value (the CUPED cutoff
+    * device).
+    *
+    * Exactness (hash-gate): cumulative n/Σ/Σ² per arm are exact
+    * BIGINTs (cents / cents² — the Welch bound: Σy²·10⁴ < 2⁶³ to
+    * ~$9.6B of 10⁶-cent events per type-look; past that the sums move
+    * to DECIMAL(38,0), plan unchanged); the per-look z re-runs the
+    * `welchFrom` IEEE tree token for token; the boundary is the
+    * literal c = 2.024 (Jennison–Turnbull Table 2.1, two-sided
+    * α = 0.05, K = 4 — the BonferroniZ4 literal-constants discipline)
+    * times √(4/k). Degenerate looks (an arm with n ≤ 1 at an early
+    * look) → NULL z → NULL crossed in BOTH engines, and min() skips
+    * NULL looks identically. Reference semantics: the interim-analysis
+    * protocol over the reference's engagement readouts (gold_ddl.sql)
+    * — the reading order its dashboard queries invite but never guard.
+    */
+  private[graft] val ObfCritZ4 = 2.024 // O'Brien–Fleming C_B(K=4, α=0.05, two-sided)
+
+  /** The sequential core over a caller-supplied (event_type, arm, day,
+    * y_c, yy_4) frame with the span scalars pinned — split out for the
+    * planted cross-boundary-trajectory specs.
+    */
+  private[graft] def sequentialOn(ev: DataFrame, mn: Column, spanP: Column): DataFrame = {
+    import ev.sparkSession.implicits._
+    val withLook = ev.withColumn("look",
+      floor((datediff($"day", mn) * 4).cast("double") / spanP) + lit(1L))
+    val per = withLook.groupBy($"event_type", $"look").agg(
+      sum(when($"arm" === 0, 1L).otherwise(0L)).as("pn_a"),
+      sum(when($"arm" === 0, $"y_c").otherwise(0L)).as("psy_a"),
+      sum(when($"arm" === 0, $"yy_4").otherwise(0L)).as("psyy_a"),
+      sum(when($"arm" === 1, 1L).otherwise(0L)).as("pn_b"),
+      sum(when($"arm" === 1, $"y_c").otherwise(0L)).as("psy_b"),
+      sum(when($"arm" === 1, $"yy_4").otherwise(0L)).as("psyy_b"))
+    val wCum = Window.partitionBy($"event_type").orderBy($"look")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = per.select($"event_type", $"look",
+      sum($"pn_a").over(wCum).as("n_a"),
+      sum($"psy_a").over(wCum).as("sy_a"),
+      sum($"psyy_a").over(wCum).as("syy_a"),
+      sum($"pn_b").over(wCum).as("n_b"),
+      sum($"psy_b").over(wCum).as("sy_b"),
+      sum($"psyy_b").over(wCum).as("syy_b"))
+    val naD  = $"n_a".cast("double")
+    val nbD  = $"n_b".cast("double")
+    val syaD = $"sy_a".cast("double") / 100.0
+    val sybD = $"sy_b".cast("double") / 100.0
+    val syyaD = $"syy_a".cast("double") / 10000.0
+    val syybD = $"syy_b".cast("double") / 10000.0
+    val wAll = Window.partitionBy($"event_type")
+    cum
+      .withColumn("mean_a", when($"n_a" > 0, syaD / naD))
+      .withColumn("mean_b", when($"n_b" > 0, sybD / nbD))
+      .withColumn("var_a", when($"n_a" > 1,
+        (naD * syyaD - syaD * syaD) / (naD * (naD - 1.0))))
+      .withColumn("var_b", when($"n_b" > 1,
+        (nbD * syybD - sybD * sybD) / (nbD * (nbD - 1.0))))
+      .withColumn("z", ($"mean_a" - $"mean_b")
+        / sqrt($"var_a" / naD + $"var_b" / nbD))
+      .withColumn("boundary",
+        lit(ObfCritZ4) * sqrt(lit(4.0) / $"look".cast("double")))
+      .withColumn("crossed", when($"z".isNull, lit(null).cast("boolean"))
+        .otherwise(abs($"z") > $"boundary"))
+      .withColumn("stop_look", min(when($"crossed", $"look")).over(wAll))
+      .withColumn("decision",
+        when($"stop_look".isNull, "accept")
+          .when($"stop_look" < 4, "reject_early")
+          .otherwise("reject_final"))
+      .select($"event_type", $"look", $"n_a", $"n_b", $"z", $"boundary",
+        $"crossed", $"stop_look", $"decision")
+      .orderBy($"event_type", $"look")
+  }
+
+  def eventsAbSequential(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"event_type", pmod($"user_id", lit(2)).as("arm"),
+        to_date($"ts").as("day"),
+        $"value".cast("decimal(10,2)").as("y"))
+      .withColumn("y_c", ($"y" * 100).cast("long"))
+      .withColumn("yy_4", ($"y" * $"y" * 10000).cast("long"))
+      .drop("y")
+    // the one driver-side scalar pair (the CUPED cutoff device): the
+    // corpus's first day and span+1 pin the four look windows
+    val b = ev.agg(min($"day").as("mn"), max($"day").as("mx")).head()
+    val (mn, spanP) =
+      if (b.isNullAt(0)) (java.sql.Date.valueOf("1970-01-01"), 1L)
+      else {
+        val mnL = b.getDate(0).toLocalDate
+        (java.sql.Date.valueOf(mnL), java.time.temporal.ChronoUnit.DAYS
+          .between(mnL, b.getDate(1).toLocalDate) + 1L)
+      }
+    sequentialOn(ev, lit(mn), lit(spanP))
+  }
+
+  val eventsAbSequentialSql: String =
+    s"""WITH ev AS (
+      |  SELECT event_type, user_id % 2 AS arm,
+      |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+      |    CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT) AS y_c,
+      |    CAST(CAST(value AS DECIMAL(10,2)) * CAST(value AS DECIMAL(10,2)) * 10000 AS BIGINT) AS yy_4
+      |  FROM events
+      |), bounds AS (
+      |  SELECT MIN(day) AS mn,
+      |    date_diff('day', MIN(day), MAX(day)) + 1 AS spanp
+      |  FROM ev
+      |), lk AS (
+      |  SELECT event_type, arm, y_c, yy_4,
+      |    CAST(FLOOR(CAST(date_diff('day', (SELECT mn FROM bounds), day) * 4 AS DOUBLE)
+      |      / (SELECT spanp FROM bounds)) AS BIGINT) + 1 AS look
+      |  FROM ev
+      |), per AS (
+      |  SELECT event_type, look,
+      |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS pn_a,
+      |    CAST(SUM(CASE WHEN arm = 0 THEN y_c ELSE 0 END) AS BIGINT) AS psy_a,
+      |    CAST(SUM(CASE WHEN arm = 0 THEN yy_4 ELSE 0 END) AS BIGINT) AS psyy_a,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS pn_b,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN y_c ELSE 0 END) AS BIGINT) AS psy_b,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN yy_4 ELSE 0 END) AS BIGINT) AS psyy_b
+      |  FROM lk GROUP BY 1, 2
+      |), cum AS (
+      |  SELECT event_type, look,
+      |    CAST(SUM(pn_a) OVER w AS BIGINT) AS n_a,
+      |    CAST(SUM(psy_a) OVER w AS BIGINT) AS sy_a,
+      |    CAST(SUM(psyy_a) OVER w AS BIGINT) AS syy_a,
+      |    CAST(SUM(pn_b) OVER w AS BIGINT) AS n_b,
+      |    CAST(SUM(psy_b) OVER w AS BIGINT) AS sy_b,
+      |    CAST(SUM(psyy_b) OVER w AS BIGINT) AS syy_b
+      |  FROM per
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY look
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |), d AS (
+      |  SELECT event_type, look, n_a, n_b,
+      |    CAST(n_a AS DOUBLE) AS nad, CAST(n_b AS DOUBLE) AS nbd,
+      |    CAST(sy_a AS DOUBLE) / 100.0 AS syad, CAST(sy_b AS DOUBLE) / 100.0 AS sybd,
+      |    CAST(syy_a AS DOUBLE) / 10000.0 AS syyad, CAST(syy_b AS DOUBLE) / 10000.0 AS syybd
+      |  FROM cum
+      |), m AS (
+      |  SELECT event_type, look, n_a, n_b, nad, nbd,
+      |    CASE WHEN n_a > 0 THEN syad / nad END AS mean_a,
+      |    CASE WHEN n_b > 0 THEN sybd / nbd END AS mean_b,
+      |    CASE WHEN n_a > 1
+      |      THEN (nad * syyad - syad * syad) / (nad * (nad - 1.0)) END AS var_a,
+      |    CASE WHEN n_b > 1
+      |      THEN (nbd * syybd - sybd * sybd) / (nbd * (nbd - 1.0)) END AS var_b
+      |  FROM d
+      |), r AS (
+      |  SELECT event_type, look, n_a, n_b,
+      |    (mean_a - mean_b) / sqrt(var_a / nad + var_b / nbd) AS z,
+      |    $ObfCritZ4 * sqrt(4.0 / CAST(look AS DOUBLE)) AS boundary
+      |  FROM m
+      |), cr AS (
+      |  SELECT event_type, look, n_a, n_b, z, boundary,
+      |    CASE WHEN z IS NULL THEN NULL ELSE abs(z) > boundary END AS crossed
+      |  FROM r
+      |), st AS (
+      |  SELECT *, MIN(CASE WHEN crossed THEN look END)
+      |    OVER (PARTITION BY event_type) AS stop_look
+      |  FROM cr
+      |)
+      |SELECT event_type, look, n_a, n_b, z, boundary, crossed, stop_look,
+      |  CASE WHEN stop_look IS NULL THEN 'accept'
+      |       WHEN stop_look < 4 THEN 'reject_early'
+      |       ELSE 'reject_final' END AS decision
+      |FROM st
+      |ORDER BY event_type, look""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_ab_mannwhitney" -> (eventsAbMannWhitney _),
     "events_ab_proportions" -> (eventsAbProportions _),
@@ -922,7 +1114,8 @@ object RankTests {
     "events_ab_cuped"       -> (eventsAbCuped _),
     "events_ab_srm"         -> (eventsAbSrm _),
     "events_ab_power"       -> (eventsAbPower _),
-    "events_ab_readout"     -> (eventsAbReadout _)
+    "events_ab_readout"     -> (eventsAbReadout _),
+    "events_ab_sequential"  -> (eventsAbSequential _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -933,6 +1126,7 @@ object RankTests {
     "events_ab_cuped"       -> eventsAbCupedSql,
     "events_ab_srm"         -> eventsAbSrmSql,
     "events_ab_power"       -> eventsAbPowerSql,
-    "events_ab_readout"     -> eventsAbReadoutSql
+    "events_ab_readout"     -> eventsAbReadoutSql,
+    "events_ab_sequential"  -> eventsAbSequentialSql
   )
 }

@@ -111,8 +111,12 @@ object OrcRoundtrip {
       })
     }
 
+  // The partition column is in the EXPLICIT schema (Spark resolves it
+  // from the directory layout but keeps the user-schema position): the
+  // read-back contract must not depend on the implicit append-at-end
+  // behavior — one basePath/layout change away from a silent drop.
   private val landedSchema =
-    "l_orderkey BIGINT, l_partkey BIGINT, qty DECIMAL(12,2)"
+    "l_orderkey BIGINT, l_partkey BIGINT, qty DECIMAL(12,2), l_returnflag STRING"
 
   private def textRoundtrip(spark: SparkSession, dir: String, fmt: String): DataFrame = {
     import spark.implicits._

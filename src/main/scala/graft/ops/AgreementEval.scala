@@ -55,7 +55,7 @@ object AgreementEval {
 
   val dqClassifierAgreementSql: String =
     """WITH t AS (
-      |  SELECT doc_id, n_chars, string_split(lower(trim(text)), ' ') AS w
+      |  SELECT doc_id, n_chars, string_split_regex(lower(trim(text)), ' +') AS w
       |  FROM documents
       |), s AS (
       |  SELECT doc_id, n_chars,

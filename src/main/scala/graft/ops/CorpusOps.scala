@@ -68,7 +68,7 @@ object CorpusOps {
 
   val decontaminateNgramSql: String =
     s"""WITH t AS (
-       |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), ' +') AS w FROM documents
        |), g AS (
        |  SELECT doc_id,
        |    array_to_string(list_slice(w, u, u + ${ngramN - 1}), ' ') AS ng
@@ -130,7 +130,7 @@ object CorpusOps {
 
   val textLmQualitySql: String =
     """WITH t AS (
-      |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), ' +') AS w FROM documents
       |), bi AS (
       |  SELECT doc_id, w[u] || ' ' || w[u+1] AS bigram
       |  FROM t, UNNEST(range(1, len(w))) AS r(u)
@@ -311,7 +311,7 @@ object CorpusOps {
 
   val dedupSubstringSpansSql: String =
     s"""WITH t AS (
-       |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), ' +') AS w FROM documents
        |), d AS (
        |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens, w FROM t WHERE len(w) >= $spanN
        |), g AS (
@@ -617,7 +617,7 @@ object CorpusOps {
 
   val textNoveltySql: String =
     """WITH t AS (
-      |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), ' +') AS w FROM documents
       |), g AS (
       |  SELECT doc_id, array_to_string(list_slice(w, u, u + 2), ' ') AS ng
       |  FROM t, UNNEST(range(1, len(w) - 2 + 1)) AS r(u)

@@ -40,7 +40,7 @@ object Curation {
 
   val textChunkingSql: String =
     s"""WITH t AS (
-       |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), ' +') AS w FROM documents
        |), starts AS (
        |  SELECT doc_id, w, u AS token_start,
        |    row_number() OVER (PARTITION BY doc_id ORDER BY u) - 1 AS chunk_seq
@@ -99,7 +99,7 @@ object Curation {
   val textPackingSql: String =
     """WITH t AS (
       |  SELECT doc_id,
-      |    CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS n_tokens
+      |    CAST(len(string_split_regex(lower(trim(text)), ' +')) AS BIGINT) AS n_tokens
       |  FROM documents
       |), r AS (
       |  SELECT doc_id, n_tokens,
@@ -161,7 +161,7 @@ object Curation {
   val textVocabSql: String =
     """WITH toks AS (
       |  SELECT doc_id, u AS token
-      |  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
+      |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), ' +') AS w FROM documents),
       |    UNNEST(w) AS r(u)
       |), vocab AS (
       |  SELECT token, COUNT(*) AS n_tokens, COUNT(DISTINCT doc_id) AS doc_freq
@@ -195,7 +195,7 @@ object Curation {
 
   val textCooccurrenceSql: String =
     """WITH t AS (
-      |  SELECT string_split(lower(trim(text)), ' ') AS w FROM documents
+      |  SELECT string_split_regex(lower(trim(text)), ' +') AS w FROM documents
       |), bi AS (
       |  SELECT w[u] || ' ' || w[u+1] AS bigram
       |  FROM t, UNNEST(range(1, len(w))) AS r(u)
@@ -245,7 +245,7 @@ object Curation {
   val textRepetitionFilterSql: String =
     """WITH toks AS (
       |  SELECT doc_id, u AS token
-      |  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
+      |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), ' +') AS w FROM documents),
       |    UNNEST(w) AS r(u)
       |), tc AS (
       |  SELECT doc_id, token, COUNT(*) AS c FROM toks GROUP BY 1, 2
@@ -254,7 +254,7 @@ object Curation {
       |    CAST(COUNT(*) AS BIGINT) AS n_unique
       |  FROM tc GROUP BY 1
       |), t2 AS (
-      |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), ' +') AS w FROM documents
       |), bi AS (
       |  SELECT doc_id, w[u] || ' ' || w[u+1] AS bigram
       |  FROM t2, UNNEST(range(1, len(w))) AS r(u)
@@ -649,7 +649,7 @@ object Curation {
   val sampleTokenBudgetSql: String =
     """WITH t AS (
       |  SELECT source, doc_id,
-      |    CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS n_tokens,
+      |    CAST(len(string_split_regex(lower(trim(text)), ' +')) AS BIGINT) AS n_tokens,
       |    (doc_id * 2654435761) % 1000000007 AS h
       |  FROM documents
       |), r AS (
@@ -791,7 +791,7 @@ object Curation {
   val sampleImportanceSql: String =
     """WITH toks AS (
       |  SELECT doc_id, lang, u AS token
-      |  FROM (SELECT doc_id, lang, string_split(lower(trim(text)), ' ') AS w FROM documents),
+      |  FROM (SELECT doc_id, lang, string_split_regex(lower(trim(text)), ' +') AS w FROM documents),
       |    UNNEST(w) AS r(u)
       |), raw_df AS (
       |  SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS raw_df FROM toks GROUP BY token

@@ -22,7 +22,14 @@ import graft.Tables
   */
 object LlmQueries {
 
-  /** Normalized word array. */
+  /** Normalized word array — the text family's shared tokenizer: maximal
+    * space runs collapse to one delimiter (`split(_, " +")`). Every DuckDB
+    * oracle over this grain mirrors it with
+    * `string_split_regex(lower(trim(text)), ' +')` — NOT single-char
+    * `string_split` — so consecutive-space text tokenizes identically in
+    * both engines (r13 advice: the single-char form yields empty tokens
+    * only in the oracle).
+    */
   private def words(c: Column): Column = split(lower(trim(c)), " +")
 
   /** Distinct sorted unigram set (the n=1 shingle set). */
@@ -136,7 +143,7 @@ object LlmQueries {
   val dedupNgramJaccardSql: String =
     """WITH t AS (
       |  SELECT doc_id, lang,
-      |    list_sort(list_distinct(string_split(lower(trim(text)), ' '))) AS w
+      |    list_sort(list_distinct(string_split_regex(lower(trim(text)), ' +'))) AS w
       |  FROM documents
       |)
       |SELECT a.lang, a.doc_id AS a, b.doc_id AS b,
@@ -190,7 +197,7 @@ object LlmQueries {
   val dedupIncrementalSql: String =
     """WITH t AS (
       |  SELECT doc_id, lang,
-      |    list_sort(list_distinct(string_split(lower(trim(text)), ' '))) AS w
+      |    list_sort(list_distinct(string_split_regex(lower(trim(text)), ' +'))) AS w
       |  FROM documents
       |), m AS (
       |  SELECT i.lang, i.doc_id, c.doc_id AS corpus_doc_id,
@@ -238,7 +245,7 @@ object LlmQueries {
       |  SELECT doc_id, lang, w,
       |    list_distinct(list_transform(range(1, len(w) - 1),
       |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
-      |  FROM (SELECT doc_id, lang, string_split(lower(trim(text)), ' ') AS w FROM documents)
+      |  FROM (SELECT doc_id, lang, string_split_regex(lower(trim(text)), ' +') AS w FROM documents)
       |), pairs AS (
       |  SELECT a.lang, a.doc_id AS a, b.doc_id AS b,
       |    len(list_intersect(a.sh, b.sh)) AS inter,
@@ -421,7 +428,7 @@ object LlmQueries {
     }
     s"""WITH t AS (
        |  SELECT doc_id, lang AS labeled_lang,
-       |    string_split(lower(trim(text)), ' ') AS w
+       |    string_split_regex(lower(trim(text)), ' +') AS w
        |  FROM documents
        |), scored AS (
        |  SELECT doc_id, labeled_lang, ${langs.map(score).mkString(", ")}
@@ -457,7 +464,7 @@ object LlmQueries {
 
   val textQualitySql: String =
     """WITH t AS (
-      |  SELECT doc_id, n_chars, string_split(lower(trim(text)), ' ') AS w
+      |  SELECT doc_id, n_chars, string_split_regex(lower(trim(text)), ' +') AS w
       |  FROM documents
       |), s AS (
       |  SELECT doc_id, n_chars,
@@ -527,7 +534,7 @@ object LlmQueries {
   val textReadabilitySql: String =
     """WITH t AS (
       |  SELECT doc_id, lower(trim(text)) AS low,
-      |    CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS n_words
+      |    CAST(len(string_split_regex(lower(trim(text)), ' +')) AS BIGINT) AS n_words
       |  FROM documents
       |), c AS (
       |  SELECT doc_id, n_words,
@@ -586,7 +593,7 @@ object LlmQueries {
 
   val curationFilterSql: String =
     """WITH t AS (
-      |  SELECT doc_id, lang, n_chars, string_split(lower(trim(text)), ' ') AS w
+      |  SELECT doc_id, lang, n_chars, string_split_regex(lower(trim(text)), ' +') AS w
       |  FROM documents
       |), s AS (
       |  SELECT doc_id, lang, n_chars,
@@ -639,7 +646,7 @@ object LlmQueries {
   val textTokensSql: String =
     """WITH t AS (
       |  SELECT source, n_chars,
-      |    CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS ws_tokens,
+      |    CAST(len(string_split_regex(lower(trim(text)), ' +')) AS BIGINT) AS ws_tokens,
       |    CAST(ceil(CAST(n_chars AS DOUBLE) / 4.0) AS BIGINT) AS bpe_tokens
       |  FROM documents
       |)
@@ -690,7 +697,7 @@ object LlmQueries {
 
   val textTtrSql: String =
     """WITH tok AS (
-      |  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS w
+      |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), ' +')) AS w
       |  FROM documents
       |), wc AS (
       |  SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2
@@ -722,7 +729,7 @@ object LlmQueries {
 
   val textFingerprintSql: String =
     """WITH t AS (
-      |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), ' +') AS w FROM documents
       |)
       |SELECT doc_id,
       |  md5(array_to_string(list_sort(list_distinct(w)), ' ')) AS word_fingerprint,
@@ -758,7 +765,7 @@ object LlmQueries {
   val textTfidfSql: String =
     """WITH toks AS (
       |  SELECT doc_id, u AS term
-      |  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
+      |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), ' +') AS w FROM documents),
       |    UNNEST(w) AS r(u)
       |), t AS (
       |  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
@@ -818,7 +825,7 @@ object LlmQueries {
 
   val qualityClassifierSql: String =
     """WITH t AS (
-      |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), ' +') AS w FROM documents
       |), f AS (
       |  SELECT doc_id,
       |    CAST(len(w) AS BIGINT) AS n_words,
@@ -872,7 +879,7 @@ object LlmQueries {
 
   val curationQualityPruneSql: String =
     """WITH t AS (
-      |  SELECT doc_id, source, string_split(lower(trim(text)), ' ') AS w FROM documents
+      |  SELECT doc_id, source, string_split_regex(lower(trim(text)), ' +') AS w FROM documents
       |), f AS (
       |  SELECT doc_id, source,
       |    CAST(len(w) AS BIGINT) AS n_words,
@@ -1328,7 +1335,7 @@ object LlmQueries {
 
   val hybridSearchRrfSql: String =
     """WITH toks AS (
-      |  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS term
+      |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), ' +')) AS term
       |  FROM documents
       |), p AS (
       |  SELECT doc_id, term, COUNT(*) AS tf FROM toks
@@ -1456,7 +1463,7 @@ object LlmQueries {
     val values = multiQueryTerms.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
     s"""WITH q(query_id, term) AS (VALUES $values),
        |toks AS (
-       |  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS term
+       |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), ' +')) AS term
        |  FROM documents
        |), p AS (
        |  SELECT doc_id, term, COUNT(*) AS tf FROM toks
@@ -1486,7 +1493,7 @@ object LlmQueries {
 
   val textSearchSql: String =
     """WITH toks AS (
-      |  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS term
+      |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), ' +')) AS term
       |  FROM documents
       |), p AS (
       |  SELECT doc_id, term, COUNT(*) AS tf FROM toks

@@ -165,8 +165,8 @@ object PhraseSearch {
       .map(i => s"JOIN t$i ON t$i.doc_id = t0.doc_id AND t$i.start = t0.start")
       .mkString(" ")
     s"""WITH toks AS (
-      |  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS term,
-      |    CAST(generate_subscripts(string_split(lower(trim(text)), ' '), 1) AS BIGINT) AS pos
+      |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), ' +')) AS term,
+      |    CAST(generate_subscripts(string_split_regex(lower(trim(text)), ' +'), 1) AS BIGINT) AS pos
       |  FROM documents
       |), $streams
       |SELECT t0.doc_id, COUNT(*) AS phrase_tf

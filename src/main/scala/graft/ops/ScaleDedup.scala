@@ -1161,9 +1161,9 @@ object ScaleDedup {
   val dedupContainmentSql: String =
     """WITH t AS (
       |  SELECT doc_id, lang,
-      |    list_sort(list_distinct(string_split(lower(trim(text)), ' '))) AS w
+      |    list_sort(list_distinct(string_split_regex(lower(trim(text)), ' +'))) AS w
       |  FROM documents
-      |  WHERE len(list_distinct(string_split(lower(trim(text)), ' '))) >= 5
+      |  WHERE len(list_distinct(string_split_regex(lower(trim(text)), ' +'))) >= 5
       |)
       |SELECT a.lang, a.doc_id AS a, b.doc_id AS b,
       |  CAST(len(list_intersect(a.w, b.w)) AS BIGINT) AS inter,
@@ -1185,9 +1185,9 @@ object ScaleDedup {
   val dedupContainmentKeeperSql: String =
     """WITH t AS (
       |  SELECT doc_id, lang,
-      |    list_sort(list_distinct(string_split(lower(trim(text)), ' '))) AS w
+      |    list_sort(list_distinct(string_split_regex(lower(trim(text)), ' +'))) AS w
       |  FROM documents
-      |  WHERE len(list_distinct(string_split(lower(trim(text)), ' '))) >= 5
+      |  WHERE len(list_distinct(string_split_regex(lower(trim(text)), ' +'))) >= 5
       |), p AS (
       |  SELECT a.lang, a.doc_id AS a, b.doc_id AS b,
       |    CAST(len(list_intersect(a.w, b.w)) AS BIGINT) AS inter,
@@ -1219,7 +1219,7 @@ object ScaleDedup {
   val dedupJaccardPrefixKeeperSql: String =
     """WITH RECURSIVE t AS (
       |  SELECT doc_id, lang,
-      |    list_sort(list_distinct(string_split(lower(trim(text)), ' '))) AS w
+      |    list_sort(list_distinct(string_split_regex(lower(trim(text)), ' +'))) AS w
       |  FROM documents
       |), p AS MATERIALIZED (
       |  SELECT a.doc_id AS a, b.doc_id AS b

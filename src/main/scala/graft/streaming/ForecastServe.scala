@@ -24,24 +24,37 @@ import graft.Tables
   */
 object ForecastServe {
 
+  /** Shared fold-in-thirds ingest: split the events corpus into three
+    * event-id-bounded batches and fold each through `fold` (the
+    * streamed-ingest simulation both state families use). An empty
+    * corpus (NULL max(event_id)) skips folding entirely — the serve
+    * then degrades to the batch twin's empty-frame shape instead of
+    * NPEing on head().getLong(0).
+    */
+  private def foldInThirds(ev: DataFrame, p: String,
+      fold: (DataFrame, String, Long) => Unit): Unit = {
+    val maxRow = ev.agg(max(col("event_id"))).head()
+    if (!maxRow.isNullAt(0)) {
+      val maxId = maxRow.getLong(0)
+      val cuts = Seq(maxId / 3, 2 * maxId / 3, maxId)
+      cuts.zip(-1L +: cuts.dropRight(1)).zipWithIndex.foreach { case ((hi, lo), i) =>
+        fold(ev.filter(col("event_id") > lo && col("event_id") <= hi), p, i.toLong)
+      }
+    }
+  }
+
   private val builtStates =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
 
   private def statePathFor(spark: SparkSession, dir: String): String =
     builtStates.synchronized {
       builtStates.getOrElseUpdate((spark, dir), {
-        import spark.implicits._
         val p = s"${System.getProperty("java.io.tmpdir")}/graft_forecast_state_" +
           graft.Tables.dirKey(dir) +
           "_" + ProcessHandle.current().pid() +
           "_" + Integer.toHexString(System.identityHashCode(spark))
-        val ev = Tables.events(spark, dir)
-        val maxId = ev.agg(max($"event_id")).head().getLong(0)
-        val cuts = Seq(maxId / 3, 2 * maxId / 3, maxId)
-        cuts.zip(-1L +: cuts.dropRight(1)).zipWithIndex.foreach { case ((hi, lo), i) =>
-          ForecastStream.dailyFold(
-            ev.filter($"event_id" > lo && $"event_id" <= hi), p, i.toLong)
-        }
+        foldInThirds(Tables.events(spark, dir), p,
+          (b, sp, id) => ForecastStream.dailyFold(b, sp, id))
         p
       })
     }
@@ -89,18 +102,12 @@ object ForecastServe {
   private def valueStatePathFor(spark: SparkSession, dir: String): String =
     builtValueStates.synchronized {
       builtValueStates.getOrElseUpdate((spark, dir), {
-        import spark.implicits._
         val p = s"${System.getProperty("java.io.tmpdir")}/graft_dailyvalues_state_" +
           graft.Tables.dirKey(dir) +
           "_" + ProcessHandle.current().pid() +
           "_" + Integer.toHexString(System.identityHashCode(spark))
-        val ev = Tables.events(spark, dir)
-        val maxId = ev.agg(max($"event_id")).head().getLong(0)
-        val cuts = Seq(maxId / 3, 2 * maxId / 3, maxId)
-        cuts.zip(-1L +: cuts.dropRight(1)).zipWithIndex.foreach { case ((hi, lo), i) =>
-          ForecastStream.dailyValuesFold(
-            ev.filter($"event_id" > lo && $"event_id" <= hi), p, i.toLong)
-        }
+        foldInThirds(Tables.events(spark, dir), p,
+          (b, sp, id) => ForecastStream.dailyValuesFold(b, sp, id))
         p
       })
     }

@@ -437,4 +437,110 @@ class RankTestsSpec extends SparkSuite {
       assert(r.getAs[Double]("u_a") >= 0.0 && r.getAs[Double]("u_b") >= 0.0)
     }
   }
+
+  // --- group-sequential (events_ab_sequential) ------------------------
+
+  /** 4-day span (mn = Jan 1, spanP = 4): day d lands in look d+1, so a
+    * planted trajectory controls exactly which look sees which rows.
+    */
+  private def seqAb(rows: Seq[(String, Int, String, Long)]) = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{lit, to_date}
+    val ev = rows.toDF("event_type", "arm", "day", "y_c")
+      .select($"event_type", $"arm", to_date($"day").as("day"), $"y_c",
+        ($"y_c" * $"y_c").as("yy_4"))
+    core.RankTests.sequentialOn(ev,
+      lit(java.sql.Date.valueOf("2024-01-01")), lit(4L))
+      .collect().sortBy(_.getAs[Long]("look"))
+  }
+
+  private val days = Seq("2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04")
+
+  test("sequential: OBF boundaries are c*sqrt(4/k), strictly decreasing") {
+    val c = core.RankTests.ObfCritZ4
+    val rows = seqAb(for (d <- days; arm <- Seq(0, 1); i <- 0 until 4)
+      yield ("t", arm, d, 1000L + i % 2))
+    assert(rows.map(_.getAs[Long]("look")).toSeq == Seq(1L, 2L, 3L, 4L))
+    rows.foreach { r =>
+      val k = r.getAs[Long]("look").toDouble
+      assert(r.getAs[Double]("boundary") == c * math.sqrt(4.0 / k))
+    }
+    val bs = rows.map(_.getAs[Double]("boundary"))
+    assert(bs.head == c * 2.0 && bs.last == c)
+    assert(bs.zip(bs.tail).forall { case (a, b) => a > b })
+  }
+
+  test("sequential: an overwhelming lift stops at look 1 (reject_early)") {
+    // arm 0 ~ 100.00, arm 1 ~ 0.00 with a 1-cent wiggle: z >> 4.05 from
+    // the first look; the crossing pins stop_look = 1 on ALL FOUR rows
+    // (the post-stop looks are the counterfactual a platform never runs)
+    val rows = seqAb(for (d <- days; arm <- Seq(0, 1); i <- 0 until 40)
+      yield ("t", arm, d, (if (arm == 0) 10000L else 0L) + i % 2))
+    assert(rows.head.getAs[Boolean]("crossed"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("stop_look") == 1L)
+      assert(r.getAs[String]("decision") == "reject_early")
+    }
+  }
+
+  test("sequential: a modest real lift survives early looks, rejects at 4") {
+    // delta = 3 cents on sd ~ 20 cents with 100/arm/look: the cumulative
+    // z grows ~ sqrt(k) (~1.05, 1.49, 1.83, 2.11) -- under every interim
+    // boundary (4.05 / 2.86 / 2.34) but over the final 2.024. The exact
+    // fixed-horizon reading (|z|>1.96 from look 2 on) would have stopped
+    // THREE looks early -- the inflation the boundary exists to prevent.
+    val rows = seqAb(for (d <- days; arm <- Seq(0, 1); i <- 0 until 100)
+      yield ("t", arm, d,
+        (if (arm == 0) 100000L else 99997L) + (if (i % 2 == 0) -20L else 20L)))
+    val zs = rows.map(_.getAs[Double]("z"))
+    rows.init.foreach { r =>
+      assert(!r.getAs[Boolean]("crossed"), r.toString)
+    }
+    assert(rows.last.getAs[Boolean]("crossed"))
+    assert(math.abs(zs.last) > 2.024 && math.abs(zs.last) < 2.337)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("stop_look") == 4L)
+      assert(r.getAs[String]("decision") == "reject_final")
+    }
+  }
+
+  test("sequential: identical arms never cross (accept), z == 0 throughout") {
+    val rows = seqAb(for (d <- days; arm <- Seq(0, 1); i <- 0 until 10)
+      yield ("t", arm, d, 500L + i % 3))
+    rows.foreach { r =>
+      assert(r.getAs[Double]("z") == 0.0)
+      assert(!r.getAs[Boolean]("crossed"))
+      assert(r.isNullAt(r.fieldIndex("stop_look")))
+      assert(r.getAs[String]("decision") == "accept")
+    }
+  }
+
+  test("sequential: an n<=1 arm at an early look voids that look's z only") {
+    // arm 1 has a single row in look 1 (no sample variance -> NULL z,
+    // NULL crossed); from look 2 on both arms are populated and the z
+    // is defined -- min() skips the NULL look in the stop_look scan
+    val filler = for (d <- days.drop(1); arm <- Seq(0, 1); i <- 0 until 6)
+      yield ("t", arm, d, 700L + i % 2)
+    val rows = seqAb(
+      Seq(("t", 0, days.head, 700L), ("t", 0, days.head, 701L),
+        ("t", 1, days.head, 700L)) ++ filler)
+    assert(rows.head.isNullAt(rows.head.fieldIndex("z")))
+    assert(rows.head.isNullAt(rows.head.fieldIndex("crossed")))
+    rows.tail.foreach(r => assert(!r.isNullAt(r.fieldIndex("z"))))
+  }
+
+  test("sequential corpus entry: 4 looks per type, cumulative n monotone") {
+    val rows = core.RankTests.eventsAbSequential(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("look"))
+      assert(sorted.map(_.getAs[Long]("look")).toSeq == (1L to 4L))
+      val nas = sorted.map(_.getAs[Long]("n_a"))
+      val nbs = sorted.map(_.getAs[Long]("n_b"))
+      assert(nas.zip(nas.tail).forall { case (a, b) => a <= b })
+      assert(nbs.zip(nbs.tail).forall { case (a, b) => a <= b })
+      // one decision per type, consistent across its four rows
+      assert(sorted.map(_.getAs[String]("decision")).distinct.length == 1)
+    }
+  }
 }
