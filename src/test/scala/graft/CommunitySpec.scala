@@ -14,7 +14,7 @@ class CommunitySpec extends SparkSuite {
     val und = edgePairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
     val edges = und.toDF("src", "dst")
     val nodes = nodeIds.toDF("vec_id")
-    ops.KnnGraph.lpCommunities(edges, nodes, rounds)
+    ops.KnnCommunity.lpCommunities(edges, nodes, rounds)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
@@ -38,7 +38,7 @@ class CommunitySpec extends SparkSuite {
 
   test("gate-corpus communities refine the CC clusters and re-run identically") {
     import spark.implicits._
-    val comm = ops.KnnGraph.knnGraphCommunities(spark, sf)
+    val comm = ops.KnnCommunity.knnGraphCommunities(spark, sf)
     val rows = comm.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(rows.nonEmpty)
     // sizes consistent with membership
@@ -52,7 +52,7 @@ class CommunitySpec extends SparkSuite {
         s"community $c spans multiple CC clusters — LP crossed a component boundary")
     }
     // determinism
-    val again = ops.KnnGraph.knnGraphCommunities(spark, sf)
+    val again = ops.KnnCommunity.knnGraphCommunities(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(rows.toSeq == again.toSeq)
   }

@@ -123,7 +123,7 @@ class KnnGraphSpec extends SparkSuite {
       edges.foreach { case (u, v) => in(v) += r(u) / out(u) }
       r = nodes.map(v => v -> (base + 17L * in(v) / 20L)).toMap
     }
-    val got = ops.KnnGraph.knnGraphPagerank(spark, sf)
+    val got = ops.KnnCentrality.knnGraphPagerank(spark, sf)
       .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
     assert(got.keySet == r.keySet)
     nodes.foreach(v => assert(got(v) == r(v), s"rank($v): ${got(v)} != ${r(v)}"))
@@ -158,7 +158,7 @@ class KnnGraphSpec extends SparkSuite {
       edges.foreach { case (u, v) => hr(u) += a(v) }
       h = quantize(hr.toMap)
     }
-    val got = ops.KnnGraph.knnGraphHits(spark, sf)
+    val got = ops.KnnCentrality.knnGraphHits(spark, sf)
       .collect().map(x => (x.getLong(0), (x.getLong(1), x.getLong(2)))).toMap
     assert(got.keySet == nodes.toSet)
     nodes.foreach { v =>
@@ -175,10 +175,10 @@ class KnnGraphSpec extends SparkSuite {
 
   test("modularity: integer columns match a driver reference; sentinel row is Q") {
     import spark.implicits._
-    val rows = ops.KnnGraph.knnGraphModularity(spark, sf).collect()
+    val rows = ops.KnnCommunity.knnGraphModularity(spark, sf).collect()
     val (totalRows, commRows) = rows.partition(_.getAs[Long]("community") == -1L)
     assert(totalRows.length == 1 && commRows.nonEmpty)
-    val labels = ops.KnnGraph.knnGraphCommunities(spark, sf)
+    val labels = ops.KnnCommunity.knnGraphCommunities(spark, sf)
       .select($"vec_id", $"community").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val mutual = ops.KnnGraph.knnGraphExact(spark, sf)
@@ -209,13 +209,13 @@ class KnnGraphSpec extends SparkSuite {
 
   test("conductance: cut identity with modularity stats, bounds, NULL edge") {
     import spark.implicits._
-    val mod = ops.KnnGraph.knnGraphModularity(spark, sf).collect()
+    val mod = ops.KnnCommunity.knnGraphModularity(spark, sf).collect()
       .filter(_.getAs[Long]("community") != -1L)
       .map(r => r.getAs[Long]("community") ->
         (r.getAs[Long]("internal_edges"), r.getAs[Long]("degree_sum"))).toMap
     val m = ops.KnnGraph.knnGraphExact(spark, sf)
       .filter($"mutual" && $"vec_id" < $"neighbor_id").count()
-    val rows = ops.KnnGraph.knnGraphConductance(spark, sf).collect()
+    val rows = ops.KnnCommunity.knnGraphConductance(spark, sf).collect()
     assert(rows.map(_.getAs[Long]("community")).toSet == mod.keySet)
     rows.foreach { r =>
       val c = r.getAs[Long]("community")
@@ -286,7 +286,7 @@ class KnnGraphSpec extends SparkSuite {
         (0L until n).filter(u => find(u) == r).min
       }).toMap
       if (edges.nonEmpty) {
-        val got = ops.KnnGraph.ccStarLabels(edges.toDF("a", "b")).collect()
+        val got = ops.KnnCommunity.ccStarLabels(edges.toDF("a", "b")).collect()
           .map(r => r.getLong(0) -> r.getLong(1)).toMap
         // ccStarLabels only labels nodes with at least one edge
         got.foreach { case (v, l) => assert(l == want(v), s"trial $trial node $v") }
@@ -297,7 +297,7 @@ class KnnGraphSpec extends SparkSuite {
   }
 
   test("knn_graph_cc_star == knn_graph_clusters label-for-label on the corpus") {
-    val a = ops.KnnGraph.knnGraphCcStar(spark, sf).collect()
+    val a = ops.KnnCommunity.knnGraphCcStar(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
     val b = ops.KnnGraph.knnGraphClusters(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
@@ -307,7 +307,7 @@ class KnnGraphSpec extends SparkSuite {
 
   test("assortativity: bounded Pearson over exactly the mutual edge set") {
     import spark.implicits._
-    val row = ops.KnnGraph.knnGraphAssortativity(spark, sf).head
+    val row = ops.KnnCensus.knnGraphAssortativity(spark, sf).head
     val nMutual = ops.KnnGraph.knnGraphExact(spark, sf)
       .filter($"mutual").count()
     assert(row.getLong(0) == nMutual, "one (x,y) sample per directed mutual edge")
@@ -331,7 +331,7 @@ class KnnGraphSpec extends SparkSuite {
       e = e2
     }
     val want = e.groupBy(_._1).view.mapValues(_.size.toLong).toMap
-    val got = ops.KnnGraph.knnGraphKcore(spark, sf).collect()
+    val got = ops.KnnCensus.knnGraphKcore(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == want, "distributed peeling must equal the driver reference")
     assert(got.nonEmpty && got.values.forall(_ >= 2L))
@@ -346,7 +346,7 @@ class KnnGraphSpec extends SparkSuite {
     // Undirected edges materialized in both directions like mutual-kNN.
     val und = Seq((1L, 2L), (2L, 3L), (3L, 4L))
     val e = (und ++ und.map(_.swap)).toDF("a", "b")
-    val got = ops.KnnGraph.linkPredictOn(e).collect()
+    val got = ops.KnnCensus.linkPredictOn(e).collect()
       .map(r => (r.getLong(0), r.getLong(1)) ->
         (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
     assert(got.keySet == Set((1L, 3L), (2L, 4L)), "exactly the 2-hop non-edges")
@@ -390,16 +390,16 @@ class KnnGraphSpec extends SparkSuite {
     val edgesDeg = plans.PinnedLayout.pinByKey(edges.join(outDeg, Seq("src")), "src")
     val nodes = ops.VectorAgg.quantized(spark, sf).select($"vec_id").localCheckpoint()
     val ranks = nodes.select($"vec_id", lit(1000L).as("r")).localCheckpoint()
-    assertPinnedRound(ops.KnnGraph.prRound(edgesDeg, ranks, nodes, 7L), Set("r"))
+    assertPinnedRound(ops.KnnCentrality.prRound(edgesDeg, ranks, nodes, 7L), Set("r"))
     val voteEdges = plans.PinnedLayout.pinByKey(
       knn.filter($"mutual").select($"vec_id".as("src"), $"neighbor_id".as("dst"))
         .union(nodes.select($"vec_id".as("src"), $"vec_id".as("dst"))), "src")
     val labels = nodes.select($"vec_id", $"vec_id".as("label")).localCheckpoint()
-    assertPinnedRound(ops.KnnGraph.lpRound(voteEdges, labels), Set("label"))
+    assertPinnedRound(ops.KnnCommunity.lpRound(voteEdges, labels), Set("label"))
     // HITS half-round: same contract on both pinned edge copies
     val scores = nodes.select($"vec_id", lit(1000000000L).as("x")).localCheckpoint()
     assertPinnedRound(
-      ops.KnnGraph.hitsRawGather(edgesDeg.select($"src", $"dst"), scores, "src", "dst"),
+      ops.KnnCentrality.hitsRawGather(edgesDeg.select($"src", $"dst"), scores, "src", "dst"),
       Set("x"))
   }
 
@@ -407,7 +407,7 @@ class KnnGraphSpec extends SparkSuite {
     import spark.implicits._
     val edges = (und ++ und.map(_.swap)).toDF("a", "b")
     val src = sources.toDF("src")
-    ops.KnnGraph.betweennessOn(edges, src).collect()
+    ops.KnnCentrality.betweennessOn(edges, src).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
@@ -436,7 +436,7 @@ class KnnGraphSpec extends SparkSuite {
     val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
     val edges = (und ++ und.map(_.swap)).toDF("a", "b")
     val src = Seq(1L, 2L, 3L, 4L, 5L).toDF("src")
-    val hc = ops.KnnGraph.closenessOn(edges, src).collect()
+    val hc = ops.KnnCentrality.closenessOn(edges, src).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     val g = 1048576L
     // center: dists {1,1,2,2}; end: dists {1,2,3,4}
@@ -446,8 +446,8 @@ class KnnGraphSpec extends SparkSuite {
   }
 
   test("betweenness corpus entry: zero-filled over all nodes, deterministic") {
-    val a = ops.KnnGraph.knnGraphBetweenness(spark, sf).collect()
-    val b = ops.KnnGraph.knnGraphBetweenness(spark, sf).collect()
+    val a = ops.KnnCentrality.knnGraphBetweenness(spark, sf).collect()
+    val b = ops.KnnCentrality.knnGraphBetweenness(spark, sf).collect()
     assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
     val nNodes = ops.VectorAgg.quantized(spark, sf).count()
     assert(a.length == nNodes, "every node gets a row (zeros included)")
@@ -461,7 +461,7 @@ class KnnGraphSpec extends SparkSuite {
     val scores = Seq((1L, 1000000000L), (2L, 500L)).toDF("vec_id", "x")
     // Pre-guard this threw on getLong(0): MAX over the empty gather is
     // NULL. The coalesced divisor keeps the round defined and empty.
-    val out = ops.KnnGraph.hitsGather(edges, scores, "src", "dst")
+    val out = ops.KnnCentrality.hitsGather(edges, scores, "src", "dst")
     assert(out.count() == 0L)
     assert(out.columns.toSeq == Seq("vec_id", "x"))
   }
@@ -471,7 +471,7 @@ class KnnGraphSpec extends SparkSuite {
     val mutual = ops.KnnGraph.knnGraphExact(spark, sf).filter($"mutual")
       .select($"vec_id", $"neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val rows = ops.KnnGraph.knnGraphLinkPredict(spark, sf).collect()
+    val rows = ops.KnnCensus.knnGraphLinkPredict(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 50)
     assert(rows.map(_.getAs[Long]("rank")).toSeq == (1L to rows.length).toSeq)
     rows.foreach { r =>
