@@ -126,7 +126,8 @@ object Bench {
     "knn_graph_betweenness", "events_ab_srm", "events_ab_power",
     "events_value_spearman_served", "knn_graph_closeness",
     "etl_csv_roundtrip", "etl_json_roundtrip",
-    "events_ab_sequential", "dm_album_parent_prefix")
+    "events_ab_sequential", "dm_album_parent_prefix",
+    "events_ab_sequential_served")
   // rec_eval_prk / rec_eval_ndcg / rec_eval_mrr join the excluded-harness
   // family (rec_coverage_eval precedent): they re-run the CF train chain
   // the suite already times, and their own tails are scalar aggregates.
@@ -230,6 +231,7 @@ object Bench {
     // (separate artifact from the counts state the line above lands) —
     // without this its first timed rep priced the 3-fold landing job
     runOnce("events_value_spearman_served")
+    runOnce("events_ab_sequential_served") // first call folds the daily A/B state
     // the centrality pair serves from the session-pinned exact-graph
     // artifact; materialize the pin explicitly (localCheckpoint is eager)
     // so rep 1 prices the BFS estimator, not the k=4 graph build —

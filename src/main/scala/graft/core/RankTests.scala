@@ -964,15 +964,35 @@ object RankTests {
     */
   private[graft] def sequentialOn(ev: DataFrame, mn: Column, spanP: Column): DataFrame = {
     import ev.sparkSession.implicits._
-    val withLook = ev.withColumn("look",
+    // (type, day) daily-moment collapse first — the grain the streamed
+    // A/B daily state lands ([[graft.streaming.AbStream.dailyMomentsFold]]);
+    // integer sums regroup exactly, so batch == serve-from-state through
+    // the shared tail below
+    sequentialFromDaily(ev.groupBy($"event_type", $"day").agg(
+      sum(when($"arm" === 0, 1L).otherwise(0L)).as("dn_a"),
+      sum(when($"arm" === 0, $"y_c").otherwise(0L)).as("dsy_a"),
+      sum(when($"arm" === 0, $"yy_4").otherwise(0L)).as("dsyy_a"),
+      sum(when($"arm" === 1, 1L).otherwise(0L)).as("dn_b"),
+      sum(when($"arm" === 1, $"y_c").otherwise(0L)).as("dsy_b"),
+      sum(when($"arm" === 1, $"yy_4").otherwise(0L)).as("dsyy_b")), mn, spanP)
+  }
+
+  /** The sequential tail over the (event_type, day) daily-moments grain
+    * — shared by the batch entry and the streamed daily-state serve
+    * (moments are mergeable by addition, so streamed == batch is
+    * bit-exact through this core; look assignment happens HERE because
+    * the look grid depends on the full day span only the reader knows).
+    */
+  private[graft] def sequentialFromDaily(daily: DataFrame, mn: Column,
+      spanP: Column): DataFrame = {
+    import daily.sparkSession.implicits._
+    val withLook = daily.withColumn("look",
       floor((datediff($"day", mn) * 4).cast("double") / spanP) + lit(1L))
     val per = withLook.groupBy($"event_type", $"look").agg(
-      sum(when($"arm" === 0, 1L).otherwise(0L)).as("pn_a"),
-      sum(when($"arm" === 0, $"y_c").otherwise(0L)).as("psy_a"),
-      sum(when($"arm" === 0, $"yy_4").otherwise(0L)).as("psyy_a"),
-      sum(when($"arm" === 1, 1L).otherwise(0L)).as("pn_b"),
-      sum(when($"arm" === 1, $"y_c").otherwise(0L)).as("psy_b"),
-      sum(when($"arm" === 1, $"yy_4").otherwise(0L)).as("psyy_b"))
+      sum($"dn_a").as("pn_a"), sum($"dsy_a").as("psy_a"),
+      sum($"dsyy_a").as("psyy_a"),
+      sum($"dn_b").as("pn_b"), sum($"dsy_b").as("psy_b"),
+      sum($"dsyy_b").as("psyy_b"))
     val wCum = Window.partitionBy($"event_type").orderBy($"look")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = per.select($"event_type", $"look",

@@ -160,6 +160,17 @@ object StreamServe {
         foldInThirds(s, d, (b, i) => AbStream.histFold(b, p, i))
       })
 
+  /** The group-sequential readout served from the DAILY per-arm moments
+    * state (its own fold — the histogram state has no time axis); every
+    * interim peek reads ≤ types × days state rows, never the corpus —
+    * the monitoring cadence in its native streaming habitat.
+    */
+  def abSequentialServed(spark: SparkSession, dir: String): DataFrame =
+    AbStream.serveSequential(spark,
+      statePathFor(spark, dir, "abdaily") { (s, d, p) =>
+        foldInThirds(s, d, (b, i) => AbStream.dailyMomentsFold(b, p, i))
+      })
+
   /** Monthly growth accounting served from the streamed (customer,
     * order-month) activity set — the orders-side state family member;
     * two o_orderkey-half batches (set union commutes, any split works);
@@ -182,6 +193,7 @@ object StreamServe {
     "events_ab_welch_served"       -> (abWelchServed _),
     "events_ab_mannwhitney_served" -> (abMannWhitneyServed _),
     "events_ab_ks_served"          -> (abKsServed _),
+    "events_ab_sequential_served"  -> (abSequentialServed _),
     "events_attribution_position_served" -> (attributionPositionServed _),
     "events_retention_bitmap_served"   -> (retentionBitmapServed _),
     "events_markov_transitions_served" -> (markovServed _),
@@ -197,6 +209,7 @@ object StreamServe {
     "events_ab_welch_served"       -> graft.core.StatsQueries.eventsAbWelchSql,
     "events_ab_mannwhitney_served" -> graft.core.RankTests.eventsAbMannWhitneySql,
     "events_ab_ks_served"          -> graft.core.RankTests.eventsAbKsSql,
+    "events_ab_sequential_served"  -> graft.core.RankTests.eventsAbSequentialSql,
     "events_markov_transitions_served" -> graft.core.EngagementQueries.eventsMarkovTransitionsSql,
     "events_value_corr_served"         -> graft.core.StatsQueries.eventsValueCorrSql,
     "dq_drift_chi2_served"             -> graft.etl.DataQuality.dqDriftChi2Sql,

@@ -34,6 +34,20 @@ class AbStreamSpec extends SparkSuite {
     assert(ks == seqOf(core.RankTests.eventsAbKs(spark, sf)) && ks.nonEmpty)
   }
 
+  test("streamed daily-moments state == batch sequential readout bit-for-bit") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_abdaily").toString
+    val ev = Tables.events(spark, sf)
+    // cut ACROSS days (event_id mod, not a time split) so per-(type, day)
+    // moments must merge additively across batches
+    streaming.AbStream.dailyMomentsFold(ev.filter($"event_id" % 3 === 0), dir, 0L)
+    streaming.AbStream.dailyMomentsFold(ev.filter($"event_id" % 3 === 1), dir, 1L)
+    streaming.AbStream.dailyMomentsFold(ev.filter($"event_id" % 3 === 2), dir, 2L)
+    val served = seqOf(streaming.AbStream.serveSequential(spark, dir))
+    assert(served == seqOf(core.RankTests.eventsAbSequential(spark, sf)) &&
+      served.nonEmpty)
+  }
+
   test("retry of the last batch no-ops; an older batch id fails loudly") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_abstream_retry").toString
