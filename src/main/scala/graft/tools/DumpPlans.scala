@@ -118,7 +118,9 @@ object DumpPlans {
       "rec_eval_exposure_gini", "knn_graph_betweenness",
       "events_ab_srm", "events_ab_power", "events_value_spearman_served",
       "knn_graph_closeness", "etl_csv_roundtrip", "etl_json_roundtrip",
-      "events_ab_readout")
+      "events_ab_readout",
+      "events_ab_sequential", "events_ab_sequential_served",
+      "dm_album_parent_prefix")
 
     val sb = new StringBuilder
     sb.append("# Executed plans (generated by graft.tools.DumpPlans at " + sfDir + ")\n\n")
