@@ -367,7 +367,12 @@ object ExtraQueries {
   /** The collapse over a caller-supplied (p_partkey, p_name, p_brand)
     * catalog — split out for the planted specs.
     */
-  private[graft] def albumParentPrefixOn(part: DataFrame): DataFrame = {
+  /** The (album, parent_album) variant→base map — each album paired
+    * with its LONGEST proper-prefix album; albums with no base are
+    * absent (consumers coalesce to self). Shared by the track-grain
+    * collapse entry and the parent-grain mart rollup.
+    */
+  private[graft] def albumParentMapOf(part: DataFrame): DataFrame = {
     import part.sparkSession.implicits._
     val albums = part.select($"p_brand".as("album")).distinct()
     // proper prefixes as equi-join keys; len≥2 guard keeps sequence()
@@ -378,10 +383,15 @@ object ExtraQueries {
         explode(sequence(lit(1), least(length($"album") - 1, lit(64)))))
       .select($"album", $"album".substr(lit(1), $"k").as("pfx"), $"k")
     val bases = albums.select($"album".as("base_album"))
-    val parentOf = pfx
+    pfx
       .join(bases, $"pfx" === $"base_album")
       .groupBy($"album")
       .agg(max_by($"base_album", $"k").as("parent_album"))
+  }
+
+  private[graft] def albumParentPrefixOn(part: DataFrame): DataFrame = {
+    import part.sparkSession.implicits._
+    val parentOf = albumParentMapOf(part)
     val w = Window.partitionBy($"p_name", $"p_brand")
     val unmapped = part
       .withColumn("parent_partkey", min($"p_partkey").over(w))
@@ -394,8 +404,11 @@ object ExtraQueries {
       .orderBy($"child_partkey")
   }
 
-  val albumParentPrefixSql: String =
-    """WITH albums AS (
+  /** The variant→base map as a CTE body (no leading WITH) — shared by
+    * this entry's oracle and the parent-grain mart rollup's.
+    */
+  private[graft] val albumParentCte: String =
+    """albums AS (
       |  SELECT DISTINCT p_brand AS album FROM part
       |), pfx AS (
       |  SELECT album, substr(album, 1, CAST(k AS INTEGER)) AS pfx,
@@ -406,7 +419,10 @@ object ExtraQueries {
       |  SELECT p.album, max_by(b.album, p.k) AS parent_album
       |  FROM pfx p JOIN albums b ON p.pfx = b.album
       |  GROUP BY p.album
-      |), pm AS (
+      |)""".stripMargin
+
+  val albumParentPrefixSql: String =
+    s"""WITH $albumParentCte, pm AS (
       |  SELECT p_partkey, p_name, p_brand,
       |    MIN(p_partkey) OVER (PARTITION BY p_name, p_brand) AS parent_partkey
       |  FROM part

@@ -550,7 +550,61 @@ object MartQueries {
        |  distinct_tracks, distinct_artists))
        |ORDER BY year DESC, month_num DESC, metric""".stripMargin
 
+  /** §2 entry `dm_album_parent_rollup` — the PARENT-grain listening
+    * rollup the reference's parent_tracks mapping exists to feed (its
+    * dashboards read listening time with variant editions collapsed
+    * onto the base album; album_mapping.sql's INSERTs are the manual
+    * upstream of exactly this view): per parent album the total
+    * minutes, the number of child albums collapsed into it, distinct
+    * tracks, and estimated streams. The variant→base map is the SHARED
+    * [[graft.core.ExtraQueries.albumParentMapOf]] prefix-collapse (one
+    * definition, two consumers — map drift between the track-grain
+    * entry and this rollup is impossible); albums with no base stand
+    * as themselves via the left-join coalesce.
+    *
+    * Scale shape: the map and the (partkey → parent) routing table are
+    * album/track-dimension-sized and enter the fact join as a
+    * BROADCAST; one map-side-combined groupBy on the fact stream —
+    * the dm_top_albums plan with a remapped key. Exactness: BIGINT
+    * counts, DECIMAL sums, the shared r1/r0 half-up rounding — the
+    * mart family's discipline.
+    */
+  def albumParentRollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val part = Tables.part(spark, dir).select($"p_partkey", $"p_name", $"p_brand")
+    val pmap = graft.core.ExtraQueries.albumParentMapOf(part)
+    val routing = part.select($"p_partkey", $"p_brand")
+      .join(broadcast(pmap), $"p_brand" === $"album", "left")
+      .select($"p_partkey", $"p_brand".as("child_album"),
+        coalesce($"parent_album", $"p_brand").as("parent_album"))
+    listeningFacts(spark, dir)
+      .join(broadcast(routing), $"l_partkey" === $"p_partkey")
+      .groupBy($"parent_album")
+      .agg(
+        r1(sum($"sec_played").cast("double") / lit(60.0)).as("total_time_min"),
+        countDistinct($"child_album").as("n_albums"),
+        countDistinct($"l_partkey").as("n_tracks"),
+        r0(sum($"percent_played").cast("double") / lit(100.0)).as("total_estimated_streams"))
+      .orderBy($"total_time_min".desc, $"parent_album")
+  }
+
+  val albumParentRollupSql: String =
+    s"""$fhCte, ${graft.core.ExtraQueries.albumParentCte}, wp AS (
+       |  SELECT p_partkey, p_brand AS child_album,
+       |    COALESCE(parent_album, p_brand) AS parent_album
+       |  FROM part LEFT JOIN parentof ON p_brand = album
+       |)
+       |SELECT parent_album,
+       |  floor(CAST(SUM(sec_played) AS DOUBLE) / 60.0 * 10.0 + 0.5) / 10.0 AS total_time_min,
+       |  CAST(COUNT(DISTINCT child_album) AS BIGINT) AS n_albums,
+       |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_tracks,
+       |  floor(CAST(SUM(percent_played) AS DOUBLE) / 100.0 + 0.5) AS total_estimated_streams
+       |FROM fh JOIN wp ON l_partkey = p_partkey
+       |GROUP BY parent_album
+       |ORDER BY total_time_min DESC, parent_album""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dm_album_parent_rollup" -> (albumParentRollup _),
     "dm_metrics_unpivot"    -> (metricsUnpivot _),
     "dm_cohort_ltv"         -> (cohortLtv _),
     "dm_yearly_agg"         -> (yearlyAgg _),
@@ -565,6 +619,7 @@ object MartQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "dm_album_parent_rollup" -> albumParentRollupSql,
     "dm_metrics_unpivot"   -> metricsUnpivotSql,
     "dm_cohort_ltv"        -> cohortLtvSql,
     "dm_yearly_agg"        -> yearlyAggSql,

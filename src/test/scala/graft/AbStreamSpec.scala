@@ -46,6 +46,10 @@ class AbStreamSpec extends SparkSuite {
     val served = seqOf(streaming.AbStream.serveSequential(spark, dir))
     assert(served == seqOf(core.RankTests.eventsAbSequential(spark, sf)) &&
       served.nonEmpty)
+    // the daily state rides the same guarded fold: a retry must no-op
+    streaming.AbStream.dailyMomentsFold(ev.filter($"event_id" % 3 === 2), dir, 2L)
+    assert(seqOf(streaming.AbStream.serveSequential(spark, dir)) == served,
+      "retry mutated the daily moments state")
   }
 
   test("retry of the last batch no-ops; an older batch id fails loudly") {

@@ -32,6 +32,24 @@ class AlbumPrefixSpec extends SparkSuite {
     assert(byKey(5L) == ("Folklore", "Folk"))
   }
 
+  test("parent rollup: conserves listening mass and album counts") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rolled = mart.MartQueries.albumParentRollup(spark, sf)
+    val albums = Tables.part(spark, sf)
+      .select("p_brand").distinct().count()
+    // every album lands under exactly one parent (itself when unmapped)
+    assert(rolled.agg(sum($"n_albums")).head().getLong(0) == albums)
+    // total minutes under parents == total minutes under raw albums
+    // (both sides half-up-rounded per group, so compare the unrounded
+    // source mass: the rollup must not drop or double-route any fact)
+    val factMin = mart.MartQueries.listeningFacts(spark, sf)
+      .agg(sum($"sec_played")).head().getDecimal(0)
+    val parentSec = rolled.agg(sum($"total_time_min")).head().getDouble(0)
+    assert(math.abs(parentSec - factMin.doubleValue() / 60.0) <
+      0.1 * rolled.count(), "rounding-bounded mass conservation")
+  }
+
   test("corpus entry: every parent is the LONGEST proper-prefix album") {
     val out = core.ExtraQueries.albumParentPrefix(spark, sf).collect()
     assert(out.nonEmpty)
