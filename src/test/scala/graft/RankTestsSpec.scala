@@ -529,6 +529,52 @@ class RankTestsSpec extends SparkSuite {
     rows.tail.foreach(r => assert(!r.isNullAt(r.fieldIndex("z"))))
   }
 
+  test("sequential: the 2.024 OBF literal re-derives empirically (type-I ~ 5%)") {
+    // The K=4 O'Brien–Fleming constant has no closed form (it solves a
+    // 4-dimensional correlated-normal crossing equation), so unlike the
+    // Bonferroni/power literals it cannot be Taylor-re-derived. Pin it
+    // EMPIRICALLY instead, deterministically: simulate standard-normal
+    // 4-look experiments under H0 (seeded 64-bit LCG + Box–Muller — no
+    // Math.random, bit-stable forever) and check (a) the OBF boundary
+    // c*sqrt(4/k) spends ~alpha = 0.05, and (b) naked 1.96 at every
+    // look — the peeking this entry exists to prevent — spends ~3x
+    // that. A wrong constant (e.g. 1.96, or the K=2 value 1.977 vs the
+    // K=4 2.024 at these tolerances' edge) moves (a) off its band.
+    var seed = 0x9E3779B97F4A7C15L
+    def nextU(): Double = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      ((seed >>> 11).toDouble / (1L << 53).toDouble)
+    }
+    def gauss(): Double = {
+      val (u1, u2) = (math.max(nextU(), 1e-300), nextU())
+      math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.Pi * u2)
+    }
+    val c = core.RankTests.ObfCritZ4
+    val n = 200000
+    var obfCross = 0; var nakedCross = 0
+    var i = 0
+    while (i < n) {
+      var s = 0.0; var obf = false; var naked = false
+      var k = 1
+      while (k <= 4) {
+        s += gauss() // z_k = S_k / sqrt(k): the canonical H0 random walk
+        val z = s / math.sqrt(k.toDouble)
+        if (math.abs(z) > c * math.sqrt(4.0 / k)) obf = true
+        if (math.abs(z) > 1.96) naked = true
+        k += 1
+      }
+      if (obf) obfCross += 1
+      if (naked) nakedCross += 1
+      i += 1
+    }
+    val obfRate = obfCross.toDouble / n
+    val nakedRate = nakedCross.toDouble / n
+    assert(obfRate > 0.035 && obfRate < 0.065, s"OBF type-I $obfRate")
+    assert(nakedRate > 0.11, s"naked-1.96 peeking type-I $nakedRate")
+    assert(nakedRate > 2.0 * obfRate,
+      s"peeking inflation $nakedRate vs boundary $obfRate")
+  }
+
   test("sequential corpus entry: 4 looks per type, cumulative n monotone") {
     val rows = core.RankTests.eventsAbSequential(spark, sf).collect()
     assert(rows.nonEmpty)
