@@ -127,7 +127,8 @@ object Bench {
     "events_value_spearman_served", "knn_graph_closeness",
     "etl_csv_roundtrip", "etl_json_roundtrip",
     "events_ab_sequential", "dm_album_parent_prefix",
-    "events_ab_sequential_served", "dm_album_parent_rollup")
+    "events_ab_sequential_served", "dm_album_parent_rollup",
+    "events_ab_sequential_cuped")
   // rec_eval_prk / rec_eval_ndcg / rec_eval_mrr join the excluded-harness
   // family (rec_coverage_eval precedent): they re-run the CF train chain
   // the suite already times, and their own tails are scalar aggregates.

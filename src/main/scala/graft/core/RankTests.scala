@@ -501,25 +501,35 @@ object RankTests {
     * with n ≤ 1 → NULL variance → NULL z → NULL verdict; var(y) ≤ 0 →
     * NULL ρ².
     */
-  private[graft] def cupedOn(ev: DataFrame, cut: Column): DataFrame = {
-    import ev.sparkSession.implicits._
+  /** The 12 CUPED sufficient-statistic aggregates over a per-user
+    * (arm, x, y) frame — shared by the fixed-horizon entry and the
+    * group-sequential CUPED monitor (whose grouping adds `look`).
+    */
+  private def cupedMomentAggs: Seq[Column] = {
     val dec0 = lit(0L).cast("decimal(38,0)")
-    val pu = ev.groupBy($"event_type", $"user_id", $"arm").agg(
-      sum(when($"day" <= cut, $"y_c").otherwise(0L)).as("x"),
-      sum(when($"day" > cut, $"y_c").otherwise(0L)).as("y"))
-    val m = pu.groupBy($"event_type").agg(
-      sum(when($"arm" === 0, 1L).otherwise(0L)).as("n_a"),
-      sum(when($"arm" === 1, 1L).otherwise(0L)).as("n_b"),
-      sum(when($"arm" === 0, $"x").otherwise(0L)).as("sx_a"),
-      sum(when($"arm" === 1, $"x").otherwise(0L)).as("sx_b"),
-      sum(when($"arm" === 0, $"y").otherwise(0L)).as("sy_a"),
-      sum(when($"arm" === 1, $"y").otherwise(0L)).as("sy_b"),
-      sum(when($"arm" === 0, $"x".cast("decimal(38,0)") * $"x").otherwise(dec0)).as("sxx_a"),
-      sum(when($"arm" === 1, $"x".cast("decimal(38,0)") * $"x").otherwise(dec0)).as("sxx_b"),
-      sum(when($"arm" === 0, $"y".cast("decimal(38,0)") * $"y").otherwise(dec0)).as("syy_a"),
-      sum(when($"arm" === 1, $"y".cast("decimal(38,0)") * $"y").otherwise(dec0)).as("syy_b"),
-      sum(when($"arm" === 0, $"x".cast("decimal(38,0)") * $"y").otherwise(dec0)).as("sxy_a"),
-      sum(when($"arm" === 1, $"x".cast("decimal(38,0)") * $"y").otherwise(dec0)).as("sxy_b"))
+    val (arm, x, y) = (col("arm"), col("x"), col("y"))
+    Seq(
+      sum(when(arm === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(arm === 1, 1L).otherwise(0L)).as("n_b"),
+      sum(when(arm === 0, x).otherwise(0L)).as("sx_a"),
+      sum(when(arm === 1, x).otherwise(0L)).as("sx_b"),
+      sum(when(arm === 0, y).otherwise(0L)).as("sy_a"),
+      sum(when(arm === 1, y).otherwise(0L)).as("sy_b"),
+      sum(when(arm === 0, x.cast("decimal(38,0)") * x).otherwise(dec0)).as("sxx_a"),
+      sum(when(arm === 1, x.cast("decimal(38,0)") * x).otherwise(dec0)).as("sxx_b"),
+      sum(when(arm === 0, y.cast("decimal(38,0)") * y).otherwise(dec0)).as("syy_a"),
+      sum(when(arm === 1, y.cast("decimal(38,0)") * y).otherwise(dec0)).as("syy_b"),
+      sum(when(arm === 0, x.cast("decimal(38,0)") * y).otherwise(dec0)).as("sxy_a"),
+      sum(when(arm === 1, x.cast("decimal(38,0)") * y).otherwise(dec0)).as("sxy_b"))
+  }
+
+  /** Appends theta / var_reduction / z_plain / z_cuped to a frame
+    * carrying the 12 CUPED sufficient statistics; grouping keys (the
+    * fixed-horizon entry's event_type, the sequential monitor's
+    * (event_type, look)) ride through untouched.
+    */
+  private def withCupedZ(m: DataFrame): DataFrame = {
+    import m.sparkSession.implicits._
     val nD  = ($"n_a" + $"n_b").cast("double")
     val sxD = ($"sx_a" + $"sx_b").cast("double")
     val syD = ($"sy_a" + $"sy_b").cast("double")
@@ -554,6 +564,16 @@ object RankTests {
           (nD * sxyD - sxD * syD) * (nD * sxyD - sxD * syD) / (dxx * dyy)))
       .withColumn("z_plain", armZ(lit(0.0)))
       .withColumn("z_cuped", armZ($"theta"))
+  }
+
+  private[graft] def cupedOn(ev: DataFrame, cut: Column): DataFrame = {
+    import ev.sparkSession.implicits._
+    val pu = ev.groupBy($"event_type", $"user_id", $"arm").agg(
+      sum(when($"day" <= cut, $"y_c").otherwise(0L)).as("x"),
+      sum(when($"day" > cut, $"y_c").otherwise(0L)).as("y"))
+    val m = pu.groupBy($"event_type")
+      .agg(cupedMomentAggs.head, cupedMomentAggs.tail: _*)
+    withCupedZ(m)
       .withColumn("significant",
         when($"z_cuped".isNull, lit(null).cast("boolean"))
           .otherwise(abs($"z_cuped") > 1.96))
@@ -1126,6 +1146,223 @@ object RankTests {
       |FROM st
       |ORDER BY event_type, look""".stripMargin
 
+  /** §2 entry `events_ab_sequential_cuped` — the monitor a production
+    * platform ACTUALLY runs: the CUPED-adjusted z inside the
+    * O'Brien–Fleming boundary. `events_ab_sequential` reads the plain
+    * Welch z at each look; `events_ab_cuped` shrinks the variance but
+    * reads once at the horizon. Composing them is not cosmetic — the
+    * variance reduction moves the CROSSING TIME (the same true lift
+    * clears the boundary looks earlier when the covariate explains the
+    * noise), which is the whole commercial point of CUPED on a
+    * monitored experiment. Calendar frame: pre-period = first half of
+    * the day span (the CUPED cut device), K = 4 equally-spaced looks
+    * over the SECOND half; θ re-estimated from cumulative data at
+    * every look (the platform convention — the covariate model uses
+    * everything known at the peek).
+    *
+    * Scale shape: ONE corpus pass to the (type, user, arm) grain with
+    * x and the four look-bucket y's (5 conditional sums); the 4-look
+    * cumulative unpivot is a 4× explode at USER grain (bounded, no
+    * corpus re-scan); then one map-side-combined moment collapse per
+    * (type, look) — 12 sufficient statistics, ≤ types×4 rows — and
+    * the shared [[withCupedZ]] tree + the OBF tail over that bounded
+    * frame. Driver scalars: the cut date and the experiment-window
+    * span (the CUPED/RecEval device).
+    *
+    * Exactness (hash-gate): per-user cents sums BIGINT; second moments
+    * DECIMAL(38,0)/HUGEINT (the CUPED bound); the z trees are the
+    * fixed-horizon entry's VERBATIM (shared code here, token-mirrored
+    * SQL there); boundary literals the sequential entry's. Degenerate
+    * looks (n ≤ 1 arm, var(x) ≤ 0 → θ = 0) degrade exactly as the
+    * fixed-horizon twin. Reference semantics: the interim-analysis
+    * protocol over the reference's engagement readouts with its
+    * pre-period covariate — the full platform reading order.
+    */
+  private[graft] def sequentialCupedOn(ev: DataFrame, cut: Column,
+      span2P: Column): DataFrame = {
+    import ev.sparkSession.implicits._
+    val bucket =
+      floor(((datediff($"day", cut) - 1) * 4).cast("double") / span2P) + lit(1L)
+    val pu = ev.groupBy($"event_type", $"user_id", $"arm").agg(
+      sum(when($"day" <= cut, $"y_c").otherwise(0L)).as("x"),
+      sum(when($"day" > cut && bucket === 1L, $"y_c").otherwise(0L)).as("y1"),
+      sum(when($"day" > cut && bucket === 2L, $"y_c").otherwise(0L)).as("y2"),
+      sum(when($"day" > cut && bucket === 3L, $"y_c").otherwise(0L)).as("y3"),
+      sum(when($"day" > cut && bucket === 4L, $"y_c").otherwise(0L)).as("y4"))
+    val looks = pu.select($"event_type", $"arm", $"x",
+      explode(array(
+        struct(lit(1L).as("look"), $"y1".as("yy")),
+        struct(lit(2L).as("look"), ($"y1" + $"y2").as("yy")),
+        struct(lit(3L).as("look"), ($"y1" + $"y2" + $"y3").as("yy")),
+        struct(lit(4L).as("look"),
+          ($"y1" + $"y2" + $"y3" + $"y4").as("yy")))).as("s"))
+      .select($"event_type", $"arm", $"x",
+        $"s.look".as("look"), $"s.yy".as("y"))
+    val m = looks.groupBy($"event_type", $"look")
+      .agg(cupedMomentAggs.head, cupedMomentAggs.tail: _*)
+    val wAll = Window.partitionBy($"event_type")
+    withCupedZ(m)
+      .withColumn("boundary",
+        lit(ObfCritZ4) * sqrt(lit(4.0) / $"look".cast("double")))
+      .withColumn("crossed", when($"z_cuped".isNull, lit(null).cast("boolean"))
+        .otherwise(abs($"z_cuped") > $"boundary"))
+      .withColumn("stop_look", min(when($"crossed", $"look")).over(wAll))
+      .withColumn("decision",
+        when($"stop_look".isNull, "accept")
+          .when($"stop_look" < 4, "reject_early")
+          .otherwise("reject_final"))
+      .select($"event_type", $"look", $"n_a", $"n_b", $"theta",
+        $"var_reduction", $"z_plain", $"z_cuped", $"boundary", $"crossed",
+        $"stop_look", $"decision")
+      .orderBy($"event_type", $"look")
+  }
+
+  def eventsAbSequentialCuped(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"event_type", $"user_id", pmod($"user_id", lit(2)).as("arm"),
+        to_date($"ts").as("day"),
+        ($"value".cast("decimal(10,2)") * 100).cast("long").as("y_c"))
+    // two driver-side scalars (the CUPED cutoff device): the pre/post
+    // cut and the experiment-window span that pins the four looks
+    val b = ev.agg(min($"day").as("mn"), max($"day").as("mx")).head()
+    val (cut, span2P) =
+      if (b.isNullAt(0)) (java.sql.Date.valueOf("1970-01-01"), 1L)
+      else {
+        val mn = b.getDate(0).toLocalDate
+        val mx = b.getDate(1).toLocalDate
+        val cutL = mn.plusDays(java.time.temporal.ChronoUnit.DAYS.between(mn, mx) / 2)
+        (java.sql.Date.valueOf(cutL),
+          math.max(1L, java.time.temporal.ChronoUnit.DAYS.between(cutL, mx)))
+      }
+    sequentialCupedOn(ev, lit(cut), lit(span2P))
+  }
+
+  val eventsAbSequentialCupedSql: String =
+    s"""WITH ev AS (
+      |  SELECT event_type, user_id, user_id % 2 AS arm,
+      |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+      |    CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT) AS y_c
+      |  FROM events
+      |), bounds AS (
+      |  SELECT MIN(day) AS mn, MAX(day) AS mx FROM ev
+      |), cut AS (
+      |  SELECT mn + CAST(date_diff('day', mn, mx) // 2 AS INTEGER) AS cutoff
+      |  FROM bounds
+      |), span2 AS (
+      |  SELECT GREATEST(CAST(1 AS BIGINT),
+      |    date_diff('day', (SELECT cutoff FROM cut), (SELECT mx FROM bounds))) AS s2
+      |), pu AS (
+      |  SELECT event_type, user_id, arm,
+      |    CAST(SUM(CASE WHEN day <= (SELECT cutoff FROM cut) THEN y_c ELSE 0 END)
+      |      AS BIGINT) AS x,
+      |    CAST(SUM(CASE WHEN day > (SELECT cutoff FROM cut)
+      |      AND CAST(FLOOR(CAST((date_diff('day', (SELECT cutoff FROM cut), day) - 1) * 4 AS DOUBLE)
+      |        / (SELECT s2 FROM span2)) AS BIGINT) + 1 = 1 THEN y_c ELSE 0 END)
+      |      AS BIGINT) AS y1,
+      |    CAST(SUM(CASE WHEN day > (SELECT cutoff FROM cut)
+      |      AND CAST(FLOOR(CAST((date_diff('day', (SELECT cutoff FROM cut), day) - 1) * 4 AS DOUBLE)
+      |        / (SELECT s2 FROM span2)) AS BIGINT) + 1 = 2 THEN y_c ELSE 0 END)
+      |      AS BIGINT) AS y2,
+      |    CAST(SUM(CASE WHEN day > (SELECT cutoff FROM cut)
+      |      AND CAST(FLOOR(CAST((date_diff('day', (SELECT cutoff FROM cut), day) - 1) * 4 AS DOUBLE)
+      |        / (SELECT s2 FROM span2)) AS BIGINT) + 1 = 3 THEN y_c ELSE 0 END)
+      |      AS BIGINT) AS y3,
+      |    CAST(SUM(CASE WHEN day > (SELECT cutoff FROM cut)
+      |      AND CAST(FLOOR(CAST((date_diff('day', (SELECT cutoff FROM cut), day) - 1) * 4 AS DOUBLE)
+      |        / (SELECT s2 FROM span2)) AS BIGINT) + 1 = 4 THEN y_c ELSE 0 END)
+      |      AS BIGINT) AS y4
+      |  FROM ev GROUP BY 1, 2, 3
+      |), lk AS (
+      |  SELECT event_type, arm, x, CAST(k AS BIGINT) AS look,
+      |    CAST(y1 + CASE WHEN k >= 2 THEN y2 ELSE 0 END
+      |       + CASE WHEN k >= 3 THEN y3 ELSE 0 END
+      |       + CASE WHEN k >= 4 THEN y4 ELSE 0 END AS BIGINT) AS y
+      |  FROM pu, UNNEST([1, 2, 3, 4]) AS r(k)
+      |), m AS (
+      |  SELECT event_type, look,
+      |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |    CAST(SUM(CASE WHEN arm = 0 THEN x ELSE 0 END) AS BIGINT) AS sx_a,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN x ELSE 0 END) AS BIGINT) AS sx_b,
+      |    CAST(SUM(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT) AS sy_a,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT) AS sy_b,
+      |    SUM(CASE WHEN arm = 0 THEN CAST(x AS HUGEINT) * x ELSE 0 END) AS sxx_a,
+      |    SUM(CASE WHEN arm = 1 THEN CAST(x AS HUGEINT) * x ELSE 0 END) AS sxx_b,
+      |    SUM(CASE WHEN arm = 0 THEN CAST(y AS HUGEINT) * y ELSE 0 END) AS syy_a,
+      |    SUM(CASE WHEN arm = 1 THEN CAST(y AS HUGEINT) * y ELSE 0 END) AS syy_b,
+      |    SUM(CASE WHEN arm = 0 THEN CAST(x AS HUGEINT) * y ELSE 0 END) AS sxy_a,
+      |    SUM(CASE WHEN arm = 1 THEN CAST(x AS HUGEINT) * y ELSE 0 END) AS sxy_b
+      |  FROM lk GROUP BY 1, 2
+      |), d AS (
+      |  SELECT event_type, look, n_a, n_b,
+      |    CAST(n_a + n_b AS DOUBLE) AS n_d,
+      |    CAST(n_a AS DOUBLE) AS na_d, CAST(n_b AS DOUBLE) AS nb_d,
+      |    CAST(sx_a + sx_b AS DOUBLE) AS sx_d,
+      |    CAST(sy_a + sy_b AS DOUBLE) AS sy_d,
+      |    CAST(sxx_a + sxx_b AS DOUBLE) AS sxx_d,
+      |    CAST(syy_a + syy_b AS DOUBLE) AS syy_d,
+      |    CAST(sxy_a + sxy_b AS DOUBLE) AS sxy_d,
+      |    CAST(sx_a AS DOUBLE) AS sxa, CAST(sx_b AS DOUBLE) AS sxb,
+      |    CAST(sy_a AS DOUBLE) AS sya, CAST(sy_b AS DOUBLE) AS syb,
+      |    CAST(sxx_a AS DOUBLE) AS sxxa, CAST(sxx_b AS DOUBLE) AS sxxb,
+      |    CAST(syy_a AS DOUBLE) AS syya, CAST(syy_b AS DOUBLE) AS syyb,
+      |    CAST(sxy_a AS DOUBLE) AS sxya, CAST(sxy_b AS DOUBLE) AS sxyb
+      |  FROM m
+      |), th AS (
+      |  SELECT *,
+      |    CASE WHEN n_d * sxx_d - sx_d * sx_d > 0.0
+      |      THEN (n_d * sxy_d - sx_d * sy_d) / (n_d * sxx_d - sx_d * sx_d)
+      |      ELSE 0.0 END AS theta,
+      |    CASE WHEN n_d * sxx_d - sx_d * sx_d > 0.0
+      |        AND n_d * syy_d - sy_d * sy_d > 0.0
+      |      THEN (n_d * sxy_d - sx_d * sy_d) * (n_d * sxy_d - sx_d * sy_d)
+      |        / ((n_d * sxx_d - sx_d * sx_d) * (n_d * syy_d - sy_d * sy_d))
+      |      END AS var_reduction
+      |  FROM d
+      |), zz AS (
+      |  SELECT event_type, look, n_a, n_b, theta, var_reduction,
+      |    (CASE WHEN n_a > 0 THEN (sya - 0.0 * sxa) / na_d END
+      |     - CASE WHEN n_b > 0 THEN (syb - 0.0 * sxb) / nb_d END)
+      |    / sqrt(
+      |      CASE WHEN n_a > 1 THEN (na_d * (syya - 2.0 * 0.0 * sxya
+      |          + 0.0 * 0.0 * sxxa)
+      |          - (sya - 0.0 * sxa) * (sya - 0.0 * sxa))
+      |        / (na_d * (na_d - 1.0)) END / na_d
+      |      + CASE WHEN n_b > 1 THEN (nb_d * (syyb - 2.0 * 0.0 * sxyb
+      |          + 0.0 * 0.0 * sxxb)
+      |          - (syb - 0.0 * sxb) * (syb - 0.0 * sxb))
+      |        / (nb_d * (nb_d - 1.0)) END / nb_d) AS z_plain,
+      |    (CASE WHEN n_a > 0 THEN (sya - theta * sxa) / na_d END
+      |     - CASE WHEN n_b > 0 THEN (syb - theta * sxb) / nb_d END)
+      |    / sqrt(
+      |      CASE WHEN n_a > 1 THEN (na_d * (syya - 2.0 * theta * sxya
+      |          + theta * theta * sxxa)
+      |          - (sya - theta * sxa) * (sya - theta * sxa))
+      |        / (na_d * (na_d - 1.0)) END / na_d
+      |      + CASE WHEN n_b > 1 THEN (nb_d * (syyb - 2.0 * theta * sxyb
+      |          + theta * theta * sxxb)
+      |          - (syb - theta * sxb) * (syb - theta * sxb))
+      |        / (nb_d * (nb_d - 1.0)) END / nb_d) AS z_cuped,
+      |    $ObfCritZ4 * sqrt(4.0 / CAST(look AS DOUBLE)) AS boundary
+      |  FROM th
+      |), cr AS (
+      |  SELECT *, CASE WHEN z_cuped IS NULL THEN NULL
+      |    ELSE ABS(z_cuped) > boundary END AS crossed
+      |  FROM zz
+      |), st AS (
+      |  SELECT *, MIN(CASE WHEN crossed THEN look END)
+      |    OVER (PARTITION BY event_type) AS stop_look
+      |  FROM cr
+      |)
+      |SELECT event_type, look, n_a, n_b, theta, var_reduction,
+      |  z_plain, z_cuped, boundary, crossed, stop_look,
+      |  CASE WHEN stop_look IS NULL THEN 'accept'
+      |       WHEN stop_look < 4 THEN 'reject_early'
+      |       ELSE 'reject_final' END AS decision
+      |FROM st
+      |ORDER BY event_type, look""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_ab_mannwhitney" -> (eventsAbMannWhitney _),
     "events_ab_proportions" -> (eventsAbProportions _),
@@ -1135,7 +1372,8 @@ object RankTests {
     "events_ab_srm"         -> (eventsAbSrm _),
     "events_ab_power"       -> (eventsAbPower _),
     "events_ab_readout"     -> (eventsAbReadout _),
-    "events_ab_sequential"  -> (eventsAbSequential _)
+    "events_ab_sequential"  -> (eventsAbSequential _),
+    "events_ab_sequential_cuped" -> (eventsAbSequentialCuped _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1147,6 +1385,7 @@ object RankTests {
     "events_ab_srm"         -> eventsAbSrmSql,
     "events_ab_power"       -> eventsAbPowerSql,
     "events_ab_readout"     -> eventsAbReadoutSql,
-    "events_ab_sequential"  -> eventsAbSequentialSql
+    "events_ab_sequential"  -> eventsAbSequentialSql,
+    "events_ab_sequential_cuped" -> eventsAbSequentialCupedSql
   )
 }

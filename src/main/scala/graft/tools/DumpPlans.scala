@@ -120,7 +120,8 @@ object DumpPlans {
       "knn_graph_closeness", "etl_csv_roundtrip", "etl_json_roundtrip",
       "events_ab_readout",
       "events_ab_sequential", "events_ab_sequential_served",
-      "dm_album_parent_prefix", "dm_album_parent_rollup")
+      "dm_album_parent_prefix", "dm_album_parent_rollup",
+      "events_ab_sequential_cuped")
 
     val sb = new StringBuilder
     sb.append("# Executed plans (generated by graft.tools.DumpPlans at " + sfDir + ")\n\n")

@@ -575,6 +575,64 @@ class RankTestsSpec extends SparkSuite {
       s"peeking inflation $nakedRate vs boundary $obfRate")
   }
 
+  test("sequential cuped: variance reduction moves the crossing time") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{lit, to_date}
+    // pre = Jan 1 (x = (u div 2)*100, arm-balanced); experiment = Jan
+    // 6..9 = looks 1..4 (cut Jan 5, span2 = 4). Daily metric = x/4 +
+    // 10*arm + (u%3)*25: the covariate explains almost all raw
+    // variance, the lift is 10 cents on a 25-cent-wiggle metric. The
+    // CUPED-adjusted z (~3.4, constant across looks: cumulative noise
+    // is per-user-correlated) clears the look-2 boundary (2.863) but
+    // not look 1 (4.048) -> an EARLY stop; the plain z never clears
+    // ANY boundary (the x/4 spread swamps the lift) -- the monitored
+    // experiment only reads out early BECAUSE of the covariate.
+    val rows = (0L until 200L).flatMap { u =>
+      val x = (u / 2) * 100; val arm = (u % 2).toInt
+      ("t", u, arm, "2024-01-01", x) +: Seq("2024-01-06", "2024-01-07",
+        "2024-01-08", "2024-01-09").map { d =>
+        ("t", u, arm, d, (u / 2) * 25 + 10L * arm + (u % 3) * 25)
+      }
+    }
+    val ev = rows.toDF("event_type", "user_id", "arm", "day", "y_c")
+      .select($"event_type", $"user_id", $"arm",
+        to_date($"day").as("day"), $"y_c")
+    val out = core.RankTests.sequentialCupedOn(ev,
+        lit(java.sql.Date.valueOf("2024-01-05")), lit(4L))
+      .collect().sortBy(_.getAs[Long]("look"))
+    assert(out.map(_.getAs[Long]("look")).toSeq == Seq(1L, 2L, 3L, 4L))
+    out.foreach { r =>
+      assert(r.getAs[Double]("var_reduction") > 0.9, r.toString)
+      // the plain monitor would never have stopped at any look
+      assert(math.abs(r.getAs[Double]("z_plain")) <
+        r.getAs[Double]("boundary"), r.toString)
+    }
+    val stop = out.head.getAs[Long]("stop_look")
+    assert(stop >= 2L && stop < 4L, s"expected an early CUPED stop, got $stop")
+    assert(out.forall(_.getAs[String]("decision") == "reject_early"))
+  }
+
+  test("sequential cuped: zero covariate variance degrades to plain looks") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{lit, to_date}
+    // constant pre-spend -> var(x) = 0 -> theta = 0 at every look and
+    // z_cuped == z_plain row for row (the fixed-horizon degrade, per look)
+    val rows = (0L until 80L).flatMap { u =>
+      val arm = (u % 2).toInt
+      ("t", u, arm, "2024-01-01", 500L) +: Seq("2024-01-06", "2024-01-07",
+        "2024-01-08", "2024-01-09").map(d => ("t", u, arm, d, u * 7L + 30L * arm))
+    }
+    val ev = rows.toDF("event_type", "user_id", "arm", "day", "y_c")
+      .select($"event_type", $"user_id", $"arm",
+        to_date($"day").as("day"), $"y_c")
+    val out = core.RankTests.sequentialCupedOn(ev,
+        lit(java.sql.Date.valueOf("2024-01-05")), lit(4L)).collect()
+    out.foreach { r =>
+      assert(r.getAs[Double]("theta") == 0.0)
+      assert(r.getAs[Double]("z_cuped") == r.getAs[Double]("z_plain"))
+    }
+  }
+
   test("sequential corpus entry: 4 looks per type, cumulative n monotone") {
     val rows = core.RankTests.eventsAbSequential(spark, sf).collect()
     assert(rows.nonEmpty)
