@@ -79,12 +79,8 @@ object DedupCascade {
     val edges = SemanticDedup.semanticEdges(assigned)
       .join(alive.select($"doc_id".as("a")), Seq("a"), "left_semi")
       .join(alive.select($"doc_id".as("b")), Seq("b"), "left_semi")
-      .localCheckpoint() // ccKeepers re-reads its input every round
-    val edgeBands = edges
-      .select($"a".as("doc_id"), lit(0L).as("band"), struct($"a", $"b").as("band_key"))
-      .unionByName(edges
-        .select($"b".as("doc_id"), lit(0L).as("band"), struct($"a", $"b").as("band_key")))
-    val s3 = ScaleDedup.ccKeepers(edgeBands)
+      .localCheckpoint() // ccKeepersEdges re-reads its input (sym union)
+    val s3 = ScaleDedup.ccKeepersEdges(edges.select($"a", $"b"))
       .filter($"doc_id" =!= $"keeper")
       .select($"doc_id", $"keeper".as("keeper_doc_id"), lit(3L).as("stage"))
 

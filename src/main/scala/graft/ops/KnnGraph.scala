@@ -174,16 +174,14 @@ object KnnGraph {
     // entry (knn_graph_ivf — communities and pagerank moved to the
     // exact base with the rest of the analytics family this round)
     val knn = exactGraphOf(spark, dir)
-    // materialize the edge table BEFORE label propagation: ccKeepers
-    // re-reads its input every round, and without this each CC round
-    // would recompute the whole kNN-graph build (scored join + top-k +
-    // mutual join) — measured 32 s vs ~2 s at sf0.1
+    // materialize the edge table BEFORE label propagation: ccKeepersEdges
+    // reads its input twice (the symmetric-adjacency union), and without
+    // this each read would recompute the whole kNN-graph build (scored
+    // join + top-k + mutual join) — measured 32 s vs ~2 s at sf0.1
     val edges = knn.filter($"mutual" && $"vec_id" < $"neighbor_id")
       .select($"vec_id".as("a"), $"neighbor_id".as("b"))
       .localCheckpoint()
-    val bands = edges.select($"a".as("doc_id"), lit(0L).as("band"), struct($"a", $"b").as("band_key"))
-      .union(edges.select($"b".as("doc_id"), lit(0L).as("band"), struct($"a", $"b").as("band_key")))
-    val keepers = ScaleDedup.ccKeepers(bands)
+    val keepers = ScaleDedup.ccKeepersEdges(edges)
     val all = VectorAgg.quantized(spark, dir).select($"vec_id")
     val labeled = all.join(keepers.withColumnRenamed("doc_id", "vec_id"), Seq("vec_id"), "left")
       .select($"vec_id", coalesce($"keeper", $"vec_id").as("cluster"))

@@ -159,20 +159,7 @@ object ScaleDedup {
     import docs.sparkSession.implicits._
     val t = docs.select($"doc_id", $"lang", wordSet($"text").as("w"))
       .withColumn("sz", size($"w"))
-      .localCheckpoint() // probed by two verify joins below
-    def verify(pairs: DataFrame): DataFrame = pairs
-      .join(t.select($"doc_id".as("a"), $"lang".as("la"), $"w".as("wa"), $"sz".as("sza")), Seq("a"))
-      .join(t.select($"doc_id".as("b"), $"lang".as("lb"), $"w".as("wb"), $"sz".as("szb")), Seq("b"))
-      .filter($"la" === $"lb")
-      // LOSSLESS size-ratio prune before the intersect: J ≥ 0.9 needs
-      // |A∩B| ≥ 0.9·|A∪B|, and |A∩B| ≤ min, |A∪B| ≥ max, so
-      // 10·min ≥ 9·max is a NECESSARY condition checkable from two
-      // ints — the below-threshold candidate halo that banding
-      // surfaces dies here without ever touching the arrays.
-      .filter(least($"sza", $"szb") * 10 >= greatest($"sza", $"szb") * 9)
-      .withColumn("inter", size(array_intersect($"wa", $"wb")).cast("long"))
-      .filter($"inter" * 10 >= ($"sza" + $"szb" - $"inter") * 9)
-      .select($"a", $"b")
+      .localCheckpoint() // probed by the band-carry and verify joins below
     // EXACT-DUPLICATE COLLAPSE before pair expansion: docs with the
     // IDENTICAL (lang, word set) have Jaccard exactly 1 with their
     // representative, so J(a, x) == J(rep(a), x) for every x and the
@@ -189,32 +176,62 @@ object ScaleDedup {
       .join(t.groupBy($"lang", $"w").agg(min($"doc_id").as("rep")), Seq("lang", "w"))
       .select($"doc_id", $"rep")
       .localCheckpoint()
-    val memberEdges = docRep.filter($"doc_id" =!= $"rep")
-      .select($"doc_id".as("a"), $"rep".as("b"))
+    // carry (lang, sz) onto the band rows — one ids-grain join of the
+    // 16n-row band table against the n-row dim, so the lang and
+    // size-ratio prunes below can run INSIDE the candidate join (r15
+    // perf pass: at sf0.1 they kill 88% of candidate pairs — 3.57M →
+    // 0.42M — before the pair-keyed groupBy exchange and the verify
+    // joins; the predicates are per-pair constants, so applying them
+    // before or after the shared-band count is output-identical)
     val repBands = bands
       .join(docRep.filter($"doc_id" === $"rep").select($"doc_id"), Seq("doc_id"), "left_semi")
-    val l = repBands.select($"band", $"band_key", $"doc_id".as("a"))
-    val r = repBands.select($"band", $"band_key", $"doc_id".as("b"))
+      .join(t.select($"doc_id", $"lang", $"sz"), Seq("doc_id"))
+    val l = repBands.select($"band", $"band_key", $"doc_id".as("a"),
+      $"lang".as("la"), $"sz".as("sza"))
+    val r = repBands.select($"band", $"band_key", $"doc_id".as("b"),
+      $"lang".as("lb"), $"sz".as("szb"))
     // ≥2-shared-bands prescreen (replaces the plain distinct — the same
     // one pair-keyed shuffle, as a count): a τ = 0.9 pair agrees on a
     // band with p = 0.9⁴ ≈ 0.66 and shares ≥ 2 of 16 with
     // 1 − 1.1·10⁻⁶, so the cut is recall-neutral at the threshold
     // (harness-measured 1.0) while single-band hash collisions — the
     // bulk of the noise candidates — never reach the verify join.
-    val repPairs = verify(l.join(r, Seq("band", "band_key"))
-      .filter($"a" < $"b")
-      .groupBy($"a", $"b").agg(count(lit(1)).as("nb"))
+    // LOSSLESS size-ratio prune: J ≥ 0.9 needs |A∩B| ≥ 0.9·|A∪B|, and
+    // |A∩B| ≤ min, |A∪B| ≥ max, so 10·min ≥ 9·max is a NECESSARY
+    // condition checkable from two ints — evaluated join-local, before
+    // anything reaches an exchange.
+    val prescreened = l.join(r, Seq("band", "band_key"))
+      .filter($"a" < $"b" && $"la" === $"lb" &&
+        least($"sza", $"szb") * 10 >= greatest($"sza", $"szb") * 9)
+      .groupBy($"a", $"b", $"sza", $"szb").agg(count(lit(1)).as("nb"))
       .filter($"nb" >= 2)
-      .select($"a", $"b"))
-    val verified = memberEdges.unionByName(repPairs)
-    val edgeBands = verified
-      .select($"a".as("doc_id"), lit(0L).as("band"), struct($"a", $"b").as("band_key"))
-      .unionByName(verified
-        .select($"b".as("doc_id"), lit(0L).as("band"), struct($"a", $"b").as("band_key")))
-      .localCheckpoint() // ccKeepers re-reads its input every round
-    docs.select($"doc_id")
-      .join(ccKeepers(edgeBands), Seq("doc_id"), "left")
-      .select($"doc_id", coalesce($"keeper", $"doc_id").as("keeper_doc_id"))
+      .select($"a", $"b", $"sza", $"szb")
+    // exact verify on the surviving candidates: only the word arrays
+    // join in (lang/size already enforced above); fused two-pointer
+    // |A∩B| over the sorted distinct word sets —
+    // size(array_intersect(...)) built a hash set + result array per
+    // candidate pair just to count it (r15 perf pass, same integers)
+    val repPairs = prescreened
+      .join(t.select($"doc_id".as("a"), $"w".as("wa")), Seq("a"))
+      .join(t.select($"doc_id".as("b"), $"w".as("wb")), Seq("b"))
+      .withColumn("inter",
+        graft.functions.SortedIntersectCount.sorted_intersect_count($"wa", $"wb").cast("long"))
+      .filter($"inter" * 10 >= ($"sza" + $"szb" - $"inter") * 9)
+      .select($"a", $"b")
+      .localCheckpoint() // ccKeepersEdges re-reads its input (sym union)
+    // CC over the REP-level verified pairs only; members attach through
+    // their rep afterwards (r15 perf pass). Output-identical to running
+    // CC over reps + member star edges: every member id is > its rep
+    // (rep = group min), so the full graph's component min equals the
+    // rep graph's component min, and a member's keeper is exactly its
+    // rep's component keeper (or the rep itself when unpaired) — the
+    // dedupSimhashKeeper construction, adopted here too. The CC graph
+    // shrinks from (members + rep pairs) edges to rep pairs alone and
+    // the star rounds disappear.
+    val repKeeper = ccKeepersEdges(repPairs).select($"doc_id".as("rep"), $"keeper")
+    docRep
+      .join(repKeeper, Seq("rep"), "left")
+      .select($"doc_id", coalesce($"keeper", $"rep").as("keeper_doc_id"))
   }
 
   /** §2 `dedup_soft_weights`: SOFT deduplication — instead of dropping
@@ -341,21 +358,13 @@ object ScaleDedup {
       .filter(bit_count($"fp_a".bitwiseXOR($"fp_b")) <= 7)
       .dropDuplicates("a", "b")
       .select($"a", $"b")
-    // step 3: true CC over the verified edge graph — one synthetic bucket
-    // per edge joins its two endpoints. The edge table MUST be
-    // materialized first: ccKeepers joins its input twice per round, and
-    // an unmaterialized lineage would re-run the candidate join + verify
-    // 2× per round (the O(E) frontier checkpoint every iterative graph
-    // algorithm makes — same device as ccKeepers' own label checkpoint).
-    // The synthetic bucket key is struct(a,b) — exact, ccKeepers only ever
-    // equi-groups on it, so unlike a hashed key there is no 2^-64 chance
-    // of two distinct edges merging unrelated components
-    val edgeBands = edges
-      .select($"a".as("doc_id"), lit(0).as("band"), struct($"a", $"b").as("band_key"))
-      .unionByName(edges
-        .select($"b".as("doc_id"), lit(0).as("band"), struct($"a", $"b").as("band_key")))
-      .localCheckpoint()
-    val repKeeper = ccKeepers(edgeBands).select($"doc_id".as("rep"), $"keeper")
+    // step 3: true CC over the verified edge graph. The edge table MUST
+    // be materialized first: ccKeepersEdges reads its input twice (the
+    // symmetric-adjacency union), and an unmaterialized lineage would
+    // re-run the candidate join + verify per read (the O(E) frontier
+    // checkpoint every iterative graph algorithm makes).
+    val repKeeper = ccKeepersEdges(edges.localCheckpoint())
+      .select($"doc_id".as("rep"), $"keeper")
     docToRep.join(repKeeper, Seq("rep"), "left")
       .select($"doc_id", coalesce($"keeper", $"rep").as("keeper_doc_id"))
       .filter($"doc_id" =!= $"keeper_doc_id")
@@ -405,8 +414,12 @@ object ScaleDedup {
     val iW = incoming.select($"doc_id", $"lang", wordSet($"text").as("w"))
     val m = candidates.join(iW, Seq("doc_id")).join(corpusW, Seq("corpus_doc_id"))
       .filter($"lang" === $"c_lang") // same block rule as the exact twin
-      .withColumn("inter", size(array_intersect($"w", $"wc")))
-      .withColumn("uni", size(array_union($"w", $"wc")))
+      // fused |A∩B| + the distinct-set union identity |A∪B| = |A|+|B|−|A∩B|
+      // (exact: both sides are wordSet output) — same values as the
+      // intersect/union array builds, none of the allocations
+      .withColumn("inter",
+        graft.functions.SortedIntersectCount.sorted_intersect_count($"w", $"wc"))
+      .withColumn("uni", size($"w") + size($"wc") - $"inter")
       .withColumn("jaccard", $"inter".cast("double") / $"uni".cast("double"))
       .filter($"jaccard" >= 0.9)
     val w = org.apache.spark.sql.expressions.Window
@@ -780,6 +793,90 @@ object ScaleDedup {
     * returning partial labels would silently violate the split's leakage
     * contract — so it throws instead.
     */
+  /** TRUE connected-component labels over an undirected EDGE list
+    * (a, b) — the edge-specialized twin of [[ccKeepers]] (r15 perf
+    * pass). Every production CC consumer feeds a one-edge-per-bucket
+    * synthetic band table, where the generic bucket round pays TWO
+    * E-sized shuffles (doc→bucket min, bucket→doc min) to compute what
+    * is, on an edge list, ONE neighbor-min gather: the bucket min of
+    * {a, b} is min(label(a), label(b)), so the propagated label is
+    * propagated(u) = min(label(u), min over u's neighbors' labels) —
+    * the identical per-round value, so the label SEQUENCE, the round
+    * count, and the fixpoint are bit-identical to the bucket form's
+    * (OpsSpec races the two forms on random graphs).
+    *
+    * Per-round cost drops two ways:
+    *  - the symmetric adjacency pins its nbr-hash layout ONCE
+    *    ([[graft.plans.PinnedLayout]], the PageRank round discipline) —
+    *    each round's join then shuffles only the V-sized label table
+    *    into the pinned edges and the neighbor-min groupBy ships
+    *    map-combined partials, so edges never cross the wire again;
+    *  - the convergence probe rides the checkpointed round frame as a
+    *    carried prev-label column (one filter scan of the checkpoint)
+    *    instead of a separate V×V join per round.
+    */
+  private[graft] def ccKeepersEdges(edges: DataFrame, maxRounds: Int = 64): DataFrame = {
+    import edges.sparkSession.implicits._
+    val sym = graft.plans.PinnedLayout.pinByKey(
+      edges.select($"a".as("node"), $"b".as("nbr"))
+        .unionByName(edges.select($"b".as("node"), $"a".as("nbr"))),
+      "nbr")
+    var labels = sym.select($"node").distinct()
+      .select($"node", $"node".as("keeper"))
+      .localCheckpoint()
+    var round = 0
+    var converged = false
+    while (!converged) {
+      if (round >= maxRounds)
+        throw new IllegalStateException(
+          s"ccKeepersEdges: label propagation not converged after $maxRounds rounds — " +
+            "monotone fixpoint should converge in <= cluster-graph diameter; " +
+            "refusing to return partial labels (leakage-safety contract)")
+      // neighbor-min gather: only the V-sized label table moves (the
+      // pinned adjacency streams in place; SHUFFLE_HASH builds on labels)
+      val nbrMin = sym
+        .join(labels.select($"node".as("nbr"), $"keeper".as("nk")).hint("shuffle_hash"),
+          Seq("nbr"))
+        .groupBy($"node").agg(min($"nk").as("nmin"))
+      // every node has >= 1 edge and every neighbor is labeled, so the
+      // join is total; least(own, neighbor-min) IS the bucket form's
+      // min-over-buckets value
+      val propagated = labels.join(nbrMin, Seq("node"))
+        .select($"node", least($"keeper", $"nmin").as("keeper"),
+          $"keeper".as("prev"))
+      // pointer jumping THROUGH THE CHECKPOINTED PREVIOUS LABELS:
+      // next(u) = prevLabel(propagated(u)). Every table in the round is
+      // then either checkpointed or referenced once — the bucket form's
+      // jump-through-propagated re-evaluated the whole gather a second
+      // time per round (propagated fed both sides of its self-join).
+      // Sound: prevLabel(x) <= x and component-closed, so the label
+      // still only decreases within its component; at the fixpoint the
+      // component min maps to itself, so the fixpoint (= component min)
+      // is unchanged — only the chain-halving lags one round behind the
+      // self-join form, same O(log diameter) round bound.
+      // two applications: grandparent reach per round at one cheap
+      // V-join each (the lookup table is the checkpointed labels, never
+      // the lazy propagated frame)
+      val jumped1 = propagated
+        .join(labels.select($"node".as("k"), $"keeper".as("k2")),
+          propagated("keeper") === col("k"), "left")
+        .select(propagated("node"),
+          coalesce($"k2", propagated("keeper")).as("keeper"),
+          propagated("prev"))
+      val next = jumped1
+        .join(labels.select($"node".as("k"), $"keeper".as("k3")),
+          jumped1("keeper") === col("k"), "left")
+        .select(jumped1("node"),
+          coalesce($"k3", jumped1("keeper")).as("keeper"),
+          jumped1("prev"))
+        .localCheckpoint()
+      converged = next.filter($"keeper" =!= $"prev").isEmpty
+      labels = next.select($"node", $"keeper")
+      round += 1
+    }
+    labels.select($"node".as("doc_id"), $"keeper")
+  }
+
   private[graft] def ccKeepers(bands: DataFrame, maxRounds: Int = 64): DataFrame = {
     import bands.sparkSession.implicits._
     var labels = bands.select($"doc_id").distinct()
@@ -944,8 +1041,11 @@ object ScaleDedup {
     cands
       .join(t.select($"lang", $"doc_id".as("a"), $"w".as("wa")), Seq("lang", "a"))
       .join(t.select($"lang", $"doc_id".as("b"), $"w".as("wb")), Seq("lang", "b"))
-      .withColumn("inter", size(array_intersect($"wa", $"wb")))
-      .withColumn("uni", size(array_union($"wa", $"wb")))
+      // fused |A∩B| + distinct-set union identity (r15 perf pass — same
+      // values as the intersect/union array builds, no allocations)
+      .withColumn("inter",
+        graft.functions.SortedIntersectCount.sorted_intersect_count($"wa", $"wb"))
+      .withColumn("uni", size($"wa") + size($"wb") - $"inter")
       .withColumn("jaccard", $"inter".cast("double") / $"uni".cast("double"))
       .filter($"jaccard" >= 0.9)
       .select($"lang", $"a", $"b", $"inter", $"uni", $"jaccard")
@@ -994,15 +1094,11 @@ object ScaleDedup {
     val edges = prefixVerifiedPairs(reps.select($"rep".as("doc_id"), $"lang", $"w"))
       .select($"a", $"b")
     // step 3: true CC over the verified edge graph (edge table
-    // materialized first — ccKeepers joins it twice per round; same O(E)
-    // frontier checkpoint as the SimHash keeper). struct(a,b) bucket key:
-    // exact — no hash-collision component merge (see dedupSimhashKeeperOn)
-    val edgeBands = edges
-      .select($"a".as("doc_id"), lit(0).as("band"), struct($"a", $"b").as("band_key"))
-      .unionByName(edges
-        .select($"b".as("doc_id"), lit(0).as("band"), struct($"a", $"b").as("band_key")))
-      .localCheckpoint()
-    val repKeeper = ccKeepers(edgeBands).select($"doc_id".as("rep"), $"keeper")
+    // materialized first — ccKeepersEdges reads it twice for the
+    // symmetric adjacency; same O(E) frontier checkpoint as the SimHash
+    // keeper)
+    val repKeeper = ccKeepersEdges(edges.localCheckpoint())
+      .select($"doc_id".as("rep"), $"keeper")
     docToRep.join(repKeeper, Seq("rep"), "left")
       .select($"doc_id", coalesce($"keeper", $"rep").as("keeper_doc_id"))
       .filter($"doc_id" =!= $"keeper_doc_id")
@@ -1136,7 +1232,9 @@ object ScaleDedup {
     val repPairs = cands
       .join(t.select($"lang", $"doc_id".as("a"), $"w".as("wa")), Seq("lang", "a"))
       .join(t.select($"lang", $"doc_id".as("b"), $"w".as("wb")), Seq("lang", "b"))
-      .withColumn("inter", size(array_intersect($"wa", $"wb")).cast("long"))
+      // fused |A∩B| (r15 perf pass — see prefixVerifiedPairs)
+      .withColumn("inter",
+        graft.functions.SortedIntersectCount.sorted_intersect_count($"wa", $"wb").cast("long"))
       .filter($"inter" * 10 >= size($"wa") * 9)
       .select($"lang", $"a", $"b", $"inter",
         size($"wa").cast("long").as("sza"), size($"wb").cast("long").as("szb"),

@@ -71,16 +71,11 @@ object SemanticDedup {
   /** §2 entry: dropped docs with their component keeper and cell. */
   def dedupSemantic(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // materialize edges before ccKeepers iterates over them (the O(E)
-    // frontier checkpoint — ccKeepers joins its input twice per round)
+    // materialize edges before CC iterates over them (the O(E) frontier
+    // checkpoint — ccKeepersEdges reads its input twice for the
+    // symmetric adjacency)
     val edges = semanticEdges(assignedCells(spark, dir)).localCheckpoint()
-    // struct(a,b) bucket key: exact, no hashed-key collision component
-    // merge (see dedupSimhashKeeperOn)
-    val edgeBands = edges
-      .select($"a".as("doc_id"), lit(0).as("band"), struct($"a", $"b").as("band_key"))
-      .unionByName(edges
-        .select($"b".as("doc_id"), lit(0).as("band"), struct($"a", $"b").as("band_key")))
-    val keepers = ScaleDedup.ccKeepers(edgeBands)
+    val keepers = ScaleDedup.ccKeepersEdges(edges.select($"a", $"b"))
       .select($"doc_id".as("vec_id"), $"keeper".as("keeper_vec_id"))
     assignedCells(spark, dir).select($"vec_id", $"cell")
       .join(keepers, Seq("vec_id"))

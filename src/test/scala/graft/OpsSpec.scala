@@ -576,6 +576,54 @@ class OpsSpec extends SparkSuite {
     assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 9L), labels)
   }
 
+  test("ccKeepersEdges == ccKeepers on random edge graphs (the r15 edge fast path)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1234)
+    (1 to 5).foreach { trial =>
+      val n = 30 + rnd.nextInt(40)
+      val edges = (1 to (n + rnd.nextInt(2 * n))).map { _ =>
+        val a = rnd.nextInt(n).toLong
+        val b = rnd.nextInt(n).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2).distinct
+      val edgeDf = edges.toDF("a", "b").localCheckpoint()
+      val bands = edgeDf
+        .select($"a".as("doc_id"), lit(0L).as("band"), struct($"a", $"b").as("band_key"))
+        .unionByName(edgeDf
+          .select($"b".as("doc_id"), lit(0L).as("band"), struct($"a", $"b").as("band_key")))
+      val bucketForm = ops.ScaleDedup.ccKeepers(bands)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val edgeForm = ops.ScaleDedup.ccKeepersEdges(edgeDf)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(edgeForm == bucketForm, s"trial $trial: edge form diverged from bucket form")
+    }
+    // empty edge list: both forms return the empty labeling
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(ops.ScaleDedup.ccKeepersEdges(empty).isEmpty)
+  }
+
+  test("sorted_intersect_count == size(array_intersect) on sorted distinct arrays") {
+    import spark.implicits._
+    import graft.functions.SortedIntersectCount.sorted_intersect_count
+    val rnd = new scala.util.Random(99)
+    val rows = (1 to 200).map { i =>
+      def arr() = (0 until rnd.nextInt(30))
+        .map(_ => s"w${rnd.nextInt(40)}").distinct.sorted
+      (i.toLong, arr(), arr())
+    } :+ ((0L, Seq.empty[String], Seq("a", "b"))) // empty-side case
+    val df = rows.toDF("id", "wa", "wb")
+      .withColumn("fused", sorted_intersect_count($"wa", $"wb"))
+      .withColumn("ref", size(array_intersect($"wa", $"wb")))
+      .withColumn("uni_fused", size($"wa") + size($"wb") - $"fused")
+      .withColumn("uni_ref", size(array_union($"wa", $"wb")))
+    val bad = df.filter($"fused" =!= $"ref" || $"uni_fused" =!= $"uni_ref").collect()
+    assert(bad.isEmpty, bad.mkString("\n"))
+    // null array -> null, mirroring the intersect composition
+    val n = Seq((Some(Seq("a")), Option.empty[Seq[String]])).toDF("wa", "wb")
+      .select(sorted_intersect_count($"wa", $"wb").as("c")).collect()
+    assert(n.head.isNullAt(0))
+  }
+
   test("quality classifier: both labels occur and the margin decides them") {
     val rows = ops.LlmQueries.qualityClassifier(spark, sf).collect()
     val labels = rows.map(_.getAs[String]("label")).toSet
