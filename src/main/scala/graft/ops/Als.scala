@@ -634,10 +634,18 @@ object Als {
     var items = initItems(byItem).localCheckpoint()
     var users: DataFrame = null
     (1 to iters).foreach { _ =>
-      users = halfSolveImplicit(byItem, items, "item_id", "user_id")
+      // UNLIKE the explicit train loop, each implicit half-solve
+      // checkpoints: halfSolveImplicit reads its `given` factors TWICE —
+      // the correction join AND the broadcast Gram aggregate — so a lazy
+      // users plan inside the items solve would re-run the whole users
+      // half-solve once per consumer (r15 perf pass: measured 22.9 →
+      // 20.1 s cold / 14.1 → 12.6 s warm at sf0.1; the explicit loop
+      // keeps the one-barrier-per-alternation form because its given
+      // side is read once)
+      users = halfSolveImplicit(byItem, items, "item_id", "user_id").localCheckpoint()
       items = halfSolveImplicit(byUser, users, "user_id", "item_id").localCheckpoint()
     }
-    (users.localCheckpoint(), items)
+    (users, items)
   }
 
   /** The HKV objective Σ_{ALL cells} c·(p − x·y)² + λ(Σ‖x‖² + Σ‖y‖²),

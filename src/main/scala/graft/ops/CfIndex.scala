@@ -328,14 +328,18 @@ object CfIndex {
     val listens = cappedOf(allListens)
     val nb = serveCfNeighbors(spark, indexPath)
       .select($"item_id", $"rec_item_id", $"co_users")
+    // ONE user_id exchange for the voting tail — the recUserTopn r15
+    // restructure mirrored on the serve side (agg clustering, novelty
+    // anti-join, and rank groupBy all ride the same hash(user_id))
     val votes = listens.join(nb, Seq("item_id"))
+      .repartition($"user_id")
       .groupBy($"user_id", $"rec_item_id")
       .agg(sum($"co_users").as("score"), count(lit(1)).as("n_via"))
     // novelty against the FULL ledger set, not the capped profile —
     // [[Recommend.recUserTopn]]'s round-10 fix, mirrored here so
     // append==rebuild still shares the one oracle
     val novel = votes.join(
-      allListens.select($"user_id", $"item_id".as("rec_item_id")),
+      allListens.select($"user_id", $"item_id".as("rec_item_id")).repartition($"user_id"),
       Seq("user_id", "rec_item_id"), "left_anti")
     Recommend.rankUserVotes(novel).orderBy($"user_id", $"rank")
   }

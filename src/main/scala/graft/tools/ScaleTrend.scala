@@ -53,6 +53,13 @@ object ScaleTrend {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // subset-key co-partitioning (r15): a join whose children are both
+      // hash-partitioned on a SUBSET of the join keys (e.g. the voting
+      // tails' user_id layout under a (user_id, item_id) anti-join) is
+      // already co-located; the default=true setting would re-exchange
+      // both sides on the full key set. Scale-independent planner knob,
+      // not a local-core tuning.
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
