@@ -227,6 +227,11 @@ object KnnCentrality {
   private[graft] def hitsGather(edgesPinned: DataFrame, values: DataFrame,
       joinKey: String, groupKey: String): DataFrame = {
     import edgesPinned.sparkSession.implicits._
+    // NOTE (r15): a lazy auth half-round (skip this checkpoint, recompute
+    // the gather inside the next barrier) was tried and REVERTED — it
+    // measured faster isolated (7.3 vs 8.0 s) but consistently ~1 s
+    // slower inside the full bench, where the doubled gather work
+    // contends with the suite; the checkpoint stays.
     val raw = hitsRawGather(edgesPinned, values, joinKey, groupKey).localCheckpoint()
     // coalesce: an edgeless graph yields an empty gather → NULL max; d=1
     // keeps the divide defined (raw is empty, so the round stays empty —
