@@ -887,15 +887,24 @@ object StatsQueries {
     */
   def aggMadExact(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // r16 (guide §1.2 — don't compute twice): `med` is referenced by the
+    // deviation build AND both final attach joins; unmaterialized, each
+    // reference re-ran the whole 3-pass quartile chain. Group-grain rows
+    // (one per event type), so the checkpoint is bounded.
     val med = tukeyQuartiles(spark, dir)
       .select($"event_type",
         ($"q50".cast("decimal(10,2)") * 100).cast("long").as("med_c"),
         $"n_events")
+      .localCheckpoint()
     val devs = Tables.events(spark, dir)
       .select($"event_type", $"event_id",
         ($"value".cast("decimal(10,2)") * 100).cast("long").as("v_c"))
       .join(broadcast(med), Seq("event_type"))
       .select($"event_type".as("g"), abs($"v_c" - $"med_c").as("v"), $"event_id".as("id"))
+      // the bucket-median helper reads its input three times (stats,
+      // histogram, probe); materialize the deviation stream once instead
+      // of re-scanning the fact table per read
+      .localCheckpoint()
     groupedLowerMedianLong(devs)
       .select($"g".as("event_type"), $"med".as("mad_c"))
       .join(broadcast(med), Seq("event_type"))

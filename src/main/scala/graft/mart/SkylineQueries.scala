@@ -62,6 +62,11 @@ object SkylineQueries {
     val byTrack = li.join(ord, $"l_orderkey" === $"o_orderkey")
       .groupBy($"m", $"l_partkey")
       .agg(count(lit(1)).as("s"), countDistinct($"o_custkey").as("l"))
+      // r16 (guide §1.2 — don't compute twice): the catalog×months frame
+      // feeds BOTH the frontier chain and the re-attach join below;
+      // unmaterialized, each consumer re-ran the fact join + distinct
+      // aggregate. Catalog-grain rows, so the checkpoint is bounded.
+      .localCheckpoint()
     val frontier = skylinePoints(byTrack.select($"m", $"s", $"l").distinct())
     val part = broadcast(Tables.part(spark, dir).select($"p_partkey", $"p_name"))
     byTrack.join(frontier, Seq("m", "s", "l"))

@@ -104,9 +104,14 @@ object Als {
 
   /** One corpus shuffle, pinned and DECLARED — see
     * [[graft.plans.PinnedLayout]] (the shared device; extracted there in
-    * r12 when PageRank and label propagation adopted it too). */
-  private[graft] def pinByKey(df: DataFrame, key: String): DataFrame =
-    graft.plans.PinnedLayout.pinByKey(df, key)
+    * r12 when PageRank and label propagation adopted it too). Sized by
+    * the caller's rating count (r16, guide §2.2): partition count
+    * derives from input rows, capped at the configured shuffle
+    * parallelism — at corpus scale identical to before, at test scale
+    * the 12 per-round factor exchanges stop paying `cpus` tasks each.
+    */
+  private[graft] def pinByKey(df: DataFrame, key: String, rows: Long): DataFrame =
+    graft.plans.PinnedLayout.pinByKeySized(df, key, rows)
 
   /** Train (userFactors, itemFactors) on a (user_id, item_id, r) frame.
     *
@@ -126,8 +131,12 @@ object Als {
     * join).
     */
   private[graft] def train(ratings0: DataFrame, iters: Int = iterations): (DataFrame, DataFrame) = {
-    val byItem = pinByKey(ratings0, "item_id")
-    val byUser = pinByKey(ratings0, "user_id")
+    // one bounded driver pull (a long) sizes both pins; every entry path
+    // hands in an already-checkpointed ratings frame, so this scans the
+    // cached blocks, not the lineage
+    val nRatings = ratings0.count()
+    val byItem = pinByKey(ratings0, "item_id", nRatings)
+    val byUser = pinByKey(ratings0, "user_id", nRatings)
     var items = initItems(byItem).localCheckpoint()
     var users: DataFrame = null
     (1 to iters).foreach { _ =>
@@ -491,8 +500,9 @@ object Als {
     * materialization-barrier discipline, array factor columns. */
   private[graft] def trainD(ratings0: DataFrame, d: Int,
       iters: Int = iterations): (DataFrame, DataFrame) = {
-    val byItem = pinByKey(ratings0, "item_id")
-    val byUser = pinByKey(ratings0, "user_id")
+    val nRatings = ratings0.count() // sizes both pins; see train()
+    val byItem = pinByKey(ratings0, "item_id", nRatings)
+    val byUser = pinByKey(ratings0, "user_id", nRatings)
     var items = initItemsD(byItem, d).localCheckpoint()
     var users: DataFrame = null
     (1 to iters).foreach { _ =>
@@ -629,8 +639,9 @@ object Als {
     */
   private[graft] def trainImplicit(ratings0: DataFrame,
       iters: Int = iterations): (DataFrame, DataFrame) = {
-    val byItem = pinByKey(ratings0, "item_id")
-    val byUser = pinByKey(ratings0, "user_id")
+    val nRatings = ratings0.count() // sizes both pins; see train()
+    val byItem = pinByKey(ratings0, "item_id", nRatings)
+    val byUser = pinByKey(ratings0, "user_id", nRatings)
     var items = initItems(byItem).localCheckpoint()
     var users: DataFrame = null
     (1 to iters).foreach { _ =>

@@ -319,13 +319,15 @@ object CfIndex {
     */
   def serveCfUserTopn(spark: SparkSession, indexPath: String): DataFrame = {
     import spark.implicits._
-    val allListens = spark.read.parquet(s"$indexPath/uic")
-      .groupBy($"user_id", $"item_id").agg(sum($"n").as("n")).filter($"n" > 0)
-      // pinned: read by the capping window AND the novelty anti-join —
-      // one ledger aggregation instead of two (the rec_user_topn
-      // one-scan discipline on the serve side)
-      .localCheckpoint()
-    val listens = cappedOf(allListens)
+    // pinned: read by the capping window AND the novelty anti-join —
+    // one ledger aggregation instead of two (the rec_user_topn one-scan
+    // discipline on the serve side). r16: the materialization is a
+    // declared user_id PIN, so the capping window and the anti-join
+    // side consume it exchange-free (the in-session entry's device).
+    val allListens = Recommend.pinProfileByUser(
+      spark.read.parquet(s"$indexPath/uic")
+        .groupBy($"user_id", $"item_id").agg(sum($"n").as("n")).filter($"n" > 0))
+    val listens = Recommend.redeclareByUser(cappedOf(allListens))
     val nb = serveCfNeighbors(spark, indexPath)
       .select($"item_id", $"rec_item_id", $"co_users")
     // ONE user_id exchange for the voting tail — the recUserTopn r15
@@ -339,7 +341,8 @@ object CfIndex {
     // [[Recommend.recUserTopn]]'s round-10 fix, mirrored here so
     // append==rebuild still shares the one oracle
     val novel = votes.join(
-      allListens.select($"user_id", $"item_id".as("rec_item_id")).repartition($"user_id"),
+      // the anti side rides the pinned ledger layout directly (r16)
+      allListens.select($"user_id", $"item_id".as("rec_item_id")),
       Seq("user_id", "rec_item_id"), "left_anti")
     Recommend.rankUserVotes(novel).orderBy($"user_id", $"rank")
   }

@@ -460,17 +460,38 @@ object CorpusOps {
 
   private[graft] def decontaminateFuzzyOn(train: DataFrame, bench: DataFrame): DataFrame = {
     import train.sparkSession.implicits._
+    val tw = train.select($"doc_id", ScaleDedup.wordSet($"text").as("tset"))
+      .withColumn("tsz", size($"tset"))
+      .localCheckpoint() // feeds the band-carry join AND the verify join
+    val bw = bench.select($"doc_id".as("bench_id"), ScaleDedup.wordSet($"text").as("bset"))
+      .withColumn("bsz", size($"bset"))
+      .localCheckpoint()
+    // r16 (guide §2.3, the r15 minhash-core pattern): carry each side's
+    // distinct-word-set size onto its band rows (one ids-grain join
+    // each), so the LOSSLESS size-ratio prune runs INSIDE the candidate
+    // join, before the pair-keyed distinct exchange and the verify
+    // joins. Losslessness at τ = 0.8: |A∩B| ≤ min(|A|,|B|) and
+    // |A∪B| ≥ max(|A|,|B|), so J ≥ 0.8 requires 10·min ≥ 8·max — a
+    // necessary condition on two ints, checkable join-local. The lang
+    // prune of the dedup family does NOT apply here (this entry's
+    // verify is Jaccard-only — cross-language contamination must flag).
     val tb = ScaleDedup.bandRows(train)
+      .join(tw.select($"doc_id", $"tsz"), Seq("doc_id"))
     val bb = ScaleDedup.bandRows(bench)
       .select($"doc_id".as("bench_id"), $"band", $"band_key")
+      .join(bw.select($"bench_id", $"bsz"), Seq("bench_id"))
     val cands = tb.join(bb, Seq("band", "band_key"))
+      .filter(least($"tsz", $"bsz") * 10 >= greatest($"tsz", $"bsz") * 8)
       .select($"doc_id", $"bench_id").distinct()
-    val tw = train.select($"doc_id", ScaleDedup.wordSet($"text").as("tset"))
-    val bw = bench.select($"doc_id".as("bench_id"), ScaleDedup.wordSet($"text").as("bset"))
     cands.join(tw, Seq("doc_id")).join(bw, Seq("bench_id"))
-      .withColumn("inter", size(array_intersect($"tset", $"bset")).cast("long"))
-      .withColumn("uni",
-        (size($"tset") + size($"bset")).cast("long") - $"inter")
+      // fused two-pointer |A∩B| over the sorted distinct word sets plus
+      // the distinct-set union identity — same integers as the
+      // array_intersect build, none of the allocations (the r15
+      // SortedIntersectCount device; both inputs are wordSet output)
+      .withColumn("inter",
+        graft.functions.SortedIntersectCount.sorted_intersect_count(
+          $"tset", $"bset").cast("long"))
+      .withColumn("uni", ($"tsz" + $"bsz").cast("long") - $"inter")
       // exact integer test — no float compare on the 0.8 boundary
       .filter($"inter" * 10 >= $"uni" * 8)
       .withColumn("jaccard", $"inter".cast("double") / $"uni".cast("double"))

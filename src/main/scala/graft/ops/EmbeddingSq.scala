@@ -108,10 +108,24 @@ object EmbeddingSq {
   def annTopkSq8(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.functions.LongVectorDot.vector_dot
-    val recon = coded(spark, dir)
+    // r16 (expressions/codegen): the reconstruction is ONE transform over
+    // (v, st) — the code value inlined as ((v−mn)·254 DIV (mx−mn)), the
+    // oracle's own `rec` form, value-identical to 254·mn + codes[i]·
+    // (mx−mn) (and to it when mx == mn, where codes[i] = 0). The previous
+    // form referenced coded()'s `codes` column once, so CollapseProject
+    // inlined the WHOLE 64-element codes-array build into each rv lambda
+    // element — an O(d²) per-row blowup inside the checkpoint build
+    // (measured ~2.3 s of the entry's 4.9 s at sf0.1; the bandRows sig
+    // column dodges the same hazard by double-reference).
+    val q = LlmQueries.quantized(spark, dir)
+    val recon = q.crossJoin(broadcast(sqStats(q)))
       .withColumn("rv", expr(
         """transform(sequence(0, size(v) - 1), i ->
-          |  254L * st[i].mn + codes[i] * (st[i].mx - st[i].mn))""".stripMargin))
+          |  CASE WHEN st[i].mx > st[i].mn
+          |    THEN 254L * st[i].mn
+          |      + (((v[i] - st[i].mn) * 254L) DIV (st[i].mx - st[i].mn))
+          |        * (st[i].mx - st[i].mn)
+          |    ELSE 254L * st[i].mn END)""".stripMargin))
       .select($"vec_id", $"v", $"rv")
       // the SQ index table: persisted once at production scale; cached so
       // the shortlist and re-rank stages share one encode pass

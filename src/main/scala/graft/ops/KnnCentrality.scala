@@ -55,14 +55,19 @@ object KnnCentrality {
     // oracle unrolls the same 8 rounds over the same edges
     val edges = exactGraphOf(spark, dir).select($"vec_id".as("src"), $"neighbor_id".as("dst"))
     val outDeg = edges.groupBy($"src").agg(count(lit(1)).as("out"))
+    val nodes = VectorAgg.quantized(spark, dir).select($"vec_id").localCheckpoint()
+    val n = nodes.count() // bounded driver pull: one long, the Lloyd contract
     // r12: the static edge table pins its src-hash layout ONCE (the ALS
     // discipline, PinnedLayout) — each round's join then streams it in
     // place and only the n-row rank table crosses the wire (plan-pinned
     // in KnnGraphSpec); before this the "pre-partitions by src" claim
-    // was doc-only and every round re-shuffled the n·k edges
-    val edgesDeg = graft.plans.PinnedLayout.pinByKey(edges.join(outDeg, Seq("src")), "src")
-    val nodes = VectorAgg.quantized(spark, dir).select($"vec_id").localCheckpoint()
-    val n = nodes.count() // bounded driver pull: one long, the Lloyd contract
+    // was doc-only and every round re-shuffled the n·k edges.
+    // r16: pin SIZED by the exact edge count (every node has K
+    // out-edges), so the 8 per-round rank exchanges stop paying `cpus`
+    // tasks at small inputs — partition count still scales linearly to
+    // the configured cap (guide §2.2).
+    val edgesDeg = graft.plans.PinnedLayout.pinByKeySized(
+      edges.join(outDeg, Seq("src")), "src", n * K)
     val r0 = PrScale / n
     val base = (3L * PrScale / 20L) / n
     var ranks = nodes.select($"vec_id", lit(r0).as("r")).localCheckpoint()
@@ -175,9 +180,14 @@ object KnnCentrality {
     import spark.implicits._
     val edges = exactGraphOf(spark, dir)
       .select($"vec_id".as("src"), $"neighbor_id".as("dst"))
-    val eBySrc = graft.plans.PinnedLayout.pinByKey(edges, "src")
-    val eByDst = graft.plans.PinnedLayout.pinByKey(edges, "dst")
     val nodes = VectorAgg.quantized(spark, dir).select($"vec_id").localCheckpoint()
+    // r16: both pinned edge copies sized by the exact n·K edge count
+    // (one bounded count off the checkpointed node list) — the 16
+    // per-half-round score exchanges stop paying `cpus` tasks at small
+    // inputs; linear-to-cap at scale (guide §2.2)
+    val nNodes = nodes.count()
+    val eBySrc = graft.plans.PinnedLayout.pinByKeySized(edges, "src", nNodes * K)
+    val eByDst = graft.plans.PinnedLayout.pinByKeySized(edges, "dst", nNodes * K)
     // A node absent from a score table is an implicit ZERO: it gathers
     // nothing and contributes nothing, so the rounds never need the
     // zero-fill join — only the final output does (r12 perf pass: the
@@ -337,8 +347,12 @@ object KnnCentrality {
   private def bfsLayers(edges: DataFrame, sources: DataFrame)
       : (DataFrame, scala.collection.mutable.ArrayBuffer[DataFrame]) = {
     import edges.sparkSession.implicits._
-    val ePinned = graft.plans.PinnedLayout.pinByKey(
-      edges.select($"a", $"b"), "a")
+    // r16: sized pin — one bounded count (the callers hand in a filter
+    // over the session-checkpointed exact graph, so this scans cached
+    // blocks); the 4+3 BFS/back-propagation rounds then stop paying
+    // `cpus` tasks per join at small inputs (guide §2.2)
+    val ePinned = graft.plans.PinnedLayout.pinByKeySized(
+      edges.select($"a", $"b"), "a", edges.count())
     var frontier = sources.select($"src", $"src".as("node"), lit(1L).as("sigma"))
       .localCheckpoint()
     val layers = scala.collection.mutable.ArrayBuffer(frontier)

@@ -34,9 +34,14 @@ object KnnCommunity {
     import edges.sparkSession.implicits._
     val selfLoops = nodes.select($"vec_id".as("src"), $"vec_id".as("dst"))
     // r12: static vote-edge table pinned on src once (PinnedLayout — the
-    // ALS/PageRank discipline); each round's join streams it in place
-    val voteEdges = graft.plans.PinnedLayout.pinByKey(
-      edges.select($"src", $"dst").union(selfLoops), "src")
+    // ALS/PageRank discipline); each round's join streams it in place.
+    // r16: sized pin — two bounded counts (the entry hands in a
+    // checkpointed edge list and a parquet-projection node list); the 5
+    // per-round label exchanges then stop paying `cpus` tasks at small
+    // inputs, linear-to-cap at scale (guide §2.2)
+    val voteEdges = graft.plans.PinnedLayout.pinByKeySized(
+      edges.select($"src", $"dst").union(selfLoops), "src",
+      edges.count() + nodes.count())
     var labels = nodes.select($"vec_id", $"vec_id".as("label")).localCheckpoint()
     for (_ <- 1 to rounds) {
       labels = lpRound(voteEdges, labels).localCheckpoint()

@@ -74,6 +74,37 @@ object Recommend {
       .select($"user_id", $"item_id")
   }
 
+  /** ONE user_id pin of the listen profile (r16, guide §2.4 — the r15
+    * voting-tail device applied to the profile itself): materialize the
+    * profile hash-partitioned on user_id and DECLARE the layout, so the
+    * capping window, BOTH neighbor self-join sides, and the novelty
+    * anti-join all consume it exchange-free. The profile keeps its own
+    * (user, item) count exchange upstream — map-side partial aggregation
+    * still collapses repeat listens before anything moves. Full
+    * configured parallelism, NOT the sized pin: the self-join's pair
+    * expansion is quadratic in per-user profile size, so per-partition
+    * work is super-linear in partition rows.
+    */
+  private[graft] def pinProfileByUser(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val n = spark.sessionState.conf.numShufflePartitions
+    org.apache.spark.sql.graftshim.declareHashPartitioned(
+      df.repartition(n, col("user_id")).localCheckpoint(), n, "user_id")
+  }
+
+  /** Re-declare the user_id layout on a frame DERIVED from a pinned one
+    * without any intervening exchange (a window/filter/projection chain)
+    * after its own checkpoint — the checkpoint records
+    * UnknownPartitioning; the declared count is checked against the RDD,
+    * so a derivation that DID re-exchange fails loudly.
+    */
+  private[graft] def redeclareByUser(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val n = spark.sessionState.conf.numShufflePartitions
+    org.apache.spark.sql.graftshim.declareHashPartitioned(
+      df.localCheckpoint(), n, "user_id")
+  }
+
   /** Top-k similar tracks per track: co-listener counts from the
     * user-keyed self-join, cosine over the broadcast audience sizes,
     * rank per track (cosine desc, neighbor id asc).
@@ -135,8 +166,11 @@ object Recommend {
   /** §2 entry `rec_item_item_cf`: the track→track neighbor table. */
   def recItemItemCf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // one fact scan: the capped set feeds nu and both self-join sides
-    neighborsFrom(cappedListens(spark, dir).localCheckpoint())
+    // one fact scan: the capped set feeds nu and both self-join sides;
+    // r16: the profile pin makes the capping window and the self-join
+    // exchange-free (2 exchanges instead of 4 on the profile stream)
+    val lc = pinProfileByUser(listenCounts(spark, dir))
+    neighborsFrom(redeclareByUser(cappedFrom(lc)))
       .orderBy($"item_id", $"rank")
   }
 
@@ -159,8 +193,12 @@ object Recommend {
     // subtrees, and the three differed) — three fact scans at 100 TB
     // where one suffices. The capped set is pinned too: it is probed by
     // four joins (nu, both self-join sides, the vote join).
-    val lc = listenCounts(spark, dir).localCheckpoint()
-    val listens = cappedFrom(lc).localCheckpoint()
+    // r16: the materialization is now the user_id PIN (same single fact
+    // scan, same checkpoint count) — the capping window, both neighbor
+    // self-join sides, and the novelty anti-join side consume the
+    // declared layout exchange-free
+    val lc = pinProfileByUser(listenCounts(spark, dir))
+    val listens = redeclareByUser(cappedFrom(lc))
     val nb = neighborsFrom(listens).select($"item_id", $"rec_item_id", $"co_users")
     // ONE user_id exchange for the whole voting tail (r15 perf pass):
     // hash(user_id) satisfies the vote aggregation's (user_id,
@@ -174,7 +212,9 @@ object Recommend {
       .groupBy($"user_id", $"rec_item_id")
       .agg(sum($"co_users").as("score"), count(lit(1)).as("n_via"))
     val novel = votes.join(
-      lc.select($"user_id", $"item_id".as("rec_item_id")).repartition($"user_id"),
+      // the anti side rides the pinned profile layout directly (r16) —
+      // the explicit repartition it used to pay is the pin now
+      lc.select($"user_id", $"item_id".as("rec_item_id")),
       Seq("user_id", "rec_item_id"), "left_anti")
     rankUserVotes(novel).orderBy($"user_id", $"rank")
   }
@@ -287,14 +327,40 @@ object Recommend {
     import spark.implicits._
     val li  = Tables.lineitem(spark, dir).select($"l_orderkey", $"l_suppkey")
     val ord = Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey")
+    // r16 (guide §2.4 — reuse one partitioning, the r15 rec_user_topn
+    // device): ONE explicit user_id exchange right after the fact join
+    // carries the (user, artist) count aggregate (hash(user_id) satisfies
+    // the (user_id, artist_id) clustering), the capping window, AND both
+    // self-join sides. The capped table's checkpoint would forget that
+    // layout (UnknownPartitioning), so it is RE-DECLARED with the same
+    // (truthful) partition count — no exchange ran between the pin and
+    // the checkpoint. Before: the count groupBy, the window, and each
+    // self-join side paid separate exchanges of the same ~0.6M-row
+    // stream — 4 exchanges → 2. The count aggregate keeps its OWN
+    // (user, artist) exchange so map-side partial aggregation still
+    // collapses repeat listens before anything moves (at scale the
+    // profile is far smaller than the raw stream); the pin then
+    // re-keys the PROFILE, not the corpus. Pinned at FULL configured
+    // parallelism, NOT the sized pin: the self-join's pair expansion is
+    // quadratic in per-user profile size, so per-partition work
+    // downstream of this layout is super-linear in partition rows —
+    // collapsing tiny inputs to one partition serializes the pair
+    // stream (measured 3.0 → 7.5 s at sf0.1 with the sized pin; the
+    // sized rule is only right where per-round work is linear in
+    // partition rows, the ALS/graph loops).
+    val nPin = spark.sessionState.conf.numShufflePartitions
     val uaCounts = li.join(ord, $"l_orderkey" === $"o_orderkey")
       .groupBy($"o_custkey".as("user_id"), $"l_suppkey".as("artist_id"))
       .agg(count(lit(1)).as("n_listens"))
+    val byUser = org.apache.spark.sql.graftshim.declareHashPartitioned(
+      uaCounts.repartition(nPin, $"user_id").localCheckpoint(), nPin, "user_id")
     val wcap = Window.partitionBy($"user_id").orderBy($"n_listens".desc, $"artist_id")
-    val ua = uaCounts.withColumn("r", row_number().over(wcap))
-      .filter($"r" <= maxItemsPerUser)
-      .select($"user_id", $"artist_id")
-      .localCheckpoint() // one fact scan: feeds na and both self-join sides
+    val ua = org.apache.spark.sql.graftshim.declareHashPartitioned(
+      byUser.withColumn("r", row_number().over(wcap))
+        .filter($"r" <= maxItemsPerUser)
+        .select($"user_id", $"artist_id")
+        .localCheckpoint(), // one fact scan: feeds na and both self-join sides
+      nPin, "user_id")
     val na = ua.groupBy($"artist_id").agg(count(lit(1)).as("n_users"))
     val a = ua.select($"user_id", $"artist_id".as("a"))
     val b = ua.select($"user_id", $"artist_id".as("b"))
@@ -380,7 +446,10 @@ object Recommend {
     // four branches — the user total, the audience sizes, and both
     // self-join sides — which otherwise each re-derive lineitem⋈orders
     // plus the capping window
-    val listens = cappedListens(spark, dir).localCheckpoint()
+    // r16: same profile-pin device as rec_item_item_cf — the capping
+    // window and the self-join consume one declared user_id layout
+    val listens = redeclareByUser(
+      cappedFrom(pinProfileByUser(listenCounts(spark, dir))))
     val nTotal = listens.select($"user_id").distinct()
       .agg(count(lit(1)).as("n_users_total"))
     val nu = listens.groupBy($"item_id").agg(count(lit(1)).as("n_users"))

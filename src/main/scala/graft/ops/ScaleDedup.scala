@@ -817,10 +817,14 @@ object ScaleDedup {
     */
   private[graft] def ccKeepersEdges(edges: DataFrame, maxRounds: Int = 64): DataFrame = {
     import edges.sparkSession.implicits._
-    val sym = graft.plans.PinnedLayout.pinByKey(
+    // r16: sized pin — `edges` is checkpointed by caller contract (see
+    // every call site), so the count is one bounded scan of cached
+    // blocks; the per-round label exchanges then stop paying `cpus`
+    // tasks at small inputs, linear-to-cap at scale (guide §2.2)
+    val sym = graft.plans.PinnedLayout.pinByKeySized(
       edges.select($"a".as("node"), $"b".as("nbr"))
         .unionByName(edges.select($"b".as("node"), $"a".as("nbr"))),
-      "nbr")
+      "nbr", edges.count() * 2)
     var labels = sym.select($"node").distinct()
       .select($"node", $"node".as("keeper"))
       .localCheckpoint()

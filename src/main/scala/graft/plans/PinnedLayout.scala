@@ -28,9 +28,52 @@ import org.apache.spark.sql.functions.col
   */
 object PinnedLayout {
 
-  /** One corpus shuffle, pinned and declared. */
+  /** Rows per pinned partition when the caller supplies a row count
+    * (r16, guide §2.2: size shuffle partitions by DATA, not by core
+    * count). Pinned rows here are narrow (2–5 longs, ≲ 64 B unsafe), so
+    * 2²⁰ rows ≈ 32–64 MB per partition — inside the guide's band. The
+    * constant is the local default of a scale-adaptive RULE (the LSH
+    * band-count discipline: the layout law is the contract, not the
+    * number): partition count grows linearly with input rows and caps
+    * at `spark.sql.shuffle.partitions`, so a 100 TB corpus pins at full
+    * cluster parallelism while a kilobyte-scale round frame stops
+    * paying cluster-width task scheduling for every iteration — the
+    * measured r15 pathology where iterative entries ran FASTER on 8
+    * cores than 32 because every round shuffled into `cpus` tasks.
+    */
+  private val RowsPerPartition = 1L << 20
+
+  /** Partition count for a pinned layout of `rows` rows: linear in the
+    * input, capped at the configured shuffle parallelism (public so a
+    * caller that re-declares a DERIVED layout — e.g. a window output that
+    * preserved the pin — can use the identical count).
+    */
+  def partitionsForRows(spark: org.apache.spark.sql.SparkSession, rows: Long): Int = {
+    val cap = spark.sessionState.conf.numShufflePartitions
+    math.max(1L, math.min(cap.toLong,
+      (rows + RowsPerPartition - 1) / RowsPerPartition)).toInt
+  }
+
+  private def partitionsFor(df: DataFrame, rows: Long): Int =
+    partitionsForRows(df.sparkSession, rows)
+
+  /** One corpus shuffle, pinned and declared, at full configured
+    * parallelism — for callers with no cheap row count.
+    */
   def pinByKey(df: DataFrame, key: String): DataFrame = {
     val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    org.apache.spark.sql.graftshim.declareHashPartitioned(
+      df.repartition(n, col(key)).localCheckpoint(), n, key)
+  }
+
+  /** Size-adaptive pin: the partition count derives from the caller's
+    * (exact or safely-overestimated) row count instead of the core
+    * count — see [[RowsPerPartition]]. `rows` is typically one bounded
+    * driver pull of a long off an already-checkpointed frame (the Lloyd
+    * contract), or arithmetic on one (n·k edges of a kNN graph).
+    */
+  def pinByKeySized(df: DataFrame, key: String, rows: Long): DataFrame = {
+    val n = partitionsFor(df, rows)
     org.apache.spark.sql.graftshim.declareHashPartitioned(
       df.repartition(n, col(key)).localCheckpoint(), n, key)
   }

@@ -88,7 +88,7 @@ class AlsSpec extends SparkSuite {
     // (b) hash-join with the corpus side STREAMED off its pinned
     // (localCheckpoint-preserved) partitioning — no exchange beneath it.
     val ratings = ops.Als.ratingsOf(spark, sf)
-    val byItem = ops.Als.pinByKey(ratings, "item_id")
+    val byItem = ops.Als.pinByKey(ratings, "item_id", ratings.count())
     val items = ops.Als.initItems(byItem).localCheckpoint()
     val solved = ops.Als.halfSolve(byItem, items, "item_id", "user_id")
     solved.collect() // finalize AQE

@@ -880,6 +880,37 @@ class PinnedLayoutSpec extends SparkSuite {
         df.repartition(n, $"k").localCheckpoint(), n, "nope")
     }
   }
+
+  test("pinByKeySized derives the partition count from rows, capped at the conf") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    val df = (1L to 100L).map(i => (i, i % 7)).toDF("k", "v")
+    val cap = spark.sessionState.conf.numShufflePartitions
+    // tiny input → ONE partition (not `cpus` tasks per downstream round)
+    val small = plans.PinnedLayout.pinByKeySized(df, "k", 100L)
+    small.queryExecution.executedPlan.outputPartitioning match {
+      case hp: HashPartitioning => assert(hp.numPartitions == 1)
+      case other => fail(s"expected HashPartitioning, got $other")
+    }
+    assert(small.collect().map(_.getLong(0)).sorted.sameElements(1L to 100L),
+      "sized pinning must not change the data")
+    // the declared rule: linear in rows, capped at the configured
+    // shuffle parallelism — a corpus-sized row count pins at full cap
+    assert(plans.PinnedLayout.partitionsForRows(spark, 1L) == 1)
+    assert(plans.PinnedLayout.partitionsForRows(spark, (1L << 20) + 1) ==
+      math.min(2, cap))
+    assert(plans.PinnedLayout.partitionsForRows(spark, Long.MaxValue / 4) == cap)
+    // sized pin output is consumable as a co-partitioned join side: a
+    // same-key self-join off the declared layout adds no exchange
+    val joined = small.join(
+      plans.PinnedLayout.pinByKeySized(df.select($"k", ($"v" * 2).as("w")), "k", 100L),
+      Seq("k"))
+    joined.collect()
+    val exchanges = tools.PlanWalk.flatten(joined.queryExecution.executedPlan)
+      .count(_.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec])
+    assert(exchanges == 0,
+      s"co-partitioned sized pins must join exchange-free:\n${joined.queryExecution.executedPlan}")
+  }
 }
 
 class PlanSpec extends SparkSuite {
