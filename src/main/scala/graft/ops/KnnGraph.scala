@@ -218,8 +218,11 @@ object KnnGraph {
     */
   def annTopkGraph(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val q = VectorAgg.quantized(spark, dir)
-    val directed = ivfEdges(spark, dir).select($"vec_id".as("src"), $"neighbor_id".as("dst"))
+    // r16: ONE materialized quantized table feeds the edge build, the
+    // vector store, and the query cohort — lazily each beam round's
+    // score join re-ran the quantized scan (guide §1.2)
+    val q = VectorAgg.quantized(spark, dir).localCheckpoint()
+    val directed = ivfEdgesOf(spark, dir, q).select($"vec_id".as("src"), $"neighbor_id".as("dst"))
     val adj = undirected(directed).localCheckpoint()
     val corpusVec = q.select($"vec_id".as("node"), $"v".as("nv"))
     val queries = q.filter($"vec_id" % 10 === 0)
@@ -246,41 +249,59 @@ object KnnGraph {
       .select($"node")
   }
 
-  /** The shared beam core: every (query_id, qv) advances one hop per
-    * round through `adj`, scored by the fused integer dot against
-    * `corpusVec` (node, nv), beam kept at `BeamWidth` by PartialTopK.
-    * Round-0 candidates = the seeds PLUS the query's own adjacency
-    * (known-item seeding — harmless for non-member queries: the join
-    * finds no edges). Self-matches screened at scoring. Returns the
-    * final ranked beam (query_id, qv, rank, node, dot).
+  /** The shared beam core: every query advances one hop per round
+    * through `adj`, scored by the fused integer dot against `corpusVec`
+    * (node, nv), beam kept at `BeamWidth` by PartialTopK. Round-0
+    * candidates = the seeds PLUS the query's own adjacency (known-item
+    * seeding — harmless for non-member queries: the join finds no
+    * edges). Self-matches screened at scoring. Returns the final ranked
+    * beam (query_id, rank, node, dot).
+    *
+    * r16 (guide §2.3/§8 — shuffle keys, not payloads; SCALE_TREND
+    * finding): the beam state and the per-round hop/dedup streams are
+    * THIN (query_id, node, dot). The old form carried the query VECTOR
+    * on every row — harmless at queries×BeamWidth grain, but the hop's
+    * fan-out is beam × undirected DEGREE, and a mutual-kNN graph's hub
+    * nodes concentrate exactly where beams converge: measured 3.67M
+    * hop rows/round at the 10× corpus, each dragging a 64-long array
+    * through the hop join, the two (query, node) dedup exchanges, and
+    * the score join — ~1.9 GB per exchange per round, 18–28 s/round.
+    * Now both vectors attach per round at the score join only (qv by a
+    * query_id equi-join, nv by the node join), so exactly ONE exchange
+    * per round carries an array and every other stream ships 3 longs.
+    * `queries` and `corpusVec` are checkpointed by the callers — each
+    * is referenced once per round and the lazy form re-ran the shared
+    * quantized scan per reference.
     */
-  private def beamSearch(queries: DataFrame, adj: DataFrame, seeds: DataFrame,
+  private def beamSearch(queries0: DataFrame, adj: DataFrame, seeds: DataFrame,
       corpusVec: DataFrame): DataFrame = {
-    import queries.sparkSession.implicits._
+    import queries0.sparkSession.implicits._
+    val queries = queries0.localCheckpoint() // cohort-sized; read 5× below
     def topB(scored: DataFrame, b: Int): DataFrame =
       scored.groupBy($"query_id")
         .agg(partial_topk(
-          struct((-$"dot").as("neg_dot"), $"node".as("node"), $"dot".as("dot")), b).as("topk"),
-          first($"qv").as("qv")) // constant per group — carried, not recomputed
-        .select($"query_id", $"qv", posexplode($"topk").as(Seq("pos", "s")))
-        .select($"query_id", $"qv", ($"pos" + 1).cast("int").as("rank"),
+          struct((-$"dot").as("neg_dot"), $"node".as("node"), $"dot".as("dot")), b).as("topk"))
+        .select($"query_id", posexplode($"topk").as(Seq("pos", "s")))
+        .select($"query_id", ($"pos" + 1).cast("int").as("rank"),
           $"s.node".as("node"), $"s.dot".as("dot"))
     def score(cand: DataFrame): DataFrame =
-      cand.join(corpusVec, Seq("node"))
+      cand.join(queries, Seq("query_id"))
+        .join(corpusVec, Seq("node"))
         .filter($"node" =!= $"query_id")
-        .withColumn("dot", vector_dot($"qv", $"nv")).drop("nv")
-    val init = queries.select($"query_id", $"qv", $"query_id".as("node"))
+        .withColumn("dot", vector_dot($"qv", $"nv"))
+        .select($"query_id", $"node", $"dot")
+    val init = queries.select($"query_id", $"query_id".as("node"))
       .join(adj, col("node") === col("src"))
-      .select($"query_id", $"qv", $"dst".as("node"))
-      .unionByName(queries.crossJoin(broadcast(seeds)))
+      .select($"query_id", $"dst".as("node"))
+      .unionByName(queries.select($"query_id").crossJoin(broadcast(seeds)))
       .dropDuplicates("query_id", "node")
     var beam = topB(score(init), BeamWidth).localCheckpoint()
     for (_ <- 1 to BeamRounds) {
-      val expanded = beam.select($"query_id", $"qv", $"node", $"dot")
+      val expanded = beam.select($"query_id", $"node", $"dot")
         .unionByName(
-          score(beam.select($"query_id", $"qv", $"node")
+          score(beam.select($"query_id", $"node")
             .join(adj, col("node") === col("src"))
-            .select($"query_id", $"qv", $"dst".as("node"))
+            .select($"query_id", $"dst".as("node"))
             .dropDuplicates("query_id", "node")))
         .dropDuplicates("query_id", "node")
       beam = topB(expanded, BeamWidth).localCheckpoint()
@@ -405,7 +426,8 @@ object KnnGraph {
     import spark.implicits._
     val adj = spark.read.parquet(s"$indexPath/adj")
     val seeds = spark.read.parquet(s"$indexPath/seeds")
-    val q = VectorAgg.quantized(spark, dir)
+    // one materialized vector store for the per-round score joins (r16)
+    val q = VectorAgg.quantized(spark, dir).localCheckpoint()
     val corpusVec = q.select($"vec_id".as("node"), $"v".as("nv"))
     val queries = q.filter($"vec_id" % 10 === 0)
       .select($"vec_id".as("query_id"), $"v".as("qv"))

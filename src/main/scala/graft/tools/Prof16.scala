@@ -100,6 +100,80 @@ object Prof16 {
             metricCols.map(col).toArray, "metric", "value")
             .orderBy($"year".desc, $"month_num".desc, $"metric"))
         }
+      case "simhash" =>
+        // attribute dedup_simhash_keeper's scale trend: rep collapse vs
+        // chunk-blocked hamming join vs CC over verified edges (the
+        // chunk unroll mirrors ScaleDedup.chunkStructs)
+        val docs = graft.Tables.documents(spark, sfDir)
+        val withFp = stage("fingerprints")(docs.select($"doc_id",
+          graft.ops.ScaleDedup.simhashFp(split(lower(trim($"text")), " +")).as("fp")))
+        val reps = stage("reps")(withFp.groupBy($"fp").agg(min($"doc_id").as("rep")))
+        val chunks = array((0 until 8).map { k =>
+          struct(lit(k).as("chunk_idx"),
+            shiftrightunsigned($"fp", k * 8).bitwiseAND(lit(255L)).as("chunk_val"))
+        }: _*)
+        val exploded = reps.select($"rep", $"fp",
+          posexplode(chunks).as(Seq("pos", "c")))
+          .select($"rep", $"fp", $"c.chunk_idx", $"c.chunk_val")
+        val l = exploded.select($"chunk_idx", $"chunk_val", $"rep".as("a"), $"fp".as("fp_a"))
+        val r = exploded.select($"chunk_idx", $"chunk_val", $"rep".as("b"), $"fp".as("fp_b"))
+        val edges = stage("hamming join")(l.join(r, Seq("chunk_idx", "chunk_val"))
+          .filter($"a" < $"b")
+          .filter(bit_count($"fp_a".bitwiseXOR($"fp_b")) <= 7)
+          .dropDuplicates("a", "b")
+          .select($"a", $"b"))
+        stage("cc")(graft.ops.ScaleDedup.ccKeepersEdges(edges))
+      case "graph" =>
+        // attribute ann_topk_graph's scale trend: IVF kNN edge build vs
+        // the beam rounds (inline replica of KnnGraph.beamSearch with a
+        // stage() barrier per round)
+        import graft.functions.PartialTopK.partial_topk
+        import graft.functions.LongVectorDot.vector_dot
+        val q = stage("quantized")(graft.ops.VectorAgg.quantized(spark, sfDir))
+        val directed = stage("ivfEdges")(
+          graft.ops.KnnGraph.ivfEdgesOf(spark, sfDir, q)
+            .select($"vec_id".as("src"), $"neighbor_id".as("dst")))
+        val adj = stage("undirected")(
+          directed.union(directed.select($"dst".as("src"), $"src".as("dst"))).distinct())
+        val corpusVec = q.select($"vec_id".as("node"), $"v".as("nv"))
+        val queries = q.filter($"vec_id" % 10 === 0)
+          .select($"vec_id".as("query_id"), $"v".as("qv"))
+        val cells = graft.ops.VectorAgg.kmeansCells(spark, sfDir, k = 16, iters = 2)
+        val seeds = stage("seeds")(graft.ops.VectorAgg.withCellRank(q, cells)
+          .select($"vec_id", element_at($"cellRank", 1).getField("cell").as("cell"))
+          .groupBy($"cell").agg(min($"vec_id").as("node"))
+          .select($"node"))
+        def topB(scored: DataFrame, bw: Int): DataFrame =
+          scored.groupBy($"query_id")
+            .agg(partial_topk(
+              struct((-$"dot").as("neg_dot"), $"node".as("node"), $"dot".as("dot")), bw).as("topk"),
+              first($"qv").as("qv"))
+            .select($"query_id", $"qv", posexplode($"topk").as(Seq("pos", "s")))
+            .select($"query_id", $"qv", ($"pos" + 1).cast("int").as("rank"),
+              $"s.node".as("node"), $"s.dot".as("dot"))
+        def score(cand: DataFrame): DataFrame =
+          cand.join(corpusVec, Seq("node"))
+            .filter($"node" =!= $"query_id")
+            .withColumn("dot", vector_dot($"qv", $"nv")).drop("nv")
+        val init = queries.select($"query_id", $"qv", $"query_id".as("node"))
+          .join(adj, col("node") === col("src"))
+          .select($"query_id", $"qv", $"dst".as("node"))
+          .unionByName(queries.crossJoin(broadcast(seeds)))
+          .dropDuplicates("query_id", "node")
+        var beam = stage("round0")(topB(score(init), 8))
+        for (i <- 1 to 3) {
+          val hop = stage(s"r$i hop")(
+            beam.select($"query_id", $"qv", $"node")
+              .join(adj, col("node") === col("src"))
+              .select($"query_id", $"qv", $"dst".as("node"))
+              .dropDuplicates("query_id", "node"))
+          val scored = stage(s"r$i score")(score(hop))
+          val expanded = stage(s"r$i dedup")(
+            beam.select($"query_id", $"qv", $"node", $"dot")
+              .unionByName(scored)
+              .dropDuplicates("query_id", "node"))
+          beam = stage(s"round$i")(topB(expanded, 8))
+        }
       case other => System.err.println(s"unknown profile: $other")
     }
     spark.stop()
